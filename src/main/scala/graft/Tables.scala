@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * Entity mapping onto the reference's data model
+  * (/root/reference/src/models/{job,contact,issue}.py):
+  *   jobs     → orders    (o_orderkey = job_id, o_custkey = user_id,
+  *                         o_orderdate = created_at, o_orderstatus = status)
+  *   staging  → lineitem  (l_orderkey = staging_job_id, (l_orderkey,l_linenumber) = staging_id)
+  *   contacts → customer  (c_custkey = contact_id, c_name → email derivation)
+  *   events/documents/embeddings back the streaming + LLM-pipeline operators.
+  *
+  * All loads are plain parquet scans so Catalyst can push filters/projections
+  * into the file source (verified via explain: PushedFilters/ReadSchema).
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** The reference's data-quality rules (IssueType,
+  * /root/reference/src/models/issue.py:12-17) plus the issue-lifecycle
+  * update/merge/delete semantics of the repositories.
+  *
+  * All detections are set-based single-pass plans — no per-row lookups:
+  *  - DUPLICATE_EMAIL: one hash-aggregate on the (batch, key) pair.
+  *  - INVALID_EMAIL:   a codegen'd regex predicate, pushdown-friendly.
+  *  - EXISTING_EMAIL:  LEFT ANTI join with the contacts side broadcast —
+  *                     at 100 TB this is the only shape that avoids an
+  *                     all-to-all shuffle of the fact table when the known-
+  *                     contacts side fits in memory; if it doesn't, Spark
+  *                     falls back to a shuffled anti-join, still set-based.
+  *  - MISSING_REQUIRED_FIELD: null/blank predicate, no shuffle at all.
+  */
+object Issues {
+
+  /** DUPLICATE_EMAIL (issue.py:14): duplicate key within one batch/job.
+    * One shuffle on (batchCol, keyCol); partial aggregation combines map-side. */
+  def duplicateKeys(df: DataFrame, batchCol: String, keyCol: String): DataFrame =
+    df.groupBy(batchCol, keyCol).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .orderBy(batchCol, keyCol)
+
+  /** INVALID_EMAIL (issue.py:15): anchored-regex format check, vectorized. */
+  def invalidEmails(df: DataFrame, emailCol: String): DataFrame =
+    df.filter(!Cols.emailValid(col(emailCol)))
+
+  /** EXISTING_EMAIL (issue.py:16): staging keys already present in contacts.
+    * `existing` is broadcast (dim-sized); returns staging rows that are new
+    * when `anti=true` (the promote path) or the clashing ones when false. */
+  def existingKeys(staging: DataFrame, existing: DataFrame,
+                   stagingKey: String, existingKey: String,
+                   anti: Boolean): DataFrame = {
+    val joinType = if (anti) "left_anti" else "left_semi"
+    staging.join(broadcast(existing), col(stagingKey) === col(existingKey), joinType)
+  }
+
+  /** MISSING_REQUIRED_FIELD (issue.py:17): any of the required columns
+    * null/blank. Pure predicate — stays in the scan stage. */
+  def missingRequired(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    df.filter(requiredCols.map(c => Cols.isBlank(col(c))).reduce(_ || _))
+
+  /** Issue-resolution update (issue_repository.py:258-327) as a columnar
+    * transform: resolving stamps resolved_at when absent; unresolving clears
+    * resolved_at/resolved_by (mirrors :293-301). */
+  def resolve(issues: DataFrame, resolvedCol: String, setResolved: Boolean,
+              resolvedBy: String, nowCol: org.apache.spark.sql.Column): DataFrame = {
+    if (setResolved)
+      issues
+        .withColumn("issue_resolved_at",
+          coalesce(col("issue_resolved_at"), nowCol))
+        .withColumn("issue_resolved_by", lit(resolvedBy))
+        .withColumn(resolvedCol, lit(true))
+    else
+      issues
+        .withColumn("issue_resolved_at", lit(null).cast("timestamp"))
+        .withColumn("issue_resolved_by", lit(null).cast("string"))
+        .withColumn(resolvedCol, lit(false))
+  }
+
+  /** Staging edit / upsert (staging_repository.py:72-131) as a batch MERGE:
+    * base LEFT JOIN updates on the key, COALESCE updated fields. The updates
+    * side is expected dim-sized → broadcast; base never moves. */
+  def mergeUpdates(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                   updatedCols: Map[String, String]): DataFrame = {
+    val joined = base.as("b").join(broadcast(updates.as("u")),
+      keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _), "left")
+    val projected = base.columns.map { c =>
+      updatedCols.get(c) match {
+        case Some(uc) => coalesce(col(s"u.$uc"), col(s"b.$c")).as(c)
+        case None     => col(s"b.$c").as(c)
+      }
+    }
+    joined.select(projected.toIndexedSeq: _*)
+  }
+
+  /** Status-gated delete (job_repository.py:186-284): rows NOT in a deletable
+    * status survive; the cancel removes only PENDING/NEEDS_REVIEW/FAILED. */
+  def conditionalDelete(df: DataFrame, statusCol: String,
+                        deletableStatuses: Seq[String]): DataFrame =
+    df.filter(!col(statusCol).isin(deletableStatuses: _*))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spark-native analogs of the reference's repository query surface
+  * (/root/reference/src/app/repository/ modules).
+  *
+  * Scale notes (designed for 1000-executor / 100 TB, tested on local[32]):
+  *  - Every dim-vs-fact join broadcasts the dimension (orders filtered by one
+  *    user, part, customer, nation are all ≪ the fact side). AQE would often
+  *    pick this anyway; we make it explicit so the plan is stable.
+  *  - Aggregates that the reference computes with three separate COUNT queries
+  *    (issue_repository.py:108-115) are a single grouped conditional aggregate
+  *    here — one scan + one shuffle instead of three scans.
+  *  - Point lookups / key filters are plain pushed-down predicates: the parquet
+  *    scan shows them under PushedFilters, so row groups are skipped at the
+  *    source. On a real deployment the fact tables would additionally be
+  *    bucketed/partitioned by the filter key.
+  */
+object Relational {
+
+  /** get_all_jobs filtered by user, newest first (job_repository.py:31-43). */
+  def jobsByUser(orders: DataFrame, userId: Long): DataFrame =
+    orders.filter(col("o_custkey") === userId)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+
+  /** get_job_by_id point lookup (job_repository.py:57-74). */
+  def jobById(orders: DataFrame, jobId: Long): DataFrame =
+    orders.filter(col("o_orderkey") === jobId)
+
+  /** get_all_contacts_by_user_id sorted listing (contact_repository.py:35-40). */
+  def contactsListing(customer: DataFrame): DataFrame =
+    customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+
+  /** count_jobs per user (job_repository.py:77-93), grouped in one pass. */
+  def countJobs(orders: DataFrame): DataFrame =
+    orders.groupBy("o_custkey").agg(count(lit(1)).as("n_jobs"))
+      .orderBy("o_custkey")
+
+  /** count_issues total/resolved/unresolved (issue_repository.py:80-115).
+    * The reference issues 3 SQL COUNTs; this is one grouped conditional agg —
+    * one scan, one shuffle, exact at any scale. */
+  def conditionalCounts(orders: DataFrame): DataFrame =
+    orders.groupBy("o_custkey").agg(
+      count(lit(1)).as("total_cnt"),
+      sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("resolved_cnt"),
+      sum(when(col("o_orderstatus") =!= "F", 1).otherwise(0)).as("unresolved_cnt"))
+      .orderBy("o_custkey")
+
+  /** issues ⋈ jobs filtered by user (issue_repository.py:138-147).
+    * The filtered jobs side is tiny → broadcast; fact side never shuffles. */
+  def issuesJoinJobs(lineitem: DataFrame, orders: DataFrame, userId: Long): DataFrame =
+    lineitem.join(
+        broadcast(orders.filter(col("o_custkey") === userId)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+              "o_custkey", "o_orderstatus")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** issues ⋈ issue_items ⋈ staging eager-load (issue_repository.py:57-66):
+    * a 3-way join where both non-fact sides broadcast. */
+  def threeWayJoin(orders: DataFrame, lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"),
+              col("p_name"), col("l_quantity"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  /** get_contact_by_email point read (contact_repository.py:54-104). */
+  def contactByEmail(customer: DataFrame, name: String): DataFrame =
+    customer.filter(col("c_name") === name)
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** Per-nation revenue rollup (the reference's per-user count endpoints,
+    * generalized): fact joins broadcast dims, money math in DECIMAL so the
+    * result is exact and independent of partial-aggregation order. */
+  def groupRollup(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(rev).cast("decimal(18,2)").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Top-N per group via window (generalizes the newest-first listings). */
+  def topNPerGroup(events: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= n).drop("rn")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Hourly event rollup — the batch twin of the streaming windowed agg
+    * (see graft.streaming.EventStream); DECIMAL sum for exactness. */
+  def eventsHourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .orderBy("hour", "event_type")
+}
