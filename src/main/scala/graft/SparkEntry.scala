@@ -1,13 +1,376 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+import graft.operators._
+import graft.sources.CsvIngest
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * query key maps to. Every ★ operator has BOTH a `queries` entry and an
+  * `oracleSql` entry (DuckDB, same parquet tables); ☆ operators (not
+  * SQL-expressible: LSH, ANN, streaming, CSV sniffing, multimodal) have a
+  * `queries` entry plus a ScalaTest spec.
+  *
+  * Oracle-parity rules used throughout:
+  *  - every computed column is aliased IDENTICALLY in Spark and SQL;
+  *  - every query ends in a deterministic total ORDER BY;
+  *  - aggregates of doubles are cast to DECIMAL on both sides (exact,
+  *    order-independent), conditional counts use COUNT(CASE…)/count(when…)
+  *    so both engines produce BIGINT;
+  *  - regexes are written in the RE2 ∩ java.util.regex common dialect.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------ shared derivations
+
+  /** Synthetic-but-deterministic contact emails over `customer` — gives the
+    * email-quality operators a realistic mix: ~1/7 malformed (no @), ~1/11
+    * malformed (double @), rest valid. Mirrored 1:1 in the SQL oracles. */
+  private def withEmail(customer: DataFrame): DataFrame =
+    customer.withColumn("email",
+      when(col("c_custkey") % 7 === 0,
+        concat(lit("user"), col("c_custkey").cast("string"), lit("at-bad")))
+      .when(col("c_custkey") % 11 === 0,
+        concat(lit("user"), col("c_custkey").cast("string"), lit("@bad@bad")))
+      .otherwise(concat(lit("user"), col("c_custkey").cast("string"), lit("@example.com"))))
+
+  private val emailSql =
+    """CASE WHEN c_custkey % 7 = 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || 'at-bad'
+      |     WHEN c_custkey % 11 = 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@bad@bad'
+      |     ELSE 'user' || CAST(c_custkey AS VARCHAR) || '@example.com' END""".stripMargin
+
+  /** Staging rows (the reference's upload batch) derived from `orders`. */
+  private def stagingFromOrders(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"),
+      concat(lit("user"), (col("o_orderkey") % 2000).cast("string"), lit("@example.com")).as("email"))
+
+  private val stagingSql =
+    "SELECT o_orderkey, 'user' || CAST(o_orderkey % 2000 AS VARCHAR) || '@example.com' AS email FROM orders"
+
+  /** Documents corpus with planted near-duplicates (doc_id+1000000 gets the
+    * original text plus a short suffix) — makes the near-dup/LSH operators'
+    * outputs non-empty and deterministic at any SF. */
+  private def docsWithPlantedDups(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val dups = documents.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+    base.unionAll(dups)
+  }
+
+  private def embeddingsWithPlantedDups(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val dups = embeddings.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    base.unionAll(dups)
+  }
+
+  // --------------------------------------------------------------- flagship
+
+  /** Flagship: the reference's full upload pipeline on sf0.001 — derive a
+    * staging batch, run all four IssueType detections
+    * (/root/reference/src/models/issue.py:12-17), content-hash dedup, and
+    * report one summary row per issue type. Exercises regex validation,
+    * broadcast anti-join, hash aggregation and null/blank predicates. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val events = Tables.events(spark, dir)
+    val contacts = withEmail(customer)
+    val staging = stagingFromOrders(orders)
+
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("issue_type"), col("n"))
+
+    tagged(Issues.duplicateKeys(events, "user_id", "event_type"), "DUPLICATE_EMAIL")
+      .unionAll(tagged(Issues.invalidEmails(contacts, "email"), "INVALID_EMAIL"))
+      .unionAll(tagged(Issues.existingKeys(staging,
+        contacts.select(col("email").as("contact_email")), "email", "contact_email", anti = false), "EXISTING_EMAIL"))
+      .unionAll(tagged(Issues.missingRequired(
+        customer.withColumn("first_name", when(col("c_custkey") % 13 === 0, lit(null)).otherwise(col("c_name"))),
+        Seq("first_name")), "MISSING_REQUIRED_FIELD"))
+      .unionAll(tagged(Dedup.exact(events.withColumnRenamed("props", "text"), "event_id", "text"), "CONTENT_HASH_GROUPS"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B. relational surface -------------------------------------------------
+    "q01_jobs_by_user" -> ((s, d) =>
+      Relational.jobsByUser(Tables.orders(s, d), 7L)),
+    "q02_job_by_id" -> ((s, d) =>
+      Relational.jobById(Tables.orders(s, d), 4242L)),
+    "q03_contacts_listing" -> ((s, d) =>
+      Relational.contactsListing(Tables.customer(s, d))),
+    "q04_count_jobs" -> ((s, d) =>
+      Relational.countJobs(Tables.orders(s, d))),
+    "q05_issue_counts" -> ((s, d) =>
+      Relational.conditionalCounts(Tables.orders(s, d))),
+    "q06_issues_join_jobs" -> ((s, d) =>
+      Relational.issuesJoinJobs(Tables.lineitem(s, d), Tables.orders(s, d), 7L)),
+    "q07_threeway_join" -> ((s, d) =>
+      Relational.threeWayJoin(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
+    "q08_group_rollup" -> ((s, d) =>
+      Relational.groupRollup(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
+    "q09_contact_by_email" -> ((s, d) =>
+      Relational.contactByEmail(Tables.customer(s, d), "Customer#000000042")),
+    "q18_topn_per_group" -> ((s, d) =>
+      Relational.topNPerGroup(Tables.events(s, d), 3)),
+    "q19_events_agg" -> ((s, d) =>
+      Relational.eventsHourlyAgg(Tables.events(s, d))),
+
+    // C. issue detection ----------------------------------------------------
+    "q10_duplicate_key" -> ((s, d) =>
+      Issues.duplicateKeys(Tables.events(s, d), "user_id", "event_type")),
+    "q11_invalid_email" -> ((s, d) =>
+      Issues.invalidEmails(withEmail(Tables.customer(s, d)), "email")
+        .select("c_custkey", "email").orderBy("c_custkey")),
+    "q12_existing_email" -> ((s, d) => {
+      val contacts = withEmail(Tables.customer(s, d))
+      val valid = contacts.filter(Cols.emailValid(col("email")))
+        .select(col("email").as("contact_email"))
+      Issues.existingKeys(stagingFromOrders(Tables.orders(s, d)), valid,
+        "email", "contact_email", anti = true).orderBy("o_orderkey")
+    }),
+    "q13_missing_required" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("first_name",
+          when(col("c_custkey") % 13 === 0, lit(null).cast("string"))
+            .when(col("c_custkey") % 17 === 0, lit("   "))
+            .otherwise(col("c_name")))
+        .withColumn("company",
+          when(col("c_custkey") % 19 === 0, lit("")).otherwise(col("c_mktsegment")))
+      Issues.missingRequired(c, Seq("first_name", "company"))
+        .select("c_custkey", "first_name", "company").orderBy("c_custkey")
+    }),
+    "q16_status_update" -> ((s, d) => {
+      val df = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"),
+          lit(null).cast("timestamp").as("issue_resolved_at"),
+          lit(null).cast("string").as("issue_resolved_by"),
+          lit(false).as("resolved"),
+          col("o_orderdate"))
+      Issues.resolve(df, "resolved", setResolved = true, "admin", col("o_orderdate"))
+        .select("o_orderkey", "resolved", "issue_resolved_by", "issue_resolved_at")
+        .orderBy("o_orderkey")
+    }),
+    "q17_conditional_delete" -> ((s, d) =>
+      Issues.conditionalDelete(Tables.orders(s, d), "o_orderstatus", Seq("P"))
+        .orderBy("o_orderkey")),
+    "q33_merge_updates" -> ((s, d) => {
+      val customer = Tables.customer(s, d)
+      val updates = customer.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("UPDATED").as("new_seg"))
+      Issues.mergeUpdates(customer, updates, Seq("c_custkey"), Map("c_mktsegment" -> "new_seg"))
+        .orderBy("c_custkey")
+    }),
+
+    // A. ingest -------------------------------------------------------------
+    "q14_file_hash_dedup" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(md5(col("props")).as("file_hash"))
+        .agg(min("event_id").as("first_id"), count(lit(1)).as("n_uploads"))
+        .filter(col("n_uploads") > 1)
+        .orderBy("file_hash")),
+    "q15_row_hash" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Cols.rowHashMd5(
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("l_quantity").cast("decimal(18,2)").cast("string"),
+          col("l_returnflag")).as("staging_row_hash"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q31_csv_ingest" -> ((s, _) => csvIngestDemo(s)),
+    "q32_header_map" -> ((s, _) => {
+      import s.implicits._
+      Seq("E-Mail", "email_address", "NOME", "Sobrenome", "empresa",
+          "  First Name  ", "Custom Field!", "org")
+        .toDF("raw")
+        .as[String].map(r => (r, CsvIngest.normalizeHeader(r)))
+        .toDF("raw", "mapped").orderBy("raw")
+    }),
+
+    // E. LLM-pipeline -------------------------------------------------------
+    "q20_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+    "q21_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "q22_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "q23_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
+    "q29_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")),
+    "q24_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)),
+    "q25_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")),
+    "q26_ngram_jaccard" -> ((s, d) => {
+      val corpus = docsWithPlantedDups(Tables.documents(s, d))
+      val cands = Dedup.minhashLsh(corpus, "doc_id", "text").filter(col("est_jaccard") >= 0.3)
+      Dedup.ngramJaccard(corpus, "doc_id", "text", cands.select("doc_id_a", "doc_id_b"), threshold = 0.3)
+    }),
+    "q27_ann_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)),
+    "q28_ann_lsh" -> ((s, d) =>
+      Similarity.annLshTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)),
+    "q30_near_dup_cosine" -> ((s, d) =>
+      Similarity.nearDupCosine(embeddingsWithPlantedDups(Tables.embeddings(s, d)),
+        "vec_id", "embedding", threshold = 0.95)),
+    "q34_multimodal" -> ((s, d) => {
+      val media = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeStub(media, "doc_id").orderBy("doc_id")
+    })
+  )
+
+  /** q31 helper: materialize two small uploads (different delimiter +
+    * encoding) into a temp dir, then run the full sniff-and-ingest path. */
+  private def csvIngestDemo(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    dir.deleteOnExit()
+    val f1 = new java.io.File(dir, "upload1.csv")
+    java.nio.file.Files.write(f1.toPath,
+      "E-Mail;NOME;Empresa\nana@example.com;Ana;Acme\nbob@example.com;Bob;Globex\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val f2 = new java.io.File(dir, "upload2.csv")
+    java.nio.file.Files.write(f2.toPath,
+      "email_address;Sobrenome;org\ncarol@example.com;Silva;Café Ltda\n"
+        .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    CsvIngest.ingest(spark, f1.getAbsolutePath)
+      .unionByName(CsvIngest.ingest(spark, f2.getAbsolutePath), allowMissingColumns = true)
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_jobs_by_user" ->
+      "SELECT * FROM orders WHERE o_custkey = 7 ORDER BY o_orderdate DESC, o_orderkey DESC",
+    "q02_job_by_id" ->
+      "SELECT * FROM orders WHERE o_orderkey = 4242",
+    "q03_contacts_listing" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer ORDER BY c_acctbal DESC, c_custkey",
+    "q04_count_jobs" ->
+      "SELECT o_custkey, COUNT(*) AS n_jobs FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    "q05_issue_counts" ->
+      """SELECT o_custkey, COUNT(*) AS total_cnt,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS resolved_cnt,
+        | COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS unresolved_cnt
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q06_issues_join_jobs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, o_custkey, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 7 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_threeway_join" ->
+      """SELECT o_orderkey, o_orderstatus, l_linenumber, p_name, l_quantity
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "q08_group_rollup" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q09_contact_by_email" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_name = 'Customer#000000042'",
+    "q10_duplicate_key" ->
+      """SELECT user_id, event_type, COUNT(*) AS dup_count FROM events
+        |GROUP BY user_id, event_type HAVING COUNT(*) > 1 ORDER BY user_id, event_type""".stripMargin,
+    "q11_invalid_email" ->
+      s"""WITH c AS (SELECT c_custkey, $emailSql AS email FROM customer)
+        |SELECT c_custkey, email FROM c
+        |WHERE NOT regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$$')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_existing_email" ->
+      s"""WITH contacts AS (SELECT c_custkey, $emailSql AS email FROM customer),
+        | valid AS (SELECT email FROM contacts
+        |   WHERE regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$$')),
+        | staging AS ($stagingSql)
+        |SELECT s.o_orderkey, s.email FROM staging s
+        |WHERE NOT EXISTS (SELECT 1 FROM valid v WHERE v.email = s.email)
+        |ORDER BY s.o_orderkey""".stripMargin,
+    "q13_missing_required" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |       WHEN c_custkey % 17 = 0 THEN '   '
+        |       ELSE c_name END AS first_name,
+        |  CASE WHEN c_custkey % 19 = 0 THEN '' ELSE c_mktsegment END AS company
+        | FROM customer)
+        |SELECT c_custkey, first_name, company FROM c
+        |WHERE first_name IS NULL OR trim(first_name) = '' OR company IS NULL OR trim(company) = ''
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_file_hash_dedup" ->
+      """SELECT md5(props) AS file_hash, MIN(event_id) AS first_id, COUNT(*) AS n_uploads
+        |FROM events GROUP BY md5(props) HAVING COUNT(*) > 1 ORDER BY file_hash""".stripMargin,
+    "q15_row_hash" ->
+      """SELECT l_orderkey, l_linenumber,
+        | md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), l_returnflag)) AS staging_row_hash
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_status_update" ->
+      """SELECT o_orderkey, TRUE AS resolved, 'admin' AS issue_resolved_by, o_orderdate AS issue_resolved_at
+        |FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin,
+    "q17_conditional_delete" ->
+      "SELECT * FROM orders WHERE o_orderstatus NOT IN ('P') ORDER BY o_orderkey",
+    "q18_topn_per_group" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q19_events_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q21_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_quality_score" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+        |   length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha FROM documents),
+        | u AS (SELECT doc_id, toks, alpha,
+        |   len(list_filter(toks, tk -> tk IN ('the','a','an','of','and','to','in','is','it','that'))) AS nstop
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | CAST(alpha AS INTEGER) AS alpha_chars,
+        | CAST(nstop AS INTEGER) AS n_stopwords,
+        | CAST(CAST(alpha AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS mean_token_len,
+        | CAST(CAST(nstop AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS stopword_ratio,
+        | CAST((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN nstop >= 1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN alpha >= 20 THEN 1 ELSE 0 END) AS INTEGER) AS quality_score
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q29_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_header_map" ->
+      """WITH h AS (SELECT * FROM (VALUES ('E-Mail'), ('email_address'), ('NOME'), ('Sobrenome'),
+        |   ('empresa'), ('  First Name  '), ('Custom Field!'), ('org')) t(raw)),
+        | n AS (SELECT raw, lower(trim(raw)) AS c FROM h)
+        |SELECT raw, CASE
+        | WHEN c IN ('email','e-mail','e_mail','email_address','mail') THEN 'email'
+        | WHEN c IN ('first_name','firstname','first name','nome','fname','given_name') THEN 'first_name'
+        | WHEN c IN ('last_name','lastname','last name','sobrenome','lname','surname') THEN 'last_name'
+        | WHEN c IN ('company','empresa','organization','org','company_name') THEN 'company'
+        | ELSE trim(regexp_replace(c, '[^a-z0-9]+', '_', 'g'), '_') END AS mapped
+        |FROM n ORDER BY raw""".stripMargin,
+    "q33_merge_updates" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        | CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
 }

@@ -45,8 +45,10 @@ object Relational {
   def conditionalCounts(orders: DataFrame): DataFrame =
     orders.groupBy("o_custkey").agg(
       count(lit(1)).as("total_cnt"),
-      sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("resolved_cnt"),
-      sum(when(col("o_orderstatus") =!= "F", 1).otherwise(0)).as("unresolved_cnt"))
+      // count(when…) not sum(when…): COUNT is BIGINT in both Spark and the
+      // DuckDB oracle (DuckDB SUM(int) would be HUGEINT → schema mismatch)
+      count(when(col("o_orderstatus") === "F", 1)).as("resolved_cnt"),
+      count(when(col("o_orderstatus") =!= "F", 1)).as("unresolved_cnt"))
       .orderBy("o_custkey")
 
   /** issues ⋈ jobs filtered by user (issue_repository.py:138-147).
@@ -93,7 +95,7 @@ object Relational {
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(rev).cast("decimal(18,2)").as("revenue"),
+      .agg(sum(rev).cast("decimal(18,4)").as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design (100 TB corpus, 1000 executors):
+  *  - Brute-force top-k is the BASELINE: the query set is broadcast (it is
+  *    small by definition), each partition keeps a bounded per-query heap,
+  *    and only partitions × queries × k candidate rows are shuffled for the
+  *    final merge — the corpus itself never shuffles.
+  *  - The SCALE PATH is LSH (random hyperplane signatures): corpus vectors
+  *    are expanded to (band, bandHash) keys; query bands are broadcast and
+  *    hash-joined, so candidate generation touches only signature-colliding
+  *    rows. Exact cosine re-ranks the candidates. No all-pairs stage exists
+  *    in any plan here.
+  *  - Near-dup by cosine uses the same banded signatures, groups by band
+  *    key (the one shuffle) and compares only within buckets.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- math
+
+  private[operators] def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private[operators] def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  private[operators] def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Seeded deterministic hyperplanes: `planes(p)(d)` via a hash-based PRNG —
+    * identical across JVMs/runs (scala.util.Random with a fixed seed is also
+    * stable, used here for simplicity). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-bit signature of `v` against `planes`, packed band-wise: returns
+    * one Int per band of `bitsPerBand` planes. */
+  private[operators] def bandSignature(v: Array[Float], planes: Array[Array[Float]],
+                                       bitsPerBand: Int): Array[Int] = {
+    val nBands = planes.length / bitsPerBand
+    val out = new Array[Int](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0; var i = 0
+      while (i < bitsPerBand) {
+        if (dot(v, planes(b * bitsPerBand + i)) >= 0) sig |= (1 << i)
+        i += 1
+      }
+      out(b) = sig; b += 1
+    }
+    out
+  }
+
+  private def vectors(df: DataFrame, idCol: String, vecCol: String): Dataset[(Long, Array[Float])] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+  }
+
+  // ---------------------------------------------------------- brute force
+
+  /** Exact top-k cosine neighbors for each query id. Queries are collected and
+    * broadcast (dim-sized by contract); the corpus is scanned once with a
+    * bounded per-partition heap per query, then only the per-partition
+    * winners shuffle to one reducer group per query. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol)
+    val queries = corpus.filter(r => queryIds.contains(r._1)).collect() // small by contract
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val partialTopK = corpus.mapPartitions { it =>
+      val qs = bc.value
+      // per-query bounded min-heap of (cosine, id)
+      val heaps = qs.map(q => (q._1, collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))))
+      it.foreach { case (id, v) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (qid != id) {
+            val c = cosine(qv, v)
+            val h = heaps(qi)._2
+            if (h.size < k) h.enqueue((c, id))
+            else if (c > h.head._1 || (c == h.head._1 && id < h.head._2)) { h.dequeue(); h.enqueue((c, id)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (c, id) => (qid, id, c) } }
+    }.toDF("query_id", "neighbor_id", "cosine")
+
+    finalTopK(partialTopK, k)
+  }
+
+  /** Merge partial per-partition candidates into the global per-query top-k.
+    * The input is already tiny (partitions × queries × k). */
+  private def finalTopK(cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** ANN via random-hyperplane LSH: banded signatures generate candidates
+    * (query bands broadcast-joined against corpus bands), exact cosine
+    * re-ranks. `nPlanes = bands × bitsPerBand` planes are shared corpus/query.
+    * Recall is tunable via bands/bits; candidates-only compare is the point. */
+  def annLshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Seq[Long], k: Int,
+                 bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol)
+    val dim = corpus.head()._2.length
+    val planes = spark.sparkContext.broadcast(hyperplanes(bands * bitsPerBand, dim, seed))
+
+    val corpusBands = corpus.flatMap { case (id, v) =>
+      bandSignature(v, planes.value, bitsPerBand).iterator.zipWithIndex
+        .map { case (sig, b) => (b, sig, id, v) }
+    }.toDF("band", "sig", "vec_id", "vec")
+
+    val queries = corpus.filter(r => queryIds.contains(r._1)).collect()
+    val queryBands = spark.createDataset(queries.toIndexedSeq.flatMap { case (qid, qv) =>
+      bandSignature(qv, planes.value, bitsPerBand).zipWithIndex
+        .map { case (sig, b) => (b, sig, qid, qv) }
+    }).toDF("band", "sig", "query_id", "qvec")
+
+    // broadcast-hash-join on the band key: corpus side never shuffles
+    val cands = corpusBands.join(broadcast(queryBands), Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("vec"), col("qvec"))
+      .dropDuplicates("query_id", "vec_id")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, id, v, qv) => (qid, id, cosine(qv, v)) }
+      .toDF("query_id", "neighbor_id", "cosine")
+
+    finalTopK(cands, k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Same banded-LSH
+    * shape as Dedup.minhashLsh: shuffle on (band, sig), pairs only within
+    * buckets, `maxBucket` caps pathological hot buckets. */
+  def nearDupCosine(embeddings: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+                    seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol)
+    val dim = corpus.head()._2.length
+    val planes = spark.sparkContext.broadcast(hyperplanes(bands * bitsPerBand, dim, seed))
+
+    corpus.flatMap { case (id, v) =>
+        bandSignature(v, planes.value, bitsPerBand).iterator.zipWithIndex
+          .map { case (sig, b) => ((b, sig), (id, v)) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.map(_._2).toArray.sortBy(_._1).take(maxBucket)
+        for {
+          i <- (0 until m.length).iterator
+          j <- (i + 1) until m.length
+          c = cosine(m(i)._2, m(j)._2)
+          if c >= threshold
+        } yield (m(i)._1, m(j)._1, c)
+      }
+      .toDF("vec_id_a", "vec_id_b", "cosine")
+      .groupBy("vec_id_a", "vec_id_b").agg(max("cosine").as("cosine"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+}
