@@ -26,7 +26,7 @@ object Dedup {
 
   /** Deterministic 64-bit FNV-1a — stable across JVMs (String.hashCode is
     * stable too, but only 32 bits). */
-  private[operators] def fnv1a64(s: String): Long = {
+  private[graft] def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
@@ -43,13 +43,13 @@ object Dedup {
                            math.abs(rnd.nextLong()) % MersennePrime))
   }
 
-  private[operators] def shingles(text: String, k: Int): Array[Long] = {
+  private[graft] def shingles(text: String, k: Int): Array[Long] = {
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.length < k) Array(fnv1a64(toks.mkString(" ")))
     else toks.sliding(k).map(w => fnv1a64(w.mkString(" "))).toArray.distinct
   }
 
-  private[operators] def minhashSignature(sh: Array[Long], params: Array[(Long, Long)]): Array[Long] = {
+  private[graft] def minhashSignature(sh: Array[Long], params: Array[(Long, Long)]): Array[Long] = {
     val sig = Array.fill(params.length)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
@@ -141,7 +141,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  private[operators] def simhash64(text: String): Long = {
+  private[graft] def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
     text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
       val h = fnv1a64(tok)

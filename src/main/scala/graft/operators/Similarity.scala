@@ -22,15 +22,15 @@ object Similarity {
 
   // ---------------------------------------------------------------- math
 
-  private[operators] def dot(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
-  private[operators] def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+  private[graft] def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
-  private[operators] def cosine(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosine(a: Array[Float], b: Array[Float]): Double = {
     val na = norm(a); val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
@@ -38,14 +38,14 @@ object Similarity {
   /** Seeded deterministic hyperplanes: `planes(p)(d)` via a hash-based PRNG —
     * identical across JVMs/runs (scala.util.Random with a fixed seed is also
     * stable, used here for simplicity). */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
   }
 
   /** Sign-bit signature of `v` against `planes`, packed band-wise: returns
     * one Int per band of `bitsPerBand` planes. */
-  private[operators] def bandSignature(v: Array[Float], planes: Array[Array[Float]],
+  private[graft] def bandSignature(v: Array[Float], planes: Array[Array[Float]],
                                        bitsPerBand: Int): Array[Int] = {
     val nBands = planes.length / bitsPerBand
     val out = new Array[Int](nBands)

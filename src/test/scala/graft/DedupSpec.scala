@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Exact + near-dup dedup: keep-first semantics, MinHash/LSH recall on
+  * planted near-duplicates, SimHash hamming banding, Jaccard re-rank. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+
+  test("exact: keep-first by lowest id, copy counts right") {
+    val df = Seq((10L, "aaa"), (3L, "aaa"), (7L, "bbb")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhash signature: identical text → identical signature, est jaccard 1.0") {
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH: planted near-duplicate found with high estimated jaccard") {
+    val nearDup = base + " extra tail words"
+    val far = "completely different content about spark catalyst optimizer rules and parquet row groups"
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text").collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined, s"expected (1,2) pair in ${pairs.mkString(",")}")
+    assert(p12.get.getDouble(2) > 0.5)
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("minhash est jaccard tracks true jaccard within tolerance") {
+    // ~50% shingle overlap by construction
+    val half = base.split(" ").take(9).mkString(" ") +
+      " entirely new second half with other words appended here now"
+    val df = Seq((1L, base), (2L, half)).toDF("doc_id", "text")
+    val sh1 = Dedup.shingles(base, 3).toSet
+    val sh2 = Dedup.shingles(half, 3).toSet
+    val trueJ = sh1.intersect(sh2).size.toDouble / sh1.union(sh2).size
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text").collect()
+    if (pairs.nonEmpty) { // banding may or may not surface a low-J pair
+      assert(math.abs(pairs.head.getDouble(2) - trueJ) < 0.25)
+    }
+  }
+
+  test("ngramJaccard: exact re-rank of LSH candidates") {
+    val nearDup = base + " tail"
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", cands, threshold = 0.1).collect()
+    assert(out.length == 1)
+    val sh1 = Dedup.shingles(base, 3).toSet
+    val sh2 = Dedup.shingles(nearDup, 3).toSet
+    val expected = sh1.intersect(sh2).size.toDouble / sh1.union(sh2).size
+    assert(math.abs(out.head.getDouble(2) - expected) < 1e-12)
+  }
+
+  test("simhash: identical → distance 0; near-dup small distance; unrelated not paired") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val far = "numbers 111 222 333 444 555 666 777 888 999 000 aaa bbb ccc ddd eee fff"
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 10))
+    assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("shingles: short text degrades to one whole-text shingle") {
+    assert(Dedup.shingles("one two", 3).length == 1)
+  }
+
+  test("LSH plan contains no cartesian/all-pairs stage") {
+    val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
+    val plan = Dedup.minhashLsh(df, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Similarity
+
+/** ANN brute-force exactness, LSH recall vs the exact baseline, near-dup
+  * cosine on planted duplicates, and plan-shape guards. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("cosine math: orthogonal 0, identical 1, zero-vector guarded") {
+    assert(Similarity.cosine(vec(1, 0), vec(0, 1)) == 0.0)
+    assert(math.abs(Similarity.cosine(vec(1, 2, 3), vec(1, 2, 3)) - 1.0) < 1e-12)
+    assert(Similarity.cosine(vec(0, 0), vec(1, 1)) == 0.0)
+  }
+
+  test("bruteForceTopK: exact neighbors on a known geometry") {
+    // query 0 at (1,0); ids 1..4 at increasing angles
+    val df = Seq(
+      (0L, vec(1, 0)), (1L, vec(0.99, 0.14)), (2L, vec(0.9, 0.43)),
+      (3L, vec(0.5, 0.86)), (4L, vec(0, 1))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L), 3).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))     // rank column
+    assert(out.head.getDouble(2) > out.last.getDouble(2))
+  }
+
+  test("bruteForceTopK: excludes the query itself") {
+    val df = Seq((0L, vec(1, 0)), (1L, vec(1, 0))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L), 5).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("annLshTopK: high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(7)
+    // 10 clusters of 20 points each in 16-d
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 20
+    } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Seq(0L, 20L, 40L)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLshTopK(df, "vec_id", "embedding", queries, 5,
+      bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low; exact=$exact approx=$approx")
+  }
+
+  test("nearDupCosine: planted exact duplicates found at threshold 0.99") {
+    val rnd = new scala.util.Random(3)
+    val originals = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = originals.take(5).map { case (i, v) => (i + 1000L, v.clone()) }
+    val df = (originals ++ dups).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupCosine(df, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 5L).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing planted dups: ${expected.diff(pairs)}")
+  }
+
+  test("ANN LSH plan: no cartesian product; candidate join is broadcast") {
+    val rnd = new scala.util.Random(1)
+    val df = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.annLshTopK(df, "vec_id", "embedding", Seq(0L), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

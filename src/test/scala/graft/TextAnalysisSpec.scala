@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Token counting, quality scoring, language ID, fingerprint invariances. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCounts: whitespace vs BPE-ish counts on known strings") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "don't panic! it's 42."),
+      (3L, ""),
+      (4L, "  spaced   out  ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == (2, 2))
+    // don ' t panic ! it ' s 42 . → 10 BPE-ish tokens, 4 ws tokens
+    assert(out(2L) == (4, 10))
+    assert(out(3L) == (0, 0))
+    assert(out(4L) == (2, 2))
+  }
+
+  test("qualityScore: components on a controlled doc") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, "doc_id", "text").collect().head
+    assert(r.getInt(1) == 6)                     // n_tokens
+    assert(r.getInt(2) == 17)                    // alpha chars: thecatsatonthemat
+    assert(r.getInt(3) == 2)                     // 'the' twice
+    assert(math.abs(r.getDecimal(4).doubleValue() - 17.0 / 6) < 1e-3) // mean_token_len
+    assert(r.getInt(6) == 2)                     // n_tokens>=5 ✓, stopwords ✓, alpha>=20 ✗
+  }
+
+  test("langId: clear-cut sentences per language") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato es de la casa y los perros"),
+      (3L, "le chat est dans la maison et les chiens"),
+      (4L, "der hund und die katze ist ein tier"),
+      (5L, "zzz qqq xxx") // no hits → und
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "fr")
+    assert(out(4L) == "de")
+    assert(out(5L) == "und")
+  }
+
+  test("fingerprints: whitespace/case-invariant, content-sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "  hello world "),
+      (3L, "hello worlds")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
