@@ -33,14 +33,12 @@ object Dedup {
     h
   }
 
-  private val MersennePrime = (1L << 61) - 1
-
-  /** Seeded (a,b) rows for h_i(x) = ((a*x + b) mod p); fixed seed keeps the
-    * signatures reproducible run-to-run (required for tests + resume). */
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-                           math.abs(rnd.nextLong()) % MersennePrime))
+  /** splitmix64 finalizer — cheap, well-mixed, deterministic. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   private[graft] def shingles(text: String, k: Int): Array[Long] = {
@@ -49,21 +47,35 @@ object Dedup {
     else toks.sliding(k).map(w => fnv1a64(w.mkString(" "))).toArray.distinct
   }
 
-  private[graft] def minhashSignature(sh: Array[Long], params: Array[(Long, Long)]): Array[Long] = {
-    val sig = Array.fill(params.length)(Long.MaxValue)
+  /** Densified one-permutation MinHash (Li et al. 2012; Shrivastava & Li 2014
+    * rotation densification): each shingle is hashed ONCE and routed to one of
+    * `numHashes` bins, keeping the min per bin; empty bins borrow from the
+    * next filled bin. O(shingles) instead of O(shingles × numHashes) — the
+    * 128-perm classic costs 128× more CPU for the same banding behavior.
+    * Collision probability per slot still ≈ Jaccard, so est_jaccard and the
+    * band threshold curve are unchanged. */
+  private[graft] def minhashSignature(sh: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val Empty = Long.MaxValue
+    val sig = Array.fill(numHashes)(Empty)
     var i = 0
     while (i < sh.length) {
-      val x = sh(i) & 0x7fffffffffffffffL
-      var j = 0
-      while (j < params.length) {
-        val (a, b) = params(j)
-        // 61-bit Mersenne modulus keeps a*x+b from overflowing meaningfully
-        val h = (a % MersennePrime) * (x % MersennePrime) % MersennePrime + b
-        val v = h % MersennePrime
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
+      val h = mix64(sh(i) ^ seed)
+      val bin = ((h >>> 33) % numHashes).toInt // top bits pick the bin
+      val v = h & 0x7fffffffffffffffL          // low 63 bits are the rank value
+      if (v < sig(bin)) sig(bin) = v
       i += 1
+    }
+    // rotation densification: empty bin j takes bin (j+t) mod k's value,
+    // re-mixed with the distance so borrowed values stay distinct per slot
+    var j = 0
+    while (j < numHashes) {
+      if (sig(j) == Empty) {
+        var t = 1
+        while (t < numHashes && sig((j + t) % numHashes) == Empty) t += 1
+        sig(j) = if (t == numHashes) mix64(seed) // no shingles at all
+                 else mix64(sig((j + t) % numHashes) + t)
+      }
+      j += 1
     }
     sig
   }
@@ -73,63 +85,82 @@ object Dedup {
                         numHashes: Int = 128, shingleK: Int = 3,
                         seed: Long = 42L): Dataset[(Long, Array[Long])] = {
     import df.sparkSession.implicits._
-    val params = hashParams(numHashes, seed)
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          (id, minhashSignature(shingles(Option(text).getOrElse(""), shingleK), params))
+          (id, minhashSignature(shingles(Option(text).getOrElse(""), shingleK), numHashes, seed))
         }
       }
   }
 
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
-    * Pipeline: signature (no shuffle) → explode to (band, bandHash) →
-    * groupBy band key (THE shuffle) → within-bucket pairing → distinct pairs →
-    * estimate Jaccard from signatures carried through the bucket.
-    * Never joins the corpus against itself. */
+    * Pipeline: signature (no shuffle) → explode to (band, bandHash, id) —
+    * ids ONLY, the 1 KB signature is never duplicated ×bands through the
+    * shuffle → groupBy band key (THE shuffle, ~16 bytes × bands per doc) →
+    * within-bucket id pairing → distinct pairs → join the signature table
+    * back (pairs ≪ corpus) to estimate Jaccard. Never joins the corpus
+    * against itself; at 100 TB the shuffle volume is bands×8B per doc, not
+    * bands×signature. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
                  seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     import df.sparkSession.implicits._
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
+      .toDF("sid", "sig").persist() // the signature index: scanned by banding + both pair joins
 
-    val banded = sigs.flatMap { case (id, sig) =>
+    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       (0 until bands).iterator.map { b =>
-        val bandHash = fnv1a64(sig.slice(b * rows, (b + 1) * rows).mkString(","))
-        ((b, bandHash), (id, sig))
+        var bandHash = mix64(b.toLong)
+        var r = b * rows
+        while (r < (b + 1) * rows) { bandHash = mix64(bandHash ^ sig(r)); r += 1 }
+        ((b, bandHash), id)
       }
     }
 
-    banded.groupByKey(_._1)
+    val pairs = banded.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val members = it.map(_._2).toArray.sortBy(_._1).take(maxBucket)
+        val members = it.map(_._2).toArray.sorted.take(maxBucket)
         for {
           i <- (0 until members.length).iterator
           j <- (i + 1) until members.length
-        } yield {
-          val (ida, siga) = members(i); val (idb, sigb) = members(j)
-          var eq = 0; var k = 0
-          while (k < siga.length) { if (siga(k) == sigb(k)) eq += 1; k += 1 }
-          (ida, idb, eq.toDouble / siga.length)
-        }
+        } yield (members(i), members(j))
+      }
+      .toDF("doc_id_a", "doc_id_b").distinct()
+
+    pairs
+      .join(sigs.select(col("sid").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
+      .join(sigs.select(col("sid").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
+      .select("doc_id_a", "doc_id_b", "sig_a", "sig_b") // join reorders key cols first
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ida, idb, siga, sigb) =>
+        var eq = 0; var k = 0
+        while (k < siga.length) { if (siga(k) == sigb(k)) eq += 1; k += 1 }
+        (ida, idb, eq.toDouble / siga.length)
       }
       .toDF("doc_id_a", "doc_id_b", "est_jaccard")
-      .groupBy("doc_id_a", "doc_id_b").agg(max("est_jaccard").as("est_jaccard"))
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  /** Exact n-gram Jaccard re-rank of LSH candidates: joins the (small)
-    * candidate-pair set back to the corpus twice — both joins shuffle only
-    * by id, and the pair side is the filtered candidate list, not the corpus. */
+  /** Exact n-gram Jaccard re-rank of LSH candidates. Scale shape: shingles
+    * are computed ONLY for ids that appear in a candidate pair (semi-join
+    * against the exploded candidate id set first), so the corpus is scanned
+    * once and the expensive shingling touches candidate rows only — at 100 TB
+    * the candidate set is orders of magnitude smaller than the corpus. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    candidates: DataFrame, shingleK: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     import df.sparkSession.implicits._
-    val sh = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val cands = candidates.persist() // tiny; referenced 2× (id set + pair join)
+    val candIds = cands
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("cid")).distinct()
+    val sh = df.select(col(idCol).cast("long"), col(textCol))
+      .join(broadcast(candIds), col(idCol).cast("long") === col("cid"), "left_semi")
+      .as[(Long, String)]
       .map { case (id, t) => (id, shingles(Option(t).getOrElse(""), shingleK)) }
       .toDF("sid", "sh")
-    candidates
+      .persist() // reused by both sides of the pair join; candidate-sized, not corpus-sized
+    cands
       .join(sh.withColumnRenamed("sid", "doc_id_a").withColumnRenamed("sh", "sh_a"), "doc_id_a")
       .join(sh.withColumnRenamed("sid", "doc_id_b").withColumnRenamed("sh", "sh_b"), "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),

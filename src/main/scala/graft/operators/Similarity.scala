@@ -129,24 +129,30 @@ object Similarity {
     val dim = corpus.head()._2.length
     val planes = spark.sparkContext.broadcast(hyperplanes(bands * bitsPerBand, dim, seed))
 
+    // (band, sig, id) only — vectors are NOT duplicated ×bands; the matched
+    // candidate set joins the corpus once to fetch its vector
     val corpusBands = corpus.flatMap { case (id, v) =>
       bandSignature(v, planes.value, bitsPerBand).iterator.zipWithIndex
-        .map { case (sig, b) => (b, sig, id, v) }
-    }.toDF("band", "sig", "vec_id", "vec")
+        .map { case (sig, b) => (b, sig, id) }
+    }.toDF("band", "sig", "vec_id")
 
     val queries = corpus.filter(r => queryIds.contains(r._1)).collect()
     val queryBands = spark.createDataset(queries.toIndexedSeq.flatMap { case (qid, qv) =>
       bandSignature(qv, planes.value, bitsPerBand).zipWithIndex
-        .map { case (sig, b) => (b, sig, qid, qv) }
-    }).toDF("band", "sig", "query_id", "qvec")
+        .map { case (sig, b) => (b, sig, qid) }
+    }).toDF("band", "sig", "query_id")
+
+    val bcQueries = spark.sparkContext.broadcast(queries.toMap)
 
     // broadcast-hash-join on the band key: corpus side never shuffles
     val cands = corpusBands.join(broadcast(queryBands), Seq("band", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("vec"), col("qvec"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, id, v, qv) => (qid, id, cosine(qv, v)) }
+      .join(embeddings.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec")), "vec_id")
+      .select("query_id", "vec_id", "vec") // join reorders key cols first
+      .as[(Long, Long, Array[Float])]
+      .map { case (qid, id, v) => (qid, id, cosine(bcQueries.value(qid), v)) }
       .toDF("query_id", "neighbor_id", "cosine")
 
     finalTopK(cands, k)
@@ -156,7 +162,7 @@ object Similarity {
     * shape as Dedup.minhashLsh: shuffle on (band, sig), pairs only within
     * buckets, `maxBucket` caps pathological hot buckets. */
   def nearDupCosine(embeddings: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+                    threshold: Double, bands: Int = 32, bitsPerBand: Int = 16,
                     seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -164,22 +170,32 @@ object Similarity {
     val dim = corpus.head()._2.length
     val planes = spark.sparkContext.broadcast(hyperplanes(bands * bitsPerBand, dim, seed))
 
-    corpus.flatMap { case (id, v) =>
+    // ids-only band shuffle (vectors not duplicated ×bands), candidate pairs
+    // fetch both vectors via two id-joins against the corpus, cosine last
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v")).persist()
+    val pairs = corpus.flatMap { case (id, v) =>
         bandSignature(v, planes.value, bitsPerBand).iterator.zipWithIndex
-          .map { case (sig, b) => ((b, sig), (id, v)) }
+          .map { case (sig, b) => ((b, sig), id) }
       }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val m = it.map(_._2).toArray.sortBy(_._1).take(maxBucket)
+        val m = it.map(_._2).toArray.sorted.take(maxBucket)
         for {
           i <- (0 until m.length).iterator
           j <- (i + 1) until m.length
-          c = cosine(m(i)._2, m(j)._2)
-          if c >= threshold
-        } yield (m(i)._1, m(j)._1, c)
+        } yield (m(i), m(j))
       }
+      .toDF("vec_id_a", "vec_id_b").distinct()
+
+    pairs
+      .join(vecs.select(col("vid").as("vec_id_a"), col("v").as("v_a")), "vec_id_a")
+      .join(vecs.select(col("vid").as("vec_id_b"), col("v").as("v_b")), "vec_id_b")
+      .select("vec_id_a", "vec_id_b", "v_a", "v_b") // join reorders key cols first
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (ida, idb, va, vb) => (ida, idb, cosine(va, vb)) }
+      .filter(_._3 >= threshold)
       .toDF("vec_id_a", "vec_id_b", "cosine")
-      .groupBy("vec_id_a", "vec_id_b").agg(max("cosine").as("cosine"))
       .orderBy("vec_id_a", "vec_id_b")
   }
 }
