@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Native
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -142,18 +143,18 @@ object Similarity {
         .map { case (sig, b) => (b, sig, qid) }
     }).toDF("band", "sig", "query_id")
 
-    val bcQueries = spark.sparkContext.broadcast(queries.toMap)
+    val queryVecs = spark.createDataset(queries.toIndexedSeq).toDF("query_id", "qvec")
 
-    // broadcast-hash-join on the band key: corpus side never shuffles
+    // broadcast-hash-join on the band key: corpus side never shuffles; the
+    // re-rank cosine is the codegen'd native expression — fully columnar
     val cands = corpusBands.join(broadcast(queryBands), Seq("band", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
       .join(embeddings.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec")), "vec_id")
-      .select("query_id", "vec_id", "vec") // join reorders key cols first
-      .as[(Long, Long, Array[Float])]
-      .map { case (qid, id, v) => (qid, id, cosine(bcQueries.value(qid), v)) }
-      .toDF("query_id", "neighbor_id", "cosine")
+      .join(broadcast(queryVecs), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Native.cosineF32(col("vec"), col("qvec")).as("cosine"))
 
     finalTopK(cands, k)
   }
@@ -191,11 +192,9 @@ object Similarity {
     pairs
       .join(vecs.select(col("vid").as("vec_id_a"), col("v").as("v_a")), "vec_id_a")
       .join(vecs.select(col("vid").as("vec_id_b"), col("v").as("v_b")), "vec_id_b")
-      .select("vec_id_a", "vec_id_b", "v_a", "v_b") // join reorders key cols first
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (ida, idb, va, vb) => (ida, idb, cosine(va, vb)) }
-      .filter(_._3 >= threshold)
-      .toDF("vec_id_a", "vec_id_b", "cosine")
+      .select(col("vec_id_a"), col("vec_id_b"),
+        Native.cosineF32(col("v_a"), col("v_b")).as("cosine")) // codegen'd re-rank
+      .filter(col("cosine") >= threshold)
       .orderBy("vec_id_a", "vec_id_b")
   }
 }

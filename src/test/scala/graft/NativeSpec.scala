@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Native
+
+/** The codegen'd cosine_f32 expression: value correctness (vs the library
+  * math), null/zero/mismatch edges, and codegen/interpreted agreement. */
+class NativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df2(a: Seq[Float], b: Seq[Float]) =
+    Seq((a.toArray, b.toArray)).toDF("a", "b")
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double =
+    df2(a, b).select(Native.cosineF32(col("a"), col("b"))).as[Double].head()
+
+  test("cosine_f32: known geometries") {
+    assert(math.abs(cos(Seq(1f, 0f), Seq(0f, 1f))) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 0f), Seq(-1f, 0f)) + 1.0) < 1e-12)
+  }
+
+  test("cosine_f32: zero vector yields 0.0, not NaN") {
+    assert(cos(Seq(0f, 0f), Seq(1f, 1f)) == 0.0)
+  }
+
+  test("cosine_f32: mismatched lengths compare the common prefix") {
+    assert(math.abs(cos(Seq(1f, 0f, 5f), Seq(1f, 0f)) -
+      operators.Similarity.cosine(Array(1f, 0f), Array(1f, 0f))) < 1e-9)
+  }
+
+  test("cosine_f32: null input propagates null") {
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val out = df.select(Native.cosineF32(col("a"), col("b")).as("c")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("cosine_f32: matches JVM math on random vectors (codegen path)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), Native.cosineF32(col("a"), col("b")).as("c"))
+      .orderBy("id").as[(Long, Double)].collect()
+    rows.zip(got).foreach { case ((_, a, b), (_, c)) =>
+      assert(math.abs(c - operators.Similarity.cosine(a, b)) < 1e-6) // summation-order tolerance
+    }
+  }
+
+  test("cosine_f32: stays inside WholeStageCodegen") {
+    // literal data constant-folds to LocalTableScan; range() forces a real plan
+    val df = spark.range(100)
+      .select(array(col("id").cast("float"), lit(1f)).as("a"),
+        array(lit(2f), col("id").cast("float")).as("b"))
+      .select(Native.cosineF32(col("a"), col("b")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_f32"), plan) // * marks WholeStageCodegen
+    assert(df.agg(sum("c")).as[Double].head() > 0.0) // and it executes
+  }
+}
