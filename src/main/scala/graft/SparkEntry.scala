@@ -354,6 +354,22 @@ object SparkEntry {
         |    + (CASE WHEN nstop >= 1 THEN 1 ELSE 0 END)
         |    + (CASE WHEN alpha >= 20 THEN 1 ELSE 0 END) AS INTEGER) AS quality_score
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q23_lang_id" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        | s AS (SELECT doc_id,
+        |  len(list_filter(toks, tk -> tk IN ('der','die','das','und','ist','ein','eine','zu','den','von'))) AS s_de,
+        |  len(list_filter(toks, tk -> tk IN ('the','a','an','of','and','to','in','is','it','that'))) AS s_en,
+        |  len(list_filter(toks, tk -> tk IN ('el','la','de','que','y','en','un','una','es','los'))) AS s_es,
+        |  len(list_filter(toks, tk -> tk IN ('le','la','de','et','un','une','est','que','les','des'))) AS s_fr
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang_pred,
+        | CAST(greatest(s_de, s_en, s_es, s_fr) AS INTEGER) AS lang_score
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q29_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Write paths — the Spark analog of the reference's object-store IO
+  * (s3_service.py upload/download) and insert/append repository semantics
+  * (job_repository.py:96-145 create; staging writes).
+  *
+  * Scale design: all writes are partitioned parquet. Partition columns are
+  * chosen by the caller to match downstream read predicates, so partition
+  * PRUNING (not file listing) bounds every later scan; dynamic partition
+  * overwrite makes re-processing a batch idempotent (replay-safe — the
+  * staging_row_hash equivalent at file granularity). */
+object Sinks {
+
+  /** Partitioned parquet write. `mode=Append` is the insert/create analog. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Idempotent batch re-process: overwrite ONLY the partitions present in
+    * `df`, leaving sibling partitions intact (dynamic partition overwrite). */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Compact small files in a partitioned dataset: rewrite each partition to
+    * `filesPerPartition` files (the small-upload-files problem at scale). */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
+              filesPerPartition: Int = 1): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    df.repartition(filesPerPartition, partitionCols.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

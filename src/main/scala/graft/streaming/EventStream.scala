@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming analog of the reference's SQS worker handoff
@@ -38,6 +38,57 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
+
+  // ------------------------------------------------------- stateful worker
+
+  /** One queue message: a progress signal for a job. */
+  case class JobEvent(jobId: Long, eventType: String, ts: java.sql.Timestamp, rows: Long)
+
+  /** Live worker state per job (the reference worker's in-flight bookkeeping). */
+  case class JobProgress(jobId: Long, status: String, rowsProcessed: Long,
+                         nEvents: Long, lastUpdate: java.sql.Timestamp)
+
+  /** The reference worker's job state machine
+    * (models/job.py:11-17 statuses; worker semantics implied by the
+    * repositories): PENDING → PROCESSING on the first progress message,
+    * → COMPLETED / FAILED on a terminal message; terminal states are sticky.
+    * Implemented with flatMapGroupsWithState so state is partitioned by
+    * jobId (scales horizontally) and evicted via processing-time timeout —
+    * emits one updated JobProgress row per state change. */
+  def trackJobs(events: Dataset[JobEvent],
+                timeout: String = "1 hour"): Dataset[JobProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.jobId)
+      .flatMapGroupsWithState[JobProgress, JobProgress](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (jobId: Long, msgs: Iterator[JobEvent], state: GroupState[JobProgress]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last) // flush final snapshot on eviction
+          } else {
+            var cur = state.getOption.getOrElse(
+              JobProgress(jobId, "PENDING", 0L, 0L, new java.sql.Timestamp(0)))
+            val terminal = Set("COMPLETED", "FAILED")
+            msgs.toSeq.sortBy(_.ts.getTime).foreach { m =>
+              if (!terminal.contains(cur.status)) { // terminal states are sticky
+                val next = m.eventType match {
+                  case "progress" => "PROCESSING"
+                  case "complete" => "COMPLETED"
+                  case "error"    => "FAILED"
+                  case "review"   => "NEEDS_REVIEW"
+                  case _          => cur.status
+                }
+                cur = JobProgress(jobId, next, cur.rowsProcessed + m.rows,
+                  cur.nEvents + 1, m.ts)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutDuration(timeout)
+            Iterator(cur)
+          }
+      }
+  }
 
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */

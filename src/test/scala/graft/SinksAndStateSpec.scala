@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{JobEvent, JobProgress}
+
+/** Write-path semantics (append / dynamic partition overwrite / compaction /
+  * partition pruning) and the stateful job tracker. */
+class SinksAndStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("writePartitioned + append, then partition pruning on read") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/events"
+    val b1 = Seq((1L, "click", 1.0), (2L, "view", 2.0)).toDF("id", "etype", "v")
+    val b2 = Seq((3L, "click", 3.0)).toDF("id", "etype", "v")
+    Sinks.writePartitioned(b1, dir, Seq("etype"))
+    Sinks.writePartitioned(b2, dir, Seq("etype"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val clicks = back.filter(col("etype") === "click")
+    assert(clicks.count() == 2)
+    // partition pruning: the scan's partition filters mention etype
+    val scan = clicks.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("etype"), scan)
+  }
+
+  test("overwritePartitions: replay one partition, siblings intact") {
+    val dir = Files.createTempDirectory("graft_sink2").toString + "/staging"
+    Sinks.writePartitioned(
+      Seq((1L, "jobA", "x"), (2L, "jobA", "y"), (3L, "jobB", "z")).toDF("id", "job", "payload"),
+      dir, Seq("job"))
+    // re-process jobA with corrected data (fewer rows) — jobB must survive
+    Sinks.overwritePartitions(
+      Seq((10L, "jobA", "x2")).toDF("id", "job", "payload"), dir, Seq("job"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("job") === "jobA").count() == 1)
+    assert(back.filter(col("job") === "jobB").count() == 1)
+    assert(back.count() == 2)
+  }
+
+  test("compact: same rows, fewer files") {
+    val dir = Files.createTempDirectory("graft_sink3").toString + "/small"
+    val df = spark.range(100).toDF("id").repartition(8)
+      .withColumn("p", (col("id") % 2).cast("string"))
+    Sinks.writePartitioned(df, dir, Seq("p"), SaveMode.Overwrite)
+    def nFiles = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isDirectory).map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val before = nFiles
+    Sinks.compact(spark, dir, Seq("p"))
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(nFiles < before && nFiles <= 2, s"files: before=$before after=$nFiles")
+  }
+
+  test("trackJobs (batch semantics of the state machine): transitions and sticky terminals") {
+    // batch Dataset exercises the same transition function via a single group pass
+    val events = Seq(
+      JobEvent(1L, "progress", ts("2024-01-01 10:00:00"), 100),
+      JobEvent(1L, "progress", ts("2024-01-01 10:01:00"), 200),
+      JobEvent(1L, "complete", ts("2024-01-01 10:02:00"), 0),
+      JobEvent(1L, "progress", ts("2024-01-01 10:03:00"), 999), // after terminal → ignored
+      JobEvent(2L, "error", ts("2024-01-01 11:00:00"), 0),
+      JobEvent(3L, "progress", ts("2024-01-01 12:00:00"), 50)
+    ).toDS()
+
+    val src = Files.createTempDirectory("graft_state_src").toString + "/in"
+    val ckpt = Files.createTempDirectory("graft_state_ckpt").toString
+    events.toDF().write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(events.toDF().schema)
+      .parquet(src).as[JobEvent]
+    val q = EventStream.trackJobs(stream).writeStream
+      .format("memory").queryName("job_states")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val finals = spark.table("job_states").as[JobProgress].collect()
+      .groupBy(_.jobId).map { case (id, xs) => id -> xs.maxBy(_.lastUpdate.getTime) }
+
+    assert(finals(1L).status == "COMPLETED")
+    assert(finals(1L).rowsProcessed == 300) // the post-terminal 999 ignored
+    assert(finals(1L).nEvents == 3)
+    assert(finals(2L).status == "FAILED")
+    assert(finals(3L).status == "PROCESSING")
+  }
+}
