@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graftnative.NativeExpressions.CosineSimilarityF32
+
+/** Session extension registering graft's native SQL functions, so a cluster
+  * configured with
+  * `spark.sql.extensions=graft.GraftExtensions`
+  * can call them from plain SQL (`SELECT cosine_f32(a.vec, b.vec) …`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(classOf[CosineSimilarityF32].getName, "cosine_f32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarityF32(exprs(0), exprs(1))))
+  }
+}

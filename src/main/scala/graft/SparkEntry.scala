@@ -122,6 +122,16 @@ object SparkEntry {
       Relational.topNPerGroup(Tables.events(s, d), 3)),
     "q19_events_agg" -> ((s, d) =>
       Relational.eventsHourlyAgg(Tables.events(s, d))),
+    "q35_percentiles" -> ((s, d) =>
+      Analytics.percentiles(Tables.lineitem(s, d))),
+    "q36_distinct_users" -> ((s, d) =>
+      Analytics.distinctUsers(Tables.events(s, d))),
+    "q37_running_total" -> ((s, d) =>
+      Analytics.runningTotals(Tables.events(s, d))),
+    "q38_sessionize" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d), 30)),
+    "q39_approx_stats" -> ((s, d) =>
+      Analytics.approxStats(Tables.events(s, d))),
 
     // C. issue detection ----------------------------------------------------
     "q10_duplicate_key" -> ((s, d) =>
@@ -387,6 +397,34 @@ object SparkEntry {
     "q33_merge_updates" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         | CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q35_percentiles" ->
+      """SELECT l_returnflag,
+        | CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,2)) AS p50_qty,
+        | CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,2)) AS p90_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q37_running_total" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_value,
+        | CAST(row_number() OVER w AS INTEGER) AS event_seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q38_sessionize" ->
+      """SELECT user_id, event_id,
+        | COUNT(CASE WHEN prev_ts IS NULL
+        |            OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |            THEN 1 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM (SELECT user_id, event_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -11,4 +11,12 @@ object Native {
   /** `cosine_f32(vecA, vecB)` — codegen'd cosine similarity over two
     * `array<float>` columns; double in [-1,1], 0.0 for zero-norm inputs. */
   def cosineF32(a: Column, b: Column): Column = NativeExpressions.cosineF32(a, b)
+
+  /** Register the native functions for SQL use on an existing session
+    * (clusters set `spark.sql.extensions=graft.GraftExtensions` instead). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_f32",
+      exprs => NativeExpressions.CosineSimilarityF32(exprs(0), exprs(1)),
+      "built-in")
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wider analytics surface: ordered-set aggregates, distinct counts, running
+  * windows, sessionization, and a salting helper for skewed joins.
+  *
+  * Scale notes:
+  *  - percentile/countDistinct are single hash-aggregate shuffles; Spark's
+  *    partial aggregation combines map-side.
+  *  - running totals / sessionization shuffle ONCE on the partition key and
+  *    sort within partitions — the window frames are running
+  *    (UNBOUNDED PRECEDING → CURRENT ROW), so state per group is O(1).
+  *  - `approxStats` shows the sketch path (HLL / approx quantiles) used when
+  *    exactness is not required at 100 TB — constant memory per group.
+  */
+object Analytics {
+
+  /** Exact interpolated percentiles per group (ordered-set aggregate). */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).cast("decimal(18,2)").as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.9)).cast("decimal(18,2)").as("p90_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Exact distinct counts per group (expand+two-phase agg under the hood). */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Sketch-based variant for 100 TB scale: HLL distinct + approximate
+    * quantile — constant memory, one pass, mergeable partials. Not
+    * oracle-checked (approximate by design); asserted within error bounds
+    * vs the exact answers in AnalyticsSpec. */
+  def approxStats(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_p50_value"))
+      .orderBy("event_type")
+
+  /** Running (cumulative) total of value per user over event time. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ts drives the ordering but is not projected: the driver-side oracle
+    // compares raw values, and parquet ns→µs truncation would differ
+    events.select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").as("running_value"),
+        row_number().over(w).as("event_seq"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Sessionization: a new session starts when the gap to the previous event
+    * of the same user exceeds `gapMinutes`. Classic lag → flag → cumulative
+    * sum; one shuffle on user_id, two running windows over the same sort. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    // floor-of-epoch seconds on both engines (timestamp→long is a floor);
+    // count(when…) keeps the running counter BIGINT in Spark AND DuckDB
+    // (a windowed SUM(int) would be HUGEINT in the oracle)
+    val newSession = when(prevTs.isNull ||
+      col("ts").cast("long") - prevTs.cast("long") > gapMinutes * 60L, 1L)
+    events.select(col("user_id"), col("event_id"),
+        count(newSession).over(run).as("session_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
+    * and explode the small side across all salts — turns one hot reducer
+    * into `saltFactor` even ones. Use when AQE's skew handling isn't enough
+    * (e.g. a single pathological key in a 100 TB fact table). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Ordered-set aggregates, running windows, sessionization, salted joins,
+  * sketch-vs-exact bounds, and SQL registration of the native function. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("percentiles: interpolated median on a known group") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
+                 ("B", 5.0)).toDF("l_returnflag", "l_quantity")
+    val out = Analytics.percentiles(df).collect().map(r =>
+      r.getString(0) -> (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue())).toMap
+    assert(out("A")._1 == 2.5)  // (2+3)/2
+    assert(out("B")._1 == 5.0)
+    assert(out("A")._2 == 7.9)  // index 2.7 → 3 + 0.7*(10-3)
+  }
+
+  test("runningTotals: cumulative per user in event order") {
+    val df = Seq(
+      (7L, 1L, ts("2024-01-01 10:00:00"), 1.5),
+      (7L, 2L, ts("2024-01-01 10:05:00"), 2.5),
+      (8L, 3L, ts("2024-01-01 10:06:00"), 10.0),
+      (7L, 4L, ts("2024-01-01 10:07:00"), 3.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.runningTotals(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue(), r.getInt(3)))
+    assert(out.toSeq == Seq((7L, 1L, 1.5, 1), (7L, 2L, 4.0, 2), (7L, 4L, 7.0, 3), (8L, 3L, 10.0, 1)))
+  }
+
+  test("sessionize: gap > threshold starts a new session; first event is session 1") {
+    val df = Seq(
+      (7L, 1L, ts("2024-01-01 10:00:00"), 0.0),
+      (7L, 2L, ts("2024-01-01 10:10:00"), 0.0), // 10 min gap → same session
+      (7L, 3L, ts("2024-01-01 11:00:00"), 0.0), // 50 min gap → new session
+      (7L, 4L, ts("2024-01-01 11:29:00"), 0.0), // 29 min → same
+      (9L, 5L, ts("2024-01-01 10:00:00"), 0.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.sessionize(df, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((7L, 1L)) == 1 && out((7L, 2L)) == 1)
+    assert(out((7L, 3L)) == 2 && out((7L, 4L)) == 2)
+    assert(out((9L, 5L)) == 1)
+  }
+
+  test("saltedJoin: same result as a plain join, spread across salts") {
+    val big = (0L until 1000L).map(i => (i % 3, i)).toDF("k", "payload")
+    val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "tag")
+    val plain = big.join(small, "k").select("k", "payload", "tag")
+      .collect().map(_.toString).sorted
+    val salted = Analytics.saltedJoin(big, small, "k", 8)
+      .select("k", "payload", "tag").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+  }
+
+  test("approxStats: sketch answers within tolerance of exact") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 20000).map { i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), (rnd.nextInt(500)).toLong, "t" + (i % 2), rnd.nextDouble() * 100, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val approx = Analytics.approxStats(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Analytics.distinctUsers(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k)._1 - n).toDouble / n < 0.05, s"$k: ${approx(k)._1} vs $n")
+      assert(math.abs(approx(k)._2 - 50.0) < 5.0) // uniform [0,100) median ≈ 50
+    }
+  }
+
+  test("cosine_f32 callable from SQL after registration") {
+    graft.functions.Native.registerSql(spark)
+    val out = spark.sql(
+      "SELECT cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
+    assert(math.abs(out - 1.0) < 1e-12)
+  }
+}
