@@ -132,6 +132,17 @@ object SparkEntry {
       Analytics.sessionize(Tables.events(s, d), 30)),
     "q39_approx_stats" -> ((s, d) =>
       Analytics.approxStats(Tables.events(s, d))),
+    "q40_asof_join" -> ((s, d) => {
+      // latest order at-or-before each event, per user (point-in-time lookup);
+      // right side pre-deduped per (user, time) so ties are deterministic
+      val orders = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsOf.join(Tables.events(s, d).select("event_id", "user_id", "ts"), orders,
+          "user_id", "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
 
     // C. issue detection ----------------------------------------------------
     "q10_duplicate_key" -> ((s, d) =>
@@ -425,6 +436,12 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, ts,
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |      FROM events)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q40_asof_join" ->
+      """WITH j AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, j.o_orderkey
+        |FROM events e ASOF JOIN j ON e.user_id = j.o_custkey AND e.ts >= j.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
   )
 }

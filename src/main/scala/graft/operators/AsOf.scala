@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the LATEST right row with
+  * rightTime <= leftTime within the same key — the temporal lookup Spark has
+  * no built-in operator for (pandas merge_asof / DuckDB ASOF JOIN analog).
+  *
+  * Implementation is the union + running-last_value trick rather than a
+  * custom physical operator or a range join:
+  *  - both sides are tagged and unioned (no join node at all),
+  *  - ONE shuffle on the key, ONE in-partition sort by (time, side-tag),
+  *  - `last_value(ignoreNulls)` over a running frame carries the most recent
+  *    right payload forward onto each left row.
+  * At 100 TB this is strictly better than a range join (no interval
+  * explosion, no per-row binary search) and better than a custom SparkPlan
+  * (whole-stage codegen'd window, AQE-compatible). Equal timestamps match
+  * (<=), with the right side's `tieBreak` column deciding among same-time
+  * right rows (highest wins) — making results deterministic.
+  */
+object AsOf {
+
+  /** @param left       fact side (each row gets at most one match)
+    * @param right      lookup side (its `payload` columns are carried over)
+    * @param key        equality key joined on (e.g. user id)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  effective-from column on `right`
+    * @param payload    right-side columns to attach to each left row
+    * @param tieBreak   right-side column ordering same-time right rows
+    * @param inner      true drops left rows with no match (ASOF JOIN);
+    *                   false keeps them with null payload (ASOF LEFT JOIN)
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String], tieBreak: String,
+           inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns
+    // unified schema: key, _t, _side (0=right sorts first at equal times),
+    // _tie, left columns (null on right rows), payload struct (null on left)
+    val taggedLeft = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      lit(null).cast("long").as("_tie"),
+      struct(leftCols.map(col).toIndexedSeq: _*).as("_l"),
+      lit(null).cast(right.select(payload.map(col).toIndexedSeq: _*).schema).as("_p"))
+    val taggedRight = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      col(tieBreak).cast("long").as("_tie"),
+      lit(null).cast(left.schema).as("_l"),
+      struct(payload.map(col).toIndexedSeq: _*).as("_p"))
+
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val out = carried.select(
+      (leftCols.map(c => col(s"_l.$c").as(c)) ++
+       payload.map(c => col(s"_match.$c").as(c))).toIndexedSeq: _*)
+    if (inner) out.filter(col(payload.head).isNotNull) else out
+  }
+}
