@@ -69,30 +69,71 @@ object SparkEntry {
 
   // --------------------------------------------------------------- flagship
 
-  /** Flagship: the reference's full upload pipeline on sf0.001 — derive a
-    * staging batch, run all four IssueType detections
-    * (/root/reference/src/models/issue.py:12-17), content-hash dedup, and
-    * report one summary row per issue type. Exercises regex validation,
-    * broadcast anti-join, hash aggregation and null/blank predicates. */
+  /** Flagship: the reference's COMPLETE upload pipeline end-to-end on
+    * sf0.001 data — materialize uploads as CSV files (mixed delimiters +
+    * encodings, one invalid), file-validate, sniff + distributed-ingest with
+    * header variation mapping and staging_row_hash, run all four IssueType
+    * detections (/root/reference/src/models/issue.py:12-17) against a
+    * contacts table, and promote the clean rows. Returns one summary row per
+    * pipeline stage (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val customer = Tables.customer(spark, dir)
-    val orders = Tables.orders(spark, dir)
-    val events = Tables.events(spark, dir)
-    val contacts = withEmail(customer)
-    val staging = stagingFromOrders(orders)
 
-    def tagged(df: DataFrame, tag: String): DataFrame =
-      df.agg(count(lit(1)).as("n")).select(lit(tag).as("issue_type"), col("n"))
+    // --- stage 0: uploads land as files (S3 analog); built from sf0.001 data
+    val uploadDir = java.nio.file.Files.createTempDirectory("graft_flagship").toFile
+    uploadDir.deleteOnExit()
+    val batch = withEmail(customer)
+      .select("c_custkey", "email", "c_name", "c_mktsegment").limit(60).collect()
+      .map { r => // half the upload is genuinely new contacts ("+new" local part)
+        val email = if (r.getLong(0) % 2 == 0) r.getString(1).replace("@", "+new@") else r.getString(1)
+        (email, r.getString(2), r.getString(3))
+      }
+    def csvOf(rows: Seq[String], header: String, sep: Char): String =
+      (header +: rows).mkString("\n").replace(',', sep)
+    val up1 = new java.io.File(uploadDir, "upload1.csv")
+    java.nio.file.Files.write(up1.toPath, csvOf(
+      batch.take(40).map(r => s"${r._1},${r._2},${r._3}"),
+      "E-Mail,NOME,Empresa", ';').getBytes("ISO-8859-1"))
+    val up2 = new java.io.File(uploadDir, "upload2.csv")
+    java.nio.file.Files.write(up2.toPath, csvOf(
+      batch.drop(30).map(r => s"${r._1},${r._2},${r._3}") :+
+        ",NoEmail Person,MissingCo", // a row with a blank required field
+      "email_address,first name,org", ',').getBytes("UTF-8"))
+    val bad = new java.io.File(uploadDir, "headeronly.csv")
+    java.nio.file.Files.write(bad.toPath, "email,nome\n".getBytes("UTF-8"))
 
-    tagged(Issues.duplicateKeys(events, "user_id", "event_type"), "DUPLICATE_EMAIL")
-      .unionAll(tagged(Issues.invalidEmails(contacts, "email"), "INVALID_EMAIL"))
-      .unionAll(tagged(Issues.existingKeys(staging,
-        contacts.select(col("email").as("contact_email")), "email", "contact_email", anti = false), "EXISTING_EMAIL"))
-      .unionAll(tagged(Issues.missingRequired(
-        customer.withColumn("first_name", when(col("c_custkey") % 13 === 0, lit(null)).otherwise(col("c_name"))),
-        Seq("first_name")), "MISSING_REQUIRED_FIELD"))
-      .unionAll(tagged(Dedup.exact(events.withColumnRenamed("props", "text"), "event_id", "text"), "CONTENT_HASH_GROUPS"))
+    // --- stage 1: file-level validation rejects the header-only upload
+    val uploads = Seq(up1, up2, bad).map(_.getAbsolutePath)
+    val accepted = uploads.filter(p => CsvIngest.validateFile(p).isRight)
+
+    // --- stage 2: sniff + distributed parse + header mapping + row hash
+    val staged = accepted.map(p => CsvIngest.ingest(spark, p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // --- stage 3: issue detection against the existing contacts table
+    val contacts = withEmail(customer).select(col("email").as("contact_email"))
+    val invalid = Issues.invalidEmails(staged, "email")
+    val missing = Issues.missingRequired(staged, Seq("email", "first_name"))
+    val dupKeys = Issues.duplicateKeys(staged, "company", "email") // batch = upload's company col
+    val existing = Issues.existingKeys(staged, contacts, "email", "contact_email", anti = false)
+
+    // --- stage 4: promote = staged minus every flagged row (anti-join on row hash)
+    val flaggedHashes = invalid.select("staging_row_hash")
+      .unionAll(missing.select("staging_row_hash"))
+      .unionAll(existing.select("staging_row_hash"))
+    val promoted = staged.join(flaggedHashes, Seq("staging_row_hash"), "left_anti")
+
+    def tagged(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("stage"), col("n"))
+
+    tagged("UPLOADS_ACCEPTED", spark.range(accepted.length).toDF())
+      .unionAll(tagged("ROWS_STAGED", staged))
+      .unionAll(tagged("INVALID_EMAIL", invalid))
+      .unionAll(tagged("MISSING_REQUIRED_FIELD", missing))
+      .unionAll(tagged("DUPLICATE_EMAIL_KEYS", dupKeys))
+      .unionAll(tagged("EXISTING_EMAIL", existing))
+      .unionAll(tagged("ROWS_PROMOTED", promoted))
   }
 
   // ---------------------------------------------------------------- queries
