@@ -285,8 +285,12 @@ object SparkEntry {
       Similarity.nearDupCosine(embeddingsWithPlantedDups(Tables.embeddings(s, d)),
         "vec_id", "embedding", threshold = 0.95)),
     "q34_multimodal" -> ((s, d) => {
-      val media = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
-      Multimodal.decodeStub(media, "doc_id").orderBy("doc_id")
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.attachBinary(docs, "doc_id", "text")
+      val stubFeats = Multimodal.decodeStub(media, "doc_id")
+      val imgFeats = Multimodal.decodeImages(
+        Multimodal.synthesizeImages(docs, "doc_id"), "doc_id")
+      stubFeats.join(imgFeats, "doc_id").orderBy("doc_id")
     })
   )
 

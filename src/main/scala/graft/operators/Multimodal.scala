@@ -53,6 +53,93 @@ object Multimodal {
     }.toDF(idCol, "features")
   }
 
+  // ------------------------------------------------------------ real decode
+
+  /** Minimal uncompressed 24-bit BMP writer (pure JVM; BMP is the one image
+    * format needing no codec). Deterministic: used to synthesize real image
+    * payloads in tests/demos. */
+  private[graft] def encodeBmp(width: Int, height: Int,
+                               rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowPad = (4 - (width * 3) % 4) % 4
+    val dataSize = (width * 3 + rowPad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                         // reserved, pixel offset
+      .putInt(40).putInt(width).putInt(height)      // DIB header
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1                               // BMP rows are bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 0; while (p < rowPad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  case class ImageFeatures(width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL image decode for BMP payloads: parses the header, walks the pixel
+    * rows, returns dimensions + mean channel values. Batched per partition
+    * (same shape the stub documents); other formats would dispatch to a
+    * codec here. Returns null features for non-BMP payloads. */
+  private[graft] def decodeBmp(bytes: Array[Byte]): Option[ImageFeatures] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offset = buf.getInt(10)
+    val width = buf.getInt(18); val height = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    if (bpp != 24 || width <= 0 || height <= 0) return None
+    val rowPad = (4 - (width * 3) % 4) % 4
+    var r = 0L; var g = 0L; var b = 0L
+    var y = 0
+    while (y < height) {
+      val rowStart = offset + y * (width * 3 + rowPad)
+      var x = 0
+      while (x < width) {
+        val i = rowStart + x * 3
+        b += bytes(i) & 0xff; g += bytes(i + 1) & 0xff; r += bytes(i + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(ImageFeatures(width, height, r.toDouble / n, g.toDouble / n, b.toDouble / n))
+  }
+
+  /** Synthesize real BMP payloads per doc (deterministic color from id) —
+    * the test/demo stand-in for reading image bytes off the object store. */
+  def synthesizeImages(docs: DataFrame, idCol: String, size: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (r, g, b) = ((id * 37 % 256).toInt, (id * 73 % 256).toInt, (id * 151 % 256).toInt)
+        (id, encodeBmp(size, size, (_, _) => (r, g, b)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Decode image payloads → (id, width, height, mean RGB). Real parse for
+    * BMP; unknown formats yield null (the codec-stub boundary). */
+  def decodeImages(media: DataFrame, idCol: String): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          decodeBmp(bytes) match {
+            case Some(f) => (id, f.width, f.height, f.meanR, f.meanG, f.meanB)
+            case None => (id, -1, -1, Double.NaN, Double.NaN, Double.NaN)
+          }
+        }
+      }.toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
   /** Frame sampling for video rows: emit `n` evenly-spaced frame timestamps
     * per video — pure `sequence`/`explode`, no UDF, scales as a map-side
     * expand. (The frame DECODE would be a decodeStub-style pass downstream.) */

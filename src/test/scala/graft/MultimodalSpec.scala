@@ -30,6 +30,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq) // deterministic
   }
 
+  test("BMP round-trip: synthesized images decode to exact dims and colors") {
+    val imgs = Multimodal.synthesizeImages(docs, "doc_id", size = 8)
+    val feats = Multimodal.decodeImages(imgs, "doc_id").orderBy("doc_id").collect()
+    assert(feats.length == 3)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8)
+      assert(r.getDouble(3) == (id * 37 % 256).toDouble) // solid color → exact mean
+      assert(r.getDouble(4) == (id * 73 % 256).toDouble)
+      assert(r.getDouble(5) == (id * 151 % 256).toDouble)
+    }
+  }
+
+  test("BMP decode: gradient image mean is the pixel average; junk bytes rejected") {
+    val grad = Multimodal.encodeBmp(4, 2, (x, y) => (x * 10 + y, 0, 255))
+    val f = Multimodal.decodeBmp(grad).get
+    // meanR over x∈0..3, y∈0..1 of (10x+y) = mean(0,10,20,30,1,11,21,31) = 15.5
+    assert(f.width == 4 && f.height == 2)
+    assert(f.meanR == 15.5 && f.meanG == 0.0 && f.meanB == 255.0)
+    assert(Multimodal.decodeBmp("not an image".getBytes).isEmpty)
+  }
+
   test("frameSample: n evenly-spaced frames per video row only") {
     val media = Multimodal.attachBinary(
       Seq((2L, "v"), (3L, "a"), (5L, "w")).toDF("doc_id", "text"), "doc_id", "text")
