@@ -246,7 +246,7 @@ object SparkEntry {
           col("l_quantity").cast("decimal(18,2)").cast("string"),
           col("l_returnflag")).as("staging_row_hash"))
         .orderBy("l_orderkey", "l_linenumber")),
-    "q31_csv_ingest" -> ((s, _) => csvIngestDemo(s)),
+    "q31_csv_ingest" -> ((s, _) => csvIngestDemo(s).orderBy("email")),
     "q32_header_map" -> ((s, _) => {
       import s.implicits._
       Seq("E-Mail", "email_address", "NOME", "Sobrenome", "empresa",
@@ -278,7 +278,10 @@ object SparkEntry {
       Dedup.ngramJaccard(corpus, "doc_id", "text", cands.select("doc_id_a", "doc_id_b"), threshold = 0.3)
     }),
     "q27_ann_bruteforce" -> ((s, d) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // rank-only projection: cosine VALUES would differ across engines in
+      // the last float ulps; the ordering is what the oracle checks
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .select("query_id", "neighbor_id", "rank")),
     "q28_ann_lsh" -> ((s, d) =>
       Similarity.annLshTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)),
     "q30_near_dup_cosine" -> ((s, d) =>
@@ -487,6 +490,27 @@ object SparkEntry {
         |           FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, j.o_orderkey
         |FROM events e ASOF JOIN j ON e.user_id = j.o_custkey AND e.ts >= j.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q27_ann_bruteforce" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        | CAST(row_number() OVER (PARTITION BY a.vec_id
+        |   ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INTEGER) AS rank
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |WHERE a.vec_id IN (0, 1, 2, 3, 4)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q31_csv_ingest" ->
+      """WITH u1(email, first_name, company) AS (VALUES
+        |   ('ana@example.com', 'Ana', 'Acme'), ('bob@example.com', 'Bob', 'Globex')),
+        | u2(email, last_name, company) AS (VALUES ('carol@example.com', 'Silva', 'Café Ltda')),
+        | s1 AS (SELECT email, first_name, company,
+        |   sha256(concat_ws('|', coalesce(company, chr(1)), coalesce(email, chr(1)),
+        |     coalesce(first_name, chr(1)))) AS staging_row_hash,
+        |   CAST(NULL AS VARCHAR) AS last_name FROM u1),
+        | s2 AS (SELECT email, CAST(NULL AS VARCHAR) AS first_name, company,
+        |   sha256(concat_ws('|', coalesce(company, chr(1)), coalesce(email, chr(1)),
+        |     coalesce(last_name, chr(1)))) AS staging_row_hash,
+        |   last_name FROM u2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY email""".stripMargin
   )
 }

@@ -154,7 +154,9 @@ object CsvIngest {
       .option("mode", "PERMISSIVE")
       .csv(path)
     val renamed = raw.columns.foldLeft(raw) { (df, c) => df.withColumnRenamed(c, normalizeHeader(c)) }
-    val hashCols = renamed.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    // null sentinel \u0001 (SOH): cannot occur in CSV field data, and the
+    // DuckDB oracle reproduces it as chr(1) (NUL is not storable there)
+    val hashCols = renamed.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0001")))
     renamed.withColumn("staging_row_hash", Cols.rowHashSha(hashCols.toIndexedSeq: _*))
   }
 
