@@ -83,9 +83,10 @@ object Similarity {
 
     val partialTopK = corpus.mapPartitions { it =>
       val qs = bc.value
-      // per-query bounded min-heap of (cosine, id)
+      // per-query bounded heap; head = the current WORST kept candidate
+      // (min cosine, then max id — ranking prefers smaller ids on ties)
       val heaps = qs.map(q => (q._1, collection.mutable.PriorityQueue.empty[(Double, Long)](
-        Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))))
+        Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))))
       it.foreach { case (id, v) =>
         var qi = 0
         while (qi < qs.length) {

@@ -27,6 +27,15 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getDouble(2) > out.last.getDouble(2))
   }
 
+  test("bruteForceTopK: cosine ties rank by ascending id (heap evicts max-id victim)") {
+    // ids 5,3,2,4 all identical to the query → 4-way tie; top-2 must be {2,3}
+    val v = vec(1, 1)
+    val df = Seq((0L, v), (5L, v), (3L, v), (2L, v), (4L, v)).toDF("vec_id", "embedding")
+      .repartition(1) // single partition so the bounded heap sees every arrival order effect
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L), 2).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L), out.mkString(","))
+  }
+
   test("bruteForceTopK: excludes the query itself") {
     val df = Seq((0L, vec(1, 0)), (1L, vec(1, 0))).toDF("vec_id", "embedding")
     val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(0L), 5).collect()
