@@ -41,10 +41,31 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** Token k-shingle hashes WITHOUT building shingle strings: hash each token
+    * once (fnv1a64), then mix the k token hashes per window — ~k× less
+    * allocation than mkString+hash per shingle on long documents. */
   private[graft] def shingles(text: String, k: Int): Array[Long] = {
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < k) Array(fnv1a64(toks.mkString(" ")))
-    else toks.sliding(k).map(w => fnv1a64(w.mkString(" "))).toArray.distinct
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = fnv1a64(toks(i)); i += 1 }
+    if (toks.length < k) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < th.length) { h = mix64(h ^ th(j)); j += 1 }
+      Array(h)
+    } else {
+      val out = new Array[Long](toks.length - k + 1)
+      var s = 0
+      while (s < out.length) {
+        var h = 0xcbf29ce484222325L
+        var j = s
+        while (j < s + k) { h = mix64(h ^ th(j)); j += 1 }
+        out(s) = h
+        s += 1
+      }
+      out.distinct
+    }
   }
 
   /** Densified one-permutation MinHash (Li et al. 2012; Shrivastava & Li 2014

@@ -62,15 +62,29 @@ object CsvIngest {
 
   val CandidateDelimiters: Seq[Char] = Seq(',', ';', '\t', '|')
 
+  /** Delimiter occurrences outside double-quoted sections ("" escapes a
+    * quote inside a quoted field, RFC 4180). */
+  private[graft] def unquotedCount(line: String, d: Char): Int = {
+    var n = 0; var inQ = false; var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQ = !inQ
+      else if (c == d && !inQ) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Pick the delimiter that splits the header into the most fields and does
     * so CONSISTENTLY across the sampled lines (csv_validator.py:206-265
     * plausibility idea: a candidate is implausible if rows disagree on field
-    * count). Falls back to ','. */
+    * count). Quote-aware: delimiters inside quoted fields don't count.
+    * Falls back to ','. */
   def detectDelimiter(sampleLines: Seq[String]): Char = {
     val lines = sampleLines.filter(_.nonEmpty)
     if (lines.isEmpty) return ','
     val plausible = CandidateDelimiters.flatMap { d =>
-      val counts = lines.map(_.count(_ == d))
+      val counts = lines.map(unquotedCount(_, d))
       if (counts.head > 0 && counts.distinct.size == 1) Some((d, counts.head)) else None
     }
     if (plausible.isEmpty) ',' else plausible.maxBy(_._2)._1

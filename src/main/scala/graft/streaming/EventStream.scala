@@ -90,6 +90,27 @@ object EventStream {
       }
   }
 
+  /** Stream → partitioned table with EXACTLY-ONCE table contents: each
+    * micro-batch lands via dynamic-partition overwrite (Sinks), so replaying
+    * a batch after a crash-and-restart rewrites the same partitions instead
+    * of appending duplicates. Partitioned by event_type — the downstream
+    * read predicate — so consumers get partition pruning for free. */
+  def runIdempotentSink(spark: SparkSession, srcDir: String, checkpointDir: String,
+                        outDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(srcDir)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.overwritePartitions(
+          batch.dropDuplicates("event_id"), outDir, Seq("event_type"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,
