@@ -241,7 +241,7 @@ object SparkEntry {
     "q15_row_hash" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        Cols.rowHashMd5(
+        Cols.rowHashSha( // sha-256, as the reference's staging_row_hash (issue.py:81)
           col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
           col("l_quantity").cast("decimal(18,2)").cast("string"),
           col("l_returnflag")).as("staging_row_hash"))
@@ -383,7 +383,7 @@ object SparkEntry {
         |FROM events GROUP BY md5(props) HAVING COUNT(*) > 1 ORDER BY file_hash""".stripMargin,
     "q15_row_hash" ->
       """SELECT l_orderkey, l_linenumber,
-        | md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        | sha256(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
         |   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), l_returnflag)) AS staging_row_hash
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q16_status_update" ->
