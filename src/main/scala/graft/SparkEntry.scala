@@ -173,6 +173,15 @@ object SparkEntry {
       Analytics.sessionize(Tables.events(s, d), 30)),
     "q39_approx_stats" -> ((s, d) =>
       Analytics.approxStats(Tables.events(s, d))),
+    "q41_pricing_summary" -> ((s, d) =>
+      Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00")),
+    "q42_shipping_priority" -> ((s, d) =>
+      Reports.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "BUILDING", "1998-06-01 00:00:00")),
+    "q43_local_supplier_volume" -> ((s, d) =>
+      Reports.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), "ASIA", "1997-01-01 00:00:00", "1999-01-01 00:00:00")),
     "q40_asof_join" -> ((s, d) => {
       // latest order at-or-before each event, per user (point-in-time lookup);
       // right side pre-deduped per (user, time) so ties are deterministic
@@ -511,6 +520,40 @@ object SparkEntry {
         |   sha256(concat_ws('|', coalesce(company, chr(1)), coalesce(email, chr(1)),
         |     coalesce(last_name, chr(1)))) AS staging_row_hash,
         |   last_name FROM u2)
-        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY email""".stripMargin
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY email""".stripMargin,
+    "q41_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q42_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q43_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic warehouse report shapes (TPC-H Q1/Q3/Q5 patterns) over the star
+  * schema — the "analytics engine completeness" tier above the reference's
+  * own query surface.
+  *
+  * Scale notes: these are THE canonical 100 TB shapes. Q1 is a pure
+  * scan+hash-agg (partial agg map-side, 6 aggregates in one pass); Q3/Q5 are
+  * star joins where every dimension side broadcasts and the fact table never
+  * shuffles before aggregation. All money math in DECIMAL: results are exact
+  * and independent of partial-aggregation order. Averages are derived from
+  * exact decimal sums (cast to double at the end) so they're deterministic
+  * at any parallelism — never avg() over raw doubles.
+  */
+object Reports {
+
+  private val disc = lit(1) - col("l_discount").cast("decimal(18,2)")
+  private val price = col("l_extendedprice").cast("decimal(18,2)")
+
+  /** Q1 pricing summary: one scan, grouped conditional aggregates. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem.filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(price).cast("decimal(18,2)").as("sum_base_price"),
+        sum(price * disc).cast("decimal(18,4)").as("sum_disc_price"),
+        sum(price * disc * (lit(1) + col("l_tax").cast("decimal(18,2)"))).cast("decimal(18,6)").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .cast("decimal(18,4)").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3 shipping priority: segment-filtered star join, top-10 by revenue. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String, date: String): DataFrame =
+    lineitem.filter(col("l_shipdate") > lit(date).cast("timestamp"))
+      .join(orders.filter(col("o_orderdate") < lit(date).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment).select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(price * disc).cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q5 local supplier volume: 5-way star join (supplier nation must equal
+    * customer nation), region-filtered, revenue per nation. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                          regionName: String, from: String, until: String): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(price * disc).cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+}
