@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Scale-up validation harness: replicates the sf0.1 tables N× into /tmp
+  * (keys offset so join semantics hold) and times the heavyweight operators
+  * at 1× and N×, printing the scaling ratio. A ratio ≈ N on an operator
+  * whose work is linear in the input is the evidence that no hidden
+  * quadratic/broadcast-overflow lurks before the real 1000× jump.
+  * Usage: runMain graft.ScaleCheck [factor]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val big = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    // replicate with key offsets so orders⋈lineitem keys still line up
+    def replicate(name: String, keyCols: Map[String, Long]): Unit = {
+      val df = if (name == "events") Tables.events(spark, src) else Tables.load(spark, src, name)
+      val copies = (0 until factor).map { k =>
+        keyCols.foldLeft(df) { case (d, (c, stride)) => d.withColumn(c, col(c) + lit(k * stride)) }
+      }
+      copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$big/$name.parquet")
+    }
+    val t0 = System.nanoTime()
+    replicate("lineitem", Map("l_orderkey" -> 10000000L))
+    replicate("orders", Map("o_orderkey" -> 10000000L))
+    replicate("documents", Map("doc_id" -> 10000000L))
+    replicate("embeddings", Map("vec_id" -> 10000000L))
+    replicate("events", Map("event_id" -> 10000000L))
+    // dims stay 1× (that's the point of a star schema)
+    Seq("customer", "nation", "region", "part", "supplier").foreach { n =>
+      Tables.load(spark, src, n).write.mode("overwrite").parquet(s"$big/$n.parquet")
+    }
+    println(f"[scale] ${factor}x replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"(lineitem rows: ${spark.read.parquet(s"$big/lineitem.parquet").count()})")
+
+    def time(tag: String)(f: String => DataFrame): Unit = {
+      def run(dir: String): Double = {
+        val t = System.nanoTime()
+        f(dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      val small = run(src); val large = run(big)
+      println(f"[scale] $tag%-28s 1x=$small%6.2fs ${factor}x=$large%7.2fs ratio=${large / small}%5.1f")
+    }
+
+    time("group_rollup (3-way join)")(d => Relational.groupRollup(
+      Tables.lineitem(spark, d), Tables.orders(spark, d),
+      Tables.customer(spark, d), Tables.nation(spark, d)))
+    time("pricing_summary (Q1)")(d => Reports.pricingSummary(Tables.lineitem(spark, d), "2000-01-01 00:00:00"))
+    time("row_hash + sort")(d => SparkEntry.queries("q15_row_hash")(spark, d))
+    time("exact_dedup")(d => Dedup.exact(Tables.documents(spark, d), "doc_id", "text"))
+    time("minhash_lsh")(d => Dedup.minhashLsh(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")), "doc_id", "text"))
+    time("simhash_pairs")(d => Dedup.simhashPairs(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")), "doc_id", "text"))
+    time("ann_lsh_topk")(d => Similarity.annLshTopK(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", Seq(0L, 1L, 2L), 5))
+    time("sessionize")(d => Analytics.sessionize(Tables.events(spark, d).limit(2000000), 30))
+
+    spark.stop()
+  }
+}

@@ -35,9 +35,13 @@ object Tables {
     * timestamp (truncation — same as DuckDB's ns→µs cast). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+    val df = load(s, d, "events")
+    // driver testdata carries TIMESTAMP(NANOS) (surfaces as long under the
+    // legacy conf); re-written copies are already proper timestamps
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
