@@ -32,7 +32,12 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; read it as raw nanos (legacy conf) and convert to a micros
-    * timestamp (truncation — same as DuckDB's ns→µs cast). */
+    * timestamp (truncation — same as DuckDB's ns→µs cast).
+    *
+    * Note the nanosAsLong conf is session-level and INTENTIONALLY left set:
+    * restoring it after the (lazy) load would race plan execution, and for
+    * this engine "nanos parquet loads as long" is the desired behavior
+    * everywhere rather than a hard analysis error. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")

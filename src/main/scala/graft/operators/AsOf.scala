@@ -58,9 +58,11 @@ object AsOf {
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
-    val out = carried.select(
+    // matched = the carried STRUCT is non-null (a match whose individual
+    // payload fields are null is still a match)
+    val matched = if (inner) carried.filter(col("_match").isNotNull) else carried
+    matched.select(
       (leftCols.map(c => col(s"_l.$c").as(c)) ++
        payload.map(c => col(s"_match.$c").as(c))).toIndexedSeq: _*)
-    if (inner) out.filter(col(payload.head).isNotNull) else out
   }
 }

@@ -149,7 +149,7 @@ object Dedup {
       }
       .toDF("doc_id_a", "doc_id_b").distinct()
 
-    pairs
+    val result = pairs
       .join(sigs.select(col("sid").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
       .join(sigs.select(col("sid").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
       .select("doc_id_a", "doc_id_b", "sig_a", "sig_b") // join reorders key cols first
@@ -161,6 +161,18 @@ object Dedup {
       }
       .toDF("doc_id_a", "doc_id_b", "est_jaccard")
       .orderBy("doc_id_a", "doc_id_b")
+    materializeAndRelease(result, sigs)
+  }
+
+  /** Eagerly materialize the (candidate-sized) result, then unpersist the
+    * corpus-sized intermediates — without this every call would leave its
+    * cached signature/shingle tables pinned in executor storage for the
+    * application lifetime. localCheckpoint also truncates the lineage, so
+    * re-actions on the result never recompute the released inputs. */
+  private def materializeAndRelease(result: DataFrame, release: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    release.foreach(_.unpersist(false))
+    out
   }
 
   /** Exact n-gram Jaccard re-rank of LSH candidates. Scale shape: shingles
@@ -181,7 +193,7 @@ object Dedup {
       .map { case (id, t) => (id, shingles(Option(t).getOrElse(""), shingleK)) }
       .toDF("sid", "sh")
       .persist() // reused by both sides of the pair join; candidate-sized, not corpus-sized
-    cands
+    val result = cands
       .join(sh.withColumnRenamed("sid", "doc_id_a").withColumnRenamed("sh", "sh_a"), "doc_id_a")
       .join(sh.withColumnRenamed("sid", "doc_id_b").withColumnRenamed("sh", "sh_b"), "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
@@ -189,6 +201,7 @@ object Dedup {
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_id_a", "doc_id_b")
+    materializeAndRelease(result, cands, sh)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -213,16 +226,26 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
-    * (any pair within Hamming distance ≤3 shares at least one intact chunk),
-    * bucket on (chunk_idx, chunk_value), verify popcount within buckets. */
+  /** SimHash near-dup pairs: band the 64-bit hash into `maxHamming + 1`
+    * chunks — by pigeonhole, any pair within Hamming distance ≤ maxHamming
+    * shares at least one INTACT chunk — bucket on (chunk_idx, chunk_value),
+    * verify popcount within buckets. Recall is complete for the requested
+    * distance at any maxHamming ≤ 63 (chunk width shrinks as it grows). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     import df.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of [0,63]")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks; val extra = 64 % nChunks // first `extra` chunks are 1 bit wider
+    val starts = (0 until nChunks).scanLeft(0)((s, c) => s + base + (if (c < extra) 1 else 0))
+    val bounds = starts.sliding(2).map(w => (w(0), w(1))).toArray
     val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, t) => (id, simhash64(Option(t).getOrElse(""))) }
     sigs.flatMap { case (id, h) =>
-        (0 until 4).iterator.map(c => ((c, (h >>> (c * 16)) & 0xffffL), (id, h)))
+        bounds.iterator.zipWithIndex.map { case ((lo, hi), c) =>
+          val chunk = (h >>> lo) & ((1L << (hi - lo)) - 1)
+          ((c, chunk), (id, h))
+        }
       }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>

@@ -52,15 +52,22 @@ object Issues {
                           stagingKey: String, existingKey: String,
                           anti: Boolean, expectedKeys: Long = 1000000L,
                           fpp: Double = 0.01): DataFrame = {
-    import staging.sparkSession.implicits._
-    val bloom = existing.stat.bloomFilter(existingKey, expectedKeys, fpp)
+    // build AND probe on the stringified key: stat.bloomFilter inserts
+    // integral columns via putLong, which would never match a string probe —
+    // one canonical representation on both sides avoids the type trap
+    val keyStr = "_graft_bloom_key"
+    val bloom = existing.withColumn(keyStr, col(existingKey).cast("string"))
+      .stat.bloomFilter(keyStr, expectedKeys, fpp)
     val bc = staging.sparkSession.sparkContext.broadcast(bloom)
-    val probableHit = staging.filter(r =>
-      bc.value.mightContainString(String.valueOf(r.getAs[Any](stagingKey))))
+    val withKey = staging.withColumn(keyStr, col(stagingKey).cast("string"))
+    val probableHit = withKey
+      .filter(r => bc.value.mightContainString(r.getAs[String](keyStr)))
+      .drop(keyStr)
     if (anti) {
       // rows the bloom definitely rules out are new — no join needed for them
-      val definiteMiss = staging.filter(r =>
-        !bc.value.mightContainString(String.valueOf(r.getAs[Any](stagingKey))))
+      val definiteMiss = withKey
+        .filter(r => !bc.value.mightContainString(r.getAs[String](keyStr)))
+        .drop(keyStr)
       definiteMiss.unionByName(
         probableHit.join(existing, col(stagingKey) === col(existingKey), "left_anti"))
     } else {

@@ -95,8 +95,12 @@ object Multimodal {
     val offset = buf.getInt(10)
     val width = buf.getInt(18); val height = buf.getInt(22)
     val bpp = buf.getShort(28)
-    if (bpp != 24 || width <= 0 || height <= 0) return None
+    if (bpp != 24 || width <= 0 || height <= 0 || offset < 54) return None
     val rowPad = (4 - (width * 3) % 4) % 4
+    // header-declared geometry must fit the actual payload — a malformed or
+    // truncated file returns None instead of crashing the task
+    val needed = offset.toLong + (width.toLong * 3 + rowPad) * height
+    if (width > (1 << 20) || height > (1 << 20) || needed > bytes.length) return None
     var r = 0L; var g = 0L; var b = 0L
     var y = 0
     while (y < height) {

@@ -190,12 +190,17 @@ object Similarity {
       }
       .toDF("vec_id_a", "vec_id_b").distinct()
 
-    pairs
+    val result = pairs
       .join(vecs.select(col("vid").as("vec_id_a"), col("v").as("v_a")), "vec_id_a")
       .join(vecs.select(col("vid").as("vec_id_b"), col("v").as("v_b")), "vec_id_b")
       .select(col("vec_id_a"), col("vec_id_b"),
         Native.cosineF32(col("v_a"), col("v_b")).as("cosine")) // codegen'd re-rank
       .filter(col("cosine") >= threshold)
       .orderBy("vec_id_a", "vec_id_b")
+    // eager-materialize the small pair result, then free the cached vectors
+    // (otherwise every call pins a corpus-sized cache for the app lifetime)
+    val out = result.localCheckpoint(true)
+    vecs.unpersist(false)
+    out
   }
 }

@@ -158,20 +158,54 @@ object CsvIngest {
       } else path
     }
     val Sniff(enc, delim, _) = sniff(probe)
-    // Spark's csv source supports a fixed charset list; windows-1252 decodes
-    // safely under ISO-8859-1 (byte-compatible for the shared range)
-    val sparkCharset = if (enc == "windows-1252") "ISO-8859-1" else enc
+    // Spark's csv source only supports a fixed charset list that excludes
+    // windows-1252, and reading it as ISO-8859-1 would corrupt 0x80–0x9F
+    // (smart quotes, €, — …) into C1 controls — exactly the bytes that made
+    // the sniffer pick windows-1252. Transcode those files to UTF-8 copies
+    // (streaming IO, per file) and parse the copies.
+    val (parsePath, parseCharset) =
+      if (enc == "windows-1252") (transcodeToUtf8(path, enc), "UTF-8") else (path, enc)
     val raw = spark.read
       .option("header", "true")
       .option("sep", delim.toString)
-      .option("encoding", sparkCharset)
+      .option("encoding", parseCharset)
       .option("mode", "PERMISSIVE")
-      .csv(path)
+      .csv(parsePath)
     val renamed = raw.columns.foldLeft(raw) { (df, c) => df.withColumnRenamed(c, normalizeHeader(c)) }
     // null sentinel \u0001 (SOH): cannot occur in CSV field data, and the
     // DuckDB oracle reproduces it as chr(1) (NUL is not storable there)
     val hashCols = renamed.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0001")))
     renamed.withColumn("staging_row_hash", Cols.rowHashSha(hashCols.toIndexedSeq: _*))
+  }
+
+  /** Transcode the csv file(s) at `path` from `fromCharset` to UTF-8 copies
+    * in a temp dir (streaming IO — constant memory per file). Used only for
+    * charsets Spark's csv source can't parse natively. */
+  private def transcodeToUtf8(path: String, fromCharset: String): String = {
+    val outDir = Files.createTempDirectory("graft_transcode")
+    outDir.toFile.deleteOnExit()
+    val p = Paths.get(path)
+    val files =
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          it.filter(f => f.toString.toLowerCase.endsWith(".csv")).forEach(f => b += f)
+          b.toSeq
+        } finally it.close()
+      } else Seq(p)
+    files.foreach { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        Files.newInputStream(f), Charset.forName(fromCharset)))
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        Files.newOutputStream(outDir.resolve(f.getFileName)), StandardCharsets.UTF_8))
+      try {
+        val buf = new Array[Char](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close() }
+    }
+    outDir.toString
   }
 
   /** Duplicate-upload detection by content hash (csv_validator.py:111 +

@@ -29,15 +29,24 @@ object EventStream {
     StructField("props", StringType)))
 
   /** Hourly window × event_type rollup; identical semantics batch/stream.
-    * (Streaming requires `window()`, not date_trunc, to track state.) */
-  def hourlyAgg(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id") // SQS at-least-once → exactly-once on the idempotency key
+    * (Streaming requires `window()`, not date_trunc, to track state.)
+    * Streaming dedup uses dropDuplicatesWithinWatermark so the per-event_id
+    * state is EVICTED once the watermark passes — a bare
+    * dropDuplicates("event_id") would keep one state entry per event
+    * forever (the event-time column isn't in the dedup subset, so the
+    * watermark never clears it). */
+  def hourlyAgg(events: DataFrame): DataFrame = {
+    val marked = events.withWatermark("ts", "2 hours")
+    // SQS at-least-once → exactly-once on the idempotency key
+    val deduped =
+      if (events.isStreaming) marked.dropDuplicatesWithinWatermark("event_id")
+      else marked.dropDuplicates("event_id")
+    deduped
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
+  }
 
   // ------------------------------------------------------- stateful worker
 
@@ -91,10 +100,12 @@ object EventStream {
   }
 
   /** Stream → partitioned table with EXACTLY-ONCE table contents: each
-    * micro-batch lands via dynamic-partition overwrite (Sinks), so replaying
-    * a batch after a crash-and-restart rewrites the same partitions instead
-    * of appending duplicates. Partitioned by event_type — the downstream
-    * read predicate — so consumers get partition pruning for free. */
+    * micro-batch lands via dynamic-partition overwrite (Sinks) into
+    * partitions keyed by (_batch_id, event_type). The batch id is the
+    * idempotency unit: replaying batch N after a crash rewrites ONLY batch
+    * N's partitions (no duplicates), while later batches land beside —
+    * never over — earlier ones. event_type stays a partition column so
+    * downstream readers still prune on it. */
   def runIdempotentSink(spark: SparkSession, srcDir: String, checkpointDir: String,
                         outDir: String): StreamingQuery = {
     val stream = spark.readStream
@@ -102,9 +113,11 @@ object EventStream {
       .option("maxFilesPerTrigger", "4")
       .parquet(srcDir)
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sources.Sinks.overwritePartitions(
-          batch.dropDuplicates("event_id"), outDir, Seq("event_type"))
+          batch.dropDuplicates("event_id")
+            .withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId)),
+          outDir, Seq("_batch_id", "event_type"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -44,6 +44,17 @@ class AsOfSpec extends SparkSpec {
     assert(t3.isNullAt(3) && t3.isNullAt(4))
   }
 
+  test("inner: a match whose payload field is NULL is still a match") {
+    val q = Seq((100L, ts("2024-01-01 10:00:00"), 10L, Option.empty[Double]))
+      .toDF("inst", "qt", "quote_id", "px")
+    val t = Seq((1L, 100L, ts("2024-01-01 10:00:05"))).toDF("trade_id", "inst", "t")
+    // px (a payload column) is NULL on the matched quote — the row must survive
+    val out = AsOf.join(t, q, "inst", "t", "qt", Seq("px", "quote_id"), "quote_id")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(3) && out.head.getLong(4) == 10L)
+  }
+
   test("plan: single shuffle on the key, no join node, no cartesian") {
     val df = AsOf.join(trades, quotes, "inst", "t", "qt", Seq("quote_id"), "quote_id")
     val plan = df.queryExecution.executedPlan.toString

@@ -131,6 +131,18 @@ class CsvIngestSpec extends SparkSpec {
     assert(row.getAs[String]("staging_row_hash").length == 64) // sha-256 hex
   }
 
+  test("ingest: windows-1252 smart quotes survive (no C1 mojibake)") {
+    // 0x93/0x94 are “ ” in windows-1252 but C1 controls in ISO-8859-1;
+    // € (0x80) likewise. These bytes are also what trips the UTF-8 decoder.
+    val content = ("email,nome\n" + "a@b.com,").getBytes(StandardCharsets.US_ASCII) ++
+      Array(0x93.toByte) ++ "Ana".getBytes(StandardCharsets.US_ASCII) ++
+      Array(0x94.toByte, ' '.toByte, 0x80.toByte) ++ "\n".getBytes(StandardCharsets.US_ASCII)
+    val p = tmpCsv("win1252.csv", content)
+    assert(CsvIngest.sniff(p).encoding == "windows-1252")
+    val row = CsvIngest.ingest(spark, p).collect().head
+    assert(row.getAs[String]("first_name") == "“Ana” €") // “Ana” €
+  }
+
   test("ingest: row hash is deterministic and row-distinct") {
     val p = tmpCsv("two.csv", "email,nome\na@b.com,Ana\nb@c.com,Bob\n".getBytes(StandardCharsets.UTF_8))
     val h1 = CsvIngest.ingest(spark, p).select("staging_row_hash").collect().map(_.getString(0)).sorted

@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("simhashPairs: recall holds for maxHamming > 3 (banding widens with the radius)") {
+    // force two signatures at an exact known Hamming distance by planting
+    // ids whose simhashes we compute directly, then verify the pair surfaces
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    // flipping words changes several bits; measure the true distance first
+    val b = "alpha beta gamma delta epsilon zeta eta iota"
+    val d = java.lang.Long.bitCount(Dedup.simhash64(a) ^ Dedup.simhash64(b))
+    assume(d > 3 && d <= 20, s"need a mid-distance pair, got $d") // text pair chosen to land here
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = d).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == d),
+      s"pair at hamming $d missing: ${pairs.mkString(",")}")
+  }
+
   test("shingles: short text degrades to one whole-text shingle") {
     assert(Dedup.shingles("one two", 3).length == 1)
   }

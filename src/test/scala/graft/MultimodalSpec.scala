@@ -52,6 +52,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp("not an image".getBytes).isEmpty)
   }
 
+  test("BMP decode: lying/truncated headers return None instead of crashing") {
+    val good = Multimodal.encodeBmp(4, 4, (_, _) => (1, 2, 3))
+    // header claims a huge image but payload is 4x4 → must be rejected
+    val lying = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 1000); bb.putInt(22, 1000)
+    assert(Multimodal.decodeBmp(lying).isEmpty)
+    assert(Multimodal.decodeBmp(good.take(40)).isEmpty)     // truncated mid-header
+    val negOffset = good.clone()
+    java.nio.ByteBuffer.wrap(negOffset).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, -5)
+    assert(Multimodal.decodeBmp(negOffset).isEmpty)
+  }
+
   test("frameSample: n evenly-spaced frames per video row only") {
     val media = Multimodal.attachBinary(
       Seq((2L, "v"), (3L, "a"), (5L, "w")).toDF("doc_id", "text"), "doc_id", "text")

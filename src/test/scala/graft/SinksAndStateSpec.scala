@@ -59,26 +59,34 @@ class SinksAndStateSpec extends SparkSpec {
     assert(nFiles < before && nFiles <= 2, s"files: before=$before after=$nFiles")
   }
 
-  test("runIdempotentSink: restart from scratch does not duplicate table contents") {
+  test("runIdempotentSink: multi-batch accumulation + replay does not lose or duplicate rows") {
     val base = Files.createTempDirectory("graft_idem").toString
     val src = base + "/src"; val out = base + "/out"
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    Seq((1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
-        (2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.0, "{}"),
-        (3L, ts("2024-01-01 10:02:00"), 8L, "click", 3.0, "{}"))
-      .toDF(cols: _*).write.parquet(src)
+    // 12 events over 6 files → multiple micro-batches at maxFilesPerTrigger=4;
+    // 'click' appears in EVERY file so per-type overwrite across batches
+    // would lose rows (the regression this test pins)
+    (0 until 3).foreach { b =>
+      (0 until 2).map { f =>
+        val id = (b * 2 + f) * 2L
+        Seq((id, ts(s"2024-01-01 10:0$b:00"), 7L, "click", 1.0, "{}"),
+            (id + 1, ts(s"2024-01-01 10:0$b:30"), 8L, "view", 2.0, "{}"))
+      }.reduce(_ ++ _).toDF(cols: _*).repartition(2).write.mode("append").parquet(src)
+    }
+    val nSrc = spark.read.parquet(src).count()
 
     val q1 = EventStream.runIdempotentSink(spark, src, base + "/ckpt1", out)
     q1.awaitTermination(60000)
-    assert(spark.read.parquet(out).count() == 3)
+    val after1 = spark.read.parquet(out)
+    assert(after1.count() == nSrc, s"lost rows: ${after1.count()} of $nSrc")
 
-    // crash-replay analog: fresh checkpoint reprocesses EVERYTHING; the
-    // dynamic-partition overwrite must leave the table identical, not doubled
+    // crash-replay analog: fresh checkpoint reprocesses EVERYTHING with the
+    // same deterministic batch split; table must end identical, not doubled
     val q2 = EventStream.runIdempotentSink(spark, src, base + "/ckpt2", out)
     q2.awaitTermination(60000)
     val back = spark.read.parquet(out)
-    assert(back.count() == 3)
-    assert(back.select("event_id").distinct().count() == 3)
+    assert(back.count() == nSrc)
+    assert(back.select("event_id").distinct().count() == nSrc)
   }
 
   test("trackJobs (batch semantics of the state machine): transitions and sticky terminals") {
