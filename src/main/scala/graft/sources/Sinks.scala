@@ -31,6 +31,19 @@ object Sinks {
     }
   }
 
+  /** Write a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join with NO exchange on either side — the
+    * co-located-join layout for fact⋈fact joins too big to broadcast
+    * (staging ⋈ contacts at 100 TB). Catalog-backed (saveAsTable) because
+    * bucket metadata lives in the metastore. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Compact small files in a partitioned dataset: rewrite each partition to
     * `filesPerPartition` files (the small-upload-files problem at scale). */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],

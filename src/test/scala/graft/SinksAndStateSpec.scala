@@ -44,6 +44,28 @@ class SinksAndStateSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("writeBucketed: same-bucketed tables join with no shuffle exchange") {
+    val staging = (0L until 5000L).map(i => (i % 700, s"payload$i")).toDF("key", "payload")
+    val contacts = (0L until 700L).map(i => (i, s"contact$i")).toDF("key", "name")
+    Sinks.writeBucketed(staging, "b_staging", "key", 8)
+    Sinks.writeBucketed(contacts, "b_contacts", "key", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the too-big-to-broadcast scenario this layout exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_staging").join(spark.table("b_contacts"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == 5000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_staging")
+      spark.sql("DROP TABLE IF EXISTS b_contacts")
+    }
+  }
+
   test("compact: same rows, fewer files") {
     val dir = Files.createTempDirectory("graft_sink3").toString + "/small"
     val df = spark.range(100).toDF("id").repartition(8)
