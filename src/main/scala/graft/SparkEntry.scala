@@ -182,6 +182,13 @@ object SparkEntry {
       Reports.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d), "ASIA", "1997-01-01 00:00:00", "1999-01-01 00:00:00")),
+    "q44_train_split" -> ((s, d) =>
+      Splits.assignSplit(Tables.documents(s, d), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n_docs")).orderBy("split")),
+    "q45_dataset_mix" -> ((s, d) =>
+      Splits.mixBySource(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 256, "src1" -> 128, "src2" -> 0), 64)
+        .select("doc_id", "source").orderBy("doc_id")),
     "q40_asof_join" -> ((s, d) => {
       // latest order at-or-before each event, per user (point-in-time lookup);
       // right side pre-deduped per (user, time) so ties are deterministic
@@ -554,6 +561,16 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q44_train_split" ->
+      """WITH s AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents)
+        |SELECT CASE WHEN b < 'cd' THEN 'train' WHEN b < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+    "q45_dataset_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '80' WHEN 'src2' THEN '00' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin
   )
 }

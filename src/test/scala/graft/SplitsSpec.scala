@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Splits
+
+/** Deterministic splitting/mixing: exhaustive assignment, stable across
+  * invocations, ratios near nominal, weighted mixing honors 0/partial/full. */
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(10000).toDF("doc_id")
+
+  test("assignSplit: exhaustive, deterministic, ratios near 80/10/10") {
+    val a = Splits.assignSplit(ids, "doc_id")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 10000 * 205.0 / 256) < 300, counts.toString)
+    assert(math.abs(counts("val") - 10000 * 25.0 / 256) < 200, counts.toString)
+    val b = Splits.assignSplit(ids, "doc_id").collect().map(_.toString).sorted
+    assert(a.collect().map(_.toString).sorted.sameElements(b)) // run-to-run stable
+  }
+
+  test("mixBySource: full/half/zero weights") {
+    val df = spark.range(6000)
+      .select(col("id").as("doc_id"),
+        element_at(array(lit("keep"), lit("half"), lit("drop")), (col("id") % 3 + 1).cast("int")).as("source"))
+    val out = Splits.mixBySource(df, "doc_id", "source",
+      Map("keep" -> 256, "half" -> 128, "drop" -> 0), default256 = 64)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("keep") == 2000)                         // weight 256 keeps all
+    assert(math.abs(counts("half") - 1000) < 150, counts.toString) // ~50%
+    assert(!counts.contains("drop"))                       // weight 0 keeps none
+  }
+}
