@@ -189,6 +189,23 @@ object SparkEntry {
       Splits.mixBySource(Tables.documents(s, d), "doc_id", "source",
           Map("src0" -> 256, "src1" -> 128, "src2" -> 0), 64)
         .select("doc_id", "source").orderBy("doc_id")),
+    "q46_repetition" -> ((s, d) =>
+      Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+    "q47_pii_redact" -> ((s, d) =>
+      Curation.redact(Tables.customer(s, d), "c_custkey", "c_name")),
+    "q48_vocab_topk" -> ((s, d) =>
+      Curation.vocabulary(Tables.documents(s, d), "text", 50)),
+    "q49_tfidf" -> ((s, d) =>
+      Curation.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text")),
+    "q50_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 512)),
+    "q51_json_extract" -> ((s, d) =>
+      Analytics.jsonFieldSum(Tables.events(s, d))),
+    "q52_rollup" -> ((s, d) =>
+      Reports.orderRollup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q53_contamination" -> ((s, d) =>
+      Curation.contaminationScreen(Tables.documents(s, d), "doc_id", "text",
+        col("source") === "src0", 8)),
     "q40_asof_join" -> ((s, d) => {
       // latest order at-or-before each event, per user (point-in-time lookup);
       // right side pre-deduped per (user, time) so ties are deterministic
@@ -571,6 +588,65 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |  CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '80' WHEN 'src2' THEN '00' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
+    "q46_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  CAST(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS dup_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q47_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\d+', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\d+')) AS n_redactions
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q48_vocab_topk" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "q49_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+        |), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.tok) AS rk
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok AS top_term, CAST(score AS DECIMAL(18,6)) AS tfidf
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q50_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, CAST(floor(prior / 512.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q51_json_extract" ->
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q52_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+        |       COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, year(o_orderdate))
+        |ORDER BY nation, o_year""".stripMargin,
+    "q53_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        |SELECT DISTINCT doc_id FROM grams
+        |WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
         |ORDER BY doc_id""".stripMargin
   )
 }

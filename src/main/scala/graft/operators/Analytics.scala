@@ -44,6 +44,14 @@ object Analytics {
            approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_p50_value"))
       .orderBy("event_type")
 
+  /** Semi-structured extraction: pull a typed field out of a JSON string
+    * column and aggregate it. get_json_object is a codegen'd path expression —
+    * no UDF, no full from_json schema materialization for a single field. */
+  def jsonFieldSum(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
   /** Running (cumulative) total of value per user over event time. */
   def runningTotals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: repetition filtering, PII redaction,
+  * vocabulary building, TF-IDF, sequence packing, and benchmark-contamination
+  * screening. These extend the reference's data-quality surface
+  * (/root/reference/src/models/issue.py:12-17 is per-row validation; these are
+  * the corpus-level analogs an LLM-data pipeline needs).
+  *
+  * Scale notes:
+  *  - repetition/redaction are pure column expressions — map-side only, inside
+  *    WholeStageCodegen, zero shuffle.
+  *  - vocabulary/tfidf shuffle on the token — the natural key; Spark's partial
+  *    aggregation combines map-side so the shuffle carries (token, count)
+  *    partials, not raw tokens.
+  *  - packSequences windows PER SOURCE, so parallelism = #sources and no
+  *    global single-partition sort ever happens; at 100 TB shard big sources
+  *    further (e.g. by hash(doc_id) % k as a secondary key) before packing.
+  *  - contaminationScreen dedups benchmark n-grams first (benchmark suites are
+  *    tiny vs the corpus) so the semi-join broadcasts; the corpus side streams
+  *    through without ever materializing its gram set.
+  */
+object Curation {
+
+  /** Lower-cased alphanumeric word tokens; regexp_extract_all so the empty
+    * string yields an empty array. Reproducible in DuckDB verbatim. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Gopher-style repetition stats: duplicate-token ratio per document.
+    * High dup_ratio ⇒ boilerplate/spam candidate for filtering. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nDis = size(array_distinct(t))
+    docs.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      nDis.cast("long").as("n_distinct"),
+      (lit(1.0) - nDis.cast("double") / nTok).cast("decimal(18,4)").as("dup_ratio"))
+      .orderBy(idCol)
+  }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" // RE2 ∩ java.util.regex
+  val NumRe = "\\d+"
+
+  /** PII redaction: emails → `<EMAIL>` first, then digit runs → `<NUM>` on the
+    * intermediate (so digits inside an email aren't double-counted). Returns
+    * the redacted text and the redaction count per row. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    df.select(
+      col(idCol),
+      regexp_replace(noEmail, NumRe, "<NUM>").as("redacted"),
+      (size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        + size(regexp_extract_all(noEmail, lit(NumRe), lit(0)))).cast("long").as("n_redactions"))
+      .orderBy(idCol)
+  }
+
+  /** Corpus vocabulary: top-k tokens by frequency (count desc, token asc —
+    * total order so the cut is deterministic). */
+  def vocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok"))
+      .limit(k)
+
+  /** Highest-TF-IDF term per document (tf × ln(N/df), ties → smallest token).
+    * Two hash aggregations (doc×tok, then tok) + one join on tok; the count()
+    * action for N is a metadata-cheap scan. */
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(desc("score"), asc("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("score", col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col(idCol), col("tok").as("top_term"),
+        col("score").cast("decimal(18,6)").as("tfidf"))
+      .orderBy(idCol)
+  }
+
+  /** Pack documents into fixed-token-budget training sequences: per source,
+    * seq_id = floor(exclusive-prefix-sum(n_tok) / budget). Deterministic (no
+    * RNG, ordered by doc id) and windowed per source so no global sort. */
+  def packSequences(docs: DataFrame, idCol: String, srcCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    val nTok = size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+    val w = Window.partitionBy(srcCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(srcCol), nTok.cast("long").as("n_tok"))
+      .withColumn("prior", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col(idCol), col(srcCol), col("n_tok"),
+        floor(col("prior") / budget).as("seq_id"))
+      .orderBy(srcCol, idCol)
+  }
+
+  /** Benchmark-contamination screen: flag corpus docs sharing any n-token
+    * shingle with a benchmark doc (`benchPred` selects the benchmark rows).
+    * Joins on md5(gram) — deterministic, engine-reproducible, and a fixed
+    * 32-char shuffle key regardless of n. */
+  def contaminationScreen(docs: DataFrame, idCol: String, textCol: String,
+                          benchPred: Column, n: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol), benchPred.as("is_bench"), tokens(col(textCol)).as("t"))
+    // sequence(1, size-n+1) only when size >= n: Spark's sequence(1, 0) counts DOWN
+    val idx = when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = base.select(col(idCol), col("is_bench"),
+        explode(idx).as("i"), col("t"))
+      .select(col(idCol), col("is_bench"),
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("g"))
+    val bench = grams.where(col("is_bench")).select("g").distinct()
+    grams.where(!col("is_bench"))
+      .join(bench, Seq("g"), "left_semi")
+      .select(idCol).distinct()
+      .orderBy(idCol)
+  }
+}

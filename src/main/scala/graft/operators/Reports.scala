@@ -67,4 +67,30 @@ object Reports {
       .groupBy("n_name")
       .agg(sum(price * disc).cast("decimal(18,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+
+  /** ROLLUP report: order counts at (nation, year), (nation), and grand-total
+    * grain in ONE pass — Catalyst expands the grouping sets inside a single
+    * hash aggregate, so it costs one shuffle, not three scans. NULL grouping
+    * slots are surfaced as 'ALL' so the output is self-describing.
+    *
+    * Expressed in SQL: `DataFrame.rollup` over a multi-join lineage trips
+    * Spark's ambiguous-self-join detector (the Expand duplicates plan-level
+    * dataset tags — reproduced on 4.1.2); `GROUP BY ROLLUP` through the SQL
+    * path produces the identical plan without the Dataset-API tagging. */
+  def orderRollup(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    orders.createOrReplaceTempView("graft_ru_orders")
+    customer.createOrReplaceTempView("graft_ru_customer")
+    nation.createOrReplaceTempView("graft_ru_nation")
+    s.sql("""
+      SELECT /*+ BROADCAST(c, n) */
+             coalesce(n_name, 'ALL') AS nation,
+             coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS o_year,
+             COUNT(*) AS n_orders
+      FROM graft_ru_orders o
+      JOIN graft_ru_customer c ON o_custkey = c_custkey
+      JOIN graft_ru_nation n ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, year(o_orderdate))
+      ORDER BY nation, o_year""")
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Curation operators: repetition stats, PII redaction, vocabulary, TF-IDF,
+  * sequence packing, contamination screening — known-answer cases. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat", "a"),
+    (2L, "spam spam spam spam", "a"),
+    (3L, "unique words only here", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("repetitionStats: dup ratio exact on known docs") {
+    val r = Curation.repetitionStats(docs, "doc_id", "text").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getLong(1) == 6 && byId(1L).getLong(2) == 5) // 'the' twice
+    assert(byId(2L).getLong(1) == 4 && byId(2L).getLong(2) == 1)
+    assert(byId(2L).getDecimal(3).doubleValue() == 0.75)
+    assert(byId(3L).getDecimal(3).doubleValue() == 0.0)
+  }
+
+  test("redact: emails then digit runs, counts don't double-count email digits") {
+    val df = Seq(
+      (1L, "mail bob42@ex.com or call 555-1234"),
+      (2L, "no pii here"),
+      (3L, "ids 12 34 56")
+    ).toDF("id", "text")
+    val out = Curation.redact(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("mail <EMAIL> or call <NUM>-<NUM>", 3L)) // 1 email + 2 digit runs
+    assert(out(2L) == ("no pii here", 0L))
+    assert(out(3L) == ("ids <NUM> <NUM> <NUM>", 3L))
+  }
+
+  test("vocabulary: frequency order with token tiebreak") {
+    val v = Curation.vocabulary(docs, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.head == ("spam", 4L))
+    assert(v(1) == ("the", 2L))
+    // remaining all count 1 → smallest token alphabetically
+    assert(v(2)._2 == 1L && v(2)._1 == "cat")
+  }
+
+  test("tfidfTopTerm: doc-unique term wins over corpus-wide term") {
+    val r = Curation.tfidfTopTerm(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(2L) == "spam") // tf=4, df=1 → max score
+    assert(r.size == 3)
+  }
+
+  test("packSequences: per-source exclusive prefix sum, budget boundaries") {
+    val many = spark.range(10).select(
+      col("id").as("doc_id"), lit("s").as("source"),
+      lit("one two three four five six seven eight nine ten").as("text")) // 10 tokens each
+    val p = Curation.packSequences(many, "doc_id", "source", "text", 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // prior sums: 0,10,20,...,90 → floor(prior/25): 0,0,0,1,1,2,2,2,3,3
+    assert(p == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
+  }
+
+  test("contaminationScreen: flags only docs sharing an 8-gram with benchmark") {
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val df = Seq(
+      (1L, s"bench doc contains $phrase end", true),
+      (2L, s"corpus doc also has $phrase inside", false),
+      (3L, "completely different text with no overlap at all whatsoever", false),
+      (4L, "short", false)
+    ).toDF("doc_id", "text", "is_bench")
+    val hits = Curation.contaminationScreen(df, "doc_id", "text", col("is_bench"), 8)
+      .collect().map(_.getLong(0))
+    assert(hits.sameElements(Array(2L)))
+  }
+}
