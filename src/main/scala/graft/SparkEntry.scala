@@ -317,6 +317,9 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")),
     "q28_ann_lsh" -> ((s, d) =>
       Similarity.annLshTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)),
+    "q54_ann_ivf" -> ((s, d) =>
+      Similarity.annIvfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        Seq(100L, 101L, 102L, 103L, 104L), 5, nCells = 16, nProbe = 4)),
     "q30_near_dup_cosine" -> ((s, d) =>
       Similarity.nearDupCosine(embeddingsWithPlantedDups(Tables.embeddings(s, d)),
         "vec_id", "embedding", threshold = 0.95)),

@@ -160,6 +160,60 @@ object Similarity {
     finalTopK(cands, k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** ANN via an inverted-file (IVF) index: the corpus is partitioned into
+    * `nCells` Voronoi cells around fixed centroids, and each query probes
+    * only its `nProbe` nearest cells — candidate generation prunes
+    * (nCells - nProbe)/nCells of the corpus before any exact math runs.
+    *
+    * Centroids are the vectors of the `nCells` smallest ids: deterministic
+    * (no RNG, no order-dependent float reductions), reproducible on any
+    * re-run. A production pipeline would precompute k-means centroids
+    * offline and pass them in — the engine shape (map-side cell assignment,
+    * broadcast probe join, candidates-only re-rank) is identical.
+    *
+    * Scale: cell assignment is a map-side argmax against broadcast centroids
+    * (corpus never shuffles); the probe join broadcasts (query × nProbe)
+    * rows; only colliding candidates reach the codegen'd cosine re-rank.
+    * With nProbe = nCells this degrades gracefully to exact brute force —
+    * the recall/latency dial is explicit. */
+  def annIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Seq[Long], k: Int,
+                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol)
+
+    val centroids: Array[(Int, Array[Float])] =
+      corpus.filter(_._1 < nCells).collect().sortBy(_._1)
+        .zipWithIndex.map { case ((_, v), c) => (c, v) }
+    require(centroids.length == nCells, s"need ids 0..${nCells - 1} as centroid seeds")
+    val cbc = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(v: Array[Float], n: Int): Array[Int] =
+      cbc.value.map { case (c, cv) => (c, cosine(v, cv)) }
+        .sortBy { case (c, cos) => (-cos, c) }.take(n).map(_._1)
+
+    // map-side: (cell, id, vec) — one cell per corpus vector, no duplication
+    val assigned = corpus.map { case (id, v) => (nearestCells(v, 1)(0), id, v) }
+      .toDF("cell", "vec_id", "vec")
+
+    val queries = corpus.filter(r => queryIds.contains(r._1)).collect()
+    val probes = spark.createDataset(queries.toIndexedSeq.flatMap { case (qid, qv) =>
+      nearestCells(qv, nProbe).map(c => (c, qid))
+    }).toDF("cell", "query_id")
+    val queryVecs = spark.createDataset(queries.toIndexedSeq).toDF("query_id", "qvec")
+
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queryVecs), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Native.cosineF32(col("vec"), col("qvec")).as("cosine"))
+
+    finalTopK(cands, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Same banded-LSH
     * shape as Dedup.minhashLsh: shuffle on (band, sig), pairs only within
     * buckets, `maxBucket` caps pathological hot buckets. */

@@ -75,6 +75,41 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing planted dups: ${expected.diff(pairs)}")
   }
 
+  test("annIvfTopK: full probe equals brute force; partial probe has high recall") {
+    val rnd = new scala.util.Random(11)
+    // 8 clusters of 25 points, cluster c seeded by ids c*25..; ids 0..7 land
+    // in distinct clusters so they make well-spread centroid seeds
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val rows = for (i <- 0 until 200) yield {
+      val c = i % 8 // ids 0..7 hit each cluster once before wrapping
+      ((i.toLong, centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Seq(8L, 9L, 10L)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val full = Similarity.annIvfTopK(df, "vec_id", "embedding", queries, 5,
+      nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == exact, s"full-probe IVF must equal brute force\n${exact.diff(full)}")
+    val partial = Similarity.annIvfTopK(df, "vec_id", "embedding", queries, 5,
+      nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.map(t => (t._1, t._2)).intersect(partial).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
+  test("annIvfTopK plan: probe join broadcasts, no cartesian product") {
+    val rnd = new scala.util.Random(2)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.annIvfTopK(df, "vec_id", "embedding", Seq(20L), 3,
+      nCells = 4, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ANN LSH plan: no cartesian product; candidate join is broadcast") {
     val rnd = new scala.util.Random(1)
     val df = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
