@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange formats beyond parquet — the reference accepts arbitrary
+  * uploaded files (s3_service.py) and the training-data world speaks JSONL;
+  * ORC covers warehouse interop, CSV covers export.
+  *
+  * Every read takes an EXPLICIT schema: schema inference is a full extra
+  * pass over the data (at 100 TB, a second 100 TB scan) and can silently
+  * widen types between batches. Writers are plain distributed writes — one
+  * file per partition, no driver funnel; pair with Sinks.compact when many
+  * small batches accumulate. */
+object Formats {
+
+  /** JSON Lines write (one object per row, newline-delimited). */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** JSON Lines read with a fixed schema. Rows that don't parse land in
+    * `_corrupt_record`-free null rows under PERMISSIVE; use FAILFAST to
+    * surface bad data immediately (the csv_validator-style strictness). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                failFast: Boolean = false): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(path)
+
+  /** ORC write/read — columnar interop with Hive-side warehouses. Predicate
+    * pushdown and column pruning work as with parquet. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** CSV export with header; delimiter configurable (the write-side mirror
+    * of CsvIngest's sniffing read). Scalars only — Spark refuses arrays. */
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ",",
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").option("delimiter", delimiter).csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              delimiter: String = ","): DataFrame =
+    spark.read.schema(schema).option("header", "true").option("delimiter", delimiter).csv(path)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.sources.Formats
+
+/** Format round-trips: values and schema survive JSONL, ORC, and CSV. */
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("out").toString
+
+  /** name:type pairs — file sources legitimately mark everything nullable. */
+  private def shape(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    df.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+
+  private def rich = Seq(
+    (1L, "alpha", 1.5, Seq(1, 2, 3)),
+    (2L, "beta \"quoted\", with comma", -0.25, Seq.empty[Int]),
+    (3L, null.asInstanceOf[String], 0.0, Seq(42))
+  ).toDF("id", "name", "score", "xs")
+
+  test("jsonl round-trip preserves nested arrays, nulls, schema") {
+    val p = tmp("jsonl")
+    Formats.writeJsonl(rich, p)
+    val back = Formats.readJsonl(spark, p, rich.schema).orderBy("id")
+    assert(shape(back) == shape(rich))
+    // JSONL drops null fields on write; normalize via collect comparison
+    assert(back.collect().toSeq == rich.orderBy("id").collect().toSeq)
+  }
+
+  test("orc round-trip preserves values and schema") {
+    val p = tmp("orc")
+    Formats.writeOrc(rich, p)
+    val back = Formats.readOrc(spark, p, rich.schema).orderBy("id")
+    assert(shape(back) == shape(rich))
+    assert(back.collect().toSeq == rich.orderBy("id").collect().toSeq)
+  }
+
+  test("csv round-trip preserves scalars incl. quoted delimiters") {
+    val p = tmp("csv")
+    val scalars = rich.drop("xs")
+    Formats.writeCsv(scalars, p, delimiter = ";")
+    val back = Formats.readCsv(spark, p, scalars.schema, delimiter = ";").orderBy("id")
+    assert(shape(back) == shape(scalars))
+    assert(back.collect().toSeq == scalars.orderBy("id").collect().toSeq)
+  }
+
+  test("jsonl FAILFAST read surfaces malformed rows; PERMISSIVE nulls them") {
+    val dir = Files.createTempDirectory("badjson")
+    Files.write(dir.resolve("a.jsonl"),
+      "{\"id\":1,\"name\":\"ok\"}\nnot json at all\n".getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val permissive = Formats.readJsonl(spark, dir.toString, schema).collect()
+    assert(permissive.length == 2 && permissive.count(_.isNullAt(0)) == 1)
+    val ff = intercept[Exception] {
+      Formats.readJsonl(spark, dir.toString, schema, failFast = true).collect()
+    }
+    assert(ff.getMessage != null)
+  }
+}
