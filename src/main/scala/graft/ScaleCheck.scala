@@ -69,6 +69,14 @@ object ScaleCheck {
     time("ann_lsh_topk")(d => Similarity.annLshTopK(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", Seq(0L, 1L, 2L), 5))
     time("sessionize")(d => Analytics.sessionize(Tables.events(spark, d).limit(2000000), 30))
+    time("tfidf_top_term")(d => Curation.tfidfTopTerm(Tables.documents(spark, d), "doc_id", "text"))
+    time("vocab_topk")(d => Curation.vocabulary(Tables.documents(spark, d), "text", 50))
+    time("pack_sequences")(d => Curation.packSequences(
+      Tables.documents(spark, d), "doc_id", "source", "text", 512))
+    time("contamination_screen")(d => Curation.contaminationScreen(
+      Tables.documents(spark, d), "doc_id", "text", col("source") === "src0", 8))
+    time("ann_ivf_topk")(d => Similarity.annIvfTopK(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", Seq(100L, 101L, 102L), 5))
 
     spark.stop()
   }

@@ -206,6 +206,20 @@ object SparkEntry {
     "q53_contamination" -> ((s, d) =>
       Curation.contaminationScreen(Tables.documents(s, d), "doc_id", "text",
         col("source") === "src0", 8)),
+    "q55_range_join" -> ((s, d) => {
+      // ALL events inside each sampled user's first-2-days window (pure
+      // range predicate, no equi-key): bucketized to a hash join, never a
+      // nested loop
+      val ev = Tables.events(s, d)
+      val iv = ev.where(col("user_id") % 7 === 0)
+        .groupBy("user_id").agg(min("ts").as("w_start"))
+        .select(col("user_id"), col("w_start"),
+          (col("w_start") + expr("INTERVAL 2 DAYS")).as("w_end"))
+      RangeJoin.pointInInterval(ev.select("event_id", "ts"), "ts",
+          iv, "w_start", "w_end", bucketSeconds = 86400L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
     "q40_asof_join" -> ((s, d) => {
       // latest order at-or-before each event, per user (point-in-time lookup);
       // right side pre-deduped per (user, time) so ties are deterministic
@@ -642,6 +656,14 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, year(o_orderdate))
         |ORDER BY nation, o_year""".stripMargin,
+    "q55_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |iv AS (
+        |  SELECT user_id, MIN(ts) AS w_start, MIN(ts) + INTERVAL 2 DAY AS w_end
+        |  FROM e WHERE user_id % 7 = 0 GROUP BY user_id)
+        |SELECT iv.user_id, COUNT(*) AS n_events
+        |FROM iv JOIN e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+        |GROUP BY iv.user_id ORDER BY iv.user_id""".stripMargin,
     "q53_contamination" ->
       """WITH toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |grams AS (

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Bucketized range join: equals the naive inequality join, each pair
+  * produced exactly once, and the plan is a hash equi-join (never a
+  * nested-loop). */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def points = Seq(
+    (1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-02 11:00:00")),
+    (3L, ts("2024-01-05 23:59:59")), (4L, ts("2024-01-06 00:00:00")),
+    (5L, ts("2024-03-01 12:00:00"))
+  ).toDF("pid", "ts")
+
+  // overlapping intervals; end exclusive
+  private def intervals = Seq(
+    (10L, ts("2024-01-01 00:00:00"), ts("2024-01-06 00:00:00")),
+    (11L, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")),
+    (12L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"))
+  ).toDF("iid", "w_start", "w_end")
+
+  test("matches the naive inequality join exactly, once per pair") {
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "w_start", "w_end", 86400L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = points.join(intervals,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got == got.distinct, "pair emitted more than once")
+    assert(got.contains((1L, 10L)) && got.contains((3L, 10L)) && !got.contains((4L, 10L)))
+  }
+
+  test("granularity coarser than intervals still correct") {
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "w_start", "w_end", 7 * 86400L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = points.join(intervals,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("plan is a hash equi-join on the bucket, not a nested loop") {
+    val plan = RangeJoin.pointInInterval(points, "ts", intervals, "w_start", "w_end", 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
