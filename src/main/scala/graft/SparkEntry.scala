@@ -201,6 +201,16 @@ object SparkEntry {
       Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 512)),
     "q51_json_extract" -> ((s, d) =>
       Analytics.jsonFieldSum(Tables.events(s, d))),
+    "q56_group_sample" -> ((s, d) =>
+      Analytics.sampleByGroup(Tables.documents(s, d), "source", "doc_id", 5)
+        .select("source", "doc_id", "sample_rank")),
+    "q57_heavy_hitters" -> ((s, d) =>
+      // candidate-token frequency estimates from a one-pass mergeable CMS;
+      // width (2/eps) >> distinct tokens here, so estimates are exact and
+      // the DuckDB oracle can check true counts
+      Analytics.heavyHitters(
+        Tables.documents(s, d).select(explode(Curation.tokens(col("text"))).as("tok")),
+        "tok", Seq("scan", "table", "the", "row", "hash"))),
     "q52_rollup" -> ((s, d) =>
       Reports.orderRollup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q53_contamination" -> ((s, d) =>
@@ -649,6 +659,19 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q56_group_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank FROM r
+        |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+    "q57_heavy_hitters" ->
+      """SELECT tok, COUNT(*) AS est_count
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+        |WHERE tok IN ('scan', 'table', 'the', 'row', 'hash')
+        |GROUP BY tok ORDER BY tok""".stripMargin,
     "q52_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS nation,
         |       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,

@@ -81,6 +81,37 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** Deterministic fixed-size sample per group: the k rows with the smallest
+    * md5(id) in each group — a consistent hash-sample (same rows on every
+    * run, every engine, any partitioning; adding rows only perturbs the
+    * sample by what hashed below the old cut). Plans as WindowGroupLimit:
+    * each partition keeps ≤k rows per group BEFORE the shuffle. */
+  def sampleByGroup(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .orderBy(keyCol, "sample_rank")
+  }
+
+  /** Sketch-based heavy hitters: estimate the frequency of `candidates` from
+    * a count-min sketch built in ONE mergeable aggregation pass (Spark's
+    * built-in `count_min_sketch`, eps/confidence-sized). Constant memory per
+    * partition at 100 TB; estimates overcount by at most eps·N with
+    * probability `confidence` (never undercount). */
+  def heavyHitters(df: DataFrame, column: String, candidates: Seq[String],
+                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bytes = df.select(
+        count_min_sketch(col(column), lit(eps), lit(confidence), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    candidates.map(c => (c, sketch.estimateCount(c)))
+      .toDF(column, "est_count").orderBy(column)
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough

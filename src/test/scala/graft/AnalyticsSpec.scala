@@ -72,6 +72,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sampleByGroup: exactly k per group, deterministic, partitioning-invariant") {
+    val df = spark.range(300).selectExpr("id", "CAST(id % 3 AS STRING) AS grp")
+    val a = Analytics.sampleByGroup(df, "grp", "id", 7).collect().map(_.toString).toSeq
+    val b = Analytics.sampleByGroup(df.repartition(13), "grp", "id", 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.sorted == b) // same sample regardless of physical layout
+    val sizes = Analytics.sampleByGroup(df, "grp", "id", 7)
+      .groupBy("grp").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 7))
+  }
+
+  test("heavyHitters: CMS estimates never undercount; exact when width >> cardinality") {
+    val df = spark.range(1000).selectExpr("CAST(id % 10 AS STRING) AS v")
+    val est = Analytics.heavyHitters(df, "v", Seq("0", "5", "9"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("0" -> 100L, "5" -> 100L, "9" -> 100L)) // 10 distinct vs width 2000
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
