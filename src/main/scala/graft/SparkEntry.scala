@@ -213,6 +213,14 @@ object SparkEntry {
         "tok", Seq("scan", "table", "the", "row", "hash"))),
     "q52_rollup" -> ((s, d) =>
       Reports.orderRollup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q58_pivot" -> ((s, d) =>
+      Reports.nationYearPivot(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
+    "q59_mom_delta" -> ((s, d) =>
+      Reports.monthlyRevenueDelta(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d))),
+    "q60_fuzzy_match" -> ((s, d) =>
+      Dedup.fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)),
     "q53_contamination" -> ((s, d) =>
       Curation.contaminationScreen(Tables.documents(s, d), "doc_id", "text",
         col("source") === "src0", 8)),
@@ -659,6 +667,34 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q58_pivot" ->
+      """SELECT n_name,
+        |  COUNT(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,
+        |  COUNT(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS y1996,
+        |  COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS y1997,
+        |  COUNT(CASE WHEN year(o_orderdate) = 1998 THEN 1 END) AS y1998
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q59_mom_delta" ->
+      """WITH m AS (
+        |  SELECT n_name, date_trunc('month', o_orderdate) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, month, revenue,
+        |  lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS prev_revenue,
+        |  CAST(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS DECIMAL(18,2)) AS delta
+        |FROM m ORDER BY n_name, month""".stripMargin,
+    "q60_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       a.p_name AS s_a, b.p_name AS s_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON length(a.p_name) = length(b.p_name)
+        |  AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q56_group_sample" ->
       """WITH r AS (
         |  SELECT source, doc_id,

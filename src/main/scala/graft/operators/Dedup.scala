@@ -261,4 +261,28 @@ object Dedup {
       .groupBy("doc_id_a", "doc_id_b").agg(min("hamming").as("hamming"))
       .orderBy("doc_id_a", "doc_id_b")
   }
+
+  // ------------------------------------------------------------ fuzzy match
+
+  /** Fuzzy string matching (edit distance ≤ maxDist) via blocking: pairs are
+    * generated only within a (length, prefix) block, turning the all-pairs
+    * O(n²) into an equi-join on the block key — the record-linkage analog of
+    * the LSH bucket. Trade-off (documented, standard for blocked linkage):
+    * pairs that differ in length or in the first `blockPrefix` chars are
+    * out of reach; production runs multiple blocking passes (length±1,
+    * suffix blocks) and unions them. levenshtein() is codegen'd; it runs
+    * only on within-block candidates. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int, blockPrefix: Int = 1): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"),
+      length(col(strCol)).as("len"), substring(col(strCol), 1, blockPrefix).as("pfx"))
+    val b = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"),
+      length(col(strCol)).as("len"), substring(col(strCol), 1, blockPrefix).as("pfx"))
+    a.join(b, Seq("len", "pfx"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -68,6 +68,43 @@ object Reports {
       .agg(sum(price * disc).cast("decimal(18,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Pivot report: order counts per nation with one column per year.
+    * Values are enumerated explicitly — an unenumerated pivot runs an extra
+    * distinct-scan job to discover them, and unbounded output columns are a
+    * schema hazard at scale. Empty cells coalesce to 0. */
+  def nationYearPivot(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                      years: Seq[Int]): DataFrame =
+    orders.select("o_custkey", "o_orderdate")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("n_name").pivot("yr", years.map(_.asInstanceOf[Any])).agg(count(lit(1)))
+      .select(col("n_name") +: years.map(y =>
+        coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
+      .orderBy("n_name")
+
+  /** Month-over-month revenue per nation: windowed lag over the MONTHLY
+    * AGGREGATE (cardinality = nations × months, tiny next to the fact
+    * table), partitioned by nation so the window never needs a global
+    * sort. DECIMAL money math end to end. */
+  def monthlyRevenueDelta(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_name").orderBy("month")
+    orders.select("o_custkey", "o_orderdate", "o_totalprice")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("delta", (col("revenue") - col("prev_revenue")).cast("decimal(18,2)"))
+      .orderBy("n_name", "month")
+  }
+
   /** ROLLUP report: order counts at (nation, year), (nation), and grand-total
     * grain in ONE pass — Catalyst expands the grouping sets inside a single
     * hash aggregate, so it costs one shuffle, not three scans. NULL grouping

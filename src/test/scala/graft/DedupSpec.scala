@@ -91,6 +91,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingles("one two", 3).length == 1)
   }
 
+  test("fuzzyPairs: edit-distance pairs within blocks only, ordered ids") {
+    val df = Seq(
+      (1L, "red widget"), (2L, "red widgot"),   // dist 1, same block (r, 10)
+      (3L, "blue bolt"), (4L, "blue belt"),     // dist 1, same block (b, 9)
+      (5L, "red gasket"),                        // same block as 1,2 but dist > 2
+      (6L, "ted widget")                         // dist 1 from 1, but different prefix block
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyPairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    assert(out == Seq((1L, 2L, 1), (3L, 4L, 1)), out.toString)
+  }
+
   test("LSH plan contains no cartesian/all-pairs stage") {
     val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
     val plan = Dedup.minhashLsh(df, "doc_id", "text").queryExecution.executedPlan.toString
