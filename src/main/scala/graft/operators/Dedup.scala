@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
 
@@ -264,22 +264,34 @@ object Dedup {
 
   // ------------------------------------------------------------ fuzzy match
 
-  /** Fuzzy string matching (edit distance ≤ maxDist) via blocking: pairs are
-    * generated only within a (length, prefix) block, turning the all-pairs
-    * O(n²) into an equi-join on the block key — the record-linkage analog of
-    * the LSH bucket. Trade-off (documented, standard for blocked linkage):
-    * pairs that differ in length or in the first `blockPrefix` chars are
-    * out of reach; production runs multiple blocking passes (length±1,
-    * suffix blocks) and unions them. levenshtein() is codegen'd; it runs
-    * only on within-block candidates. */
+  /** Fuzzy string matching (edit distance ≤ maxDist) via MULTI-PASS
+    * blocking: candidates are generated inside a prefix block AND inside a
+    * suffix block, and the two passes union — the record-linkage analog of
+    * LSH banding. Each pass is an equi-join on its block key, so nothing is
+    * ever compared all-pairs; an edit anywhere except simultaneously in the
+    * first AND last `blockChars` characters is caught (that residual miss is
+    * the standard blocked-linkage trade-off). levenshtein() is codegen'd and
+    * runs only on within-block candidates.
+    *
+    * Feed this DISTINCT strings (canonicalize first, e.g. groupBy(str)
+    * .agg(min(id))): id-level pairing is quadratic in duplicates-per-string
+    * while the distinct-string vocabulary is usually tiny next to the
+    * table. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
-                 maxDist: Int, blockPrefix: Int = 1): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"),
-      length(col(strCol)).as("len"), substring(col(strCol), 1, blockPrefix).as("pfx"))
-    val b = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"),
-      length(col(strCol)).as("len"), substring(col(strCol), 1, blockPrefix).as("pfx"))
-    a.join(b, Seq("len", "pfx"))
-      .where(col("id_a") < col("id_b"))
+                 maxDist: Int, blockChars: Int = 4): DataFrame = {
+    val base = df.select(col(idCol), col(strCol))
+    def pass(key: Column => Column): DataFrame = {
+      val a = base.select(col(idCol).as("id_a"), col(strCol).as("s_a"))
+        .withColumn("blk", key(col("s_a")))
+      val b = base.select(col(idCol).as("id_b"), col(strCol).as("s_b"))
+        .withColumn("blk", key(col("s_b")))
+      a.join(b, "blk").where(col("id_a") < col("id_b")).drop("blk")
+    }
+    def suffix(c: Column): Column =
+      substring(c, greatest(length(c) - (blockChars - 1), lit(1)), lit(blockChars))
+    pass(c => substring(c, 1, blockChars))
+      .unionAll(pass(suffix))
+      .distinct() // a pair caught by both passes counts once
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b", "dist")

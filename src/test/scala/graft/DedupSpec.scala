@@ -91,16 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingles("one two", 3).length == 1)
   }
 
-  test("fuzzyPairs: edit-distance pairs within blocks only, ordered ids") {
+  test("fuzzyPairs: prefix OR suffix block catches edits at either end, once") {
     val df = Seq(
-      (1L, "red widget"), (2L, "red widgot"),   // dist 1, same block (r, 10)
-      (3L, "blue bolt"), (4L, "blue belt"),     // dist 1, same block (b, 9)
-      (5L, "red gasket"),                        // same block as 1,2 but dist > 2
-      (6L, "ted widget")                         // dist 1 from 1, but different prefix block
+      (1L, "red widget"), (2L, "red widgot"),   // dist 1: prefix block (suffix differs)
+      (3L, "blue bolt"), (4L, "blue belt"),     // dist 1: prefix block
+      (5L, "red gasket"),                        // prefix-blocks with 1,2 but dist > 2
+      (6L, "ted widget"),                        // dist 1 from 1: caught by SUFFIX block
+      (7L, "zzz unrelated zzz")
     ).toDF("id", "name")
     val out = Dedup.fuzzyPairs(df, "id", "name", maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
-    assert(out == Seq((1L, 2L, 1), (3L, 4L, 1)), out.toString)
+    // (2,6) 'red widgot'/'ted widget' is dist 2 but differs in BOTH the
+    // first-4 and last-4 chars — the documented residual blocking miss
+    assert(out == Seq((1L, 2L, 1), (1L, 6L, 1), (3L, 4L, 1)), out.toString)
   }
 
   test("LSH plan contains no cartesian/all-pairs stage") {
