@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Cols
+import graft.functions.{Cols, MisraGries}
 import graft.operators._
 import graft.sources.CsvIngest
 
@@ -213,6 +213,15 @@ object SparkEntry {
         "tok", Seq("scan", "table", "the", "row", "hash"))),
     "q52_rollup" -> ((s, d) =>
       Reports.orderRollup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q61_mg_heavy_hitters" -> ((s, d) => {
+      // deterministic heavy-hitter summary per source via the Misra-Gries
+      // typed Aggregator (rows-only check: map output isn't SQL-hashable)
+      val mg = udaf(new MisraGries(10))
+      Tables.documents(s, d)
+        .select(col("source"), explode(Curation.tokens(col("text"))).as("tok"))
+        .groupBy("source").agg(mg(col("tok")).as("mg_summary"))
+        .orderBy("source")
+    }),
     "q58_pivot" -> ((s, d) =>
       Reports.nationYearPivot(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
