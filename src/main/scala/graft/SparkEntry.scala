@@ -225,6 +225,8 @@ object SparkEntry {
     "q58_pivot" -> ((s, d) =>
       Reports.nationYearPivot(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
+    "q62_skew_profile" -> ((s, d) =>
+      Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
     "q59_mom_delta" -> ((s, d) =>
       Reports.monthlyRevenueDelta(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d))),
@@ -682,6 +684,14 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q62_skew_profile" ->
+      """WITH c AS (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, MIN(n_rows) AS min_rows,
+        |             MAX(n_rows) AS max_rows,
+        |             CAST(CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS avg_rows
+        |      FROM c),
+        |h AS (SELECT l_orderkey AS hottest_key FROM c ORDER BY n_rows DESC, l_orderkey DESC LIMIT 1)
+        |SELECT n_keys, min_rows, max_rows, avg_rows, hottest_key FROM s CROSS JOIN h""".stripMargin,
     "q58_pivot" ->
       """SELECT n_name,
         |  COUNT(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,

@@ -112,6 +112,25 @@ object Analytics {
       .toDF(column, "est_count").orderBy(column)
   }
 
+  /** Key-skew profile: the pre-flight check before any big join/groupBy on
+    * `keyCol` — per-key counts reduced to distribution stats plus the hottest
+    * key. max_rows / avg_rows ≫ 1 says "salt this key or let AQE split it"
+    * BEFORE the job ships. One hash agg (map-side partials) + a tiny stats
+    * pass over #distinct-keys rows. */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    // materialized once: stats and hottest both derive from it, and without
+    // this the source scan + agg would run twice (no automatic subtree reuse)
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows")).localCheckpoint()
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      min("n_rows").as("min_rows"),
+      max("n_rows").as("max_rows"),
+      (sum("n_rows").cast("double") / count(lit(1))).cast("decimal(18,4)").as("avg_rows"))
+    val hottest = counts.orderBy(desc("n_rows"), desc(keyCol)).limit(1)
+      .select(col(keyCol).as("hottest_key"))
+    stats.crossJoin(hottest) // 1×1
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough
