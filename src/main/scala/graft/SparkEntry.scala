@@ -227,6 +227,14 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q63_dedup_clusters" -> ((s, d) => {
+      // fuzzy-pair edges → connected components → cluster per node: the
+      // full "pairs to keep-one-representative" dedup pipeline tail
+      val pairs = Dedup.fuzzyPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 2)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
     "q59_mom_delta" -> ((s, d) =>
       Reports.monthlyRevenueDelta(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d))),
@@ -684,6 +692,25 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q63_dedup_clusters" ->
+      """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lab FROM e JOIN r ON e.dst = r.node)
+        |SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node ORDER BY node""".stripMargin,
     "q62_skew_profile" ->
       """WITH c AS (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1),
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, MIN(n_rows) AS min_rows,

@@ -262,6 +262,46 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  // ---------------------------------------------------- cluster collapse
+
+  /** Connected components over a near-dup pair list: collapses pairs into
+    * clusters so "keep one representative per duplicate group" is a groupBy
+    * away (the step after minhashLsh/simhashPairs/nearDupCosine — pairs
+    * alone over-delete when A~B and B~C but the pipeline drops both B and C).
+    *
+    * Min-label propagation: every node starts as its own label; each round
+    * every node takes the min label among itself and its neighbors; stops at
+    * fixpoint (≤ graph-diameter rounds — near-dup clusters are shallow, so
+    * typically 2-4). Each round is one join + one groupBy, and the label
+    * frontier is localCheckpoint'ed so the plan doesn't grow with the
+    * iteration count (THE classic iterative-Spark failure mode). For graphs
+    * with countable-diameter chains this is the standard production shape;
+    * a 100 TB pathological-diameter graph would want large-star/small-star
+    * (O(log n) rounds) — same join/agg primitives, more bookkeeping. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.alias("n").join(labels.alias("p"), "node")
+        .where(col("n.label") =!= col("p.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id")).orderBy("node")
+  }
+
   // ------------------------------------------------------------ fuzzy match
 
   /** Fuzzy string matching (edit distance ≤ maxDist) via MULTI-PASS

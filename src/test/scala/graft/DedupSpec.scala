@@ -91,6 +91,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingles("one two", 3).length == 1)
   }
 
+  test("connectedComponents: chains collapse to min label, islands stay apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), pair 10-11, and 20-21-22 star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("doc_id_a", "doc_id_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), cc.toString)
+  }
+
+  test("connectedComponents feeds keep-first dedup: one representative per cluster") {
+    val pairs = Seq((5L, 3L), (3L, 9L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+    val keep = cc.groupBy("cluster_id").agg(min("node").as("keep_id"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(keep == Seq(3L)) // {3,5,9} → keep 3
+  }
+
   test("fuzzyPairs: prefix OR suffix block catches edits at either end, once") {
     val df = Seq(
       (1L, "red widget"), (2L, "red widgot"),   // dist 1: prefix block (suffix differs)
