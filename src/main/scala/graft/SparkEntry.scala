@@ -377,6 +377,10 @@ object SparkEntry {
     "q54_ann_ivf" -> ((s, d) =>
       Similarity.annIvfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(100L, 101L, 102L, 103L, 104L), 5, nCells = 16, nProbe = 4)),
+    "q64_cosine_pairs" -> ((s, d) =>
+      Similarity.consecutiveCosines(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q65_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")),
     "q30_near_dup_cosine" -> ((s, d) =>
       Similarity.nearDupCosine(embeddingsWithPlantedDups(Tables.embeddings(s, d)),
         "vec_id", "embedding", threshold = 0.95)),
@@ -692,6 +696,15 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q64_cosine_pairs" ->
+      """SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, b.embedding) AS DECIMAL(18,4)) AS cos
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id""".stripMargin,
+    "q65_label_centroids" ->
+      """SELECT label, u[2] AS dim, CAST(AVG(CAST(u[1] AS DOUBLE)) AS DECIMAL(18,4)) AS c
+        |FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q63_dedup_clusters" ->
       """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
         |cand AS (

@@ -160,6 +160,33 @@ object Similarity {
     finalTopK(cands, k)
   }
 
+  // ------------------------------------------------------- vector columns
+
+  /** Cosine between consecutive ids — a value-level (not rank-level) check
+    * surface for the codegen'd cosine expression, and the simplest shape of
+    * "pairwise similarity along an ordering". Self-join on id+1: an
+    * equi-join, shuffles once on id. */
+  def consecutiveCosines(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val a = embeddings.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v_a"))
+    val b = embeddings.select((col(idCol).cast("long") - 1).as("vec_id"), col(vecCol).as("v_b"))
+    a.join(b, "vec_id")
+      .select(col("vec_id"),
+        Native.cosineF32(col("v_a"), col("v_b")).cast("decimal(18,4)").as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-label centroid as a flat (label, dim, c) table: posexplode the
+    * vector, average per (label, dimension). One shuffle on the compound
+    * key; partial aggregation means the shuffle carries (label, dim, sum,
+    * count) partials — rows × dim never crosses the wire raw. The flat
+    * output is deliberately oracle-friendly AND the join-ready shape for
+    * assigning rows to nearest centroid downstream. */
+  def labelCentroids(embeddings: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(avg(col("x").cast("double")).cast("decimal(18,4)").as("c"))
+      .orderBy("label", "dim")
+
   // ------------------------------------------------------------------ IVF
 
   /** ANN via an inverted-file (IVF) index: the corpus is partitioned into
