@@ -40,7 +40,9 @@ object Curation {
       col(idCol),
       nTok.cast("long").as("n_tokens"),
       nDis.cast("long").as("n_distinct"),
-      (lit(1.0) - nDis.cast("double") / nTok).cast("decimal(18,4)").as("dup_ratio"))
+      // empty/null text → null ratio (ANSI mode makes x/0 fatal, not NaN)
+      when(nTok > 0, (lit(1.0) - nDis.cast("double") / nTok).cast("decimal(18,4)"))
+        .as("dup_ratio"))
       .orderBy(idCol)
   }
 

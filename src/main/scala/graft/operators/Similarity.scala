@@ -64,7 +64,10 @@ object Similarity {
 
   private def vectors(df: DataFrame, idCol: String, vecCol: String): Dataset[(Long, Array[Float])] = {
     import df.sparkSession.implicits._
+    // null/empty vectors are dropped here, once, so no typed lambda below
+    // ever NPEs — at corpus scale there is always a malformed row
     df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .filter(r => r._2 != null && r._2.length > 0)
   }
 
   // ---------------------------------------------------------- brute force

@@ -48,9 +48,10 @@ object TextAnalysis {
     val alphaChars = length(regexp_replace(col(textCol), "[^\\p{L}]", ""))
     val nStop = stopHits(toks, StopwordsEn)
     // double math is IEEE-identical in Spark and DuckDB; final decimal cast
-    // pins the printed value so the oracle hash matches
-    val meanTokLen = (alphaChars.cast("double") / nTok).cast("decimal(18,4)")
-    val stopRatio = (nStop.cast("double") / nTok).cast("decimal(18,4)")
+    // pins the printed value so the oracle hash matches. Zero-token (empty/
+    // null) docs get null ratios — ANSI mode makes x/0 fatal, not NaN.
+    val meanTokLen = when(nTok > 0, (alphaChars.cast("double") / nTok).cast("decimal(18,4)"))
+    val stopRatio = when(nTok > 0, (nStop.cast("double") / nTok).cast("decimal(18,4)"))
     val score = (when(nTok >= 5 && nTok <= 100000, 1).otherwise(0)
       + when(nStop >= 1, 1).otherwise(0)
       + when(alphaChars >= 20, 1).otherwise(0)).cast("int")

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Null/degenerate-input hardening: every text and vector operator must
+  * survive null text, empty text, and null embedding rows — at 100 TB there
+  * is ALWAYS a malformed row, and one NPE kills the stage. SQL-expression
+  * operators inherit SQL null semantics (null in → null out); typed-lambda
+  * operators need explicit guards, which is what this spec pins. */
+class NullSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "normal text here", "s1"),
+    (2L, null.asInstanceOf[String], "s1"),
+    (3L, "", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  private def vecs = Seq(
+    (1L, Array(1f, 0f), 0),
+    (2L, null.asInstanceOf[Array[Float]], 0),
+    (3L, Array(0f, 1f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("curation ops: null/empty text rows flow through, no crash") {
+    assert(Curation.repetitionStats(docs, "doc_id", "text").count() == 3)
+    assert(Curation.redact(docs, "doc_id", "text").count() == 3)
+    assert(Curation.vocabulary(docs, "text", 10).collect().nonEmpty)
+    assert(Curation.packSequences(docs, "doc_id", "source", "text", 10).count() == 3)
+    assert(Curation.contaminationScreen(docs, "doc_id", "text", col("source") === "s2", 2).count() == 0)
+    // tfidf drops null/empty docs (no tokens) but must not crash
+    assert(Curation.tfidfTopTerm(docs, "doc_id", "text").count() == 1)
+  }
+
+  test("text analysis ops: null text rows flow through, no crash") {
+    assert(TextAnalysis.tokenCounts(docs, "doc_id", "text").count() == 3)
+    assert(TextAnalysis.qualityScore(docs, "doc_id", "text").count() == 3)
+    assert(TextAnalysis.langId(docs, "doc_id", "text").count() == 3)
+    assert(TextAnalysis.fingerprints(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("dedup ops: null text rows don't kill the job") {
+    assert(Dedup.exact(docs, "doc_id", "text").count() >= 2)
+    Dedup.minhashLsh(docs.select("doc_id", "text"), "doc_id", "text").count() // no throw
+    Dedup.simhashPairs(docs.select("doc_id", "text"), "doc_id", "text").count() // no throw
+  }
+
+  test("similarity ops: null embedding rows are skipped, not fatal") {
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1L), 2)
+    assert(out.collect().map(_.getLong(1)).toSet == Set(3L)) // null row excluded
+    Similarity.annLshTopK(vecs, "vec_id", "embedding", Seq(1L), 2).count() // no throw
+    Similarity.labelCentroids(vecs, "label", "embedding").count() // no throw
+  }
+}
