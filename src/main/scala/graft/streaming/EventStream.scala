@@ -124,6 +124,49 @@ object EventStream {
       .start()
   }
 
+  /** Streaming dedup gate for document ingestion: each micro-batch of new
+    * documents is (1) deduped within the batch by content fingerprint,
+    * (2) anti-joined against the persistent fingerprint store (documents
+    * already accepted by ANY earlier batch or run), and only the survivors
+    * land in `acceptedDir` — their fingerprints append to the store so the
+    * next batch sees them.
+    *
+    * Scale: the store holds ONE 32-char hash per accepted doc (not the
+    * text); the anti-join is a hash join on the fingerprint. At 100 TB the
+    * store is ~3 orders of magnitude smaller than the corpus — broadcast
+    * or shuffle-join territory, never a scan of accepted content. Crash
+    * replay re-offers a batch, and the anti-join drops rows whose
+    * fingerprints already landed — at-least-once delivery + idempotent
+    * accept = exactly-once contents. */
+  def runDedupGate(spark: SparkSession, srcDir: String, checkpointDir: String,
+                   storeDir: String, acceptedDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val fresh = batch
+          .withColumn("fingerprint", graft.functions.Cols.fingerprint(col("text")))
+          .dropDuplicates("fingerprint")
+        val store = try s.read.parquet(storeDir)
+          catch { case _: Exception => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("fingerprint STRING")) }
+        val accepted = fresh.join(store, Seq("fingerprint"), "left_anti")
+          .localCheckpoint() // pin BEFORE the store grows: the anti-join must see the pre-append store
+        accepted.select("doc_id", "text", "fingerprint")
+          .write.mode("append").parquet(acceptedDir)
+        accepted.select("fingerprint").write.mode("append").parquet(storeDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,

@@ -11,6 +11,28 @@ import graft.streaming.EventStream
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedup gate: in-batch, cross-batch, and cross-RUN duplicates all collapse") {
+    val base = Files.createTempDirectory("graft_gate").toString
+    val src = base + "/src"; val store = base + "/store"; val acc = base + "/accepted"
+
+    Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha  DOC")) // 3 ≡ 1 modulo case/ws
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = EventStream.runDedupGate(spark, src, base + "/ck1", store, acc)
+    q1.awaitTermination(60000)
+    val first = spark.read.parquet(acc).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(first.length == 2 && first.contains(2L)) // one of {1,3} + 2
+
+    // second RUN (fresh checkpoint): redelivers old content + one new doc
+    Seq((4L, "beta doc"), (5L, "gamma doc"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q2 = EventStream.runDedupGate(spark, src, base + "/ck2", store, acc)
+    q2.awaitTermination(60000)
+    val all = spark.read.parquet(acc)
+    assert(all.count() == 3, all.collect().mkString(",")) // {alpha, beta, gamma} exactly once
+    assert(all.select("fingerprint").distinct().count() == 3)
+    assert(spark.read.parquet(acc).where(col("doc_id") === 5L).count() == 1)
+  }
+
   test("file stream hourly agg matches batch, dedupes redelivered events") {
     val src = Files.createTempDirectory("graft_stream_src").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
