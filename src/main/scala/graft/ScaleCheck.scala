@@ -77,6 +77,12 @@ object ScaleCheck {
       Tables.documents(spark, d), "doc_id", "text", col("source") === "src0", 8))
     time("ann_ivf_topk")(d => Similarity.annIvfTopK(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", Seq(100L, 101L, 102L), 5))
+    time("range_join")(d => SparkEntry.queries("q55_range_join")(spark, d))
+    time("group_sample")(d => Analytics.sampleByGroup(
+      Tables.documents(spark, d), "source", "doc_id", 5))
+    time("dedup_clusters")(d => SparkEntry.queries("q63_dedup_clusters")(spark, d))
+    time("label_centroids")(d => Similarity.labelCentroids(
+      spark.read.parquet(s"$d/embeddings.parquet"), "label", "embedding"))
 
     spark.stop()
   }

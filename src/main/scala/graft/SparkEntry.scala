@@ -227,6 +227,9 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q66_curate" -> ((s, d) =>
+      Curation.curate(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "n_tokens", "dup_ratio")),
     "q63_dedup_clusters" -> ((s, d) => {
       // fuzzy-pair edges → connected components → cluster per node: the
       // full "pairs to keep-one-representative" dedup pipeline tail
@@ -696,6 +699,26 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q66_curate" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+        |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha_chars
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END AS DECIMAL(18,4)) AS dup_ratio
+        |  FROM m
+        |  WHERE n_tokens >= 5
+        |    AND CAST(CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END AS DECIMAL(18,4)) <= CAST(0.9 AS DECIMAL(18,4))
+        |    AND alpha_chars >= 20),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, dup_ratio,
+        |    row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |                       ORDER BY doc_id) AS rk
+        |  FROM kept)
+        |SELECT doc_id, n_tokens, dup_ratio FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q64_cosine_pairs" ->
       """SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, b.embedding) AS DECIMAL(18,4)) AS cos
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1

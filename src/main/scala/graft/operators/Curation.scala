@@ -111,6 +111,33 @@ object Curation {
       .orderBy(srcCol, idCol)
   }
 
+  /** The composed curation pass — what a real corpus run executes: quality
+    * thresholds + repetition cap in ONE map-side predicate stage (no
+    * intermediate materialization; all column expressions fuse into the
+    * scan's WholeStageCodegen), then exact-dedup keep-first as the single
+    * shuffle. Returns surviving (id, text) plus the per-doc metrics that
+    * justified keeping them — the audit trail a curation run must emit. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Int = 5, maxDupRatio: Double = 0.9,
+             minAlphaChars: Int = 20): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nDis = size(array_distinct(t))
+    val alphaChars = length(regexp_replace(col(textCol), "[^\\p{L}]", ""))
+    val dupRatio = when(nTok > 0, lit(1.0) - nDis.cast("double") / nTok).otherwise(lit(1.0))
+    val kept = docs.select(col(idCol), col(textCol),
+        nTok.cast("long").as("n_tokens"),
+        dupRatio.cast("decimal(18,4)").as("dup_ratio"))
+      .where(col("n_tokens") >= minTokens &&
+        col("dup_ratio") <= lit(maxDupRatio).cast("decimal(18,4)") &&
+        alphaChars >= minAlphaChars)
+    // keep-first among exact duplicates (same fingerprint): one shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.Cols.fingerprint(col(textCol))).orderBy(idCol)
+    kept.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
+      .orderBy(idCol)
+  }
+
   /** Benchmark-contamination screen: flag corpus docs sharing any n-token
     * shingle with a benchmark doc (`benchPred` selects the benchmark rows).
     * Joins on md5(gram) — deterministic, engine-reproducible, and a fixed

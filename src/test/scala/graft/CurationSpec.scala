@@ -63,6 +63,18 @@ class CurationSpec extends SparkSpec {
       5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
   }
 
+  test("curate: quality floor, repetition cap, exact-dup keep-first — one pass") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam"), // ratio 10/11 > 0.9 cap
+      (3L, "too short"),                                            // < 5 tokens
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (5L, "another acceptable document with plenty of distinct words inside it")
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(df, "doc_id", "text").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 5L), out.toString) // 2 too repetitive, 3 too short, 4 dup of 1
+  }
+
   test("contaminationScreen: flags only docs sharing an 8-gram with benchmark") {
     val phrase = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val df = Seq(
