@@ -227,6 +227,19 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q67_series_filled" -> ((s, d) =>
+      Analytics.monthlySeriesFilled(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d))),
+    "q68_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), "click", "purchase", windowHours = 24)),
+    "q69_unpivot" -> ((s, d) =>
+      // zero-filled cells dropped for oracle parity (the SQL twin GROUP BY
+      // only produces populated combinations)
+      Reports.unpivotYears(
+        Reports.nationYearPivot(Tables.orders(s, d), Tables.customer(s, d),
+          Tables.nation(s, d), Seq(1995, 1996, 1997, 1998)),
+        Seq(1995, 1996, 1997, 1998))
+        .where(col("n_orders") > 0)),
     "q66_curate" -> ((s, d) =>
       Curation.curate(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id", "n_tokens", "dup_ratio")),
@@ -699,6 +712,33 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q67_series_filled" ->
+      """WITH m AS (
+        |  SELECT n_name, date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM m),
+        |spine AS (
+        |  SELECT n.n_name, gs.month
+        |  FROM (SELECT DISTINCT n_name FROM m) n
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b) gs)
+        |SELECT spine.n_name, spine.month, COALESCE(m.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN m ON spine.n_name = m.n_name AND spine.month = m.month
+        |ORDER BY spine.n_name, spine.month""".stripMargin,
+    "q68_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |a AS (SELECT user_id, MIN(ts) AS t_a FROM e WHERE event_type = 'click' GROUP BY user_id),
+        |b AS (SELECT DISTINCT e.user_id
+        |      FROM e JOIN a ON e.user_id = a.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > a.t_a AND e.ts <= a.t_a + INTERVAL 24 HOURS)
+        |SELECT (SELECT COUNT(*) FROM a) AS n_entered,
+        |       (SELECT COUNT(*) FROM b) AS n_converted,
+        |       CAST(CAST((SELECT COUNT(*) FROM b) AS DOUBLE) / (SELECT COUNT(*) FROM a) AS DECIMAL(18,4)) AS conv_rate""".stripMargin,
+    "q69_unpivot" ->
+      """SELECT n_name, 'y' || CAST(year(o_orderdate) AS VARCHAR) AS o_year, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+        |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin,
     "q66_curate" ->
       """WITH m AS (
         |  SELECT doc_id, text,

@@ -131,6 +131,51 @@ object Analytics {
     stats.crossJoin(hottest) // 1×1
   }
 
+  /** Gap-filled monthly series: every (nation, month) slot between the
+    * global min and max month exists, zero-filled where no orders landed —
+    * resampling for time-series consumers that can't tolerate missing
+    * buckets. The calendar spine is sequence+explode over the GLOBAL month
+    * range (a 1-row aggregate crossed with the distinct keys — never a
+    * driver-side loop); the fact side left-joins onto it. */
+  def monthlySeriesFilled(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame): DataFrame = {
+    val joined = orders.select("o_custkey", "o_orderdate")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+    val monthly = joined.groupBy("n_name", "month").agg(count(lit(1)).as("n_orders"))
+      .localCheckpoint() // spine bounds + fact side both derive from it
+    val bounds = monthly.agg(min("month").as("lo"), max("month").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("month"))
+      .crossJoin(monthly.select("n_name").distinct())
+    spine.join(monthly, Seq("n_name", "month"), "left")
+      .select(col("n_name"), col("month"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("n_name", "month")
+  }
+
+  /** Funnel conversion: users whose first `stepB` follows their first
+    * `stepA` within `windowHours`. Two filtered aggregates + one join on
+    * user — never a self-join of raw events against raw events. Returns one
+    * row: entrants, conversions, rate. */
+  def funnel(events: DataFrame, stepA: String, stepB: String,
+             windowHours: Int): DataFrame = {
+    val a = events.where(col("event_type") === stepA)
+      .groupBy("user_id").agg(min("ts").as("t_a"))
+      .localCheckpoint() // both the entrant count and the join reuse it
+    val b = events.where(col("event_type") === stepB)
+      .join(a, "user_id")
+      .where(col("ts") > col("t_a") &&
+        col("ts") <= col("t_a") + expr(s"INTERVAL $windowHours HOURS"))
+      .select("user_id").distinct()
+    a.agg(count(lit(1)).as("n_entered"))
+      .crossJoin(b.agg(count(lit(1)).as("n_converted")))
+      .withColumn("conv_rate",
+        (col("n_converted").cast("double") / col("n_entered")).cast("decimal(18,4)"))
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough

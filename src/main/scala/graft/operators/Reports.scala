@@ -85,6 +85,17 @@ object Reports {
         coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
       .orderBy("n_name")
 
+  /** UNPIVOT (melt): the wide pivot report back to tall (nation, year,
+    * n_orders) rows — the import-side mirror of nationYearPivot for
+    * consumers that want tidy data. Pure projection (Expand node): no
+    * shuffle at all. */
+  def unpivotYears(pivoted: DataFrame, years: Seq[Int]): DataFrame =
+    pivoted.unpivot(
+      Array(col("n_name")),
+      years.map(y => col(s"y$y")).toArray,
+      "o_year", "n_orders")
+      .orderBy("n_name", "o_year")
+
   /** Month-over-month revenue per nation: windowed lag over the MONTHLY
     * AGGREGATE (cardinality = nations × months, tiny next to the fact
     * table), partitioned by nation so the window never needs a global
