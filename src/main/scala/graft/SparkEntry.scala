@@ -227,6 +227,12 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q70_cube" -> ((s, d) =>
+      Reports.statusYearCube(Tables.orders(s, d))),
+    "q71_deciles" -> ((s, d) =>
+      Reports.orderDeciles(Tables.orders(s, d))),
+    "q72_above_avg" -> ((s, d) =>
+      Reports.aboveCustomerAverage(Tables.orders(s, d))),
     "q67_series_filled" -> ((s, d) =>
       Analytics.monthlySeriesFilled(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d))),
@@ -712,6 +718,28 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q70_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        |ORDER BY status, o_year""".stripMargin,
+    "q71_deciles" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |       CAST(ntile(10) OVER (PARTITION BY year(o_orderdate)
+        |                       ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS INTEGER) AS decile
+        |FROM orders ORDER BY o_year, decile, o_orderkey""".stripMargin,
+    "q72_above_avg" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS cust_sum,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_cust_orders
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, total, cust_sum, n_cust_orders FROM t
+        |WHERE total * n_cust_orders > cust_sum
+        |ORDER BY o_orderkey""".stripMargin,
     "q67_series_filled" ->
       """WITH m AS (
         |  SELECT n_name, date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders

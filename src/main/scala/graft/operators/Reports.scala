@@ -116,6 +116,50 @@ object Reports {
       .orderBy("n_name", "month")
   }
 
+  /** CUBE report: order counts at every grain of (orderstatus, year) —
+    * (s,y), (s), (y), () — one Expand + one hash aggregate, same SQL-path
+    * rationale as orderRollup. */
+  def statusYearCube(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    orders.createOrReplaceTempView("graft_cb_orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS o_year,
+             COUNT(*) AS n_orders
+      FROM graft_cb_orders
+      GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+      ORDER BY status, o_year""")
+  }
+
+  /** Decile bucketing: ntile(10) over order totals per year — the "which
+    * decile is this order in" enrichment. Window per year, so parallelism =
+    * #years × AQE splits, never a single global sort. */
+  def orderDeciles(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_year").orderBy(col("total"), col("o_orderkey"))
+    orders.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice").cast("decimal(18,2)").as("total"))
+      .withColumn("decile", ntile(10).over(w))
+      .orderBy("o_year", "decile", "o_orderkey")
+  }
+
+  /** Orders above their customer's average total — the correlated-subquery
+    * shape, expressed as ONE window pass instead of a per-row subquery or a
+    * groupBy+self-join (each would rescan orders). The comparison is
+    * total × n > sum (exact decimal): dividing first would force a rounded
+    * average whose last digit differs between decimal and double engines
+    * exactly at the .00005 boundaries the data is full of. */
+  def aboveCustomerAverage(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("total"))
+      .withColumn("cust_sum", sum(col("total")).over(w).cast("decimal(18,2)"))
+      .withColumn("n_cust_orders", count(lit(1)).over(w))
+      .where(col("total") * col("n_cust_orders") > col("cust_sum"))
+      .orderBy("o_orderkey")
+  }
+
   /** ROLLUP report: order counts at (nation, year), (nation), and grand-total
     * grain in ONE pass — Catalyst expands the grouping sets inside a single
     * hash aggregate, so it costs one shuffle, not three scans. NULL grouping
