@@ -83,6 +83,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Misra-Gries: guarantees hold under ARBITRARY partitioning + merge order") {
+    val mg = new graft.functions.MisraGries(8)
+    val streamGen = for {
+      n <- Gen.choose(1, 400)
+      items <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.const("hot1")), (4, Gen.const("hot2")),
+        (3, Gen.oneOf("w1", "w2", "w3")),
+        (2, Gen.choose(0, 50).map(i => s"tail$i"))))
+      nChunks <- Gen.choose(1, 7)
+    } yield (items, nChunks)
+    check(Prop.forAll(streamGen) { case (items, nChunks) =>
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      // simulate Spark: partition arbitrarily, reduce per partition, merge
+      val chunks = items.grouped(math.max(1, items.size / nChunks)).toSeq
+      val summary = chunks.map(_.foldLeft(mg.zero)(mg.reduce)).reduce(mg.merge)
+      val bound = n / 8
+      val neverOver = summary.forall { case (s, c) => c <= truth(s) }
+      val boundedUnder = summary.forall { case (s, c) => truth(s) - c <= bound }
+      val heavyPresent = truth.collect { case (s, c) if c > bound => s }
+        .forall(summary.contains)
+      val atMostK = summary.size <= 7
+      neverOver && boundedUnder && heavyPresent && atMostK
+    })
+  }
+
   test("BMP round-trip: arbitrary dims and colors decode exactly") {
     val gen = for {
       w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
