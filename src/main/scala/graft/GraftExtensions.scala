@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graftnative.NativeExpressions.CosineSimilarityF32
+import org.apache.spark.sql.graftnative.NativeExpressions.{CosineSimilarityF32, LevenshteinBounded}
 
 /** Session extension registering graft's native SQL functions, so a cluster
   * configured with
@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "cosine_f32"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityF32(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("levenshtein_bounded"),
+      new ExpressionInfo(classOf[LevenshteinBounded].getName, "levenshtein_bounded"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LevenshteinBounded(exprs(0), exprs(1), exprs(2))))
   }
 }

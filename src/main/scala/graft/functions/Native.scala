@@ -12,11 +12,21 @@ object Native {
     * `array<float>` columns; double in [-1,1], 0.0 for zero-norm inputs. */
   def cosineF32(a: Column, b: Column): Column = NativeExpressions.cosineF32(a, b)
 
+  /** `levenshtein_bounded(s, t, k)` — exact edit distance when ≤ k, else
+    * k+1; banded O(k·n) DP with early exit (vs O(n²) full levenshtein). */
+  def levenshteinBounded(a: Column, b: Column, k: Column): Column =
+    NativeExpressions.levenshteinBounded(a, b, k)
+
   /** Register the native functions for SQL use on an existing session
     * (clusters set `spark.sql.extensions=graft.GraftExtensions` instead). */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f32",
       exprs => NativeExpressions.CosineSimilarityF32(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "levenshtein_bounded",
+      exprs => NativeExpressions.LevenshteinBounded(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+  }
 }

@@ -332,7 +332,10 @@ object Dedup {
     pass(c => substring(c, 1, blockChars))
       .unionAll(pass(suffix))
       .distinct() // a pair caught by both passes counts once
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      // banded O(maxDist·n) native expression: exact when ≤ maxDist (all we
+      // keep), early-exits hopeless pairs instead of running the full DP
+      .withColumn("dist",
+        graft.functions.Native.levenshteinBounded(col("s_a"), col("s_b"), lit(maxDist)))
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b", "dist")
       .orderBy("id_a", "id_b")

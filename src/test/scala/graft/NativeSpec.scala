@@ -58,4 +58,18 @@ class NativeSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [cosine_f32"), plan) // * marks WholeStageCodegen
     assert(df.agg(sum("c")).as[Double].head() > 0.0) // and it executes
   }
+
+  test("levenshtein_bounded: exact below bound, k+1 above, callable from SQL, codegen'd") {
+    Native.registerSql(spark)
+    val r = spark.sql(
+      """SELECT levenshtein_bounded('kitten', 'sitting', 3) AS a,
+        |       levenshtein_bounded('kitten', 'sitting', 2) AS b,
+        |       levenshtein_bounded('same', 'same', 0) AS c""".stripMargin).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3 && r.getInt(2) == 0) // d=3; bound 2 → 3 (=k+1)
+    val df = spark.range(50).selectExpr("CAST(id AS STRING) AS s")
+      .select(Native.levenshteinBounded(col("s"), lit("25"), lit(2)).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [levenshtein_bounded"), plan)
+    assert(df.where(col("d") === 0).count() == 1) // only "25" itself
+  }
 }

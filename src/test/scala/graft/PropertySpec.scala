@@ -83,6 +83,19 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bounded levenshtein: agrees with the full DP below the bound, k+1 above") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graftnative.NativeExpressions.EditDistance
+    val sGen = Gen.choose(0, 14).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val gen = for { a <- sGen; b <- sGen; k <- Gen.choose(0, 6) } yield (a, b, k)
+    check(Prop.forAll(gen) { case (a, b, k) =>
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      val full = ua.levenshteinDistance(ub) // Spark's own reference implementation
+      val got = EditDistance.bounded(ua, ub, k)
+      if (full <= k) got == full else got == k + 1
+    })
+  }
+
   test("Misra-Gries: guarantees hold under ARBITRARY partitioning + merge order") {
     val mg = new graft.functions.MisraGries(8)
     val streamGen = for {
