@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LevenshteinBounded].getName, "levenshtein_bounded"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LevenshteinBounded(exprs(0), exprs(1), exprs(2))))
+    // optimizer rewrite: thresholded full-DP levenshtein comparisons run banded
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graftnative.BoundedLevenshteinRewrite)
   }
 }
