@@ -227,6 +227,18 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q73_interval_overlap" -> ((s, d) => {
+      // two sampled sets of order activity windows; which pairs overlap?
+      def windows(modK: Int, days: Int) = Tables.orders(s, d)
+        .where(col("o_orderkey") % modK === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr(s"INTERVAL $days DAYS")).as("w_end"))
+      RangeJoin.intervalOverlap(
+          windows(499, 30), "w_start", "w_end",
+          windows(503, 45), "w_start", "w_end", bucketSeconds = 30 * 86400L)
+        .select(col("o_orderkey_a").as("key_a"), col("o_orderkey_b").as("key_b"))
+        .orderBy("key_a", "key_b")
+    }),
     "q70_cube" -> ((s, d) =>
       Reports.statusYearCube(Tables.orders(s, d))),
     "q71_deciles" -> ((s, d) =>
@@ -718,6 +730,16 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q73_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e
+        |  FROM orders WHERE o_orderkey % 499 = 0),
+        |b AS (
+        |  SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 45 DAY AS e
+        |  FROM orders WHERE o_orderkey % 503 = 0)
+        |SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY key_a, key_b""".stripMargin,
     "q70_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,

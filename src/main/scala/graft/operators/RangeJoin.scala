@@ -40,4 +40,33 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join ([start,end) semantics): both sides
+    * explode to their covered buckets and hash-join on the bucket — but an
+    * overlapping pair shares MANY buckets, so emitting every collision would
+    * need a dedup shuffle afterwards. Instead each pair is emitted only in
+    * its canonical bucket — the first bucket both intervals cover,
+    * max(bucket(aStart), bucket(bStart)) — which every overlapping pair
+    * shares exactly once. Zero dedup, exactly-once, still a pure equi-join.
+    * Left columns are suffixed `_a`, right `_b`. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketSeconds: Long): DataFrame = {
+    def secs(c: Column): Column = c.cast("timestamp").cast("long")
+    val b = lit(bucketSeconds)
+    def withBuckets(df: DataFrame, s: String, e: String, suffix: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+      renamed
+        .withColumn("__first" + suffix, floor(secs(col(s + suffix)) / b))
+        .withColumn("__bucket",
+          explode(sequence(floor(secs(col(s + suffix)) / b),
+                           floor((secs(col(e + suffix)) - 1) / b))))
+    }
+    withBuckets(left, lStart, lEnd, "_a")
+      .join(withBuckets(right, rStart, rEnd, "_b"), "__bucket")
+      .where(col(lStart + "_a") < col(rEnd + "_b") &&
+             col(rStart + "_b") < col(lEnd + "_a") &&
+             col("__bucket") === greatest(col("__first_a"), col("__first_b")))
+      .drop("__bucket", "__first_a", "__first_b")
+  }
 }

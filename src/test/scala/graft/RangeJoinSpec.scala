@@ -45,6 +45,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("intervalOverlap: equals naive overlap join, exactly once per pair") {
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")),
+      (2L, ts("2024-01-05 00:00:00"), ts("2024-01-06 00:00:00")),
+      (3L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"))
+    ).toDF("aid", "s", "e")
+    val b = Seq(
+      (10L, ts("2024-01-09 23:00:00"), ts("2024-01-12 00:00:00")), // overlaps 1 only
+      (11L, ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00")), // overlaps all
+      (12L, ts("2024-01-10 00:00:00"), ts("2024-01-11 00:00:00"))  // abuts 1 (end-exclusive): no
+    ).toDF("bid", "s", "e")
+    val got = RangeJoin.intervalOverlap(a, "s", "e", b, "s", "e", 86400L)
+      .select("aid_a", "bid_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = a.join(b.withColumnRenamed("s", "s2").withColumnRenamed("e", "e2"),
+        col("s") < col("e2") && col("s2") < col("e"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got == got.distinct)
+    assert(got == Seq((1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L)))
+  }
+
   test("plan is a hash equi-join on the bucket, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points, "ts", intervals, "w_start", "w_end", 86400L)
       .queryExecution.executedPlan.toString
