@@ -227,6 +227,11 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q74_profile" -> ((s, d) =>
+      Analytics.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "q75_scd2" -> ((s, d) =>
+      Analytics.scd2(Tables.orders(s, d), "o_custkey", "o_orderstatus", "o_orderdate")),
     "q73_interval_overlap" -> ((s, d) => {
       // two sampled sets of order activity windows; which pairs overlap?
       def windows(modK: Int, days: Int) = Tables.orders(s, d)
@@ -730,6 +735,32 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q74_profile" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) - COUNT(o_custkey) AS n_null,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(MIN(o_custkey) AS VARCHAR) AS min_value, CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', COUNT(*) - COUNT(o_orderkey), CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |       CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "q75_scd2" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus) AS prev
+        |  FROM orders),
+        |changed AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate FROM ordered
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus) AS valid_to
+        |FROM changed ORDER BY o_custkey, valid_from""".stripMargin,
     "q73_interval_overlap" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e

@@ -176,6 +176,50 @@ object Analytics {
         (col("n_converted").cast("double") / col("n_entered")).cast("decimal(18,4)"))
   }
 
+  /** Data-profiling report: per-column null count, distinct count, min and
+    * max (as strings for a uniform tall schema) — the pre-ingest sanity
+    * check. ONE scan: all per-column aggregates ride in a single Aggregate
+    * (count-distincts expand inside it); the wide 1-row result is melted
+    * driver-side (4×N scalar values — trivially small). */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val total = df.count()
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    columns.map { c =>
+      (c, total - row.getAs[Long](s"__nn_$c"), row.getAs[Long](s"__nd_$c"),
+        row.getAs[String](s"__mn_$c"), row.getAs[String](s"__mx_$c"))
+    }.toDF("col_name", "n_null", "n_distinct", "min_value", "max_value")
+      .orderBy("col_name")
+  }
+
+  /** SCD2 history from a changelog: per key, each observed value gets a
+    * [valid_from, valid_to) interval; consecutive repeats collapse first so
+    * intervals describe CHANGES, and the latest interval stays open
+    * (valid_to null). Two windows over the same (key, ts) shuffle —
+    * Spark reuses the sort. */
+  def scd2(changes: DataFrame, keyCol: String, valueCol: String,
+           tsCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(valueCol))
+    val changed = changes
+      .select(col(keyCol), col(valueCol), col(tsCol))
+      .withColumn("__prev", lag(col(valueCol), 1).over(byKey))
+      .where(col("__prev").isNull || col("__prev") =!= col(valueCol))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(
+        Window.partitionBy(keyCol).orderBy(col(tsCol), col(valueCol))))
+      .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"))
+      .orderBy(keyCol, "valid_from")
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough
