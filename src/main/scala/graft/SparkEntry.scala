@@ -841,7 +841,16 @@ object SparkEntry {
         |  FROM kept)
         |SELECT doc_id, n_tokens, dup_ratio FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q64_cosine_pairs" ->
-      """SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, b.embedding) AS DECIMAL(18,4)) AS cos
+      // NOT list_cosine_similarity: that accumulates in float and flips the
+      // 4th decimal on ~1/2500 rows. This mirrors the Spark expression's
+      // exact arithmetic: float products, double accumulation, same order.
+      """SELECT a.vec_id,
+        |  CAST(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        p -> CAST(p[1] * p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x * x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x * x AS DOUBLE)))))
+        |  AS DECIMAL(18,4)) AS cos
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a.vec_id""".stripMargin,
     "q65_label_centroids" ->
