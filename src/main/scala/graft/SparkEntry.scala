@@ -227,6 +227,13 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q76_histogram" -> ((s, d) =>
+      Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)),
+    "q77_corr" -> ((s, d) =>
+      Analytics.corrByGroup(
+        Tables.events(s, d).select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+        "event_type", "value", "k")),
     "q74_profile" -> ((s, d) =>
       Analytics.profile(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
@@ -735,6 +742,29 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q76_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0), 0.0), 11.0) AS BIGINT) AS bin
+        |  FROM orders)
+        |SELECT bin, CAST(0.0 + bin * 50000.0 AS DECIMAL(18,2)) AS bin_lo, COUNT(*) AS n_rows
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q77_corr" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS DECIMAL(18,2)) AS sx, CAST(SUM(y) AS DECIMAL(18,2)) AS sy,
+        |         CAST(SUM(x * y) AS DECIMAL(18,4)) AS sxy,
+        |         CAST(SUM(x * x) AS DECIMAL(18,4)) AS sxx,
+        |         CAST(SUM(y * y) AS DECIMAL(18,4)) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        |  AS DECIMAL(18,4)) AS corr
+        |FROM s ORDER BY event_type""".stripMargin,
     "q74_profile" ->
       """SELECT 'o_custkey' AS col_name, COUNT(*) - COUNT(o_custkey) AS n_null,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,

@@ -220,6 +220,46 @@ object Analytics {
       .orderBy(keyCol, "valid_from")
   }
 
+  /** Fixed-width histogram: bin = floor((v - lo) / width), counts per bin.
+    * One hash agg; bin math is a single correctly-rounded double op so the
+    * cut points are engine-identical. Out-of-range rows clamp into the edge
+    * bins (a histogram must account for every row). */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
+                nBins: Int): DataFrame = {
+    val raw = floor((col(valueCol).cast("double") - lo) / width)
+    val bin = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    df.groupBy(bin.as("bin")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("bin_lo", (lit(lo) + col("bin") * width).cast("decimal(18,2)"))
+      .select("bin", "bin_lo", "n_rows")
+      .orderBy("bin")
+  }
+
+  /** Pearson correlation per group — computed from EXACT decimal sums
+    * (order-independent at any parallelism), with the one double-precision
+    * step LAST on five scalars per group:
+    * corr = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ᵗ)(n·Σy² − Σy²ᵗ)).
+    * A running double corr() would be partial-aggregation-order dependent —
+    * the same class of last-ulp flake the q64 oracle fix documents. */
+  def corrByGroup(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(18,2)").as("sx"),
+        sum(y).cast("decimal(18,2)").as("sy"),
+        sum(x * y).cast("decimal(18,4)").as("sxy"),
+        sum(x * x).cast("decimal(18,4)").as("sxx"),
+        sum(y * y).cast("decimal(18,4)").as("syy"))
+      .select(col(groupCol), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+               * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .cast("decimal(18,4)").as("corr"))
+      .orderBy(groupCol)
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough
