@@ -182,14 +182,14 @@ object Analytics {
     * (count-distincts expand inside it); the wide 1-row result is melted
     * driver-side (4×N scalar values — trivially small). */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val aggs = columns.flatMap { c =>
+    val aggs = count(lit(1)).as("__total") +: columns.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
         countDistinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val total = df.count()
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
     val spark = df.sparkSession
     import spark.implicits._
     columns.map { c =>
