@@ -227,6 +227,8 @@ object SparkEntry {
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+    "q78_set_ops" -> ((s, d) =>
+      Relational.cohortOverlap(Tables.events(s, d), "click", "purchase")),
     "q76_histogram" -> ((s, d) =>
       Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)),
     "q77_corr" -> ((s, d) =>
@@ -742,6 +744,13 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q78_set_ops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_both,
+        |  (SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_a_only,
+        |  (SELECT COUNT(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS n_b_only""".stripMargin,
     "q76_histogram" ->
       """WITH b AS (
         |  SELECT CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0), 0.0), 11.0) AS BIGINT) AS bin

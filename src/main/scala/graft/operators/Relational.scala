@@ -117,4 +117,19 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .orderBy("hour", "event_type")
+
+  /** Set-operation audience report: INTERSECT / EXCEPT over two behavior
+    * cohorts in one pass — a full-outer join of the two distinct key sets
+    * (each side one hash agg) instead of three separate set-op scans. */
+  def cohortOverlap(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val a = events.where(col("event_type") === typeA).select("user_id").distinct()
+      .withColumn("__a", lit(1))
+    val b = events.where(col("event_type") === typeB).select("user_id").distinct()
+      .withColumn("__b", lit(1))
+    a.join(b, Seq("user_id"), "full_outer")
+      .agg(
+        count(when(col("__a").isNotNull && col("__b").isNotNull, 1)).as("n_both"),
+        count(when(col("__a").isNotNull && col("__b").isNull, 1)).as("n_a_only"),
+        count(when(col("__a").isNull && col("__b").isNotNull, 1)).as("n_b_only"))
+  }
 }
