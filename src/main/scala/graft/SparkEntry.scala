@@ -229,6 +229,15 @@ object SparkEntry {
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
     "q78_set_ops" -> ((s, d) =>
       Relational.cohortOverlap(Tables.events(s, d), "click", "purchase")),
+    "q79_normalize" -> ((s, d) =>
+      // accent-suffixed input so the fold is actually exercised, not vacuous
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Curation.normalizeText(concat(col("text"), lit("  CAFÉ  naïve  ÑOÑO")))
+            .as("norm_text"))
+        .orderBy("doc_id")),
+    "q80_nested_export" -> ((s, d) =>
+      Relational.nestedExport(Tables.orders(s, d))),
     "q76_histogram" -> ((s, d) =>
       Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)),
     "q77_corr" -> ((s, d) =>
@@ -744,6 +753,15 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q79_normalize" ->
+      ("""SELECT doc_id,
+        |  lower(translate(regexp_replace(regexp_replace(trim(text || '  CAFÉ  naïve  ÑOÑO'), '\s+', ' ', 'g'), '[\x00-\x1F\x7F]', '', 'g'),
+        |    '""" + graft.operators.Curation.AccentSrc + """', '""" + graft.operators.Curation.AccentDst + """')) AS norm_text
+        |FROM documents ORDER BY doc_id""").stripMargin,
+    "q80_nested_export" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q78_set_ops" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
         |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

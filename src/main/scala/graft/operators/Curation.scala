@@ -46,6 +46,25 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Latin accent-folding map (the common Latin-1 Supplement range) —
+    * identical `translate` source/target strings reproduce the fold verbatim
+    * in the DuckDB oracle, unlike java.text.Normalizer which has no SQL
+    * twin. */
+  val AccentSrc = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
+  val AccentDst = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+
+  /** Ingest text normalization: trim, collapse whitespace, fold Latin
+    * accents, lowercase, strip control chars — the canonical form the
+    * reference's header/email matching implies (csv_validator.py:131-165
+    * normalizes case/spacing before matching). Pure codegen'd expressions. */
+  def normalizeText(c: Column): Column =
+    // whitespace collapse FIRST (tabs/newlines are controls AND separators —
+    // they must become spaces, not vanish), then strip residual controls.
+    // Control chars via explicit hex range: \p{Cntrl} is Java-only, POSIX
+    // [[:cntrl:]] is RE2-only — the hex class is the common dialect
+    lower(translate(regexp_replace(regexp_replace(trim(c), "\\s+", " "), "[\\x00-\\x1F\\x7F]", ""),
+      AccentSrc, AccentDst))
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" // RE2 ∩ java.util.regex
   val NumRe = "\\d+"
 

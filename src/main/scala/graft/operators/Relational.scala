@@ -118,6 +118,17 @@ object Relational {
            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Nested export: per key, the sorted member list as one row — the shape
+    * consumed by document stores / feature stores. collect_list is
+    * order-nondeterministic under parallelism, so the array is sort_array'd
+    * (and string-joined here: deterministic, oracle-comparable, and
+    * splittable back losslessly for numeric members). */
+  def nestedExport(orders: DataFrame): DataFrame =
+    orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"))
+      .orderBy("o_custkey")
+
   /** Set-operation audience report: INTERSECT / EXCEPT over two behavior
     * cohorts in one pass — a full-outer join of the two distinct key sets
     * (each side one hash agg) instead of three separate set-op scans. */

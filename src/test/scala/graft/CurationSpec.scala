@@ -63,6 +63,19 @@ class CurationSpec extends SparkSpec {
       5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
   }
 
+  test("normalizeText: trims, collapses ws, folds accents, strips controls, lowercases") {
+    val df = Seq(
+      (1L, "  CAFÉ   Naïve\tÑoño  "),
+      (2L, "plaintext here"),
+      (3L, "ÀÈÌÒÙ àèìòù")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), graft.operators.Curation.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "cafe naive nono", out(1L))
+    assert(out(2L) == "plaintext here", out(2L))
+    assert(out(3L) == "aeiou aeiou", out(3L))
+  }
+
   test("curate: quality floor, repetition cap, exact-dup keep-first — one pass") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
