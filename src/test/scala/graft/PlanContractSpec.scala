@@ -1,0 +1,52 @@
+package graft
+
+/** Plan contracts: silent plan regressions (a broadcast that becomes a
+  * shuffle, a filter that stops pushing down, a join that degrades to a
+  * nested loop) are invisible to correctness tests and fatal at 100 TB.
+  * This spec pins the plan shapes for every registered query. */
+class PlanContractSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("NO registered query plans a cartesian product or nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) {
+        // legitimate tiny cross joins only: 1×1 stat rows, and the calendar
+        // spine (months × keys — inherently a small cartesian, never fact-sized)
+        val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile", "q67_series_filled")
+        if (allowed(name)) None else Some(name)
+      } else None
+    }
+    assert(offenders.isEmpty, s"nested-loop/cartesian in: $offenders")
+  }
+
+  test("point lookups and key filters push down to the parquet scan") {
+    assert(plan("q01_jobs_by_user").contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey"))
+    assert(plan("q02_job_by_id").contains("EqualTo(o_orderkey"))
+  }
+
+  test("dimension joins broadcast; EXISTING_EMAIL is a broadcast anti-join") {
+    assert(plan("q06_issues_join_jobs").contains("BroadcastHashJoin"))
+    val p12 = plan("q12_existing_email")
+    assert(p12.contains("BroadcastHashJoin") && p12.contains("LeftAnti"), p12)
+  }
+
+  test("top-N per group and group sampling keep WindowGroupLimit before the exchange") {
+    assert(plan("q18_topn_per_group").contains("WindowGroupLimit"))
+    assert(plan("q56_group_sample").contains("WindowGroupLimit"))
+  }
+
+  test("vocabulary top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q48_vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("rollup/cube run ONE Expand + hash aggregate, not multiple scans") {
+    val p = plan("q52_rollup")
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert(plan("q70_cube").contains("Expand"))
+  }
+}
