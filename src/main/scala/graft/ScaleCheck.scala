@@ -83,6 +83,12 @@ object ScaleCheck {
     time("dedup_clusters")(d => SparkEntry.queries("q63_dedup_clusters")(spark, d))
     time("label_centroids")(d => Similarity.labelCentroids(
       spark.read.parquet(s"$d/embeddings.parquet"), "label", "embedding"))
+    time("scd2_history")(d => Analytics.scd2(
+      Tables.orders(spark, d), "o_custkey", "o_orderstatus", "o_orderdate"))
+    time("profile_report")(d => Analytics.profile(Tables.orders(spark, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    time("corr_by_group")(d => SparkEntry.queries("q77_corr")(spark, d))
+    time("curate_pass")(d => Curation.curate(Tables.documents(spark, d), "doc_id", "text"))
 
     spark.stop()
   }
