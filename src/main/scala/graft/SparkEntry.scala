@@ -127,6 +127,12 @@ object SparkEntry {
     def tagged(tag: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(tag).as("stage"), col("n"))
 
+    // --- stage 5: the training-corpus persona on the same engine — curate
+    // (quality + repetition + exact-dup) then deterministic train/val/test
+    val curated = Curation.curate(Tables.documents(spark, dir), "doc_id", "text")
+    val train = Splits.assignSplit(curated.select("doc_id", "text"), "doc_id")
+      .where(col("split") === "train")
+
     tagged("UPLOADS_ACCEPTED", spark.range(accepted.length).toDF())
       .unionAll(tagged("ROWS_STAGED", staged))
       .unionAll(tagged("INVALID_EMAIL", invalid))
@@ -134,6 +140,8 @@ object SparkEntry {
       .unionAll(tagged("DUPLICATE_EMAIL_KEYS", dupKeys))
       .unionAll(tagged("EXISTING_EMAIL", existing))
       .unionAll(tagged("ROWS_PROMOTED", promoted))
+      .unionAll(tagged("DOCS_CURATED", curated))
+      .unionAll(tagged("DOCS_TRAIN_SPLIT", train))
   }
 
   // ---------------------------------------------------------------- queries

@@ -48,6 +48,21 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming session windows: per-user sessions close after `gapMinutes`
+    * of silence (the streaming twin of Analytics.sessionize). Spark's
+    * session_window merges overlapping per-event windows in state and the
+    * watermark evicts closed sessions — state is bounded by ACTIVE sessions,
+    * not history. Works identically on a batch frame (no watermark needed)
+    * so batch/stream parity is testable. */
+  def sessionAgg(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
   // ------------------------------------------------------- stateful worker
 
   /** One queue message: a progress signal for a job. */

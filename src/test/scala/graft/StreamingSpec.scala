@@ -11,6 +11,38 @@ import graft.streaming.EventStream
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("session windows: stream equals batch; sessions split on the gap") {
+    val src = Files.createTempDirectory("graft_sess_src").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two sessions (45-min gap with a 30-min threshold); user 8: one
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:55:00"), 7L, "click", 4.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 8L, "view", 8.0, "{}"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.toDF(cols: _*).write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = EventStream.sessionAgg(stream, 30).writeStream
+      .format("memory").queryName("sess_sink").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("sess_sink")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = EventStream.sessionAgg(rows.toDF(cols: _*), 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch == Set(
+      (7L, ts("2024-01-01 10:00:00"), 2L),  // session 1: events 1,2
+      (7L, ts("2024-01-01 10:55:00"), 1L),  // session 2 after the 45-min gap
+      (8L, ts("2024-01-01 09:00:00"), 1L)))
+  }
+
   test("dedup gate: in-batch, cross-batch, and cross-RUN duplicates all collapse") {
     val base = Files.createTempDirectory("graft_gate").toString
     val src = base + "/src"; val store = base + "/store"; val acc = base + "/accepted"
