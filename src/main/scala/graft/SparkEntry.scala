@@ -455,7 +455,9 @@ object SparkEntry {
       val stubFeats = Multimodal.decodeStub(media, "doc_id")
       val imgFeats = Multimodal.decodeImages(
         Multimodal.synthesizeImages(docs, "doc_id"), "doc_id")
-      stubFeats.join(imgFeats, "doc_id").orderBy("doc_id")
+      val audioFeats = Multimodal.decodeAudio(
+        Multimodal.synthesizeAudio(docs, "doc_id"), "doc_id")
+      stubFeats.join(imgFeats, "doc_id").join(audioFeats, "doc_id").orderBy("doc_id")
     })
   )
 

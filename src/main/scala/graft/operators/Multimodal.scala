@@ -144,6 +144,87 @@ object Multimodal {
       }.toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Synthesize a PCM WAV payload (16-bit mono). Like BMP, WAV is a
+    * header + raw samples — decodable with zero codec dependencies, so the
+    * audio path can be REAL end-to-end while compressed formats stay behind
+    * the codec stub. */
+  private[graft] def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1)                      // PCM
+      .putShort(1)                      // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)           // byte rate
+      .putShort(2)                      // block align
+      .putShort(16)                     // bits per sample
+      .put("data".getBytes).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  case class AudioFeatures(sampleRate: Int, nSamples: Int, durationMs: Long,
+                           meanAbs: Double, peak: Int)
+
+  /** REAL audio decode for PCM WAV: parses the RIFF header, walks the
+    * samples, returns rate/length/duration + amplitude stats. Malformed or
+    * non-PCM payloads yield None — never a task crash. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[AudioFeatures] = {
+    if (bytes.length < 44 ||
+      new String(bytes, 0, 4) != "RIFF" || new String(bytes, 8, 4) != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fmt = buf.getShort(20); val channels = buf.getShort(22)
+    val rate = buf.getInt(24); val bits = buf.getShort(34)
+    if (fmt != 1 || channels != 1 || bits != 16 || rate <= 0) return None
+    val dataSize = buf.getInt(40)
+    if (dataSize < 0 || 44L + dataSize > bytes.length) return None
+    val n = dataSize / 2
+    var sumAbs = 0L; var peak = 0
+    var i = 0
+    while (i < n) {
+      val v = buf.getShort(44 + i * 2).toInt
+      val a = math.abs(v)
+      sumAbs += a; if (a > peak) peak = a
+      i += 1
+    }
+    Some(AudioFeatures(rate, n, n * 1000L / rate,
+      if (n == 0) 0.0 else sumAbs.toDouble / n, peak))
+  }
+
+  /** Synthesize WAV payloads per doc: a deterministic sine at an id-derived
+    * frequency — the audio twin of synthesizeImages. */
+  def synthesizeAudio(docs: DataFrame, idCol: String,
+                      sampleRate: Int = 8000, nSamples: Int = 800): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val freq = 100.0 + (id % 40) * 20.0
+        val samples = Array.tabulate(nSamples)(i =>
+          (math.sin(2 * math.Pi * freq * i / sampleRate) * 16000).toShort)
+        (id, encodeWav(sampleRate, samples))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Decode audio payloads → (id, rate, n_samples, duration, amplitude
+    * stats). Real parse for PCM WAV; unknown formats yield sentinel row. */
+  def decodeAudio(media: DataFrame, idCol: String): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(f) => (id, f.sampleRate, f.nSamples, f.durationMs, f.meanAbs, f.peak)
+            case None => (id, -1, -1, -1L, Double.NaN, -1)
+          }
+        }
+      }.toDF(idCol, "sample_rate", "n_samples", "duration_ms", "mean_abs", "peak")
+  }
+
   /** Frame sampling for video rows: emit `n` evenly-spaced frame timestamps
     * per video — pure `sequence`/`explode`, no UDF, scales as a map-side
     * expand. (The frame DECODE would be a decodeStub-style pass downstream.) */

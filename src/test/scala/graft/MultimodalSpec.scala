@@ -65,6 +65,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(negOffset).isEmpty)
   }
 
+  test("WAV round-trip: synthesized audio decodes to exact rate/length/duration") {
+    val docs = spark.range(10).toDF("doc_id")
+    val audio = Multimodal.synthesizeAudio(docs, "doc_id", sampleRate = 8000, nSamples = 800)
+    val out = Multimodal.decodeAudio(audio, "doc_id").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 800 && r.getLong(3) == 100) // 800/8000 = 100ms
+      assert(r.getDouble(4) > 1000.0 && r.getInt(5) <= 16000 && r.getInt(5) > 10000) // a real sine
+    }
+  }
+
+  test("WAV decode: junk, truncated, and non-PCM payloads yield sentinel, not a crash") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Multimodal.encodeWav(8000, Array.fill[Short](100)(5)).take(50)), // truncated data
+      (3L, "RIFFxxxxWAVEgarbagegarbagegarbagegarbagegarb".getBytes)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudio(junk, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> -1, 2L -> -1, 3L -> -1))
+  }
+
   test("frameSample: n evenly-spaced frames per video row only") {
     val media = Multimodal.attachBinary(
       Seq((2L, "v"), (3L, "a"), (5L, "w")).toDF("doc_id", "text"), "doc_id", "text")
