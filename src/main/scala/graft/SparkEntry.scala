@@ -442,6 +442,12 @@ object SparkEntry {
     "q54_ann_ivf" -> ((s, d) =>
       Similarity.annIvfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(100L, 101L, 102L, 103L, 104L), 5, nCells = 16, nProbe = 4)),
+    "q81_kmeans" -> ((s, d) =>
+      // deterministic Lloyd assignments (rows-only check: iterative, not
+      // SQL-expressible; determinism + blob recovery proven in spec)
+      Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 3)
+        .groupBy("cluster").agg(count(lit(1)).as("n_members")).orderBy("cluster")),
     "q64_cosine_pairs" -> ((s, d) =>
       Similarity.consecutiveCosines(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q65_label_centroids" -> ((s, d) =>

@@ -190,6 +190,74 @@ object Similarity {
       .agg(avg(col("x").cast("double")).cast("decimal(18,4)").as("c"))
       .orderBy("label", "dim")
 
+  // -------------------------------------------------------------- k-means
+
+  /** Deterministic distributed k-means (Lloyd, fixed iterations).
+    *
+    * The usual Spark k-means is run-to-run nondeterministic twice over:
+    * random init, and double-sum centroid updates whose value depends on
+    * partial-aggregation order. Here BOTH are pinned: init is the vectors
+    * of the k smallest ids, and each centroid coordinate is recomputed as
+    * an EXACT decimal mean (each float rounds to decimal(38,18) once,
+    * deterministically; decimal addition is exact and order-independent) —
+    * so the same data gives the same model at ANY partitioning.
+    *
+    * Per iteration: one map-side assignment against broadcast centroids
+    * (corpus never shuffles), one posexplode + (cluster, dim) hash agg
+    * whose shuffle carries decimal partials, one k×dim driver collect.
+    * Returns (vec_id, cluster) assignments. */
+  def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol).persist()
+
+    var centroids: Array[Array[Float]] =
+      corpus.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    require(centroids.length == k, s"need ids 0..${k - 1} as init seeds")
+
+    def l2(a: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, c.length)
+      while (i < n) { val d = a(i).toDouble - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assignTo(cb: Array[Array[Float]])(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cb.length) {
+        val d = l2(v, cb(c))
+        if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val cb = spark.sparkContext.broadcast(centroids)
+      val updated = corpus
+        .map { case (_, v) => (assignTo(cb.value)(v), v) }
+        .toDF("cluster", "vec")
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("sx") / col("n")).cast("float").as("c"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+      centroids = next // empty clusters keep their previous centroid
+      it += 1
+    }
+
+    val cb = spark.sparkContext.broadcast(centroids)
+    val out = corpus.map { case (id, v) => (id, assignTo(cb.value)(v)) }
+      .toDF("vec_id", "cluster").orderBy("vec_id")
+    val pinned = out.localCheckpoint(true)
+    corpus.unpersist(false)
+    pinned
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** ANN via an inverted-file (IVF) index: the corpus is partitioned into

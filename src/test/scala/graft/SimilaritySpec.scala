@@ -75,6 +75,27 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing planted dups: ${expected.diff(pairs)}")
   }
 
+  test("kmeansAssign: recovers planted blobs; deterministic under repartitioning") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble().toFloat * 4))
+    // ids 0..3 land in distinct blobs (seed vectors), then 25 points per blob
+    val rows = for (i <- 0 until 100) yield {
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every member of blob c must share blob-seed c's cluster
+    (0 until 100).foreach { i =>
+      assert(a(i.toLong) == a((i % 4).toLong), s"point $i split from its blob")
+    }
+    assert(a.values.toSet.size == 4)
+    val b = Similarity.kmeansAssign(df.repartition(13), "vec_id", "embedding", k = 4, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "assignment changed under repartitioning")
+  }
+
   test("annIvfTopK: full probe equals brute force; partial probe has high recall") {
     val rnd = new scala.util.Random(11)
     // 8 clusters of 25 points, cluster c seeded by ids c*25..; ids 0..7 land
