@@ -237,6 +237,9 @@ object SparkEntry {
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
     "q78_set_ops" -> ((s, d) =>
       Relational.cohortOverlap(Tables.events(s, d), "click", "purchase")),
+    "q82_cooccur_pmi" -> ((s, d) =>
+      Curation.cooccurrencePmi(Tables.documents(s, d), "doc_id", "text",
+        Seq("scan", "table", "hash", "join", "sort"))),
     "q79_normalize" -> ((s, d) =>
       // accent-suffixed input so the fold is actually exercised, not vacuous
       Tables.documents(s, d)
@@ -769,6 +772,24 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q82_cooccur_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+        |  WHERE tok IN ('scan', 'table', 'hash', 'join', 'sort')),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |marg AS (SELECT tok, COUNT(*) AS n_tok FROM dt GROUP BY tok),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_both
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, n_both,
+        |  CAST(ln(CAST(n.n_docs * n_both AS DOUBLE) / CAST(ma.n_tok * mb.n_tok AS DOUBLE)) AS DECIMAL(18,4)) AS pmi
+        |FROM pairs
+        |JOIN marg ma ON ma.tok = tok_a
+        |JOIN marg mb ON mb.tok = tok_b
+        |CROSS JOIN n
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "q79_normalize" ->
       ("""SELECT doc_id,
         |  lower(translate(regexp_replace(regexp_replace(trim(text || '  CAFÉ  naïve  ÑOÑO'), '\s+', ' ', 'g'), '[\x00-\x1F\x7F]', '', 'g'),

@@ -130,6 +130,34 @@ object Curation {
       .orderBy(srcCol, idCol)
   }
 
+  /** Token co-occurrence with PMI over a FIXED vocabulary: which tracked
+    * terms appear together more than chance? The vocab restriction is the
+    * scale guard — the per-doc self-join is bounded by |vocab| tokens per
+    * doc, never the raw text length. pmi = ln(N·n_ab / (n_a·n_b)) over
+    * document frequencies; the one double step (ln) runs last on exact
+    * counts. */
+  def cooccurrencePmi(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String]): DataFrame = {
+    val nDocs = docs.count()
+    val dt = docs.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .where(col("tok").isInCollection(vocab))
+      .localCheckpoint() // pair join + both marginals reuse it
+    val marg = dt.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("tok").as("tok_a"), col("n_tok").as("n_a"))), "tok_a")
+      .join(broadcast(marg.select(col("tok").as("tok_b"), col("n_tok").as("n_b"))), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("n_both"),
+        log((lit(nDocs) * col("n_both")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).cast("decimal(18,4)").as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** The composed curation pass — what a real corpus run executes: quality
     * thresholds + repetition cap in ONE map-side predicate stage (no
     * intermediate materialization; all column expressions fuse into the
