@@ -249,6 +249,10 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q80_nested_export" -> ((s, d) =>
       Relational.nestedExport(Tables.orders(s, d))),
+    "q83_anomalies" -> ((s, d) =>
+      Analytics.zScoreAnomalies(
+        Tables.events(s, d).select("event_type", "value"), "event_type", "value", 3.0)
+        .orderBy("event_type", "value")),
     "q76_histogram" -> ((s, d) =>
       Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)),
     "q77_corr" -> ((s, d) =>
@@ -806,6 +810,19 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_both,
         |  (SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_a_only,
         |  (SELECT COUNT(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS n_b_only""".stripMargin,
+    "q83_anomalies" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sx,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sxx
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_type, e.value,
+        |    CAST((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS DECIMAL(18,4)) AS z
+        |  FROM events e JOIN s ON e.event_type = s.event_type)
+        |SELECT event_type, value, z FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_type, value""".stripMargin,
     "q76_histogram" ->
       """WITH b AS (
         |  SELECT CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0), 0.0), 11.0) AS BIGINT) AS bin

@@ -260,6 +260,29 @@ object Analytics {
       .orderBy(groupCol)
   }
 
+  /** Z-score anomaly flagging per group: rows more than `zThresh` standard
+    * deviations from their group mean. Group mean/std derive from EXACT
+    * decimal Σx/Σx² (order-independent — same design as corrByGroup); the
+    * rowwise z uses those two scalars, so the flag set is deterministic at
+    * any parallelism. Stats broadcast back onto the stream — the fact side
+    * never shuffles. */
+  def zScoreAnomalies(df: DataFrame, groupCol: String, valueCol: String,
+                      zThresh: Double): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,2)")
+    val stats = df.groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(18,2)").as("sx"),
+        sum(x * x).cast("decimal(18,4)").as("sxx"))
+      .select(col(groupCol),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n").cast("double") * col("n"))).as("std"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z", ((x.cast("double") - col("mean")) / col("std")).cast("decimal(18,4)"))
+      .where(abs(col("z")) > zThresh)
+      .select(col(groupCol), col(valueCol), col("z"))
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough
