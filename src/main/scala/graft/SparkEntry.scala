@@ -249,6 +249,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q80_nested_export" -> ((s, d) =>
       Relational.nestedExport(Tables.orders(s, d))),
+    "q84_lag_features" -> ((s, d) =>
+      Analytics.lagFeatures(Tables.events(s, d), "user_id", "ts", "event_id", "value", 3)),
     "q83_anomalies" -> ((s, d) =>
       Analytics.zScoreAnomalies(
         Tables.events(s, d).select("event_type", "value"), "event_type", "value", 3.0)
@@ -810,6 +812,15 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_both,
         |  (SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_a_only,
         |  (SELECT COUNT(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS n_b_only""".stripMargin,
+    "q84_lag_features" ->
+      // ts cast to µs so tie-breaking matches Spark's nanos→µs truncation
+      """WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(value AS DECIMAL(18,2)) AS value FROM events)
+        |SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1,
+        |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag2,
+        |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag3
+        |FROM v ORDER BY user_id, event_id""".stripMargin,
     "q83_anomalies" ->
       """WITH s AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -283,6 +283,20 @@ object Analytics {
       .select(col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Sequence-model feature extraction: each event carries its k previous
+    * values in the same key's timeline as typed columns (null-padded at the
+    * start). ONE shuffle on the key; all k lags ride the same window sort.
+    * Columns (not arrays) so downstream schemas stay flat and engine
+    * formatting never leaks into the values. */
+  def lagFeatures(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val v = col(valueCol).cast("decimal(18,2)")
+    val lags = (1 to k).map(i => lag(v, i).over(w).as(s"lag$i"))
+    events.select((col(keyCol) +: col(idCol) +: v.as("value") +: lags): _*)
+      .orderBy(keyCol, idCol)
+  }
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough
