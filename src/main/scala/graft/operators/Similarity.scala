@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Native
 
@@ -189,6 +189,31 @@ object Similarity {
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(avg(col("x").cast("double")).cast("decimal(18,4)").as("c"))
       .orderBy("label", "dim")
+
+  // ------------------------------------------- higher-order vector algebra
+
+  /** Vector algebra as codegen'd higher-order functions — the pure-SQL-
+    * surface alternative to the native cosine expression (use these when a
+    * custom Expression isn't warranted; both stay inside WholeStageCodegen).
+    * All return `array<float>` / double columns and null-propagate. */
+  object VectorHof {
+    /** Σ aᵢ·bᵢ via zip_with + aggregate (double accumulator). */
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+
+    def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+    /** v / ‖v‖ (unchanged zero vector rather than NaNs). */
+    def normalize(a: Column): Column = {
+      val n = l2Norm(a)
+      when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+    }
+
+    /** a + s·b — the AXPY building block of centroid/gradient updates. */
+    def axpy(s: Column, b: Column, a: Column): Column =
+      zip_with(a, b, (x, y) => (x.cast("double") + s * y.cast("double")).cast("float"))
+  }
 
   // -------------------------------------------------------------- k-means
 

@@ -75,6 +75,27 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing planted dups: ${expected.diff(pairs)}")
   }
 
+  test("VectorHof: dot/norm/normalize/axpy agree with JVM math, codegen'd") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(3f, 4f), Array(1f, 2f)), (Array(0f, 0f), Array(5f, 5f)))
+      .toDF("a", "b")
+    val out = df.select(
+      Similarity.VectorHof.dot(col("a"), col("b")).as("d"),
+      Similarity.VectorHof.l2Norm(col("a")).as("n"),
+      Similarity.VectorHof.normalize(col("a")).as("u"),
+      Similarity.VectorHof.axpy(org.apache.spark.sql.functions.lit(2.0), col("b"), col("a")).as("x"))
+      .collect()
+    assert(out(0).getDouble(0) == 11.0 && out(0).getDouble(1) == 5.0)
+    assert(out(0).getSeq[Float](2) == Seq(0.6f, 0.8f))
+    assert(out(0).getSeq[Float](3) == Seq(5f, 8f))       // a + 2b
+    assert(out(1).getSeq[Float](2) == Seq(0f, 0f))       // zero vector unchanged
+    // matches the native expression on the nonzero row
+    val cosHof = (11.0 / (5.0 * math.sqrt(5.0)))
+    val cosNative = df.select(graft.functions.Native.cosineF32(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(cosHof - cosNative) < 1e-9)
+  }
+
   test("kmeansAssign: recovers planted blobs; deterministic under repartitioning") {
     val rnd = new scala.util.Random(5)
     val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble().toFloat * 4))
