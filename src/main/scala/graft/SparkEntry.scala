@@ -237,6 +237,9 @@ object SparkEntry {
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
     "q78_set_ops" -> ((s, d) =>
       Relational.cohortOverlap(Tables.events(s, d), "click", "purchase")),
+    "q85_chunking" -> ((s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        size = 120, overlap = 20)),
     "q82_cooccur_pmi" -> ((s, d) =>
       Curation.cooccurrencePmi(Tables.documents(s, d), "doc_id", "text",
         Seq("scan", "table", "hash", "join", "sort"))),
@@ -778,6 +781,18 @@ object SparkEntry {
     "q51_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q85_chunking" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, length(coalesce(text, '')) AS len,
+        |    CASE WHEN length(coalesce(text, '')) <= 120 THEN 1
+        |         ELSE CAST(ceil(CAST(length(coalesce(text, '')) - 120 AS DOUBLE) / 100) AS BIGINT) + 1 END AS n_chunks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, text, CAST(u.i AS INTEGER) AS chunk_idx
+        |  FROM n, unnest(range(0, n_chunks)) AS u(i))
+        |SELECT doc_id, chunk_idx,
+        |       substring(coalesce(text, ''), chunk_idx * 100 + 1, 120) AS chunk_text
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     "q82_cooccur_pmi" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -130,6 +130,29 @@ object Curation {
       .orderBy(srcCol, idCol)
   }
 
+  /** Context-window chunking: split documents into fixed-size character
+    * chunks with overlap (the pre-tokenization step that turns long
+    * documents into model-sized pieces). Pure expressions: chunk count from
+    * integer arithmetic, sequence+explode for indices, substring for the
+    * slice — a map-side expand, no shuffle, no UDF. Chunks shorter than
+    * `size` only occur at document end; empty docs yield one empty chunk
+    * (so no document silently disappears). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val stride = size - overlap
+    val len = length(coalesce(col(textCol), lit("")))
+    val nChunks = when(len <= size, lit(1L))
+      .otherwise(ceil((len - size).cast("double") / stride).cast("long") + 1L)
+    docs.select(col(idCol), col(textCol), nChunks.as("__n"))
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), col("__n") - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        substring(coalesce(col(textCol), lit("")),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("chunk_text"))
+      .orderBy(idCol, "chunk_idx")
+  }
+
   /** Token co-occurrence with PMI over a FIXED vocabulary: which tracked
     * terms appear together more than chance? The vocab restriction is the
     * scale guard — the per-doc self-join is bounded by |vocab| tokens per

@@ -63,6 +63,26 @@ class CurationSpec extends SparkSpec {
       5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
   }
 
+  test("chunkDocuments: full coverage with overlap; short and empty docs keep one chunk") {
+    val df = Seq(
+      (1L, "a" * 250),   // 250 chars, size 100/overlap 20 → stride 80 → chunks at 0,80,160 (3)
+      (2L, "short"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", size = 100, overlap = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(1L).map(_._3.length).toSeq == Seq(100, 100, 90)) // tail chunk shorter
+    // reconstruction: dropping each chunk's first `overlap` chars (except
+    // chunk 0) and concatenating must rebuild the document exactly
+    val rebuilt = byDoc(1L).sortBy(_._2).zipWithIndex
+      .map { case ((_, _, t), i) => if (i == 0) t else t.drop(20) }.mkString
+    assert(rebuilt == "a" * 250)
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "short")))
+    assert(byDoc(3L).toSeq == Seq((3L, 0, "")))
+  }
+
   test("normalizeText: trims, collapses ws, folds accents, strips controls, lowercases") {
     val df = Seq(
       (1L, "  CAFÉ   Naïve\tÑoño  "),
