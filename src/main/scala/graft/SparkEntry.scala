@@ -472,7 +472,8 @@ object SparkEntry {
       val media = Multimodal.attachBinary(docs, "doc_id", "text")
       val stubFeats = Multimodal.decodeStub(media, "doc_id")
       val imgFeats = Multimodal.decodeImages(
-        Multimodal.synthesizeImages(docs, "doc_id"), "doc_id")
+        Multimodal.resizeImages(
+          Multimodal.synthesizeImages(docs, "doc_id"), "doc_id", 4, 4), "doc_id")
       val audioFeats = Multimodal.decodeAudio(
         Multimodal.synthesizeAudio(docs, "doc_id"), "doc_id")
       stubFeats.join(imgFeats, "doc_id").join(audioFeats, "doc_id").orderBy("doc_id")

@@ -144,6 +144,52 @@ object Multimodal {
       }.toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Nearest-neighbor resize for BMP payloads: decode → sample the source
+    * grid → re-encode at (w, h). Real pixel work for the no-codec format
+    * (other formats would dispatch to a codec here, like decode). Returns
+    * the original payload untouched when it isn't decodable BMP — resize is
+    * an enrichment, not a gate. */
+  def resizeImages(media: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val out = decodeBmpPixels(bytes) match {
+            case Some((sw, sh, px)) =>
+              encodeBmp(w, h, (x, y) => px(math.min(sh - 1, y * sh / h))(math.min(sw - 1, x * sw / w)))
+            case None => bytes
+          }
+          (id, out)
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** Full-pixel BMP decode (width, height, row-major RGB grid) for resize. */
+  private[graft] def decodeBmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Array[(Int, Int, Int)]])] = {
+    decodeBmp(bytes) match {
+      case None => None
+      case Some(f) =>
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val offset = buf.getInt(10)
+        val rowPad = (4 - (f.width * 3) % 4) % 4
+        val px = Array.ofDim[(Int, Int, Int)](f.height, f.width)
+        var y = 0
+        while (y < f.height) {
+          val rowStart = offset + y * (f.width * 3 + rowPad)
+          var x = 0
+          while (x < f.width) {
+            val i = rowStart + x * 3
+            // stored bottom-up: logical row = height-1-y
+            px(f.height - 1 - y)(x) =
+              ((bytes(i + 2) & 0xff), (bytes(i + 1) & 0xff), (bytes(i) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        Some((f.width, f.height, px))
+    }
+  }
+
   // ------------------------------------------------------------- audio
 
   /** Synthesize a PCM WAV payload (16-bit mono). Like BMP, WAV is a

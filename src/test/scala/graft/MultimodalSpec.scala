@@ -65,6 +65,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(negOffset).isEmpty)
   }
 
+  test("resizeImages: dims change, solid colors exact, junk passes through") {
+    import spark.implicits._
+    val solid = Multimodal.encodeBmp(8, 8, (_, _) => (10, 200, 30))
+    val junk = Array[Byte](9, 9, 9)
+    val media = Seq((1L, solid), (2L, junk)).toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(media, "doc_id", 4, 4)
+    val feats = Multimodal.decodeImages(resized, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getInt(1) == 4 && feats(1L).getInt(2) == 4)
+    assert(feats(1L).getDouble(3) == 10.0 && feats(1L).getDouble(4) == 200.0
+      && feats(1L).getDouble(5) == 30.0)
+    assert(feats(2L).getInt(1) == -1) // junk: untouched, still undecodable
+    // gradient: resize picks true source pixels (nearest neighbor)
+    val grad = Multimodal.encodeBmp(8, 8, (x, y) => (x * 30, y * 30, 0))
+    val g2 = Multimodal.resizeImages(Seq((3L, grad)).toDF("doc_id", "payload"), "doc_id", 2, 2)
+    val px = Multimodal.decodeBmpPixels(g2.collect()(0).getAs[Array[Byte]](1)).get
+    assert(px._1 == 2 && px._2 == 2)
+    assert(px._3(0)(0) == (0, 0, 0) && px._3(1)(1) == (120, 120, 0)) // source pixels (0,0) and (4,4)
+  }
+
   test("WAV round-trip: synthesized audio decodes to exact rate/length/duration") {
     val docs = spark.range(10).toDF("doc_id")
     val audio = Multimodal.synthesizeAudio(docs, "doc_id", sampleRate = 8000, nSamples = 800)
