@@ -89,6 +89,11 @@ object ScaleCheck {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
     time("corr_by_group")(d => SparkEntry.queries("q77_corr")(spark, d))
     time("curate_pass")(d => Curation.curate(Tables.documents(spark, d), "doc_id", "text"))
+    time("chunking")(d => Curation.chunkDocuments(
+      Tables.documents(spark, d), "doc_id", "text", 120, 20))
+    time("anomalies")(d => SparkEntry.queries("q83_anomalies")(spark, d))
+    time("lag_features")(d => Analytics.lagFeatures(
+      Tables.events(spark, d), "user_id", "ts", "event_id", "value", 3))
 
     spark.stop()
   }
