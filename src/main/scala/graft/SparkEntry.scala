@@ -23,6 +23,45 @@ import graft.sources.CsvIngest
   */
 object SparkEntry {
 
+  /** Boundary rule: DECIMAL never leaves the engine. Aggregation stays
+    * decimal internally (exact, order-independent), but every FINAL output
+    * column is cast to double here, mirrored by an outer CAST(… AS DOUBLE)
+    * in the oracle SQL. Rationale: the driver hashes the Spark parquet
+    * (decimal128 → `Decimal('7.9000')`) differently from the DuckDB result
+    * (decimal → float64 `7.9`) even when values are exact-equal; double is
+    * the one representation both render identically. Both engines round the
+    * same exact decimal to nearest-double, so equality is bit-exact. */
+  private def dbl(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Second boundary rule: nested types never leave the engine either. The
+    * driver's harness sorts result rows with pandas, which cannot hash
+    * array/map cells (`TypeError: unhashable type`) — so array columns are
+    * emitted as JSON strings and map columns as JSON of their entry list
+    * sorted by key (map iteration order is not deterministic; the sorted
+    * entry list is). Scalar columns pass through untouched. */
+  private def jsonized(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType =>
+          to_json(array_sort(map_entries(col(f.name)))).as(f.name)
+        case _: ArrayType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   // ------------------------------------------------------ shared derivations
 
   /** Synthetic-but-deterministic contact emails over `customer` — gives the
@@ -163,33 +202,33 @@ object SparkEntry {
     "q07_threeway_join" -> ((s, d) =>
       Relational.threeWayJoin(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
     "q08_group_rollup" -> ((s, d) =>
-      Relational.groupRollup(Tables.lineitem(s, d), Tables.orders(s, d),
-        Tables.customer(s, d), Tables.nation(s, d))),
+      dbl(Relational.groupRollup(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)))),
     "q09_contact_by_email" -> ((s, d) =>
       Relational.contactByEmail(Tables.customer(s, d), "Customer#000000042")),
     "q18_topn_per_group" -> ((s, d) =>
       Relational.topNPerGroup(Tables.events(s, d), 3)),
     "q19_events_agg" -> ((s, d) =>
-      Relational.eventsHourlyAgg(Tables.events(s, d))),
+      dbl(Relational.eventsHourlyAgg(Tables.events(s, d)))),
     "q35_percentiles" -> ((s, d) =>
-      Analytics.percentiles(Tables.lineitem(s, d))),
+      dbl(Analytics.percentiles(Tables.lineitem(s, d)))),
     "q36_distinct_users" -> ((s, d) =>
       Analytics.distinctUsers(Tables.events(s, d))),
     "q37_running_total" -> ((s, d) =>
-      Analytics.runningTotals(Tables.events(s, d))),
+      dbl(Analytics.runningTotals(Tables.events(s, d)))),
     "q38_sessionize" -> ((s, d) =>
       Analytics.sessionize(Tables.events(s, d), 30)),
     "q39_approx_stats" -> ((s, d) =>
       Analytics.approxStats(Tables.events(s, d))),
     "q41_pricing_summary" -> ((s, d) =>
-      Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00")),
+      dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
-      Reports.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
-        Tables.lineitem(s, d), "BUILDING", "1998-06-01 00:00:00")),
+      dbl(Reports.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "BUILDING", "1998-06-01 00:00:00"))),
     "q43_local_supplier_volume" -> ((s, d) =>
-      Reports.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
+      dbl(Reports.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
-        Tables.supplier(s, d), "ASIA", "1997-01-01 00:00:00", "1999-01-01 00:00:00")),
+        Tables.supplier(s, d), "ASIA", "1997-01-01 00:00:00", "1999-01-01 00:00:00"))),
     "q44_train_split" -> ((s, d) =>
       Splits.assignSplit(Tables.documents(s, d), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n_docs")).orderBy("split")),
@@ -198,13 +237,13 @@ object SparkEntry {
           Map("src0" -> 256, "src1" -> 128, "src2" -> 0), 64)
         .select("doc_id", "source").orderBy("doc_id")),
     "q46_repetition" -> ((s, d) =>
-      Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+      dbl(Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text"))),
     "q47_pii_redact" -> ((s, d) =>
       Curation.redact(Tables.customer(s, d), "c_custkey", "c_name")),
     "q48_vocab_topk" -> ((s, d) =>
       Curation.vocabulary(Tables.documents(s, d), "text", 50)),
     "q49_tfidf" -> ((s, d) =>
-      Curation.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text")),
+      dbl(Curation.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text"))),
     "q50_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 512)),
     "q51_json_extract" -> ((s, d) =>
@@ -225,24 +264,24 @@ object SparkEntry {
       // deterministic heavy-hitter summary per source via the Misra-Gries
       // typed Aggregator (rows-only check: map output isn't SQL-hashable)
       val mg = udaf(new MisraGries(10))
-      Tables.documents(s, d)
+      jsonized(Tables.documents(s, d)
         .select(col("source"), explode(Curation.tokens(col("text"))).as("tok"))
         .groupBy("source").agg(mg(col("tok")).as("mg_summary"))
-        .orderBy("source")
+        .orderBy("source"))
     }),
     "q58_pivot" -> ((s, d) =>
       Reports.nationYearPivot(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Seq(1995, 1996, 1997, 1998))),
     "q62_skew_profile" -> ((s, d) =>
-      Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+      dbl(Analytics.keySkewProfile(Tables.lineitem(s, d), "l_orderkey"))),
     "q78_set_ops" -> ((s, d) =>
       Relational.cohortOverlap(Tables.events(s, d), "click", "purchase")),
     "q85_chunking" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
         size = 120, overlap = 20)),
     "q82_cooccur_pmi" -> ((s, d) =>
-      Curation.cooccurrencePmi(Tables.documents(s, d), "doc_id", "text",
-        Seq("scan", "table", "hash", "join", "sort"))),
+      dbl(Curation.cooccurrencePmi(Tables.documents(s, d), "doc_id", "text",
+        Seq("scan", "table", "hash", "join", "sort")))),
     "q79_normalize" -> ((s, d) =>
       // accent-suffixed input so the fold is actually exercised, not vacuous
       Tables.documents(s, d)
@@ -253,18 +292,18 @@ object SparkEntry {
     "q80_nested_export" -> ((s, d) =>
       Relational.nestedExport(Tables.orders(s, d))),
     "q84_lag_features" -> ((s, d) =>
-      Analytics.lagFeatures(Tables.events(s, d), "user_id", "ts", "event_id", "value", 3)),
+      dbl(Analytics.lagFeatures(Tables.events(s, d), "user_id", "ts", "event_id", "value", 3))),
     "q83_anomalies" -> ((s, d) =>
-      Analytics.zScoreAnomalies(
+      dbl(Analytics.zScoreAnomalies(
         Tables.events(s, d).select("event_type", "value"), "event_type", "value", 3.0)
-        .orderBy("event_type", "value")),
+        .orderBy("event_type", "value"))),
     "q76_histogram" -> ((s, d) =>
-      Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)),
+      dbl(Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12))),
     "q77_corr" -> ((s, d) =>
-      Analytics.corrByGroup(
+      dbl(Analytics.corrByGroup(
         Tables.events(s, d).select(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
-        "event_type", "value", "k")),
+        "event_type", "value", "k"))),
     "q74_profile" -> ((s, d) =>
       Analytics.profile(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
@@ -285,14 +324,14 @@ object SparkEntry {
     "q70_cube" -> ((s, d) =>
       Reports.statusYearCube(Tables.orders(s, d))),
     "q71_deciles" -> ((s, d) =>
-      Reports.orderDeciles(Tables.orders(s, d))),
+      dbl(Reports.orderDeciles(Tables.orders(s, d)))),
     "q72_above_avg" -> ((s, d) =>
-      Reports.aboveCustomerAverage(Tables.orders(s, d))),
+      dbl(Reports.aboveCustomerAverage(Tables.orders(s, d)))),
     "q67_series_filled" -> ((s, d) =>
       Analytics.monthlySeriesFilled(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d))),
     "q68_funnel" -> ((s, d) =>
-      Analytics.funnel(Tables.events(s, d), "click", "purchase", windowHours = 24)),
+      dbl(Analytics.funnel(Tables.events(s, d), "click", "purchase", windowHours = 24))),
     "q69_unpivot" -> ((s, d) =>
       // zero-filled cells dropped for oracle parity (the SQL twin GROUP BY
       // only produces populated combinations)
@@ -302,8 +341,8 @@ object SparkEntry {
         Seq(1995, 1996, 1997, 1998))
         .where(col("n_orders") > 0)),
     "q66_curate" -> ((s, d) =>
-      Curation.curate(Tables.documents(s, d), "doc_id", "text")
-        .select("doc_id", "n_tokens", "dup_ratio")),
+      dbl(Curation.curate(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "n_tokens", "dup_ratio"))),
     "q63_dedup_clusters" -> ((s, d) => {
       // fuzzy-pair edges → connected components → cluster per node: the
       // full "pairs to keep-one-representative" dedup pipeline tail
@@ -313,8 +352,8 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
     "q59_mom_delta" -> ((s, d) =>
-      Reports.monthlyRevenueDelta(Tables.orders(s, d), Tables.customer(s, d),
-        Tables.nation(s, d))),
+      dbl(Reports.monthlyRevenueDelta(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d)))),
     "q60_fuzzy_match" -> ((s, d) =>
       // canonicalize FIRST: fuzzy-match the distinct-name vocabulary (64
       // names at sf0.1), not the 20k rows sharing them — id-level pairing
@@ -429,7 +468,7 @@ object SparkEntry {
     "q21_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q22_quality_score" -> ((s, d) =>
-      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+      dbl(TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text"))),
     "q23_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "q29_fingerprint" -> ((s, d) =>
@@ -461,9 +500,9 @@ object SparkEntry {
         k = 8, iters = 3)
         .groupBy("cluster").agg(count(lit(1)).as("n_members")).orderBy("cluster")),
     "q64_cosine_pairs" -> ((s, d) =>
-      Similarity.consecutiveCosines(Tables.embeddings(s, d), "vec_id", "embedding")),
+      dbl(Similarity.consecutiveCosines(Tables.embeddings(s, d), "vec_id", "embedding"))),
     "q65_label_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")),
+      dbl(Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding"))),
     "q30_near_dup_cosine" -> ((s, d) =>
       Similarity.nearDupCosine(embeddingsWithPlantedDups(Tables.embeddings(s, d)),
         "vec_id", "embedding", threshold = 0.95)),
@@ -476,7 +515,8 @@ object SparkEntry {
           Multimodal.synthesizeImages(docs, "doc_id"), "doc_id", 4, 4), "doc_id")
       val audioFeats = Multimodal.decodeAudio(
         Multimodal.synthesizeAudio(docs, "doc_id"), "doc_id")
-      stubFeats.join(imgFeats, "doc_id").join(audioFeats, "doc_id").orderBy("doc_id")
+      jsonized(stubFeats.join(imgFeats, "doc_id").join(audioFeats, "doc_id")
+        .orderBy("doc_id"))
     })
   )
 
@@ -526,7 +566,7 @@ object SparkEntry {
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "q08_group_rollup" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -580,7 +620,7 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
     "q19_events_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -600,8 +640,8 @@ object SparkEntry {
         | CAST(len(toks) AS INTEGER) AS n_tokens,
         | CAST(alpha AS INTEGER) AS alpha_chars,
         | CAST(nstop AS INTEGER) AS n_stopwords,
-        | CAST(CAST(alpha AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS mean_token_len,
-        | CAST(CAST(nstop AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS stopword_ratio,
+        | CAST(CAST(CAST(alpha AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS DOUBLE) AS mean_token_len,
+        | CAST(CAST(CAST(nstop AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS DOUBLE) AS stopword_ratio,
         | CAST((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END)
         |    + (CASE WHEN nstop >= 1 THEN 1 ELSE 0 END)
         |    + (CASE WHEN alpha >= 20 THEN 1 ELSE 0 END) AS INTEGER) AS quality_score
@@ -642,8 +682,8 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q35_percentiles" ->
       """SELECT l_returnflag,
-        | CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,2)) AS p50_qty,
-        | CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,2)) AS p90_qty,
+        | CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,2)) AS DOUBLE) AS p50_qty,
+        | CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,2)) AS DOUBLE) AS p90_qty,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q36_distinct_users" ->
@@ -651,7 +691,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q37_running_total" ->
       """SELECT user_id, event_id,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_value,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS running_value,
         | CAST(row_number() OVER w AS INTEGER) AS event_seq
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -697,17 +737,17 @@ object SparkEntry {
         |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY email""".stripMargin,
     "q41_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
-        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q42_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -718,7 +758,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q43_local_supplier_volume" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -742,7 +782,7 @@ object SparkEntry {
     "q46_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
         |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
-        |  CAST(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS dup_ratio
+        |  CAST(CAST(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DECIMAL(18,4)) AS DOUBLE) AS dup_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "q47_pii_redact" ->
       """SELECT c_custkey,
@@ -767,7 +807,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY tf.doc_id
         |                       ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.tok) AS rk
         |  FROM tf JOIN df USING (tok) CROSS JOIN n)
-        |SELECT doc_id, tok AS top_term, CAST(score AS DECIMAL(18,6)) AS tfidf
+        |SELECT doc_id, tok AS top_term, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q50_pack_sequences" ->
       """WITH t AS (
@@ -806,7 +846,7 @@ object SparkEntry {
         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
         |  GROUP BY 1, 2)
         |SELECT tok_a, tok_b, n_both,
-        |  CAST(ln(CAST(n.n_docs * n_both AS DOUBLE) / CAST(ma.n_tok * mb.n_tok AS DOUBLE)) AS DECIMAL(18,4)) AS pmi
+        |  CAST(CAST(ln(CAST(n.n_docs * n_both AS DOUBLE) / CAST(ma.n_tok * mb.n_tok AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS pmi
         |FROM pairs
         |JOIN marg ma ON ma.tok = tok_a
         |JOIN marg mb ON mb.tok = tok_b
@@ -832,10 +872,10 @@ object SparkEntry {
       // ts cast to µs so tie-breaking matches Spark's nanos→µs truncation
       """WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  CAST(value AS DECIMAL(18,2)) AS value FROM events)
-        |SELECT user_id, event_id, value,
-        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1,
-        |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag2,
-        |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag3
+        |SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+        |  CAST(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS lag1,
+        |  CAST(lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS lag2,
+        |  CAST(lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS lag3
         |FROM v ORDER BY user_id, event_id""".stripMargin,
     "q83_anomalies" ->
       """WITH s AS (
@@ -845,8 +885,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |z AS (
         |  SELECT e.event_type, e.value,
-        |    CAST((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(sx AS DOUBLE) / n)
-        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS DECIMAL(18,4)) AS z
+        |    CAST(CAST((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS DECIMAL(18,4)) AS DOUBLE) AS z
         |  FROM events e JOIN s ON e.event_type = s.event_type)
         |SELECT event_type, value, z FROM z WHERE abs(z) > 3.0
         |ORDER BY event_type, value""".stripMargin,
@@ -854,7 +894,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0), 0.0), 11.0) AS BIGINT) AS bin
         |  FROM orders)
-        |SELECT bin, CAST(0.0 + bin * 50000.0 AS DECIMAL(18,2)) AS bin_lo, COUNT(*) AS n_rows
+        |SELECT bin, CAST(CAST(0.0 + bin * 50000.0 AS DECIMAL(18,2)) AS DOUBLE) AS bin_lo, COUNT(*) AS n_rows
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q77_corr" ->
       """WITH e AS (
@@ -869,9 +909,9 @@ object SparkEntry {
         |         CAST(SUM(y * y) AS DECIMAL(18,4)) AS syy
         |  FROM e GROUP BY 1)
         |SELECT event_type, n,
-        |  CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
         |       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
-        |  AS DECIMAL(18,4)) AS corr
+        |  AS DECIMAL(18,4)) AS DOUBLE) AS corr
         |FROM s ORDER BY event_type""".stripMargin,
     "q74_profile" ->
       """SELECT 'o_custkey' AS col_name, COUNT(*) - COUNT(o_custkey) AS n_null,
@@ -918,7 +958,7 @@ object SparkEntry {
         |ORDER BY status, o_year""".stripMargin,
     "q71_deciles" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
         |       CAST(ntile(10) OVER (PARTITION BY year(o_orderdate)
         |                       ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS INTEGER) AS decile
         |FROM orders ORDER BY o_year, decile, o_orderkey""".stripMargin,
@@ -928,7 +968,8 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS cust_sum,
         |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_cust_orders
         |  FROM orders)
-        |SELECT o_orderkey, o_custkey, total, cust_sum, n_cust_orders FROM t
+        |SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total,
+        |  CAST(cust_sum AS DOUBLE) AS cust_sum, n_cust_orders FROM t
         |WHERE total * n_cust_orders > cust_sum
         |ORDER BY o_orderkey""".stripMargin,
     "q67_series_filled" ->
@@ -952,7 +993,7 @@ object SparkEntry {
         |      WHERE e.event_type = 'purchase' AND e.ts > a.t_a AND e.ts <= a.t_a + INTERVAL 24 HOURS)
         |SELECT (SELECT COUNT(*) FROM a) AS n_entered,
         |       (SELECT COUNT(*) FROM b) AS n_converted,
-        |       CAST(CAST((SELECT COUNT(*) FROM b) AS DOUBLE) / (SELECT COUNT(*) FROM a) AS DECIMAL(18,4)) AS conv_rate""".stripMargin,
+        |       CAST(CAST(CAST((SELECT COUNT(*) FROM b) AS DOUBLE) / (SELECT COUNT(*) FROM a) AS DECIMAL(18,4)) AS DOUBLE) AS conv_rate""".stripMargin,
     "q69_unpivot" ->
       """SELECT n_name, 'y' || CAST(year(o_orderdate) AS VARCHAR) AS o_year, COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
@@ -967,7 +1008,7 @@ object SparkEntry {
         |  FROM documents),
         |kept AS (
         |  SELECT doc_id, text, n_tokens,
-        |    CAST(CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END AS DECIMAL(18,4)) AS dup_ratio
+        |    CAST(CAST(CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END AS DECIMAL(18,4)) AS DOUBLE) AS dup_ratio
         |  FROM m
         |  WHERE n_tokens >= 5
         |    AND CAST(CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END AS DECIMAL(18,4)) <= CAST(0.9 AS DECIMAL(18,4))
@@ -983,16 +1024,16 @@ object SparkEntry {
       // 4th decimal on ~1/2500 rows. This mirrors the Spark expression's
       // exact arithmetic: float products, double accumulation, same order.
       """SELECT a.vec_id,
-        |  CAST(
+        |  CAST(CAST(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |        p -> CAST(p[1] * p[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x * x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x * x AS DOUBLE)))))
-        |  AS DECIMAL(18,4)) AS cos
+        |  AS DECIMAL(18,4)) AS DOUBLE) AS cos
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a.vec_id""".stripMargin,
     "q65_label_centroids" ->
-      """SELECT label, u[2] AS dim, CAST(AVG(CAST(u[1] AS DOUBLE)) AS DECIMAL(18,4)) AS c
+      """SELECT label, u[2] AS dim, CAST(CAST(AVG(CAST(u[1] AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS c
         |FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -1019,7 +1060,7 @@ object SparkEntry {
       """WITH c AS (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1),
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, MIN(n_rows) AS min_rows,
         |             MAX(n_rows) AS max_rows,
-        |             CAST(CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS avg_rows
+        |             CAST(CAST(CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_rows
         |      FROM c),
         |h AS (SELECT l_orderkey AS hottest_key FROM c ORDER BY n_rows DESC, l_orderkey DESC LIMIT 1)
         |SELECT n_keys, min_rows, max_rows, avg_rows, hottest_key FROM s CROSS JOIN h""".stripMargin,
@@ -1037,9 +1078,9 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |  FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2)
-        |SELECT n_name, month, revenue,
-        |  lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS prev_revenue,
-        |  CAST(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS DECIMAL(18,2)) AS delta
+        |SELECT n_name, month, CAST(revenue AS DOUBLE) AS revenue,
+        |  CAST(lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS DOUBLE) AS prev_revenue,
+        |  CAST(CAST(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS DECIMAL(18,2)) AS DOUBLE) AS delta
         |FROM m ORDER BY n_name, month""".stripMargin,
     "q60_fuzzy_match" ->
       """WITH names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
