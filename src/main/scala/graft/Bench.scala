@@ -39,9 +39,20 @@ object Bench {
         name -> -1.0 // sentinel: a failure must be visible in the JSON, not read as a fast success
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2 KB of combined output: round 1 lost
+    // the metric line entirely to log noise, round 2's full-name 9-decimal
+    // line was ~2.7 KB so its head (21 queries + the total) fell off the
+    // window. Keys are therefore the qNN prefix, values ms-precision, and the
+    // line is printed LAST with logs silenced — whole line ≈1.2 KB.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results
+      .map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","queries":$qs}"""
+    spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
+    println(line)
     spark.stop()
   }
 }

@@ -473,9 +473,16 @@ object SparkEntry {
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "q29_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")),
-    "q24_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")
-        .filter(col("est_jaccard") >= 0.5)),
+    "q24_minhash_lsh" -> ((s, d) => {
+      // full near-dup pipeline: MinHash/LSH candidate generation (unfiltered,
+      // max recall) then EXACT jaccard verification at 0.5 — exact values make
+      // this oracle-checkable against a DuckDB all-pairs truth query (the
+      // est_jaccard-only variant stays covered by DedupSpec)
+      val corpus = docsWithPlantedDups(Tables.documents(s, d))
+      val cands = Dedup.minhashLsh(corpus, "doc_id", "text")
+      Dedup.ngramJaccard(corpus, "doc_id", "text",
+        cands.select("doc_id_a", "doc_id_b"), threshold = 0.5)
+    }),
     "q25_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")),
     "q26_ngram_jaccard" -> ((s, d) => {
@@ -489,10 +496,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)
         .select("query_id", "neighbor_id", "rank")),
     "q28_ann_lsh" -> ((s, d) =>
-      Similarity.annLshTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // full-probe configuration (bitsPerBand=0 → one bucket): the band-join
+      // plumbing runs end-to-end and the result is the exact top-k, so the
+      // q27-shaped oracle applies; rank-only projection (cosine VALUES differ
+      // across engines in ulps). Real-recall parameters live in SimilaritySpec.
+      Similarity.annLshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L, 4L), 5, bands = 1, bitsPerBand = 0)
+        .select("query_id", "neighbor_id", "rank")),
     "q54_ann_ivf" -> ((s, d) =>
+      // nProbe = nCells = full probe: exact through the IVF cell machinery
+      // (assignment, probe join) — oracle-checkable like q28/q27
       Similarity.annIvfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        Seq(100L, 101L, 102L, 103L, 104L), 5, nCells = 16, nProbe = 4)),
+          Seq(100L, 101L, 102L, 103L, 104L), 5, nCells = 16, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")),
     "q81_kmeans" -> ((s, d) =>
       // deterministic Lloyd assignments (rows-only check: iterative, not
       // SQL-expressible; determinism + blob recovery proven in spec)
@@ -504,8 +520,12 @@ object SparkEntry {
     "q65_label_centroids" -> ((s, d) =>
       dbl(Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding"))),
     "q30_near_dup_cosine" -> ((s, d) =>
+      // ids-only projection (cosine value is engine-ulp-sensitive); the truth
+      // set is a DuckDB all-pairs cosine>=0.95 query — max natural cosine in
+      // this corpus is ~0.51, so the threshold has a wide margin both sides
       Similarity.nearDupCosine(embeddingsWithPlantedDups(Tables.embeddings(s, d)),
-        "vec_id", "embedding", threshold = 0.95)),
+          "vec_id", "embedding", threshold = 0.95)
+        .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")),
     "q34_multimodal" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val media = Multimodal.attachBinary(docs, "doc_id", "text")
@@ -539,7 +559,61 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- oracle
 
+  /** DuckDB ground truth for the near-dup queries: ALL-PAIRS exact shingle
+    * jaccard over the planted-dup corpus (mirrors `docsWithPlantedDups` and
+    * `Dedup.shingles`: lowercase whitespace tokens, word 3-grams, whole-text
+    * shingle for short docs, set semantics). The engine side must reach the
+    * same set via LSH candidates + exact verify — so this oracle checks
+    * candidate RECALL as well as verification math. Bit-exact jaccard: both
+    * engines divide the same two integers as doubles. */
+  private def jaccardTruthSql(threshold: String): String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' planted near duplicate tail' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM docs),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+      |    END AS s
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+      |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+      |SELECT doc_id_a, doc_id_b, jaccard FROM p
+      |WHERE jaccard >= $threshold ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q24_minhash_lsh" -> jaccardTruthSql("0.5"),
+    "q26_ngram_jaccard" -> jaccardTruthSql("0.3"),
+    "q28_ann_lsh" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        | CAST(row_number() OVER (PARTITION BY a.vec_id
+        |   ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INTEGER) AS rank
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |WHERE a.vec_id IN (0, 1, 2, 3, 4)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q54_ann_ivf" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        | CAST(row_number() OVER (PARTITION BY a.vec_id
+        |   ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INTEGER) AS rank
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |WHERE a.vec_id IN (100, 101, 102, 103, 104)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q30_near_dup_cosine" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10)
+        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        |FROM vecs a JOIN vecs b ON b.vec_id > a.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
     "q01_jobs_by_user" ->
       "SELECT * FROM orders WHERE o_custkey = 7 ORDER BY o_orderdate DESC, o_orderkey DESC",
     "q02_job_by_id" ->

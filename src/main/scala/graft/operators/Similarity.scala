@@ -124,7 +124,13 @@ object Similarity {
   /** ANN via random-hyperplane LSH: banded signatures generate candidates
     * (query bands broadcast-joined against corpus bands), exact cosine
     * re-ranks. `nPlanes = bands × bitsPerBand` planes are shared corpus/query.
-    * Recall is tunable via bands/bits; candidates-only compare is the point. */
+    * Recall is tunable via bands/bits; candidates-only compare is the point.
+    *
+    * `bitsPerBand = 0` is the FULL-PROBE degenerate configuration: every
+    * vector gets the same (constant) signature, so the candidate set is the
+    * whole corpus and the result is the exact top-k — through the identical
+    * band-join plumbing. That is the oracle-checkable mode (IVF's analog is
+    * `nProbe = nCells`); production recall/speed trade-offs use real bands. */
   def annLshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                  queryIds: Seq[Long], k: Int,
                  bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
@@ -133,18 +139,19 @@ object Similarity {
     val corpus = vectors(embeddings, idCol, vecCol)
     val dim = corpus.head()._2.length
     val planes = spark.sparkContext.broadcast(hyperplanes(bands * bitsPerBand, dim, seed))
+    val (nb, bpb) = (bands, bitsPerBand) // primitives only — closures must not capture locals like `spark`
 
     // (band, sig, id) only — vectors are NOT duplicated ×bands; the matched
     // candidate set joins the corpus once to fetch its vector
     val corpusBands = corpus.flatMap { case (id, v) =>
-      bandSignature(v, planes.value, bitsPerBand).iterator.zipWithIndex
-        .map { case (sig, b) => (b, sig, id) }
+      val sigs = if (bpb == 0) new Array[Int](nb) else bandSignature(v, planes.value, bpb)
+      sigs.iterator.zipWithIndex.map { case (sig, b) => (b, sig, id) }
     }.toDF("band", "sig", "vec_id")
 
     val queries = corpus.filter(r => queryIds.contains(r._1)).collect()
     val queryBands = spark.createDataset(queries.toIndexedSeq.flatMap { case (qid, qv) =>
-      bandSignature(qv, planes.value, bitsPerBand).zipWithIndex
-        .map { case (sig, b) => (b, sig, qid) }
+      val sigs = if (bpb == 0) new Array[Int](nb) else bandSignature(qv, planes.value, bpb)
+      sigs.zipWithIndex.map { case (sig, b) => (b, sig, qid) }
     }).toDF("band", "sig", "query_id")
 
     val queryVecs = spark.createDataset(queries.toIndexedSeq).toDF("query_id", "qvec")
