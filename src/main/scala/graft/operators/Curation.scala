@@ -100,14 +100,21 @@ object Curation {
     * branch entirely but shuffles EVERY tf row by token with hot-token skew:
     * measured 2.5× slower at sf0.1.) */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nDocs = docs.count()
+    // N as a broadcast 1-row aggregate, not a separate count() action: the
+    // count-only branch prunes every column (parquet answers it from row-group
+    // metadata), and the whole query stays a single job. The 1-row broadcast
+    // cross join is O(n·1) — allowlisted in PlanContractSpec like the other
+    // stat-row joins. (A constant-key equi-join does NOT help: Catalyst folds
+    // the literal condition away and re-plans the same nested loop.)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(desc("score"), asc("tok"))
     tf.join(dfreq, "tok")
-      .withColumn("score", col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * log(col("__n_docs") / col("df")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col(idCol), col("tok").as("top_term"),
@@ -161,7 +168,8 @@ object Curation {
     * counts. */
   def cooccurrencePmi(docs: DataFrame, idCol: String, textCol: String,
                       vocab: Seq[String]): DataFrame = {
-    val nDocs = docs.count()
+    // same single-job N trick as tfidfTopTerm (1-row broadcast cross join)
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     val dt = docs.select(col(idCol),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .where(col("tok").isInCollection(vocab))
@@ -175,8 +183,9 @@ object Curation {
     pairs
       .join(broadcast(marg.select(col("tok").as("tok_a"), col("n_tok").as("n_a"))), "tok_a")
       .join(broadcast(marg.select(col("tok").as("tok_b"), col("n_tok").as("n_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
       .select(col("tok_a"), col("tok_b"), col("n_both"),
-        log((lit(nDocs) * col("n_both")).cast("double")
+        log((col("__n_docs") * col("n_both")).cast("double")
           / (col("n_a") * col("n_b")).cast("double")).cast("decimal(18,4)").as("pmi"))
       .orderBy("tok_a", "tok_b")
   }

@@ -7,6 +7,56 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
+/** Banded edit distance: exact Levenshtein when it is ≤ k, else k+1.
+  * O(k·min(n,m)) time and O(m) space vs the full DP's O(n·m) — for the
+  * record-linkage case (k of 1-3, strings of tens of chars) that's an
+  * order of magnitude less work per candidate pair, and the early row-min
+  * exit abandons hopeless pairs after a few rows.
+  *
+  * TOP-LEVEL object on purpose: generated Java (janino) calls
+  * `EditDistance.bounded(...)` through the static forwarders the Scala
+  * compiler only emits for top-level objects. As a nested object the call
+  * site `NativeExpressions.EditDistance.bounded` does not exist in Java —
+  * janino failed to compile and every call silently fell back to
+  * interpreted (non-codegen) evaluation. */
+object EditDistance {
+  def bounded(sa: org.apache.spark.unsafe.types.UTF8String,
+              sb: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
+    val a = sa.toString; val b = sb.toString
+    if (a == b) return 0
+    val n = a.length; val m = b.length
+    if (math.abs(n - m) > k) return k + 1
+    val INF = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else INF; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k); val hi = math.min(m, i + k)
+      java.util.Arrays.fill(cur, INF)
+      if (lo == 1 && i <= k) cur(0) = i
+      var rowMin = cur(0)
+      j = lo
+      while (j <= hi) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        val ins = cur(j - 1) + 1
+        var v = if (sub < del) sub else del
+        if (ins < v) v = ins
+        if (v > INF) v = INF
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= INF) return INF
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(m), INF)
+  }
+}
+
 /** Native Catalyst expressions for graft's vector hot paths.
   *
   * Lives under `org.apache.spark.sql` (the standard Spark-extension-library
@@ -68,49 +118,6 @@ object NativeExpressions {
     ExpressionUtils.column(CosineSimilarityF32(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Banded edit distance: exact Levenshtein when it is ≤ k, else k+1.
-    * O(k·min(n,m)) time and O(m) space vs the full DP's O(n·m) — for the
-    * record-linkage case (k of 1-3, strings of tens of chars) that's an
-    * order of magnitude less work per candidate pair, and the early row-min
-    * exit abandons hopeless pairs after a few rows. */
-  object EditDistance {
-    def bounded(sa: org.apache.spark.unsafe.types.UTF8String,
-                sb: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
-      val a = sa.toString; val b = sb.toString
-      if (a == b) return 0
-      val n = a.length; val m = b.length
-      if (math.abs(n - m) > k) return k + 1
-      val INF = k + 1
-      var prev = new Array[Int](m + 1)
-      var cur = new Array[Int](m + 1)
-      var j = 0
-      while (j <= m) { prev(j) = if (j <= k) j else INF; j += 1 }
-      var i = 1
-      while (i <= n) {
-        val lo = math.max(1, i - k); val hi = math.min(m, i + k)
-        java.util.Arrays.fill(cur, INF)
-        if (lo == 1 && i <= k) cur(0) = i
-        var rowMin = cur(0)
-        j = lo
-        while (j <= hi) {
-          val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
-          val del = prev(j) + 1
-          val ins = cur(j - 1) + 1
-          var v = if (sub < del) sub else del
-          if (ins < v) v = ins
-          if (v > INF) v = INF
-          cur(j) = v
-          if (v < rowMin) rowMin = v
-          j += 1
-        }
-        if (rowMin >= INF) return INF
-        val t = prev; prev = cur; cur = t
-        i += 1
-      }
-      math.min(prev(m), INF)
-    }
-  }
-
   /** `levenshtein_bounded(s, t, k)`: exact distance if ≤ k, else k+1. The
     * DP runs in a static helper; codegen emits the call directly so the
     * expression stays inside WholeStageCodegen (same pattern as Spark's own
@@ -133,7 +140,7 @@ object NativeExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b, k) =>
-        s"org.apache.spark.sql.graftnative.NativeExpressions.EditDistance.bounded($a, $b, $k)")
+        s"org.apache.spark.sql.graftnative.EditDistance.bounded($a, $b, $k)")
 
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): Expression =

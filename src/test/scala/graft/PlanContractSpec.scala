@@ -15,9 +15,13 @@ class PlanContractSpec extends SparkSpec {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) {
-        // legitimate tiny cross joins only: 1×1 stat rows, and the calendar
-        // spine (months × keys — inherently a small cartesian, never fact-sized)
-        val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile", "q67_series_filled")
+        // legitimate tiny cross joins only: 1×1 stat rows, the calendar
+        // spine (months × keys — inherently a small cartesian, never
+        // fact-sized), and the 1-row broadcast N-joins in tfidf/pmi (the
+        // corpus-count aggregate folded into the job instead of a separate
+        // count() action — O(n·1) by construction)
+        val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile",
+          "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi")
         if (allowed(name)) None else Some(name)
       } else None
     }

@@ -85,7 +85,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("bounded levenshtein: agrees with the full DP below the bound, k+1 above") {
     import org.apache.spark.unsafe.types.UTF8String
-    import org.apache.spark.sql.graftnative.NativeExpressions.EditDistance
+    import org.apache.spark.sql.graftnative.EditDistance
     val sGen = Gen.choose(0, 14).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
     val gen = for { a <- sGen; b <- sGen; k <- Gen.choose(0, 6) } yield (a, b, k)
     check(Prop.forAll(gen) { case (a, b, k) =>
