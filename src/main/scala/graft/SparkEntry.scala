@@ -189,6 +189,8 @@ object SparkEntry {
     // B. relational surface -------------------------------------------------
     "q01_jobs_by_user" -> ((s, d) =>
       Relational.jobsByUser(Tables.orders(s, d), 7L)),
+    "q86_jobs_by_user_req" -> ((s, d) =>
+      Relational.jobsByUserAndRequest(Tables.orders(s, d), 7L, "1-URGENT")),
     "q02_job_by_id" -> ((s, d) =>
       Relational.jobById(Tables.orders(s, d), 4242L)),
     "q03_contacts_listing" -> ((s, d) =>
@@ -350,6 +352,14 @@ object SparkEntry {
         Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
         "p_partkey", "p_name", maxDist = 2)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+    "q87_dedup_clusters_star" -> ((s, d) => {
+      // same pipeline tail through the alternating large-star/small-star CC
+      // (O(log²) rounds — the pathological-diameter-safe variant); same truth
+      val pairs = Dedup.fuzzyPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 2)
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
     }),
     "q59_mom_delta" -> ((s, d) =>
       dbl(Reports.monthlyRevenueDelta(Tables.orders(s, d), Tables.customer(s, d),
@@ -616,6 +626,9 @@ object SparkEntry {
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
     "q01_jobs_by_user" ->
       "SELECT * FROM orders WHERE o_custkey = 7 ORDER BY o_orderdate DESC, o_orderkey DESC",
+    "q86_jobs_by_user_req" ->
+      """SELECT * FROM orders WHERE o_custkey = 7 AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderdate DESC, o_orderkey DESC""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->
@@ -1112,6 +1125,25 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q63_dedup_clusters" ->
+      """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lab FROM e JOIN r ON e.dst = r.node)
+        |SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node ORDER BY node""".stripMargin,
+    "q87_dedup_clusters_star" ->
       """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
         |cand AS (
         |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b

@@ -303,8 +303,12 @@ object Analytics {
     * (e.g. a single pathological key in a 100 TB fact table). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
+    // salt from the ROW CONTENT, not monotonically_increasing_id(): the id
+    // depends on partition/task numbering, so a task retry (or AQE re-plan)
+    // would re-salt rows differently mid-job; a content hash is identical on
+    // every attempt, keeping the operator deterministic under failure
     val saltedBig = big.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val saltedSmall = small.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

@@ -302,6 +302,51 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id")).orderBy("node")
   }
 
+  /** Connected components by ALTERNATING large-star / small-star rounds —
+    * the O(log²) -round algorithm for graphs whose diameter makes min-label
+    * propagation (O(diameter) rounds, [[connectedComponents]]) pathological,
+    * e.g. chain-shaped duplicate clusters. Each round: large-star hooks every
+    * larger neighbor of a node onto its neighborhood minimum, small-star
+    * hooks the smaller neighbors; edges converge to stars (node → component
+    * root). Published algorithm: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC 2014). Per round: two grouped aggregations
+    * and two distincts — all hash-partitioned by node, no broadcast of
+    * anything graph-sized, so the shape holds at 100 TB edge lists.
+    * Same contract as [[connectedComponents]]: (node, cluster_id = min id
+    * of the component). */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionAll(pairs.select(col(bCol).as("node"))).distinct().localCheckpoint()
+    // canonical direction big → small; self-pairs dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the SYMMETRIC neighborhood: (v, min(N(u) ∪ u)) for v > u
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over the directed (big → small) list: hook u and all its
+      // smaller neighbors onto the minimum
+      val smins = large.groupBy("u").agg(min("v").as("m")).localCheckpoint()
+      val next = large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      i += 1
+    }
+    nodes.join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+      .orderBy("node")
+  }
+
   // ------------------------------------------------------------ fuzzy match
 
   /** Fuzzy string matching (edit distance ≤ maxDist) via MULTI-PASS

@@ -25,6 +25,15 @@ object Relational {
     orders.filter(col("o_custkey") === userId)
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
 
+  /** get_all_jobs with BOTH predicates — user_id AND request_id
+    * (job_repository.py:19-43 applies them together when request_id is
+    * given). Same operator shape as [[jobsByUser]]; the compound predicate
+    * pushes down to the scan as two conjunctive filters. `o_orderpriority`
+    * stands in for the reference's request scoping. */
+  def jobsByUserAndRequest(orders: DataFrame, userId: Long, request: String): DataFrame =
+    orders.filter(col("o_custkey") === userId && col("o_orderpriority") === request)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+
   /** get_job_by_id point lookup (job_repository.py:57-74). */
   def jobById(orders: DataFrame, jobId: Long): DataFrame =
     orders.filter(col("o_orderkey") === jobId)

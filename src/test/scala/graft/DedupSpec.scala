@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), cc.toString)
   }
 
+  test("connectedComponentsStar: agrees with min-label CC, converges on a deep chain") {
+    // a 60-node path (diameter 59) — label propagation's pathological case,
+    // the star algorithm's motivating one; plus an island and a singleton-ish pair
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (200L, 201L), (200L, 202L)))
+      .toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to 59L).map(_ -> 0L).toMap ++
+      Map(100L -> 100L, 101L -> 100L, 200L -> 200L, 201L -> 200L, 202L -> 200L)
+    assert(star == expected, star.toString)
+  }
+
   test("connectedComponents feeds keep-first dedup: one representative per cluster") {
     val pairs = Seq((5L, 3L), (3L, 9L)).toDF("a", "b")
     val cc = Dedup.connectedComponents(pairs, "a", "b")
