@@ -94,6 +94,18 @@ object ScaleCheck {
     time("anomalies")(d => SparkEntry.queries("q83_anomalies")(spark, d))
     time("lag_features")(d => Analytics.lagFeatures(
       Tables.events(spark, d), "user_id", "ts", "event_id", "value", 3))
+    time("minhash_verify (q24 shape)") { d =>
+      val corpus = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val cands = Dedup.minhashLsh(corpus, "doc_id", "text")
+      Dedup.ngramJaccard(corpus, "doc_id", "text",
+        cands.select("doc_id_a", "doc_id_b"), threshold = 0.5)
+    }
+    time("dedup_clusters_star")(d => {
+      val pairs = Dedup.fuzzyPairs(
+        Tables.load(spark, d, "part").groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 2)
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+    })
 
     spark.stop()
   }
