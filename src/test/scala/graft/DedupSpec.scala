@@ -114,6 +114,21 @@ class DedupSpec extends SparkSpec {
     assert(star == expected, star.toString)
   }
 
+  test("connectedComponentsStar ≡ connectedComponents on seeded random graphs") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("a", "b")
+      val viaLabels = Dedup.connectedComponents(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = Dedup.connectedComponentsStar(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == viaLabels, s"trial $trial: $viaStars vs $viaLabels")
+    }
+  }
+
   test("connectedComponents feeds keep-first dedup: one representative per cluster") {
     val pairs = Seq((5L, 3L), (3L, 9L)).toDF("a", "b")
     val cc = Dedup.connectedComponents(pairs, "a", "b")
