@@ -96,9 +96,8 @@ object ScaleCheck {
       Tables.events(spark, d), "user_id", "ts", "event_id", "value", 3))
     time("minhash_verify (q24 shape)") { d =>
       val corpus = Tables.documents(spark, d).select(col("doc_id"), col("text"))
-      val cands = Dedup.minhashLsh(corpus, "doc_id", "text")
-      Dedup.ngramJaccard(corpus, "doc_id", "text",
-        cands.select("doc_id_a", "doc_id_b"), threshold = 0.5)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      Dedup.ngramJaccard(corpus, "doc_id", "text", cands, threshold = 0.5)
     }
     time("dedup_clusters_star")(d => {
       val pairs = Dedup.fuzzyPairs(

@@ -489,9 +489,8 @@ object SparkEntry {
       // this oracle-checkable against a DuckDB all-pairs truth query (the
       // est_jaccard-only variant stays covered by DedupSpec)
       val corpus = docsWithPlantedDups(Tables.documents(s, d))
-      val cands = Dedup.minhashLsh(corpus, "doc_id", "text")
-      Dedup.ngramJaccard(corpus, "doc_id", "text",
-        cands.select("doc_id_a", "doc_id_b"), threshold = 0.5)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      Dedup.ngramJaccard(corpus, "doc_id", "text", cands, threshold = 0.5)
     }),
     "q25_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")),

@@ -126,6 +126,43 @@ object Dedup {
                  numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
                  seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     import df.sparkSession.implicits._
+    val (pairs, sigs) = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
+      shingleK, seed, maxBucket)
+
+    val result = pairs
+      .join(sigs.select(col("sid").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
+      .join(sigs.select(col("sid").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
+      .select("doc_id_a", "doc_id_b", "sig_a", "sig_b") // join reorders key cols first
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ida, idb, siga, sigb) =>
+        var eq = 0; var k = 0
+        while (k < siga.length) { if (siga(k) == sigb(k)) eq += 1; k += 1 }
+        (ida, idb, eq.toDouble / siga.length)
+      }
+      .toDF("doc_id_a", "doc_id_b", "est_jaccard")
+      .orderBy("doc_id_a", "doc_id_b")
+    materializeAndRelease(result, sigs)
+  }
+
+  /** Candidate pairs ONLY — for pipelines that re-rank with exact jaccard
+    * ([[ngramJaccard]]) and would discard `est_jaccard`: skips the two
+    * signature joins + similarity map that [[minhashLsh]] runs on top of the
+    * identical banding. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+                        seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val (pairs, sigs) = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
+      shingleK, seed, maxBucket)
+    materializeAndRelease(pairs, sigs)
+  }
+
+  /** Shared LSH banding core: (candidate pairs, persisted signature index).
+    * Callers MUST release `sigs` (via [[materializeAndRelease]]) once their
+    * derived result is materialized. */
+  private def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int, bands: Int, shingleK: Int,
+                                seed: Long, maxBucket: Int): (DataFrame, DataFrame) = {
+    import df.sparkSession.implicits._
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
       .toDF("sid", "sig").persist() // the signature index: scanned by banding + both pair joins
@@ -148,20 +185,7 @@ object Dedup {
         } yield (members(i), members(j))
       }
       .toDF("doc_id_a", "doc_id_b").distinct()
-
-    val result = pairs
-      .join(sigs.select(col("sid").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
-      .join(sigs.select(col("sid").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
-      .select("doc_id_a", "doc_id_b", "sig_a", "sig_b") // join reorders key cols first
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (ida, idb, siga, sigb) =>
-        var eq = 0; var k = 0
-        while (k < siga.length) { if (siga(k) == sigb(k)) eq += 1; k += 1 }
-        (ida, idb, eq.toDouble / siga.length)
-      }
-      .toDF("doc_id_a", "doc_id_b", "est_jaccard")
-      .orderBy("doc_id_a", "doc_id_b")
-    materializeAndRelease(result, sigs)
+    (pairs, sigs)
   }
 
   /** Eagerly materialize the (candidate-sized) result, then unpersist the
