@@ -246,6 +246,8 @@ object SparkEntry {
       Curation.vocabulary(Tables.documents(s, d), "text", 50)),
     "q49_tfidf" -> ((s, d) =>
       dbl(Curation.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text"))),
+    "q88_unigram_ll" -> ((s, d) =>
+      Curation.unigramLogLikelihood(Tables.documents(s, d), "doc_id", "text")),
     "q50_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 512)),
     "q51_json_extract" -> ((s, d) =>
@@ -895,6 +897,15 @@ object SparkEntry {
         |  FROM tf JOIN df USING (tok) CROSS JOIN n)
         |SELECT doc_id, tok AS top_term, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q88_unigram_ll" ->
+      """WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM dt),
+        |lp AS (SELECT doc_id, CAST(ln(c.c / n.n_total) AS DECIMAL(28,9)) AS lp
+        |       FROM dt JOIN c USING (tok) CROSS JOIN n)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q50_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents

@@ -190,6 +190,36 @@ object Curation {
       .orderBy("tok_a", "tok_b")
   }
 
+  /** Unigram log-likelihood scoring — the cheap LM-proxy quality filter of
+    * corpus curation pipelines: score(doc) = mean over token OCCURRENCES of
+    * ln P(tok), with P the corpus' own unigram distribution. Low scores mark
+    * rare-token noise (boilerplate, mangled encodings), high scores mark
+    * common prose.
+    *
+    * Oracle-exactness: each ln P is a SINGLE double computation (bit-equal
+    * across engines, as q49/q82 demonstrate) rounded once to decimal(28,9);
+    * the per-doc SUM is then decimal — exact and order-independent — and the
+    * one double division runs last. A raw double sum would be partial-order-
+    * dependent and unhashable across engines.
+    *
+    * Scale shape: token counts aggregate with map-side partials; the
+    * occurrences⋈counts join is the same token-keyed shape as tfidf's df
+    * join — AQE broadcasts a small vocab or skew-splits hot tokens. */
+  def unigramLogLikelihood(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = dt.agg(count(lit(1)).cast("double").as("__n_total")) // 1-row broadcast
+    dt.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), log(col("c") / col("__n_total")).cast("decimal(28,9)").as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("lp").as("sum_lp"))
+      .select(col(idCol), col("n_tokens"),
+        (col("sum_lp").cast("double") / col("n_tokens"))
+          .cast("decimal(18,6)").cast("double").as("avg_logprob"))
+      .orderBy(idCol)
+  }
+
   /** The composed curation pass — what a real corpus run executes: quality
     * thresholds + repetition cap in ONE map-side predicate stage (no
     * intermediate materialization; all column expressions fuse into the

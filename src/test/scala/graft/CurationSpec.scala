@@ -108,6 +108,20 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq(1L, 5L), out.toString) // 2 too repetitive, 3 too short, 4 dup of 1
   }
 
+  test("unigramLogLikelihood: common-token docs outscore rare-token docs; hand-checked values") {
+    // corpus: "the" appears 4×, rare tokens once each → 8 occurrences total
+    val df = Seq(
+      (1L, "the the the the"),      // 4 tokens, each P=4/8 → avg = ln(1/2)
+      (2L, "aardvark quux zzz onomatopoeia") // 4 tokens, each P=1/8 → avg = ln(1/8)
+    ).toDF("doc_id", "text")
+    val r = Curation.unigramLogLikelihood(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 == 4 && r(2L)._1 == 4)
+    assert(math.abs(r(1L)._2 - math.log(0.5)) < 1e-6, r(1L).toString)
+    assert(math.abs(r(2L)._2 - math.log(0.125)) < 1e-6, r(2L).toString)
+    assert(r(1L)._2 > r(2L)._2) // the filter's point: common prose scores higher
+  }
+
   test("contaminationScreen: flags only docs sharing an 8-gram with benchmark") {
     val phrase = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val df = Seq(
