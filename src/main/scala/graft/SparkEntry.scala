@@ -597,7 +597,55 @@ object SparkEntry {
       |SELECT doc_id_a, doc_id_b, jaccard FROM p
       |WHERE jaccard >= $threshold ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** DuckDB twin of graft's deterministic k-means (Similarity.kmeansAssign,
+    * k=8, iters=3): init = vectors of ids 0..7, each round assigns by double
+    * L2 argmin (ties → smaller cluster) and recomputes centroids as
+    * decimal(38,18)-exact sums with one double division + one float rounding.
+    * Both engines share every rounding path, so the three unrolled rounds
+    * land on identical float centroids and identical assignments. */
+  private val kmeansOracleSql: String = {
+    def round(n: Int): String = {
+      val prev = if (n == 1) "c0" else s"c${n - 1}f"
+      s"""d$n AS (
+        |  SELECT f.vec_id, c.cluster,
+        |    SUM((CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE)) * (CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE))) AS d
+        |  FROM f JOIN $prev c USING (dim) GROUP BY 1, 2),
+        |a$n AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+        |    FROM d$n) WHERE rk = 1),
+        |u$n AS (
+        |  SELECT a.cluster, f.dim,
+        |    CAST(CAST(SUM(CAST(f.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS FLOAT) AS c
+        |  FROM a$n a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |c${n}f AS (
+        |  SELECT p.cluster, p.dim, COALESCE(u.c, p.c) AS c
+        |  FROM $prev p LEFT JOIN u$n u USING (cluster, dim))""".stripMargin
+    }
+    s"""WITH v AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |f AS (
+      |  SELECT vec_id, CAST(u.e[2] AS INTEGER) AS dim, CAST(u.e[1] AS FLOAT) AS x
+      |  FROM (SELECT vec_id, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS e FROM v) u(vec_id, e)),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, dim, x AS c FROM f WHERE vec_id < 8),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)},
+      |dF AS (
+      |  SELECT f.vec_id, c.cluster,
+      |    SUM((CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE)) * (CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE))) AS d
+      |  FROM f JOIN c3f c USING (dim) GROUP BY 1, 2),
+      |aF AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+      |    FROM dF) WHERE rk = 1)
+      |SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_members
+      |FROM aF GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q81_kmeans" -> kmeansOracleSql,
     "q24_minhash_lsh" -> jaccardTruthSql("0.5"),
     "q26_ngram_jaccard" -> jaccardTruthSql("0.3"),
     "q28_ann_lsh" ->

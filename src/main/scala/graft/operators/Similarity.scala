@@ -273,8 +273,11 @@ object Similarity {
         .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(sum(col("x").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("n"))
+        // exact decimal SUM (order-independent), then ONE double division and
+        // ONE float rounding — a single engine-portable rounding path, unlike
+        // decimal division whose result scale/rounding is engine-specific
         .select(col("cluster"), col("dim"),
-          (col("sx") / col("n")).cast("float").as("c"))
+          (col("sx").cast("double") / col("n")).cast("float").as("c"))
         .collect()
       val next = centroids.map(_.clone())
       updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
