@@ -31,6 +31,13 @@ class NullSafetySpec extends SparkSpec {
     assert(Curation.contaminationScreen(docs, "doc_id", "text", col("source") === "s2", 2).count() == 0)
     // tfidf drops null/empty docs (no tokens) but must not crash
     assert(Curation.tfidfTopTerm(docs, "doc_id", "text").count() == 1)
+    // unigram LL likewise: tokenless docs vanish, the rest score
+    assert(Curation.unigramLogLikelihood(docs, "doc_id", "text").count() == 1)
+  }
+
+  test("connectedComponentsStar: empty edge list yields empty result, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Dedup.connectedComponentsStar(empty, "a", "b").count() == 0)
   }
 
   test("text analysis ops: null text rows flow through, no crash") {
