@@ -222,6 +222,21 @@ object SparkEntry {
       Analytics.sessionize(Tables.events(s, d), 30)),
     "q39_approx_stats" -> ((s, d) =>
       Analytics.approxStats(Tables.events(s, d))),
+    "q89_hll_merge" -> ((s, d) => {
+      // incremental-load shape: two disjoint half-batches sketched
+      // INDEPENDENTLY, merged to one estimate per event_type — distinct
+      // counting without ever re-scanning the first batch (☆ rows-only:
+      // sketch estimates are engine-internal; mergeability == full-scan
+      // equality is asserted in AnalyticsSpec)
+      // ★-checkable because at driver SFs (≤150 distinct users/type) the
+      // lgK=12 sketch is still in exact coupon mode, so the merged estimate
+      // EQUALS COUNT(DISTINCT); the approximate-regime error envelope is
+      // asserted in AnalyticsSpec at 700 distinct
+      val ev = Tables.events(s, d)
+      val batches = Seq(0, 1).map(h =>
+        Analytics.hllSketchByGroup(ev.where(col("event_id") % 2 === h), "event_type", "user_id"))
+      Analytics.hllMergeEstimate(batches.reduce(_.unionAll(_)), "event_type")
+    }),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -678,6 +693,9 @@ object SparkEntry {
     "q86_jobs_by_user_req" ->
       """SELECT * FROM orders WHERE o_custkey = 7 AND o_orderpriority = '1-URGENT'
         |ORDER BY o_orderdate DESC, o_orderkey DESC""".stripMargin,
+    "q89_hll_merge" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -297,6 +297,21 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL through
+    * Spark's codegen'd `hll_sketch_agg`). The point vs `countDistinct`:
+    * sketches computed per batch/partition/day UNION in O(sketch size) —
+    * so incremental loads never re-scan history, and a 100 TB backfill
+    * reduces to merging per-partition sketches. Estimate error ~1.6% at
+    * the default lgConfigK=12. */
+  def hllSketchByGroup(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(keyCol).agg(hll_sketch_agg(col(valCol)).as("sketch"))
+
+  /** Merge per-batch sketches (same group key) into one estimate. */
+  def hllMergeEstimate(sketches: DataFrame, keyCol: String): DataFrame =
+    sketches.groupBy(keyCol)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+      .orderBy(keyCol)
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough

@@ -184,6 +184,18 @@ object EventStream {
 
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */
+  /** Stream-static enrichment: join the streaming fact against a STATIC
+    * dimension. Spark re-reads/broadcasts the static side per micro-batch
+    * (no state is kept for it), so the pattern scales with the stream, not
+    * with history — the standard lookup-table enrichment shape. Works
+    * identically on a batch frame, so parity is testable. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+             dimKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+      .drop(dimKey)
+  }
+
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,
                     sinkTable: String): StreamingQuery = {
     val stream = spark.readStream

@@ -90,6 +90,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(est == Map("0" -> 100L, "5" -> 100L, "9" -> 100L)) // 10 distinct vs width 2000
   }
 
+  test("HLL sketches: incrementally merged half-batches track the one-pass sketch and the truth") {
+    val df = spark.range(5000)
+      .selectExpr("CAST(id % 3 AS STRING) AS k", "CAST(id % 700 AS LONG) AS v", "id")
+    val full = Analytics.hllMergeEstimate(Analytics.hllSketchByGroup(df, "k", "v"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val halves = Seq(0, 1).map(h => Analytics.hllSketchByGroup(df.where(col("id") % 2 === h), "k", "v"))
+    val merged = Analytics.hllMergeEstimate(halves.reduce(_.unionAll(_)), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the union merge path packs registers differently than one pass, so
+    // estimates are close but NOT bit-equal — both must sit inside the
+    // lgK=12 error envelope around the true 700 distinct per key
+    (full.values ++ merged.values).foreach(e =>
+      assert(math.abs(e - 700.0) / 700.0 < 0.05, s"full=$full merged=$merged"))
+    merged.keys.foreach(k =>
+      assert(math.abs(merged(k) - full(k)).toDouble / full(k) < 0.02, s"full=$full merged=$merged"))
+  }
+
+  test("stream-static enrichment: batch parity and left-preserving") {
+    val ev = Seq((1L, 7L), (2L, 8L), (3L, 99L)).toDF("event_id", "user_id")
+    val dim = Seq((7L, "pro"), (8L, "free")).toDF("u_id", "tier")
+    val out = graft.streaming.EventStream.enrich(ev, dim, "user_id", "u_id")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
