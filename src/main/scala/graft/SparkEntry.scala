@@ -237,6 +237,12 @@ object SparkEntry {
         Analytics.hllSketchByGroup(ev.where(col("event_id") % 2 === h), "event_type", "user_id"))
       Analytics.hllMergeEstimate(batches.reduce(_.unionAll(_)), "event_type")
     }),
+    "q90_global_seq" -> ((s, d) =>
+      // corpus-wide example ids without a 1-partition window (training-data
+      // sharding backbone); (source, doc_id) is a unique total order
+      Analytics.globalRowNumber(
+        Tables.documents(s, d).select("doc_id", "source"), Seq("source", "doc_id"))
+        .orderBy("seq")),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -696,6 +702,9 @@ object SparkEntry {
     "q89_hll_merge" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q90_global_seq" ->
+      """SELECT doc_id, source, CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS seq
+        |FROM documents ORDER BY seq""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

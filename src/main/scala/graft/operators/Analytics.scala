@@ -297,6 +297,33 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Global sequence numbers in a total order WITHOUT the single-partition
+    * window. `row_number() OVER (ORDER BY …)` collapses 100 TB onto one
+    * task; this is the classic two-pass shape instead: range-partitioned
+    * sort (stays distributed), per-partition counts to the driver (one Long
+    * per partition), exclusive-prefix offsets broadcast back, map-side
+    * offset + local index. The driver traffic is O(partitions), never
+    * O(rows). Sequence ids are the backbone of training-data sharding
+    * (example ids, deterministic shuffles of fixed corpora). Ties in
+    * `sortCols` must be broken by the caller (include a unique id) for a
+    * deterministic numbering — same contract as SQL row_number. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[String],
+                      outCol: String = "seq"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(sortCols.map(col): _*)
+      .localCheckpoint() // pin the range partitioning: pass 2 must see pass 1's exact partitions
+    val counts = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      Iterator((p, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val schema = sorted.schema.add(outCol, "long", nullable = false)
+    val out = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      var i = offsets.value(p)
+      it.map { r => i += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL through
     * Spark's codegen'd `hll_sketch_agg`). The point vs `countDistinct`:
     * sketches computed per batch/partition/day UNION in O(sketch size) —

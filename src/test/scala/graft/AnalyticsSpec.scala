@@ -115,6 +115,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
   }
 
+  test("globalRowNumber: dense 1..N in sort order, invariant to input partitioning") {
+    val df = Seq((3L, "b"), (1L, "a"), (2L, "b"), (4L, "a")).toDF("id", "src")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.globalRowNumber(d, Seq("src", "id")).orderBy("seq")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val expected = Seq((1L, 1L), (4L, 2L), (2L, 3L), (3L, 4L)) // a:1,4 then b:2,3
+    assert(run(df) == expected)
+    assert(run(df.repartition(7)) == expected) // numbering ignores input layout
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
