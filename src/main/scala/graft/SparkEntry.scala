@@ -132,11 +132,11 @@ object SparkEntry {
       (header +: rows).mkString("\n").replace(',', sep)
     val up1 = new java.io.File(uploadDir, "upload1.csv")
     java.nio.file.Files.write(up1.toPath, csvOf(
-      batch.take(40).map(r => s"${r._1},${r._2},${r._3}"),
+      batch.take(40).toIndexedSeq.map(r => s"${r._1},${r._2},${r._3}"),
       "E-Mail,NOME,Empresa", ';').getBytes("ISO-8859-1"))
     val up2 = new java.io.File(uploadDir, "upload2.csv")
     java.nio.file.Files.write(up2.toPath, csvOf(
-      batch.drop(30).map(r => s"${r._1},${r._2},${r._3}") :+
+      batch.drop(30).toIndexedSeq.map(r => s"${r._1},${r._2},${r._3}") :+
         ",NoEmail Person,MissingCo", // a row with a blank required field
       "email_address,first name,org", ',').getBytes("UTF-8"))
     val bad = new java.io.File(uploadDir, "headeronly.csv")

@@ -99,4 +99,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
     assert(streamed.map(_._3).sum == 4) // 4 distinct events despite 5 deliveries
   }
+
+  test("stream-static enrichment: micro-batch join against a static dimension") {
+    val src = Files.createTempDirectory("graft_enrich_src").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 8L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 99L, "view", 3.0, "{}")) // no dim row
+      .toDF(cols: _*).write.mode("append").parquet(src)
+    val dim = Seq((7L, "pro"), (8L, "free")).toDF("u_id", "tier")
+
+    val stream = spark.readStream.schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = EventStream.enrich(stream, dim, "user_id", "u_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich_sink").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val out = spark.table("enrich_sink")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
+  }
 }
