@@ -45,12 +45,16 @@ object Bench {
     // window. Keys are therefore the qNN prefix, values ms-precision, and the
     // line is printed LAST with logs silenced — whole line ≈1.2 KB.
     def short(name: String): String = name.takeWhile(_ != '_')
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would turn the one metric line into invalid JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + short(k) + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","queries":$qs}"""
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)
     spark.stop()

@@ -518,9 +518,12 @@ object SparkEntry {
     "q25_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")),
     "q26_ngram_jaccard" -> ((s, d) => {
+      // UNFILTERED candidates (like q24): an est_jaccard>=0.3 prefilter could
+      // drop a true near-threshold pair on estimation error alone, making the
+      // all-pairs oracle data-dependently flaky
       val corpus = docsWithPlantedDups(Tables.documents(s, d))
-      val cands = Dedup.minhashLsh(corpus, "doc_id", "text").filter(col("est_jaccard") >= 0.3)
-      Dedup.ngramJaccard(corpus, "doc_id", "text", cands.select("doc_id_a", "doc_id_b"), threshold = 0.3)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      Dedup.ngramJaccard(corpus, "doc_id", "text", cands, threshold = 0.3)
     }),
     "q27_ann_bruteforce" -> ((s, d) =>
       // rank-only projection: cosine VALUES would differ across engines in

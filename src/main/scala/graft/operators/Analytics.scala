@@ -348,9 +348,17 @@ object Analytics {
     // salt from the ROW CONTENT, not monotonically_increasing_id(): the id
     // depends on partition/task numbering, so a task retry (or AQE re-plan)
     // would re-salt rows differently mid-job; a content hash is identical on
-    // every attempt, keeping the operator deterministic under failure
+    // every attempt, keeping the operator deterministic under failure.
+    // Caveat by construction: rows that are FULLY identical share a salt (no
+    // deterministic function can separate them) — exact-duplicate hot-key
+    // skew should be collapsed with a count aggregate BEFORE joining, which
+    // is cheaper than any salting. Map columns are excluded from the hash
+    // (Spark cannot hash MapType); every other column participates.
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
     val saltedBig = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      pmod(hash(hashable: _*), lit(saltFactor)))
     val saltedSmall = small.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

@@ -340,6 +340,10 @@ object Dedup {
     * of the component). */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 50): DataFrame = {
+    // per-round localCheckpoints truncate lineage (the plan must not grow
+    // per iteration); superseded rounds' checkpoint blocks are reclaimed by
+    // Spark's ContextCleaner once the frames are unreferenced — storage is
+    // bounded by in-flight rounds, not total rounds
     val nodes = pairs.select(col(aCol).as("node"))
       .unionAll(pairs.select(col(bCol).as("node"))).distinct().localCheckpoint()
     // canonical direction big → small; self-pairs dropped
@@ -366,6 +370,10 @@ object Dedup {
       edges = next
       i += 1
     }
+    // a non-converged edge list still contains node→intermediate hooks, and
+    // labeling from it would be silently wrong — fail loudly instead
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds (O(log² n) expected)")
     nodes.join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
       .orderBy("node")

@@ -182,8 +182,6 @@ object EventStream {
       .start()
   }
 
-  /** File-source stream over a directory of event parquet drops (the queue
-    * analog). Processes everything currently available, then stops. */
   /** Stream-static enrichment: join the streaming fact against a STATIC
     * dimension. Spark re-reads/broadcasts the static side per micro-batch
     * (no state is kept for it), so the pattern scales with the stream, not
@@ -192,10 +190,14 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
              dimKey: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // drop the DIM side's key by reference, not by name — drop(dimKey) would
+    // remove BOTH columns when the stream and dimension share the key name
     events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
-      .drop(dimKey)
+      .drop(dim(dimKey))
   }
 
+  /** File-source stream over a directory of event parquet drops (the queue
+    * analog). Processes everything currently available, then stops. */
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,
                     sinkTable: String): StreamingQuery = {
     val stream = spark.readStream

@@ -56,7 +56,7 @@ def main():
             n_fail += 1
             continue
         try:
-            want = oracle and con.execute(oracle[name]).df()  # driver path: .df()
+            want = con.execute(oracle[name]).df()  # driver path: .df()
         except Exception as e:
             print(f"ERR  {name}: oracle sql error: {e}")
             n_fail += 1
