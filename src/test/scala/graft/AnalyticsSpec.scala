@@ -57,6 +57,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("saltedJoin: big side with a map column still plans (maps excluded from the salt hash)") {
+    val big = (0L until 100L).map(i => (i % 3, i)).toDF("k", "payload")
+      .withColumn("props", map(lit("a"), col("payload")))
+    val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "tag")
+    assert(Analytics.saltedJoin(big, small, "k", 4).count() == 100)
+  }
+
   test("approxStats: sketch answers within tolerance of exact") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 20000).map { i =>
