@@ -243,6 +243,8 @@ object SparkEntry {
       Analytics.globalRowNumber(
         Tables.documents(s, d).select("doc_id", "source"), Seq("source", "doc_id"))
         .orderBy("seq")),
+    "q91_rolling_window" -> ((s, d) =>
+      Analytics.rollingTimeWindow(Tables.events(s, d), "user_id", "ts", "event_id", "value", 7)),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -708,6 +710,16 @@ object SparkEntry {
     "q90_global_seq" ->
       """SELECT doc_id, source, CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS seq
         |FROM documents ORDER BY seq""".stripMargin,
+    "q91_rolling_window" ->
+      // numeric RANGE frame over epoch seconds on BOTH engines (an INTERVAL
+      // frame in DuckDB would include the exact -7d boundary point that
+      // Spark's rangeBetween(-(secs-1), 0) excludes)
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |                  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY sec
+        |         RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS rolling_value
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -297,6 +297,27 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Trailing time-RANGE window aggregate (e.g. 7-day rolling revenue):
+    * unlike the ROWS frames of [[runningTotals]]/[[lagFeatures]], the frame
+    * is defined by the TIME VALUE — rows with equal timestamps are peers and
+    * always share a frame, and gaps shrink the window. One shuffle on the
+    * key, one sort; the range frame is evaluated with a sliding pointer, not
+    * per-row rescans. Sum stays decimal (exact) until the boundary. */
+  def rollingTimeWindow(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valCol: String, days: Int): DataFrame = {
+    val secs = days.toLong * 86400L
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__sec"))
+      .rangeBetween(-(secs - 1), 0) // trailing `days` worth of seconds, inclusive
+    events
+      .select(col(keyCol), col(idCol), col(tsCol).cast("long").as("__sec"),
+        col(valCol).cast("decimal(18,2)").as("__v"))
+      .withColumn("rolling_value",
+        sum(col("__v")).over(w).cast("decimal(18,2)").cast("double"))
+      .select(col(keyCol), col(idCol), col("rolling_value"))
+      .orderBy(keyCol, idCol)
+  }
+
   /** Global sequence numbers in a total order WITHOUT the single-partition
     * window. `row_number() OVER (ORDER BY …)` collapses 100 TB onto one
     * task; this is the classic two-pass shape instead: range-partitioned

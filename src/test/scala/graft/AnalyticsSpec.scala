@@ -122,6 +122,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
   }
 
+  test("rollingTimeWindow: value-defined frame — peers share it, old rows age out") {
+    val df = Seq(
+      (7L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (7L, 2L, ts("2024-01-05 10:00:00"), 2.0),  // within 7d of event 1
+      (7L, 3L, ts("2024-01-05 10:00:00"), 4.0),  // PEER of event 2 (same ts)
+      (7L, 4L, ts("2024-01-20 10:00:00"), 8.0),  // events 1-3 aged out
+      (8L, 5L, ts("2024-01-01 10:00:00"), 16.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.rollingTimeWindow(df, "user_id", "ts", "event_id", "value", 7)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // peers (2,3) both see 1+2+4; event 4's trailing week is empty but itself
+    assert(out == Map(1L -> 1.0, 2L -> 7.0, 3L -> 7.0, 4L -> 8.0, 5L -> 16.0), out.toString)
+  }
+
   test("globalRowNumber: dense 1..N in sort order, invariant to input partitioning") {
     val df = Seq((3L, "b"), (1L, "a"), (2L, "b"), (4L, "a")).toDF("id", "src")
     def run(d: org.apache.spark.sql.DataFrame) =
