@@ -245,6 +245,8 @@ object SparkEntry {
         .orderBy("seq")),
     "q91_rolling_window" -> ((s, d) =>
       Analytics.rollingTimeWindow(Tables.events(s, d), "user_id", "ts", "event_id", "value", 7)),
+    "q92_chi_square" -> ((s, d) =>
+      Analytics.chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -720,6 +722,21 @@ object SparkEntry {
         |  CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY sec
         |         RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS rolling_value
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "q92_chi_square" ->
+      """WITH o AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY b),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n, CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+        |             CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM o),
+        |cells AS (SELECT ra.a, ra.ra, cb.b, cb.cb, COALESCE(o.o, 0) AS o
+        |          FROM ra CROSS JOIN cb LEFT JOIN o USING (a, b)),
+        |t AS (SELECT CAST((CAST(c.o AS DOUBLE) - CAST(c.ra * c.cb AS DOUBLE) / n.n)
+        |           * (CAST(c.o AS DOUBLE) - CAST(c.ra * c.cb AS DOUBLE) / n.n)
+        |           / (CAST(c.ra * c.cb AS DOUBLE) / n.n) AS DECIMAL(28,10)) AS t,
+        |           n.n, n.ka, n.kb
+        |      FROM cells c CROSS JOIN n)
+        |SELECT n AS n_rows, (ka - 1) * (kb - 1) AS dof, CAST(SUM(t) AS DOUBLE) AS chi2
+        |FROM t GROUP BY n, ka, kb""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -297,6 +297,37 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Pearson chi-square association between two categorical columns — the
+    * contingency-table independence test (is label distribution different
+    * across sources? is status independent of priority?). Aggregates to
+    * |A|×|B| cells first, so everything after the one groupBy is
+    * dimension-table-sized regardless of input rows. Per-cell terms are
+    * deterministic double chains (bit-equal across engines); the ORDER-
+    * dependent step — summing terms — happens in decimal, exact. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o")).localCheckpoint()
+    val ra = o.groupBy(aCol).agg(sum("o").as("ra"))
+    val cb = o.groupBy(bCol).agg(sum("o").as("cb"))
+    val n = o.agg(sum("o").as("n"),
+      countDistinct(aCol).as("ka"), countDistinct(bCol).as("kb"))
+    // the FULL |A|×|B| grid, not just observed cells: a structurally-zero
+    // cell still contributes (0-E)²/E — dropping it understates association
+    // (a perfectly-associated 2×2 would read χ²=N/2 instead of N)
+    val cells = ra.crossJoin(cb)
+      .join(o, Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val e = (col("ra") * col("cb")).cast("double") / col("n")
+    val term = ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .cast("decimal(28,10)")
+    cells.crossJoin(broadcast(n))
+      .select(term.as("t"), col("n"), col("ka"), col("kb"))
+      .groupBy("n", "ka", "kb")
+      .agg(sum("t").as("chi2_sum"))
+      .select(col("n").as("n_rows"),
+        ((col("ka") - 1) * (col("kb") - 1)).as("dof"),
+        col("chi2_sum").cast("double").as("chi2"))
+  }
+
   /** Trailing time-RANGE window aggregate (e.g. 7-day rolling revenue):
     * unlike the ROWS frames of [[runningTotals]]/[[lagFeatures]], the frame
     * is defined by the TIME VALUE — rows with equal timestamps are peers and

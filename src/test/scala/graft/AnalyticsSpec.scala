@@ -122,6 +122,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
   }
 
+  test("chiSquare: zero under independence, N for a perfectly associated 2x2") {
+    val indep = (Seq.fill(10)(("x", "0")) ++ Seq.fill(10)(("x", "1")) ++
+      Seq.fill(10)(("y", "0")) ++ Seq.fill(10)(("y", "1"))).toDF("a", "b")
+    val r1 = Analytics.chiSquare(indep, "a", "b").head()
+    assert(r1.getLong(0) == 40 && r1.getLong(1) == 1 && r1.getDouble(2) == 0.0)
+    val assoc = (Seq.fill(20)(("x", "0")) ++ Seq.fill(20)(("y", "1"))).toDF("a", "b")
+    val r2 = Analytics.chiSquare(assoc, "a", "b").head()
+    assert(r2.getLong(1) == 1 && math.abs(r2.getDouble(2) - 40.0) < 1e-9, r2.toString)
+  }
+
   test("rollingTimeWindow: value-defined frame — peers share it, old rows age out") {
     val df = Seq(
       (7L, 1L, ts("2024-01-01 10:00:00"), 1.0),

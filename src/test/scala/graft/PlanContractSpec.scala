@@ -21,7 +21,8 @@ class PlanContractSpec extends SparkSpec {
         // corpus-count aggregate folded into the job instead of a separate
         // count() action — O(n·1) by construction)
         val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile",
-          "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi", "q88_unigram_ll")
+          "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi", "q88_unigram_ll",
+          "q92_chi_square")
         if (allowed(name)) None else Some(name)
       } else None
     }
