@@ -247,6 +247,8 @@ object SparkEntry {
       Analytics.rollingTimeWindow(Tables.events(s, d), "user_id", "ts", "event_id", "value", 7)),
     "q92_chi_square" -> ((s, d) =>
       Analytics.chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")),
+    "q93_mad" -> ((s, d) =>
+      Analytics.madByGroup(Tables.events(s, d), "event_type", "value")),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -737,6 +739,14 @@ object SparkEntry {
         |      FROM cells c CROSS JOIN n)
         |SELECT n AS n_rows, (ka - 1) * (kb - 1) AS dof, CAST(SUM(t) AS DOUBLE) AS chi2
         |FROM t GROUP BY n, ka, kb""".stripMargin,
+    "q93_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(CAST(MAX(m.med) AS DECIMAL(18,4)) AS DOUBLE) AS median,
+        |  CAST(CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS mad,
+        |  COUNT(*) AS n_rows
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -297,6 +297,28 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Median absolute deviation per group — the robust outlier scale
+    * (insensitive to the extreme values that inflate a stddev, so a single
+    * corrupt row can't mask every other anomaly, unlike [[zScoreAnomalies]]'
+    * z denominator). Two exact-percentile passes: group medians (broadcast
+    * back — group-count-sized), then the median of |x − m|. Exact
+    * `percentile`, not approx: the oracle twin is quantile_cont. */
+  def madByGroup(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val med = df.groupBy(keyCol)
+      .agg(percentile(col(valCol), lit(0.5)).as("med"))
+    df.join(broadcast(med), keyCol)
+      .groupBy(keyCol)
+      .agg(
+        first(col("med")).as("median"),
+        percentile(abs(col(valCol) - col("med")), lit(0.5)).as("mad"),
+        count(lit(1)).as("n_rows"))
+      .select(col(keyCol),
+        col("median").cast("decimal(18,4)").cast("double").as("median"),
+        col("mad").cast("decimal(18,4)").cast("double").as("mad"),
+        col("n_rows"))
+      .orderBy(keyCol)
+  }
+
   /** Pearson chi-square association between two categorical columns — the
     * contingency-table independence test (is label distribution different
     * across sources? is status independent of priority?). Aggregates to

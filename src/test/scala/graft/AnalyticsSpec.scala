@@ -122,6 +122,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
   }
 
+  test("madByGroup: robust to one wild outlier that would dominate a stddev") {
+    val df = (Seq.fill(5)(1.0) ++ Seq.fill(5)(3.0) :+ 1e9)
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }.toDF("k", "id", "v")
+    val r = Analytics.madByGroup(df, "k", "v").head()
+    // 11 values sorted (1×5, 3×5, 1e9): median = 6th = 3; |x-3| = {2×5, 0×5,
+    // ~1e9} → MAD = 2. A stddev here is ~3e8 — the outlier owns it entirely.
+    assert(r.getDouble(1) == 3.0, r.toString)
+    assert(r.getDouble(2) == 2.0, r.toString)
+  }
+
   test("chiSquare: zero under independence, N for a perfectly associated 2x2") {
     val indep = (Seq.fill(10)(("x", "0")) ++ Seq.fill(10)(("x", "1")) ++
       Seq.fill(10)(("y", "0")) ++ Seq.fill(10)(("y", "1"))).toDF("a", "b")
