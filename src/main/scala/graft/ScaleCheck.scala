@@ -105,6 +105,19 @@ object ScaleCheck {
         "p_partkey", "p_name", maxDist = 2)
       Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
     })
+    time("unigram_loglik")(d => Curation.unigramLogLikelihood(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("global_row_number")(d => Analytics.globalRowNumber(
+      Tables.documents(spark, d).select(col("doc_id"), col("source")), Seq("source", "doc_id")))
+    time("rolling_time_window")(d => Analytics.rollingTimeWindow(
+      Tables.events(spark, d), "user_id", "ts", "event_id", "value", 7))
+    time("chi_square")(d => Analytics.chiSquare(
+      Tables.load(spark, d, "orders"), "o_orderstatus", "o_orderpriority"))
+    time("mad_by_group")(d => Analytics.madByGroup(
+      Tables.events(spark, d), "event_type", "value"))
+    time("hll_sketch_merge")(d => Analytics.hllMergeEstimate(
+      Analytics.hllSketchByGroup(Tables.events(spark, d), "event_type", "user_id"),
+      "event_type"))
 
     spark.stop()
   }
