@@ -249,6 +249,12 @@ object SparkEntry {
       Analytics.chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")),
     "q93_mad" -> ((s, d) =>
       Analytics.madByGroup(Tables.events(s, d), "event_type", "value")),
+    "q94_equidepth" -> ((s, d) =>
+      // k=7 keeps every interpolation position strictly between order
+      // statistics, so engine-specific FP in the quantile interpolation
+      // cannot move a data point across a bin edge
+      Analytics.equiDepthHistogram(
+        Tables.orders(s, d).select("o_totalprice"), "o_totalprice", 7)),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -747,6 +753,22 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM events e JOIN m USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q94_equidepth" ->
+      // interpolated quantiles land strictly between adjacent order
+      // statistics, so sub-ulp engine FP differences cannot re-bin a row;
+      // bin_lo is quantized through DECIMAL(18,4) like q93's medians
+      """WITH e AS (SELECT quantile_cont(o_totalprice,
+        |             [1.0/7, 2.0/7, 3.0/7, 4.0/7, 5.0/7, 6.0/7]) AS edges FROM orders),
+        |b AS (SELECT CAST(o_totalprice > edges[1] AS INT) + CAST(o_totalprice > edges[2] AS INT)
+        |           + CAST(o_totalprice > edges[3] AS INT) + CAST(o_totalprice > edges[4] AS INT)
+        |           + CAST(o_totalprice > edges[5] AS INT) + CAST(o_totalprice > edges[6] AS INT) AS bin,
+        |           edges
+        |      FROM orders CROSS JOIN e)
+        |SELECT bin,
+        |  CASE WHEN bin = 0 THEN NULL
+        |       ELSE CAST(CAST(ANY_VALUE(edges)[bin] AS DECIMAL(18,4)) AS DOUBLE) END AS bin_lo,
+        |  COUNT(*) AS n_rows
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -297,6 +297,33 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Equi-depth histogram: bin edges at exact quantiles, so every bin holds
+    * ~rows/k rows — the adaptive complement to [[histogram]]'s fixed-width
+    * bins, which collapse on skewed data (one bin takes 99% of rows). The k-1
+    * interior edges come from ONE exact-percentile aggregate (array form),
+    * broadcast back; binning is a map-side array search. Duplicate edges
+    * (heavy single values) merge bins — reported, not hidden. */
+  def equiDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 bins")
+    val fracs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val edges = df.agg(percentile(col(valCol), fracs).as("edges"))
+    df.crossJoin(broadcast(edges))
+      // edge i is the UPPER bound of bin i; values above the last edge fall
+      // into bin k-1. aggregate() counts edges <= x — codegen'd, no UDF.
+      .select(aggregate(col("edges"), lit(0),
+        (acc, e) => when(col(valCol) > e, acc + 1).otherwise(acc)).as("bin"),
+        col("edges"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        first("edges").as("__e"))
+      .select(col("bin"),
+        when(col("bin") === 0, lit(null).cast("double"))
+          .otherwise(element_at(col("__e"), col("bin")))
+          .cast("decimal(18,4)").cast("double").as("bin_lo"),
+        col("n_rows"))
+      .orderBy("bin")
+  }
+
   /** Median absolute deviation per group — the robust outlier scale
     * (insensitive to the extreme values that inflate a stddev, so a single
     * corrupt row can't mask every other anomaly, unlike [[zScoreAnomalies]]'

@@ -132,6 +132,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) == 2.0, r.toString)
   }
 
+  test("equiDepthHistogram: balanced bins on skew; duplicate edges merge bins") {
+    // 1..100 with quartile edges: every bin gets exactly 25 rows, and the
+    // lower bound of bin i is the (i/4)-quantile
+    val uniform = (1 to 100).map(v => v.toDouble).toDF("v")
+    val q = Analytics.equiDepthHistogram(uniform, "v", 4).collect()
+    assert(q.map(_.getLong(2)).toSeq == Seq(25L, 25L, 25L, 25L), q.mkString(","))
+    assert(q.head.isNullAt(1) && q(1).getDouble(1) == 25.75, q(1).toString)
+    // 97 copies of one value + 3 outliers: a fixed-width histogram puts 97%
+    // in one bin; equi-depth merges the duplicate edges instead of hiding them
+    val skew = (Seq.fill(97)(5.0) ++ Seq(100.0, 200.0, 300.0)).toDF("v")
+    val s = Analytics.equiDepthHistogram(skew, "v", 4).collect()
+    assert(s.map(_.getInt(0)).toSeq == Seq(0, 3), s.mkString(","))
+    assert(s.map(_.getLong(2)).toSeq == Seq(97L, 3L), s.mkString(","))
+  }
+
   test("chiSquare: zero under independence, N for a perfectly associated 2x2") {
     val indep = (Seq.fill(10)(("x", "0")) ++ Seq.fill(10)(("x", "1")) ++
       Seq.fill(10)(("y", "0")) ++ Seq.fill(10)(("y", "1"))).toDF("a", "b")

@@ -17,12 +17,13 @@ class PlanContractSpec extends SparkSpec {
       if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) {
         // legitimate tiny cross joins only: 1×1 stat rows, the calendar
         // spine (months × keys — inherently a small cartesian, never
-        // fact-sized), and the 1-row broadcast N-joins in tfidf/pmi (the
+        // fact-sized), the 1-row broadcast N-joins in tfidf/pmi (the
         // corpus-count aggregate folded into the job instead of a separate
-        // count() action — O(n·1) by construction)
+        // count() action — O(n·1) by construction), and the 1-row broadcast
+        // quantile-edge array in the equi-depth histogram
         val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile",
           "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi", "q88_unigram_ll",
-          "q92_chi_square")
+          "q92_chi_square", "q94_equidepth")
         if (allowed(name)) None else Some(name)
       } else None
     }
