@@ -255,6 +255,10 @@ object SparkEntry {
       // cannot move a data point across a bin edge
       Analytics.equiDepthHistogram(
         Tables.orders(s, d).select("o_totalprice"), "o_totalprice", 7)),
+    "q95_temperature_sample" -> ((s, d) =>
+      Splits.temperatureSample(Tables.documents(s, d), "lang", "doc_id", 200L)),
+    "q96_retention" -> ((s, d) =>
+      Analytics.retentionCohorts(Tables.events(s, d), "user_id", "ts", Seq(0, 1, 3, 7))),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -769,6 +773,31 @@ object SparkEntry {
         |       ELSE CAST(CAST(ANY_VALUE(edges)[bin] AS DECIMAL(18,4)) AS DOUBLE) END AS bin_lo,
         |  COUNT(*) AS n_rows
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q95_temperature_sample" ->
+      // sqrt (not pow) on both sides: IEEE requires sqrt correctly rounded,
+      // so weights are bit-equal; the weight sum is order-independent via
+      // DECIMAL(28,9); one double division + floor happens last
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+        |s AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS sum_w FROM w),
+        |q AS (SELECT lang, n_docs, CAST(floor(200.0 * w / sum_w) AS BIGINT) AS target
+        |      FROM w CROSS JOIN s),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |        ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS rk
+        |      FROM documents),
+        |k AS (SELECT r.lang, COUNT(*) AS n_kept FROM r JOIN q USING (lang)
+        |      WHERE r.rk <= q.target GROUP BY r.lang)
+        |SELECT q.lang, q.n_docs, q.target, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM q LEFT JOIN k USING (lang) ORDER BY q.lang""".stripMargin,
+    "q96_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  datediff('day', c.cohort_day, a.day) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE datediff('day', c.cohort_day, a.day) IN (0, 1, 3, 7)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

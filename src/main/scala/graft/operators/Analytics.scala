@@ -464,4 +464,32 @@ object Analytics {
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Cohort retention: users grouped by their first-activity day, then for
+    * each requested day-offset, how many of the cohort were active again
+    * exactly that many days later. The classic product-analytics triangle
+    * (day-0 size, day-1/3/7 return counts) — all integer arithmetic, so the
+    * oracle comparison is exact.
+    *
+    * Shape for scale: one shuffle on user (min-date cohort agg), the
+    * (user, day) activity set is deduped BEFORE the cohort join (events per
+    * user-day can be huge; distinct first makes the join input bounded by
+    * users×days), and the cohort side joins back on user — the natural key
+    * both sides already shuffle on. Offsets filter BEFORE the final count
+    * agg so the last shuffle carries only cohort_day×|offsets| partials. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       offsets: Seq[Int]): DataFrame = {
+    val day = to_date(col(tsCol))
+    val activity = events.select(col(userCol), day.as("__day")).distinct()
+    val cohorts = activity.groupBy(userCol)
+      .agg(min(col("__day")).as("cohort_day"))
+    activity.join(cohorts, userCol)
+      // long, matching the oracle's BIGINT datediff
+      .withColumn("day_offset", datediff(col("__day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset").isin(offsets: _*))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

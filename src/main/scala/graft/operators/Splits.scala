@@ -46,4 +46,51 @@ object Splits {
     }
     df.filter(cond)
   }
+
+  /** Temperature-scaled group balancing (the multilingual sampling rule of
+    * XLM-R/mC4: sample group g with probability ∝ p_g^alpha, alpha<1 boosts
+    * low-resource groups). Returns one row per group with its document
+    * count, its alpha-scaled quota out of `budget`, and how many documents
+    * the quota actually keeps. The kept rows themselves are the first
+    * `target` per group in md5-bucket order — the same engine-independent
+    * hash order [[assignSplit]] uses, so selection is uniform, deterministic,
+    * and oracle-reproducible (no RNG).
+    *
+    * Exactness: pow(count, alpha) is one libm call on a long — bit-equal
+    * across engines; the weight SUM goes through DECIMAL(28,9) so it is
+    * order-independent; the final quota is floor(budget * w / Σw) with the
+    * division done once, in double, last.
+    *
+    * Scale: counts are a tiny per-group aggregate; quotas are a broadcast
+    * of #groups rows. Selecting exactly-target-per-group uses a per-group
+    * row_number, whose parallelism is #groups — at 100 TB replace the exact
+    * selection with the [[mixBySource]] bucket-threshold form (keep when
+    * bucket < 256·target/n): one map-side pass, no per-group sort, quota hit
+    * to within ±0.4% per group. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        budget: Long, alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    // α=0.5 goes through sqrt, which IEEE-754 requires to be correctly
+    // rounded (bit-equal across engines); pow carries no such guarantee
+    val weighted = counts.withColumn("w",
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha)))
+    val totalW = weighted.agg(
+      sum(col("w").cast("decimal(28,9)")).cast("double").as("sum_w"))
+    val quotas = weighted.crossJoin(broadcast(totalW))
+      .withColumn("target",
+        floor(lit(budget.toDouble) * col("w") / col("sum_w")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(bucket(col(idCol)), col(idCol))
+    val kept = df
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas.select(col(groupCol), col("target"))), Seq(groupCol))
+      .filter(col("__rk") <= col("target"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
+    quotas
+      .join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(groupCol)
+  }
 }

@@ -181,6 +181,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(df.repartition(7)) == expected) // numbering ignores input layout
   }
 
+  test("retentionCohorts: offsets from first-activity day, multi-event days count once") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // u1 cohort 01-01
+      (1L, ts("2024-01-01 23:00:00")), // same day — deduped
+      (1L, ts("2024-01-02 01:00:00")), // offset 1
+      (1L, ts("2024-01-04 01:00:00")), // offset 3
+      (1L, ts("2024-01-06 01:00:00")), // offset 5 — NOT in requested offsets
+      (2L, ts("2024-01-01 12:00:00")), // u2 cohort 01-01, day-0 only
+      (3L, ts("2024-01-02 12:00:00")), // u3 cohort 01-02
+      (3L, ts("2024-01-09 12:00:00"))  // offset 7
+    ).toDF("user_id", "ts")
+    val out = Analytics.retentionCohorts(df, "user_id", "ts", Seq(0, 1, 3, 7))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L, ("2024-01-01", 3L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 7L) -> 1L), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(

@@ -34,4 +34,22 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(counts("half") - 1000) < 150, counts.toString) // ~50%
     assert(!counts.contains("drop"))                       // weight 0 keeps none
   }
+
+  test("temperatureSample: quotas follow count^alpha, capped by budget, kept ≤ target") {
+    // 3 groups with counts 8100, 900, 100 → sqrt weights 90, 30, 10 →
+    // alpha=0.5 quotas of a 1300 budget are exactly 900, 300, 100
+    val df = spark.range(9100)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 8100, "big").when(col("id") < 9000, "mid").otherwise("small").as("lang"))
+    val out = Splits.temperatureSample(df, "lang", "doc_id", 1300L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("big") == ((8100L, 900L, 900L)), out.toString)
+    assert(out("mid") == ((900L, 300L, 300L)), out.toString)
+    assert(out("small") == ((100L, 100L, 100L)), out.toString)
+    // a group smaller than its quota keeps everything it has
+    val tiny = df.filter(col("lang") =!= "big")
+    val t = Splits.temperatureSample(tiny, "lang", "doc_id", 5000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("mid") == 900L && t("small") == 100L, t.toString)
+  }
 }
