@@ -259,6 +259,17 @@ object SparkEntry {
       Splits.temperatureSample(Tables.documents(s, d), "lang", "doc_id", 200L)),
     "q96_retention" -> ((s, d) =>
       Analytics.retentionCohorts(Tables.events(s, d), "user_id", "ts", Seq(0, 1, 3, 7))),
+    "q97_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "window"))),
+    "q98_boilerplate" -> ((s, d) =>
+      Curation.boilerplateGrams(Tables.documents(s, d), "doc_id", "source", "text")),
+    "q99_substring_dedup" -> ((s, d) =>
+      Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text")),
+    "q100_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text")),
+    "q101_sliding_distinct" -> ((s, d) =>
+      Analytics.slidingDistinct(Tables.events(s, d), "event_type", "user_id", "ts", 7)),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -797,6 +808,71 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM a JOIN c USING (user_id)
         |WHERE datediff('day', c.cohort_day, a.day) IN (0, 1, 3, 7)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q97_bm25" ->
+      // per-term scores are one fixed chain of IEEE double ops (single ln),
+      // summed as the same left-assoc expression tree as the Spark side,
+      // then quantized DECIMAL(18,6) — bit-equal across engines
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl,
+        |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |        len(list_filter(toks, x -> x = 'join')) AS tf1,
+        |        len(list_filter(toks, x -> x = 'window')) AS tf2
+        |      FROM t),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |        CAST(COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS DOUBLE) AS df0,
+        |        CAST(COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+        |        CAST(COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2
+        |      FROM d)
+        |SELECT doc_id, CAST(CAST(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  AS DECIMAL(18,6)) AS DOUBLE) AS bm25
+        |FROM d CROSS JOIN g
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q98_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS gram
+        |      FROM t, unnest(range(1, len(toks))) AS u(i)
+        |      WHERE len(toks) >= 2),
+        |c AS (SELECT source, gram, COUNT(*) AS n_docs FROM g GROUP BY 1, 2),
+        |r AS (SELECT source, gram, n_docs,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, gram) AS rk
+        |      FROM c)
+        |SELECT source, gram, n_docs, rk FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    "q99_substring_dedup" ->
+      // 40-char frames, stride 10: DuckDB range() excludes its stop, so
+      // range(1, len-38, 10) = Spark's sequence(1, len-39, 10)
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, md5(substr(text, CAST(p AS INT), 40)) AS h
+        |  FROM documents, unnest(range(1, len(text) - 38, 10)) AS u(p)
+        |  WHERE len(text) >= 40),
+        |ok AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM w a JOIN ok USING (h) JOIN w b USING (h)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q100_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT tok AS token, doc_id
+        |           FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |                 FROM documents)),
+        |r AS (SELECT token, doc_id,
+        |        row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk FROM p)
+        |SELECT p.token, COUNT(*) AS df,
+        |  (SELECT array_to_string(list(r.doc_id ORDER BY r.doc_id), ',')
+        |   FROM r WHERE r.token = p.token AND r.rk <= 10) AS postings
+        |FROM p GROUP BY p.token ORDER BY p.token""".stripMargin,
+    "q101_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+        |anchors AS (SELECT DISTINCT event_type, day FROM ud)
+        |SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT ud.user_id) AS n_users
+        |FROM anchors a JOIN ud ON ud.event_type = a.event_type
+        |  AND ud.day BETWEEN a.day - 6 AND a.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",

@@ -492,4 +492,26 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Distinct users per trailing `days`-day window, per key, for every
+    * observed day — the sliding-window DAU/WAU family. COUNT(DISTINCT) over
+    * a RANGE frame isn't expressible as a window function in either engine;
+    * the distributed shape is: dedup to (key, user, day) FIRST (bounding
+    * everything after at users×days, independent of event volume), then
+    * map-side explode each user-day to the ≤`days` window anchors it feeds,
+    * semi-join to observed anchors, and one distinct-count shuffle on
+    * (key, anchor day). No self-join of the raw event stream, no per-day
+    * rescan. */
+  def slidingDistinct(events: DataFrame, keyCol: String, userCol: String,
+                      tsCol: String, days: Int): DataFrame = {
+    val day = to_date(col(tsCol))
+    val ud = events.select(col(keyCol), col(userCol), day.as("__day")).distinct()
+    val anchors = ud.select(col(keyCol), col("__day").as("day")).distinct()
+    val contrib = ud.select(col(keyCol), col(userCol),
+      explode(sequence(col("__day"), date_add(col("__day"), days - 1))).as("day"))
+    contrib.join(anchors, Seq(keyCol, "day"), "left_semi")
+      .groupBy(col(keyCol), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .orderBy(keyCol, "day")
+  }
 }

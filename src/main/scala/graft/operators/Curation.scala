@@ -267,4 +267,32 @@ object Curation {
       .select(idCol).distinct()
       .orderBy(idCol)
   }
+
+  /** Boilerplate detection, CCNet-style: within each source, the n-grams
+    * that occur in the most DISTINCT documents are templates/boilerplate
+    * (nav bars, footers, license headers). Emits the top-k most
+    * document-frequent n-grams per source with their document counts —
+    * the removal list a cleaning pass would subtract.
+    *
+    * Shape for scale: gram expansion is map-side (explode, no shuffle);
+    * the distinct + count shuffles on (source, gram) — the natural key,
+    * with partial aggregation; top-k per source is a rank-filtered window
+    * that Catalyst executes as WindowGroupLimit (per-partition heaps, no
+    * full sort of the gram counts). */
+  def boilerplateGrams(docs: DataFrame, idCol: String, srcCol: String,
+                       textCol: String, n: Int = 2, topK: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol), col(srcCol), tokens(col(textCol)).as("t"))
+    val idx = when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = base.select(col(idCol), col(srcCol), explode(idx).as("i"), col("t"))
+      .select(col(idCol), col(srcCol),
+        concat_ws(" ", slice(col("t"), col("i"), lit(n))).as("gram"))
+      .distinct()
+    val counts = grams.groupBy(srcCol, "gram")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(srcCol).orderBy(col("n_docs").desc, col("gram"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .orderBy(col(srcCol), col("rk"))
+  }
 }

@@ -417,4 +417,40 @@ object Dedup {
       .select("id_a", "id_b", "s_a", "s_b", "dist")
       .orderBy("id_a", "id_b")
   }
+
+  /** Exact-substring duplicate pairs (the character-level complement of
+    * MinHash: Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" dedups any repeated ≥50-char span): slide a
+    * `window`-char frame with `stride`-char steps over each document, key
+    * each frame by md5 (fixed 32-char shuffle key), and pair up documents
+    * sharing ≥ `minShared` frame hashes.
+    *
+    * Shape for scale: frame expansion is map-side; frames dedup per doc
+    * BEFORE the shuffle; frames shared by more than `maxDocs` documents
+    * (web boilerplate — quadratic pair blowup) are dropped like the LSH
+    * hot-bucket cap, so the self-join is bounded at maxDocs² per frame and
+    * no CartesianProduct can appear. The full text never shuffles — only
+    * (hash, id) pairs. */
+  def substringPairs(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 40, stride: Int = 10,
+                     minShared: Int = 2, maxDocs: Int = 50): DataFrame = {
+    val len = length(col(textCol))
+    val idx = when(len >= window,
+        sequence(lit(1), len - (window - 1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val frames = docs
+      .select(col(idCol), explode(idx).as("p"), col(textCol))
+      .select(col(idCol), md5(substring(col(textCol), col("p"), lit(window))).as("h"))
+      .distinct()
+    val ok = frames.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, maxDocs))
+      .select("h")
+    val bounded = frames.join(ok, Seq("h"))
+    bounded.as("a").join(bounded.as("b"), Seq("h"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
 
@@ -104,4 +105,76 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), Cols.fingerprint(col(textCol)).as("fingerprint"))
       .orderBy(idCol)
+
+  /** BM25 ranking (Robertson/Okapi, the lexical-retrieval workhorse behind
+    * benchmark decontamination and retrieval-augmented data selection) for a
+    * FIXED term list, top-k docs. k1=1.2, b=0.75.
+    *
+    * Shape for scale: per-term tf is a pure column expression (one pass,
+    * zero shuffle); corpus stats (N, avgdl, per-term df) are ONE tiny
+    * aggregate row broadcast back; ranking is orderBy+limit = TakeOrdered
+    * (per-partition heaps, never a global sort). The corpus never shuffles.
+    *
+    * Cross-engine exactness: every per-term score is one fixed chain of
+    * IEEE double ops (ln once), terms are summed as a fixed left-assoc
+    * expression tree (not an order-free SUM), and the final score is
+    * quantized through DECIMAL(18,6) on both sides. */
+  /** Inverted index (token → document frequency + first-`cap` postings).
+    * The retrieval-side sibling of [[bm25]]: build once, broadcast or
+    * bucket-join against query terms.
+    *
+    * Shape for scale: postings are rank-limited PER TOKEN **before** any
+    * list materializes — a WindowGroupLimit keeps per-partition heaps of
+    * `cap` rows, so a stop-word with 10⁹ postings never assembles a 10⁹
+    * element array in one task (the classic inverted-index OOM). df comes
+    * from the same deduped (token, doc) set as a plain count. Postings
+    * serialize as a comma-joined string — the segment format a real index
+    * would delta-encode. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int = 10): DataFrame = {
+    val posting = docs
+      .select(explode(array_distinct(Curation.tokens(col(textCol)))).as("token"),
+        col(idCol).as("__id"))
+    val dfCounts = posting.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("token").orderBy("__id")
+    val capped = posting
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .groupBy("token")
+      .agg(array_join(array_sort(collect_list(col("__id"))), ",").as("postings"))
+    dfCounts.join(capped, Seq("token"))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy("token")
+  }
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = Curation.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).as(s"tf$i")
+    }
+    val base = docs.select(
+      (col(idCol) +: size(toks).as("dl") +: tfCols): _*)
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+      terms.indices.map(i =>
+        count(when(col(s"tf$i") > 0, 1)).cast("double").as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // per-term score, associating exactly like the oracle SQL text
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = log((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    scored
+      .withColumn("bm25", score.cast("decimal(18,6)").cast("double"))
+      .filter(col("bm25") > 0)
+      .select(col(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -199,6 +199,23 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-02", 0L) -> 1L, ("2024-01-02", 7L) -> 1L), out.toString)
   }
 
+  test("slidingDistinct: trailing 7-day window, users counted once, keys isolated") {
+    val df = Seq(
+      ("click", 1L, ts("2024-01-01 10:00:00")),
+      ("click", 1L, ts("2024-01-03 10:00:00")), // same user again → still 1 distinct
+      ("click", 2L, ts("2024-01-03 11:00:00")),
+      ("click", 3L, ts("2024-01-12 09:00:00")), // >7d after the others
+      ("view", 9L, ts("2024-01-03 08:00:00"))   // other key, same day
+    ).toDF("event_type", "user_id", "ts")
+    val out = Analytics.slidingDistinct(df, "event_type", "user_id", "ts", 7)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("click", "2024-01-01") -> 1L, // only u1 so far
+      ("click", "2024-01-03") -> 2L, // u1 (both events) + u2
+      ("click", "2024-01-12") -> 1L, // u1/u2 aged out (last seen 01-03, gap 9d)
+      ("view", "2024-01-03") -> 1L), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(

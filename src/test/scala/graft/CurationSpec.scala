@@ -134,4 +134,17 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(hits.sameElements(Array(2L)))
   }
+
+  test("boilerplateGrams: template 2-gram tops its source, counted once per doc") {
+    val df = Seq(
+      (1L, "a", "footer text unique alpha"),
+      (2L, "a", "footer text unique beta"),
+      (3L, "a", "footer text footer text"), // repeated in-doc — still ONE doc
+      (4L, "b", "other words entirely here")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateGrams(df, "doc_id", "source", "text", n = 2, topK = 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == (("footer text", 3L, 1L)), out.toString)
+    assert(out("b")._2 == 1L) // no repeats in source b — any gram, df 1
+  }
 }

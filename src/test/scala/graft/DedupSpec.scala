@@ -152,6 +152,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1), (1L, 6L, 1), (3L, 4L, 1)), out.toString)
   }
 
+  test("substringPairs: docs sharing a long span pair up; hot frames are capped out") {
+    val span = ("x" * 35) + "shared-long-span-of-text-" + ("y" * 40) // > 40 chars, aligned frames
+    val df = Seq(
+      (1L, "unique prefix one   " + span),
+      (2L, "unique prefix two   " + span), // same span at the SAME offset → same frames
+      (3L, "totally different text " + ("z" * 80)),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)), out.toString)
+    // maxDocs=1 drops every frame (all appear in ≥2 docs) → no pairs survive
+    val capped = Dedup.substringPairs(df, "doc_id", "text", maxDocs = 1)
+    assert(capped.isEmpty)
+  }
+
   test("LSH plan contains no cartesian/all-pairs stage") {
     val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
     val plan = Dedup.minhashLsh(df, "doc_id", "text").queryExecution.executedPlan.toString

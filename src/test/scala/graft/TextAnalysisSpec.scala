@@ -60,4 +60,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("bm25: rarer term outranks common term, absent terms score zero rows out") {
+    val df = Seq(
+      (1L, "rare word here"),             // hits the rare term
+      (2L, "common common common stuff"), // hits the common term, high tf
+      (3L, "common stuff again"),
+      (4L, "common filler text"),
+      (5L, "nothing relevant at all")     // no query terms → filtered out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(5L), out.toString)
+    // idf(rare: df=1) >> idf(common: df=3): doc 1 must rank above all common-only docs
+    assert(out(1L) > out(2L) && out(2L) > out(3L), out.toString)
+    // same tf + same dl ⇒ identical scores
+    assert(out(3L) == out(4L), out.toString)
+  }
+
+  test("invertedIndex: df counts all docs, postings capped and sorted") {
+    val docs = (1L to 15L).map(i => (i, s"alpha tok$i")) :+ (16L, "beta alpha")
+    val out = TextAnalysis.invertedIndex(docs.toDF("doc_id", "text"), "doc_id", "text", cap = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("alpha")._1 == 16L)                       // df counts ALL docs
+    assert(out("alpha")._2 == (1L to 10L).mkString(",")) // postings: first 10 by id
+    assert(out("beta") == ((1L, "16")))
+  }
 }
