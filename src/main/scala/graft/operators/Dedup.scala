@@ -438,19 +438,24 @@ object Dedup {
     val idx = when(len >= window,
         sequence(lit(1), len - (window - 1), lit(stride)))
       .otherwise(array().cast("array<int>"))
+    // persisted: referenced three times (hot-frame counts + both join
+    // sides) — without the barrier Catalyst re-expands + re-dedups the
+    // frames from the raw text once per reference (4 corpus scans)
     val frames = docs
       .select(col(idCol), explode(idx).as("p"), col(textCol))
       .select(col(idCol), md5(substring(col(textCol), col("p"), lit(window))).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = frames.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, maxDocs))
       .select("h")
     val bounded = frames.join(ok, Seq("h"))
-    bounded.as("a").join(bounded.as("b"), Seq("h"))
+    val pairs = bounded.as("a").join(bounded.as("b"), Seq("h"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_a", "doc_b")
+    materializeAndRelease(pairs, frames)
   }
 }

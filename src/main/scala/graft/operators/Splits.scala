@@ -77,9 +77,13 @@ object Splits {
       else pow(col("n_docs").cast("double"), lit(alpha)))
     val totalW = weighted.agg(
       sum(col("w").cast("decimal(28,9)")).cast("double").as("sum_w"))
+    // quotas is #groups rows but referenced twice (selection filter + final
+    // report); localCheckpoint stops Catalyst re-running its two corpus
+    // aggregates once per reference
     val quotas = weighted.crossJoin(broadcast(totalW))
       .withColumn("target",
         floor(lit(budget.toDouble) * col("w") / col("sum_w")).cast("long"))
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(bucket(col(idCol)), col(idCol))
     val kept = df
