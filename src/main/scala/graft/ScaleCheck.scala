@@ -118,6 +118,22 @@ object ScaleCheck {
     time("hll_sketch_merge")(d => Analytics.hllMergeEstimate(
       Analytics.hllSketchByGroup(Tables.events(spark, d), "event_type", "user_id"),
       "event_type"))
+    time("substring_pairs")(d => Dedup.substringPairs(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("bm25_topk")(d => TextAnalysis.bm25(
+      Tables.documents(spark, d), "doc_id", "text", Seq("spark", "join", "window")))
+    time("boilerplate_grams")(d => Curation.boilerplateGrams(
+      Tables.documents(spark, d), "doc_id", "source", "text"))
+    time("inverted_index")(d => TextAnalysis.invertedIndex(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("sliding_distinct")(d => Analytics.slidingDistinct(
+      Tables.events(spark, d), "event_type", "user_id", "ts", 7))
+    time("temperature_sample")(d => Splits.temperatureSample(
+      Tables.documents(spark, d), "lang", "doc_id", 200L))
+    time("markov_transitions")(d => Analytics.markovTransitions(
+      Tables.events(spark, d), "user_id", "ts", "event_id", "event_type"))
+    time("assoc_rules")(d => Analytics.associationRules(
+      Tables.events(spark, d), "user_id", "ts", "event_type"))
 
     spark.stop()
   }

@@ -270,6 +270,17 @@ object SparkEntry {
       TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text")),
     "q101_sliding_distinct" -> ((s, d) =>
       Analytics.slidingDistinct(Tables.events(s, d), "event_type", "user_id", "ts", 7)),
+    "q102_markov" -> ((s, d) =>
+      Analytics.markovTransitions(Tables.events(s, d), "user_id", "ts", "event_id", "event_type")),
+    "q103_attribution" -> ((s, d) =>
+      Analytics.lastTouchAttribution(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", "purchase", 30)),
+    "q104_regression" -> ((s, d) =>
+      Analytics.regressionByGroup(Tables.orders(s, d), "o_orderpriority",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")),
+        col("o_totalprice"))),
+    "q105_assoc_rules" -> ((s, d) =>
+      Analytics.associationRules(Tables.events(s, d), "user_id", "ts", "event_type")),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -874,6 +885,56 @@ object SparkEntry {
         |FROM anchors a JOIN ud ON ud.event_type = a.event_type
         |  AND ud.day BETWEEN a.day - 6 AND a.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q102_markov" ->
+      """WITH s AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |             event_type AS next_type FROM events),
+        |p AS (SELECT prev_type, next_type FROM s WHERE prev_type IS NOT NULL),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT prev_type, COUNT(*) AS n_from FROM p GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM c JOIN t USING (prev_type) ORDER BY 1, 2""".stripMargin,
+    "q103_attribution" ->
+      """WITH s AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+        |  FROM events)
+        |SELECT CASE WHEN prev_type IS NOT NULL AND gap <= 1800 THEN prev_type
+        |            ELSE 'direct' END AS touch,
+        |  COUNT(*) AS n_conversions
+        |FROM s WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q104_regression" ->
+      // exact decimal power sums (18,s) keep every product ≤ precision 37;
+      // ONE double division yields the slope, quantized DECIMAL(18,6)
+      """WITH d AS (SELECT o_orderpriority,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,2)) AS x,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DECIMAL(24,2)) AS sx, CAST(SUM(y) AS DECIMAL(24,2)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(24,4)) AS sxy, CAST(SUM(x * x) AS DECIMAL(24,4)) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS slope
+        |FROM g ORDER BY 1""".stripMargin,
+    "q105_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type AS item FROM events),
+        |nb AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM items)),
+        |ic AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY 1),
+        |pc AS (SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS n_pair
+        |       FROM items a JOIN items b USING (user_id, day)
+        |       WHERE a.item <> b.item GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT antecedent, consequent, n_pair,
+        |  CAST(CAST(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS support,
+        |  CAST(CAST(CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS confidence,
+        |  CAST(CAST(CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS lift
+        |FROM pc JOIN ic ia ON pc.antecedent = ia.item
+        |        JOIN ic ib ON pc.consequent = ib.item
+        |        CROSS JOIN nb
+        |ORDER BY 1, 2""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

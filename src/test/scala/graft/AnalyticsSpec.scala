@@ -216,6 +216,65 @@ class AnalyticsSpec extends SparkSpec {
       ("view", "2024-01-03") -> 1L), out.toString)
   }
 
+  test("markovTransitions: per-user ordering, row-normalized probabilities") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "view"),
+      (2L, 4L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 5L, ts("2024-01-01 10:01:00"), "buy"),
+      (3L, 6L, ts("2024-01-01 10:00:00"), "click") // singleton → no transition
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.markovTransitions(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // from view: click (u1) and buy (u2) → 0.5 each; from click: view (u1) → 1.0
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)), ("view", "buy") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))), out.toString)
+  }
+
+  test("lastTouchAttribution: credits prior touch within window, else direct") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, 2L, ts("2024-01-01 10:10:00"), "purchase"),  // 10 min after click → click
+      (2L, 3L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 4L, ts("2024-01-01 10:00:00"), "purchase"),  // 60 min gap > 30 → direct
+      (3L, 5L, ts("2024-01-01 08:00:00"), "purchase")   // first event → direct
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.lastTouchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", "purchase", 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click" -> 1L, "direct" -> 2L), out.toString)
+  }
+
+  test("regressionByGroup: recovers exact slope, partitioning-invariant") {
+    // y = 3x + 7 exactly → slope 3 regardless of noise-free layout
+    val rows = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 7.0)) ++
+      (1 to 50).map(i => ("h", i.toDouble, -2.0 * i + 1.0))
+    val df = rows.toDF("k", "x", "y")
+    def slopes(d: org.apache.spark.sql.DataFrame) =
+      Analytics.regressionByGroup(d, "k", col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val s = slopes(df)
+    assert(s("g") == 3.0 && s("h") == -2.0, s.toString)
+    assert(slopes(df.repartition(13)) == s) // decimal sums: layout-independent
+  }
+
+  test("associationRules: exact support/confidence/lift on a known basket set") {
+    // 4 baskets: {a,b} ×3, {a} ×1 → a:4, b:3, pair(a,b):3
+    val df = (1L to 3L).flatMap(u => Seq(
+        (u, ts("2024-01-01 10:00:00"), "a"), (u, ts("2024-01-01 11:00:00"), "b"))) :+
+      ((4L, ts("2024-01-01 10:00:00"), "a"))
+    val out = Analytics.associationRules(df.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // support 3/4, conf(a→b) 3/4, lift 3·4/(4·3)=1
+    assert(out(("a", "b")) == ((3L, 0.75, 0.75, 1.0)), out.toString)
+    // conf(b→a) 3/3 = 1
+    assert(out(("b", "a")) == ((3L, 0.75, 1.0, 1.0)), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
