@@ -281,6 +281,14 @@ object SparkEntry {
         col("o_totalprice"))),
     "q105_assoc_rules" -> ((s, d) =>
       Analytics.associationRules(Tables.events(s, d), "user_id", "ts", "event_type")),
+    "q106_pct_of_total" -> ((s, d) =>
+      Reports.revenueShare(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q107_winsorized" -> ((s, d) =>
+      Analytics.winsorizedMean(Tables.events(s, d), "event_type", "value")),
+    "q108_quantile_norm" -> ((s, d) =>
+      Analytics.calibrateByGroup(Tables.documents(s, d), "source", "doc_id", "n_chars")),
+    "q109_bigram_ll" -> ((s, d) =>
+      Curation.bigramLogLikelihood(Tables.documents(s, d), "doc_id", "text")),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -935,6 +943,43 @@ object SparkEntry {
         |        JOIN ic ib ON pc.consequent = ib.item
         |        CROSS JOIN nb
         |ORDER BY 1, 2""".stripMargin,
+    "q106_pct_of_total" ->
+      """WITH bn AS (SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |            FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev) AS DECIMAL(18,2)) AS tot FROM bn)
+        |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share
+        |FROM bn CROSS JOIN t ORDER BY n_name""".stripMargin,
+    "q107_winsorized" ->
+      // interpolated percentile bounds quantized (18,4) BEFORE clipping so
+      // both engines clip against identical bounds; decimal sum, one division
+      """WITH b AS (SELECT event_type,
+        |    CAST(quantile_cont(value, 0.05) AS DECIMAL(18,4)) AS lo,
+        |    CAST(quantile_cont(value, 0.95) AS DECIMAL(18,4)) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_rows,
+        |  CAST(CAST(CAST(CAST(SUM(least(greatest(CAST(e.value AS DECIMAL(18,4)), b.lo), b.hi)) AS DECIMAL(18,4)) AS DOUBLE)
+        |    / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS wins_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q108_quantile_norm" ->
+      """SELECT source, doc_id, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS calibrated
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q109_bigram_ll" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |dt AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)
+        |       WHERE len(toks) >= 2),
+        |big AS (SELECT w1, w2, COUNT(*) AS cb FROM dt GROUP BY 1, 2),
+        |uni AS (SELECT w1, COUNT(*) AS cu FROM dt GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS vv FROM dt),
+        |lp AS (SELECT doc_id, CAST(ln((cb + 1) / (cu + vv)) AS DECIMAL(28,9)) AS lp
+        |       FROM dt JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -583,6 +583,46 @@ object Analytics {
       .orderBy(groupCol)
   }
 
+  /** Winsorized mean per group: clip values at the p_lo/p_hi percentiles
+    * before averaging — the robust mean that tolerates fat tails without
+    * discarding rows (trimming) or needing two passes over raw values twice
+    * (the bounds aggregate is group-count-sized and broadcast back).
+    * Cross-engine exactness: interpolated percentile bounds are quantized
+    * to DECIMAL(18,4) BEFORE clipping (both engines clip against identical
+    * bounds — a sub-ulp bound difference can never re-clip a value), the
+    * clipped sum is decimal, and the mean is one double division. */
+  def winsorizedMean(df: DataFrame, keyCol: String, valCol: String,
+                     pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(keyCol).agg(
+      percentile(col(valCol), lit(pLo)).cast("decimal(18,4)").as("lo"),
+      percentile(col(valCol), lit(pHi)).cast("decimal(18,4)").as("hi"))
+    val x = col(valCol).cast("decimal(18,4)")
+    df.join(broadcast(bounds), keyCol)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(least(greatest(x, col("lo")), col("hi"))).cast("decimal(18,4)").as("s"))
+      .select(col(keyCol), col("n_rows"),
+        (col("s").cast("double") / col("n_rows"))
+          .cast("decimal(18,6)").cast("double").as("wins_mean"))
+      .orderBy(keyCol)
+  }
+
+  /** Cross-source score calibration: map each row's score to its
+    * percent-rank WITHIN its group, so heterogeneous sources become
+    * comparable before a global quality cut (a length cutoff that keeps 60%
+    * of Wikipedia should not keep 5% of CommonCrawl). percent_rank =
+    * (rank−1)/(n−1) — integer rank arithmetic and ONE double division,
+    * bit-equal across engines. One window shuffle on the group; at 100 TB
+    * shard giant groups by a secondary hash and merge ranks (documented,
+    * not needed at test scale). */
+  def calibrateByGroup(df: DataFrame, keyCol: String, idCol: String,
+                       scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(scoreCol), col(idCol))
+    df.select(col(keyCol), col(idCol), col(scoreCol),
+        percent_rank().over(w).as("calibrated"))
+      .orderBy(keyCol, idCol)
+  }
+
   /** Association rules over per-(user, day) baskets of event types:
     * support / confidence / lift for every ordered item pair. The item
     * domain is the event-type vocabulary, so the within-basket self-join is

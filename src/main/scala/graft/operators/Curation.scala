@@ -220,6 +220,36 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Bigram LM scoring with add-one smoothing: per-doc average of
+    * ln P(wᵢ|wᵢ₋₁) where P = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V). The step up from
+    * [[unigramLogLikelihood]]: catches word-salad documents whose unigram
+    * distribution looks normal but whose transitions are noise. Shuffles on
+    * the bigram key (natural, map-side-combined); the ln is one IEEE call
+    * per bigram cast to decimal BEFORE the order-dependent sum; one double
+    * division last. */
+  def bigramLogLikelihood(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val idx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    val dt = docs.select(col(idCol), explode(idx).as("i"), t.as("t"))
+      .select(col(idCol), element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val big = dt.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uni = dt.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = dt.agg(countDistinct(col("w1")).cast("double").as("__v"))
+    dt.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((col("cb") + lit(1)) / (col("cu") + col("__v"))).cast("decimal(28,9)").as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams"))
+          .cast("decimal(18,6)").cast("double").as("avg_logprob"))
+      .orderBy(idCol)
+  }
+
   /** The composed curation pass — what a real corpus run executes: quality
     * thresholds + repetition cap in ONE map-side predicate stage (no
     * intermediate materialization; all column expressions fuse into the

@@ -68,6 +68,29 @@ object Reports {
       .agg(sum(price * disc).cast("decimal(18,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Ratio-to-report: each nation's share of total revenue. The total is a
+    * 1-row aggregate CROSS-broadcast back — never `sum() OVER ()`, whose
+    * empty partitioning collapses every row onto a single task. Decimal
+    * sums exact; the share is one double division quantized (18,6). */
+  def revenueShare(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame): DataFrame = {
+    val byNation = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("rev"))
+      .localCheckpoint() // nation-count rows; total derives from it, one scan
+    val total = byNation.agg(sum(col("rev")).cast("decimal(18,2)").as("tot"))
+    byNation.crossJoin(broadcast(total))
+      .select(col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("tot").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("share"))
+      .orderBy("n_name")
+  }
+
   /** Pivot report: order counts per nation with one column per year.
     * Values are enumerated explicitly — an unenumerated pivot runs an extra
     * distinct-scan job to discover them, and unbounded output columns are a

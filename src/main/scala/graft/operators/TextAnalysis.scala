@@ -135,6 +135,12 @@ object TextAnalysis {
     val posting = docs
       .select(explode(array_distinct(Curation.tokens(col(textCol)))).as("token"),
         col(idCol).as("__id"))
+    // df is a separate partial-aggregated groupBy, NOT a whole-partition
+    // count frame on the rank window: a count frame buffers each token's
+    // full partition inside the window operator AND defeats the
+    // WindowGroupLimit pre-shuffle trim that keeps hot tokens bounded —
+    // the map-side-combined count + token-keyed join costs one extra small
+    // shuffle instead (timed equal at bench scale, bounded at 100 TB)
     val dfCounts = posting.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("token").orderBy("__id")
     val capped = posting

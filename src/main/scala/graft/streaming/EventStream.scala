@@ -196,6 +196,31 @@ object EventStream {
       .drop(dim(dimKey))
   }
 
+  /** Stream-stream interval join: attribute each conversion to the same
+    * user's click within the preceding `windowMinutes` — the canonical
+    * two-stream correlation (impression↔click, request↔response). Both
+    * sides carry watermarks and the join predicate bounds conversion time
+    * to [click, click + window], so Spark can PROVE when click state is
+    * complete and evict it — an unbounded-state stream-stream join never
+    * ships. Inner join: late/unmatched rows age out with the watermark.
+    * The same function applied to two batch frames gives the batch-parity
+    * oracle for the spec. */
+  def clickConversionJoin(clicks: DataFrame, conversions: DataFrame,
+                          windowMinutes: Int): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val v = conversions.select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", "1 hour")
+    c.join(v,
+      c("user_id") === v("user_id") &&
+        col("conv_ts") >= col("click_ts") &&
+        col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(c("user_id"), col("click_id"), col("conv_id"),
+        col("click_ts"), col("conv_ts"))
+  }
+
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,

@@ -275,6 +275,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("b", "a")) == ((3L, 0.75, 1.0, 1.0)), out.toString)
   }
 
+  test("winsorizedMean: tail outlier clipped to the hi bound, not dropped") {
+    // 20 values 1..20 plus an outlier 10000 in group g; p95 bound clips it
+    val df = ((1 to 20).map(i => ("g", i.toDouble)) :+ (("g", 10000.0))).toDF("k", "value")
+    val out = Analytics.winsorizedMean(df, "k", "value").head()
+    assert(out.getLong(1) == 21L)
+    // winsorized mean must sit near the bulk (≈10), nowhere near 10000/21≈486
+    assert(out.getDouble(2) > 5 && out.getDouble(2) < 15, out.toString)
+    // plain mean for contrast — the outlier would dominate it
+    assert(df.agg(avg("value")).head().getDouble(0) > 480)
+  }
+
+  test("calibrateByGroup: percent_rank per group, 0..1 inclusive, group-local") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 5L), ("b", 5L, 50L)).toDF("src", "id", "score")
+    val out = Analytics.calibrateByGroup(df, "src", "id", "score")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0, 5L -> 1.0), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(

@@ -135,6 +135,19 @@ class CurationSpec extends SparkSpec {
     assert(hits.sameElements(Array(2L)))
   }
 
+  test("bigramLogLikelihood: repeated transitions score higher than unseen-heavy docs") {
+    val df = Seq(
+      (1L, "the cat sat the cat sat the cat sat"), // all transitions seen 2-3×
+      (2L, "the cat sat on a completely novel phrase here"), // mostly 1× transitions
+      (3L, "x") // single token → no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val out = Curation.bigramLogLikelihood(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L), out.toString)
+    assert(out(1L)._1 == 8L && out(2L)._1 == 8L, out.toString) // 9 tokens → 8 bigrams each
+    assert(out(1L)._2 > out(2L)._2, out.toString) // repetition → higher avg logprob
+  }
+
   test("boilerplateGrams: template 2-gram tops its source, counted once per doc") {
     val df = Seq(
       (1L, "a", "footer text unique alpha"),

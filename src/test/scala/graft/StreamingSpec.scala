@@ -125,4 +125,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None), out.toString)
   }
+
+  test("stream-stream interval join: conversions match clicks within the window; batch parity") {
+    val clickSrc = Files.createTempDirectory("graft_ss_click").toString
+    val convSrc = Files.createTempDirectory("graft_ss_conv").toString
+    val ckpt = Files.createTempDirectory("graft_ss_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 12:00:00"), 8L, "click", 0.0, "{}"))
+    val convs = Seq(
+      (11L, ts("2024-01-01 10:20:00"), 7L, "purchase", 9.0, "{}"), // 20 min after click 1
+      (12L, ts("2024-01-01 13:30:00"), 8L, "purchase", 5.0, "{}"), // 90 min after click 2 — outside
+      (13L, ts("2024-01-01 09:00:00"), 7L, "purchase", 1.0, "{}")) // BEFORE any click
+    clicks.toDF(cols: _*).write.mode("append").parquet(clickSrc)
+    convs.toDF(cols: _*).write.mode("append").parquet(convSrc)
+
+    def src(dir: String) = spark.readStream.schema(EventStream.EventSchema).parquet(dir)
+    val q = EventStream.clickConversionJoin(src(clickSrc), src(convSrc), 30)
+      .writeStream.format("memory").queryName("ss_join_sink").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("ss_join_sink")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 11L)), streamed.toString) // only the in-window pair
+
+    // batch parity: the SAME function over batch frames gives the same pairs
+    val batch = EventStream.clickConversionJoin(
+        clicks.toDF(cols: _*), convs.toDF(cols: _*), 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch == streamed, s"batch=$batch streamed=$streamed")
+  }
 }
