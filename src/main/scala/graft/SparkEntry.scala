@@ -289,6 +289,19 @@ object SparkEntry {
       Analytics.calibrateByGroup(Tables.documents(s, d), "source", "doc_id", "n_chars")),
     "q109_bigram_ll" -> ((s, d) =>
       Curation.bigramLogLikelihood(Tables.documents(s, d), "doc_id", "text")),
+    "q110_pagerank" -> ((s, d) => {
+      // part↔supplier co-occurrence graph, symmetrized so no node dangles
+      val li = Tables.lineitem(s, d).select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.pageRank(
+        li.unionAll(li.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst")
+    }),
+    "q111_grouping_sets" -> ((s, d) =>
+      Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q112_user_lifecycle" -> ((s, d) =>
+      Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -980,6 +993,45 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q110_pagerank" ->
+      // two Lloyd-style unrolled iterations; contributions go through
+      // DECIMAL(28,9) before the order-dependent sum (the q88 recipe), the
+      // damping step is a fixed double chain. DuckDB decimal literals: the
+      // seed contribution is CAST(1.0 AS DOUBLE)/deg, not 1.0/deg (which
+      // DuckDB would evaluate in decimal division — engine-specific)
+      """WITH e0 AS (SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                   's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |       (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |r1 AS (SELECT e.dst AS node,
+        |         0.15 + 0.85 * CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / deg.deg AS DECIMAL(28,9))) AS DOUBLE) AS rank
+        |       FROM e JOIN deg USING (src) GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         0.15 + 0.85 * CAST(SUM(CAST(r1.rank / deg.deg AS DECIMAL(28,9))) AS DOUBLE) AS rank
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst)
+        |SELECT node, CAST(CAST(rank AS DECIMAL(18,6)) AS DOUBLE) AS rank
+        |FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "q111_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q112_user_lifecycle" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk FROM events),
+        |x AS (SELECT u, wk,
+        |        MIN(wk) OVER (PARTITION BY u ORDER BY wk) AS first_wk,
+        |        lag(wk) OVER (PARTITION BY u ORDER BY wk) AS prev_wk
+        |      FROM uw)
+        |SELECT strftime(wk, '%Y-%m-%d') AS week,
+        |  CASE WHEN wk = first_wk THEN 'new'
+        |       WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+        |       ELSE 'resurrected' END AS status,
+        |  COUNT(*) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

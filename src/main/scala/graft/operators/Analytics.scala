@@ -623,6 +623,29 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
+  /** Weekly growth accounting: per week, how many active users are NEW
+    * (first-ever activity), RETAINED (also active the previous week), or
+    * RESURRECTED (returning after a gap). The standard product-growth
+    * decomposition — and the corpus-freshness decomposition when "user" is
+    * a crawl domain. One user-week dedup shuffle; first-week and
+    * previous-week both ride a single user-partitioned window; the final
+    * count agg is week-cardinality-sized. All integers — exact. */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val uw = events
+      .select(col(userCol).as("u"), date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("wk")
+    uw.select(col("u"), col("wk"),
+        min(col("wk")).over(w).as("first_wk"),
+        lag(col("wk"), 1).over(w).as("prev_wk"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("prev_wk") === col("wk") - expr("INTERVAL 7 DAYS"), "retained")
+          .otherwise("resurrected").as("status"))
+      .groupBy("week", "status").agg(count(lit(1)).as("n_users"))
+      .orderBy("week", "status")
+  }
+
   /** Association rules over per-(user, day) baskets of event types:
     * support / confidence / lift for every ordered item pair. The item
     * domain is the event-type vocabulary, so the within-basket self-join is

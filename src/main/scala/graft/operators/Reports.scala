@@ -91,6 +91,22 @@ object Reports {
       .orderBy("n_name")
   }
 
+  /** Explicit GROUPING SETS — the general form behind [[statusYearCube]]'s
+    * CUBE and [[orderRollup]]'s ROLLUP: exactly the requested grains, one
+    * pass, no unwanted cross combinations. grouping_id() disambiguates a
+    * real NULL key from a superaggregate row — the output contract every
+    * BI layer expects. */
+  def statusPriorityGroupingSets(orders: DataFrame): DataFrame =
+    orders.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("double").as("revenue"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Pivot report: order counts per nation with one column per year.
     * Values are enumerated explicitly — an unenumerated pivot runs an extra
     * distinct-scan job to discover them, and unbounded output columns are a

@@ -294,6 +294,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0, 5L -> 1.0), out.toString)
   }
 
+  test("growthAccounting: new / retained / resurrected classified per week") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // wk1: new
+      (1L, ts("2024-01-08 10:00:00")), // wk2: retained (consecutive)
+      (1L, ts("2024-01-22 10:00:00")), // wk4: resurrected (skipped wk3)
+      (2L, ts("2024-01-08 12:00:00"))  // wk2: new
+    ).toDF("user_id", "ts")
+    val out = Analytics.growthAccounting(df, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", "new") -> 1L,
+      ("2024-01-08", "new") -> 1L, ("2024-01-08", "retained") -> 1L,
+      ("2024-01-22", "resurrected") -> 1L), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
