@@ -134,6 +134,9 @@ object ScaleCheck {
       Tables.events(spark, d), "user_id", "ts", "event_id", "event_type"))
     time("assoc_rules")(d => Analytics.associationRules(
       Tables.events(spark, d), "user_id", "ts", "event_type"))
+    time("pagerank")(d => SparkEntry.queries("q110_pagerank")(spark, d))
+    time("bigram_loglik")(d => Curation.bigramLogLikelihood(
+      Tables.documents(spark, d), "doc_id", "text"))
 
     spark.stop()
   }

@@ -19,11 +19,14 @@ class PlanContractSpec extends SparkSpec {
         // spine (months × keys — inherently a small cartesian, never
         // fact-sized), the 1-row broadcast N-joins in tfidf/pmi (the
         // corpus-count aggregate folded into the job instead of a separate
-        // count() action — O(n·1) by construction), and the 1-row broadcast
-        // quantile-edge array in the equi-depth histogram
+        // count() action — O(n·1) by construction), the 1-row broadcast
+        // quantile-edge array in the equi-depth histogram, and the 1-row
+        // broadcast corpus stats / basket total / vocab size / revenue
+        // total in bm25 / assoc rules / bigram LM / ratio-to-report
         val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile",
           "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi", "q88_unigram_ll",
-          "q92_chi_square", "q94_equidepth")
+          "q92_chi_square", "q94_equidepth",
+          "q97_bm25", "q105_assoc_rules", "q106_pct_of_total", "q109_bigram_ll")
         if (allowed(name)) None else Some(name)
       } else None
     }
