@@ -302,6 +302,13 @@ object SparkEntry {
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
     "q112_user_lifecycle" -> ((s, d) =>
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
+    "q113_golden_record" -> ((s, d) => {
+      // entity resolution end-to-end: fuzzy pairs → star CC → canonical
+      // record per duplicate cluster (longest name, id tiebreak)
+      val names = Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey"))
+      val pairs = Dedup.fuzzyPairs(names, "p_partkey", "p_name", maxDist = 2)
+      Dedup.goldenRecords(names, "p_partkey", "p_name", pairs)
+    }),
     "q41_pricing_summary" -> ((s, d) =>
       dbl(Reports.pricingSummary(Tables.lineitem(s, d), "2000-01-01 00:00:00"))),
     "q42_shipping_priority" -> ((s, d) =>
@@ -1032,6 +1039,33 @@ object SparkEntry {
         |       ELSE 'resurrected' END AS status,
         |  COUNT(*) AS n_users
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q113_golden_record" ->
+      // q63's recursive-CTE cluster truth + completeness election on top
+      """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lab FROM e JOIN r ON e.dst = r.node),
+        |clusters AS (SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node),
+        |m AS (SELECT c.cluster_id, c.node, n.p_name,
+        |        row_number() OVER (PARTITION BY c.cluster_id
+        |          ORDER BY length(n.p_name) DESC, c.node) AS rk,
+        |        COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        |      FROM clusters c JOIN names n ON c.node = n.p_partkey)
+        |SELECT cluster_id, node AS canonical_id, p_name AS canonical_name, cluster_size
+        |FROM m WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

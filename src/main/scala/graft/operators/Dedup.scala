@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
 
@@ -416,6 +417,30 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b", "dist")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Golden-record election — the end of the entity-resolution pipeline:
+    * duplicate pairs → connected components → ONE canonical record per
+    * cluster, elected by completeness (longest name, smallest id as the
+    * deterministic tiebreak), with the cluster size as the merge audit.
+    * Cluster assignments come from [[connectedComponentsStar]] (the
+    * diameter-safe variant); the election is a WindowGroupLimit-shaped
+    * rank over cluster-sized data — everything after CC is duplicate-
+    * cluster-sized, not corpus-sized. */
+  def goldenRecords(records: DataFrame, idCol: String, nameCol: String,
+                    pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponentsStar(pairs, "id_a", "id_b")
+    val members = clusters
+      .join(records.select(col(idCol).as("node"), col(nameCol).as("name")), "node")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(length(col("name")).desc, col("node"))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("node").as("canonical_id"),
+        col("name").as("canonical_name"), col("cluster_size"))
+      .orderBy("cluster_id")
   }
 
   /** Exact-substring duplicate pairs (the character-level complement of

@@ -168,6 +168,20 @@ class DedupSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("goldenRecords: longest-name member elected canonical, size audited") {
+    val records = Seq(
+      (1L, "acme corp"), (2L, "acme corpz"),   // cluster {1,2}: 2 has the longer name
+      (5L, "zeta"),                            // singleton — not reported
+      (7L, "beta inc"), (9L, "beta inx")       // cluster {7,9}: equal length → min id 7
+    ).toDF("id", "name")
+    val pairs = Seq((1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.goldenRecords(records, "id", "name", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, "acme corpz", 2L)),
+      7L -> ((7L, "beta inc", 2L))), out.toString)
+  }
+
   test("LSH plan contains no cartesian/all-pairs stage") {
     val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
     val plan = Dedup.minhashLsh(df, "doc_id", "text").queryExecution.executedPlan.toString
