@@ -302,6 +302,11 @@ object SparkEntry {
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
     "q112_user_lifecycle" -> ((s, d) =>
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
+    "q114_cdc_compact" -> ((s, d) =>
+      // events as the changelog: latest event per user, 'error' as tombstone
+      Analytics.cdcCompact(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id", "event_type", "error")),
     "q113_golden_record" -> ((s, d) => {
       // entity resolution end-to-end: fuzzy pairs → star CC → canonical
       // record per duplicate cluster (longest name, id tiebreak)
@@ -1066,6 +1071,13 @@ object SparkEntry {
         |      FROM clusters c JOIN names n ON c.node = n.p_partkey)
         |SELECT cluster_id, node AS canonical_id, p_name AS canonical_name, cluster_size
         |FROM m WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "q114_cdc_compact" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, ts, event_id, event_type, value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

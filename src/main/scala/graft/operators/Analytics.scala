@@ -646,6 +646,26 @@ object Analytics {
       .orderBy("week", "status")
   }
 
+  /** CDC snapshot compaction: reduce a changelog to the LATEST row per key,
+    * dropping keys whose final operation is a tombstone — the Delta/Hudi
+    * "materialize current state" primitive that turns an append-only event
+    * log into an upsert table. One shuffle on the key; the latest-row pick
+    * is a WindowGroupLimit-shaped rank (per-partition heaps keep one row
+    * per key BEFORE the exchange), so a 100 TB changelog compacts without
+    * ever grouping full histories. Deterministic under equal timestamps via
+    * the id tiebreak — the same total order a real log-sequence-number
+    * provides. */
+  def cdcCompact(changelog: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, opCol: String, tombstone: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    changelog
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col(opCol) =!= tombstone)
+      .drop("__rk")
+      .orderBy(keyCol)
+  }
+
   /** Association rules over per-(user, day) baskets of event types:
     * support / confidence / lift for every ordered item pair. The item
     * domain is the event-type vocabulary, so the within-basket self-join is

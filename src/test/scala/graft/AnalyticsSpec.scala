@@ -309,6 +309,20 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-22", "resurrected") -> 1L), out.toString)
   }
 
+  test("cdcCompact: latest row per key wins, tombstoned keys drop, ties broken by id") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "upsert", 2.0),  // latest for key 1
+      (2L, ts("2024-01-01 10:00:00"), 3L, "upsert", 3.0),
+      (2L, ts("2024-01-01 12:00:00"), 4L, "error", 0.0),   // tombstone last → key gone
+      (3L, ts("2024-01-01 10:00:00"), 5L, "upsert", 5.0),
+      (3L, ts("2024-01-01 10:00:00"), 6L, "upsert", 6.0)   // same ts: higher id wins
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Analytics.cdcCompact(df, "user_id", "ts", "event_id", "event_type", "error")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(out == Map(1L -> ((2L, 2.0)), 3L -> ((6L, 6.0))), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
