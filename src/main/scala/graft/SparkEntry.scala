@@ -302,6 +302,16 @@ object SparkEntry {
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
     "q112_user_lifecycle" -> ((s, d) =>
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
+    "q115_snapshot_diff" -> ((s, d) => {
+      // two deterministic "versions" of orders: v2 drops %3 keys, adds %5
+      // keys back, and rewrites the status of %7 keys
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 3 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      Analytics.diffSnapshots(v1, v2, "o_orderkey")
+    }),
     "q114_cdc_compact" -> ((s, d) =>
       // events as the changelog: latest event per user, 'error' as tombstone
       Analytics.cdcCompact(
@@ -1078,6 +1088,26 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, event_type, value
         |FROM r WHERE rk = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+    "q115_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |       FROM o WHERE o_orderkey % 5 <> 0)
+        |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+        |       WHEN v2.o_orderkey IS NULL THEN 'removed'
+        |       WHEN NOT (v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+        |             AND v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice) THEN 'changed'
+        |  END AS change_type
+        |FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+        |WHERE (CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+        |            WHEN v2.o_orderkey IS NULL THEN 'removed'
+        |            WHEN NOT (v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+        |                  AND v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice) THEN 'changed'
+        |       END) IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -666,6 +666,34 @@ object Analytics {
       .orderBy(keyCol)
   }
 
+  /** Snapshot diff — table reconciliation between two versions of the same
+    * dataset: which keys were ADDED, REMOVED, or CHANGED. The audit before
+    * promoting an incremental load, and the drift check between a backfill
+    * and its incremental twin. ONE full-outer join on the key (both sides
+    * shuffle-partition on it); change detection is per-column null-safe
+    * equality (`<=>`) — no casting values to strings, whose engine-specific
+    * rendering (doubles, timestamps) would poison a hash-based compare.
+    * Unchanged keys — the overwhelming majority in practice — are filtered
+    * out BEFORE the result materializes. */
+  def diffSnapshots(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val cols = a.columns.filter(_ != keyCol).toSeq
+    require(cols.toSet == b.columns.filterNot(_ == keyCol).toSet,
+      "snapshots must share a schema")
+    val aa = a.select(Seq(col(keyCol).as("__k"), lit(1).as("__ina")) ++
+      cols.map(c => col(c).as(s"a_$c")): _*)
+    val bb = b.select(Seq(col(keyCol).as("__k"), lit(1).as("__inb")) ++
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val sameRow = cols.map(c => col(s"a_$c") <=> col(s"b_$c")).reduce(_ && _)
+    aa.join(bb, Seq("__k"), "full_outer")
+      .withColumn("change_type",
+        when(col("__ina").isNull, "added")
+          .when(col("__inb").isNull, "removed")
+          .when(!sameRow, "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("__k").as(keyCol), col("change_type"))
+      .orderBy(keyCol)
+  }
+
   /** Association rules over per-(user, day) baskets of event types:
     * support / confidence / lift for every ordered item pair. The item
     * domain is the event-type vocabulary, so the within-basket self-join is

@@ -323,6 +323,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 2.0)), 3L -> ((6L, 6.0))), out.toString)
   }
 
+  test("diffSnapshots: added/removed/changed classified; unchanged and null-equal rows silent") {
+    val v1 = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, None, 3.0), (4L, Some("d"), 4.0))
+      .toDF("id", "s", "v")
+    val v2 = Seq((1L, Some("a"), 1.0),  // unchanged → absent
+      (2L, Some("B"), 2.0),             // changed
+      (3L, None, 3.0),                  // null == null → unchanged, absent
+      (5L, Some("e"), 5.0))             // added; 4 removed
+      .toDF("id", "s", "v")
+    val out = Analytics.diffSnapshots(v1, v2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 4L -> "removed", 5L -> "added"), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
