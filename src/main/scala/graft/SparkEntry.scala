@@ -302,6 +302,8 @@ object SparkEntry {
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
     "q112_user_lifecycle" -> ((s, d) =>
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
+    "q116_decayed_score" -> ((s, d) =>
+      Analytics.decayedScore(Tables.events(s, d), "user_id", "ts", "value", 7.0)),
     "q115_snapshot_diff" -> ((s, d) => {
       // two deterministic "versions" of orders: v2 drops %3 keys, adds %5
       // keys back, and rewrites the status of %7 keys
@@ -1108,6 +1110,19 @@ object SparkEntry {
         |                  AND v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice) THEN 'changed'
         |       END) IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+    "q116_decayed_score" ->
+      // λ = ln(2)/7 computed IN each engine (ln is bit-equal); age is
+      // integer seconds → one division; term = value·e^x cast DECIMAL(28,9)
+      // before the order-dependent sum; one quantization at the boundary
+      """WITH ref AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS r FROM events),
+        |t AS (SELECT user_id,
+        |        CAST(value * exp(-(ln(2) / 7.0) *
+        |          (CAST(ref.r - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) / 86400.0))
+        |          AS DECIMAL(28,9)) AS term
+        |      FROM events CROSS JOIN ref)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS decayed_score
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

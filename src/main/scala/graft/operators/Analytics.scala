@@ -646,6 +646,30 @@ object Analytics {
       .orderBy("week", "status")
   }
 
+  /** Exponentially time-decayed engagement score per key:
+    * Σ value·e^(−λ·age_days), ages measured from the dataset's max
+    * timestamp (deterministic — no wall clock). The standard recency
+    * weighting for user/item features. One shuffle on the key; the
+    * reference time is a 1-row broadcast. Exactness: each e^x is one IEEE
+    * libm call on a bit-equal input (integer seconds → one division, one
+    * multiply), each term is value·eˣ cast to DECIMAL(28,9) before the
+    * order-dependent sum; quantized (18,6) at the boundary. */
+  def decayedScore(events: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, halfLifeDays: Double): DataFrame = {
+    val lambda = math.log(2.0) / halfLifeDays
+    val ref = events.agg(max(col(tsCol).cast("long")).as("__ref"))
+    events.crossJoin(broadcast(ref))
+      .select(col(keyCol),
+        (col(valCol) *
+          exp(lit(-lambda) * ((col("__ref") - col(tsCol).cast("long")).cast("double") / lit(86400.0))))
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term")).cast("double").cast("decimal(18,6)").cast("double")
+          .as("decayed_score"))
+      .orderBy(keyCol)
+  }
+
   /** CDC snapshot compaction: reduce a changelog to the LATEST row per key,
     * dropping keys whose final operation is a tombstone — the Delta/Hudi
     * "materialize current state" primitive that turns an append-only event

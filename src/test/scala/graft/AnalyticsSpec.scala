@@ -336,6 +336,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 4L -> "removed", 5L -> "added"), out.toString)
   }
 
+  test("decayedScore: half-life halves a term's weight; newest event weighs 1") {
+    val df = Seq(
+      (1L, ts("2024-01-08 00:00:00"), 8.0),  // ref point (max ts), age 0
+      (1L, ts("2024-01-01 00:00:00"), 8.0),  // exactly one half-life old
+      (2L, ts("2024-01-08 00:00:00"), 4.0)   // age 0 in same dataset
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.decayedScore(df, "user_id", "ts", "value", 7.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // u1: 8·1 + 8·2^(-1) = 12; u2: 4·1 = 4
+    assert(out(1L) == ((2L, 12.0)), out.toString)
+    assert(out(2L) == ((1L, 4.0)), out.toString)
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
