@@ -33,14 +33,18 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = index.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = index.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(28,9)").as("c"))
         .groupBy(col("dst").as("node"))
         .agg((lit(1.0 - damping) + lit(damping) * sum(col("c")).cast("double"))
           .as("rank"))
-        .localCheckpoint(true)
+      // checkpoint every 3rd round: each checkpoint is a blocking node-sized
+      // materialization, so doing it EVERY round costs more than the
+      // shallow lineage it trims — the cadence only needs to outpace
+      // Catalyst's analysis blowup on deep iterative plans
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     index.unpersist(false)
     ranks
