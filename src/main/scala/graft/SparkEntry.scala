@@ -304,6 +304,12 @@ object SparkEntry {
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
     "q116_decayed_score" -> ((s, d) =>
       Analytics.decayedScore(Tables.events(s, d), "user_id", "ts", "value", 7.0)),
+    "q117_sorted_neighborhood" -> ((s, d) =>
+      // maxDist=3: the testdata's adjacent-name pairs sit at distance 3
+      // (dist≤2 is empty at every SF — q60's prefix blocking agrees)
+      Dedup.sortedNeighborhoodPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 3)),
     "q115_snapshot_diff" -> ((s, d) => {
       // two deterministic "versions" of orders: v2 drops %3 keys, adds %5
       // keys back, and rewrites the status of %7 keys
@@ -1123,6 +1129,16 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS decayed_score
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q117_sorted_neighborhood" ->
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |canon AS (SELECT DISTINCT p_partkey AS id, p_name AS s FROM names),
+        |r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rk FROM canon),
+        |p AS (SELECT a.id AS ia, a.s AS sa, b.id AS ib, b.s AS sb
+        |      FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |  CAST(levenshtein(sa, sb) AS INTEGER) AS dist
+        |FROM p WHERE levenshtein(sa, sb) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

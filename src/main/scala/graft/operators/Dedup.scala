@@ -419,6 +419,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood blocking — the complement of [[fuzzyPairs]]'
+    * prefix/suffix blocking: sort the (distinct) strings once, then only
+    * compare rows within `windowSize` positions of each other. Catches the
+    * mid-string-typo pairs that prefix+suffix blocking structurally misses
+    * whenever the shared sort prefix survives the typo; O(n·w) comparisons
+    * total. The global sequence numbers come from
+    * [[Analytics.globalRowNumber]] — a range-partitioned two-pass, NOT a
+    * single-partition `row_number() OVER (ORDER BY …)` that would collapse
+    * the corpus onto one task; the rank self-join is an equi-join on
+    * `rank+offset` (one shuffle pair per offset batch, no range scan). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+                              windowSize: Int = 4, maxDist: Int = 2): DataFrame = {
+    val canon = df.select(col(idCol).as("id"), col(strCol).as("s")).distinct()
+    val ranked = Analytics.globalRowNumber(canon, Seq("s", "id"), "rk")
+    val probes = ranked
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("rk"),
+        explode(array((1 until windowSize).map(lit): _*)).as("off"))
+      .select(col("id_a"), col("s_a"), (col("rk") + col("off")).as("rk"))
+    probes.join(ranked.select(col("id").as("id_b"), col("s").as("s_b"), col("rk")), "rk")
+      .withColumn("dist",
+        graft.functions.Native.levenshteinBounded(col("s_a"), col("s_b"), lit(maxDist)))
+      .where(col("dist") <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Golden-record election — the end of the entity-resolution pipeline:
     * duplicate pairs → connected components → ONE canonical record per
     * cluster, elected by completeness (longest name, smallest id as the

@@ -182,6 +182,21 @@ class DedupSpec extends SparkSpec {
       7L -> ((7L, "beta inc", 2L))), out.toString)
   }
 
+  test("sortedNeighborhoodPairs: adjacent-after-sort pairs found; window bounds comparisons") {
+    val df = Seq(
+      (1L, "aluminum widget"),
+      (2L, "aluminum widgot"),  // mid-string typo: same prefix AND changed suffix
+      (3L, "zinc bracket"),
+      (4L, "zinc brocket"),
+      (9L, "mmmmm unrelated")   // sorts between the clusters
+    ).toDF("id", "name")
+    val out = Dedup.sortedNeighborhoodPairs(df, "id", "name", windowSize = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (3L, 4L)), out.toString)
+    // windowSize 1 means zero lookahead — no pairs at all
+    assert(Dedup.sortedNeighborhoodPairs(df, "id", "name", windowSize = 1, maxDist = 2).isEmpty)
+  }
+
   test("LSH plan contains no cartesian/all-pairs stage") {
     val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
     val plan = Dedup.minhashLsh(df, "doc_id", "text").queryExecution.executedPlan.toString
