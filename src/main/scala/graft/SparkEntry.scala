@@ -304,6 +304,9 @@ object SparkEntry {
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
     "q116_decayed_score" -> ((s, d) =>
       Analytics.decayedScore(Tables.events(s, d), "user_id", "ts", "value", 7.0)),
+    "q118_event_pattern" -> ((s, d) =>
+      Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", "signup(>[a-z]+)*>purchase")),
     "q117_sorted_neighborhood" -> ((s, d) =>
       // maxDist=3: the testdata's adjacent-name pairs sit at distance 3
       // (dist≤2 is empty at every SF — q60's prefix blocking agrees)
@@ -1139,6 +1142,12 @@ object SparkEntry {
         |  CAST(levenshtein(sa, sb) AS INTEGER) AS dist
         |FROM p WHERE levenshtein(sa, sb) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q118_event_pattern" ->
+      """WITH s AS (SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id, event_seq FROM s
+        |WHERE regexp_matches(event_seq, 'signup(>[a-z]+)*>purchase')
+        |ORDER BY user_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

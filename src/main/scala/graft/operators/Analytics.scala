@@ -670,6 +670,28 @@ object Analytics {
       .orderBy(keyCol)
   }
 
+  /** Event-sequence pattern match (CEP-lite): serialize each user's
+    * time-ordered event types into one delimited string and match a regex
+    * against it — "signup then (anything) then purchase" without a
+    * state-machine operator. sort_array on (ts, id, type) structs makes the
+    * serialization deterministic under any partitioning (collect_list alone
+    * is arrival-ordered); the regex runs codegen'd per user row. One
+    * shuffle on the user; per-user state is the event-type string, which is
+    * why the per-key sequence must be bounded (cap horizon/session first at
+    * 100 TB — same contract as any collect_list). */
+  def eventPattern(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String, pattern: String): DataFrame = {
+    val seq = array_join(
+      transform(
+        sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol).as("t")))),
+        x => x.getField("t")),
+      ">")
+    events.groupBy(col(userCol))
+      .agg(seq.as("event_seq"))
+      .filter(col("event_seq").rlike(pattern))
+      .orderBy(userCol)
+  }
+
   /** CDC snapshot compaction: reduce a changelog to the LATEST row per key,
     * dropping keys whose final operation is a tombstone — the Delta/Hudi
     * "materialize current state" primitive that turns an append-only event

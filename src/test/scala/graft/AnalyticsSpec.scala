@@ -349,6 +349,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 4.0)), out.toString)
   }
 
+  test("eventPattern: ordered-sequence regex; arrival order and partitioning irrelevant") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"), // arrives "first" but is LAST by ts
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "view"),
+      (2L, ts("2024-01-01 10:00:00"), 4L, "purchase"), // purchase BEFORE signup → no match
+      (2L, ts("2024-01-01 10:01:00"), 5L, "signup")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.eventPattern(d, "user_id", "ts", "event_id", "event_type",
+          "signup(>[a-z]+)*>purchase")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run(df) == Seq((1L, "signup>view>purchase")), run(df).toString)
+    assert(run(df.repartition(7)) == run(df)) // sort_array, not arrival order
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
