@@ -137,6 +137,14 @@ object ScaleCheck {
     time("pagerank")(d => SparkEntry.queries("q110_pagerank")(spark, d))
     time("bigram_loglik")(d => Curation.bigramLogLikelihood(
       Tables.documents(spark, d), "doc_id", "text"))
+    time("cdc_compact")(d => Analytics.cdcCompact(
+      Tables.events(spark, d).select("user_id", "ts", "event_id", "event_type", "value"),
+      "user_id", "ts", "event_id", "event_type", "error"))
+    time("snapshot_diff")(d => SparkEntry.queries("q115_snapshot_diff")(spark, d))
+    time("decayed_score")(d => Analytics.decayedScore(
+      Tables.events(spark, d), "user_id", "ts", "value", 7.0))
+    time("sorted_neighborhood")(d => SparkEntry.queries("q117_sorted_neighborhood")(spark, d))
+    time("event_pattern")(d => SparkEntry.queries("q118_event_pattern")(spark, d))
 
     spark.stop()
   }
