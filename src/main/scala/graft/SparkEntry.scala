@@ -304,6 +304,8 @@ object SparkEntry {
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
     "q116_decayed_score" -> ((s, d) =>
       Analytics.decayedScore(Tables.events(s, d), "user_id", "ts", "value", 7.0)),
+    "q119_weighted_sample" -> ((s, d) =>
+      Splits.weightedSample(Tables.documents(s, d), "lang", "doc_id", "n_chars", 10)),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1148,6 +1150,19 @@ object SparkEntry {
         |SELECT user_id, event_seq FROM s
         |WHERE regexp_matches(event_seq, 'signup(>[a-z]+)*>purchase')
         |ORDER BY user_id""".stripMargin,
+    "q119_weighted_sample" ->
+      // A-ES keys: u from md5 hex (DuckDB parses '0x…' string casts; Spark
+      // conv(…,16,10)), one ln + one division — bit-equal ranking, and the
+      // key itself never reaches the output
+      """WITH c AS (SELECT lang, doc_id, n_chars,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY -ln((h + 1.0) / 4294967296.0) / n_chars, doc_id) AS sample_rank
+        |  FROM c)
+        |SELECT lang, doc_id, n_chars, sample_rank FROM k
+        |WHERE sample_rank <= 10 ORDER BY lang, sample_rank""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

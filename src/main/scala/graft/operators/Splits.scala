@@ -67,6 +67,31 @@ object Splits {
     * selection with the [[mixBySource]] bucket-threshold form (keep when
     * bucket < 256·target/n): one map-side pass, no per-group sort, quota hit
     * to within ±0.4% per group. */
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a reproducible uniform u from md5(id)
+    * (first 8 hex chars → integer, +1, /2³² ∈ (0,1]) and the k rows with
+    * the SMALLEST −ln(u)/weight win — exactly weighted-without-replacement,
+    * with zero RNG state. Higher weight (longer doc, higher quality score)
+    * ⇒ proportionally higher selection odds. Plans as WindowGroupLimit
+    * (per-partition heaps of k before the group shuffle); the exponential
+    * keys are bit-equal across engines (one ln, one division), so even the
+    * RANKING is oracle-reproducible — the key itself never leaves the
+    * engine. Non-positive weights are excluded by contract. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + lit(1.0)) / lit(4294967296.0)
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(key, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol), col("sample_rank"))
+      .orderBy(col(groupCol), col("sample_rank"))
+  }
+
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
                         budget: Long, alpha: Double = 0.5): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))

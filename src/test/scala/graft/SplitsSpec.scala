@@ -35,6 +35,27 @@ class SplitsSpec extends SparkSpec {
     assert(!counts.contains("drop"))                       // weight 0 keeps none
   }
 
+  test("weightedSample: weight-proportional inclusion, deterministic, k per group") {
+    // two weight classes in one group: weight 90 vs weight 10 (9:1) — the
+    // heavy class should dominate the sample
+    val df = spark.range(2000).select(col("id").as("doc_id"), lit("g").as("grp"),
+      when(col("id") % 2 === 0, 90L).otherwise(10L).as("w"))
+    val out = Splits.weightedSample(df, "grp", "doc_id", "w", 200)
+    val picked = out.collect()
+    assert(picked.length == 200)
+    assert(picked.map(_.getLong(3)).sorted.toSeq == (1L to 200L).toSeq) // dense ranks
+    val heavy = picked.count(_.getLong(2) == 90L)
+    assert(heavy > 150, s"heavy=$heavy of 200") // ~9:1 odds ⇒ heavy class dominates
+    // deterministic: identical sample on re-run and re-partition
+    val again = Splits.weightedSample(df.repartition(11), "grp", "doc_id", "w", 200)
+      .collect().map(_.toString).sorted.toSeq
+    assert(picked.map(_.toString).sorted.toSeq == again)
+    // zero/negative weights never selected
+    val withZero = df.withColumn("w", when(col("doc_id") < 1000, 0L).otherwise(col("w")))
+    assert(Splits.weightedSample(withZero, "grp", "doc_id", "w", 5000)
+      .filter(col("doc_id") < 1000).isEmpty)
+  }
+
   test("temperatureSample: quotas follow count^alpha, capped by budget, kept ≤ target") {
     // 3 groups with counts 8100, 900, 100 → sqrt weights 90, 30, 10 →
     // alpha=0.5 quotas of a 1300 budget are exactly 900, 300, 100
