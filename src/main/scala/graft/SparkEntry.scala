@@ -306,6 +306,8 @@ object SparkEntry {
       Analytics.decayedScore(Tables.events(s, d), "user_id", "ts", "value", 7.0)),
     "q119_weighted_sample" -> ((s, d) =>
       Splits.weightedSample(Tables.documents(s, d), "lang", "doc_id", "n_chars", 10)),
+    "q120_feature_hash" -> ((s, d) =>
+      TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text")),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1163,6 +1165,13 @@ object SparkEntry {
         |  FROM c)
         |SELECT lang, doc_id, n_chars, sample_rank FROM k
         |WHERE sample_rank <= 10 ORDER BY lang, sample_rank""".stripMargin,
+    "q120_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64 AS BIGINT) AS dim,
+        |  COUNT(*) AS weight
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -153,6 +153,26 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  /** Feature hashing (the hashing trick): project each document's token
+    * counts onto a fixed `dims`-dimensional space via dim = md5(token) mod
+    * dims — no vocabulary pass, no dictionary state, memory O(dims) per
+    * doc regardless of corpus vocabulary. The standard text featurizer
+    * when the vocabulary is unbounded (web-scale training data). Emitted
+    * as sparse (doc, dim, weight) triples — the only sane dense-free
+    * format at 100 TB. Map-side explode + one (doc, dim) aggregate;
+    * md5-derived dims reproduce verbatim in the oracle. */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int = 64): DataFrame = {
+    val tok = explode(Curation.tokens(col(textCol)))
+    docs.select(col(idCol), tok.as("tok"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
+          .as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col(idCol), col("dim"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty)

@@ -61,6 +61,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("featureHash: same token same dim, counts aggregate, dims bounded") {
+    val df = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(df, "doc_id", "text", dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keys.forall { case (_, d) => d >= 0 && d < 16 })
+    // alpha hashes identically in both docs
+    val alphaDim = out.collect { case ((1L, d), 2L) => d }
+    assert(alphaDim.size == 1)                      // doc1: alpha count 2 on one dim
+    assert(out.contains((2L, alphaDim.head)))       // doc2 hits the same dim for alpha
+    assert(out.values.sum == 5L)                    // total token mass preserved
+  }
+
   test("bm25: rarer term outranks common term, absent terms score zero rows out") {
     val df = Seq(
       (1L, "rare word here"),             // hits the rare term
