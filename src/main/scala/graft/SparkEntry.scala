@@ -974,7 +974,8 @@ object SparkEntry {
         |    CAST(SUM(x * y) AS DECIMAL(24,4)) AS sxy, CAST(SUM(x * x) AS DECIMAL(24,4)) AS sxx
         |  FROM d GROUP BY 1)
         |SELECT o_orderpriority, n,
-        |  CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  CAST(CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS slope
         |FROM g ORDER BY 1""".stripMargin,
     "q105_assoc_rules" ->

@@ -575,10 +575,13 @@ object Analytics {
         sum(y).cast("decimal(18,2)").as("sy"),
         sum(x * y).cast("decimal(18,4)").as("sxy"),
         sum(x * x).cast("decimal(18,4)").as("sxx"))
-      .select(col(groupCol), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-          .as("slope"))
+      .select(col(groupCol), col("n"), {
+        // zero denominator (single point / zero x-variance) → NULL slope:
+        // ANSI mode makes a bare division throw DIVIDE_BY_ZERO
+        val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        when(den =!= 0.0, num / den).as("slope")
+      })
       .withColumn("slope", col("slope").cast("decimal(18,6)").cast("double"))
       .orderBy(groupCol)
   }

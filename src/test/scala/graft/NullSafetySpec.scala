@@ -59,4 +59,30 @@ class NullSafetySpec extends SparkSpec {
     Similarity.annLshTopK(vecs, "vec_id", "embedding", Seq(1L), 2).count() // no throw
     Similarity.labelCentroids(vecs, "label", "embedding").count() // no throw
   }
+
+  test("round-3 text/dedup ops: null/empty text rows flow through, no crash") {
+    // null text → no terms → filtered by score/gram predicates, never an NPE
+    assert(TextAnalysis.bm25(docs, "doc_id", "text", Seq("normal")).count() == 1)
+    assert(TextAnalysis.invertedIndex(docs, "doc_id", "text").count() == 3) // 3 distinct tokens
+    assert(TextAnalysis.featureHash(docs, "doc_id", "text").count() == 3)  // doc 1's tokens only
+    assert(Curation.boilerplateGrams(docs, "doc_id", "source", "text").count() >= 1)
+    assert(Curation.bigramLogLikelihood(docs, "doc_id", "text").count() == 1)
+    assert(Dedup.substringPairs(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.sortedNeighborhoodPairs(
+      docs.filter(col("text").isNotNull), "doc_id", "text", 3, 2).count() == 0)
+  }
+
+  test("round-3 analytics ops: degenerate groups don't crash") {
+    val oneUser = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Analytics.markovTransitions(oneUser, "user_id", "ts", "event_id", "event_type").count() == 0)
+    assert(Analytics.retentionCohorts(oneUser, "user_id", "ts", Seq(0, 1)).count() == 1)
+    assert(Analytics.growthAccounting(oneUser, "user_id", "ts").count() == 1)
+    assert(Analytics.winsorizedMean(oneUser, "event_type", "value").count() == 1)
+    assert(Analytics.decayedScore(oneUser, "user_id", "ts", "value", 7.0).count() == 1)
+    assert(Analytics.cdcCompact(oneUser, "user_id", "ts", "event_id", "event_type", "error").count() == 1)
+    // single-row regression: denominator n·Σx²−(Σx)² = 0 → null slope, not a crash
+    val r = Analytics.regressionByGroup(oneUser, "event_type", col("value"), col("value")).head()
+    assert(r.isNullAt(2), r.toString)
+  }
 }
