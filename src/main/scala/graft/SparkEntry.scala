@@ -308,6 +308,10 @@ object SparkEntry {
       Splits.weightedSample(Tables.documents(s, d), "lang", "doc_id", "n_chars", 10)),
     "q120_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text")),
+    "q121_token_entropy" -> ((s, d) =>
+      Curation.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
+    "q122_bigram_novelty" -> ((s, d) =>
+      Curation.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1173,6 +1177,29 @@ object SparkEntry {
         |  CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64 AS BIGINT) AS dim,
         |  COUNT(*) AS weight
         |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    "q121_token_entropy" ->
+      """WITH c AS (SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |w AS (SELECT doc_id, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c),
+        |t AS (SELECT doc_id, n,
+        |        CAST((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) AS DECIMAL(28,9)) AS term
+        |      FROM w)
+        |SELECT doc_id, ANY_VALUE(n) AS n_tokens,
+        |  CAST(CAST(-CAST(SUM(term) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS entropy
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q122_bigram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |dt AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)
+        |       WHERE len(toks) >= 2),
+        |s AS (SELECT bg, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, bg FROM dt) GROUP BY bg)
+        |SELECT dt.doc_id, COUNT(*) AS n_bigrams,
+        |  COUNT(CASE WHEN s.nd = 1 THEN 1 END) AS n_unique,
+        |  CAST(CAST(CAST(COUNT(CASE WHEN s.nd = 1 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS novelty
+        |FROM dt JOIN s USING (bg)
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

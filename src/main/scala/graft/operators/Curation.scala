@@ -262,6 +262,56 @@ object Curation {
     out
   }
 
+  /** Per-document token entropy H = −Σ (c/n)·ln(c/n): the vocabulary-
+    * concentration quality signal (near-zero ⇒ one token repeated — spam;
+    * high ⇒ diverse vocabulary). One (doc, token) count aggregate, then
+    * per-term ln through the DECIMAL(28,9) recipe so the order-dependent
+    * sum is exact; H is flipped positive at the boundary. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+    val wdoc = Window.partitionBy(idCol)
+    counts
+      // n via a doc-partition window: the (doc, tok) set is already tiny
+      // compared to raw tokens, and this avoids a second aggregate + join
+      .withColumn("n", sum(col("c")).over(wdoc))
+      .select(col(idCol), col("n"),
+        ((col("c") / col("n").cast("double")) * log(col("c") / col("n").cast("double")))
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(idCol)
+      .agg(first(col("n")).as("n_tokens"),
+        (-sum(col("term")).cast("double")).cast("decimal(18,6)").cast("double")
+          .as("entropy"))
+      .orderBy(idCol)
+  }
+
+  /** Bigram novelty: the fraction of a document's bigram occurrences whose
+    * bigram appears in NO other document — the memorization-risk /
+    * boilerplate-inverse metric (novelty 1 ⇒ nothing shared with the
+    * corpus; near 0 ⇒ assembled from corpus-common phrases). Reuses the
+    * bigram shuffle shape of [[bigramLogLikelihood]]; the corpus-support
+    * side aggregates DISTINCT docs per bigram, and the score is one double
+    * division. */
+  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dt = docs.select(col(idCol), explode(bigrams).as("bg"))
+    val support = dt.select(col(idCol), col("bg")).distinct()
+      .groupBy("bg").agg(count(lit(1)).as("nd"))
+    dt.join(support, Seq("bg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("nd") === 1, 1)).as("n_unique"))
+      .withColumn("novelty",
+        (col("n_unique").cast("double") / col("n_bigrams").cast("double"))
+          .cast("decimal(18,6)").cast("double"))
+      .orderBy(idCol)
+  }
+
   /** The composed curation pass — what a real corpus run executes: quality
     * thresholds + repetition cap in ONE map-side predicate stage (no
     * intermediate materialization; all column expressions fuse into the

@@ -148,6 +148,33 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2, out.toString) // repetition → higher avg logprob
   }
 
+  test("tokenEntropy: uniform tokens hit ln(k); single-token docs hit zero") {
+    val df = Seq(
+      (1L, "a b c d"),          // uniform over 4 → H = ln 4
+      (2L, "spam spam spam"),   // one token → H = 0
+      (3L, "")                  // tokenless → absent
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - math.log(4)) < 1e-6, out.toString)
+    assert(out(2L) == ((3L, 0.0)), out.toString)
+  }
+
+  test("bigramNovelty: shared phrases lower the score; fully-unique doc scores 1") {
+    val df = Seq(
+      (1L, "the quick brown fox"),     // shares "the quick" with doc 2
+      (2L, "the quick red dog"),
+      (3L, "entirely novel words here") // all bigrams unique
+    ).toDF("doc_id", "text")
+    val out = Curation.bigramNovelty(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(3L) == ((3L, 3L, 1.0)), out.toString)
+    // docs 1/2: 3 bigrams, "the quick" shared → 2 unique of 3
+    assert(out(1L)._2 == 2L && out(2L)._2 == 2L, out.toString)
+    assert(math.abs(out(1L)._3 - 2.0 / 3) < 1e-6, out.toString)
+  }
+
   test("boilerplateGrams: template 2-gram tops its source, counted once per doc") {
     val df = Seq(
       (1L, "a", "footer text unique alpha"),
