@@ -310,6 +310,18 @@ object SparkEntry {
       TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text")),
     "q121_token_entropy" -> ((s, d) =>
       Curation.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
+    "q123_corpus_pipeline" -> ((s, d) => {
+      // the capstone composition — what a real corpus job runs end-to-end:
+      // quality filter + exact dedup (curate) → hash split (train only) →
+      // sequence packing; every stage is the already-verified operator
+      val docs = Tables.documents(s, d)
+      val kept = Curation.curate(docs, "doc_id", "text").select("doc_id")
+      val enriched = docs.join(kept, "doc_id")
+        .select(col("doc_id"), col("source"), col("text"))
+      val train = Splits.assignSplit(enriched, "doc_id")
+        .filter(col("split") === "train")
+      Curation.packSequences(train, "doc_id", "source", "text", 512)
+    }),
     "q122_bigram_novelty" -> ((s, d) =>
       Curation.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
     "q118_event_pattern" -> ((s, d) =>
@@ -1200,6 +1212,35 @@ object SparkEntry {
         |    AS DECIMAL(18,6)) AS DOUBLE) AS novelty
         |FROM dt JOIN s USING (bg)
         |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+    "q123_corpus_pipeline" ->
+      // q66's filter+dedup CTEs → q44's hash-split boundary → q50's packing
+      """WITH m AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+        |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha_chars
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source, text FROM m
+        |  WHERE n_tokens >= 5
+        |    AND CAST(CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END AS DECIMAL(18,4)) <= CAST(0.9 AS DECIMAL(18,4))
+        |    AND alpha_chars >= 20),
+        |ranked AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |                       ORDER BY doc_id) AS rk
+        |  FROM kept),
+        |train AS (
+        |  SELECT doc_id, source, text FROM ranked
+        |  WHERE rk = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+        |t AS (SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM train),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, CAST(floor(prior / 512.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->
