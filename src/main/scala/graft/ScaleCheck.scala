@@ -145,6 +145,15 @@ object ScaleCheck {
       Tables.events(spark, d), "user_id", "ts", "value", 7.0))
     time("sorted_neighborhood")(d => SparkEntry.queries("q117_sorted_neighborhood")(spark, d))
     time("event_pattern")(d => SparkEntry.queries("q118_event_pattern")(spark, d))
+    time("weighted_sample")(d => Splits.weightedSample(
+      Tables.documents(spark, d), "lang", "doc_id", "n_chars", 10))
+    time("feature_hash")(d => TextAnalysis.featureHash(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("token_entropy")(d => Curation.tokenEntropy(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("bigram_novelty")(d => Curation.bigramNovelty(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("corpus_pipeline")(d => SparkEntry.queries("q123_corpus_pipeline")(spark, d))
 
     spark.stop()
   }

