@@ -324,6 +324,8 @@ object SparkEntry {
     }),
     "q122_bigram_novelty" -> ((s, d) =>
       Curation.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
+    "q124_gini" -> ((s, d) =>
+      Analytics.giniByGroup(Tables.events(s, d), "event_type", "event_id", "value")),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1241,6 +1243,18 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tok, CAST(floor(prior / 512.0) AS BIGINT) AS seq_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q124_gini" ->
+      """WITH r AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS i
+        |  FROM events WHERE value > 0),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(i * x) AS DECIMAL(18,2)) AS s1,
+        |    CAST(SUM(x) AS DECIMAL(18,2)) AS sx
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(CAST((2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -715,6 +715,32 @@ object Analytics {
       .orderBy(keyCol)
   }
 
+  /** Per-group Gini coefficient over positive values — the inequality /
+    * concentration metric (revenue concentration per segment, token-budget
+    * concentration per source): G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n on the
+    * ascending-sorted values. One window sort per group assigns ranks; both
+    * weighted and plain sums are exact decimals; the two divisions are a
+    * fixed double chain quantized (18,6). Ties in value are rank-permutable
+    * without changing Σ i·x (equal x), so the id tiebreak is only for
+    * determinism of the intermediate, not the result. */
+  def giniByGroup(df: DataFrame, keyCol: String, idCol: String,
+                  valCol: String): DataFrame = {
+    val x = col(valCol).cast("decimal(18,2)")
+    val w = Window.partitionBy(keyCol).orderBy(col(valCol), col(idCol))
+    df.filter(col(valCol) > 0)
+      .select(col(keyCol), x.as("x"), row_number().over(w).cast("long").as("i"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("i") * col("x")).cast("decimal(18,2)").as("s1"),
+        sum(col("x")).cast("decimal(18,2)").as("sx"))
+      .select(col(keyCol), col("n"),
+        ((lit(2.0) * col("s1").cast("double"))
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("gini"))
+      .orderBy(keyCol)
+  }
+
   /** Snapshot diff — table reconciliation between two versions of the same
     * dataset: which keys were ADDED, REMOVED, or CHANGED. The audit before
     * promoting an incremental load, and the drift check between a backfill

@@ -365,6 +365,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(df.repartition(7)) == run(df)) // sort_array, not arrival order
   }
 
+  test("giniByGroup: 0 for perfect equality, →1 for total concentration") {
+    val eq = (1L to 100L).map(i => ("eq", i, 5.0))
+    val conc = (1L to 99L).map(i => ("conc", i, 0.001)) :+ (("conc", 100L, 1000000.0))
+    val out = Analytics.giniByGroup((eq ++ conc).toDF("k", "event_id", "value"),
+        "k", "event_id", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("eq") == 0.0, out.toString)
+    assert(out("conc") > 0.98, out.toString) // one holder owns ~everything
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
