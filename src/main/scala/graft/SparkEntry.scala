@@ -326,6 +326,8 @@ object SparkEntry {
       Curation.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
     "q124_gini" -> ((s, d) =>
       Analytics.giniByGroup(Tables.events(s, d), "event_type", "event_id", "value")),
+    "q125_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text")),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1255,6 +1257,28 @@ object SparkEntry {
         |  CAST(CAST((2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
         |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS gini
         |FROM g ORDER BY event_type""".stripMargin,
+    "q125_dup_spans" ->
+      // q99's frame CTEs + the q38 sessionize idiom for span merging
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS p, md5(substr(text, CAST(p AS INT), 40)) AS h
+        |  FROM documents, unnest(range(1, len(text) - 38, 10)) AS u(p)
+        |  WHERE len(text) >= 40),
+        |ok AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM w) GROUP BY h
+        |       HAVING COUNT(*) BETWEEN 2 AND 50),
+        |hits AS (SELECT DISTINCT doc_id, p FROM w JOIN ok USING (h)),
+        |flagged AS (
+        |  SELECT doc_id, p,
+        |    COUNT(CASE WHEN prev_max_end IS NULL OR p > prev_max_end THEN 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (SELECT doc_id, p,
+        |          MAX(p + 40) OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |        FROM hits)),
+        |spans AS (SELECT doc_id, grp, CAST(MAX(p) + 40 - MIN(p) AS BIGINT) AS chars
+        |          FROM flagged GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(chars) AS BIGINT) AS dup_chars
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

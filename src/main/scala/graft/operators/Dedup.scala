@@ -446,6 +446,46 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicated-span mass per document — the measurement half of exact-
+    * substring dedup ([[substringPairs]] finds WHO shares spans; this
+    * quantifies HOW MUCH of each document is corpus-duplicated, the number
+    * a removal pass acts on). Frames whose hash appears in 2..maxDocs
+    * documents are merged per document into maximal overlapping spans
+    * (stride < window ⇒ contiguous duplicated regions chain) via the
+    * sessionize idiom: running-max end over a prefix window, count() of
+    * new-span flags as the running group id — one frame shuffle, one
+    * window sort per doc, all integer arithmetic. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int = 40, stride: Int = 10,
+                      maxDocs: Int = 50): DataFrame = {
+    val len = length(col(textCol))
+    val idx = when(len >= window,
+        sequence(lit(1), len - (window - 1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val frames = docs
+      .select(col(idCol), explode(idx).as("p"), col(textCol))
+      .select(col(idCol), col("p"),
+        md5(substring(col(textCol), col("p"), lit(window))).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = frames.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, maxDocs))
+      .select("h")
+    val hits = frames.join(ok, Seq("h")).select(col(idCol), col("p")).distinct()
+    val byDoc = Window.partitionBy(idCol).orderBy("p")
+    val prevMaxEnd = max(col("p") + window).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val newSpan = when(prevMaxEnd.isNull || col("p") > prevMaxEnd, 1L)
+    val spans = hits
+      .withColumn("grp", count(newSpan).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("grp"))
+      .agg((max(col("p")) + window - min(col("p"))).cast("long").as("chars"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"), sum(col("chars")).as("dup_chars"))
+      .orderBy(idCol)
+    materializeAndRelease(spans, frames)
+  }
+
   /** Golden-record election — the end of the entity-resolution pipeline:
     * duplicate pairs → connected components → ONE canonical record per
     * cluster, elected by completeness (longest name, smallest id as the

@@ -197,6 +197,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sortedNeighborhoodPairs(df, "id", "name", windowSize = 1, maxDist = 2).isEmpty)
   }
 
+  test("duplicatedSpans: overlapping hit frames merge; separated spans count twice") {
+    val shared1 = "A" * 60                    // one 60-char shared run
+    val shared2 = "B" * 45                    // a second, separate shared run
+    val doc1 = shared1 + ("x" * 40) + shared2 // unique filler between
+    val doc2 = shared1 + ("y" * 40) + shared2 // same offsets, different filler
+    val df = Seq((1L, doc1), (2L, doc2), (3L, "z" * 200)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(3L), out.toString)           // nothing shared → absent
+    // both docs report the same two merged spans; each span's frames chain
+    assert(out(1L)._1 == 2L && out(1L) == out(2L), out.toString)
+    // total duplicated mass is bounded by the shared material + frame width
+    assert(out(1L)._2 >= 60L && out(1L)._2 <= 145L, out.toString)
+  }
+
   test("LSH plan contains no cartesian/all-pairs stage") {
     val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
     val plan = Dedup.minhashLsh(df, "doc_id", "text").queryExecution.executedPlan.toString
