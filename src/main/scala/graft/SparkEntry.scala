@@ -328,6 +328,12 @@ object SparkEntry {
       Analytics.giniByGroup(Tables.events(s, d), "event_type", "event_id", "value")),
     "q125_dup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text")),
+    "q126_setsim_join" -> ((s, d) =>
+      // EXACT shingle-set jaccard pairs via prefix filtering — the
+      // deterministic 100%-recall complement of q24's MinHash/LSH path:
+      // same planted corpus, same shingle space, same all-pairs truth
+      Dedup.setSimilarityJoin(docsWithPlantedDups(Tables.documents(s, d)),
+        "doc_id", "text", threshold = 0.5)),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1279,6 +1285,10 @@ object SparkEntry {
         |          FROM flagged GROUP BY 1, 2)
         |SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(chars) AS BIGINT) AS dup_chars
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q126_setsim_join" ->
+      // identical truth set to q24 (same shingles, same threshold): the
+      // prefix-filtered exact join and the LSH+verify path must agree
+      jaccardTruthSql("0.5"),
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -218,4 +218,45 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("setSimilarityJoin: exact jaccard values, threshold respected") {
+    val nearDup = base + " extra tail words"
+    val far = "completely different content about spark catalyst optimizer rules and parquet row groups"
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val s1 = Dedup.shingles(base, 3).toSet
+    val s2 = Dedup.shingles(nearDup, 3).toSet
+    val expected = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    val out = Dedup.setSimilarityJoin(df, "doc_id", "text", 0.5).collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == expected)
+  }
+
+  test("setSimilarityJoin: prefix filter finds every pair brute force finds") {
+    // corpus with controlled overlap tiers; compare against a local
+    // brute-force truth at the same shingling
+    val docs = (0 until 30).map { i =>
+      val core = (0 until 12).map(j => s"w${(i / 3) * 12 + j}") // 3 docs share a core
+      val salt = Seq(s"u${i}a", s"u${i}b")
+      (i.toLong, (core ++ salt).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val truth = for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = Dedup.shingles(ta, 3).toSet; sb = Dedup.shingles(tb, 3).toSet
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+    } yield (ia, ib)
+    assert(truth.nonEmpty) // the tiers guarantee matching pairs exist
+    val got = Dedup.setSimilarityJoin(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth.toSet, s"got=$got truth=${truth.toSet}")
+  }
+
+  test("setSimilarityJoin plan: no cartesian, no all-pairs") {
+    val df = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
+    val plan = Dedup.setSimilarityJoin(df, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
