@@ -334,6 +334,20 @@ object SparkEntry {
       // same planted corpus, same shingle space, same all-pairs truth
       Dedup.setSimilarityJoin(docsWithPlantedDups(Tables.documents(s, d)),
         "doc_id", "text", threshold = 0.5)),
+    "q127_ohlc" -> ((s, d) =>
+      // single-pass min_by/max_by bars; (ts, event_id) struct keys make
+      // open/close arrival-order-independent
+      Analytics.ohlc(Tables.events(s, d), "user_id", "ts", "event_id", "value")),
+    "q128_impute" -> ((s, d) =>
+      // deterministic null injection (click rows), then per-user mean fill
+      Analytics.imputeByGroup(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          when(col("event_type") === "click", lit(null))
+            .otherwise(col("value")).as("value")),
+        "user_id", "event_id", "value")),
+    "q129_rolling_median" -> ((s, d) =>
+      Analytics.rollingMedian(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1289,6 +1303,49 @@ object SparkEntry {
       // identical truth set to q24 (same shingles, same threshold): the
       // prefix-filtered exact join and the LSH+verify path must agree
       jaccardTruthSql("0.5"),
+    "q127_ohlc" ->
+      // open/close via rank-1 rows under the same (ts, event_id) total
+      // order the Spark min_by/max_by struct keys encode
+      """WITH r AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rk_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rk_d
+        |  FROM events)
+        |SELECT user_id, bucket,
+        |  MAX(CASE WHEN rk_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rk_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin,
+    "q128_impute" ->
+      // same decimal-sum/one-double-division mean recipe as the Spark side;
+      // group means join back LEFT so all-null groups fall to the global
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS grp_mean
+        |  FROM e GROUP BY user_id),
+        |gl AS (
+        |  SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS glob_mean
+        |  FROM e)
+        |SELECT e.user_id, e.event_id,
+        |  COALESCE(e.value, g.grp_mean, gl.glob_mean) AS value,
+        |  e.value IS NULL AS imputed
+        |FROM e LEFT JOIN g USING (user_id) CROSS JOIN gl
+        |ORDER BY event_id""".stripMargin,
+    "q129_rolling_median" ->
+      // DuckDB's windowed median over DOUBLE is quantile_cont — the same
+      // (a+b)/2 interpolation the Spark frame-sort computes
+      """SELECT user_id, event_id, value,
+        |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_median
+        |FROM events ORDER BY event_id""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

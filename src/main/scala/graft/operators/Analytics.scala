@@ -704,6 +704,74 @@ object Analytics {
     * ever grouping full histories. Deterministic under equal timestamps via
     * the id tiebreak — the same total order a real log-sequence-number
     * provides. */
+  /** OHLC time-bucket downsampling (candlestick bars / metric rollups to a
+    * coarser grain): per (key, bucket) the first/max/min/last of `valCol`,
+    * where first/last are made deterministic by the total (ts, id) order —
+    * NOT arrival order, so the result is partitioning- and retry-invariant.
+    * ONE hash aggregate using min_by/max_by over a struct key (single pass,
+    * map-side combinable) — no per-bucket window sort, no shuffle of
+    * anything but the aggregation itself. The struct comparison matches
+    * row_number() OVER (ORDER BY ts, id) semantics exactly. */
+  def ohlc(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valCol: String, grain: String = "hour"): DataFrame = {
+    val key = struct(col(tsCol), col(idCol))
+    events
+      .groupBy(col(keyCol), date_trunc(grain, col(tsCol)).as("bucket"))
+      .agg(
+        min_by(col(valCol), key).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), key).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(keyCol, "bucket")
+  }
+
+  /** Rolling exact median over the trailing `frame` rows per key (robust
+    * smoothing for metric streams — the sliding complement of [[mad]]'s
+    * global robustness). The frame is ROWS-bounded, so the per-row state is
+    * O(frame) regardless of key cardinality or history length: collect the
+    * frame into an array, sort it, take the interpolated middle ((a+b)/2 on
+    * even counts — quantile_cont semantics). One window sort per key; no
+    * whole-history collect_list, no per-key quadratic work. For frames big
+    * enough that O(frame log frame) per row hurts, drop to the two-heap
+    * streaming-median mapPartitions shape — at frame ≤ a few hundred the
+    * array sort is faster than the bookkeeping. */
+  def rollingMedian(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valCol: String, frame: Int = 7): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    val sorted = sort_array(collect_list(col(valCol)).over(w))
+    val n = size(sorted)
+    val half = (n / 2).cast("int") // exact: n ≤ frame, double div then trunc
+    val mid = when(n % 2 === 1, element_at(sorted, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(sorted, half) + element_at(sorted, half + 1)) / 2.0)
+    events.select(col(keyCol), col(idCol), col(valCol), mid.as("roll_median"))
+      .orderBy(idCol)
+  }
+
+  /** Per-group mean imputation (feature-table repair before training):
+    * null `valCol` cells are filled with their group's non-null mean,
+    * falling back to the global mean for all-null groups. Means are exact
+    * decimal sums with ONE double division (so every engine lands on the
+    * same fill value), computed in a single aggregate pass and joined back
+    * group-keyed; the global fallback is a 1-row broadcast, not a second
+    * scan dependency. Emits an `imputed` flag so downstream can weight or
+    * audit filled cells. */
+  def imputeByGroup(df: DataFrame, keyCol: String, idCol: String,
+                    valCol: String): DataFrame = {
+    val x = col(valCol).cast("decimal(18,2)")
+    val groupMeans = df.groupBy(keyCol).agg(
+      (sum(x).cast("double") / count(col(valCol))).as("grp_mean"))
+    val globalMean = df.agg(
+      (sum(x).cast("double") / count(col(valCol))).as("glob_mean"))
+    df.join(groupMeans, Seq(keyCol), "left")
+      .crossJoin(broadcast(globalMean))
+      .select(col(keyCol), col(idCol),
+        coalesce(col(valCol), col("grp_mean"), col("glob_mean")).as(valCol),
+        col(valCol).isNull.as("imputed"))
+      .orderBy(idCol)
+  }
+
   def cdcCompact(changelog: DataFrame, keyCol: String, tsCol: String,
                  idCol: String, opCol: String, tombstone: String): DataFrame = {
     val w = Window.partitionBy(keyCol)

@@ -375,6 +375,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("conc") > 0.98, out.toString) // one holder owns ~everything
   }
 
+  test("ohlc: deterministic open/close by (ts,id); arrival order and partitioning irrelevant") {
+    // deliberately shuffled arrival order within one user-hour bucket
+    val rows = Seq(
+      (3L, ts("2024-01-01 10:30:00"), 7L, 5.0),  // middle
+      (1L, ts("2024-01-01 10:05:00"), 7L, 2.0),  // open (earliest ts)
+      (4L, ts("2024-01-01 10:59:00"), 7L, 1.0),  // close (latest ts) + low
+      (2L, ts("2024-01-01 10:05:00"), 7L, 9.0),  // same ts as open → id 1 wins open; high
+      (5L, ts("2024-01-01 11:10:00"), 7L, 4.0))  // next hour
+    val df = rows.toDF("event_id", "ts", "user_id", "value").repartition(7)
+    val out = Analytics.ohlc(df, "user_id", "ts", "event_id", "value").collect()
+    assert(out.length == 2)
+    val bar = out.head
+    assert(bar.getDouble(2) == 2.0, s"open: $bar")   // id 1 at 10:05 beats id 2
+    assert(bar.getDouble(3) == 9.0, s"high: $bar")
+    assert(bar.getDouble(4) == 1.0, s"low: $bar")
+    assert(bar.getDouble(5) == 1.0, s"close: $bar")
+    assert(bar.getLong(6) == 4L)
+    assert(out(1).getDouble(2) == 4.0 && out(1).getLong(6) == 1L)
+  }
+
+  test("rollingMedian: interpolated middle on even frames, exact middle on odd") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:01"), 7L, 1.0),
+      (2L, ts("2024-01-01 10:00:02"), 7L, 4.0),
+      (3L, ts("2024-01-01 10:00:03"), 7L, 2.0),
+      (4L, ts("2024-01-01 10:00:04"), 7L, 8.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "value").repartition(5)
+    val out = Analytics.rollingMedian(df, "user_id", "ts", "event_id", "value", frame = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.5, 3L -> 2.0, 4L -> 3.0), out.toString)
+  }
+
+  test("imputeByGroup: group mean fills nulls; all-null group falls back to global mean") {
+    val df = Seq(
+      ("a", 1L, Some(2.0)), ("a", 2L, None), ("a", 3L, Some(4.0)),
+      ("b", 4L, None), ("b", 5L, None)).toDF("k", "id", "v")
+    val out = Analytics.imputeByGroup(df, "k", "id", "v")
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(2L) == ((3.0, true)))   // mean of group a
+    assert(out(4L) == ((3.0, true)))   // global mean (only a has values)
+    assert(out(1L) == ((2.0, false)))  // non-null untouched, flag false
+  }
+
   test("cosine_f32 callable from SQL after registration") {
     graft.functions.Native.registerSql(spark)
     val out = spark.sql(
