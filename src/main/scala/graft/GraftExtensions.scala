@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graftnative.NativeExpressions.{CosineSimilarityF32, LevenshteinBounded}
+import org.apache.spark.sql.graftnative.NativeExpressions.{CosineSimilarityF32, JaroWinklerSimilarity, LevenshteinBounded}
 
 /** Session extension registering graft's native SQL functions, so a cluster
   * configured with
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LevenshteinBounded].getName, "levenshtein_bounded"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LevenshteinBounded(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinklerSimilarity(exprs(0), exprs(1))))
     // optimizer rewrite: thresholded full-DP levenshtein comparisons run banded
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.BoundedLevenshteinRewrite)

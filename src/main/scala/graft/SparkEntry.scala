@@ -348,6 +348,12 @@ object SparkEntry {
     "q129_rolling_median" -> ((s, d) =>
       Analytics.rollingMedian(Tables.events(s, d),
         "user_id", "ts", "event_id", "value")),
+    "q130_jaro_winkler" -> ((s, d) =>
+      // VALUE-checked fuzzy scoring: the native jaro_winkler expression is
+      // bit-compatible with DuckDB's, so the oracle compares exact doubles
+      Dedup.jaroWinklerPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", threshold = 0.85)),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1346,6 +1352,14 @@ object SparkEntry {
         |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_median
         |FROM events ORDER BY event_id""".stripMargin,
+    "q130_jaro_winkler" ->
+      """WITH p AS (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM p a JOIN p b
+        |  ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4) AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        |ORDER BY id_a, id_b""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

@@ -17,6 +17,12 @@ object Native {
   def levenshteinBounded(a: Column, b: Column, k: Column): Column =
     NativeExpressions.levenshteinBounded(a, b, k)
 
+  /** `jaro_winkler(a, b)` — codegen'd Jaro-Winkler similarity in [0,1];
+    * standard Winkler parameters (prefix ≤ 4, p = 0.1, boost > 0.7),
+    * bit-compatible with DuckDB's jaro_winkler_similarity. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    NativeExpressions.jaroWinkler(a, b)
+
   /** Register the native functions for SQL use on an existing session
     * (clusters set `spark.sql.extensions=graft.GraftExtensions` instead). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -27,6 +33,10 @@ object Native {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "levenshtein_bounded",
       exprs => NativeExpressions.LevenshteinBounded(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => NativeExpressions.JaroWinklerSimilarity(exprs(0), exprs(1)),
       "built-in")
   }
 }

@@ -551,6 +551,29 @@ object Dedup {
     materializeAndRelease(pairs, frames)
   }
 
+  /** Jaro-Winkler scored fuzzy pairs — the similarity-graded complement of
+    * [[fuzzyPairs]]' thresholded edit distance (JW weights shared prefixes,
+    * the right metric for names/titles; reference fuzzy-contact matching
+    * semantics, contact_repository.py:198-210). Same prefix blocking shape;
+    * the scoring runs the codegen'd native [[graft.functions.Native.jaroWinkler]]
+    * whose double output is bit-compatible with DuckDB's, so the VALUES are
+    * oracle-checkable, not just the pair ids. Blocking recall caveat is
+    * [[fuzzyPairs]]': pairs differing inside the first `blockChars` chars
+    * need [[sortedNeighborhoodPairs]]. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       threshold: Double, blockChars: Int = 4): DataFrame = {
+    val canon = df.select(col(idCol).as("id"), col(strCol).as("s")).distinct()
+    val a = canon.toDF("id_a", "s_a")
+      .withColumn("blk", substring(col("s_a"), 1, blockChars))
+    val b = canon.toDF("id_b", "s_b")
+      .withColumn("blk", substring(col("s_b"), 1, blockChars))
+    a.join(b, "blk").where(col("id_a") < col("id_b"))
+      .withColumn("jw", graft.functions.Native.jaroWinkler(col("s_a"), col("s_b")))
+      .where(col("jw") >= threshold)
+      .select("id_a", "id_b", "jw")
+      .orderBy("id_a", "id_b")
+  }
+
   /** EXACT shingle-set similarity self-join via global-frequency prefix
     * filtering (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et
     * al. TODS'11): every document pair whose token-`shingleK`-gram set

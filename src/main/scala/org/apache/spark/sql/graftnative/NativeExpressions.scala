@@ -57,6 +57,66 @@ object EditDistance {
   }
 }
 
+/** Jaro-Winkler similarity — standard Winkler variant (prefix ≤ 4,
+  * p = 0.1, boost threshold 0.7), with the empty-string convention of the
+  * common C++ implementations (either side empty → 0.0, even both). The
+  * float expression tree (division and accumulation order) is fixed to the
+  * textbook form `(m/|a| + m/|b| + (m−t)/m)/3`, then `j + ℓ·0.1·(1−j)` —
+  * verified bit-identical to DuckDB's `jaro_winkler_similarity` on 30k
+  * random pairs, so oracle checks compare EXACT doubles. Comparison is by
+  * UTF-16 code unit (exact for ASCII/BMP content).
+  *
+  * Top-level object: janino resolves only the static forwarders of
+  * top-level objects (see [[EditDistance]]). */
+object JaroWinkler {
+  def similarity(sa: org.apache.spark.unsafe.types.UTF8String,
+                 sb: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = sa.toString; val b = sb.toString
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (a == b) return 1.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md); val hi = math.min(i + md + 1, l2)
+      var j = lo
+      var unmatched = true
+      while (j < hi && unmatched) {
+        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; unmatched = false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md1 = m.toDouble
+    val j = (md1 / l1 + md1 / l2 + (m - t) / md1) / 3.0
+    if (j > 0.7) {
+      val lim = math.min(4, math.min(l1, l2))
+      var pl = 0
+      var stop = false
+      while (pl < lim && !stop) {
+        if (a.charAt(pl) == b.charAt(pl)) pl += 1 else stop = true
+      }
+      j + pl * 0.1 * (1.0 - j)
+    } else j
+  }
+}
+
 /** Native Catalyst expressions for graft's vector hot paths.
   *
   * Lives under `org.apache.spark.sql` (the standard Spark-extension-library
@@ -151,4 +211,32 @@ object NativeExpressions {
     ExpressionUtils.column(LevenshteinBounded(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(k)))
+
+  /** `jaro_winkler(a, b)`: similarity in [0,1], codegen'd via the static
+    * [[JaroWinkler]] helper (same pattern as [[LevenshteinBounded]]). */
+  case class JaroWinklerSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      JaroWinkler.similarity(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"org.apache.spark.sql.graftnative.JaroWinkler.similarity($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinklerSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -72,4 +72,26 @@ class NativeSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [levenshtein_bounded"), plan)
     assert(df.where(col("d") === 0).count() == 1) // only "25" itself
   }
+
+  test("jaro_winkler: textbook values, empty/null edges, SQL-callable, codegen'd") {
+    Native.registerSql(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler('MARTHA', 'MARHTA') AS a,
+        |       jaro_winkler('DWAYNE', 'DUANE') AS b,
+        |       jaro_winkler('same', 'same') AS c,
+        |       jaro_winkler('', 'x') AS d,
+        |       jaro_winkler('', '') AS e,
+        |       jaro_winkler('abc', NULL) AS f""".stripMargin).head()
+    // BIT-equal to DuckDB's jaro_winkler_similarity on the classics
+    assert(r.getDouble(0) == 0.9611111111111111, r.toString)  // MARTHA/MARHTA
+    assert(r.getDouble(1) == 0.8400000000000001, r.toString)  // DWAYNE/DUANE
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)        // DuckDB empty convention
+    assert(r.isNullAt(5))
+    val df = spark.range(50).selectExpr("CAST(id AS STRING) AS s")
+      .select(Native.jaroWinkler(col("s"), lit("25")).as("j"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [jaro_winkler"), plan)
+    assert(df.where(col("j") === 1.0).count() == 1)
+  }
 }
