@@ -354,6 +354,16 @@ object SparkEntry {
       Dedup.jaroWinklerPairs(
         Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
         "p_partkey", "p_name", threshold = 0.85)),
+    "q131_bloom_semi" -> ((s, d) =>
+      // ~1%-selective dim (keys ≡ 0 mod 97): the Bloom probe prunes the
+      // fact side at the scan, the exact semi join settles fpp — result is
+      // identical to a plain semi join, which is exactly what the oracle is
+      Relational.bloomPrunedSemiJoin(
+        Tables.lineitem(s, d),
+        Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0),
+        "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
     "q118_event_pattern" -> ((s, d) =>
       Analytics.eventPattern(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", "signup(>[a-z]+)*>purchase")),
@@ -1360,6 +1370,12 @@ object SparkEntry {
         |  ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4) AND a.id < b.id
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
         |ORDER BY id_a, id_b""".stripMargin,
+    "q131_bloom_semi" ->
+      // the bloom prune is a pure physical optimization: logical semantics
+      // are a plain semi join, so the oracle needs no bloom at all
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q02_job_by_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q03_contacts_listing" ->

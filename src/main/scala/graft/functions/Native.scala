@@ -23,6 +23,15 @@ object Native {
   def jaroWinkler(a: Column, b: Column): Column =
     NativeExpressions.jaroWinkler(a, b)
 
+  /** `bloom_agg(xxhash64(key), items, bits)` — distributed Bloom build via
+    * the engine's runtime-filter aggregate; returns one binary sketch. */
+  def bloomFilterAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    NativeExpressions.bloomFilterAgg(key, expectedItems, numBits)
+
+  /** `bloom_might_contain(lit(sketch), xxhash64(key))` — codegen'd probe. */
+  def bloomMightContain(bloomBinary: Column, key: Column): Column =
+    NativeExpressions.bloomMightContain(bloomBinary, key)
+
   /** Register the native functions for SQL use on an existing session
     * (clusters set `spark.sql.extensions=graft.GraftExtensions` instead). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -152,4 +152,30 @@ object Relational {
         count(when(col("__a").isNotNull && col("__b").isNull, 1)).as("n_a_only"),
         count(when(col("__a").isNull && col("__b").isNotNull, 1)).as("n_b_only"))
   }
+
+  /** Bloom-pruned semi join: a semi join where the fact side is pre-filtered
+    * by a Bloom sketch of the (selective) dim keys BEFORE it shuffles —
+    * Spark's own runtime-filter machinery ([[graft.functions.Native
+    * .bloomFilterAgg]] / `bloomMightContain`), driven explicitly so the
+    * pruning fires even where the optimizer's injection heuristics
+    * (creationSideThreshold etc.) would decline. vs [[Issues
+    * .existingKeysAtScale]] (driver-built `stat.bloomFilter` probed by a row
+    * lambda): the build here is a distributed partial-merge aggregate and
+    * the probe is codegen'd right on top of the scan, keeping pruning +
+    * whole-stage codegen intact. Shuffle volume drops from |fact| to
+    * |matches| + fpp·|fact|; the exact semi join settles false positives.
+    * Build/probe are both `xxhash64(key)` longs — one canonical
+    * representation regardless of key type. */
+  def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
+                          factKey: String, dimKey: String,
+                          expectedKeys: Long = 1000000L,
+                          numBits: Long = 8388608L): DataFrame = {
+    import graft.functions.Native
+    val sketch = dim
+      .select(Native.bloomFilterAgg(xxhash64(col(dimKey)), expectedKeys, numBits)
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf") // one binary blob — contract-small
+    fact.filter(Native.bloomMightContain(lit(sketch), xxhash64(col(factKey))))
+      .join(dim.select(dimKey).distinct(), col(factKey) === col(dimKey), "left_semi")
+  }
 }

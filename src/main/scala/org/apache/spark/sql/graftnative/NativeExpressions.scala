@@ -239,4 +239,28 @@ object NativeExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinklerSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Distributed Bloom-filter build over a column, using the engine's own
+    * runtime-filter aggregate (`BloomFilterAggregate`, the machinery behind
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`): partial sketches
+    * are built map-side per partition and OR-merged, so no executor ever
+    * sees more than its partition's keys and the driver receives one binary
+    * blob. Child must be integral/string; we feed it `xxhash64(key)` longs
+    * from the caller for type-uniform build/probe. */
+  def bloomFilterAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Codegen'd Bloom probe (`BloomFilterMightContain`) against a constant
+    * (lit) serialized filter — evaluates inside whole-stage codegen right
+    * on top of the scan, unlike a broadcast-variable lambda which forces
+    * row deserialization and kills column pruning. */
+  def bloomMightContain(bloomBinary: Column, key: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloomBinary), ExpressionUtils.expression(key)))
 }

@@ -23,12 +23,13 @@ class PlanContractSpec extends SparkSpec {
         // quantile-edge array in the equi-depth histogram, and the 1-row
         // broadcast corpus stats / basket total / vocab size / revenue
         // total in bm25 / assoc rules / bigram LM / ratio-to-report, and
-        // the 1-row broadcast reference time in the decay score
+        // the 1-row broadcast reference time in the decay score, and the
+        // 1-row broadcast global-mean fallback in the imputation
         val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile",
           "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi", "q88_unigram_ll",
           "q92_chi_square", "q94_equidepth",
           "q97_bm25", "q105_assoc_rules", "q106_pct_of_total", "q109_bigram_ll",
-          "q116_decayed_score")
+          "q116_decayed_score", "q128_impute")
         if (allowed(name)) None else Some(name)
       } else None
     }
