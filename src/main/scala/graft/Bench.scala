@@ -25,8 +25,14 @@ object Bench {
     // not query work — the first measured query shouldn't pay them either
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try Tables.load(spark, sfDir, t).limit(1).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // events goes through its dedicated loader: the raw parquet is
+      // TIMESTAMP(NANOS), which the plain reader rejects — a raw warmup
+      // would throw (caught, but the table then stayed cold)
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.limit(1).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -300,6 +300,16 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q133_triangles" -> ((s, d) => {
+      // part co-occurrence graph: parts sharing an order are linked.
+      // Per-order fanout is items-per-order (≤7) — the pair join is bounded
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb"))
+      Graph.triangleCounts(e, "pa", "pb")
+    }),
     "q112_user_lifecycle" -> ((s, d) =>
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
     "q116_decayed_score" -> ((s, d) =>
@@ -706,6 +716,10 @@ object SparkEntry {
       dbl(Similarity.consecutiveCosines(Tables.embeddings(s, d), "vec_id", "embedding"))),
     "q65_label_centroids" -> ((s, d) =>
       dbl(Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding"))),
+    "q132_gram_matrix" -> ((s, d) =>
+      // per-partition outer-product partials; integer micro-unit math makes
+      // the cells exact under any partitioning AND any oracle sum order
+      Similarity.gramMatrix(Tables.embeddings(s, d), "embedding")),
     "q30_near_dup_cosine" -> ((s, d) =>
       // ids-only projection (cosine value is engine-ulp-sensitive); the truth
       // set is a DuckDB all-pairs cosine>=0.95 query — max natural cosine in
@@ -1087,6 +1101,27 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q133_triangles" ->
+      // node-id-ordered enumeration (x<y<z) — same triangle set the
+      // degree-ordered Spark enumeration finds, each exactly once
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |deg AS (SELECT n, COUNT(*) AS deg
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT n, COUNT(*) AS triangles FROM
+        |         (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.n AS node, deg.deg AS deg,
+        |  COALESCE(tn.triangles, 0) AS triangles,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN CAST(COALESCE(tn.triangles, 0) * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN tn ON tn.n = deg.n
+        |ORDER BY node""".stripMargin,
     "q110_pagerank" ->
       // two Lloyd-style unrolled iterations; contributions go through
       // DECIMAL(28,9) before the order-dependent sum (the q88 recipe), the
@@ -1879,6 +1914,20 @@ object SparkEntry {
       """SELECT label, u[2] AS dim, CAST(CAST(AVG(CAST(u[1] AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS c
         |FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u
         |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q132_gram_matrix" ->
+      // same micro-unit quantization as the Spark side: round(v·1e6) is the
+      // identical IEEE multiply+round in both engines, integer sums are
+      // exact (DuckDB HUGEINT ≡ Spark DECIMAL(38,0)), division is one
+      // double op on identical operands
+      """WITH idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+        |flat AS (
+        |  SELECT e.vec_id, i.i,
+        |    CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings e CROSS JOIN idx i)
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(SUM(a.q * b.q) AS DOUBLE) / 1000000000000.0 AS dot
+        |FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q63_dedup_clusters" ->
       """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),

@@ -52,4 +52,60 @@ object Graph {
       .orderBy(col("rank").desc, col("node"))
       .limit(topK)
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list — the community-structure / link-spam signal.
+    *
+    * Degree-ordered enumeration (the standard distributed algorithm, cf.
+    * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11): every edge is oriented from its lower-(deg, id)
+    * endpoint to the higher, so each node's out-degree is O(√m) and the
+    * wedge self-join generates Σ outdeg² = O(m^1.5) candidates worst-case
+    * instead of the Σ deg² a naive adjacency join pays (the "last reducer"
+    * hot node). Each triangle is found exactly once, at its lowest-rank
+    * apex. Three shuffles total (degree agg, wedge join, closing join);
+    * nothing driver-side. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // orient low→high rank, rank = (deg, id); carry the head's degree so
+    // wedge canonicalization below needs no further join
+    val ranked = und
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+    val aIsLo = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = ranked.select(
+        when(aIsLo, col("a")).otherwise(col("b")).as("lo"),
+        when(aIsLo, col("b")).otherwise(col("a")).as("hi"),
+        when(aIsLo, col("deg_b")).otherwise(col("deg_a")).as("deg_hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at apex u, tips canonicalized by the same (deg, id) rank, so
+    // the closing edge — if present — is oriented exactly v→w
+    val x = oriented.select(col("lo").as("u"), col("hi").as("v"), col("deg_hi").as("dv"))
+    val y = oriented.select(col("lo").as("u"), col("hi").as("w"), col("deg_hi").as("dw"))
+    val tri = x.join(y, "u")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        // one double division on exact integers — oracle-identical
+        when(col("deg") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("node")
+      .localCheckpoint(true)
+    oriented.unpersist(false); deg.unpersist(false); und.unpersist(false)
+    out
+  }
 }

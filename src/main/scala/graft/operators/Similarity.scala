@@ -390,4 +390,58 @@ object Similarity {
     vecs.unpersist(false)
     out
   }
+
+  /** Distributed Gram matrix G = XᵀX over the embedding column — the
+    * one-pass primitive under PCA, covariance, and linear probes. Each
+    * partition accumulates its LOCAL d×(d+1)/2 upper-triangle outer-product
+    * partial, so the shuffle carries partitions × d² cells instead of the
+    * n × d² a posexplode self-join would move — the corpus itself never
+    * shuffles (same contract as the ANN paths above).
+    *
+    * Exactness recipe: elements are quantized to integer micro-units with
+    * `round(v·1e6)` (an IEEE multiply + half-away-from-zero round that
+    * Spark and DuckDB compute bit-identically), so every accumulation below
+    * is exact integer math — the result is independent of partition count
+    * and of the oracle's summation order. Long partials are safe to ~9e6
+    * unit-norm rows per partition (q² ≤ 1e12 per term vs 2^63), orders of
+    * magnitude above any sane `maxPartitionBytes`; the global merge sums as
+    * DECIMAL(38,0) (exact, like DuckDB's HUGEINT) before the final double
+    * division. */
+  def gramMatrix(embeddings: DataFrame, vecCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quantized = embeddings.select(
+      transform(col(vecCol), e => round(e.cast("double") * lit(1000000.0)).cast("long"))
+        .as("q"))
+    val partials = quantized.as[Array[Long]].mapPartitions { it =>
+      var acc: Array[Long] = null
+      var d = 0
+      it.foreach { v =>
+        if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+        var i = 0; var c = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { acc(c) += v(i) * v(j); c += 1; j += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        // flat triangle back to 1-based (i, j) — SQL array indexing
+        val out = new Array[(Int, Int, Long)](acc.length)
+        var i = 0; var c = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { out(c) = (i + 1, j + 1, acc(c)); c += 1; j += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("i", "j", "partial")
+    partials.groupBy("i", "j")
+      .agg(sum(col("partial").cast("decimal(38,0)")).as("g"))
+      .select(col("i"), col("j"),
+        (col("g").cast("double") / lit(1.0e12)).as("dot"))
+      .orderBy("i", "j")
+  }
 }

@@ -30,4 +30,32 @@ class GraphSpec extends SparkSpec {
     val re = Graph.pageRank(star.repartition(7), "src", "dst").collect().map(_.toString).toSeq
     assert(base == re)
   }
+
+  // K4 on {1,2,3,4} plus pendant 5—1: every K4 node is in C(3,2)=3
+  // triangles, the pendant in none. Duplicate + reversed edges exercise
+  // canonicalization; 1—1 exercises the self-loop drop.
+  private val k4 = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (2L, 1L), (3L, 1L), (1L, 1L), (5L, 1L), (1L, 5L)).toDF("a", "b")
+
+  test("triangleCounts: K4 + pendant — counts, degrees, clustering exact") {
+    val got = Graph.triangleCounts(k4, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 3L, 0.5)), got.toString) // deg 4 → 2·3/(4·3)=0.5
+    for (n <- Seq(2L, 3L, 4L)) assert(got(n) == ((3L, 3L, 1.0)), got.toString)
+    assert(got(5L) == ((1L, 0L, 0.0)), got.toString)
+  }
+
+  test("triangleCounts: triangle-free bipartite graph finds zero") {
+    val bip = (for (l <- 1L to 3L; r <- 10L to 12L) yield (l, r)).toDF("a", "b")
+    val got = Graph.triangleCounts(bip, "a", "b").collect()
+    assert(got.forall(_.getLong(2) == 0L))
+    assert(got.length == 6)
+  }
+
+  test("triangleCounts: partitioning-invariant") {
+    val base = Graph.triangleCounts(k4, "a", "b").collect().map(_.toString).toSeq
+    val re = Graph.triangleCounts(k4.repartition(13), "a", "b").collect().map(_.toString).toSeq
+    assert(base == re)
+  }
 }

@@ -161,4 +161,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("gramMatrix: exact on known vectors; invariant under repartitioning") {
+    val df = Seq(vec(1.0, 2.0), vec(0.5, -1.5)).toDF("embedding")
+    val g = Similarity.gramMatrix(df, "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // XᵀX of [[1,2],[0.5,-1.5]]: G11=1.25, G12=2-0.75=1.25, G22=4+2.25=6.25
+    assert(g == Map((1, 1) -> 1.25, (1, 2) -> 1.25, (2, 2) -> 6.25), g)
+    val g7 = Similarity.gramMatrix(df.repartition(7), "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(g7 == g) // integer partials: partition-count independent
+  }
+
+  test("gramMatrix: upper triangle only, d(d+1)/2 cells, empty partitions fine") {
+    val df = (0L until 10L).map(i => Array.fill(8)((i % 3).toFloat)).toDF("embedding")
+    val rows = Similarity.gramMatrix(df.repartition(32), "embedding").collect()
+    assert(rows.length == 8 * 9 / 2)
+    assert(rows.forall(r => r.getInt(0) <= r.getInt(1)))
+    // all elements equal per row: every cell is Σ vᵢ² = (0²+1²+2²)·3+0² per pattern
+    val expect = (0 until 10).map(i => math.pow((i % 3).toDouble, 2)).sum
+    assert(rows.forall(r => math.abs(r.getDouble(2) - expect) < 1e-9))
+  }
 }
