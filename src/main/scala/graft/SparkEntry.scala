@@ -300,6 +300,16 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q134_negative_sample" -> ((s, d) =>
+      Splits.negativeSample(Tables.documents(s, d), "doc_id", "text", 5)),
+    "q135_hard_negatives" -> ((s, d) =>
+      // rank-only projection like q27; the oracle reproduces the exact
+      // double-accumulation cosine so even near-tie orderings agree
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), 5)
+        .select("query_id", "neighbor_id", "rank")),
+    "q136_class_balance" -> ((s, d) =>
+      Splits.classBalance(Tables.embeddings(s, d), "vec_id", "label")),
     "q133_triangles" -> ((s, d) => {
       // part co-occurrence graph: parts sharing an order are linked.
       // Per-order fanout is items-per-order (≤7) — the pair join is bounded
@@ -1101,6 +1111,47 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q134_negative_sample" ->
+      // identical modular-stride formula over the same doc_id-dense rank;
+      // md5 text fingerprints drop accidental positives on both sides
+      """WITH ranked AS (SELECT doc_id, md5(text) AS f,
+        |         row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |js AS (SELECT unnest(range(1, 6)) AS j),
+        |pairs AS (SELECT a.doc_id AS anchor_id, j.j AS j,
+        |            (a.r + j.j * 7919) % n.n AS rb, a.f AS fa
+        |          FROM ranked a CROSS JOIN n CROSS JOIN js j)
+        |SELECT p.anchor_id, CAST(p.j AS INTEGER) AS j, b.doc_id AS neg_id
+        |FROM pairs p JOIN ranked b ON b.r = p.rb
+        |WHERE p.fa <> b.f AND p.anchor_id <> b.doc_id
+        |ORDER BY anchor_id, j""".stripMargin,
+    "q135_hard_negatives" ->
+      // cross-label top-5: the q64 exact-arithmetic cosine (float products,
+      // double accumulation, index order) so near-tie ranks cannot flip
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        p -> CAST(p[1] * p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x * x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x * x AS DOUBLE)))))
+        |    DESC, b.vec_id) AS INTEGER) AS rank
+        |FROM embeddings a JOIN embeddings b ON b.label <> a.label
+        |WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q136_class_balance" ->
+      // same ⌊T/m⌋ + (r < T mod m) allocation in the same md5-bucket order
+      """WITH c AS (SELECT label, COUNT(*) AS m FROM embeddings GROUP BY 1),
+        |t AS (SELECT MAX(m) AS target FROM c),
+        |r AS (SELECT label, vec_id,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 2), vec_id) - 1 AS r
+        |      FROM embeddings)
+        |SELECT label, vec_id, unnest(generate_series(1, copies)) AS copy FROM (
+        |  SELECT r.label, r.vec_id,
+        |    t.target // c.m + CASE WHEN r.r < t.target % c.m THEN 1 ELSE 0 END AS copies
+        |  FROM r JOIN c USING (label) CROSS JOIN t)
+        |ORDER BY label, vec_id, copy""".stripMargin,
     "q133_triangles" ->
       // node-id-ordered enumeration (x<y<z) — same triangle set the
       // degree-ordered Spark enumeration finds, each exactly once

@@ -78,13 +78,20 @@ object Similarity {
     * winners shuffle to one reducer group per query. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val corpus = vectors(embeddings, idCol, vecCol)
     val queries = corpus.filter(r => queryIds.contains(r._1)).collect() // small by contract
-    val bc = spark.sparkContext.broadcast(queries)
+    finalTopK(heapScan(corpus, queries, k), k)
+  }
 
-    val partialTopK = corpus.mapPartitions { it =>
+  /** The shared brute-force core: one corpus scan with a bounded
+    * per-partition heap per broadcast query; only partitions × queries × k
+    * candidate rows leave the scan. */
+  private def heapScan(corpus: Dataset[(Long, Array[Float])],
+                       queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    corpus.mapPartitions { it =>
       val qs = bc.value
       // per-query bounded heap; head = the current WORST kept candidate
       // (min cosine, then max id — ranking prefers smaller ids on ties)
@@ -105,8 +112,32 @@ object Similarity {
       }
       heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (c, id) => (qid, id, c) } }
     }.toDF("query_id", "neighbor_id", "cosine")
+  }
 
-    finalTopK(partialTopK, k)
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * nearest neighbors restricted to rows of a DIFFERENT label — the
+    * near-the-margin negatives that matter most for metric learning.
+    * One brute-force pass per distinct anchor label (few by contract), each
+    * excluding the anchor's own class, so every returned neighbor is a
+    * guaranteed negative at full recall — the corpus never shuffles, same
+    * contract as [[bruteForceTopK]]. */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val labeled = embeddings
+      .select(col(idCol).cast("long"), col(labelCol).cast("int"), col(vecCol))
+      .as[(Long, Int, Array[Float])]
+      .filter(r => r._3 != null && r._3.length > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = labeled.filter(r => queryIds.contains(r._1)).collect()
+    val cands = anchors.groupBy(_._2).toSeq.sortBy(_._1).map { case (lbl, qs) =>
+      heapScan(labeled.filter(_._2 != lbl).map(t => (t._1, t._3)),
+        qs.map(t => (t._1, t._3)), k)
+    }.reduce(_ unionAll _)
+    val out = finalTopK(cands, k).localCheckpoint(true)
+    labeled.unpersist(false)
+    out
   }
 
   /** Merge partial per-partition candidates into the global per-query top-k.

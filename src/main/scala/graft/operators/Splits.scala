@@ -122,4 +122,60 @@ object Splits {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy(groupCol)
   }
+
+  /** Deterministic negative-pair sampling for contrastive training: each
+    * anchor gets k partners at fixed modular strides through the dense
+    * global rank space ((r + j·stride) mod n, j = 1..k) — uniform spread,
+    * RNG-free, and reproducible on any cluster layout because the rank
+    * comes from [[Analytics.globalRowNumber]]'s two-pass numbering, not a
+    * 1-partition window. Accidental positives (identical text fingerprint —
+    * a near-dup partner would train the model to push a duplicate away)
+    * and self-pairs are filtered after the partner join. The join shuffles
+    * k·n id-sized rows, never text. */
+  def negativeSample(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, stride: Long = 7919L): DataFrame = {
+    val ranked = Analytics.globalRowNumber(
+        df.select(col(idCol), md5(col(textCol)).as("__fp")), Seq(idCol))
+      .localCheckpoint(true)
+    // corpus size for the modulus — one count-sized action on the pinned
+    // rank table (same contract as the kmeans centroid collects)
+    val n = ranked.agg(max(col("seq"))).head().getLong(0)
+    val anchors = ranked.select((col("seq") - 1).as("ra"),
+        col(idCol).as("anchor_id"), col("__fp").as("fa"))
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("rb", (col("ra") + col("j") * lit(stride)) % lit(n))
+    val partners = ranked.select((col("seq") - 1).as("rb"),
+      col(idCol).as("neg_id"), col("__fp").as("fb"))
+    anchors.join(partners, "rb")
+      .filter(col("fa") =!= col("fb") && col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+      .orderBy("anchor_id", "j")
+  }
+
+  /** Class-balanced resampling: every class is upsampled by row replication
+    * to the size of the largest class — the classic imbalance fix when
+    * downsampling the majority would waste data. Row r (0-based, in the
+    * house md5-bucket order) of a class of size m gets ⌊T/m⌋ copies plus
+    * one more if r < T mod m, so each class lands on EXACTLY the target T
+    * and which rows get the extra copy is deterministic. Pure window +
+    * explode — one shuffle on the class key, no RNG, no driver loop over
+    * classes. */
+  def classBalance(df: DataFrame, idCol: String, classCol: String): DataFrame = {
+    val byClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol).orderBy(bucket(col(idCol)), col(idCol))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(classCol)
+    val sized = df
+      .withColumn("__r", row_number().over(byClass).cast("long") - 1)
+      .withColumn("__m", count(lit(1)).over(whole))
+    // target = largest class size: one tiny agg action (class-count-sized)
+    val target = df.groupBy(classCol).agg(count(lit(1)).as("m"))
+      .agg(max("m")).head().getLong(0)
+    sized
+      .withColumn("__copies",
+        floor(lit(target) / col("__m")) +
+          when(col("__r") < lit(target) % col("__m"), 1L).otherwise(0L))
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .select(col(classCol), col(idCol), col("copy"))
+      .orderBy(col(classCol), col(idCol), col("copy"))
+  }
 }

@@ -162,6 +162,21 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hardNegatives: neighbors never share the anchor's label; ranks match a filtered brute force") {
+    // two tight clusters: label 0 near (1,0), label 1 near (0,1); anchor 0
+    // in label 0 → its hard negatives are the label-1 rows, nearest first
+    val rows = Seq(
+      (0L, 0, vec(1.0, 0.0)), (1L, 0, vec(0.99, 0.1)), (2L, 0, vec(0.98, 0.2)),
+      (10L, 1, vec(0.0, 1.0)), (11L, 1, vec(0.3, 0.95)), (12L, 1, vec(0.5, 0.86)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
+      Seq(0L, 10L), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    // anchor 0 (label 0): nearest cross-label are 12 (cos≈0.5) then 11
+    // anchor 10 (label 1): nearest cross-label are 2 (cos≈0.2) then 1
+    assert(got.toSeq == Seq((0L, 11L, 2), (0L, 12L, 1), (10L, 1L, 2), (10L, 2L, 1)), got.mkString(","))
+  }
+
   test("gramMatrix: exact on known vectors; invariant under repartitioning") {
     val df = Seq(vec(1.0, 2.0), vec(0.5, -1.5)).toDF("embedding")
     val g = Similarity.gramMatrix(df, "embedding")

@@ -73,4 +73,36 @@ class SplitsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(t("mid") == 900L && t("small") == 100L, t.toString)
   }
+
+  test("negativeSample: k per anchor, no self, no same-text partner, deterministic") {
+    // 100 docs; stride 7919 ≡ 19 (mod 100), so anchor 0's partners are
+    // ranks 19/38/57 — doc 19 gets doc 0's text to plant a positive that
+    // the fingerprint filter MUST drop
+    val docs = (0L until 100L).map(i => (i, if (i == 19) "text0" else s"text$i"))
+      .toDF("doc_id", "text")
+    val neg = Splits.negativeSample(docs, "doc_id", "text", k = 3)
+    val rows = neg.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.forall { case (a, _, b) => a != b })
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perAnchor(0L) == 2, perAnchor.toString) // positive partner dropped
+    assert(perAnchor.values.max <= 3)
+    assert(!rows.exists { case (a, _, b) => Set(a, b) == Set(0L, 19L) })
+    val again = Splits.negativeSample(docs.repartition(7), "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
+  test("classBalance: every class lands exactly on the max class size") {
+    // classes: a=6 rows, b=3, c=1 → target 6; copies per class sum to 6
+    val df = ((1L to 6L).map((_, "a")) ++ (7L to 9L).map((_, "b")) ++ Seq((10L, "c")))
+      .toDF("id", "cls")
+    val out = Splits.classBalance(df, "id", "cls")
+    val sizes = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 6L, "b" -> 6L, "c" -> 6L), sizes.toString)
+    // majority rows appear exactly once; the single c row 6 times
+    val copies = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(copies.count(_._1 == "a") == 6 && copies.filter(_._1 == "a").forall(_._3 == 1L))
+    assert(copies.count(t => t._1 == "c" && t._2 == 10L) == 6)
+  }
 }
