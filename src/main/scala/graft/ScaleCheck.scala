@@ -154,6 +154,17 @@ object ScaleCheck {
     time("bigram_novelty")(d => Curation.bigramNovelty(
       Tables.documents(spark, d), "doc_id", "text"))
     time("corpus_pipeline")(d => SparkEntry.queries("q123_corpus_pipeline")(spark, d))
+    time("bloom_semi_join")(d => SparkEntry.queries("q131_bloom_semi")(spark, d))
+    time("gram_matrix")(d => Similarity.gramMatrix(
+      spark.read.parquet(s"$d/embeddings.parquet"), "embedding"))
+    time("triangle_counts")(d => SparkEntry.queries("q133_triangles")(spark, d))
+    time("negative_sample")(d => Splits.negativeSample(
+      Tables.documents(spark, d), "doc_id", "text", 5))
+    time("hard_negatives")(d => Similarity.hardNegatives(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+      "label", Seq(0L, 1L, 2L, 3L), 5))
+    time("class_balance")(d => Splits.classBalance(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "label"))
 
     spark.stop()
   }

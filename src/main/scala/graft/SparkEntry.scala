@@ -300,6 +300,12 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q137_zorder" -> ((s, d) =>
+      // morton key over the two filter dims of lineitem; files written in
+      // this order carry tight part/supp zone maps simultaneously. All four
+      // id columns: (orderkey, linenumber) alone is NOT unique in this data
+      Analytics.zorderKey(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))),
     "q134_negative_sample" -> ((s, d) =>
       Splits.negativeSample(Tables.documents(s, d), "doc_id", "text", 5)),
     "q135_hard_negatives" -> ((s, d) =>
@@ -1111,10 +1117,28 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q137_zorder" ->
+      // same range quantization (one division, one multiply, floor — IEEE-
+      // identical) and the same unrolled bit-interleave as an integer sum
+      """WITH s AS (SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+        |                  MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax FROM lineitem),
+        |q AS (SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+        |        LEAST(65535, CAST(floor(CAST(l.l_partkey - s.xmin AS DOUBLE)
+        |          / (s.xmax - s.xmin + 1) * 65536.0) AS BIGINT)) AS qx,
+        |        LEAST(65535, CAST(floor(CAST(l.l_suppkey - s.ymin AS DOUBLE)
+        |          / (s.ymax - s.ymin + 1) * 65536.0) AS BIGINT)) AS qy
+        |      FROM lineitem l CROSS JOIN s),
+        |b AS (SELECT unnest(range(0, 16)) AS b)
+        |SELECT q.l_orderkey, q.l_linenumber, q.l_partkey, q.l_suppkey,
+        |  CAST(SUM(((q.qx >> b.b) % 2) * (CAST(1 AS BIGINT) << (2 * b.b))
+        |         + ((q.qy >> b.b) % 2) * (CAST(1 AS BIGINT) << (2 * b.b + 1))) AS BIGINT) AS z
+        |FROM q CROSS JOIN b
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY z, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "q134_negative_sample" ->
       // identical modular-stride formula over the same doc_id-dense rank;
       // md5 text fingerprints drop accidental positives on both sides
-      """WITH ranked AS (SELECT doc_id, md5(text) AS f,
+      """WITH ranked AS (SELECT doc_id, COALESCE(md5(text), '__null__') AS f,
         |         row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents),
         |n AS (SELECT COUNT(*) AS n FROM documents),
         |js AS (SELECT unnest(range(1, 6)) AS j),

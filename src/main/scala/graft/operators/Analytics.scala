@@ -871,4 +871,44 @@ object Analytics {
           / (col("n_ante").cast("double") * col("n_cons").cast("double"))).as("lift"))
       .orderBy("antecedent", "consequent")
   }
+
+  /** Z-order (Morton) layout key over two numeric columns — the
+    * multi-dimensional clustering that makes min/max data skipping work on
+    * BOTH filter columns at once (a plain sort serves only its leading
+    * column; files written in z order carry tight zone maps for x AND y).
+    * On a real deployment the output feeds `repartitionByRange(z) .write`;
+    * here we emit the key itself so layout quality is verifiable.
+    *
+    * Both columns are range-quantized to `bits`-bit cells against the
+    * global min/max (one stats-row action), then bit-interleaved with an
+    * unrolled integer sum — every step is exact integer/IEEE math an
+    * oracle reproduces term-for-term. Quantization is pure map-side; the
+    * only data movement is the final range sort, which is exactly the
+    * shuffle the layout exists to pay. A null coordinate lands in the top
+    * cell (LEAST skips nulls — identically in Spark and DuckDB). */
+  def zorderKey(df: DataFrame, xCol: String, yCol: String,
+                idCols: Seq[String], bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 20, "bits in [1,20]")
+    val stats = df.agg(
+      min(col(xCol).cast("long")).as("xmin"), max(col(xCol).cast("long")).as("xmax"),
+      min(col(yCol).cast("long")).as("ymin"), max(col(yCol).cast("long")).as("ymax"))
+      .head()
+    val (xmin, xmax) = (stats.getLong(0), stats.getLong(1))
+    val (ymin, ymax) = (stats.getLong(2), stats.getLong(3))
+    val cells = 1L << bits
+    def quant(c: Column, lo: Long, hi: Long): Column =
+      least(lit(cells - 1),
+        floor((c.cast("long") - lit(lo)).cast("double") / lit((hi - lo + 1).toDouble)
+          * lit(cells.toDouble)))
+    def interleave(qx: Column, qy: Column): Column =
+      (0 until bits).map { b =>
+        (shiftright(qx, b) % 2) * lit(1L << (2 * b)) +
+          (shiftright(qy, b) % 2) * lit(1L << (2 * b + 1))
+      }.reduce(_ + _)
+    df.select(idCols.map(col) :+ quant(col(xCol), xmin, xmax).as("__qx")
+        :+ quant(col(yCol), ymin, ymax).as("__qy"): _*)
+      .withColumn("z", interleave(col("__qx"), col("__qy")))
+      .drop("__qx", "__qy")
+      .orderBy(col("z") +: idCols.map(col): _*)
+  }
 }

@@ -89,8 +89,22 @@ object Graph {
     // the closing edge — if present — is oriented exactly v→w
     val x = oriented.select(col("lo").as("u"), col("hi").as("v"), col("deg_hi").as("dv"))
     val y = oriented.select(col("lo").as("u"), col("hi").as("w"), col("deg_hi").as("dw"))
-    val tri = x.join(y, "u")
+    val wedges = x.join(y, "u")
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    // wedges outnumber edges ~deg-fold and most never close; Bloom-prune
+    // them against an edge sketch BEFORE they shuffle into the closing join
+    // (the engine's runtime-filter expressions, sized ~10 bits/edge ≈ 1%
+    // fpp, capped at 32 MB — above the cap the prune degrades gracefully
+    // to a higher fpp, and survivors are settled by the exact join anyway)
+    val m = und.count() // persisted — one cheap action, sizes the sketch
+    val sketch = oriented
+      .select(graft.functions.Native.bloomFilterAgg(
+        xxhash64(col("lo"), col("hi")), math.max(m, 1L),
+        math.min(10L * m + 64L, 1L << 28)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val tri = wedges
+      .filter(graft.functions.Native.bloomMightContain(
+        lit(sketch), xxhash64(col("v"), col("w"))))
       .join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
     val triPerNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("n"))

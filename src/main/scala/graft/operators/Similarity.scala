@@ -126,6 +126,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val labeled = embeddings
+      .filter(col(labelCol).isNotNull) // an unlabeled row is neither anchor nor negative
       .select(col(idCol).cast("long"), col(labelCol).cast("int"), col(vecCol))
       .as[(Long, Int, Array[Float])]
       .filter(r => r._3 != null && r._3.length > 0)
@@ -444,6 +445,7 @@ object Similarity {
     val quantized = embeddings.select(
       transform(col(vecCol), e => round(e.cast("double") * lit(1000000.0)).cast("long"))
         .as("q"))
+      .filter(size(col("q")) > 0) // null/empty vectors contribute nothing
     val partials = quantized.as[Array[Long]].mapPartitions { it =>
       var acc: Array[Long] = null
       var d = 0

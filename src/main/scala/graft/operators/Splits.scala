@@ -135,7 +135,10 @@ object Splits {
   def negativeSample(df: DataFrame, idCol: String, textCol: String,
                      k: Int, stride: Long = 7919L): DataFrame = {
     val ranked = Analytics.globalRowNumber(
-        df.select(col(idCol), md5(col(textCol)).as("__fp")), Seq(idCol))
+        // coalesce: a null text must still fingerprint, else the ≠ filter
+        // below (null-propagating) silently drops every pair touching it
+        df.select(col(idCol), coalesce(md5(col(textCol)), lit("__null__")).as("__fp")),
+        Seq(idCol))
       .localCheckpoint(true)
     // corpus size for the modulus — one count-sized action on the pinned
     // rank table (same contract as the kmeans centroid collects)

@@ -425,4 +425,17 @@ class AnalyticsSpec extends SparkSpec {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
     assert(math.abs(out - 1.0) < 1e-12)
   }
+
+  test("zorderKey: exact Morton codes on a 4x4 grid; ordered by z") {
+    import spark.implicits._
+    val df = (for (x <- 0L to 3L; y <- 0L to 3L) yield (x * 10 + y, x, y))
+      .toDF("id", "x", "y")
+    val rows = graft.operators.Analytics.zorderKey(df, "x", "y", Seq("id"), bits = 2)
+      .collect()
+    val z = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // classic 2-bit Morton: z = x0 + 2*y0 + 4*x1 + 8*y1
+    assert(z(0L) == 0 && z(10L) == 1 && z(1L) == 2 && z(11L) == 3, z.toString)
+    assert(z(20L) == 4 && z(33L) == 15, z.toString)
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq.sorted)
+  }
 }

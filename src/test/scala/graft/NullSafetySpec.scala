@@ -85,4 +85,20 @@ class NullSafetySpec extends SparkSpec {
     val r = Analytics.regressionByGroup(oneUser, "event_type", col("value"), col("value")).head()
     assert(r.isNullAt(2), r.toString)
   }
+
+  test("session-3 ops: null text / null vectors / null labels flow through") {
+    // null text still fingerprints (coalesce) — anchors keep their negatives
+    assert(Splits.negativeSample(docs, "doc_id", "text", 2).count() > 0)
+    assert(Splits.classBalance(docs, "doc_id", "source").count() == 4) // 2+2 after balance
+    // null embedding contributes nothing to the Gram matrix; 2-dim corpus → 3 cells
+    assert(Similarity.gramMatrix(vecs, "embedding").count() == 3)
+    // null-label rows are neither anchors nor negatives
+    val vecsNullLabel = vecs.withColumn("label",
+      when(col("vec_id") === 3L, lit(null)).otherwise(col("label")))
+    assert(Similarity.hardNegatives(vecsNullLabel, "vec_id", "embedding", "label",
+      Seq(1L), 2).count() == 0) // only label-0 rows remain → no cross-label rows
+    // self-loops and duplicate edges are canonicalized away
+    assert(graft.operators.Graph.triangleCounts(
+      Seq((1L, 1L), (1L, 2L)).toDF("a", "b"), "a", "b").count() == 2)
+  }
 }
