@@ -55,8 +55,10 @@ object Bench {
     // comma-decimal locale would turn the one metric line into invalid JSON
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // 2 dp: at 137 queries, 3-dp values push the line to ~1.9 KB — the edge
+    // of the driver's ~2 KB tail window; 2 dp keeps ~250 B of headroom
     val qs = results
-      .map { case (k, v) => "\"" + short(k) + "\":" + num(v, 3) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
