@@ -165,6 +165,8 @@ object ScaleCheck {
       "label", Seq(0L, 1L, 2L, 3L), 5))
     time("class_balance")(d => Splits.classBalance(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "label"))
+    time("sparse_doc_cosine")(d => Dedup.sparseDocCosine(
+      Tables.documents(spark, d), "doc_id", "text"))
 
     spark.stop()
   }

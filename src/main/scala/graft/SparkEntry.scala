@@ -300,6 +300,11 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q138_doc_cosine" -> ((s, d) =>
+      // finds the corpus's planted near-dups from bigram count vectors —
+      // natural pairs top out near 0.27, planted ones sit ≥0.99, so the
+      // 0.5 threshold has a wide margin on both sides
+      Dedup.sparseDocCosine(Tables.documents(s, d), "doc_id", "text")),
     "q137_zorder" -> ((s, d) =>
       // morton key over the two filter dims of lineitem; files written in
       // this order carry tight part/supp zone maps simultaneously. All four
@@ -1117,6 +1122,26 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q138_doc_cosine" ->
+      // same pruned vector space (df ≤ 100), integer dots, one double
+      // division of the same shape — cosine VALUES compare exactly
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, g, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |          FROM documents),
+        |         LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |  ) GROUP BY 1, 2),
+        |kept AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM tok GROUP BY 1)
+        |         WHERE df <= 100),
+        |tk AS (SELECT tok.* FROM tok JOIN kept USING (g)),
+        |nrm AS (SELECT doc, sqrt(CAST(SUM(cnt*cnt) AS DOUBLE)) AS nrm FROM tk GROUP BY 1),
+        |dots AS (SELECT a.doc AS id_a, b.doc AS id_b, CAST(SUM(a.cnt*b.cnt) AS BIGINT) AS dot
+        |         FROM tk a JOIN tk b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT d.id_a, d.id_b, CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+        |FROM dots d JOIN nrm na ON na.doc = d.id_a JOIN nrm nb ON nb.doc = d.id_b
+        |WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q137_zorder" ->
       // same range quantization (one division, one multiply, floor — IEEE-
       // identical) and the same unrolled bit-interleave as an integer sum

@@ -636,4 +636,52 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
     materializeAndRelease(pairs, sh)
   }
+
+  /** All-pairs document cosine over bigram COUNT vectors via an
+    * inverted-index join — the sparse-vector similarity join (the DIMSUM /
+    * all-pairs-similarity family) that complements [[setSimilarityJoin]]'s
+    * set semantics with magnitude-aware multiplicities.
+    *
+    * Scale contract: a gram with document frequency df contributes df²
+    * candidate pairs, so the join is bounded by stop-gram pruning — grams
+    * with df > maxDf are dropped from the vector space entirely (norms AND
+    * dots — the semantics are "cosine over the pruned vocabulary", mirrored
+    * exactly in the oracle). That cap is the difference between a
+    * similarity JOIN (Σ min(df,maxDf)² pairs) and corpus². Dot products
+    * are exact integer sums; each cosine is one double division of fixed
+    * shape, so values — not just ranks — are oracle-checked. */
+  def sparseDocCosine(docs: DataFrame, idCol: String, textCol: String,
+                      maxDf: Int = 100, threshold: Double = 0.5): DataFrame = {
+    val t = Curation.tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = docs.select(col(idCol).as("doc"), explode(bigrams).as("g"))
+      .groupBy("doc", "g").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df per gram over the grouped rows (one row per containing doc);
+    // broadcast is gram-vocab-sized — on an open web vocabulary drop the
+    // hint and the equi-join shuffles on the natural gram key instead
+    val kept = counts.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val tk = counts.join(broadcast(kept), Seq("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tk.groupBy("doc")
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    val dots = tk.select(col("g"), col("doc").as("id_a"), col("cnt").as("ca"))
+      .join(tk.select(col("g"), col("doc").as("id_b"), col("cnt").as("cb")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    val out = dots
+      .join(norms.select(col("doc").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("doc").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("dot").cast("double") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    tk.unpersist(false); counts.unpersist(false)
+    out
+  }
 }

@@ -259,4 +259,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("sparseDocCosine: exact dup scores 1.0, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val out = Dedup.sparseDocCosine(docs, "doc_id", "text").collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    // an ulp above 1 is legitimate (√3·√3 rounds below 3) — and identical
+    // in DuckDB, which runs the same op sequence
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("sparseDocCosine: stop-gram cap removes corpus-wide grams from the space") {
+    val docs = Seq(
+      (1L, "common word alpha beta"),
+      (2L, "common word alpha beta"),
+      (3L, "common word zeta eta")).toDF("doc_id", "text")
+    // "common word" has df 3 > maxDf 2 → pruned; docs 3 shares ONLY that
+    // gram with 1/2, so the only surviving pair is the true dup (1,2)
+    val pruned = Dedup.sparseDocCosine(docs, "doc_id", "text", maxDf = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((1L, 2L)), pruned.toString)
+  }
 }
