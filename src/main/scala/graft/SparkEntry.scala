@@ -300,6 +300,15 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q139_label_prop" -> ((s, d) => {
+      // same part co-occurrence graph as q133; 2 synchronous rounds
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb"))
+      Graph.labelPropagation(e, "pa", "pb")
+    }),
     "q138_doc_cosine" -> ((s, d) =>
       // finds the corpus's planted near-dups from bigram count vectors —
       // natural pairs top out near 0.27, planted ones sit ≥0.99, so the
@@ -1122,6 +1131,23 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q139_label_prop" ->
+      // the two synchronous rounds unrolled; same (count desc, label asc)
+      // modal rank both engines
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |n AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM n),
+        |i1 AS (SELECT n.a AS node, l.lbl FROM n JOIN l0 l ON l.node = n.b
+        |       GROUP BY 1, 2
+        |       QUALIFY row_number() OVER (PARTITION BY n.a
+        |         ORDER BY COUNT(*) DESC, l.lbl) = 1),
+        |i2 AS (SELECT n.a AS node, l.lbl FROM n JOIN i1 l ON l.node = n.b
+        |       GROUP BY 1, 2
+        |       QUALIFY row_number() OVER (PARTITION BY n.a
+        |         ORDER BY COUNT(*) DESC, l.lbl) = 1)
+        |SELECT node, lbl FROM i2 ORDER BY node""".stripMargin,
     "q138_doc_cosine" ->
       // same pruned vector space (df ≤ 100), integer dots, one double
       // division of the same shape — cosine VALUES compare exactly

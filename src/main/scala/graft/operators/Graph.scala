@@ -53,6 +53,39 @@ object Graph {
       .limit(topK)
   }
 
+  /** Synchronous label propagation (fixed iterations, min-label tie-break):
+    * parameter-free community detection — labels start as node ids and each
+    * round every node adopts the most frequent label among its neighbors
+    * (ties to the smallest label). SYNCHRONOUS + deterministic tie-break is
+    * what makes the result layout-independent AND expressible as unrolled
+    * SQL for the oracle; classic async LP is run-order-dependent by design
+    * and would be unverifiable. Per round: one join of the symmetrized
+    * neighbor list against the node-sized label table (both shuffle on the
+    * node key), one count aggregate, one WindowGroupLimit-shaped rank —
+    * edges never duplicate beyond the 2|E| adjacency. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbrs = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nbrs.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      labels = nbrs.join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("a").orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("a").as("node"), col("lbl"))
+    }
+    val out = labels.orderBy("node").localCheckpoint(true)
+    nbrs.unpersist(false)
+    out
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected edge list — the community-structure / link-spam signal.
     *

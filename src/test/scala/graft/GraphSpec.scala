@@ -53,6 +53,28 @@ class GraphSpec extends SparkSpec {
     assert(got.length == 6)
   }
 
+  test("labelPropagation: two cliques with one bridge converge to two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3—10
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) :+ ((3L, 10L)))
+      .toDF("a", "b")
+    // 3 synchronous rounds: clique B oscillates between its min id and the
+    // bridge's label for two rounds before settling (hand-traced)
+    val got = Graph.labelPropagation(edges, "a", "b", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label tie-breaks pull each clique to one label
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1, got.toString)
+    assert(Seq(10L, 11L, 12L).map(got).distinct.size == 1, got.toString)
+    assert(got(1L) != got(11L), got.toString)
+  }
+
+  test("labelPropagation: layout-independent (synchronous rounds)") {
+    val edges = (for (a <- 1L to 20L; b <- a + 1 to math.min(a + 3, 20L)) yield (a, b)).toDF("a", "b")
+    val base = Graph.labelPropagation(edges, "a", "b").collect().map(_.toString).toSeq
+    val re = Graph.labelPropagation(edges.repartition(11), "a", "b").collect().map(_.toString).toSeq
+    assert(base == re)
+  }
+
   test("triangleCounts: partitioning-invariant") {
     val base = Graph.triangleCounts(k4, "a", "b").collect().map(_.toString).toSeq
     val re = Graph.triangleCounts(k4.repartition(13), "a", "b").collect().map(_.toString).toSeq
