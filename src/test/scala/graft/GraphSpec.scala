@@ -75,6 +75,25 @@ class GraphSpec extends SparkSpec {
     assert(base == re)
   }
 
+  test("triangleCounts: matches brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 150)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val ref = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (x <- nodes; y <- nodes if y > x; z <- nodes if z > y)
+      if (und((x, y)) && und((y, z)) && und((x, z))) {
+        ref(x) += 1; ref(y) += 1; ref(z) += 1
+      }
+    assert(nodes.forall(n => got.getOrElse(n, 0L) == ref(n)),
+      s"got=$got ref=$ref")
+    assert(ref.values.sum > 0) // the random graph actually has triangles
+  }
+
   test("triangleCounts: partitioning-invariant") {
     val base = Graph.triangleCounts(k4, "a", "b").collect().map(_.toString).toSeq
     val re = Graph.triangleCounts(k4.repartition(13), "a", "b").collect().map(_.toString).toSeq

@@ -188,6 +188,22 @@ class SimilaritySpec extends SparkSpec {
     assert(g7 == g) // integer partials: partition-count independent
   }
 
+  test("gramMatrix: matches a quantized JVM reference on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(40)(Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))
+    val got = Similarity.gramMatrix(data.toDF("embedding"), "embedding").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // reference uses the SAME quantization Spark's round() computes
+    // (BigDecimal.valueOf → HALF_UP), then exact integer sums
+    def q(x: Float): Long = java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val quant = data.map(_.map(q))
+    for (i <- 0 until 6; j <- i until 6) {
+      val cell = quant.map(v => v(i) * v(j)).sum.toDouble / 1e12
+      assert(got((i + 1, j + 1)) == cell, s"($i,$j)")
+    }
+  }
+
   test("gramMatrix: upper triangle only, d(d+1)/2 cells, empty partitions fine") {
     val df = (0L until 10L).map(i => Array.fill(8)((i % 3).toFloat)).toDF("embedding")
     val rows = Similarity.gramMatrix(df.repartition(32), "embedding").collect()
