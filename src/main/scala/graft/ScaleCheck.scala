@@ -167,6 +167,7 @@ object ScaleCheck {
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "label"))
     time("sparse_doc_cosine")(d => Dedup.sparseDocCosine(
       Tables.documents(spark, d), "doc_id", "text"))
+    time("label_propagation")(d => SparkEntry.queries("q139_label_prop")(spark, d))
 
     spark.stop()
   }

@@ -74,12 +74,14 @@ object Graph {
     var labels = nbrs.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
+      // modal label as a partial-aggregatable argmax — max(struct(cnt,
+      // -lbl)) is (count desc, label asc) without the window SORT a
+      // row_number rank would pay per round
       labels = nbrs.join(labels, col("b") === col("node"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("a").orderBy(col("cnt").desc, col("lbl"))))
-        .filter(col("rk") === 1)
-        .select(col("a").as("node"), col("lbl"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("a").as("node"), (-col("m.neg")).as("lbl"))
     }
     val out = labels.orderBy("node").localCheckpoint(true)
     nbrs.unpersist(false)
