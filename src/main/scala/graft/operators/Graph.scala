@@ -65,7 +65,6 @@ object Graph {
     * edges never duplicate beyond the 2|E| adjacency. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und = edges.select(
         least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
