@@ -42,6 +42,17 @@ object SparkEntry {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Part co-occurrence graph shared by the graph queries (q133/q139):
+    * parts sharing an order are linked; per-order fanout is items-per-order
+    * (≤7), so the pair join is bounded. */
+  private def partCooccurrenceEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    li.as("x").join(li.as("y"),
+        col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+  }
+
   /** Second boundary rule: nested types never leave the engine either. The
     * driver's harness sorts result rows with pandas, which cannot hash
     * array/map cells (`TypeError: unhashable type`) — so array columns are
@@ -300,15 +311,9 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
-    "q139_label_prop" -> ((s, d) => {
+    "q139_label_prop" -> ((s, d) =>
       // same part co-occurrence graph as q133; 2 synchronous rounds
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("pa"), col("y.p").as("pb"))
-      Graph.labelPropagation(e, "pa", "pb")
-    }),
+      Graph.labelPropagation(partCooccurrenceEdges(s, d), "pa", "pb")),
     "q138_doc_cosine" -> ((s, d) =>
       // finds the corpus's planted near-dups from bigram count vectors —
       // natural pairs top out near 0.27, planted ones sit ≥0.99, so the
@@ -330,16 +335,8 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")),
     "q136_class_balance" -> ((s, d) =>
       Splits.classBalance(Tables.embeddings(s, d), "vec_id", "label")),
-    "q133_triangles" -> ((s, d) => {
-      // part co-occurrence graph: parts sharing an order are linked.
-      // Per-order fanout is items-per-order (≤7) — the pair join is bounded
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("pa"), col("y.p").as("pb"))
-      Graph.triangleCounts(e, "pa", "pb")
-    }),
+    "q133_triangles" -> ((s, d) =>
+      Graph.triangleCounts(partCooccurrenceEdges(s, d), "pa", "pb")),
     "q112_user_lifecycle" -> ((s, d) =>
       Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
     "q116_decayed_score" -> ((s, d) =>
@@ -1201,14 +1198,17 @@ object SparkEntry {
         |WHERE p.fa <> b.f AND p.anchor_id <> b.doc_id
         |ORDER BY anchor_id, j""".stripMargin,
     "q135_hard_negatives" ->
-      // cross-label top-5: the q64 exact-arithmetic cosine (float products,
-      // double accumulation, index order) so near-tie ranks cannot flip
+      // cross-label top-5. Products are DOUBLE×DOUBLE (each float cast
+      // BEFORE multiplying) because the Spark path here is the JVM
+      // heapScan cosine (toDouble products) — NOT the float-product native
+      // expression q64 mirrors; a float-domain multiply in the oracle
+      // would round differently and could flip near-tie ranks
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        p -> CAST(p[1] * p[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x * x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x * x AS DOUBLE)))))
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
         |    DESC, b.vec_id) AS INTEGER) AS rank
         |FROM embeddings a JOIN embeddings b ON b.label <> a.label
         |WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
@@ -1225,7 +1225,7 @@ object SparkEntry {
         |SELECT label, vec_id, unnest(generate_series(1, copies)) AS copy FROM (
         |  SELECT r.label, r.vec_id,
         |    t.target // c.m + CASE WHEN r.r < t.target % c.m THEN 1 ELSE 0 END AS copies
-        |  FROM r JOIN c USING (label) CROSS JOIN t)
+        |  FROM r JOIN c ON r.label IS NOT DISTINCT FROM c.label CROSS JOIN t)
         |ORDER BY label, vec_id, copy""".stripMargin,
     "q133_triangles" ->
       // node-id-ordered enumeration (x<y<z) — same triangle set the

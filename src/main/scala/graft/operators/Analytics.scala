@@ -893,6 +893,8 @@ object Analytics {
       min(col(xCol).cast("long")).as("xmin"), max(col(xCol).cast("long")).as("xmax"),
       min(col(yCol).cast("long")).as("ymin"), max(col(yCol).cast("long")).as("ymax"))
       .head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) // empty input / all-null axis
+      return df.select(idCols.map(col) :+ lit(0L).as("z"): _*).limit(0)
     val (xmin, xmax) = (stats.getLong(0), stats.getLong(1))
     val (ymin, ymax) = (stats.getLong(2), stats.getLong(3))
     val cells = 1L << bits

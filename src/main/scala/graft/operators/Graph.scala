@@ -73,14 +73,16 @@ object Graph {
     var labels = nbrs.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
-      // modal label as a partial-aggregatable argmax — max(struct(cnt,
-      // -lbl)) is (count desc, label asc) without the window SORT a
-      // row_number rank would pay per round
+      // modal label as a partial-aggregatable argmin — min_by over
+      // (-count, label) is (count desc, label asc) without the window SORT
+      // a row_number rank would pay per round, and without negating the
+      // label itself (which would corrupt non-numeric node ids)
       labels = nbrs.join(labels, col("b") === col("node"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("a"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("a").as("node"), (-col("m.neg")).as("lbl"))
+        .agg(min_by(col("lbl"),
+          struct((-col("cnt")).as("nc"), col("lbl"))).as("lbl"))
+        .select(col("a").as("node"), col("lbl"))
     }
     val out = labels.orderBy("node").localCheckpoint(true)
     nbrs.unpersist(false)
@@ -128,13 +130,20 @@ object Graph {
     // wedges outnumber edges ~deg-fold and most never close; Bloom-prune
     // them against an edge sketch BEFORE they shuffle into the closing join
     // (the engine's runtime-filter expressions, sized ~10 bits/edge ≈ 1%
-    // fpp, capped at 32 MB — above the cap the prune degrades gracefully
-    // to a higher fpp, and survivors are settled by the exact join anyway)
+    // fpp). BloomFilterAggregate silently clamps to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 2^26 =
+    // 8 MB ≈ 6.7M edges at 10 bits each) — we request up to that conf so
+    // the clamp is explicit; beyond it the prune degrades gracefully to a
+    // higher fpp and the exact closing join still settles correctness.
+    // Raise the conf for graphs past ~6M edges.
     val m = und.count() // persisted — one cheap action, sizes the sketch
+    val maxBits = edges.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(1L << 26)
     val sketch = oriented
       .select(graft.functions.Native.bloomFilterAgg(
         xxhash64(col("lo"), col("hi")), math.max(m, 1L),
-        math.min(10L * m + 64L, 1L << 28)).as("bf"))
+        math.min(10L * m + 64L, maxBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val tri = wedges
       .filter(graft.functions.Native.bloomMightContain(

@@ -175,7 +175,10 @@ object Relational {
       .select(Native.bloomFilterAgg(xxhash64(col(dimKey)), expectedKeys, numBits)
         .as("bf"))
       .head().getAs[Array[Byte]]("bf") // one binary blob — contract-small
+    // the settle join keys the dim side under an internal alias so
+    // factKey == dimKey (the common same-name join) resolves unambiguously
+    val dimKeys = dim.select(col(dimKey).as("__graft_dim_key")).distinct()
     fact.filter(Native.bloomMightContain(lit(sketch), xxhash64(col(factKey))))
-      .join(dim.select(dimKey).distinct(), col(factKey) === col(dimKey), "left_semi")
+      .join(dimKeys, col(factKey) === col("__graft_dim_key"), "left_semi")
   }
 }

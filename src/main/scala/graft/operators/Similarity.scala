@@ -132,6 +132,12 @@ object Similarity {
       .filter(r => r._3 != null && r._3.length > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchors = labeled.filter(r => queryIds.contains(r._1)).collect()
+    if (anchors.isEmpty) { // no anchor survived the null/label guards
+      labeled.unpersist(false)
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", lit(0).cast("int"))
+    }
     val cands = anchors.groupBy(_._2).toSeq.sortBy(_._1).map { case (lbl, qs) =>
       heapScan(labeled.filter(_._2 != lbl).map(t => (t._1, t._3)),
         qs.map(t => (t._1, t._3)), k)

@@ -141,8 +141,10 @@ object Splits {
         Seq(idCol))
       .localCheckpoint(true)
     // corpus size for the modulus — one count-sized action on the pinned
-    // rank table (same contract as the kmeans centroid collects)
-    val n = ranked.agg(max(col("seq"))).head().getLong(0)
+    // rank table (same contract as the kmeans centroid collects); an empty
+    // corpus degenerates to n=1 and the joins below yield nothing
+    val nRow = ranked.agg(max(col("seq"))).head()
+    val n = if (nRow.isNullAt(0)) 1L else nRow.getLong(0)
     val anchors = ranked.select((col("seq") - 1).as("ra"),
         col(idCol).as("anchor_id"), col("__fp").as("fa"))
       .withColumn("j", explode(sequence(lit(1), lit(k))))
@@ -170,9 +172,11 @@ object Splits {
     val sized = df
       .withColumn("__r", row_number().over(byClass).cast("long") - 1)
       .withColumn("__m", count(lit(1)).over(whole))
-    // target = largest class size: one tiny agg action (class-count-sized)
-    val target = df.groupBy(classCol).agg(count(lit(1)).as("m"))
-      .agg(max("m")).head().getLong(0)
+    // target = largest class size: one tiny agg action (class-count-sized);
+    // empty input → target 0 → sequence(1, 0) explodes to nothing
+    val tRow = df.groupBy(classCol).agg(count(lit(1)).as("m"))
+      .agg(max("m")).head()
+    val target = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
     sized
       .withColumn("__copies",
         floor(lit(target) / col("__m")) +

@@ -100,5 +100,16 @@ class NullSafetySpec extends SparkSpec {
     // self-loops and duplicate edges are canonicalized away
     assert(graft.operators.Graph.triangleCounts(
       Seq((1L, 1L), (1L, 2L)).toDF("a", "b"), "a", "b").count() == 2)
+    // empty inputs return empty results, never NPE on the stats action
+    val emptyDocs = docs.filter(lit(false))
+    assert(Analytics.zorderKey(emptyDocs.withColumn("x", col("doc_id")),
+      "doc_id", "x", Seq("doc_id")).count() == 0)
+    assert(Splits.negativeSample(emptyDocs, "doc_id", "text", 2).count() == 0)
+    assert(Splits.classBalance(emptyDocs, "doc_id", "source").count() == 0)
+    // string node ids survive label propagation (no numeric negation of labels)
+    val strEdges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val lp = graft.operators.Graph.labelPropagation(strEdges, "x", "y", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lp.values.forall(_ != null) && lp.size == 3, lp.toString)
   }
 }

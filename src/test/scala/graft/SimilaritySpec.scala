@@ -188,6 +188,13 @@ class SimilaritySpec extends SparkSpec {
     assert(g7 == g) // integer partials: partition-count independent
   }
 
+  test("hardNegatives: unknown/filtered anchors yield an empty result, not a crash") {
+    val rows = Seq((0L, 0, vec(1.0, 0.0)), (1L, 1, vec(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
+      Seq(99L), k = 2).count() == 0)
+  }
+
   test("gramMatrix: matches a quantized JVM reference on random vectors") {
     val rnd = new scala.util.Random(7)
     val data = Seq.fill(40)(Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))
