@@ -168,6 +168,8 @@ object ScaleCheck {
     time("sparse_doc_cosine")(d => Dedup.sparseDocCosine(
       Tables.documents(spark, d), "doc_id", "text"))
     time("label_propagation")(d => SparkEntry.queries("q139_label_prop")(spark, d))
+    time("global_median")(d => Analytics.exactGlobalMedian(
+      Tables.events(spark, d), "value"))
 
     spark.stop()
   }

@@ -311,6 +311,10 @@ object SparkEntry {
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q140_global_median" -> ((s, d) =>
+      // n=200k at sf0.01 > the 100k exact threshold, so the driver run
+      // exercises a real histogram refinement pass, not just the sliver
+      Analytics.exactGlobalMedian(Tables.events(s, d), "value")),
     "q139_label_prop" -> ((s, d) =>
       // same part co-occurrence graph as q133; 2 synchronous rounds
       Graph.labelPropagation(partCooccurrenceEdges(s, d), "pa", "pb")),
@@ -1128,6 +1132,11 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q140_global_median" ->
+      // DuckDB median(DOUBLE) is quantile_cont(0.5): lower + (upper-lower)
+      // * 0.5 on the middle pair — the exact formula the refinement's
+      // even-n branch computes
+      "SELECT COUNT(value) AS n, median(value) AS median FROM events",
     "q139_label_prop" ->
       // the two synchronous rounds unrolled; same (count desc, label asc)
       // modal rank both engines

@@ -872,6 +872,73 @@ object Analytics {
       .orderBy("antecedent", "consequent")
   }
 
+  /** EXACT global median with NO global sort and NO single-reducer value
+    * collection — the scale path Spark's own `percentile` aggregate lacks:
+    * that ordered-set aggregate buffers every value of the group in one
+    * reducer's memory, which for a GLOBAL median of a 100 TB column is an
+    * OOM by construction. Here each pass is one hash aggregate of 65536
+    * bin COUNTS (map-side combined, constant-size shuffle); the bin
+    * holding the target rank is refined recursively until few enough rows
+    * remain to rank exactly with a window over that filtered sliver.
+    * log_65536(range) ≈ 2-3 scans total for doubles.
+    *
+    * Even-row-count medians interpolate as lo + (hi - lo) * 0.5 — the same
+    * expression shape DuckDB's quantile_cont computes, so the double is
+    * oracle-exact. Null values are excluded (SQL aggregate semantics). */
+  def exactGlobalMedian(df: DataFrame, valCol: String,
+                        exactThreshold: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val statsRow = vals.agg(count(lit(1)), min("v"), max("v")).head()
+    val n = statsRow.getLong(0)
+    if (n == 0L) return Seq.empty[(Long, Double)].toDF("n", "median")
+    // target ranks (1-based): middle for odd n, the two middles for even
+    val kLo = (n + 1) / 2
+    val kHi = n / 2 + 1
+    def kth(k: Long): Double = {
+      var lo = statsRow.getDouble(1)
+      var hi = statsRow.getDouble(2)
+      var rankOffset = 0L // rows strictly below the current [lo, hi] bracket
+      var subset = vals
+      var remaining = n
+      while (remaining > exactThreshold && hi > lo &&
+             (hi - lo) / 65536.0 > 0.0) { // width-0 ⇒ sub-ulp bracket: go exact
+        val width = (hi - lo) / 65536.0
+        val binOf = least(lit(65535), floor((col("v") - lit(lo)) / lit(width)))
+        val counts = subset.groupBy(binOf.as("b")).agg(count(lit(1)).as("c"))
+          .orderBy("b").collect() // ≤ 65536 rows — constant-size action
+        var cum = rankOffset
+        var i = 0
+        var found = false
+        while (i < counts.length && !found) {
+          val b = counts(i).getLong(0); val c = counts(i).getLong(1)
+          if (cum + c >= k) {
+            val bLo = lo + b * width
+            val bHi = if (b == 65535L) hi else lo + (b + 1) * width
+            subset = subset.filter(col("v") >= lit(bLo) && col("v") <= lit(bHi))
+              .localCheckpoint(true) // pin: next pass re-filters a small set
+            rankOffset = cum
+            remaining = c
+            lo = bLo; hi = bHi
+            found = true
+          } else { cum += c; i += 1 }
+        }
+        if (!found) return hi // numeric edge: rank beyond last bin ⇒ max
+        if (lo == hi) return lo // bracket collapsed: every value equals lo
+      }
+      // exact rank within the refined sliver (≤ exactThreshold rows)
+      import org.apache.spark.sql.expressions.Window
+      subset.withColumn("rk", row_number().over(Window.orderBy("v")))
+        .filter(col("rk") === (k - rankOffset))
+        .select("v").as[Double].head()
+    }
+    val median =
+      if (n % 2 == 1) kth(kLo)
+      else { val a = kth(kLo); val b = kth(kHi); a + (b - a) * 0.5 }
+    Seq((n, median)).toDF("n", "median")
+  }
+
   /** Z-order (Morton) layout key over two numeric columns — the
     * multi-dimensional clustering that makes min/max data skipping work on
     * BOTH filter columns at once (a plain sort serves only its leading

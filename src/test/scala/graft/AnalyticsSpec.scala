@@ -438,4 +438,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(z(20L) == 4 && z(33L) == 15, z.toString)
     assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq.sorted)
   }
+
+  test("exactGlobalMedian: odd/even/duplicates/refinement match Spark's percentile") {
+    import spark.implicits._
+    def median(xs: Seq[Double], thresh: Long = 100000L): (Long, Double) = {
+      val r = graft.operators.Analytics
+        .exactGlobalMedian(xs.toDF("value"), "value", thresh).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(median(Seq(3.0, 1.0, 2.0)) == ((3L, 2.0)))
+    assert(median(Seq(4.0, 1.0, 2.0, 3.0)) == ((4L, 2.5)))
+    assert(median(Seq(5.0, 5.0, 5.0, 5.0)) == ((4L, 5.0)))   // all equal
+    assert(median(Seq(-3.0, -1.0, -2.0, 10.0)) == ((4L, -1.5)))
+    // force the histogram refinement path (threshold 10 << n=1001) and
+    // compare against Spark's own exact ordered-set aggregate
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(1001)(rnd.nextGaussian() * 100)
+    val expect = big.toDF("value")
+      .agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
+    assert(median(big, thresh = 10L)._2 == expect)
+    val bigEven = big.take(1000)
+    val expectEven = bigEven.toDF("value")
+      .agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
+    val gotEven = median(bigEven, thresh = 10L)._2
+    assert(math.abs(gotEven - expectEven) < 1e-9, s"$gotEven vs $expectEven")
+    // empty input yields an empty frame, not a crash
+    assert(graft.operators.Analytics.exactGlobalMedian(
+      Seq.empty[Double].toDF("value"), "value").count() == 0)
+  }
 }
