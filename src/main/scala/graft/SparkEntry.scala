@@ -315,6 +315,35 @@ object SparkEntry {
       // n=200k at sf0.01 > the 100k exact threshold, so the driver run
       // exercises a real histogram refinement pass, not just the sliver
       Analytics.exactGlobalMedian(Tables.events(s, d), "value")),
+    "q141_auc" -> ((s, d) =>
+      // does order price separate filled from unfilled orders, per priority
+      // tier — exact Mann-Whitney with average-rank ties, integer until the
+      // final division
+      Evaluation.groupedAuc(Tables.orders(s, d), "o_orderpriority",
+        col("o_orderstatus") === "F", "o_totalprice")),
+    "q142_psi" -> ((s, d) => {
+      // drift gate: do purchase-event values follow the view-event value
+      // distribution? bins anchored on the expected (view) side
+      val ev = Tables.events(s, d)
+      Evaluation.psi(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value", 10)
+    }),
+    "q143_ks" -> ((s, d) => {
+      // exact two-sample KS at full value resolution (the binning-free
+      // complement of q142); cumulative via the two-pass prefix scan
+      val ev = Tables.events(s, d)
+      Evaluation.ksTest(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"), "value")
+    }),
+    "q144_class_metrics" -> ((s, d) =>
+      // per-class precision/recall/F1 of a deterministic priority→status
+      // rule model; class P is never predicted, exercising the 0-margins
+      Evaluation.classificationMetrics(
+        Tables.orders(s, d).withColumn("predicted",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "F")
+            .when(col("o_orderpriority") === "3-MEDIUM", "P")
+            .otherwise("O")),
+        "o_orderstatus", "predicted")),
     "q139_label_prop" -> ((s, d) =>
       // same part co-occurrence graph as q133; 2 synchronous rounds
       Graph.labelPropagation(partCooccurrenceEdges(s, d), "pa", "pb")),
@@ -1137,6 +1166,91 @@ object SparkEntry {
       // * 0.5 on the middle pair — the exact formula the refinement's
       // even-n branch computes
       "SELECT COUNT(value) AS n, median(value) AS median FROM events",
+    "q141_auc" ->
+      // Mann-Whitney numerator 2U = Σ pos·(2·cumNegBelow + neg) over
+      // distinct scores — integer until the one final division, so the
+      // engines agree bit-for-bit
+      """WITH lab AS (SELECT o_orderpriority AS grp, o_totalprice AS score,
+        |                    o_orderstatus = 'F' AS y FROM orders),
+        |ps AS (SELECT grp, score,
+        |         COUNT(CASE WHEN y THEN 1 END) AS pos,
+        |         COUNT(CASE WHEN NOT y THEN 1 END) AS neg
+        |       FROM lab GROUP BY 1, 2),
+        |cum AS (SELECT grp, pos, neg,
+        |          COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |        FROM ps)
+        |SELECT grp, CAST(SUM(pos) AS BIGINT) AS pos_n, CAST(SUM(neg) AS BIGINT) AS neg_n,
+        |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+        |    CAST(SUM(pos * (cumneg * 2 + neg)) AS DOUBLE) /
+        |      (CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE) * 2)
+        |  END AS auc
+        |FROM cum GROUP BY grp ORDER BY grp""".stripMargin,
+    "q142_psi" ->
+      // bins anchored on the expected side's min/max, clamped edge bins,
+      // +0.5 Laplace smoothing, ln terms through DECIMAL(28,9) before the
+      // order-independent sum (the q88 recipe)
+      """WITH e AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+        |a AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS w FROM e),
+        |eb AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / w) AS INT))) AS bin,
+        |              COUNT(*) AS en FROM e, s GROUP BY 1),
+        |ab AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / w) AS INT))) AS bin,
+        |              COUNT(*) AS an FROM a, s GROUP BY 1),
+        |cells AS (SELECT CAST(r.range AS INT) AS bin,
+        |                 COALESCE(en, 0) AS expected_n, COALESCE(an, 0) AS actual_n
+        |          FROM range(0, 10) r
+        |          LEFT JOIN eb ON eb.bin = r.range LEFT JOIN ab ON ab.bin = r.range),
+        |tot AS (SELECT SUM(expected_n) AS ne, SUM(actual_n) AS na FROM cells),
+        |terms AS (SELECT expected_n, actual_n,
+        |    (CAST(expected_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(ne AS DOUBLE) + CAST(5 AS DOUBLE)) AS p,
+        |    (CAST(actual_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(5 AS DOUBLE)) AS q
+        |  FROM cells, tot)
+        |SELECT CAST(SUM(expected_n) AS BIGINT) AS expected_n,
+        |       CAST(SUM(actual_n) AS BIGINT) AS actual_n,
+        |       CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(28,9))) AS DOUBLE) AS psi
+        |FROM terms""".stripMargin,
+    "q143_ks" ->
+      // ECDF gap evaluated at every distinct sample value — the step
+      // functions change nowhere else, so the max over those rows IS D
+      """WITH u AS (SELECT value AS v, TRUE AS ia FROM events WHERE event_type = 'click'
+        |           UNION ALL
+        |           SELECT value AS v, FALSE AS ia FROM events WHERE event_type = 'view'),
+        |g AS (SELECT v, COUNT(CASE WHEN ia THEN 1 END) AS ca,
+        |             COUNT(CASE WHEN NOT ia THEN 1 END) AS cb FROM u GROUP BY v),
+        |c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+        |             SUM(cb) OVER (ORDER BY v) AS cumb FROM g),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM g)
+        |SELECT n_a, n_b,
+        |  MAX(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |          CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS d
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+    "q144_class_metrics" ->
+      // one contingency pass; margins re-aggregated from it; class P is
+      // never predicted (precision 0 by the margin guard, not NULL)
+      """WITH p AS (SELECT o_orderstatus AS actual,
+        |             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'F'
+        |                  WHEN o_orderpriority = '3-MEDIUM' THEN 'P'
+        |                  ELSE 'O' END AS predicted
+        |           FROM orders),
+        |cm AS (SELECT actual, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |at AS (SELECT actual AS label, CAST(SUM(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+        |pt AS (SELECT predicted AS label, CAST(SUM(n) AS BIGINT) AS predicted_n FROM cm GROUP BY 1),
+        |tp AS (SELECT actual AS label, n AS tp FROM cm WHERE actual = predicted),
+        |b AS (SELECT label, COALESCE(support, 0) AS support,
+        |             COALESCE(predicted_n, 0) AS predicted_n, COALESCE(tp, 0) AS tp
+        |      FROM at FULL OUTER JOIN pt USING (label) LEFT JOIN tp USING (label)),
+        |m AS (SELECT label, support, predicted_n, tp,
+        |        CASE WHEN predicted_n > 0 THEN CAST(tp AS DOUBLE) / CAST(predicted_n AS DOUBLE)
+        |             ELSE CAST(0 AS DOUBLE) END AS "precision",
+        |        CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)
+        |             ELSE CAST(0 AS DOUBLE) END AS recall
+        |      FROM b)
+        |SELECT label, support, predicted_n, tp, "precision", recall,
+        |  CASE WHEN "precision" + recall > 0
+        |       THEN "precision" * recall * 2 / ("precision" + recall)
+        |       ELSE CAST(0 AS DOUBLE) END AS f1
+        |FROM m ORDER BY label""".stripMargin,
     "q139_label_prop" ->
       // the two synchronous rounds unrolled; same (count desc, label asc)
       // modal rank both engines

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and distribution-drift analytics — the metrics a
+  * training-data pipeline computes to decide whether a classifier, a ranking
+  * score, or a new corpus snapshot is fit to ship (reference analog: the
+  * quality gates around ingest jobs; these are their statistical
+  * generalization).
+  *
+  * Exactness contract (same recipe as the rest of the engine): every count
+  * is an exact integer, every ratio is ONE double division of exact
+  * integers (bit-equal in any engine), and the only transcendental (ln in
+  * PSI) is quantized to DECIMAL(28,9) BEFORE any order-dependent sum — so
+  * results are identical at any partitioning and hash-comparable with a
+  * DuckDB oracle.
+  *
+  * Scale contract: nothing here sorts or windows raw rows globally. AUC and
+  * KS first collapse rows to per-distinct-score counts (a hash aggregate —
+  * the only row-sized shuffle); AUC's window runs per GROUP over that
+  * shrunken table, and KS's global cumulative uses the two-pass
+  * range-partition + broadcast-offsets scan ([[Evaluation.globalCumSum]]) —
+  * never a one-partition `ORDER BY` window.
+  */
+object Evaluation {
+
+  /** Distributed prefix sums in a total order, without a single-partition
+    * window: range-partition sort on `orderCols` (pinned with
+    * localCheckpoint so pass 2 sees pass 1's exact partitions), collect the
+    * O(partitions) per-partition column totals, broadcast their exclusive
+    * prefix, then add running sums map-side. Generalizes
+    * [[Analytics.globalRowNumber]] from counts to sums. `valueCols` must be
+    * LongType; each gains a `cum_` twin. */
+  def globalCumSum(df: DataFrame, orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(orderCols.map(col): _*).localCheckpoint()
+    val idx = valueCols.map(c => sorted.schema.fieldIndex(c))
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      val acc = Array.fill(idx.length)(0L)
+      it.foreach { r => var i = 0; while (i < idx.length) { acc(i) += r.getLong(idx(i)); i += 1 } }
+      Iterator((p, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      partTotals.scanLeft(Array.fill(idx.length)(0L)) { (a, b) =>
+        a.zip(b).map { case (x, y) => x + y }
+      })
+    val schema = valueCols.foldLeft(sorted.schema)((s, c) => s.add(s"cum_$c", "long", nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      val run = offsets.value(p).clone()
+      it.map { r =>
+        var i = 0
+        while (i < idx.length) { run(i) += r.getLong(idx(i)); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Exact ROC AUC per group (Mann–Whitney U with the standard average-rank
+    * tie handling), for "does this score separate the classes" checks on
+    * classifier or ranking outputs.
+    *
+    * Never ranks raw rows: one hash aggregate collapses to per-distinct-
+    * score (pos, neg) counts, the cumulative runs per group over that
+    * shrunken table, and the numerator Σ pos·(2·cumNegBelow + neg) = 2U
+    * stays an exact integer until ONE double division by 2·P·N — so the
+    * value is identical at any partitioning and in any engine. Groups with
+    * a missing class yield NULL (AUC undefined), not a crash. */
+  def groupedAuc(df: DataFrame, groupCol: String, labelCol: Column,
+                 scoreCol: String): DataFrame = {
+    val perScore = df
+      .select(col(groupCol).as("grp"), col(scoreCol).as("score"), labelCol.as("y"))
+      .groupBy("grp", "score")
+      .agg(count(when(col("y"), lit(1))).as("pos"),
+           count(when(!col("y"), lit(1))).as("neg"))
+    val w = Window.partitionBy("grp").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cumneg", coalesce(sum("neg").over(w), lit(0L)))
+      .groupBy("grp")
+      .agg(sum("pos").as("pos_n"), sum("neg").as("neg_n"),
+           sum(col("pos") * (col("cumneg") * 2 + col("neg"))).as("num2"))
+      .select(col("grp"), col("pos_n"), col("neg_n"),
+        when(col("pos_n") > 0 && col("neg_n") > 0,
+          col("num2").cast("double") /
+            (col("pos_n").cast("double") * col("neg_n").cast("double") * 2d))
+          .as("auc"))
+      .orderBy("grp")
+  }
+
+  /** Population stability index between a reference (`expected`) and a new
+    * (`actual`) sample of one numeric column — THE standard drift gate in
+    * front of model retraining (psi < 0.1 stable, > 0.25 shifted).
+    *
+    * Bin edges come from the EXPECTED side's min/max (one 1-row action,
+    * broadcast into a map-side clamped-bin expression — actual values
+    * outside the reference range land in the edge bins, standard PSI
+    * practice). A `sequence` spine keeps empty bins as structural zeros and
+    * Laplace-style smoothing (+0.5 per bin) keeps ln finite; the per-bin
+    * (p−q)·ln(p/q) term is quantized DECIMAL(28,9) before the
+    * order-independent decimal sum. Both scans are single aggregates; no
+    * shuffle carries more than `bins` rows. */
+  def psi(expected: DataFrame, actual: DataFrame, valueCol: String,
+          bins: Int = 10): DataFrame =
+    psiDetail(expected, actual, valueCol, bins)
+      .agg(sum("expected_n").as("expected_n"), sum("actual_n").as("actual_n"),
+           sum("term").as("psi"))
+      .select(col("expected_n"), col("actual_n"),
+        col("psi").cast("double").as("psi"))
+
+  /** Per-bin PSI breakdown (bin, counts, smoothed shares, term) — the
+    * drill-down behind [[psi]]'s one-row gate. */
+  def psiDetail(expected: DataFrame, actual: DataFrame, valueCol: String,
+                bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2,1000]")
+    val spark = expected.sparkSession
+    val v = col(valueCol).cast("double")
+    val stats = expected.agg(min(v).as("lo"), max(v).as("hi")).head()
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (hi - lo) / bins
+    def binOf(c: Column): Column =
+      if (width == 0d) lit(0) // degenerate reference: everything in bin 0
+      else least(lit(bins - 1), greatest(lit(0),
+        floor((c.cast("double") - lit(lo)) / lit(width)))).cast("int")
+    def counted(df: DataFrame, out: String): DataFrame =
+      df.groupBy(binOf(v).as("bin")).agg(count(lit(1)).as(out))
+    val spine = spark.range(1)
+      .select(explode(sequence(lit(0), lit(bins - 1))).as("b"))
+      .select(col("b").cast("int").as("bin"))
+    val cells = spine
+      .join(counted(expected, "expected_n"), Seq("bin"), "left")
+      .join(counted(actual, "actual_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("expected_n"), lit(0L)).as("expected_n"),
+        coalesce(col("actual_n"), lit(0L)).as("actual_n"))
+    val tot = cells.agg(sum("expected_n").as("__ne"), sum("actual_n").as("__na"))
+    def share(cnt: Column, n: Column): Column =
+      (cnt.cast("double") + 0.5d) / (n.cast("double") + lit(0.5d * bins))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("expected_n"), col("actual_n"),
+        share(col("expected_n"), col("__ne")).as("p"),
+        share(col("actual_n"), col("__na")).as("q"))
+      .withColumn("term",
+        ((col("p") - col("q")) * log(col("p") / col("q"))).cast("decimal(28,9)"))
+      .orderBy("bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic D = max |F_a − F_b| — the
+    * nonparametric drift test PSI's binning can blur, exact over the full
+    * value resolution.
+    *
+    * Both samples collapse to per-distinct-value counts first (hash
+    * aggregate, the only row-sized shuffle), then the joint ECDFs come from
+    * [[globalCumSum]]'s two-pass range-partitioned scan over distinct
+    * values — the step functions only change at sample points, so the max
+    * over those rows IS D. Totals ride one broadcast row; each |Δ| is a
+    * division of exact integers and max is order-independent, so D is
+    * bit-exact at any partitioning. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val tagged = a.select(col(valueCol).cast("double").as("v"), lit(true).as("ia"))
+      .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(false).as("ia")))
+    val perValue = tagged.groupBy("v")
+      .agg(count(when(col("ia"), lit(1))).as("ca"),
+           count(when(!col("ia"), lit(1))).as("cb"))
+    val cum = globalCumSum(perValue, Seq("v"), Seq("ca", "cb"))
+    val tot = cum.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_ca").cast("double") / col("n_a").cast("double") -
+            col("cum_cb").cast("double") / col("n_b").cast("double")).as("gap"))
+      .groupBy("n_a", "n_b")
+      .agg(max("gap").as("d"))
+  }
+
+  /** Per-class precision / recall / F1 with support, from ONE contingency
+    * pass — the eval report for any labeling/filtering model in the
+    * pipeline. After the (actual, predicted) count aggregate everything is
+    * class-count-sized: margins are two tiny re-aggregates joined back, a
+    * class absent from one margin scores 0 (not NULL, not a crash), and
+    * each metric is a fixed chain of double ops on exact integers. */
+  def classificationMetrics(df: DataFrame, actualCol: String,
+                            predictedCol: String): DataFrame = {
+    val cm = df.groupBy(col(actualCol).as("actual"), col(predictedCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three consumers; contingency is |classes|² rows
+    val actualTot = cm.groupBy(col("actual").as("label")).agg(sum("n").as("support"))
+    val predTot = cm.groupBy(col("predicted").as("label")).agg(sum("n").as("predicted_n"))
+    val tp = cm.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("label"), col("n").as("tp"))
+    val base = actualTot.join(predTot, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted_n"), lit(0L)).as("predicted_n"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = when(col("predicted_n") > 0,
+      col("tp").cast("double") / col("predicted_n").cast("double")).otherwise(0d)
+    val r = when(col("support") > 0,
+      col("tp").cast("double") / col("support").cast("double")).otherwise(0d)
+    base
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0d,
+          col("precision") * col("recall") * 2d / (col("precision") + col("recall")))
+          .otherwise(0d))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Evaluation
+
+/** Model-evaluation / drift metrics: the distributed prefix scan, exact
+  * grouped AUC (ties, degenerate groups), PSI (zero on identity, large on
+  * shift), two-sample KS, and per-class precision/recall/F1. */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalCumSum: equals a single-partition window cumsum, at any partitioning") {
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("k", "n")
+    val expected = df.orderBy("k").collect()
+      .scanLeft((0L, 0L)) { case ((_, cum), r) => (r.getLong(0), cum + r.getLong(1)) }
+      .drop(1).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val out = Evaluation.globalCumSum(df.repartition(parts), Seq("k"), Seq("n"))
+        .select("k", "cum_n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"at $parts partitions")
+    }
+  }
+
+  test("groupedAuc: perfect separation is 1, anti-separation is 0, all-ties is 0.5") {
+    val df = Seq(
+      // g1: every positive scores above every negative
+      ("g1", 10.0, true), ("g1", 9.0, true), ("g1", 2.0, false), ("g1", 1.0, false),
+      // g2: reversed
+      ("g2", 1.0, true), ("g2", 2.0, true), ("g2", 9.0, false), ("g2", 10.0, false),
+      // g3: one shared score
+      ("g3", 5.0, true), ("g3", 5.0, true), ("g3", 5.0, false), ("g3", 5.0, false)
+    ).toDF("grp", "score", "y")
+    val out = Evaluation.groupedAuc(df, "grp", col("y"), "score")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("g1") == 1.0)
+    assert(out("g2") == 0.0)
+    assert(out("g3") == 0.5)
+  }
+
+  test("groupedAuc: average-rank tie handling matches the hand-computed U") {
+    // scores: pos {3, 2}, neg {3, 1} → pairs: (3,3)=0.5 (3,1)=1 (2,3)=0 (2,1)=1
+    // U = 2.5, P·N = 4 → AUC = 0.625
+    val df = Seq(("g", 3.0, true), ("g", 2.0, true), ("g", 3.0, false), ("g", 1.0, false))
+      .toDF("grp", "score", "y")
+    val r = Evaluation.groupedAuc(df, "grp", col("y"), "score").head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.625)
+  }
+
+  test("groupedAuc: a group missing one class yields NULL, not a crash") {
+    val df = Seq(("only_pos", 1.0, true), ("only_pos", 2.0, true)).toDF("grp", "score", "y")
+    val r = Evaluation.groupedAuc(df, "grp", col("y"), "score").head()
+    assert(r.isNullAt(3))
+  }
+
+  test("psi: identical samples score exactly 0; a shifted sample clears the 0.25 alarm") {
+    val base = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    val same = Evaluation.psi(base, base, "v", 10).head().getDouble(2)
+    assert(same == 0.0) // equal counts → p == q in every bin → every term 0
+    val shifted = (1 to 1000).map(i => (i.toDouble % 100) + 80.0).toDF("v")
+    val drift = Evaluation.psi(base, shifted, "v", 10).head().getDouble(2)
+    assert(drift > 0.25, s"psi=$drift")
+  }
+
+  test("psi: actual values outside the expected range clamp into edge bins") {
+    val e = (1 to 100).map(_.toDouble).toDF("v")
+    val a = Seq(-1000.0, 2000.0).toDF("v")
+    val detail = Evaluation.psiDetail(e, a, "v", 10)
+      .select("bin", "actual_n").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(detail(0) == 1L && detail(9) == 1L)
+  }
+
+  test("ksTest: identical samples give D=0; disjoint ranges give D=1; hand case checks") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(Evaluation.ksTest(a, a, "v").head().getDouble(2) == 0.0)
+    val b = Seq(10.0, 11.0).toDF("v")
+    assert(Evaluation.ksTest(a, b, "v").head().getDouble(2) == 1.0)
+    // a = {1,2,3,4}, c = {2,3,5}: max gap at v=4: F_a=1, F_c=2/3 → 1/3
+    val c = Seq(2.0, 3.0, 5.0).toDF("v")
+    val r = Evaluation.ksTest(a, c, "v").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("classificationMetrics: hand-computed confusion matrix, absent class scores 0") {
+    // actual:    A A A B B C
+    // predicted: A A B B A A  (C never predicted; no actual matches pred-only class)
+    val df = Seq(("A", "A"), ("A", "A"), ("A", "B"), ("B", "B"), ("B", "A"), ("C", "A"))
+      .toDF("actual", "predicted")
+    val out = Evaluation.classificationMetrics(df, "actual", "predicted")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), (r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val ((sa, pa, ta), (precA, recA, f1A)) = out("A")
+    assert((sa, pa, ta) == ((3L, 4L, 2L)))
+    assert(precA == 0.5 && recA == 2.0 / 3.0)
+    assert(math.abs(f1A - 2 * 0.5 * (2.0 / 3.0) / (0.5 + 2.0 / 3.0)) < 1e-15)
+    val ((sb, pb, tb), (precB, recB, _)) = out("B")
+    assert((sb, pb, tb) == ((2L, 2L, 1L)))
+    assert(precB == 0.5 && recB == 0.5)
+    val ((sc, pc, tc), (precC, recC, f1C)) = out("C")
+    assert((sc, pc, tc) == ((1L, 0L, 0L)))
+    assert(precC == 0.0 && recC == 0.0 && f1C == 0.0)
+  }
+
+  test("groupedAuc: repartitioning does not change the value") {
+    val df = (1 to 500).map { i =>
+      ("g", (i % 37).toDouble, i % 3 == 0)
+    }.toDF("grp", "score", "y")
+    val a = Evaluation.groupedAuc(df.repartition(1), "grp", col("y"), "score").head().getDouble(3)
+    val b = Evaluation.groupedAuc(df.repartition(8), "grp", col("y"), "score").head().getDouble(3)
+    assert(a == b)
+  }
+}
