@@ -344,6 +344,10 @@ object SparkEntry {
             .when(col("o_orderpriority") === "3-MEDIUM", "P")
             .otherwise("O")),
         "o_orderstatus", "predicted")),
+    "q145_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    "q146_encoding" -> ((s, d) =>
+      TextAnalysis.encodingAnomalies(Tables.documents(s, d), "doc_id", "text")),
     "q139_label_prop" -> ((s, d) =>
       // same part co-occurrence graph as q133; 2 synchronous rounds
       Graph.labelPropagation(partCooccurrenceEdges(s, d), "pa", "pb")),
@@ -1251,6 +1255,39 @@ object SparkEntry {
         |       THEN "precision" * recall * 2 / ("precision" + recall)
         |       ELSE CAST(0 AS DOUBLE) END AS f1
         |FROM m ORDER BY label""".stripMargin,
+    "q145_zipf" ->
+      // rank over the vocabulary (count desc, token asc), then the q104
+      // exact-decimal OLS recipe on (ln rank, ln count)
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM cnt),
+        |d AS (SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,2)) AS x,
+        |             CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,2)) AS y FROM r),
+        |g AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DECIMAL(24,2)) AS sx, CAST(SUM(y) AS DECIMAL(24,2)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(24,4)) AS sxy, CAST(SUM(x * x) AS DECIMAL(24,4)) AS sxx
+        |  FROM d)
+        |SELECT n AS vocab_n,
+        |  CAST(CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS slope
+        |FROM g""".stripMargin,
+    "q146_encoding" ->
+      // counts via length-difference after strip; 'g' flag: DuckDB's
+      // regexp_replace is first-match-only without it
+      """WITH s AS (SELECT doc_id, text, length(text) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(n - length(replace(text, chr(65533), '')) AS BIGINT) AS repl_n,
+        |  CAST(n - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS ctrl_n,
+        |  CAST(n - length(replace(text, chr(195), '')) AS BIGINT) AS moji_n,
+        |  CAST(n - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_n,
+        |  CASE WHEN n > 0 THEN
+        |    CAST((n - length(replace(text, chr(65533), ''))) * 4
+        |       + (n - length(replace(text, chr(195), ''))) * 2
+        |       + (n - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))) AS DOUBLE)
+        |      / CAST(n AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS anomaly_score
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q139_label_prop" ->
       // the two synchronous rounds unrolled; same (count desc, label asc)
       // modal rank both engines

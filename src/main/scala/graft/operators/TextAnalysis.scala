@@ -203,4 +203,54 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(frequency) on
+    * ln(rank). Natural-language corpora slope ≈ −1; a slope far from it is
+    * a corpus-level red flag (template spam flattens the head, synthetic
+    * word salad flattens the tail) — the corpus-wide complement of the
+    * per-doc entropy/novelty signals.
+    *
+    * Corpus-sized work ends at the token-count aggregate: ranking runs on
+    * the VOCABULARY via the two-pass global row number (never a
+    * 1-partition window), and the fit reuses [[Analytics.regressionByGroup]]'s
+    * exact-decimal power sums, so the slope is partitioning-invariant and
+    * engine-exact. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("negc", -col("c")) // globalRowNumber sorts ascending
+    val ranked = Analytics.globalRowNumber(counts, Seq("negc", "tok"), "rnk")
+    val pts = ranked.select(lit("corpus").as("g"),
+      log(col("rnk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    Analytics.regressionByGroup(pts, "g", col("x"), col("y"))
+      .select(col("n").as("vocab_n"), col("slope"))
+  }
+
+  /** Encoding-anomaly profile per document — the cheap pre-filter that
+    * catches mojibake (UTF-8 read as Latin-1: 'Ã' is its tell), lost bytes
+    * (U+FFFD replacement chars), and binary-contaminated text (raw control
+    * chars) before they poison tokenizers downstream. Pure codegen'd column
+    * arithmetic, zero shuffle; the control class is the explicit-hex common
+    * regex dialect (see [[Curation.normalizeText]]); the score is one
+    * division of exact integers. */
+  def encodingAnomalies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    def missing(stripped: Column): Column = (n - length(stripped)).cast("long")
+    docs.select(
+        col(idCol),
+        n.cast("long").as("n_chars"),
+        missing(replace(t, lit("�"), lit(""))).as("repl_n"),
+        missing(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")).as("ctrl_n"),
+        missing(replace(t, lit("Ã"), lit(""))).as("moji_n"),
+        missing(regexp_replace(t, "[^\\x00-\\x7F]", "")).as("non_ascii_n"))
+      .withColumn("anomaly_score",
+        when(col("n_chars") > 0,
+          (col("repl_n") * 4 + col("moji_n") * 2 + col("ctrl_n")).cast("double") /
+            col("n_chars").cast("double"))
+          .otherwise(0d))
+      .orderBy(idCol)
+  }
 }

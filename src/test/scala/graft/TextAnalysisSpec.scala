@@ -98,4 +98,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("alpha")._2 == (1L to 10L).mkString(",")) // postings: first 10 by id
     assert(out("beta") == ((1L, "16")))
   }
+
+  test("zipfFit: exact power law recovers its exponent; repartition-invariant") {
+    // freq(rank r) = ⌊64/r⌋ for r=1..16 → slope ≈ −1 (floor effects and the
+    // (18,2) ln quantization push it a few percent off the ideal)
+    val corpus = (1 to 16).flatMap { r =>
+      Seq.fill(64 / r)(s"w$r")
+    }.mkString(" ")
+    val df = Seq((1L, corpus)).toDF("doc_id", "text")
+    val a = TextAnalysis.zipfFit(df, "text").head()
+    assert(a.getLong(0) == 16L)
+    assert(math.abs(a.getDouble(1) + 1.0) < 0.05, s"slope=${a.getDouble(1)}")
+    val b = TextAnalysis.zipfFit(df.repartition(8), "text").head()
+    assert(a.getDouble(1) == b.getDouble(1))
+  }
+
+  test("encodingAnomalies: counts replacement, control, mojibake, non-ascii") {
+    val df = Seq(
+      (1L, "plain ascii text"),
+      (2L, "café olé"),        // clean non-ascii only: no anomaly
+      (3L, "cafÃ© bad"),       // UTF-8-as-latin1 mojibake: Ã tell
+      (4L, "x�y�z"),           // two replacement chars
+      (5L, "ab\u0001c\t"),  // one control; tab is whitespace, NOT in the class
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingAnomalies(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)), r.getDouble(6))).toMap
+    assert(out(1L) == (((0L, 0L, 0L, 0L), 0.0)))
+    assert(out(2L)._1 == ((0L, 0L, 0L, 2L)) && out(2L)._2 == 0.0)
+    assert(out(3L)._1 == ((0L, 0L, 1L, 2L)))  // Ã and © are both non-ascii
+    assert(out(3L)._2 == 2.0 / 9.0)
+    assert(out(4L)._1 == ((2L, 0L, 0L, 2L)) && out(4L)._2 == 8.0 / 5.0)
+    assert(out(5L)._1 == ((0L, 1L, 0L, 0L)) && out(5L)._2 == 1.0 / 5.0)
+    assert(out(6L) == (((0L, 0L, 0L, 0L), 0.0)))
+  }
 }
