@@ -346,6 +346,16 @@ object SparkEntry {
         "o_orderstatus", "predicted")),
     "q145_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    "q147_synth_source" -> ((s, _) =>
+      // the DataSourceV2 generator (no files touched — content is a pure
+      // function of doc_id, reproduced by the oracle from range()); the
+      // range filter is consumed by the source's pushdown
+      s.read.format("synthdocs")
+        .option("rows", "2000").option("partitions", "8").load()
+        .filter(col("doc_id") >= 500 && col("doc_id") < 1500)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")),
     "q146_encoding" -> ((s, d) =>
       TextAnalysis.encodingAnomalies(Tables.documents(s, d), "doc_id", "text")),
     "q139_label_prop" -> ((s, d) =>
@@ -1255,6 +1265,18 @@ object SparkEntry {
         |       THEN "precision" * recall * 2 / ("precision" + recall)
         |       ELSE CAST(0 AS DOUBLE) END AS f1
         |FROM m ORDER BY label""".stripMargin,
+    "q147_synth_source" ->
+      // the synthdocs generator formulas reproduced verbatim from range();
+      // no parquet table involved
+      """WITH docs AS (
+        |  SELECT i AS doc_id,
+        |    array_to_string(list_transform(range(0, 5 + (i * 37) % 46),
+        |      k -> 'w' || CAST(((i + 1) * 1103515 + k * 12345) % 1000 AS VARCHAR)), ' ') AS text,
+        |    CASE WHEN i % 10 < 6 THEN 'en' WHEN i % 10 < 8 THEN 'es'
+        |         WHEN i % 10 < 9 THEN 'fr' ELSE 'de' END AS lang
+        |  FROM range(500, 1500) t(i))
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM docs GROUP BY lang ORDER BY lang""".stripMargin,
     "q145_zipf" ->
       // rank over the vocabulary (count desc, token asc), then the q104
       // exact-decimal OLS recipe on (ln rank, ln count)
