@@ -346,6 +346,24 @@ object SparkEntry {
         "o_orderstatus", "predicted")),
     "q145_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    "q148_js_divergence" -> ((s, d) =>
+      // which source's token distribution drifted vs the pooled corpus
+      Evaluation.jsDivergence(Tables.documents(s, d), "source", "text")),
+    "q149_integrity_audit" -> ((s, d) => {
+      // FK orphan counts across the star schema — the lake-side CHECK for
+      // what Postgres enforced in the reference
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      Issues.orphanCounts("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+        .unionAll(Issues.orphanCounts("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(Issues.orphanCounts("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(Issues.orphanCounts("orders->customer", o, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("relationship")
+    }),
+    "q150_topn_ties" -> ((s, d) =>
+      Relational.topNPerGroupWithTies(Tables.events(s, d), 3)),
     "q147_synth_source" -> ((s, _) =>
       // the DataSourceV2 generator (no files touched — content is a pure
       // function of doc_id, reproduced by the oracle from range()); the
@@ -1265,6 +1283,63 @@ object SparkEntry {
         |       THEN "precision" * recall * 2 / ("precision" + recall)
         |       ELSE CAST(0 AS DOUBLE) END AS f1
         |FROM m ORDER BY label""".stripMargin,
+    "q148_js_divergence" ->
+      // p·ln(p/m) terms only where p>0 (JSD's zero tolerance), each through
+      // DECIMAL(28,9); probabilities are divisions of exact integers
+      """WITH dt AS (SELECT source AS grp, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |pg AS (SELECT grp, tok, COUNT(*) AS cg FROM dt GROUP BY 1, 2),
+        |corpus AS (SELECT tok, CAST(SUM(cg) AS BIGINT) AS c FROM pg GROUP BY 1),
+        |ng AS (SELECT grp, CAST(SUM(cg) AS BIGINT) AS ng FROM pg GROUP BY 1),
+        |ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
+        |sup AS (SELECT g.grp, g.ng, COALESCE(pg.cg, 0) AS cg, v.c, ntot.n
+        |        FROM corpus v CROSS JOIN ng g
+        |        LEFT JOIN pg ON pg.grp = g.grp AND pg.tok = v.tok
+        |        CROSS JOIN ntot),
+        |t AS (SELECT grp, ng,
+        |        CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE) AS p,
+        |        CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS q
+        |      FROM sup),
+        |tt AS (SELECT grp, ng,
+        |         CASE WHEN p > 0 THEN CAST(p * ln(p / ((p + q) / 2.0)) AS DECIMAL(28,9))
+        |              ELSE CAST(0 AS DECIMAL(28,9)) END AS tp,
+        |         CASE WHEN q > 0 THEN CAST(q * ln(q / ((q + p) / 2.0)) AS DECIMAL(28,9))
+        |              ELSE CAST(0 AS DECIMAL(28,9)) END AS tq
+        |       FROM t)
+        |SELECT grp, ng AS n_tokens,
+        |       (CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)) * 0.5 AS jsd
+        |FROM tt GROUP BY grp, ng ORDER BY grp""".stripMargin,
+    "q149_integrity_audit" ->
+      // NOT EXISTS, never NOT IN (null-poisoned); NULL FKs are "no
+      // reference", not violations
+      """SELECT 'customer->nation' AS relationship,
+        |  COUNT(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey) THEN 1 END) AS orphan_n
+        |FROM customer
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  COUNT(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) THEN 1 END)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  COUNT(CASE WHEN l_partkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM part WHERE p_partkey = l_partkey) THEN 1 END)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  COUNT(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey) THEN 1 END)
+        |FROM orders
+        |ORDER BY relationship""".stripMargin,
+    "q150_topn_ties" ->
+      // rank() WITH TIES on the floored score; BIGINT rank matches the
+      // Spark side's post-filter long cast
+      """SELECT user_id, event_id, CAST(FLOOR(value) AS BIGINT) AS score, rnk FROM (
+        |  SELECT user_id, event_id, value,
+        |    rank() OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(value) AS BIGINT) DESC) AS rnk
+        |  FROM events) WHERE rnk <= 3
+        |ORDER BY user_id, rnk, event_id""".stripMargin,
     "q147_synth_source" ->
       // the synthdocs generator formulas reproduced verbatim from range();
       // no parquet table involved

@@ -175,6 +175,46 @@ object Evaluation {
       .agg(max("gap").as("d"))
   }
 
+  /** Jensen–Shannon divergence of each group's token distribution vs the
+    * pooled corpus — "which source drifted" for multi-source corpora, the
+    * symmetric bounded (≤ ln 2) cousin of KL that tolerates zeros:
+    * a token absent from one side contributes only the other side's term.
+    *
+    * The only row-sized shuffle is the (group, token) count aggregate;
+    * everything after is vocabulary-sized (corpus counts) × |groups| (the
+    * tiny group-totals side is broadcast). Each probability is one division
+    * of exact integers, each ln term is quantized DECIMAL(28,9) before the
+    * order-independent sum, so the divergence is partitioning-invariant and
+    * engine-exact. */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dt = docs.select(col(groupCol).as("grp"),
+      explode(Curation.tokens(col(textCol))).as("tok"))
+    val perGrp = dt.groupBy("grp", "tok").agg(count(lit(1)).as("cg"))
+      .localCheckpoint() // three consumers of the one row-sized aggregate
+    val corpus = perGrp.groupBy("tok").agg(sum("cg").as("c"))
+    val nG = perGrp.groupBy("grp").agg(sum("cg").as("ng"))
+    val nTot = corpus.agg(sum("c").as("__n"))
+    val support = corpus.crossJoin(broadcast(nG))
+      .join(perGrp, Seq("grp", "tok"), "left")
+      .na.fill(0L, Seq("cg"))
+      .crossJoin(broadcast(nTot))
+    val p = col("cg").cast("double") / col("ng").cast("double")
+    val q = col("c").cast("double") / col("__n").cast("double")
+    def term(a: Column, b: Column): Column =
+      when(a > 0d, (a * log(a / ((a + b) / lit(2.0)))).cast("decimal(28,9)"))
+        .otherwise(lit(0d).cast("decimal(28,9)"))
+    support
+      .select(col("grp"), col("ng"), term(p, q).as("tp"), term(q, p).as("tq"))
+      .groupBy("grp", "ng")
+      .agg(sum("tp").as("stp"), sum("tq").as("stq"))
+      // cast each decimal sum to double BEFORE the add: adding two
+      // DECIMAL(38,9) sums busts precision 38 and Catalyst silently drops
+      // the result to scale 8 (a 5e-9 rounding the oracle can't reproduce)
+      .select(col("grp"), col("ng").as("n_tokens"),
+        ((col("stp").cast("double") + col("stq").cast("double")) * 0.5d).as("jsd"))
+      .orderBy("grp")
+  }
+
   /** Per-class precision / recall / F1 with support, from ONE contingency
     * pass — the eval report for any labeling/filtering model in the
     * pipeline. After the (actual, predicted) count aggregate everything is

@@ -119,4 +119,20 @@ object Issues {
   def conditionalDelete(df: DataFrame, statusCol: String,
                         deletableStatuses: Seq[String]): DataFrame =
     df.filter(!col(statusCol).isin(deletableStatuses: _*))
+
+  /** Referential-integrity audit: count fact rows whose FK has no parent —
+    * the ingest-QA generalization of the FK constraints Postgres enforced
+    * for the reference (issue_items → staging/issues, staging → jobs) that
+    * a lake has to CHECK instead. One anti-join + 1-row count per edge;
+    * SQL semantics: a NULL FK is "no reference", not a violation. Dim keys
+    * are distinct'd first so the anti-join probe side is key-sized; AQE
+    * picks broadcast when that fits. */
+  def orphanCounts(name: String, fact: DataFrame, factKey: String,
+                   dim: DataFrame, dimKey: String): DataFrame = {
+    val f = fact.select(col(factKey).as("__k")).filter(col("__k").isNotNull)
+    val d = dim.select(col(dimKey).as("__k")).distinct()
+    f.join(d, Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("orphan_n"))
+      .select(lit(name).as("relationship"), col("orphan_n"))
+  }
 }

@@ -119,6 +119,27 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Top-N per group WITH TIES (rank, not row_number): every row tied with
+    * the N-th keeps its place — "top 3 scores" rather than "3 rows", the
+    * leaderboard semantic. Scores are floored to ints so ties genuinely
+    * occur on continuous inputs. Spark's InferWindowGroupLimit covers
+    * rank() too, so ≤N(+ties) rows per group survive map-side BEFORE the
+    * exchange — same scale story as [[topNPerGroup]] (asserted in the plan
+    * contract). */
+  def topNPerGroupWithTies(events: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = floor(col("value")).cast("long")
+    val w = Window.partitionBy("user_id").orderBy(score.desc)
+    // cast AFTER the filter: the rank must stay a bare window attribute for
+    // InferWindowGroupLimit to fire (the long cast matches DuckDB's BIGINT)
+    events.select(col("user_id"), col("event_id"), score.as("score"),
+        rank().over(w).as("rnk_i"))
+      .filter(col("rnk_i") <= n)
+      .select(col("user_id"), col("event_id"), col("score"),
+        col("rnk_i").cast("long").as("rnk"))
+      .orderBy("user_id", "rnk", "event_id")
+  }
+
   /** Hourly event rollup — the batch twin of the streaming windowed agg
     * (see graft.streaming.EventStream); DECIMAL sum for exactness. */
   def eventsHourlyAgg(events: DataFrame): DataFrame =

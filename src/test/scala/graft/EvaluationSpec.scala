@@ -103,6 +103,24 @@ class EvaluationSpec extends SparkSpec {
     assert(precC == 0.0 && recC == 0.0 && f1C == 0.0)
   }
 
+  test("jsDivergence: identical sources score exactly 0; drift grows, bounded by ln 2") {
+    val same = Seq(("a", "x y z x"), ("b", "x y z x")).toDF("source", "text")
+    val out0 = Evaluation.jsDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out0("a") == 0.0 && out0("b") == 0.0)
+
+    val drifted = Seq(("a", "x x x x"), ("b", "y y y y")).toDF("source", "text")
+    val out1 = Evaluation.jsDivergence(drifted, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // disjoint-vocab source vs pooled corpus: p=(1,0), q=(.5,.5)
+    val expected = 0.5 * (1.0 * math.log(1.0 / 0.75) +
+      (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)))
+    // 1e-8: the engine rounds each ln term to DECIMAL(28,9)
+    assert(math.abs(out1("a") - expected) < 1e-8, s"${out1("a")} vs $expected")
+    assert(out1("a") > 0.0 && out1("a") < math.log(2.0))
+    assert(out1("a") == out1("b")) // symmetric construction
+  }
+
   test("groupedAuc: repartitioning does not change the value") {
     val df = (1 to 500).map { i =>
       ("g", (i % 37).toDouble, i % 3 == 0)

@@ -25,11 +25,14 @@ class PlanContractSpec extends SparkSpec {
         // total in bm25 / assoc rules / bigram LM / ratio-to-report, and
         // the 1-row broadcast reference time in the decay score, and the
         // 1-row broadcast global-mean fallback in the imputation
+        // (plus: the 1-row broadcast totals in PSI/KS, and the
+        // groups-sized broadcast token-totals in the JS divergence)
         val allowed = Set("q62_skew_profile", "q68_funnel", "q74_profile",
           "q67_series_filled", "q49_tfidf", "q82_cooccur_pmi", "q88_unigram_ll",
           "q92_chi_square", "q94_equidepth",
           "q97_bm25", "q105_assoc_rules", "q106_pct_of_total", "q109_bigram_ll",
-          "q116_decayed_score", "q128_impute")
+          "q116_decayed_score", "q128_impute",
+          "q142_psi", "q143_ks", "q148_js_divergence")
         if (allowed(name)) None else Some(name)
       } else None
     }
@@ -50,6 +53,7 @@ class PlanContractSpec extends SparkSpec {
   test("top-N per group and group sampling keep WindowGroupLimit before the exchange") {
     assert(plan("q18_topn_per_group").contains("WindowGroupLimit"))
     assert(plan("q56_group_sample").contains("WindowGroupLimit"))
+    assert(plan("q150_topn_ties").contains("WindowGroupLimit")) // rank(), not just row_number
   }
 
   test("vocabulary top-k plans TakeOrderedAndProject, not a global sort") {
