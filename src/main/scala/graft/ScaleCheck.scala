@@ -46,7 +46,11 @@ object ScaleCheck {
     println(f"[scale] ${factor}x replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"(lineitem rows: ${spark.read.parquet(s"$big/lineitem.parquet").count()})")
 
+    // optional tag filter: `runMain graft.ScaleCheck 20 grouped_auc ks_test`
+    // times only matching tags (substring match) — local iteration only
+    val only = args.drop(1).toSet
     def time(tag: String)(f: String => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(tag.contains)) return
       def run(dir: String): Double = {
         val t = System.nanoTime()
         f(dir).write.format("noop").mode("overwrite").save()
@@ -170,6 +174,22 @@ object ScaleCheck {
     time("label_propagation")(d => SparkEntry.queries("q139_label_prop")(spark, d))
     time("global_median")(d => Analytics.exactGlobalMedian(
       Tables.events(spark, d), "value"))
+    time("grouped_auc")(d => Evaluation.groupedAuc(Tables.orders(spark, d),
+      "o_orderpriority", col("o_orderstatus") === "F", "o_totalprice"))
+    time("psi_drift")(d => { val ev = Tables.events(spark, d)
+      Evaluation.psi(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value", 10) })
+    time("ks_test")(d => { val ev = Tables.events(spark, d)
+      Evaluation.ksTest(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"), "value") })
+    time("js_divergence")(d => Evaluation.jsDivergence(
+      Tables.documents(spark, d), "source", "text"))
+    time("zipf_fit")(d => TextAnalysis.zipfFit(Tables.documents(spark, d), "text"))
+    time("encoding_anomalies")(d => TextAnalysis.encodingAnomalies(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("integrity_audit")(d => Issues.orphanCounts("lineitem->orders",
+      Tables.lineitem(spark, d), "l_orderkey", Tables.orders(spark, d), "o_orderkey"))
+    time("topn_ties")(d => Relational.topNPerGroupWithTies(Tables.events(spark, d), 3))
 
     spark.stop()
   }

@@ -346,6 +346,15 @@ object SparkEntry {
         "o_orderstatus", "predicted")),
     "q145_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    "q151_incremental_agg" -> ((s, d) => {
+      // three disjoint batches aggregated INDEPENDENTLY, merged without
+      // rescanning — must be bit-identical to one full-scan aggregate
+      // (the oracle computes the full scan)
+      val ev = Tables.events(s, d)
+      val states = Seq(0, 1, 2).map(k =>
+        Analytics.aggState(ev.filter(col("event_id") % 3 === k), "event_type", "value"))
+      Analytics.mergeAggStates(states.reduce(_.unionAll(_)), "event_type")
+    }),
     "q148_js_divergence" -> ((s, d) =>
       // which source's token distribution drifted vs the pooled corpus
       Evaluation.jsDivergence(Tables.documents(s, d), "source", "text")),
@@ -1283,6 +1292,15 @@ object SparkEntry {
         |       THEN "precision" * recall * 2 / ("precision" + recall)
         |       ELSE CAST(0 AS DOUBLE) END AS f1
         |FROM m ORDER BY label""".stripMargin,
+    "q151_incremental_agg" ->
+      // the merged three-batch state must equal ONE full-scan aggregate —
+      // so the oracle IS the full scan
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+        |  MIN(value) AS min_v, MAX(value) AS max_v,
+        |  CAST(CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q148_js_divergence" ->
       // p·ln(p/m) terms only where p>0 (JSD's zero tolerance), each through
       // DECIMAL(28,9); probabilities are divisions of exact integers

@@ -440,6 +440,35 @@ object Analytics {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
       .orderBy(keyCol)
 
+  /** Exact mergeable aggregate state per key (count / decimal sum / min /
+    * max) — the EXACT counterpart of the HLL pipeline above: compute a
+    * state per incremental batch, store states, and a 100 TB backfill's
+    * running totals update by merging key-count-sized states instead of
+    * re-scanning history. Decimal sums are associative, so merge order and
+    * partitioning can never change the answer. */
+  def aggState(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_v"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"))
+
+  /** Merge [[aggState]] rows (same key, any number of batches) into final
+    * figures — bit-identical to a single full-scan aggregate, proven by the
+    * q151 oracle. Derived average: one double division, quantized. */
+  def mergeAggStates(states: DataFrame, keyCol: String): DataFrame =
+    states.groupBy(keyCol).agg(
+        sum("n").as("n"),
+        sum("sum_v").cast("decimal(18,2)").as("sum_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+      .select(col(keyCol), col("n"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("min_v"), col("max_v"),
+        (col("sum_v").cast("double") / col("n").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("avg_v"))
+      .orderBy(keyCol)
+
   /** Skew-safe join: salt the big side's hot keys into `saltFactor` subkeys
     * and explode the small side across all salts — turns one hot reducer
     * into `saltFactor` even ones. Use when AQE's skew handling isn't enough

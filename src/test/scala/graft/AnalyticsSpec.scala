@@ -114,6 +114,17 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(merged(k) - full(k)).toDouble / full(k) < 0.02, s"full=$full merged=$merged"))
   }
 
+  test("aggState/mergeAggStates: merged batch states are BIT-equal to one full scan") {
+    val df = spark.range(3000)
+      .selectExpr("CAST(id % 4 AS STRING) AS k", "CAST(id AS DOUBLE) * 1.37 AS v", "id")
+    val full = Analytics.mergeAggStates(Analytics.aggState(df, "k", "v"), "k").collect()
+    for (parts <- Seq(2, 5)) {
+      val states = (0 until parts).map(b => Analytics.aggState(df.where(col("id") % parts === b), "k", "v"))
+      val merged = Analytics.mergeAggStates(states.reduce(_.unionAll(_)), "k").collect()
+      assert(merged.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq, s"at $parts batches")
+    }
+  }
+
   test("stream-static enrichment: batch parity and left-preserving") {
     val ev = Seq((1L, 7L), (2L, 8L), (3L, 99L)).toDF("event_id", "user_id")
     val dim = Seq((7L, "pro"), (8L, "free")).toDF("u_id", "tier")
