@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Cols, MisraGries}
 import graft.operators._
 import graft.sources.CsvIngest
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Every ★ operator has BOTH a `queries` entry and an
@@ -346,6 +347,16 @@ object SparkEntry {
         "o_orderstatus", "predicted")),
     "q145_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    "q152_calibration" -> ((s, d) =>
+      // does a synthetic [0,1) score's confidence track the F rate per bin
+      Evaluation.calibration(Tables.orders(s, d),
+        (col("o_orderkey") % 1000) / lit(1000.0),
+        col("o_orderstatus") === "F", 10)),
+    "q153_drift_snapshot" -> ((s, d) =>
+      // the streaming drift monitor's batch twin (StreamingSpec asserts
+      // stream ≡ batch on this same function); reference-anchored bins
+      EventStream.distributionSnapshot(Tables.events(s, d), "value", 0.0, 500.0, 10)
+        .orderBy("window_start", "bin")),
     "q151_incremental_agg" -> ((s, d) => {
       // three disjoint batches aggregated INDEPENDENTLY, merged without
       // rescanning — must be bit-identical to one full-scan aggregate
@@ -1292,6 +1303,30 @@ object SparkEntry {
         |       THEN "precision" * recall * 2 / ("precision" + recall)
         |       ELSE CAST(0 AS DOUBLE) END AS f1
         |FROM m ORDER BY label""".stripMargin,
+    "q152_calibration" ->
+      // scores quantized DECIMAL(18,9) per row before the sum; every ratio
+      // one double division; ECE term quantized last
+      """WITH p AS (SELECT
+        |    LEAST(9, GREATEST(0, CAST(FLOOR(CAST(o_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) * 10) AS BIGINT))) AS bin,
+        |    CAST(CAST(o_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS DECIMAL(18,9)) AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 END AS y
+        |  FROM orders),
+        |c AS (SELECT bin, COUNT(*) AS n, SUM(s) AS sum_s, COUNT(y) AS pos FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT bin, n, pos,
+        |  CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE) AS confidence,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+        |  CAST(CAST((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) *
+        |    ABS(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS ece_term
+        |FROM c, t ORDER BY bin""".stripMargin,
+    "q153_drift_snapshot" ->
+      // hour windows are epoch-aligned ⇒ window.start == date_trunc('hour');
+      // bins fixed [0,500) in 10 slices, clamped edges
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  LEAST(9, GREATEST(0, CAST(FLOOR((value - CAST(0 AS DOUBLE)) / CAST(50 AS DOUBLE)) AS BIGINT))) AS bin,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q151_incremental_agg" ->
       // the merged three-batch state must equal ONE full-scan aggregate —
       // so the oracle IS the full scan

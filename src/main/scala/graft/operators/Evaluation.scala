@@ -175,6 +175,42 @@ object Evaluation {
       .agg(max("gap").as("d"))
   }
 
+  /** Calibration report + expected-calibration-error terms: scores in [0,1]
+    * sliced into `bins` equal bins (clamped), per bin the mean score
+    * ("confidence"), the positive rate ("accuracy"), and the ECE term
+    * (n/N)·|acc − conf| — sum the column for ECE. The report says whether a
+    * model's probabilities MEAN anything, the gate before using scores as
+    * sampling weights.
+    *
+    * One row-sized hash aggregate (the binning); everything after is
+    * bins-sized. Scores are quantized DECIMAL(18,9) per row before the
+    * order-independent sum; N rides a window over the ≤`bins`-row aggregate
+    * (trivially small — never a row-sized global window); every ratio is a
+    * fixed double chain on exact aggregates. */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2,1000]")
+    val s = scoreCol.cast("double")
+    val bin = least(lit(bins - 1), greatest(lit(0), floor(s * bins))).cast("long")
+    val cells = df
+      .select(bin.as("bin"), s.cast("decimal(18,9)").as("s"),
+        when(labelCol, lit(1)).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("s").as("sum_s"), count(col("y")).as("pos"))
+    val w = Window.partitionBy() // ≤ bins rows by construction
+    cells
+      .withColumn("total", sum("n").over(w))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("sum_s").cast("double") / col("n").cast("double")).as("confidence"),
+        (col("pos").cast("double") / col("n").cast("double")).as("accuracy"),
+        col("total"))
+      .withColumn("ece_term",
+        ((col("n").cast("double") / col("total").cast("double")) *
+          abs(col("accuracy") - col("confidence"))).cast("decimal(18,9)").cast("double"))
+      .drop("total")
+      .orderBy("bin")
+  }
+
   /** Jensen–Shannon divergence of each group's token distribution vs the
     * pooled corpus — "which source drifted" for multi-source corpora, the
     * symmetric bounded (≤ ln 2) cousin of KL that tolerates zeros:

@@ -221,6 +221,30 @@ object EventStream {
         col("click_ts"), col("conv_ts"))
   }
 
+  /** Windowed distribution snapshots for streaming drift monitoring: per
+    * event-time window, clamped-bin counts of `valueCol` against REFERENCE
+    * bin edges (fixed lo/hi from the reference sample — edges must NOT move
+    * with the stream or every window would look stable against itself).
+    * Output rows are the mergeable inputs of the PSI gate
+    * (graft.operators.Evaluation.psi's cells): each closed window's counts
+    * compare against the reference counts WITHOUT re-scanning history —
+    * the streaming form of the drift gate. The same function runs on a
+    * batch frame (parity tested); watermark bounds window state. */
+  def distributionSnapshot(events: DataFrame, valueCol: String,
+                           lo: Double, hi: Double, bins: Int,
+                           windowLen: String = "1 hour"): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2,1000]")
+    val width = (hi - lo) / bins
+    val bin =
+      if (width == 0d) lit(0)
+      else least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(width)))).cast("long")
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), windowLen).as("w"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("bin"), col("n"))
+  }
+
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,

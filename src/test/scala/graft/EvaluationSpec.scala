@@ -103,6 +103,28 @@ class EvaluationSpec extends SparkSpec {
     assert(precC == 0.0 && recC == 0.0 && f1C == 0.0)
   }
 
+  test("calibration: perfectly calibrated bins have zero ECE terms; miscalibration shows") {
+    // bin b: 200 rows at score (b+0.5)/10 with exactly (b+0.5)·20 positives
+    // → accuracy equals confidence in every bin
+    val rows = for {
+      b <- 0 until 10
+      i <- 0 until 200
+    } yield ((b + 0.5) / 10.0, i < ((b + 0.5) * 20).toInt)
+    val df = rows.toDF("score", "label")
+    val out = Evaluation.calibration(df, col("score"), col("label"), 10).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(1) == 200L)
+      assert(r.getDouble(3) == r.getDouble(4), s"bin ${r.getLong(0)}") // conf == acc
+      assert(r.getDouble(5) == 0.0)
+    }
+    // flip bin 0's labels: acc 0.95 vs conf 0.05 → term (200/2000)·0.9 = 0.09
+    val bad = rows.map { case (s, y) => (s, if (s < 0.1) !y else y) }.toDF("score", "label")
+    val badOut = Evaluation.calibration(bad, col("score"), col("label"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(math.abs(badOut(0L) - 0.09) < 1e-9, badOut(0L).toString)
+  }
+
   test("jsDivergence: identical sources score exactly 0; drift grows, bounded by ln 2") {
     val same = Seq(("a", "x y z x"), ("b", "x y z x")).toDF("source", "text")
     val out0 = Evaluation.jsDivergence(same, "source", "text")

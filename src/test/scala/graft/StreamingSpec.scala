@@ -159,4 +159,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(batch == streamed, s"batch=$batch streamed=$streamed")
   }
+
+  test("drift snapshot: stream equals batch; values clamp into reference bins") {
+    val src = Files.createTempDirectory("graft_drift_src").toString
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 5.0, "{}"),   // bin 0
+      (2L, ts("2024-01-01 10:15:00"), 7L, "click", 55.0, "{}"),  // bin 5
+      (3L, ts("2024-01-01 10:25:00"), 8L, "click", -40.0, "{}"), // clamps to bin 0
+      (4L, ts("2024-01-01 11:10:00"), 8L, "click", 999.0, "{}")) // clamps to bin 9
+    rows.toDF(cols: _*).write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema(EventStream.EventSchema).parquet(src)
+    val q = EventStream.distributionSnapshot(stream, "value", 0.0, 100.0, 10)
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("window_start", "bin").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val streamed = render(spark.table("drift_sink"))
+    val batch = render(EventStream.distributionSnapshot(rows.toDF(cols: _*), "value", 0.0, 100.0, 10))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch == Seq(
+      ("2024-01-01 10:00:00.0", 0L, 2L), ("2024-01-01 10:00:00.0", 5L, 1L),
+      ("2024-01-01 11:00:00.0", 9L, 1L)))
+  }
 }
