@@ -347,6 +347,10 @@ object SparkEntry {
         "o_orderstatus", "predicted")),
     "q145_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    "q154_lift" -> ((s, d) =>
+      // does targeting the top price deciles capture the F orders
+      Evaluation.liftTable(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderstatus") === "F")),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1303,6 +1307,25 @@ object SparkEntry {
         |       THEN "precision" * recall * 2 / ("precision" + recall)
         |       ELSE CAST(0 AS DOUBLE) END AS f1
         |FROM m ORDER BY label""".stripMargin,
+    "q154_lift" ->
+      // tie policy mirrored: a tied score block lands wholly in the decile
+      // of its LAST row ((cum_n-1)*10 // total); `//` = Spark's `div`
+      """WITH ps AS (SELECT o_totalprice AS score, COUNT(*) AS n,
+        |              COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos
+        |            FROM orders GROUP BY 1),
+        |c AS (SELECT n, pos, SUM(n) OVER (ORDER BY score DESC) AS cum_n FROM ps),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS np FROM ps),
+        |d AS (SELECT CAST(((cum_n - 1) * 10) // nn AS BIGINT) AS decile, n, pos, nn, np FROM c, t),
+        |g AS (SELECT decile, nn, np, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS pos
+        |      FROM d GROUP BY 1, 2, 3),
+        |f AS (SELECT decile, n, pos, nn, np,
+        |        CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        |        CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos FROM g)
+        |SELECT decile, n, pos, cum_n, cum_pos,
+        |  CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE) AS capture_rate,
+        |  (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |    (CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) AS lift
+        |FROM f ORDER BY decile""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

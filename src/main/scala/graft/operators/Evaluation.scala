@@ -211,6 +211,45 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Decile lift / gains table: rank by score descending, cut into 10
+    * equal-population slices, report per-slice positives, cumulative
+    * capture rate, and lift over the base rate — "how much better than
+    * random is targeting the top k%", the companion of [[groupedAuc]].
+    *
+    * Never ranks raw rows: collapses to per-distinct-score (n, pos) counts
+    * first, then [[globalCumSum]] (two-pass range-partitioned scan) gives
+    * each block its cumulative row position; a tied block lands WHOLLY in
+    * the decile of its last row (deterministic tie policy, mirrored in the
+    * oracle). Everything after the scan is ≤10 rows; ratios are fixed
+    * double chains on exact integers. */
+  def liftTable(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val perScore = df
+      .select(scoreCol.cast("double").as("score"), labelCol.as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n"), count(when(col("y"), lit(1))).as("pos"))
+      .withColumn("negscore", -col("score"))
+    val cum = globalCumSum(perScore, Seq("negscore"), Seq("n", "pos"))
+    val tot = cum.agg(sum("n").as("nn"), sum("pos").as("np"))
+    val deciles = cum.crossJoin(broadcast(tot))
+      // `div`, not `/`: Column./ is DOUBLE division in Spark — a sub-ulp
+      // rounding at a decile boundary would misplace a whole block; integer
+      // division is exact at any count (DuckDB twin: `//`)
+      .select(expr("(cum_n - 1) * 10 div nn").as("decile"),
+        col("n"), col("pos"), col("nn"), col("np"))
+      .groupBy("decile", "nn", "np")
+      .agg(sum("n").as("n"), sum("pos").as("pos"))
+    val w = Window.partitionBy().orderBy("decile") // ≤10 rows by construction
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("pos").over(w))
+      .select(col("decile"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("np").cast("double")).as("capture_rate"),
+        ((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("np").cast("double") / col("nn").cast("double"))).as("lift"))
+      .orderBy("decile")
+  }
+
   /** Jensen–Shannon divergence of each group's token distribution vs the
     * pooled corpus — "which source drifted" for multi-source corpora, the
     * symmetric bounded (≤ ln 2) cousin of KL that tolerates zeros:

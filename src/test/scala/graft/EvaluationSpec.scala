@@ -125,6 +125,28 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(badOut(0L) - 0.09) < 1e-9, badOut(0L).toString)
   }
 
+  test("liftTable: perfect ranking lifts the top decile 10x; tie blocks land whole") {
+    // 1000 unique scores descending, positives = top 100 → gains are maximal
+    val df = (1 to 1000).map(i => (1001.0 - i, i <= 100)).toDF("score", "label")
+    val out = Evaluation.liftTable(df, col("score"), col("label")).collect()
+    assert(out.length == 10)
+    val d0 = out.head
+    assert(d0.getLong(1) == 100L && d0.getLong(2) == 100L) // all positives in decile 0
+    assert(d0.getDouble(5) == 1.0)                         // capture rate 1 immediately
+    assert(d0.getDouble(6) == 10.0)                        // lift = (100/100)/(100/1000)
+    assert(out.last.getDouble(6) == 1.0)                   // full population = base rate
+
+    // one score shared by 600 rows: the block lands WHOLE in one decile —
+    // the decile of its LAST row
+    val tied = ((1 to 100).map(i => (2.0, i <= 50)) ++ (1 to 600).map(_ => (1.0, false)) ++
+      (1 to 300).map(i => (0.5, false))).toDF("score", "label")
+    val tiedOut = Evaluation.liftTable(tied, col("score"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // blocks: 100 @2.0 → decile (100-1)*10 div 1000 = 0; 600 @1.0 → (700-1)*10 div 1000 = 6;
+    // 300 @0.5 → (1000-1)*10 div 1000 = 9
+    assert(tiedOut == Map(0L -> 100L, 6L -> 600L, 9L -> 300L), tiedOut.toString)
+  }
+
   test("jsDivergence: identical sources score exactly 0; drift grows, bounded by ln 2") {
     val same = Seq(("a", "x y z x"), ("b", "x y z x")).toDF("source", "text")
     val out0 = Evaluation.jsDivergence(same, "source", "text")

@@ -32,7 +32,9 @@ class PlanContractSpec extends SparkSpec {
           "q92_chi_square", "q94_equidepth",
           "q97_bm25", "q105_assoc_rules", "q106_pct_of_total", "q109_bigram_ll",
           "q116_decayed_score", "q128_impute",
-          "q142_psi", "q143_ks", "q148_js_divergence")
+          "q142_psi", "q143_ks", "q148_js_divergence",
+          // 1-row broadcast (nn, np) totals in the lift/gains table
+          "q154_lift")
         if (allowed(name)) None else Some(name)
       } else None
     }
