@@ -351,6 +351,28 @@ object SparkEntry {
       // does targeting the top price deciles capture the F orders
       Evaluation.liftTable(Tables.orders(s, d),
         col("o_totalprice"), col("o_orderstatus") === "F")),
+    "q155_ab_test" -> ((s, d) =>
+      // 3 deterministic arms keyed off the order id, arm 0 = control;
+      // success = the order filled
+      Evaluation.abTest(
+        Tables.orders(s, d).withColumn("arm", pmod(col("o_orderkey"), lit(3))),
+        "arm", col("o_orderstatus") === "F", "0")),
+    "q156_mutual_info" -> ((s, d) =>
+      // effect-size companion of q92's chi-square on the same contingency
+      Evaluation.mutualInfo(Tables.orders(s, d),
+        "o_orderpriority", "o_orderstatus")),
+    "q157_survival" -> ((s, d) => {
+      // per-user observation window in whole days; "death" = the user ever
+      // purchased; users seen only viewing/clicking are right-censored
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(((max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("long")).as("span_sec"),
+          count(when(col("event_type") === "purchase", lit(1))).as("purchases"))
+        .select(expr("span_sec div 86400").as("t_days"),
+          (col("purchases") > 0).as("died"))
+      Evaluation.kaplanMeier(perUser, "t_days", col("died"))
+    }),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1326,6 +1348,92 @@ object SparkEntry {
         |  (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
         |    (CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) AS lift
         |FROM f ORDER BY decile""".stripMargin,
+    "q155_ab_test" ->
+      // pooled-variance two-proportion z; arm 0 is control (z/lift NULL
+      // there); all ratios fixed double chains, sqrt IEEE-exact both engines
+      """WITH arms AS (SELECT CAST(o_orderkey % 3 AS VARCHAR) AS arm, COUNT(*) AS n,
+        |                COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos
+        |              FROM orders GROUP BY 1),
+        |ctl AS (SELECT n AS cn, pos AS cpos FROM arms WHERE arm = '0'),
+        |j AS (SELECT arm, n, pos, cn, cpos,
+        |        CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |        CAST(cpos AS DOUBLE) / CAST(cn AS DOUBLE) AS pc,
+        |        CAST(pos + cpos AS DOUBLE) / CAST(n + cn AS DOUBLE) AS pool
+        |      FROM arms CROSS JOIN ctl),
+        |k AS (SELECT arm, n, pos, p, pc,
+        |        sqrt(pool * (CAST(1 AS DOUBLE) - pool) *
+        |             (CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) +
+        |              CAST(1 AS DOUBLE) / CAST(cn AS DOUBLE))) AS se
+        |      FROM j)
+        |SELECT arm, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos, p AS rate,
+        |  CASE WHEN arm <> '0' AND se > 0 THEN (p - pc) / se END AS z,
+        |  CASE WHEN arm <> '0' AND pc > 0 THEN (p - pc) / pc END AS rel_lift
+        |FROM k ORDER BY arm""".stripMargin,
+    "q156_mutual_info" ->
+      // MI terms only at observed cells (0·ln0 = 0 by continuity); chi2 on
+      // the FULL grid; every ln/chi2 term DECIMAL(28,10) before the sum;
+      // each decimal sum cast to double separately before combining
+      """WITH o AS (SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS o
+        |           FROM orders GROUP BY 1, 2),
+        |rx AS (SELECT x, SUM(o) AS nx FROM o GROUP BY x),
+        |cy AS (SELECT y, SUM(o) AS ny FROM o GROUP BY y),
+        |n AS (SELECT SUM(o) AS n, COUNT(DISTINCT x) AS kx, COUNT(DISTINCT y) AS ky FROM o),
+        |hx AS (SELECT CAST(SUM(CAST(-(CAST(nx AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |         ln(CAST(nx AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) AS hx
+        |       FROM rx, n),
+        |hy AS (SELECT CAST(SUM(CAST(-(CAST(ny AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |         ln(CAST(ny AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) AS hy
+        |       FROM cy, n),
+        |cells AS (SELECT rx.x, rx.nx, cy.y, cy.ny, COALESCE(o.o, 0) AS o
+        |          FROM rx CROSS JOIN cy LEFT JOIN o USING (x, y)),
+        |t AS (SELECT n.n, n.kx, n.ky,
+        |        CASE WHEN c.o > 0 THEN CAST(
+        |            (CAST(c.o AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |            ln((CAST(c.o AS DOUBLE) / CAST(n.n AS DOUBLE)) /
+        |               ((CAST(c.nx AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |                (CAST(c.ny AS DOUBLE) / CAST(n.n AS DOUBLE)))) AS DECIMAL(28,10))
+        |          ELSE CAST(0 AS DECIMAL(28,10)) END AS mt,
+        |        CAST((CAST(c.o AS DOUBLE) - CAST(c.nx * c.ny AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |           * (CAST(c.o AS DOUBLE) - CAST(c.nx * c.ny AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |           / (CAST(c.nx * c.ny AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,10)) AS ct
+        |      FROM cells c CROSS JOIN n),
+        |m AS (SELECT n, kx, ky, CAST(SUM(mt) AS DOUBLE) AS mi, CAST(SUM(ct) AS DOUBLE) AS chi2
+        |      FROM t GROUP BY 1, 2, 3)
+        |SELECT CAST(m.n AS BIGINT) AS n_rows, mi,
+        |  CASE WHEN hx.hx > 0 AND hy.hy > 0 THEN mi / sqrt(hx.hx * hy.hy)
+        |       ELSE CAST(0 AS DOUBLE) END AS nmi,
+        |  CASE WHEN LEAST(kx, ky) > 1
+        |       THEN sqrt(chi2 / CAST(m.n * (LEAST(kx, ky) - 1) AS DOUBLE))
+        |       ELSE CAST(0 AS DOUBLE) END AS cramers_v
+        |FROM m, hx, hy""".stripMargin,
+    "q157_survival" ->
+      // KM product as exp of an exact integer nano-unit ln cumsum (round on
+      // double = half away from zero in both engines); survival quantized
+      // 9 dp; terminal full-death step pinned to 0, never ln(0)
+      """WITH pu AS (SELECT user_id,
+        |        (CAST(floor(epoch(max(ts))) AS BIGINT) -
+        |         CAST(floor(epoch(min(ts))) AS BIGINT)) // 86400 AS t,
+        |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS died
+        |      FROM events GROUP BY user_id),
+        |pt AS (SELECT t, COUNT(CASE WHEN died THEN 1 END) AS d,
+        |              COUNT(CASE WHEN NOT died THEN 1 END) AS c
+        |       FROM pu GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS nn FROM pt),
+        |cum AS (SELECT t, d, c, SUM(d) OVER (ORDER BY t) AS cum_d,
+        |               SUM(c) OVER (ORDER BY t) AS cum_c FROM pt),
+        |risk AS (SELECT t, d, nn - (cum_d + cum_c - d - c) AS n_risk
+        |         FROM cum, tot WHERE d > 0),
+        |lnq AS (SELECT t, n_risk, d,
+        |          CASE WHEN d < n_risk THEN CAST(round(ln(CAST(1 AS DOUBLE) -
+        |            CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+        |          ELSE 0 END AS q
+        |        FROM risk),
+        |s AS (SELECT t, n_risk, d, SUM(q) OVER (ORDER BY t) AS cq FROM lnq)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+        |  CASE WHEN d < n_risk
+        |       THEN CAST(CAST(exp(CAST(cq AS DOUBLE) / 1e9) AS DECIMAL(18,9)) AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS survival
+        |FROM s ORDER BY t""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

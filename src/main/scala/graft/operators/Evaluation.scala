@@ -290,6 +290,135 @@ object Evaluation {
       .orderBy("grp")
   }
 
+  /** Two-proportion z-test of every experiment arm against a control arm —
+    * the A/B readout behind ship/no-ship decisions on ingestion or curation
+    * changes (reference analog: comparing issue rates across upload
+    * configurations). Per arm: exposures, successes, rate; non-control arms
+    * additionally get the pooled-variance z statistic and the relative
+    * lift vs control.
+    *
+    * One row-sized hash aggregate to arm counts; the 1-row control slice is
+    * broadcast back over the ≤|arms| rows. Rates and z are fixed double
+    * chains on exact integers (sqrt is IEEE-correctly-rounded), so every
+    * value is bit-equal in any engine at any partitioning. The control arm
+    * must exist in the data (the broadcast join is inner by construction). */
+  def abTest(df: DataFrame, armCol: String, successCol: Column,
+             controlArm: String): DataFrame = {
+    val arms = df
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"), count(when(successCol, lit(1))).as("pos"))
+      .localCheckpoint() // two consumers of the one row-sized aggregate
+    val ctl = arms.filter(col("arm") === controlArm)
+      .select(col("n").as("__cn"), col("pos").as("__cpos"))
+    val p  = col("pos").cast("double") / col("n").cast("double")
+    val pc = col("__cpos").cast("double") / col("__cn").cast("double")
+    val pool = (col("pos") + col("__cpos")).cast("double") /
+      (col("n") + col("__cn")).cast("double")
+    val se = sqrt(pool * (lit(1d) - pool) *
+      (lit(1d) / col("n").cast("double") + lit(1d) / col("__cn").cast("double")))
+    arms.crossJoin(broadcast(ctl))
+      .select(col("arm"), col("n"), col("pos"), p.as("rate"),
+        when(col("arm") =!= controlArm && se > 0d, (p - pc) / se).as("z"),
+        when(col("arm") =!= controlArm && pc > 0d, (p - pc) / pc).as("rel_lift"))
+      .orderBy("arm")
+  }
+
+  /** Mutual information, normalized MI, and Cramér's V between two
+    * categorical columns — "how much does knowing X tell you about Y", the
+    * feature-selection / redundancy readout ([[Analytics.chiSquare]] gives
+    * the significance view of the same contingency table; this gives the
+    * effect-size view).
+    *
+    * One contingency aggregate (the only row-sized shuffle); margins are
+    * tiny re-aggregates; the full |X|×|Y| grid is restored so structural
+    * zeros contribute to χ² (MI terms at o=0 are 0 by continuity). Each
+    * ln / χ² term is quantized DECIMAL(28,10) before the order-independent
+    * decimal sum; each decimal sum is cast to double SEPARATELY before any
+    * combining arithmetic (two (38,10) sums added together silently drop
+    * scale). NMI = MI/√(H(X)·H(Y)); V = √(χ²/(n·min(kx−1, ky−1))). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val o = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o")).localCheckpoint() // four consumers
+    val rx = o.groupBy("x").agg(sum("o").as("nx")).localCheckpoint()
+    val cy = o.groupBy("y").agg(sum("o").as("ny")).localCheckpoint()
+    val n = o.agg(sum("o").as("n"),
+      countDistinct("x").as("kx"), countDistinct("y").as("ky"))
+    def entropy(margin: DataFrame, cnt: String, out: String): DataFrame = {
+      val pm = col(cnt).cast("double") / col("__n").cast("double")
+      margin.crossJoin(broadcast(n.select(col("n").as("__n"))))
+        .select((-pm * log(pm)).cast("decimal(28,10)").as("t"))
+        .agg(sum("t").cast("double").as(out))
+    }
+    val cells = rx.crossJoin(cy)
+      .join(o, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+    val pxy = col("o").cast("double") / col("n").cast("double")
+    val px  = col("nx").cast("double") / col("n").cast("double")
+    val py  = col("ny").cast("double") / col("n").cast("double")
+    val e   = (col("nx") * col("ny")).cast("double") / col("n").cast("double")
+    val miTerm = when(col("o") > 0,
+      (pxy * log(pxy / (px * py))).cast("decimal(28,10)"))
+      .otherwise(lit(0d).cast("decimal(28,10)"))
+    val chiTerm = ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .cast("decimal(28,10)")
+    cells
+      .select(col("n"), col("kx"), col("ky"), miTerm.as("mt"), chiTerm.as("ct"))
+      .groupBy("n", "kx", "ky")
+      .agg(sum("mt").cast("double").as("mi"), sum("ct").cast("double").as("chi2"))
+      .crossJoin(broadcast(entropy(rx, "nx", "hx")))
+      .crossJoin(broadcast(entropy(cy, "ny", "hy")))
+      .select(col("n").as("n_rows"), col("mi"),
+        when(col("hx") > 0d && col("hy") > 0d,
+          col("mi") / sqrt(col("hx") * col("hy"))).otherwise(0d).as("nmi"),
+        when(least(col("kx"), col("ky")) > 1,
+          sqrt(col("chi2") / (col("n") * (least(col("kx"), col("ky")) - 1))
+            .cast("double"))).otherwise(0d).as("cramers_v"))
+  }
+
+  /** Kaplan–Meier survival curve over (duration, event) observations —
+    * "what fraction of users/jobs/documents survive past t", with
+    * right-censoring handled properly (a censored subject leaves the risk
+    * pool without counting as an event). The retention/time-to-failure
+    * readout behind cohort decisions.
+    *
+    * Rows collapse to per-distinct-duration (events d, censored c) counts
+    * first; the risk pool comes from [[globalCumSum]]'s two-pass exact
+    * prefix scan (never a 1-partition window over raw rows). The running
+    * product Π(1 − d/nᵢ) rides the SAME exact integer scan: each ln term is
+    * rounded to integer nano-units (round on double is half-away-from-zero
+    * in both engines, and a decimal multiply here would bust precision 38
+    * and silently drop scale), cumulative-summed exactly, and exponentiated
+    * once at the end, quantized to 9 dp so a sub-ulp libm difference cannot
+    * surface. d = n_risk (everyone remaining dies — only possible at the
+    * last event time) yields survival 0 exactly, not ln(0). */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: Column): DataFrame = {
+    val perT = df
+      .select(col(durationCol).cast("long").as("t"), eventCol.as("ev"))
+      .groupBy("t")
+      .agg(count(when(col("ev"), lit(1))).as("d"),
+           count(when(!col("ev"), lit(1))).as("c"))
+    val cum = globalCumSum(perT, Seq("t"), Seq("d", "c"))
+    val tot = cum.agg((sum("d") + sum("c")).as("__n"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__n") - (col("cum_d") + col("cum_c") - col("d") - col("c")))
+      .filter(col("d") > 0)
+      .withColumn("lnq",
+        when(col("d") < col("n_risk"),
+          round(log(lit(1d) - col("d").cast("double") / col("n_risk").cast("double"))
+            * lit(1e9d)).cast("long"))
+          .otherwise(lit(0L))) // terminal full-death step: survival pinned to 0 below
+      .select("t", "n_risk", "d", "lnq")
+    globalCumSum(risk, Seq("t"), Seq("lnq"))
+      .select(col("t"), col("n_risk"), col("d"),
+        when(col("d") < col("n_risk"),
+          exp(col("cum_lnq").cast("double") / lit(1e9d))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(0d).as("survival"))
+      .orderBy("t")
+  }
+
   /** Per-class precision / recall / F1 with support, from ONE contingency
     * pass — the eval report for any labeling/filtering model in the
     * pipeline. After the (actual, predicted) count aggregate everything is

@@ -125,6 +125,57 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(badOut(0L) - 0.09) < 1e-9, badOut(0L).toString)
   }
 
+  test("abTest: hand-computed z and lift; control row carries nulls") {
+    // control (arm 0): 100 exposures, 20 successes; arm 1: 100/30; arm 2: 50/10
+    val rows = (1 to 100).map(i => ("0", i <= 20)) ++
+      (1 to 100).map(i => ("1", i <= 30)) ++ (1 to 50).map(i => ("2", i <= 10))
+    val out = Evaluation.abTest(rows.toDF("arm", "ok"), "arm", col("ok"), "0")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("0").isNullAt(4) && out("0").isNullAt(5)) // control: no z, no lift
+    val se = math.sqrt(0.25 * 0.75 * (1.0 / 100 + 1.0 / 100))
+    assert(out("1").getDouble(4) == (0.3 - 0.2) / se)
+    assert(out("1").getDouble(5) == (0.3 - 0.2) / 0.2)
+    assert(out("2").getDouble(3) == 0.2) // same rate as control
+    assert(out("2").getDouble(4) == 0.0) // z exactly 0 at equal rates
+  }
+
+  test("mutualInfo: identity dependence hits ln2/1/1; independence hits 0") {
+    val dep = ((1 to 50).map(_ => ("a", "a")) ++ (1 to 50).map(_ => ("b", "b")))
+      .toDF("x", "y")
+    val d = Evaluation.mutualInfo(dep, "x", "y").head()
+    assert(math.abs(d.getDouble(1) - math.log(2)) < 1e-9, s"mi=${d.getDouble(1)}")
+    assert(math.abs(d.getDouble(2) - 1.0) < 1e-9)  // nmi
+    assert(math.abs(d.getDouble(3) - 1.0) < 1e-9)  // cramers_v
+    // 2x2 uniform product distribution: exact independence
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .flatMap(p => Seq.fill(25)(p)).toDF("x", "y")
+    val i = Evaluation.mutualInfo(ind, "x", "y").head()
+    assert(math.abs(i.getDouble(1)) < 1e-9 && math.abs(i.getDouble(3)) < 1e-9)
+    // constant y: entropies degenerate -> nmi/v fall back to 0, not NaN
+    val const = (1 to 40).map(i => (if (i % 2 == 0) "a" else "b", "only")).toDF("x", "y")
+    val c = Evaluation.mutualInfo(const, "x", "y").head()
+    assert(c.getDouble(1) == 0.0 && c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0)
+  }
+
+  test("kaplanMeier: hand case with censoring; full-death step is exactly 0") {
+    // durations: 1(event) 2(censored) 3(event) 3(event) 4(censored)
+    val obs = Seq((1L, true), (2L, false), (3L, true), (3L, true), (4L, false))
+      .toDF("t", "ev")
+    val out = Evaluation.kaplanMeier(obs, "t", col("ev")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // curve steps only at event times
+    assert(out(0).getLong(1) == 5L && out(0).getLong(2) == 1L)
+    assert(math.abs(out(0).getDouble(3) - 0.8) < 1e-8)
+    assert(out(1).getLong(1) == 3L && out(1).getLong(2) == 2L)
+    assert(math.abs(out(1).getDouble(3) - 0.8 / 3.0) < 1e-8) // 0.8 * (1 - 2/3)
+    // everyone dies at the last time: survival 0 exactly, no ln(0)
+    val all = Seq((1L, true), (2L, true), (2L, true)).toDF("t", "ev")
+    val a = Evaluation.kaplanMeier(all, "t", col("ev")).collect()
+    assert(a(1).getDouble(3) == 0.0)
+    // repartition invariance of the two-pass scans
+    val p8 = Evaluation.kaplanMeier(obs.repartition(8), "t", col("ev")).collect()
+    assert(p8.map(_.getDouble(3)).toSeq == out.map(_.getDouble(3)).toSeq)
+  }
+
   test("liftTable: perfect ranking lifts the top decile 10x; tie blocks land whole") {
     // 1000 unique scores descending, positives = top 100 → gains are maximal
     val df = (1 to 1000).map(i => (1001.0 - i, i <= 100)).toDF("score", "label")
