@@ -373,6 +373,27 @@ object SparkEntry {
           (col("purchases") > 0).as("died"))
       Evaluation.kaplanMeier(perUser, "t_days", col("died"))
     }),
+    "q158_spearman" -> ((s, d) =>
+      // monotone association of quantity and price per return flag
+      Analytics.spearmanByGroup(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+    "q159_acf" -> ((s, d) =>
+      // day-over-day autocorrelation of ingest volume, lags 1..7
+      Analytics.acf(
+        Tables.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt", maxLag = 7)),
+    "q160_benford" -> ((s, d) =>
+      // first-digit conformance of order line amounts
+      Analytics.benfordAudit(Tables.lineitem(s, d), col("l_extendedprice"))),
+    "q161_cusum" -> ((s, d) =>
+      // sustained-shift monitor on daily ingest volume
+      Evaluation.cusum(
+        Tables.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt")),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1434,6 +1455,101 @@ object SparkEntry {
         |       THEN CAST(CAST(exp(CAST(cq AS DOUBLE) / 1e9) AS DECIMAL(18,9)) AS DOUBLE)
         |       ELSE CAST(0 AS DOUBLE) END AS survival
         |FROM s ORDER BY t""".stripMargin,
+    "q158_spearman" ->
+      // Pearson over DOUBLED average-ties ranks (integers); exact decimal
+      // sums, each cast to double separately, textbook formula last
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) +
+        |      COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+        |    2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) +
+        |      COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+        |  FROM lineitem),
+        |a AS (SELECT g, COUNT(*) AS n,
+        |    SUM(CAST(rx2 AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(ry2 AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS syy
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) > 0
+        |       THEN CAST(CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |         / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |         AS DECIMAL(18,9)) AS DOUBLE) END AS rho
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q159_acf" ->
+      // lag pairs via EQUI self-join on t (+lag from a range table); μ one
+      // double division; centered products DECIMAL(28,9) before the sum
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t, COUNT(*) AS x
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx FROM d),
+        |m AS (SELECT CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+        |        CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)
+        |          * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+        |          * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS den FROM st),
+        |p AS (SELECT l.lag, d1.x AS x0, d2.x AS xh
+        |      FROM d d1 CROSS JOIN (SELECT CAST(r AS BIGINT) AS lag FROM range(1,8) t(r)) l
+        |      JOIN d d2 ON d2.t = d1.t + l.lag),
+        |g AS (SELECT lag, den, COUNT(*) AS n_pairs,
+        |        CAST(SUM(CAST((CAST(x0 AS DOUBLE) - mu) * (CAST(xh AS DOUBLE) - mu)
+        |          AS DECIMAL(28,9))) AS DOUBLE) AS num
+        |      FROM p CROSS JOIN m GROUP BY lag, den)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN den > 0 THEN CAST(CAST(num/den AS DECIMAL(18,9)) AS DOUBLE) END AS acf
+        |FROM g ORDER BY lag""".stripMargin,
+    "q160_benford" ->
+      // digit from the canonical decimal string (never floor(log10));
+      // expected shares are PRE-ROUNDED nano-unit integers so neither
+      // engine's libm log10 is ever compared
+      """WITH e(digit, q) AS (VALUES ('1', 301029996), ('2', 176091259), ('3', 124938737),
+        |  ('4', 96910013), ('5', 79181246), ('6', 66946790), ('7', 57991947),
+        |  ('8', 51152522), ('9', 45757491)),
+        |o AS (SELECT regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS digit,
+        |        COUNT(*) AS n_obs
+        |      FROM lineitem
+        |      WHERE regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') <> ''
+        |      GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM o),
+        |pd AS (SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+        |         CAST(e.q AS DOUBLE)/1e9 AS p_exp, nn
+        |       FROM e LEFT JOIN o USING (digit) CROSS JOIN t),
+        |c AS (SELECT digit, n_obs, p_exp, nn,
+        |        CAST((CAST(n_obs AS DOUBLE) - p_exp * CAST(nn AS DOUBLE))
+        |           * (CAST(n_obs AS DOUBLE) - p_exp * CAST(nn AS DOUBLE))
+        |           / (p_exp * CAST(nn AS DOUBLE)) AS DECIMAL(28,9)) AS chi_q FROM pd),
+        |s AS (SELECT CAST(SUM(chi_q) AS DOUBLE) AS chi2 FROM c)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(CAST(CAST(n_obs AS DOUBLE)/CAST(nn AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS p_obs,
+        |  p_exp, CAST(chi_q AS DOUBLE) AS chi_term, chi2
+        |FROM c CROSS JOIN s ORDER BY digit""".stripMargin,
+    "q161_cusum" ->
+      // Lindley form S_t = C_t − min(0, min C_j): deviations rounded to
+      // integer micro-units, then exact cumsum/cummin windows; μ/σ fixed
+      // double chains over exact decimal sums
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t, COUNT(*) AS x
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx FROM d),
+        |m AS (SELECT CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+        |        sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |             / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS sigma FROM st),
+        |v AS (SELECT t, x, sigma,
+        |        CAST(round((CAST(x AS DOUBLE) - mu - 0.5*sigma)*1e6) AS BIGINT) AS up,
+        |        CAST(round((mu - CAST(x AS DOUBLE) - 0.5*sigma)*1e6) AS BIGINT) AS dn
+        |      FROM d CROSS JOIN m),
+        |c AS (SELECT t, x, sigma, SUM(up) OVER (ORDER BY t) AS cu,
+        |        SUM(dn) OVER (ORDER BY t) AS cd FROM v),
+        |mm AS (SELECT t, x, sigma, cu, cd, MIN(cu) OVER (ORDER BY t) AS mcu,
+        |         MIN(cd) OVER (ORDER BY t) AS mcd FROM c)
+        |SELECT t, CAST(x AS BIGINT) AS x,
+        |  CAST(CAST(CAST(cu - LEAST(0, mcu) AS DOUBLE)/1e6 AS DECIMAL(18,6)) AS DOUBLE) AS s_plus,
+        |  CAST(CAST(CAST(cd - LEAST(0, mcd) AS DOUBLE)/1e6 AS DECIMAL(18,6)) AS DOUBLE) AS s_minus,
+        |  CAST(cu - LEAST(0, mcu) AS DOUBLE) > 4.0*sigma*1e6 AS alarm_up,
+        |  CAST(cd - LEAST(0, mcd) AS DOUBLE) > 4.0*sigma*1e6 AS alarm_down
+        |FROM mm ORDER BY t""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

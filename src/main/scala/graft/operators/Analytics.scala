@@ -1009,4 +1009,139 @@ object Analytics {
       .drop("__qx", "__qy")
       .orderBy(col("z") +: idCols.map(col): _*)
   }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * companion of [[corrByGroup]] (Pearson answers "linear", Spearman
+    * answers "monotone", which is what you want for skewed pipeline
+    * metrics like doc length vs quality score).
+    *
+    * Pearson over average-ties ranks, kept EXACT end-to-end: the average
+    * rank of a tie block is rank + (ties−1)/2, which is half-integral, so
+    * both axes use the DOUBLED rank 2·rank + ties − 1 — an integer —
+    * (scaling both axes by 2 leaves the correlation unchanged). All five
+    * sums are exact DECIMAL(38,0) integers; each is cast to double
+    * SEPARATELY and the textbook formula runs in fixed-order double
+    * arithmetic LAST, so any engine at any partitioning produces the same
+    * bits. One shuffle on the group key; the two rank windows ride the
+    * same per-group sort. Parallelism = #groups (the giant-group note on
+    * `calibrateByGroup` applies). */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val wx = Window.partitionBy(groupCol).orderBy(col(xCol))
+    val wy = Window.partitionBy(groupCol).orderBy(col(yCol))
+    val tx = Window.partitionBy(col(groupCol), col(xCol))
+    val ty = Window.partitionBy(col(groupCol), col(yCol))
+    val ranked = df.select(
+      col(groupCol),
+      (lit(2) * rank().over(wx) + count(lit(1)).over(tx) - 1).cast("long").as("rx2"),
+      (lit(2) * rank().over(wy) + count(lit(1)).over(ty) - 1).cast("long").as("ry2"))
+    // cast to decimal BEFORE the product: a long·long rank product wraps
+    // past 2^63 once a group exceeds ~1.5e9 rows
+    val rx = col("rx2").cast("decimal(19,0)")
+    val ry = col("ry2").cast("decimal(19,0)")
+    val agg = ranked.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(rx).as("sx"),
+      sum(ry).as("sy"),
+      sum(rx * ry).as("sxy"),
+      sum(rx * rx).as("sxx"),
+      sum(ry * ry).as("syy"))
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    agg.select(col(groupCol), col("n").cast("long").as("n_rows"),
+        when(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0d,
+          ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("rho"))
+      .orderBy(groupCol)
+  }
+
+  /** Autocorrelation function of an evenly spaced series at lags 1..k —
+    * "does yesterday predict today", the seasonality/trend probe behind
+    * ingest-volume monitoring. Input is ONE ROW PER TIME STEP (aggregate
+    * first — e.g. events → daily counts; gap-fill in the style of
+    * [[monthlySeriesFilled]] if the series has holes; lag pairs at missing
+    * steps silently drop).
+    *
+    * r_h = Σ(x_t−μ)(x_{t+h}−μ) / Σ(x_t−μ)². Never a one-partition window:
+    * each row explodes to its k lag probes (t+h, h) and pairs rejoin on an
+    * EQUI join on t — broadcast-able, shuffle-free on the corpus side when
+    * the series is dim-sized, and a plain hash join at worst. μ is one
+    * double division of exact integer sums; every centered product is
+    * quantized DECIMAL(28,9) before the order-independent decimal sum. */
+  def acf(series: DataFrame, tCol: String, valueCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag in [1,64]")
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).localCheckpoint() // 3 consumers
+    // decimal sums: Σx² in long wraps silently past 2^63 (x ~ 3e9 is enough)
+    val x19 = col("x").cast("decimal(19,0)")
+    val stats = base.agg(count(lit(1)).as("n"), sum(x19).as("sx"),
+        sum(x19 * x19).as("sxx"))
+      .select(col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        // Σ(x−μ)² = Σx² − n·μ² needs μ first; keep the whole chain double
+        (col("sxx").cast("double") -
+          col("n").cast("double") * (col("sx").cast("double") / col("n").cast("double"))
+            * (col("sx").cast("double") / col("n").cast("double"))).as("den"))
+    val probes = base.select(col("t"), col("x").as("x0"),
+        explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)).as("lag"))
+      .withColumn("t2", col("t") + col("lag"))
+    val pairs = probes.join(base.select(col("t").as("t2"), col("x").as("xh")), "t2")
+    pairs.crossJoin(broadcast(stats))
+      .select(col("lag"), col("den"),
+        ((col("x0").cast("double") - col("mu")) * (col("xh").cast("double") - col("mu")))
+          .cast("decimal(28,9)").as("term"))
+      .groupBy("lag", "den")
+      .agg(count(lit(1)).as("n_pairs"), sum("term").cast("double").as("num"))
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") > 0d, (col("num") / col("den")).cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Benford first-significant-digit audit — the classic fabricated-data /
+    * unit-mixup screen for any naturally multiplicative positive measure
+    * (amounts, populations, file sizes). Per digit 1–9: observed count and
+    * share, the Benford-law expected share, and the χ² contribution; the
+    * full-audit χ² statistic is repeated on every row so the output stays
+    * flat (8 df ⇒ reject uniform-conformance at χ² > 15.5 for α=0.05).
+    *
+    * The digit comes from the value's canonical DECIMAL STRING (first
+    * char in [1-9]) — never floor(log10): both engines format decimals
+    * identically, while a log10-of-double digit boundary can disagree by
+    * one ulp exactly at powers of ten. One hash aggregate to 9 rows;
+    * expected shares are log10 literals quantized to nano-units the same
+    * way on both engines, so every downstream double chain is bit-equal. */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val digit = regexp_extract(valueCol.cast("decimal(18,2)").cast("string"),
+      "[1-9]", 0)
+    val obs = df.select(digit.as("digit")).filter(col("digit") =!= "")
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    // quantized expected shares: round(log10(1+1/d)·1e9)/1e9, precomputed so
+    // the JVM's and the oracle engine's libm never meet the comparison
+    val pExp = (1 to 9).map { d =>
+      (d.toString, math.round(math.log10(1.0 + 1.0 / d) * 1e9) / 1e9)
+    }
+    val expDf = df.sparkSession.createDataFrame(pExp).toDF("digit", "p_exp")
+    val tot = obs.agg(sum("n_obs").as("__n"))
+    val chi = ((col("n_obs").cast("double") - col("p_exp") * col("__n").cast("double"))
+      * (col("n_obs").cast("double") - col("p_exp") * col("__n").cast("double"))
+      / (col("p_exp") * col("__n").cast("double"))).cast("decimal(28,9)")
+    // obs (≤9 rows) is the build side: the left of a LEFT OUTER can't be
+    // broadcast, the preserved stream must stay streamed
+    val perDigit = expDf.join(broadcast(obs), Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("__n").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("p_obs"),
+        col("p_exp"), chi.as("chi_term"))
+    val chiTot = perDigit.agg(sum("chi_term").cast("double").as("chi2"))
+    perDigit.crossJoin(broadcast(chiTot))
+      .select(col("digit"), col("n_obs"), col("p_obs"), col("p_exp"),
+        col("chi_term").cast("double").as("chi_term"), col("chi2"))
+      .orderBy("digit")
+  }
 }

@@ -453,4 +453,91 @@ object Evaluation {
           .otherwise(0d))
       .orderBy("label")
   }
+
+  /** Distributed prefix MINIMUM in a total order — [[globalCumSum]]'s
+    * monoid sibling (min instead of +), same two-pass shape: range-sort,
+    * collect O(partitions) per-partition minima, broadcast their exclusive
+    * prefix-min, finish map-side. `valueCols` must be LongType; each gains
+    * a `cummin_` twin. Needed wherever a running extremum would otherwise
+    * force a one-partition window (CUSUM, drawdown). */
+  def globalCumMin(df: DataFrame, orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(orderCols.map(col): _*).localCheckpoint()
+    val idx = valueCols.map(c => sorted.schema.fieldIndex(c))
+    val partMins = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      val acc = Array.fill(idx.length)(Long.MaxValue)
+      it.foreach { r =>
+        var i = 0
+        while (i < idx.length) { acc(i) = math.min(acc(i), r.getLong(idx(i))); i += 1 }
+      }
+      Iterator((p, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      partMins.scanLeft(Array.fill(idx.length)(Long.MaxValue)) { (a, b) =>
+        a.zip(b).map { case (x, y) => math.min(x, y) }
+      })
+    val schema = valueCols.foldLeft(sorted.schema)(
+      (s, c) => s.add(s"cummin_$c", "long", nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      val run = offsets.value(p).clone()
+      it.map { r =>
+        var i = 0
+        while (i < idx.length) { run(i) = math.min(run(i), r.getLong(idx(i))); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Two-sided CUSUM changepoint monitor over an evenly spaced series
+    * (one row per time step — aggregate first, e.g. events → daily
+    * counts): detects a sustained shift of the mean that per-point tests
+    * (z-score, [[psi]] on windows) smear out. Standard tabular CUSUM with
+    * slack k·σ and alarm threshold h·σ:
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − kσ)), mirrored for S⁻.
+    *
+    * The recurrence looks sequential but is two prefix scans via the
+    * Lindley identity S⁺_t = C_t − min(0, min_{j≤t} C_j) with
+    * C_t = Σ_{i≤t}(x_i − μ − kσ): each deviation is rounded to integer
+    * MICRO-units (half-away-from-zero on a fixed double chain — identical
+    * in any engine), then [[globalCumSum]] + [[globalCumMin]] finish it
+    * exactly without a one-partition window. μ and σ (population) are
+    * fixed double chains over exact integer sums. Output per step:
+    * s_plus/s_minus in σ-free value units (6 dp) and the alarm flags. */
+  def cusum(series: DataFrame, tCol: String, valueCol: String,
+            kSigmas: Double = 0.5, hSigmas: Double = 4.0): DataFrame = {
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).localCheckpoint() // stats + scan
+    // decimal sums (Σx² wraps long past 2^63); each cast to double
+    // SEPARATELY, then a fixed IEEE chain both engines reproduce
+    val x19 = col("x").cast("decimal(19,0)")
+    val st = base.agg(count(lit(1)).as("n"), sum(x19).as("sx"),
+        sum(x19 * x19).as("sxx"))
+      .select((col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double"))).as("sigma"))
+    val dev = base.crossJoin(broadcast(st))
+      .select(col("t"), col("x"), col("mu"), col("sigma"),
+        round((col("x").cast("double") - col("mu") - lit(kSigmas) * col("sigma"))
+          * lit(1e6d)).cast("long").as("up"),
+        round((col("mu") - col("x").cast("double") - lit(kSigmas) * col("sigma"))
+          * lit(1e6d)).cast("long").as("dn"))
+    globalCumSum(dev, Seq("t"), Seq("up", "dn"))
+      .withColumnRenamed("cum_up", "cu").withColumnRenamed("cum_dn", "cd")
+      // prepend the virtual C_0 = 0 via least(lit(0)): min over j ≤ t of the
+      // cumulative INCLUDING the empty prefix
+      .transform(d => globalCumMin(d, Seq("t"), Seq("cu", "cd")))
+      .select(col("t"), col("x"),
+        ((col("cu") - least(lit(0L), col("cummin_cu"))).cast("double") / 1e6)
+          .cast("decimal(18,6)").cast("double").as("s_plus"),
+        ((col("cd") - least(lit(0L), col("cummin_cd"))).cast("double") / 1e6)
+          .cast("decimal(18,6)").cast("double").as("s_minus"),
+        (col("cu") - least(lit(0L), col("cummin_cu"))).cast("double")
+          .gt(lit(hSigmas) * col("sigma") * 1e6).as("alarm_up"),
+        (col("cd") - least(lit(0L), col("cummin_cd"))).cast("double")
+          .gt(lit(hSigmas) * col("sigma") * 1e6).as("alarm_down"))
+      .orderBy("t")
+  }
 }

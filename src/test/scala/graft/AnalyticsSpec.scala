@@ -477,4 +477,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(graft.operators.Analytics.exactGlobalMedian(
       Seq.empty[Double].toDF("value"), "value").count() == 0)
   }
+
+  test("spearmanByGroup: monotone data hits ±1 exactly; ties average") {
+    // strictly increasing (rho=1) and strictly decreasing (rho=-1) groups
+    val mono = (1 to 50).map(i => ("up", i.toDouble, math.exp(i / 10.0))) ++
+      (1 to 50).map(i => ("dn", i.toDouble, -i * 3.0))
+    val out = Analytics.spearmanByGroup(mono.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("up") == 1.0 && out("dn") == -1.0)
+    // hand case with a tie block: x=(1,2,2,3), y=(1,3,2,4) → ranks
+    // rx=(1,2.5,2.5,4), ry=(1,3,2,4); rho = 0.9486832980505138 (computed
+    // by hand via the Pearson-on-ranks formula)
+    val tied = Seq(("t", 1.0, 1.0), ("t", 2.0, 3.0), ("t", 2.0, 2.0), ("t", 3.0, 4.0))
+    val rho = Analytics.spearmanByGroup(tied.toDF("g", "x", "y"), "g", "x", "y")
+      .head().getDouble(2)
+    assert(math.abs(rho - 0.9486832980505138) < 1e-9, rho.toString)
+    // constant axis: zero variance -> null, not NaN
+    val const = Seq(("c", 1.0, 5.0), ("c", 2.0, 5.0), ("c", 3.0, 5.0))
+    assert(Analytics.spearmanByGroup(const.toDF("g", "x", "y"), "g", "x", "y")
+      .head().isNullAt(2))
+    // partitioning invariance
+    val p8 = Analytics.spearmanByGroup(mono.toDF("g", "x", "y").repartition(8),
+      "g", "x", "y").collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p8 == out)
+  }
+
+  test("acf: a period-2 alternating series has acf(1)=-1, acf(2)=+1") {
+    val alt = (0 until 40).map(t => (t.toLong, if (t % 2 == 0) 10L else 20L))
+    val out = Analytics.acf(alt.toDF("t", "x"), "t", "x", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // finite-sample ACF of a perfect alternation is slightly inside ±1
+    // (the lag-h sum has n-h terms over the full-series denominator)
+    assert(out(1L) < -0.9 && out(2L) > 0.9, out.toString)
+    // gap in the series: pairs at the hole drop, no crash
+    val gappy = alt.filterNot(_._1 == 20L)
+    val g = Analytics.acf(gappy.toDF("t", "x"), "t", "x", maxLag = 2).collect()
+    assert(g.map(_.getLong(1)).toSeq == Seq(37L, 36L)) // n_pairs lose the hole
+    // constant series: zero variance -> null acf
+    val const = (0 until 10).map(t => (t.toLong, 7L))
+    assert(Analytics.acf(const.toDF("t", "x"), "t", "x", maxLag = 1)
+      .head().isNullAt(2))
+  }
+
+  test("benfordAudit: digits come from the decimal string; chi2 is additive") {
+    // 100 values starting with 1, 20 with 9 → p_obs 5/6 and 1/6
+    val vals = (1 to 100).map(_ => 1234.56) ++ (1 to 20).map(_ => 0.09)
+    val out = Analytics.benfordAudit(vals.toDF("v"), col("v")).collect()
+    assert(out.length == 9) // all digits present even with 0 observations
+    val byDigit = out.map(r => r.getString(0) -> r).toMap
+    assert(byDigit("1").getLong(1) == 100L)
+    assert(byDigit("9").getLong(1) == 20L)  // 0.09 → first significant digit 9
+    assert(byDigit("2").getLong(1) == 0L)
+    // chi2 column equals the sum of the chi terms, and is the same on every row
+    val chiSum = out.map(_.getDouble(4)).sum
+    assert(out.map(_.getDouble(5)).distinct.length == 1)
+    assert(math.abs(out.head.getDouble(5) - chiSum) < 1e-6)
+    // a perfectly Benford-weighted sample scores chi2 ~ 0: use expected
+    // counts rounded from n=10000
+    val benford = (1 to 9).flatMap { d =>
+      val n = math.round(math.log10(1.0 + 1.0 / d) * 10000).toInt
+      Seq.fill(n)(d * 1.11)
+    }
+    val chi2 = Analytics.benfordAudit(benford.toDF("v"), col("v"))
+      .head().getDouble(5)
+    assert(chi2 < 0.01, chi2.toString)
+  }
 }

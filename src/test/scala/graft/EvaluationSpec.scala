@@ -176,6 +176,49 @@ class EvaluationSpec extends SparkSpec {
     assert(p8.map(_.getDouble(3)).toSeq == out.map(_.getDouble(3)).toSeq)
   }
 
+  test("globalCumMin: matches a sequential prefix-min at any partitioning") {
+    val xs = Seq(5L, 3L, 7L, 3L, 1L, 9L, 0L, 4L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val expect = xs.map(_._2).scanLeft(Long.MaxValue)(math.min).tail
+    for (p <- Seq(1, 4, 8)) {
+      val got = Evaluation.globalCumMin(
+          xs.toDF("t", "v").repartition(p), Seq("t"), Seq("v"))
+        .orderBy("t").collect().map(_.getLong(2)).toSeq
+      assert(got == expect, s"p=$p: $got")
+    }
+  }
+
+  test("cusum: flat series stays at 0; a step change raises exactly one side") {
+    // 20 steps at 100, then 20 at 130: mean 115, sigma 15 -> after the step
+    // the up-side accumulates (130-115-7.5)=7.5 per step, alarm at 4sigma=60
+    val series = ((0 until 20).map(t => (t.toLong, 100L)) ++
+      (20 until 40).map(t => (t.toLong, 130L)))
+    val out = Evaluation.cusum(series.toDF("t", "x"), "t", "x").collect()
+    val byT = out.map(r => r.getLong(0) -> r).toMap
+    // before the step: up-side pinned at 0 (deviations negative), while the
+    // DOWN side accumulates 7.5 per step (the low regime sits below the
+    // global mean — both regimes of a stepped series deviate from it)
+    assert(byT(10L).getDouble(2) == 0.0)
+    assert(math.abs(byT(10L).getDouble(3) - 11 * 7.5) < 1e-6)
+    assert(!byT(5L).getBoolean(5)) // 45 < 60: down not alarming yet
+    assert(byT(10L).getBoolean(5)) // 82.5 > 60: down alarm in the low regime
+    // after the step: s_plus grows 7.5 per step from t=20
+    assert(math.abs(byT(25L).getDouble(2) - 6 * 7.5) < 1e-6)
+    assert(!byT(25L).getBoolean(4)) // 45 < 60: no up alarm yet
+    assert(byT(28L).getBoolean(4))  // 67.5 > 60: up alarm
+    // the down side drains 22.5 per step in the high regime and floors at 0
+    assert(byT(39L).getDouble(3) == 0.0 && !byT(39L).getBoolean(5))
+    // flat series: both sides identically 0, no alarms, no NaN
+    val flat = (0 until 10).map(t => (t.toLong, 50L))
+    val f = Evaluation.cusum(flat.toDF("t", "x"), "t", "x").collect()
+    assert(f.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0
+      && !r.getBoolean(4) && !r.getBoolean(5)))
+    // partitioning invariance of the two scans
+    val p8 = Evaluation.cusum(series.toDF("t", "x").repartition(8), "t", "x")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(p8 == out.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq)
+  }
+
   test("liftTable: perfect ranking lifts the top decile 10x; tie blocks land whole") {
     // 1000 unique scores descending, positives = top 100 → gains are maximal
     val df = (1 to 1000).map(i => (1001.0 - i, i <= 100)).toDF("score", "label")

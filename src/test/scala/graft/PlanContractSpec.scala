@@ -34,7 +34,13 @@ class PlanContractSpec extends SparkSpec {
           "q116_decayed_score", "q128_impute",
           "q142_psi", "q143_ks", "q148_js_divergence",
           // 1-row broadcast (nn, np) totals in the lift/gains table
-          "q154_lift")
+          "q154_lift",
+          // 1-row broadcast control arm in the A/B readout; the |X|×|Y|
+          // contingency grid + 1-row broadcast totals in mutual info
+          "q155_ab_test", "q156_mutual_info",
+          // 1-row broadcast μ/den stats in the ACF; the 9-row digit spine ×
+          // 1-row totals in the Benford audit
+          "q159_acf", "q160_benford")
         if (allowed(name)) None else Some(name)
       } else None
     }
