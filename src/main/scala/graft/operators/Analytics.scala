@@ -1019,33 +1019,49 @@ object Analytics {
     * rank of a tie block is rank + (ties−1)/2, which is half-integral, so
     * both axes use the DOUBLED rank 2·rank + ties − 1 — an integer —
     * (scaling both axes by 2 leaves the correlation unchanged). All five
-    * sums are exact DECIMAL(38,0) integers; each is cast to double
-    * SEPARATELY and the textbook formula runs in fixed-order double
-    * arithmetic LAST, so any engine at any partitioning produces the same
-    * bits. One shuffle on the group key; the two rank windows ride the
-    * same per-group sort. Parallelism = #groups (the giant-group note on
-    * `calibrateByGroup` applies). */
+    * sums are exact decimal integers; each is cast to double SEPARATELY
+    * and the textbook formula runs in fixed-order double arithmetic LAST,
+    * so any engine at any partitioning produces the same bits.
+    *
+    * NEVER ranks raw rows (same design as [[Evaluation.groupedAuc]]): one
+    * hash aggregate collapses to distinct (group, x, y) cells, each axis
+    * ranks its per-distinct-VALUE margin (the window sees |distinct|, not
+    * |rows|: 2·rank+ties−1 = 2·cum_before + n_value + 1), and the doubled
+    * ranks hash-join back onto the cells, count-weighted. The margin
+    * window's parallelism is #groups (the q141 grouped-AUC note applies);
+    * for a near-continuous axis the margin is row-sized — quantize such an
+    * axis first (Spearman is rank-based: any strictly monotone binning of
+    * ties-free data is rho-preserving only if it stays injective, so
+    * prefer DECIMAL rounding that keeps business precision). */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String): DataFrame = {
-    val wx = Window.partitionBy(groupCol).orderBy(col(xCol))
-    val wy = Window.partitionBy(groupCol).orderBy(col(yCol))
-    val tx = Window.partitionBy(col(groupCol), col(xCol))
-    val ty = Window.partitionBy(col(groupCol), col(yCol))
-    val ranked = df.select(
-      col(groupCol),
-      (lit(2) * rank().over(wx) + count(lit(1)).over(tx) - 1).cast("long").as("rx2"),
-      (lit(2) * rank().over(wy) + count(lit(1)).over(ty) - 1).cast("long").as("ry2"))
-    // cast to decimal BEFORE the product: a long·long rank product wraps
+    val cells = df.groupBy(col(groupCol), col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // 3 consumers — uncheckpointed, the row-sized
+                         // scan+aggregate re-runs per margin (measured 1.8×)
+    def margin(valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy(valCol)
+      cells.groupBy(col(groupCol), col(valCol)).agg(sum("cnt").as("nv"))
+        .withColumn(out,
+          (lit(2) * (sum("nv").over(w) - col("nv")) + col("nv") + 1)
+            .cast("long"))
+        .drop("nv")
+    }
+    // cast to decimal BEFORE the products: a long·long rank product wraps
     // past 2^63 once a group exceeds ~1.5e9 rows
+    val c19 = col("cnt").cast("decimal(19,0)")
     val rx = col("rx2").cast("decimal(19,0)")
     val ry = col("ry2").cast("decimal(19,0)")
-    val agg = ranked.groupBy(groupCol).agg(
-      count(lit(1)).as("n"),
-      sum(rx).as("sx"),
-      sum(ry).as("sy"),
-      sum(rx * ry).as("sxy"),
-      sum(rx * rx).as("sxx"),
-      sum(ry * ry).as("syy"))
+    val agg = cells
+      .join(margin("x", "rx2"), Seq(groupCol, "x"))
+      .join(margin("y", "ry2"), Seq(groupCol, "y"))
+      .groupBy(groupCol).agg(
+        sum("cnt").as("n"),
+        sum(c19 * rx).as("sx"),
+        sum(c19 * ry).as("sy"),
+        sum(c19 * rx * ry).as("sxy"),
+        sum(c19 * rx * rx).as("sxx"),
+        sum(c19 * ry * ry).as("syy"))
     val n = col("n").cast("double"); val sx = col("sx").cast("double")
     val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
     val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
