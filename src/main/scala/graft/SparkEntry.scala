@@ -394,6 +394,17 @@ object SparkEntry {
           .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
           .agg(count(lit(1)).as("cnt")),
         "day", "cnt")),
+    "q162_stratified_split" -> ((s, d) =>
+      // 80/10/10 with EXACT per-source counts — no source starves
+      Splits.stratifiedSplit(Tables.documents(s, d), "doc_id", "source")),
+    "q163_weighted_pctile" -> ((s, d) =>
+      // quantity-weighted price percentiles: every line counts qty times
+      Analytics.weightedPercentilesByGroup(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", "l_quantity", Seq(500, 900))),
+    "q164_automation" -> ((s, d) =>
+      // metronomic actors: low gap-CV or a dominant modal gap
+      Analytics.automationSignature(Tables.events(s, d),
+        "user_id", "ts", "event_id")),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1550,6 +1561,57 @@ object SparkEntry {
         |  CAST(cu - LEAST(0, mcu) AS DOUBLE) > 4.0*sigma*1e6 AS alarm_up,
         |  CAST(cd - LEAST(0, mcd) AS DOUBLE) > 4.0*sigma*1e6 AS alarm_down
         |FROM mm ORDER BY t""".stripMargin,
+    "q162_stratified_split" ->
+      // exact per-stratum floor(n·pm/1000) boundaries in integer division;
+      // rank by (md5 bucket, id) — the engine-reproducible order
+      """WITH s AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN r <= n*800//1000 THEN 'train'
+        |       WHEN r <= n*800//1000 + n*100//1000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s ORDER BY source, doc_id""".stripMargin,
+    "q163_weighted_pctile" ->
+      // lower weighted percentile via integer cross-multiplication
+      // cumw·1000 ≥ pm·W — no float quantile boundary
+      """WITH m AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS nv
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT g, v, nv, SUM(nv) OVER (PARTITION BY g ORDER BY v) AS cumw,
+        |        SUM(nv) OVER (PARTITION BY g) AS tw FROM m),
+        |p AS (SELECT c.*, pm FROM c CROSS JOIN (SELECT unnest([500, 900]) AS pm) u
+        |      WHERE cumw*1000 >= pm*tw)
+        |SELECT g AS l_returnflag, pm, MIN(v) AS value,
+        |  CAST(MAX(tw) AS BIGINT) AS total_weight
+        |FROM p GROUP BY 1, 2 ORDER BY l_returnflag, pm""".stripMargin,
+    "q164_automation" ->
+      // gap multiset is tie-order independent (successive differences of a
+      // sorted multiset); CV one fixed double chain over exact decimal sums
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events),
+        |g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e),
+        |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |st AS (SELECT user_id, COUNT(*) AS n_gaps, SUM(CAST(gap AS DECIMAL(19,0))) AS sg,
+        |         SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sgg
+        |       FROM gg GROUP BY 1),
+        |md AS (SELECT user_id, MAX(ng) AS modal_n
+        |       FROM (SELECT user_id, gap, COUNT(*) AS ng FROM gg GROUP BY 1, 2) GROUP BY 1),
+        |k AS (SELECT st.user_id, n_gaps,
+        |        CASE WHEN CAST(sg AS DOUBLE) > 0
+        |             THEN sqrt(CAST(n_gaps AS DOUBLE)*CAST(sgg AS DOUBLE)
+        |                     - CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE))/CAST(sg AS DOUBLE)
+        |             ELSE CAST(0 AS DOUBLE) END AS cv,
+        |        CAST(modal_n AS DOUBLE)/CAST(n_gaps AS DOUBLE) AS ms,
+        |        CAST(sg AS DOUBLE)/CAST(n_gaps AS DOUBLE) AS mg
+        |      FROM st JOIN md USING (user_id) WHERE n_gaps >= 9)
+        |SELECT user_id, n_gaps,
+        |  CAST(CAST(mg AS DECIMAL(18,6)) AS DOUBLE) AS mean_gap_sec,
+        |  CAST(CAST(cv AS DECIMAL(18,9)) AS DOUBLE) AS cv,
+        |  CAST(CAST(ms AS DECIMAL(18,9)) AS DOUBLE) AS modal_share,
+        |  cv < 0.1 OR ms > 0.5 AS flagged
+        |FROM k ORDER BY user_id""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

@@ -1117,6 +1117,93 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** Exact weighted percentiles per group — "the token-weighted median doc
+    * length", where every row counts `weightCol` times ([[percentiles]]
+    * weights every row 1; reweighting by tokens/bytes is how corpus
+    * questions are actually posed). Returns, per group and probe p, the
+    * lower weighted percentile: the smallest value whose cumulative weight
+    * reaches p·W.
+    *
+    * Rows collapse to per-distinct-value weight sums first (the only
+    * row-sized shuffle); the cumulative weight rides a window over that
+    * shrunken margin (parallelism #groups — grouped-AUC note applies).
+    * The threshold test is PURE INTEGER: cumw·1000 ≥ pm·W with per-mille
+    * probes — no float quantile boundary to ulp-flip. Weights must be
+    * non-negative integers (token counts, byte sizes); zero-weight values
+    * never win a probe (their cum equals the previous row's). */
+  def weightedPercentilesByGroup(df: DataFrame, groupCol: String,
+                                 valueCol: String, weightCol: String,
+                                 probesPm: Seq[Int]): DataFrame = {
+    require(probesPm.nonEmpty && probesPm.forall(p => p >= 1 && p <= 1000),
+      "per-mille probes in [1,1000]")
+    val margin = df
+      .select(col(groupCol), col(valueCol).as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .groupBy(col(groupCol), col("v")).agg(sum("wt").as("nv"))
+    val w = Window.partitionBy(groupCol).orderBy("v")
+    val tot = Window.partitionBy(groupCol)
+    val cum = margin
+      .withColumn("cumw", sum("nv").over(w))
+      .withColumn("tw", sum("nv").over(tot))
+      .withColumn("pm", explode(array(probesPm.distinct.sorted.map(p => lit(p)): _*)))
+      // first margin row whose cumulative weight reaches pm·W/1000:
+      // integer cross-multiplication, exact at any scale
+      .filter(col("cumw") * 1000 >= col("pm") * col("tw"))
+    cum.groupBy(col(groupCol), col("pm"))
+      .agg(min("v").as("value"), max("tw").as("total_weight"))
+      .orderBy(col(groupCol), col("pm"))
+  }
+
+  /** Automation / bot signature per actor: humans arrive with irregular
+    * gaps, schedulers arrive metronomically. Per actor with ≥`minEvents`
+    * events: gap count, mean gap, the coefficient of variation of gaps
+    * (CV = σ/μ — near 0 ⇒ metronome), and the modal-gap share (the
+    * fraction of gaps equal to the single most common gap — catches bots
+    * that jitter between two intervals, which CV alone can miss). Flag
+    * when CV < `cvThresh` or modal share > `modalThresh`.
+    *
+    * One shuffle on the actor for the lag window (timeline order is the
+    * actor's own — parallelism #actors, which is the natural sharding for
+    * behavioral features); gap sums are exact decimal integers with the
+    * double formula last: CV = √(n·Σg² − (Σg)²)/Σg — one chain, engine
+    * bit-equal. The modal count re-aggregates the (actor, gap) pairs —
+    * margin-sized, not row-sized. */
+  def automationSignature(events: DataFrame, actorCol: String, tsCol: String,
+                          idCol: String, minEvents: Int = 10,
+                          cvThresh: Double = 0.1,
+                          modalThresh: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy(actorCol).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .select(col(actorCol), col(tsCol), col(idCol))
+      .withColumn("gap",
+        unix_timestamp(col(tsCol)) - lag(unix_timestamp(col(tsCol)), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col(actorCol), col("gap"))
+      .localCheckpoint() // stats + modal both read it
+    val g19 = col("gap").cast("decimal(19,0)")
+    val stats = gaps.groupBy(actorCol).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(g19).as("sg"),
+      sum(g19 * g19).as("sgg"))
+    val modal = gaps.groupBy(col(actorCol), col("gap"))
+      .agg(count(lit(1)).as("ng"))
+      .groupBy(actorCol).agg(max("ng").as("modal_n"))
+    val cv = when(col("sg").cast("double") > 0d,
+      sqrt(col("n_gaps").cast("double") * col("sgg").cast("double")
+        - col("sg").cast("double") * col("sg").cast("double"))
+        / col("sg").cast("double")).otherwise(lit(0d))
+    val modalShare = col("modal_n").cast("double") / col("n_gaps").cast("double")
+    stats.join(modal, Seq(actorCol))
+      .filter(col("n_gaps") >= minEvents - 1) // n events ⇒ n−1 gaps
+      .select(col(actorCol), col("n_gaps"),
+        (col("sg").cast("double") / col("n_gaps").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("mean_gap_sec"),
+        cv.cast("decimal(18,9)").cast("double").as("cv"),
+        modalShare.cast("decimal(18,9)").cast("double").as("modal_share"),
+        (cv < cvThresh || modalShare > modalThresh).as("flagged"))
+      .orderBy(actorCol)
+  }
+
   /** Benford first-significant-digit audit — the classic fabricated-data /
     * unit-mixup screen for any naturally multiplicative positive measure
     * (amounts, populations, file sizes). Per digit 1–9: observed count and

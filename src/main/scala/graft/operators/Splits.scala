@@ -165,6 +165,38 @@ object Splits {
     * and which rows get the extra copy is deterministic. Pure window +
     * explode — one shuffle on the class key, no RNG, no driver loop over
     * classes. */
+  /** Stratified EXACT-count split: every stratum contributes
+    * floor(n·train‰)/floor(n·val‰) rows to train/val (per-mille, exact
+    * integer arithmetic — no float boundary), remainder to test — unlike
+    * [[assignSplit]], whose global hash buckets only hit the proportions
+    * in expectation and can starve a small stratum entirely (fatal when
+    * the stratum is a rare language or label that eval must cover).
+    *
+    * Rows rank within their stratum by (md5 bucket, id) — deterministic,
+    * engine-reproducible, no RNG — so membership is stable across runs
+    * and layouts. ONE shuffle on the stratum key; the rank window's
+    * parallelism is #strata (fine for label/language/source strata; the
+    * giant-group note applies if a stratum dominates). */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+                      trainPm: Int = 800, valPm: Int = 100): DataFrame = {
+    require(trainPm >= 0 && valPm >= 0 && trainPm + valPm <= 1000,
+      "per-mille shares must fit in 1000")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(bucket(col(idCol)), col(idCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    df.select(col(idCol), col(strataCol))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      // floor(n·pm/1000) in pure integer arithmetic (SQL div): exact at any n
+      .withColumn("split",
+        when(col("__r") <= expr(s"__n * $trainPm div 1000"), "train")
+          .when(col("__r") <= expr(s"__n * $trainPm div 1000")
+            + expr(s"__n * $valPm div 1000"), "val")
+          .otherwise("test"))
+      .select(col(idCol), col(strataCol), col("split"))
+      .orderBy(col(strataCol), col(idCol))
+  }
+
   def classBalance(df: DataFrame, idCol: String, classCol: String): DataFrame = {
     val byClass = org.apache.spark.sql.expressions.Window
       .partitionBy(classCol).orderBy(bucket(col(idCol)), col(idCol))

@@ -519,6 +519,54 @@ class AnalyticsSpec extends SparkSpec {
       .head().isNullAt(2))
   }
 
+  test("weightedPercentilesByGroup: hand case; degenerates to plain percentile at weight 1") {
+    // values 10,20,30 with weights 1,1,8: W=10; p50 -> cumw 10 at v=30?
+    // cum: 10->1, 20->2, 30->10; p500 needs cumw*1000 >= 500*10=5000 -> v=30
+    val df = Seq(("g", 10.0, 1L), ("g", 20.0, 1L), ("g", 30.0, 8L))
+      .toDF("grp", "v", "wt")
+    val out = Analytics.weightedPercentilesByGroup(df, "grp", "v", "wt", Seq(200, 500))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out(500) == 30.0)
+    assert(out(200) == 20.0) // needs cumw >= 2: value 20 reaches it
+    // all weights 1 ≡ the lower percentile of the plain value list
+    val flat = (1 to 100).map(i => ("u", i.toDouble, 1L)).toDF("grp", "v", "wt")
+    val p = Analytics.weightedPercentilesByGroup(flat, "grp", "v", "wt", Seq(500, 900))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(p(500) == 50.0 && p(900) == 90.0)
+    // duplicate values merge their weights (margin collapse)
+    val dup = Seq(("d", 5.0, 3L), ("d", 5.0, 3L), ("d", 9.0, 4L)).toDF("grp", "v", "wt")
+    val q = Analytics.weightedPercentilesByGroup(dup, "grp", "v", "wt", Seq(600))
+      .head()
+    assert(q.getDouble(2) == 5.0 && q.getLong(3) == 10L)
+  }
+
+  test("automationSignature: metronome flags on CV; two-beat bot flags on modal share") {
+    def ev(user: String, secs: Seq[Long]) =
+      secs.zipWithIndex.map { case (s, i) =>
+        (user, new java.sql.Timestamp(s * 1000L), s"$user-$i")
+      }
+    // metronome: exact 60s gaps (cv=0); human: irregular; two-beat bot:
+    // alternating 30/300 (cv high but modal share 50% > threshold? = 0.5
+    // exactly -> NOT flagged by strict >; use 6/11 > 0.5)
+    val metro = ev("bot", (0 until 12).map(_ * 60L))
+    val human = ev("hum", Seq(0L, 7L, 200L, 260L, 1000L, 1030L, 2000L,
+      2300L, 5000L, 5600L, 9000L))
+    val twoBeat = ev("tb", Seq(0L, 30L, 330L, 360L, 660L, 690L, 990L,
+      1020L, 1320L, 1350L, 1650L, 1680L))
+    val df = (metro ++ human ++ twoBeat).toDF("user_id", "ts", "event_id")
+    val out = Analytics.automationSignature(df, "user_id", "ts", "event_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("bot").getDouble(3) == 0.0 && out("bot").getBoolean(5))
+    assert(out("bot").getDouble(2) == 60.0)
+    assert(!out("hum").getBoolean(5), out("hum").toString)
+    // two-beat: 11 gaps, 6 of them 30s -> modal 6/11 > 0.5 flags
+    assert(out("tb").getLong(1) == 11L)
+    assert(out("tb").getDouble(4) > 0.5 && out("tb").getBoolean(5))
+    // below min-events actors are absent
+    val tiny = ev("t2", Seq(0L, 60L, 120L)).toDF("user_id", "ts", "event_id")
+    assert(Analytics.automationSignature(tiny, "user_id", "ts", "event_id").count() == 0)
+  }
+
   test("benfordAudit: digits come from the decimal string; chi2 is additive") {
     // 100 values starting with 1, 20 with 9 → p_obs 5/6 and 1/6
     val vals = (1 to 100).map(_ => 1234.56) ++ (1 to 20).map(_ => 0.09)

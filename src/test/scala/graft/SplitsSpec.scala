@@ -105,4 +105,24 @@ class SplitsSpec extends SparkSpec {
     assert(copies.count(_._1 == "a") == 6 && copies.filter(_._1 == "a").forall(_._3 == 1L))
     assert(copies.count(t => t._1 == "c" && t._2 == 10L) == 6)
   }
+
+  test("stratifiedSplit: EXACT floor counts per stratum; tiny strata keep a test row") {
+    // stratum a: 100 rows -> 80/10/10 exactly; stratum b: 7 rows ->
+    // floor(5.6)=5 train, floor(0.7)=0 val, 2 test — never starved
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 107).map(i => (i.toLong, "b"))
+    val out = Splits.stratifiedSplit(rows.toDF("doc_id", "source"), "doc_id", "source")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val counts = out.groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts(("a", "train")) == 80 && counts(("a", "val")) == 10
+      && counts(("a", "test")) == 10)
+    assert(counts(("b", "train")) == 5 && counts(("b", "test")) == 2
+      && !counts.contains(("b", "val")))
+    // deterministic under repartitioning: identical assignment set
+    val again = Splits.stratifiedSplit(rows.toDF("doc_id", "source").repartition(8),
+      "doc_id", "source").collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val first = Splits.stratifiedSplit(rows.toDF("doc_id", "source"),
+      "doc_id", "source").collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == first)
+  }
 }
