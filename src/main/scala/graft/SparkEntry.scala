@@ -405,6 +405,16 @@ object SparkEntry {
       // metronomic actors: low gap-CV or a dominant modal gap
       Analytics.automationSignature(Tables.events(s, d),
         "user_id", "ts", "event_id")),
+    "q165_containment" -> ((s, d) => {
+      // subset-style duplication both directions over the planted corpus;
+      // unfiltered candidates for the same reason as q24/q26
+      val corpus = docsWithPlantedDups(Tables.documents(s, d))
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      Dedup.containmentRerank(corpus, "doc_id", "text", cands, threshold = 0.8)
+    }),
+    "q166_dim_profile" -> ((s, d) =>
+      // embedding-space health: dead/exploding dimensions, whitening stats
+      Similarity.dimProfile(Tables.embeddings(s, d), "embedding")),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -937,6 +947,30 @@ object SparkEntry {
     * same set via LSH candidates + exact verify — so this oracle checks
     * candidate RECALL as well as verification math. Bit-exact jaccard: both
     * engines divide the same two integers as doubles. */
+  /** All-pairs containment truth over the planted corpus — same shingle
+    * recipe as [[jaccardTruthSql]], asymmetric numerator/denominator. */
+  private def containmentTruthSql(threshold: String): String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' planted near duplicate tail' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM docs),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+      |    END AS s
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c_a_in_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS c_b_in_a
+      |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+      |SELECT doc_id_a, doc_id_b, c_a_in_b, c_b_in_a FROM p
+      |WHERE c_a_in_b >= $threshold OR c_b_in_a >= $threshold
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   private def jaccardTruthSql(threshold: String): String =
     s"""WITH docs AS (
       |  SELECT doc_id, text FROM documents
@@ -1612,6 +1646,22 @@ object SparkEntry {
         |  CAST(CAST(ms AS DECIMAL(18,9)) AS DOUBLE) AS modal_share,
         |  cv < 0.1 OR ms > 0.5 AS flagged
         |FROM k ORDER BY user_id""".stripMargin,
+    "q165_containment" -> containmentTruthSql("0.8"),
+    "q166_dim_profile" ->
+      // zip-unnest (dim, value); floats exact as doubles, quantized
+      // DECIMAL(18,9) before order-independent sums; std double chain last
+      """WITH x AS (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+        |             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS q
+        |           FROM embeddings),
+        |a AS (SELECT dim, COUNT(*) AS n, SUM(q) AS sx, SUM(q*q) AS sxx,
+        |        CAST(MIN(q) AS DOUBLE) AS min_v, CAST(MAX(q) AS DOUBLE) AS max_v
+        |      FROM x GROUP BY dim)
+        |SELECT dim, n,
+        |  CAST(CAST(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS mean,
+        |  CAST(CAST(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |       / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE) AS std,
+        |  min_v, max_v, min_v = max_v AS dead
+        |FROM a ORDER BY dim""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

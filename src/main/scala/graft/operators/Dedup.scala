@@ -229,6 +229,45 @@ object Dedup {
     materializeAndRelease(result, cands, sh)
   }
 
+  /** Containment re-rank of candidate pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * — the asymmetric "is A substantially inside B" score (Broder's
+    * containment). Jaccard misses subset duplication structurally: a 100-
+    * shingle doc pasted into a 10 000-shingle doc has J ≈ 0.01 but
+    * C(A→B) = 1.0 — exactly the boilerplate-inclusion / quote-expansion
+    * case a curation pass must catch. Emits both directions and keeps a
+    * pair when either direction reaches `threshold`.
+    *
+    * Same scale shape as [[ngramJaccard]]: shingles only for ids in a
+    * candidate pair, pair join over candidate-sized sides. NOTE the recall
+    * contract is the candidate generator's: minhash candidates are
+    * Jaccard-biased and will surface tiny⊂huge pairs only when the size
+    * ratio keeps J above the LSH floor; for full subset-style recall feed
+    * candidates from rare-shingle prefix blocking instead. */
+  def containmentRerank(df: DataFrame, idCol: String, textCol: String,
+                        candidates: DataFrame, shingleK: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    import df.sparkSession.implicits._
+    val cands = candidates.persist()
+    val candIds = cands
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("cid")).distinct()
+    val sh = df.select(col(idCol).cast("long"), col(textCol))
+      .join(broadcast(candIds), col(idCol).cast("long") === col("cid"), "left_semi")
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingles(Option(t).getOrElse(""), shingleK)) }
+      .toDF("sid", "sh")
+      .persist()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val result = cands
+      .join(sh.withColumnRenamed("sid", "doc_id_a").withColumnRenamed("sh", "sh_a"), "doc_id_a")
+      .join(sh.withColumnRenamed("sid", "doc_id_b").withColumnRenamed("sh", "sh_b"), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (inter / size(col("sh_a"))).as("c_a_in_b"),
+        (inter / size(col("sh_b"))).as("c_b_in_a"))
+      .filter(col("c_a_in_b") >= threshold || col("c_b_in_a") >= threshold)
+      .orderBy("doc_id_a", "doc_id_b")
+    materializeAndRelease(result, cands, sh)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   private[graft] def simhash64(text: String): Long = {

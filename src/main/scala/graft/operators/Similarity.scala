@@ -445,6 +445,42 @@ object Similarity {
     * magnitude above any sane `maxPartitionBytes`; the global merge sums as
     * DECIMAL(38,0) (exact, like DuckDB's HUGEINT) before the final double
     * division. */
+  /** Per-dimension corpus profile of an embedding column — the health
+    * check before vectors feed ANN/clustering: dead dimensions (constant —
+    * wasted index capacity), exploding dimensions (∞/NaN upstream bugs
+    * show as huge std), and per-dim mean/std for whitening decisions.
+    *
+    * posexplode + ONE hash aggregate: Spark's partial (map-side)
+    * aggregation collapses each partition to ≤dims rows before the
+    * exchange, so shuffle volume is partitions × dims — corpus-size-free.
+    * Each float is exact as a double; values are quantized DECIMAL(18,9)
+    * per element before the order-independent decimal sums (floats carry
+    * ≤9 significant decimal digits, so the quantization is value-preserving
+    * for unit-scale embeddings); min/max are exact order statistics; the
+    * std chain is the fixed double formula LAST. */
+  def dimProfile(embeddings: DataFrame, vecCol: String): DataFrame = {
+    val v = col("v").cast("double").cast("decimal(18,9)")
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"), v.as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sx"),
+        sum(col("q") * col("q")).as("sxx"),
+        min(col("q")).cast("double").as("min_v"),
+        max(col("q")).cast("double").as("max_v"))
+      .select(col("dim"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("mean"),
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")))
+          .cast("decimal(18,9)").cast("double").as("std"),
+        col("min_v"), col("max_v"),
+        (col("min_v") === col("max_v")).as("dead"))
+      .orderBy("dim")
+  }
+
   def gramMatrix(embeddings: DataFrame, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

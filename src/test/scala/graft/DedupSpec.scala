@@ -284,4 +284,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned == Set((1L, 2L)), pruned.toString)
   }
+
+  test("containmentRerank: subset duplication is asymmetric; Jaccard would miss it") {
+    // doc 2 = doc 1 plus a long unrelated tail: C(1->2) = 1, C(2->1) small,
+    // Jaccard small — the exact case the operator exists for
+    val tail = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"$base $tail"),
+      (3L, "a completely different text about nothing in particular")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.containmentRerank(docs, "doc_id", "text", cands, threshold = 0.8)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 1.0)          // every shingle of 1 is in 2
+    assert(out(0).getDouble(3) < 0.5)           // 2 is NOT inside 1
+    // the same pair fails a Jaccard re-rank at the same bar
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", cands, threshold = 0.8)
+    assert(j.count() == 0)
+  }
 }

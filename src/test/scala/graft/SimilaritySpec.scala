@@ -220,4 +220,22 @@ class SimilaritySpec extends SparkSpec {
     val expect = (0 until 10).map(i => math.pow((i % 3).toDouble, 2)).sum
     assert(rows.forall(r => math.abs(r.getDouble(2) - expect) < 1e-9))
   }
+
+  test("dimProfile: dead dim flagged, stats exact, repartition-invariant") {
+    // dim1 constant 0.5 (dead); dim2 alternates ±1 (mean 0, std 1);
+    // dim3 ramps 0.1..0.4
+    val vecs = (0 until 4).map { i =>
+      (i.toLong, Array(0.5f, if (i % 2 == 0) 1f else -1f, 0.1f * (i + 1)))
+    }
+    val out = Similarity.dimProfile(vecs.toDF("vec_id", "embedding"), "embedding")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val d1 = out(0); val d2 = out(1); val d3 = out(2)
+    assert(d1.getBoolean(6) && d1.getDouble(2) == 0.5 && d1.getDouble(3) == 0.0)
+    assert(d2.getDouble(2) == 0.0 && d2.getDouble(3) == 1.0 && !d2.getBoolean(6))
+    assert(d3.getDouble(4) > 0.099 && d3.getDouble(5) < 0.41)
+    val p8 = Similarity.dimProfile(
+      vecs.toDF("vec_id", "embedding").repartition(8), "embedding").collect()
+    assert(p8.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
 }
