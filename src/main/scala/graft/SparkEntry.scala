@@ -415,6 +415,13 @@ object SparkEntry {
     "q166_dim_profile" -> ((s, d) =>
       // embedding-space health: dead/exploding dimensions, whitening stats
       Similarity.dimProfile(Tables.embeddings(s, d), "embedding")),
+    "q167_theil_sen" -> ((s, d) =>
+      // outlier-proof ingest-volume trend (an incident day can't bend it)
+      Analytics.theilSenTrend(
+        Tables.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt")),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1662,6 +1669,21 @@ object SparkEntry {
         |       / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE) AS std,
         |  min_v, max_v, min_v = max_v AS dead
         |FROM a ORDER BY dim""".stripMargin,
+    "q167_theil_sen" ->
+      // median(DOUBLE) is quantile_cont(0.5) — the interpolation
+      // exactGlobalMedian mirrors (see q140); slope quantized 9 dp BEFORE
+      // the residual pass on both engines
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t, COUNT(*) AS x
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) / CAST(b.t - a.t AS DOUBLE) AS s
+        |      FROM d a JOIN d b ON b.t > a.t),
+        |sl AS (SELECT COUNT(*) AS n_pairs,
+        |         CAST(CAST(median(s) AS DECIMAL(18,9)) AS DOUBLE) AS slope FROM p),
+        |r AS (SELECT CAST(x AS DOUBLE) - slope * CAST(t AS DOUBLE) AS resid
+        |      FROM d CROSS JOIN sl),
+        |i AS (SELECT CAST(CAST(median(resid) AS DECIMAL(18,9)) AS DOUBLE) AS intercept FROM r)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_points, n_pairs, slope, intercept
+        |FROM sl CROSS JOIN i""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

@@ -1204,6 +1204,47 @@ object Analytics {
       .orderBy(actorCol)
   }
 
+  /** Theil–Sen robust trend over an evenly spaced (aggregated) series:
+    * slope = median of all pairwise slopes, intercept = median of
+    * (x − slope·t) — a single outlier day (an incident spike) barely moves
+    * it, where OLS ([[regressionByGroup]]) chases the spike. The
+    * monitoring-grade "is ingest volume actually growing" readout.
+    *
+    * The pair join is series², bounded by the AGGREGATED series length
+    * (days, not rows — 10 years ≈ 3.7k points ⇒ ≤7M pairs); both medians
+    * go through [[exactGlobalMedian]]'s distributed refinement, whose
+    * even-n interpolation matches quantile_cont(0.5) bit-for-bit. Slope is
+    * quantized to 9 dp BEFORE the residual pass so the intercept chain
+    * starts from an engine-stable scalar. */
+  def theilSenTrend(series: DataFrame, tCol: String, valueCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val base = series
+      .select(col(tCol).cast("long").as("t"), col(valueCol).cast("double").as("x"))
+      .localCheckpoint() // pair join sides + residual pass
+    val nPoints = base.count()
+    if (nPoints < 2)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("n_points", "n_pairs", "slope", "intercept")
+    val slopes = base.select(col("t").as("ta"), col("x").as("xa"))
+      .crossJoin(base.select(col("t").as("tb"), col("x").as("xb")))
+      .filter(col("tb") > col("ta"))
+      .select(((col("xb") - col("xa")) / (col("tb") - col("ta")).cast("double"))
+        .as("slope"))
+    val sRow = exactGlobalMedian(slopes, "slope").head()
+    val (nPairs, slopeRaw) = (sRow.getLong(0), sRow.getDouble(1))
+    // quantize through Spark's OWN decimal cast (not JVM BigDecimal(double),
+    // whose exact-binary-expansion rounding can differ at the 9-dp boundary)
+    val slope = spark.range(1)
+      .select(lit(slopeRaw).cast("decimal(18,9)").cast("double")).head().getDouble(0)
+    val intercept = exactGlobalMedian(
+      base.select((col("x") - lit(slope) * col("t").cast("double")).as("r")), "r")
+      .head().getDouble(1)
+    Seq((nPoints, nPairs)).toDF("n_points", "n_pairs")
+      .select(col("n_points"), col("n_pairs"), lit(slope).as("slope"),
+        lit(intercept).cast("decimal(18,9)").cast("double").as("intercept"))
+  }
+
   /** Benford first-significant-digit audit — the classic fabricated-data /
     * unit-mixup screen for any naturally multiplicative positive measure
     * (amounts, populations, file sizes). Per digit 1–9: observed count and

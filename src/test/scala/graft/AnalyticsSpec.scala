@@ -567,6 +567,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.automationSignature(tiny, "user_id", "ts", "event_id").count() == 0)
   }
 
+  test("theilSenTrend: one outlier day cannot bend the slope; OLS would chase it") {
+    // x = 2t exactly, except a 100-unit incident spike at t=5
+    val series = (0L to 9L).map(t => (t, if (t == 5L) 100.0 else 2.0 * t))
+    val out = Analytics.theilSenTrend(series.toDF("t", "x"), "t", "x").head()
+    assert(out.getLong(0) == 10L && out.getLong(1) == 45L)
+    assert(out.getDouble(2) == 2.0, out.toString)   // median slope untouched
+    assert(out.getDouble(3) == 0.0)                 // median residual 0
+    // short series: 1 point -> empty frame, not a crash
+    assert(Analytics.theilSenTrend(Seq((1L, 5.0)).toDF("t", "x"), "t", "x").count() == 0)
+  }
+
   test("benfordAudit: digits come from the decimal string; chi2 is additive") {
     // 100 values starting with 1, 20 with 9 → p_obs 5/6 and 1/6
     val vals = (1 to 100).map(_ => 1234.56) ++ (1 to 20).map(_ => 0.09)
