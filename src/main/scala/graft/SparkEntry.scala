@@ -422,6 +422,19 @@ object SparkEntry {
           .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
           .agg(count(lit(1)).as("cnt")),
         "day", "cnt")),
+    "q168_ccf" -> ((s, d) => {
+      // do purchases follow clicks, and by how many days
+      def daily(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.ccf(daily("click"), daily("purchase"), "day", "cnt", maxLag = 5)
+    }),
+    "q169_srm" -> ((s, d) =>
+      // is the q155 arm assignment itself healthy (the gate BEFORE abTest)
+      Evaluation.srmCheck(
+        Tables.orders(s, d).withColumn("arm", pmod(col("o_orderkey"), lit(3))),
+        "arm", Map("0" -> 334, "1" -> 333, "2" -> 333))),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1684,6 +1697,53 @@ object SparkEntry {
         |i AS (SELECT CAST(CAST(median(resid) AS DECIMAL(18,9)) AS DOUBLE) AS intercept FROM r)
         |SELECT (SELECT COUNT(*) FROM d) AS n_points, n_pairs, slope, intercept
         |FROM sl CROSS JOIN i""".stripMargin,
+    "q168_ccf" ->
+      // x_t vs y_{t+h} via equi-join on the lag spine; full-series
+      // population sigmas; centered products DECIMAL(28,9) before the sum
+      """WITH xs AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t, COUNT(*) AS x
+        |            FROM events WHERE event_type = 'click' GROUP BY 1),
+        |ys AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t, COUNT(*) AS y
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sx AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(19,0))) AS s,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS ss FROM xs),
+        |mx AS (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mux,
+        |         sqrt((CAST(n AS DOUBLE)*CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
+        |              / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS sdx FROM sx),
+        |sy AS (SELECT COUNT(*) AS n, SUM(CAST(y AS DECIMAL(19,0))) AS s,
+        |         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS ss FROM ys),
+        |my AS (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS muy,
+        |         sqrt((CAST(n AS DOUBLE)*CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
+        |              / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS sdy FROM sy),
+        |p AS (SELECT l.lag, xs.x, ys.y
+        |      FROM xs CROSS JOIN (SELECT CAST(r AS BIGINT) AS lag FROM range(0,6) t(r)) l
+        |      JOIN ys ON ys.t = xs.t + l.lag),
+        |g AS (SELECT lag, COUNT(*) AS n_pairs,
+        |        CAST(SUM(CAST((CAST(x AS DOUBLE) - mux) * (CAST(y AS DOUBLE) - muy)
+        |          AS DECIMAL(28,9))) AS DOUBLE) AS num,
+        |        MAX(sdx) AS sdx, MAX(sdy) AS sdy
+        |      FROM p CROSS JOIN mx CROSS JOIN my GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN sdx > 0 AND sdy > 0
+        |       THEN CAST(CAST(num/(CAST(n_pairs AS DOUBLE)*sdx*sdy) AS DECIMAL(18,9)) AS DOUBLE)
+        |  END AS ccf
+        |FROM g ORDER BY lag""".stripMargin,
+    "q169_srm" ->
+      // chi-square of arm counts vs the intended 334/333/333 allocation
+      """WITH e(arm, pm) AS (VALUES ('0', 334), ('1', 333), ('2', 333)),
+        |o AS (SELECT CAST(o_orderkey % 3 AS VARCHAR) AS arm, COUNT(*) AS n_obs
+        |      FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n_obs) AS nn FROM o),
+        |pa AS (SELECT e.arm, COALESCE(o.n_obs, 0) AS n_obs, pm,
+        |         CAST(pm AS DOUBLE)*CAST(nn AS DOUBLE)/1000.0 AS ex
+        |       FROM e LEFT JOIN o USING (arm) CROSS JOIN t),
+        |c AS (SELECT arm, n_obs, pm, ex,
+        |        CAST((CAST(n_obs AS DOUBLE) - ex)*(CAST(n_obs AS DOUBLE) - ex)/ex
+        |          AS DECIMAL(28,9)) AS chi_q FROM pa),
+        |s AS (SELECT CAST(SUM(chi_q) AS DOUBLE) AS chi2 FROM c)
+        |SELECT arm, CAST(n_obs AS BIGINT) AS n_obs, pm,
+        |  CAST(CAST(ex AS DECIMAL(18,6)) AS DOUBLE) AS n_expected,
+        |  CAST(chi_q AS DOUBLE) AS chi_term, chi2
+        |FROM c CROSS JOIN s ORDER BY arm""".stripMargin,
     "q152_calibration" ->
       // scores quantized DECIMAL(18,9) per row before the sum; every ratio
       // one double division; ECE term quantized last

@@ -1204,6 +1204,49 @@ object Analytics {
       .orderBy(actorCol)
   }
 
+  /** Cross-correlation of two evenly spaced series at lags 0..k — "do
+    * purchases follow clicks, and by how many days": r_h correlates
+    * x_t against y_{t+h}, so a peak at h=2 reads "y lags x by 2 steps".
+    * [[acf]]'s two-series sibling with the same scale shape: aggregate
+    * first, EQUI-join lag pairs via an exploded lag spine (never a
+    * 1-partition window), per-series μ/σ from exact decimal sums, each
+    * centered product quantized DECIMAL(28,9) before the sum.
+    * r_h = Σ(x_t−μx)(y_{t+h}−μy) / (n_pairs·σx·σy) — the denominator uses
+    * the FULL-series population σs (standard CCF normalization). */
+  def ccf(xSeries: DataFrame, ySeries: DataFrame, tCol: String,
+          valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, "maxLag in [0,64]")
+    def prep(df: DataFrame, vOut: String): DataFrame =
+      df.select(col(tCol).cast("long").as("t"), col(valueCol).cast("long").as(vOut))
+        .localCheckpoint() // stats + pair join
+    def stats(df: DataFrame, vIn: String, muOut: String, sdOut: String): DataFrame = {
+      val v19 = col(vIn).cast("decimal(19,0)")
+      df.agg(count(lit(1)).as("n"), sum(v19).as("s"), sum(v19 * v19).as("ss"))
+        .select((col("s").cast("double") / col("n").cast("double")).as(muOut),
+          sqrt((col("n").cast("double") * col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double"))
+            / (col("n").cast("double") * col("n").cast("double"))).as(sdOut))
+    }
+    val xs = prep(xSeries, "x"); val ys = prep(ySeries, "y")
+    val st = stats(xs, "x", "mux", "sdx").crossJoin(broadcast(stats(ys, "y", "muy", "sdy")))
+    val probes = xs.select(col("t"), col("x"),
+        explode(array((0 to maxLag).map(i => lit(i.toLong)): _*)).as("lag"))
+      .withColumn("t2", col("t") + col("lag"))
+    probes.join(ys.select(col("t").as("t2"), col("y")), "t2")
+      .crossJoin(broadcast(st))
+      .select(col("lag"), col("sdx"), col("sdy"),
+        ((col("x").cast("double") - col("mux")) * (col("y").cast("double") - col("muy")))
+          .cast("decimal(28,9)").as("term"))
+      .groupBy("lag", "sdx", "sdy")
+      .agg(count(lit(1)).as("n_pairs"), sum("term").cast("double").as("num"))
+      .select(col("lag"), col("n_pairs"),
+        when(col("sdx") > 0d && col("sdy") > 0d,
+          (col("num") / (col("n_pairs").cast("double") * col("sdx") * col("sdy")))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("ccf"))
+      .orderBy("lag")
+  }
+
   /** Theil–Sen robust trend over an evenly spaced (aggregated) series:
     * slope = median of all pairwise slopes, intercept = median of
     * (x − slope·t) — a single outlier day (an incident spike) barely moves

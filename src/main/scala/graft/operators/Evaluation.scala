@@ -323,6 +323,42 @@ object Evaluation {
       .orderBy("arm")
   }
 
+  /** Sample-ratio-mismatch (SRM) check for an experiment assignment: χ² of
+    * observed arm counts against the intended allocation — THE first gate
+    * on any A/B readout, because a biased assignment invalidates
+    * [[abTest]] before effect sizes mean anything (the classic silent
+    * failure: a crash path that drops one arm's exposures). `expectedPm`
+    * maps arm → intended share in per-mille (must sum to 1000).
+    *
+    * One hash aggregate to arm counts; expected counts are exact rational
+    * n·pm/1000 kept as a double chain both engines reproduce; χ² terms
+    * quantized DECIMAL(28,9) before the sum. χ² > 3.84 (1 df) / 5.99
+    * (2 df) at α=0.05 ⇒ the assignment itself is broken. */
+  def srmCheck(df: DataFrame, armCol: String,
+               expectedPm: Map[String, Int]): DataFrame = {
+    require(expectedPm.values.sum == 1000, "expected shares must sum to 1000‰")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n_obs"))
+    val exp = expectedPm.toSeq.sortBy(_._1).toDF("arm", "pm")
+    val tot = obs.agg(sum("n_obs").as("__n"))
+    val e = col("pm").cast("double") * col("__n").cast("double") / lit(1000d)
+    val chiT = ((col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e)
+      .cast("decimal(28,9)")
+    val perArm = exp.join(broadcast(obs), Seq("arm"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("arm"), col("n_obs"), col("pm"),
+        e.cast("decimal(18,6)").cast("double").as("n_expected"),
+        chiT.as("chi_q"))
+    val chi2 = perArm.agg(sum("chi_q").cast("double").as("chi2"))
+    perArm.crossJoin(broadcast(chi2))
+      .select(col("arm"), col("n_obs"), col("pm"), col("n_expected"),
+        col("chi_q").cast("double").as("chi_term"), col("chi2"))
+      .orderBy("arm")
+  }
+
   /** Mutual information, normalized MI, and Cramér's V between two
     * categorical columns — "how much does knowing X tell you about Y", the
     * feature-selection / redundancy readout ([[Analytics.chiSquare]] gives

@@ -567,6 +567,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.automationSignature(tiny, "user_id", "ts", "event_id").count() == 0)
   }
 
+  test("ccf: y = x shifted by 2 peaks at lag 2; lag 0 is the plain correlation") {
+    // x alternates 10/20; y is x delayed by 2 steps (same phase): ccf(2)≈1
+    val xs = (0 until 40).map(t => (t.toLong, if (t % 2 == 0) 10L else 20L))
+    val ys = (0 until 40).map(t => (t.toLong, if (t % 2 == 0) 10L else 20L))
+      .map { case (t, v) => (t + 2, v) } // y_{t+2} = x_t
+    val out = Analytics.ccf(xs.toDF("t", "v"), ys.toDF("t", "v"), "t", "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > 0.99, out.toString)  // aligned phase
+    assert(out(1L) < -0.99)               // opposite phase one step off
+    // degenerate y (constant): null, not NaN
+    val cy = (0 until 10).map(t => (t.toLong, 5L))
+    val c = Analytics.ccf(xs.toDF("t", "v"), cy.toDF("t", "v"), "t", "v", 1)
+      .collect()
+    assert(c.forall(_.isNullAt(2)))
+  }
+
   test("theilSenTrend: one outlier day cannot bend the slope; OLS would chase it") {
     // x = 2t exactly, except a 100-unit incident spike at t=5
     val series = (0L to 9L).map(t => (t, if (t == 5L) 100.0 else 2.0 * t))

@@ -176,6 +176,21 @@ class EvaluationSpec extends SparkSpec {
     assert(p8.map(_.getDouble(3)).toSeq == out.map(_.getDouble(3)).toSeq)
   }
 
+  test("srmCheck: balanced arms score ~0; a dropped arm screams; missing arm counted 0") {
+    val ok = ((1 to 500).map(_ => "a") ++ (1 to 500).map(_ => "b")).toDF("arm")
+    val okOut = Evaluation.srmCheck(ok, "arm", Map("a" -> 500, "b" -> 500)).collect()
+    assert(okOut.forall(_.getDouble(5) == 0.0)) // exact 50/50: chi2 identically 0
+    // crash path dropped 40% of b: chi2 explodes past any alpha bar
+    val broken = ((1 to 500).map(_ => "a") ++ (1 to 300).map(_ => "b")).toDF("arm")
+    val bOut = Evaluation.srmCheck(broken, "arm", Map("a" -> 500, "b" -> 500)).head()
+    assert(bOut.getDouble(5) > 3.84, bOut.toString)
+    // an arm absent from the data still gets its expected-count row
+    val gone = (1 to 100).map(_ => "a").toDF("arm")
+    val gOut = Evaluation.srmCheck(gone, "arm", Map("a" -> 500, "b" -> 500))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gOut("b").getLong(1) == 0L && gOut("b").getDouble(3) == 50.0)
+  }
+
   test("globalCumMin: matches a sequential prefix-min at any partitioning") {
     val xs = Seq(5L, 3L, 7L, 3L, 1L, 9L, 0L, 4L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }

@@ -40,7 +40,10 @@ class PlanContractSpec extends SparkSpec {
           "q155_ab_test", "q156_mutual_info",
           // 1-row broadcast μ/den stats in the ACF; the 9-row digit spine ×
           // 1-row totals in the Benford audit
-          "q159_acf", "q160_benford")
+          "q159_acf", "q160_benford",
+          // 1-row broadcast per-series stats in the CCF; the arms-sized
+          // allocation spine × 1-row totals in the SRM check
+          "q168_ccf", "q169_srm")
         if (allowed(name)) None else Some(name)
       } else None
     }
