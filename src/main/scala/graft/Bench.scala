@@ -55,14 +55,21 @@ object Bench {
     // comma-decimal locale would turn the one metric line into invalid JSON
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    // 2 dp: at 137 queries, 3-dp values push the line to ~1.9 KB — the edge
-    // of the driver's ~2 KB tail window; 2 dp keeps ~250 B of headroom
-    val qs = results
-      .map { case (k, v) => "\"" + short(k) + "\":" + num(v, 2) }
+    // The whole line MUST stay under the driver's ~2 KB tail window or its
+    // HEAD (the total) is clipped and the JSON turns invalid — round 1 lost
+    // the bench to exactly this. At 169 queries, plain 2-dp is ~2.05 KB, so:
+    // trim trailing zeros ("2.50"→"2.5", "1.00"→"1"), shorten sf to its
+    // basename, and if still over 1900 B degrade per-query values to 1 dp.
+    def trim(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    def qline(dp: Int): String = results
+      .map { case (k, v) => "\"" + short(k) + "\":" + trim(num(v, dp)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","queries":$qs}"""
+    val sfName = new java.io.File(sfDir).getName
+    def mk(dp: Int): String =
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfName","queries":${qline(dp)}}"""
+    val line = { val l2 = mk(2); if (l2.length <= 1900) l2 else mk(1) }
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)
     spark.stop()

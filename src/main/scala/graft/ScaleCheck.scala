@@ -190,6 +190,42 @@ object ScaleCheck {
     time("integrity_audit")(d => Issues.orphanCounts("lineitem->orders",
       Tables.lineitem(spark, d), "l_orderkey", Tables.orders(spark, d), "o_orderkey"))
     time("topn_ties")(d => Relational.topNPerGroupWithTies(Tables.events(spark, d), 3))
+    time("calibration")(d => Evaluation.calibration(Tables.orders(spark, d),
+      (col("o_orderkey") % 1000) / lit(1000.0), col("o_orderstatus") === "F", 10))
+    time("lift_table")(d => Evaluation.liftTable(Tables.orders(spark, d),
+      col("o_totalprice"), col("o_orderstatus") === "F"))
+    time("ab_test")(d => Evaluation.abTest(
+      Tables.orders(spark, d).withColumn("arm", pmod(col("o_orderkey"), lit(3))),
+      "arm", col("o_orderstatus") === "F", "0"))
+    time("mutual_info")(d => Evaluation.mutualInfo(
+      Tables.orders(spark, d), "o_orderpriority", "o_orderstatus"))
+    time("survival_km")(d => SparkEntry.queries("q157_survival")(spark, d))
+    time("spearman")(d => Analytics.spearmanByGroup(
+      Tables.lineitem(spark, d), "l_returnflag", "l_quantity", "l_extendedprice"))
+    time("benford_audit")(d => Analytics.benfordAudit(
+      Tables.lineitem(spark, d), col("l_extendedprice")))
+    time("stratified_split")(d => Splits.stratifiedSplit(
+      Tables.documents(spark, d), "doc_id", "source"))
+    time("weighted_pctile")(d => Analytics.weightedPercentilesByGroup(
+      Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice", "l_quantity",
+      Seq(500, 900)))
+    time("automation_sig")(d => Analytics.automationSignature(
+      Tables.events(spark, d), "user_id", "ts", "event_id"))
+    time("containment")(d => {
+      val corpus = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      Dedup.containmentRerank(corpus, "doc_id", "text", cands)
+    })
+    time("dim_profile")(d => Similarity.dimProfile(
+      spark.read.parquet(s"$d/embeddings.parquet"), "embedding"))
+    time("cusum + acf (agg series)")(d => {
+      val daily = Tables.events(spark, d)
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Evaluation.cusum(daily, "day", "cnt").unionAll(
+        Analytics.acf(daily, "day", "cnt", 7)
+          .select(col("lag"), col("n_pairs"), col("acf"), col("acf"), lit(false), lit(false)))
+    })
 
     spark.stop()
   }

@@ -496,8 +496,13 @@ object SparkEntry {
       // morton key over the two filter dims of lineitem; files written in
       // this order carry tight part/supp zone maps simultaneously. All four
       // id columns: (orderkey, linenumber) alone is NOT unique in this data
+      // — and sf0.001 even holds one FULLY duplicated 4-tuple, which the
+      // oracle's GROUP BY collapses; dropDuplicates mirrors that (z is a
+      // function of the tuple, so nothing else can differ)
       Analytics.zorderKey(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+        .dropDuplicates(Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+        .orderBy("z", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
     "q134_negative_sample" -> ((s, d) =>
       Splits.negativeSample(Tables.documents(s, d), "doc_id", "text", 5)),
     "q135_hard_negatives" -> ((s, d) =>
@@ -1921,12 +1926,13 @@ object SparkEntry {
       // identical) and the same unrolled bit-interleave as an integer sum
       """WITH s AS (SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
         |                  MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax FROM lineitem),
+        |d AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem),
         |q AS (SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
         |        LEAST(65535, CAST(floor(CAST(l.l_partkey - s.xmin AS DOUBLE)
         |          / (s.xmax - s.xmin + 1) * 65536.0) AS BIGINT)) AS qx,
         |        LEAST(65535, CAST(floor(CAST(l.l_suppkey - s.ymin AS DOUBLE)
         |          / (s.ymax - s.ymin + 1) * 65536.0) AS BIGINT)) AS qy
-        |      FROM lineitem l CROSS JOIN s),
+        |      FROM d l CROSS JOIN s),
         |b AS (SELECT unnest(range(0, 16)) AS b)
         |SELECT q.l_orderkey, q.l_linenumber, q.l_partkey, q.l_suppkey,
         |  CAST(SUM(((q.qx >> b.b) % 2) * (CAST(1 AS BIGINT) << (2 * b.b))
