@@ -435,6 +435,13 @@ object SparkEntry {
       Evaluation.srmCheck(
         Tables.orders(s, d).withColumn("arm", pmod(col("o_orderkey"), lit(3))),
         "arm", Map("0" -> 334, "1" -> 333, "2" -> 333))),
+    "q170_kcore" -> ((s, d) =>
+      // dense center of the real part–supplier supply graph (supplier ids
+      // offset past the part id space); k=4 peels the sparse fringe
+      Graph.kCore(
+        Tables.lineitem(s, d).select(col("l_partkey").as("id_a"),
+          (col("l_suppkey") + 1000000000L).as("id_b")),
+        "id_a", "id_b", k = 4)),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -972,6 +979,33 @@ object SparkEntry {
     * same set via LSH candidates + exact verify — so this oracle checks
     * candidate RECALL as well as verification math. Bit-exact jaccard: both
     * engines divide the same two integers as doubles. */
+  /** Unrolled synchronous k-core peeling (the SQL twin of [[Graph.kCore]]):
+    * `rounds` fixed peel rounds over the part–supplier bipartite graph.
+    * Peeling is idempotent after fixpoint, so any rounds ≥ the actual peel
+    * depth gives the exact core; GraphSpec pins the depth at sf0.01 well
+    * under the unroll. */
+  private def kcoreTruthSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one three times — 3^rounds expansions
+    // without it (observed as "Too many open files" before the heat death)
+    val sb = new StringBuilder
+    sb.append("WITH e0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS a, " +
+      "l_suppkey + 1000000000 AS b FROM lineitem)")
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT x, COUNT(*) AS dg
+        |  FROM (SELECT a AS x FROM e$i UNION ALL SELECT b AS x FROM e$i) GROUP BY x),
+        |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+        |  JOIN d$i da ON da.x = e.a JOIN d$i db ON db.x = e.b
+        |  WHERE da.dg >= $k AND db.dg >= $k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |FROM (SELECT a AS x FROM e$rounds UNION ALL SELECT b AS x FROM e$rounds)
+      |GROUP BY x ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** All-pairs containment truth over the planted corpus — same shingle
     * recipe as [[jaccardTruthSql]], asymmetric numerator/denominator. */
   private def containmentTruthSql(threshold: String): String =
@@ -1672,6 +1706,7 @@ object SparkEntry {
         |  cv < 0.1 OR ms > 0.5 AS flagged
         |FROM k ORDER BY user_id""".stripMargin,
     "q165_containment" -> containmentTruthSql("0.8"),
+    "q170_kcore" -> kcoreTruthSql(4, 12),
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

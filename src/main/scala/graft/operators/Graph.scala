@@ -165,4 +165,50 @@ object Graph {
     oriented.unpersist(false); deg.unpersist(false); und.unpersist(false)
     out
   }
+
+  /** k-core decomposition membership: peel nodes of degree < k until
+    * fixpoint; survivors form the k-core — the "dense center" filter that
+    * separates organic near-dup clusters (sparse chains/stars, gone by
+    * round 1 for k ≥ 3 since every node there has degree ≤ 2) from
+    * machine-generated duplication farms (dense cores that survive). The
+    * standard spam/community primitive alongside [[pageRank]] and
+    * [[triangleCounts]]. Returns (node, deg) — each survivor's degree
+    * WITHIN the core.
+    *
+    * Peeling is synchronous (whole-round removal), so the result is
+    * layout-independent and expressible as unrolled SQL for the oracle.
+    * Per round: one degree aggregate + two semi-joins, edges shrink
+    * monotonically; the round count is bounded by the peel DEPTH (how many
+    * onion layers of weak nodes shield the core — a handful on near-dup
+    * graphs, NOT the graph diameter), with a hard `maxIters` stop. One
+    * edge-count action per round (localCheckpoint'ed — each round's plan
+    * starts from materialized edges, never replays history). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIters: Int = 32): DataFrame = {
+    require(k >= 1, "k >= 1")
+    var und = edges.select(
+        least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var m = und.count()
+    var it = 0
+    var converged = m == 0L
+    while (!converged && it < maxIters) {
+      val keep = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("n")
+      val pruned = und
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val m2 = pruned.count()
+      converged = m2 == m
+      und = pruned; m = m2; it += 1
+    }
+    und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg"))
+      .orderBy("node")
+  }
 }

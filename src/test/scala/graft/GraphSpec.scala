@@ -99,4 +99,33 @@ class GraphSpec extends SparkSpec {
     val re = Graph.triangleCounts(k4.repartition(13), "a", "b").collect().map(_.toString).toSeq
     assert(base == re)
   }
+
+  test("kCore: clique survives whole, chain/star fringe peels; cascade handled") {
+    // K4 on 1-4 + a chain 4-10-11 + a star center 12 hanging off 1:
+    // k=3 keeps exactly the clique (every fringe node has degree <= 2)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (1L, 12L)).toDF("a", "b")
+    val core = Graph.kCore(g, "a", "b", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core.toString)
+    // cascade: a pendant chain into a triangle at k=2 peels the chain in
+    // DEPTH rounds but leaves the cycle intact
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 20L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val c2 = Graph.kCore(chain, "a", "b", k = 2).collect().map(_.getLong(0)).toSet
+    assert(c2 == Set(1L, 2L, 3L))
+    // empty core: k above max degree -> empty frame, not a crash
+    assert(Graph.kCore(g, "a", "b", k = 10).count() == 0)
+    // partitioning invariance
+    val p = Graph.kCore(g.repartition(7), "a", "b", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == core)
+    // q170's oracle unrolls 12 rounds: the sf0.001 part-supplier graph must
+    // reach fixpoint well inside that (peel depth, not diameter)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").as("id_a"), (col("l_suppkey") + 1000000000L).as("id_b"))
+    val k4core = Graph.kCore(li, "id_a", "id_b", k = 4, maxIters = 12)
+    val k4more = Graph.kCore(li, "id_a", "id_b", k = 4, maxIters = 13)
+    assert(k4core.collect().map(_.toSeq).toSeq == k4more.collect().map(_.toSeq).toSeq)
+  }
 }
