@@ -442,6 +442,40 @@ object SparkEntry {
         Tables.lineitem(s, d).select(col("l_partkey").as("id_a"),
           (col("l_suppkey") + 1000000000L).as("id_b")),
         "id_a", "id_b", k = 4)),
+    "q171_k_anonymity" -> ((s, d) =>
+      // can an attacker who knows nation + segment single out a customer
+      // (k<8) or infer their debt status without singling out (l<2)?
+      Privacy.kAnonymityAudit(
+        Tables.customer(s, d).withColumn("in_debt", col("c_acctbal") < 0),
+        Seq("c_nationkey", "c_mktsegment"), "in_debt", k = 8, l = 2)),
+    "q172_kappa" -> ((s, d) =>
+      // do the quantity and price terciles agree beyond chance — the
+      // two-heuristic label-QC shape (thresholds fixed, ties impossible)
+      Evaluation.cohenKappa(Tables.lineitem(s, d),
+        when(col("l_quantity") < 17, "low")
+          .when(col("l_quantity") < 34, "mid").otherwise("high"),
+        when(col("l_extendedprice") < 30000, "low")
+          .when(col("l_extendedprice") < 60000, "mid").otherwise("high"))),
+    "q173_dsir_weights" -> ((s, d) =>
+      // upweight docs whose token mix looks like the English subset —
+      // the domain-targeting resampling weight over the full corpus
+      Curation.importanceWeights(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en")),
+    "q174_semantic_dedup" -> ((s, d) => {
+      // within-label all-pairs cosine over the planted-dup corpus: each
+      // planted copy shares its original's label, so the copy (higher id)
+      // is dropped; organic pairs sit far below the 0.95 bar
+      val e = Tables.embeddings(s, d)
+      val planted = e.select(col("vec_id"), col("label"), col("embedding"))
+        .unionAll(e.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+      Similarity.semanticDedup(planted, "vec_id", "embedding", "label", 0.95)
+    }),
+    "q175_ranking" -> ((s, d) =>
+      // treat each customer's orders as a scored listing: does ranking by
+      // price surface the urgent ones — nDCG@5 + reciprocal rank per query
+      Evaluation.rankingMetrics(Tables.orders(s, d), "o_custkey", "o_orderkey",
+        "o_totalprice", col("o_orderpriority") === "1-URGENT", k = 5)),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1707,6 +1741,99 @@ object SparkEntry {
         |FROM k ORDER BY user_id""".stripMargin,
     "q165_containment" -> containmentTruthSql("0.8"),
     "q170_kcore" -> kcoreTruthSql(4, 12),
+    "q171_k_anonymity" ->
+      // exact integers/booleans only — nothing representation-sensitive
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  COUNT(DISTINCT c_acctbal < 0) AS l_distinct,
+        |  COUNT(*) < 8 AS k_violation,
+        |  COUNT(DISTINCT c_acctbal < 0) < 2 AS l_violation
+        |FROM customer GROUP BY 1, 2
+        |HAVING COUNT(*) < 8 OR COUNT(DISTINCT c_acctbal < 0) < 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q172_kappa" ->
+      // margins multiplied as HUGEINT (≡ Spark DECIMAL(38,0)); po/pe are
+      // single double divisions of exact integers; kappa from the RAW
+      // doubles, all three quantized 9 dp at output — same chain as Spark
+      """WITH o AS (
+        |  SELECT CASE WHEN l_quantity < 17 THEN 'low'
+        |              WHEN l_quantity < 34 THEN 'mid' ELSE 'high' END AS a,
+        |         CASE WHEN l_extendedprice < 30000 THEN 'low'
+        |              WHEN l_extendedprice < 60000 THEN 'mid' ELSE 'high' END AS b,
+        |         COUNT(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM o GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM o GROUP BY b),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+        |ag AS (SELECT COALESCE(CAST(SUM(CASE WHEN a = b THEN o END) AS BIGINT), 0) AS agree FROM o),
+        |pr AS (SELECT COALESCE(CAST(SUM(CAST(na AS HUGEINT) * nb) AS DOUBLE), 0) AS sp
+        |       FROM ra JOIN cb ON ra.a = cb.b)
+        |SELECT n.n, ag.agree,
+        |  CAST(CAST(agree / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS po,
+        |  CAST(CAST(sp / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS pe,
+        |  CASE WHEN sp / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1 THEN
+        |    CAST(CAST((agree / CAST(n AS DOUBLE) - sp / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1 - sp / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE)
+        |  END AS kappa
+        |FROM n CROSS JOIN ag CROSS JOIN pr""".stripMargin,
+    "q173_dsir_weights" ->
+      // mirrors q88's tokenization; the ratio is built from exact HUGEINT
+      // products (≡ Spark DECIMAL(38,0)), each side rounded once to
+      // double, one division, one ln, quantized 9 dp pre-sum
+      """WITH dt AS (SELECT doc_id, lang = 'en' AS t,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs,
+        |    COUNT(CASE WHEN t THEN 1 END) AS ct FROM dt GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |lw AS (SELECT doc_id,
+        |    CAST(ln(CAST(CAST(ct + 1 AS HUGEINT) * (ns + v) AS DOUBLE)
+        |          / CAST(CAST(cs + 1 AS HUGEINT) * (nt + v) AS DOUBLE)) AS DECIMAL(28,9)) AS lw
+        |  FROM dt JOIN c USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(CAST(CAST(SUM(lw) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_logratio
+        |FROM lw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q174_semantic_dedup" ->
+      // q64's exact cosine recipe (float products, double accumulation,
+      // same order); the 0.95 bar has wide margin both sides (planted
+      // copies ≈ 1.0, organic pairs ≤ ~0.51)
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label, embedding FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT DISTINCT b.vec_id AS vid
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> CAST(p[1] * p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x * x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x * x AS DOUBLE)))))
+        |      >= 0.95)
+        |SELECT e.vec_id, e.label AS cluster, d.vid IS NOT NULL AS dropped
+        |FROM e LEFT JOIN d ON d.vid = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+    "q175_ranking" ->
+      // DCG term chain mirrored exactly: (2^rel−1)·ln2/ln(rank+1), each
+      // term DECIMAL(28,9) pre-sum; ndcg/rr single double divisions last
+      """WITH r AS (SELECT o_custkey AS q, o_orderkey AS item, o_totalprice AS s,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS rel FROM orders),
+        |rk AS (SELECT q, item, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, item) AS rnk,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, item) AS irnk FROM r),
+        |a AS (SELECT q, COUNT(*) AS n_items,
+        |    SUM(CASE WHEN rnk <= 5 THEN
+        |      CAST((power(2, rel) - 1) * ln(2) / ln(rnk + 1) AS DECIMAL(28,9))
+        |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg,
+        |    SUM(CASE WHEN irnk <= 5 THEN
+        |      CAST((power(2, rel) - 1) * ln(2) / ln(irnk + 1) AS DECIMAL(28,9))
+        |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS idcg,
+        |    MIN(CASE WHEN rel > 0 THEN rnk END) AS first_rel
+        |  FROM rk GROUP BY q)
+        |SELECT q, n_items,
+        |  CASE WHEN idcg > 0 THEN
+        |    CAST(CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)
+        |  ELSE 0.0 END AS ndcg,
+        |  CAST(CAST(COALESCE(1.0 / first_rel, 0) AS DECIMAL(18,9)) AS DOUBLE) AS rr
+        |FROM a ORDER BY q""".stripMargin,
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

@@ -403,4 +403,47 @@ object Curation {
       .filter(col("rk") <= topK)
       .orderBy(col(srcCol), col("rk"))
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): per-doc mean
+    * log-ratio of a TARGET unigram LM over the SOURCE (whole-corpus) LM,
+    * both add-one smoothed over the corpus vocabulary. Docs whose tokens
+    * look like the target domain score high and get upweighted/resampled
+    * when mixing corpora toward a reference distribution — the
+    * domain-targeting sibling of [[unigramLogLikelihood]]'s absolute
+    * quality score.
+    *
+    * Exactness: per token, the ratio ((ct+1)·(Ns+V)) / ((cs+1)·(Nt+V)) is
+    * built from exact integer products (DECIMAL(38,0) — two ~1e10 counts
+    * overflow a long), each side rounded once to double, ONE division, ONE
+    * ln, quantized DECIMAL(28,9) before the order-independent per-doc sum;
+    * the final mean is the single double division.
+    *
+    * Shape for scale: two token-keyed count aggregates (map-side combined)
+    * + one occurrences⋈counts join — tfidf's shape; AQE broadcasts the
+    * small target vocab or skew-splits hot tokens. The 1-row totals ride a
+    * broadcast cross join. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val dt = docs.select(col(idCol), isTarget.as("__t"),
+        explode(tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = dt.groupBy("tok").agg(count(lit(1)).as("cs"),
+      count(when(col("__t"), lit(1))).as("ct"))
+    val totals = cs.agg(sum("cs").as("__ns"), sum("ct").as("__nt"),
+      count(lit(1)).as("__v")) // 1 row: source occ, target occ, vocab size
+    val num = ((col("ct") + 1).cast("decimal(38,0)") *
+      (col("__ns") + col("__v")).cast("decimal(38,0)")).cast("double")
+    val den = ((col("cs") + 1).cast("decimal(38,0)") *
+      (col("__nt") + col("__v")).cast("decimal(38,0)")).cast("double")
+    dt.join(cs, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), log(num / den).cast("decimal(28,9)").as("lw"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("lw").as("sum_lw"))
+      .select(col(idCol), col("n_tokens"),
+        (col("sum_lw").cast("double") / col("n_tokens"))
+          .cast("decimal(18,6)").cast("double").as("avg_logratio"))
+      .orderBy(idCol)
+  }
 }

@@ -576,4 +576,83 @@ object Evaluation {
           .gt(lit(hSigmas) * col("sigma") * 1e6).as("alarm_down"))
       .orderBy("t")
   }
+
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * ratings of the same items — the label-QC readout for any doubly-
+    * annotated (or model-vs-heuristic) labeling pass. Raw agreement
+    * (`po`) flatters imbalanced label sets; kappa subtracts the agreement
+    * `pe` two independent raters with these margins would reach by luck:
+    * κ = (po − pe)/(1 − pe).
+    *
+    * One contingency aggregate (the only row-sized shuffle, map-side
+    * combined); margins are tiny re-aggregates. Margin products are cast
+    * DECIMAL(38,0) BEFORE multiplying (two ~6e9 margins overflow a long at
+    * 100 TB scale), summed exactly, and each of po/pe is ONE double
+    * division of exact integers — bit-equal in any engine. Degenerate
+    * single-label data (pe = 1) yields NULL, not 0/0. */
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val o = df.groupBy(rater1.cast("string").as("a"), rater2.cast("string").as("b"))
+      .agg(count(lit(1)).as("o")).localCheckpoint() // four consumers
+    val ra = o.groupBy("a").agg(sum("o").as("na"))
+    val cb = o.groupBy("b").agg(sum("o").as("nb"))
+    val n = o.agg(sum("o").as("n"))
+    val agree = o.filter(col("a") === col("b"))
+      .agg(coalesce(sum("o"), lit(0L)).as("agree"))
+    // Σ_label na·nb over labels PRESENT in both margins (absent ⇒ 0 term)
+    val prod = ra.join(cb, col("a") === col("b"))
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") *
+        col("nb").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("sum_prod"))
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val pe = col("sum_prod").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(prod))
+      .select(col("n"), col("agree"),
+        po.cast("decimal(18,9)").cast("double").as("po"),
+        pe.cast("decimal(18,9)").cast("double").as("pe"),
+        when(pe < 1d, ((po - pe) / (lit(1d) - pe))
+          .cast("decimal(18,9)").cast("double")).as("kappa"))
+  }
+
+  /** Per-query ranking quality: nDCG@k and reciprocal rank — the retrieval
+    * eval for any scored listing (search results, ANN candidates, feed
+    * ordering) against graded relevance. DCG@k = Σ_{rank≤k}
+    * (2^rel − 1)·ln2/ln(rank+1), normalized by the ideal ordering's IDCG@k;
+    * RR = 1/rank of the first relevant item (0 if none).
+    *
+    * Ranks come from per-GROUP row_number windows (partitioned by the query
+    * key — never a global sort); ties break on the item id so the ranking
+    * is total and engine-independent. Each DCG term is one fixed double
+    * chain (2^rel exact for small grades, the two lns are the same libm
+    * calls both engines make on small-integer args) quantized
+    * DECIMAL(28,9) before the order-independent sum; nDCG and RR are
+    * single double divisions at the end. IDCG = 0 (no relevant item)
+    * pins nDCG to 0, not NULL/∞. */
+  def rankingMetrics(df: DataFrame, queryCol: String, itemCol: String,
+                     scoreCol: String, relCol: Column, k: Int): DataFrame = {
+    val base = df.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      col(scoreCol).as("s"), relCol.cast("int").as("rel"))
+    val w  = Window.partitionBy("q").orderBy(col("s").desc, col("item"))
+    val wi = Window.partitionBy("q").orderBy(col("rel").desc, col("item"))
+    val gain = pow(lit(2d), col("rel")) - lit(1d)
+    def term(rank: Column) =
+      (gain * log(lit(2d)) / log(rank.cast("double") + 1d)).cast("decimal(28,9)")
+    val zero = lit(0d).cast("decimal(28,9)")
+    val ranked = base
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("irnk", row_number().over(wi))
+    ranked.groupBy("q")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("rnk") <= k, term(col("rnk"))).otherwise(zero)).as("dcg"),
+        sum(when(col("irnk") <= k, term(col("irnk"))).otherwise(zero)).as("idcg"),
+        min(when(col("rel") > 0, col("rnk"))).as("first_rel"))
+      .select(col("q"), col("n_items"),
+        when(col("idcg") > zero,
+          (col("dcg").cast("double") / col("idcg").cast("double"))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(0d).as("ndcg"),
+        coalesce(lit(1d) / col("first_rel").cast("double"), lit(0d))
+          .cast("decimal(18,9)").cast("double").as("rr"))
+      .orderBy("q")
+  }
 }

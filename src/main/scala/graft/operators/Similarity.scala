@@ -519,4 +519,41 @@ object Similarity {
         (col("g").cast("double") / lit(1.0e12)).as("dot"))
       .orderBy("i", "j")
   }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023): all-pairs
+    * cosine WITHIN a cluster, where the cluster assignment (k-means cell,
+    * label, LSH bucket) bounds the quadratic blowup — the whole point of
+    * the published design is that O(Σ cluster²) ≪ O(n²) when clusters are
+    * ~√n-sized. Drop rule: a vector is `dropped` when ANY lower-id vector
+    * in its cluster is within `threshold` (whether or not that neighbor
+    * itself survives) — deterministic, single-pass, oracle-expressible;
+    * chains that need one keeper per connected GROUP compose this with
+    * [[Dedup.connectedComponents]] over the emitted pairs.
+    *
+    * Shape: one shuffle on the cluster key for the self-join; the
+    * codegen'd [[graft.functions.Native.cosineF32]] runs candidates-only;
+    * verdicts (ids + booleans) are the only further movement. Caches are
+    * released after an eager checkpoint of the row-sized verdict table.
+    * Threshold semantics assume the caller picks τ with margin to the
+    * natural cosine range (planted dups ≈ 1.0 vs organic ≤ ~0.5 here) —
+    * an ulp-boundary τ would be engine-sensitive. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    val v = embeddings.select(col(clusterCol).as("cluster"),
+        col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = v.select(col("cluster"), col("vid").as("a"), col("v").as("va"))
+      .join(v.select(col("cluster"), col("vid").as("b"), col("v").as("vb")),
+        Seq("cluster"))
+      .filter(col("a") < col("b") &&
+        Native.cosineF32(col("va"), col("vb")) >= threshold)
+      .select(col("b").as("vid")).distinct()
+    val out = v.join(dropped.withColumn("__d", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+      .localCheckpoint(true)
+    v.unpersist(false)
+    out
+  }
 }

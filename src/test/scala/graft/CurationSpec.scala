@@ -187,4 +187,28 @@ class CurationSpec extends SparkSpec {
     assert(out("a") == (("footer text", 3L, 1L)), out.toString)
     assert(out("b")._2 == 1L) // no repeats in source b — any gram, df 1
   }
+
+  test("importanceWeights: target-like docs score above source-like; hand case exact") {
+    // target docs say "alpha", the rest say "beta"; a mixed doc lands between
+    val df = Seq(
+      (1L, "alpha alpha", true), (2L, "alpha alpha", true),
+      (3L, "beta beta", false), (4L, "beta beta", false),
+      (5L, "alpha beta", false)
+    ).toDF("doc_id", "text", "is_target")
+    val out = Curation.importanceWeights(df, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: cs(alpha)=5, cs(beta)=5, Ns=10, V=2; target: ct(alpha)=4, Nt=4
+    val wAlpha = math.log((4.0 + 1) * (10 + 2) / ((5.0 + 1) * (4 + 2)))
+    val wBeta  = math.log((0.0 + 1) * (10 + 2) / ((5.0 + 1) * (4 + 2)))
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - wAlpha) < 1e-6, s"${out(1L)._2} vs $wAlpha")
+    assert(math.abs(out(3L)._2 - wBeta) < 1e-6, s"${out(3L)._2} vs $wBeta")
+    assert(math.abs(out(5L)._2 - (wAlpha + wBeta) / 2) < 1e-6)
+    // ordering: target-like > mixed > source-like
+    assert(out(1L)._2 > out(5L)._2 && out(5L)._2 > out(3L)._2)
+    // partitioning invariance (decimal pre-sum quantization)
+    val p = Curation.importanceWeights(df.repartition(7), "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p == out.map { case (k, v) => k -> v._2 })
+  }
 }

@@ -282,4 +282,65 @@ class EvaluationSpec extends SparkSpec {
     val b = Evaluation.groupedAuc(df.repartition(8), "grp", col("y"), "score").head().getDouble(3)
     assert(a == b)
   }
+
+  test("cohenKappa: perfect agreement 1, hand-computed mixed case, independence near 0") {
+    // perfect: both raters identical
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")).toDF("r1", "r2")
+    val p = Evaluation.cohenKappa(perfect, col("r1"), col("r2")).head()
+    assert(p.getDouble(4) == 1.0 && p.getDouble(2) == 1.0)
+
+    // the textbook 2×2: o = [[20,5],[10,15]], n=50, po=0.7,
+    // pe = (30·25 + 20·25)/2500 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val h = Evaluation.cohenKappa(rows.toDF("r1", "r2"), col("r1"), col("r2")).head()
+    assert(h.getLong(0) == 50L && h.getLong(1) == 35L)
+    assert(h.getDouble(2) == 0.7 && h.getDouble(3) == 0.5)
+    assert(math.abs(h.getDouble(4) - 0.4) < 1e-9, h.toString)
+
+    // single-label degenerate: pe = 1 ⇒ kappa NULL, not 0/0
+    val deg = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    assert(Evaluation.cohenKappa(deg, col("r1"), col("r2")).head().isNullAt(4))
+
+    // disjoint label sets: agreement 0, pe 0 (no shared label), kappa 0
+    val disj = Seq(("a", "b"), ("a", "b")).toDF("r1", "r2")
+    val dj = Evaluation.cohenKappa(disj, col("r1"), col("r2")).head()
+    assert(dj.getLong(1) == 0L && dj.getDouble(3) == 0.0 && dj.getDouble(4) == 0.0)
+
+    // partitioning invariance
+    val big = (1 to 997).map(i => (s"l${i % 3}", s"l${(i * 7) % 3}")).toDF("r1", "r2")
+    val one = Evaluation.cohenKappa(big.repartition(1), col("r1"), col("r2")).head()
+    val eight = Evaluation.cohenKappa(big.repartition(8), col("r1"), col("r2")).head()
+    assert(one.toSeq == eight.toSeq)
+  }
+
+  test("rankingMetrics: perfect ranking 1.0, inverted known value, no-relevant 0, ties total") {
+    // q1: relevant items ranked 1,2 of 4 → ndcg 1, rr 1
+    // q2: the ONLY relevant item ranked last of 3 → rr 1/3
+    // q3: nothing relevant → ndcg 0, rr 0
+    val df = Seq(
+      ("q1", 1L, 9.0, 1), ("q1", 2L, 8.0, 1), ("q1", 3L, 7.0, 0), ("q1", 4L, 6.0, 0),
+      ("q2", 1L, 9.0, 0), ("q2", 2L, 8.0, 0), ("q2", 3L, 7.0, 1),
+      ("q3", 1L, 5.0, 0), ("q3", 2L, 4.0, 0)
+    ).toDF("q", "item", "s", "rel")
+    val out = Evaluation.rankingMetrics(df, "q", "item", "s", col("rel") > 0, k = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("q1") == ((4L, 1.0, 1.0)), out.toString)
+    // q2: dcg = 1/log2(4) = 0.5; idcg = 1/log2(2) = 1 → ndcg 0.5, rr 1/3
+    assert(out("q2")._1 == 3L && math.abs(out("q2")._2 - 0.5) < 1e-8)
+    assert(math.abs(out("q2")._3 - 1.0 / 3) < 1e-9)
+    assert(out("q3") == ((2L, 0.0, 0.0)), out.toString)
+
+    // k cuts off relevance found below rank k: rr still sees it, ndcg@1 does not
+    val cut = Seq(("q", 1L, 9.0, 0), ("q", 2L, 8.0, 1)).toDF("q", "item", "s", "rel")
+    val c = Evaluation.rankingMetrics(cut, "q", "item", "s", col("rel") > 0, k = 1).head()
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.5)
+
+    // score ties broken by item id → deterministic at any partitioning
+    val tied = (1 to 200).map(i => ("q", i.toLong, 1.0, i % 7 == 0)).toDF("q", "item", "s", "rel")
+    val t1 = Evaluation.rankingMetrics(tied.repartition(1), "q", "item", "s", col("rel"), 10).head()
+    val t8 = Evaluation.rankingMetrics(tied.repartition(8), "q", "item", "s", col("rel"), 10).head()
+    assert(t1.toSeq == t8.toSeq)
+    assert(t1.getDouble(3) == 0.142857143) // first relevant is item 7 (1/7 @ 9 dp)
+  }
 }

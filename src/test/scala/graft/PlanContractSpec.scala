@@ -43,7 +43,10 @@ class PlanContractSpec extends SparkSpec {
           "q159_acf", "q160_benford",
           // 1-row broadcast per-series stats in the CCF; the arms-sized
           // allocation spine × 1-row totals in the SRM check
-          "q168_ccf", "q169_srm")
+          "q168_ccf", "q169_srm",
+          // kappa: three 1-row stat frames (n, agree, Σna·nb) cross-joined;
+          // DSIR: the 1-row (Ns, Nt, V) totals broadcast over occurrences
+          "q172_kappa", "q173_dsir_weights")
         if (allowed(name)) None else Some(name)
       } else None
     }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Privacy
+
+/** Release-gate privacy audits: k-anonymity class sizes and l-diversity
+  * sensitive-value counts, violations-only output. */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymityAudit: small class flagged k, homogeneous class flagged l, healthy class absent") {
+    // at k=4, l=2:
+    // class (US,A): 3 rows, 2 sensitive values  -> k-violation only
+    // class (US,B): 4 rows, 1 sensitive value   -> l-violation only
+    // class (DE,A): 2 rows, 2 sensitive values  -> k-violation
+    // class (DE,B): 4 rows, 2 sensitive values  -> healthy, must be absent
+    val df = Seq(
+      ("US", "A", "s1"), ("US", "A", "s2"), ("US", "A", "s1"),
+      ("US", "B", "s1"), ("US", "B", "s1"), ("US", "B", "s1"), ("US", "B", "s1"),
+      ("DE", "A", "s1"), ("DE", "A", "s2"),
+      ("DE", "B", "s1"), ("DE", "B", "s2"), ("DE", "B", "s1"), ("DE", "B", "s2")
+    ).toDF("country", "segment", "secret")
+
+    val out = Privacy.kAnonymityAudit(df, Seq("country", "segment"), "secret", k = 4, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out == Map(
+      ("US", "A") -> ((3L, 2L, true, false)),
+      ("US", "B") -> ((4L, 1L, false, true)),
+      ("DE", "A") -> ((2L, 2L, true, false))), out.toString)
+
+    // k=1, l=1 can never flag anything (every class has >=1 row, >=1 value)
+    assert(Privacy.kAnonymityAudit(df, Seq("country", "segment"), "secret", 1, 1).count() == 0)
+
+    // single quasi-column path + partitioning invariance
+    val a = Privacy.kAnonymityAudit(df, Seq("country"), "secret", 10, 3).collect().map(_.toSeq).toSeq
+    val b = Privacy.kAnonymityAudit(df.repartition(7), Seq("country"), "secret", 10, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}

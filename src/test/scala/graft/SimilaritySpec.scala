@@ -238,4 +238,33 @@ class SimilaritySpec extends SparkSpec {
       vecs.toDF("vec_id", "embedding").repartition(8), "embedding").collect()
     assert(p8.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
+
+  test("semanticDedup: duplicate dropped within cluster, survivor keeps lowest id, cross-cluster ignored") {
+    // cluster 0: ids 1,2 identical (2 dropped), id 3 orthogonal (kept);
+    // cluster 1: id 4 identical to id 1 but in ANOTHER cluster — kept
+    val vecs = Seq(
+      (1L, 0, Array(1f, 0f, 0f)), (2L, 0, Array(1f, 0f, 0f)),
+      (3L, 0, Array(0f, 1f, 0f)), (4L, 1, Array(1f, 0f, 0f)),
+      (5L, 1, Array(0.9f, 0.1f, 0f)) // cos(4,5) ≈ 0.9939 ≥ 0.95 → dropped
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 5L -> true),
+      out.toString)
+    // drop rule is "any lower id within τ", not "any surviving lower id":
+    // a chain a~b, b~c with a!~c still drops both b and c — unit vectors at
+    // 0°, 2°, 4°: cos 2° = 0.99939 ≥ 0.999 (adjacent), cos 4° = 0.99756 < 0.999
+    val chain = Seq(
+      (1L, 0, Array(1f, 0f)),
+      (2L, 0, Array(0.9993908f, 0.0348995f)),
+      (3L, 0, Array(0.9975641f, 0.0697565f))
+    ).toDF("vec_id", "label", "embedding")
+    val ch = Similarity.semanticDedup(chain, "vec_id", "embedding", "label", 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ch == Map(1L -> false, 2L -> true, 3L -> true), ch.toString)
+    // partitioning invariance
+    val p = Similarity.semanticDedup(vecs.repartition(7), "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(p == out)
+  }
 }
