@@ -62,14 +62,23 @@ object Bench {
     // basename, and if still over 1900 B degrade per-query values to 1 dp.
     def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    def qline(dp: Int): String = results
-      .map { case (k, v) => "\"" + short(k) + "\":" + trim(num(v, dp)) }
+    // dropQ strips the "q" key prefix (~1 B/query — worth ~180 B at 180+
+    // queries) as the last step before sub-second precision would go
+    def qline(dp: Int, dropQ: Boolean): String = results
+      .map { case (k, v) =>
+        val key = if (dropQ) short(k).stripPrefix("q") else short(k)
+        "\"" + key + "\":" + trim(num(v, dp))
+      }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    def mk(dp: Int): String =
-      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfName","queries":${qline(dp)}}"""
-    val line = { val l2 = mk(2); if (l2.length <= 1900) l2 else mk(1) }
+    def mk(dp: Int, dropQ: Boolean = false): String =
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfName","queries":${qline(dp, dropQ)}}"""
+    // degradation ladder, first fit under 1900 B wins: 2 dp → 1 dp →
+    // 1 dp w/o key prefix → 0 dp w/o prefix (integer seconds still rank
+    // the slow queries; the TOTAL keeps 1 dp in every rung)
+    val line = Seq(mk(2), mk(1), mk(1, dropQ = true), mk(0, dropQ = true))
+      .find(_.length <= 1900).getOrElse(mk(0, dropQ = true))
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)
     spark.stop()

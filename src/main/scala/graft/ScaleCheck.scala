@@ -240,6 +240,23 @@ object ScaleCheck {
     time("ranking_ndcg")(d => Evaluation.rankingMetrics(
       Tables.orders(spark, d), "o_custkey", "o_orderkey", "o_totalprice",
       col("o_orderpriority") === "1-URGENT", 5))
+    time("rrf_fusion")(d => Evaluation.reciprocalRankFusion(
+      Tables.orders(spark, d).select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("price"), unix_timestamp(col("o_orderdate")).as("recency")),
+      "o_custkey", "o_orderkey", Seq("price", "recency")))
+    time("top_p_cap")(d => Splits.topPByGroup(
+      Tables.documents(spark, d), "source", "doc_id", "n_chars", 700))
+    time("bucket_batches")(d => Curation.lengthBucketBatches(
+      Tables.documents(spark, d), "doc_id", "text", Seq(16, 32, 64, 128), 8))
+    time("quant_profile")(d => Similarity.quantizationProfile(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding"))
+    time("linkage_score")(d => {
+      val reps = Tables.load(spark, d, "part")
+        .groupBy("p_name").agg(min("p_partkey").as("p_partkey"))
+      Dedup.linkageScore(Dedup.fuzzyPairs(reps, "p_partkey", "p_name", 2),
+        "id_a", "id_b", Tables.load(spark, d, "part"), "p_partkey",
+        Seq(("p_brand", 0.9, 0.04), ("p_type", 0.85, 0.02), ("p_size", 0.8, 0.02)))
+    })
 
     spark.stop()
   }

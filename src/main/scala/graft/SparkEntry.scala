@@ -476,6 +476,46 @@ object SparkEntry {
       // price surface the urgent ones — nDCG@5 + reciprocal rank per query
       Evaluation.rankingMetrics(Tables.orders(s, d), "o_custkey", "o_orderkey",
         "o_totalprice", col("o_orderpriority") === "1-URGENT", k = 5)),
+    "q176_rrf" -> ((s, d) =>
+      // merge a value leg and a recency leg per customer — the two-retriever
+      // fusion shape (lexical + vector) on rank positions only
+      Evaluation.reciprocalRankFusion(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          unix_timestamp(col("o_orderdate")).as("recency")),
+        "o_custkey", "o_orderkey", Seq("price", "recency"))),
+    "q177_top_p_cap" -> ((s, d) =>
+      // cap every source at 70% of its character mass, heaviest docs first —
+      // the domain-capping curation step
+      Splits.topPByGroup(Tables.documents(s, d), "source", "doc_id",
+        "n_chars", pPerMille = 700)),
+    "q178_bucket_batches" -> ((s, d) =>
+      // snap docs to length buckets, number fixed-size batches within each —
+      // the padding-killing inference batching layout
+      Curation.lengthBucketBatches(Tables.documents(s, d), "doc_id", "text",
+        Seq(16, 32, 64, 128), batchSize = 8)),
+    "q179_canonical" -> ((s, d) => {
+      // q63's duplicate clusters → one keeper each: highest retail price,
+      // ties to the lowest key — the "golden record" pipeline tail
+      val pairs = Dedup.fuzzyPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 2)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.canonicalPerCluster(clusters, "node", "cluster_id",
+        Tables.part(s, d), "p_partkey", "p_retailprice")
+    }),
+    "q180_quant_profile" -> ((s, d) =>
+      // int8 go/no-go per vector: scale, reconstruction MSE, worst dim
+      Similarity.quantizationProfile(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q181_linkage" -> ((s, d) => {
+      // Fellegi–Sunter log-odds over the q60 candidate pairs: brand/type/
+      // size agreement with fixed (m, u) — the probabilistic match score
+      val pairs = Dedup.fuzzyPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 2)
+      Dedup.linkageScore(pairs, "id_a", "id_b", Tables.part(s, d), "p_partkey",
+        Seq(("p_brand", 0.9, 0.04), ("p_type", 0.85, 0.02), ("p_size", 0.8, 0.02)))
+    }),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -1834,6 +1874,134 @@ object SparkEntry {
         |  ELSE 0.0 END AS ndcg,
         |  CAST(CAST(COALESCE(1.0 / first_rel, 0) AS DECIMAL(18,9)) AS DOUBLE) AS rr
         |FROM a ORDER BY q""".stripMargin,
+    "q176_rrf" ->
+      // fused = leg1 + leg2 in that fixed order both sides; quantized 9 dp
+      // BEFORE the fused ranking so tie order is engine-independent
+      """WITH r AS (SELECT o_custkey AS q, o_orderkey AS item,
+        |    o_totalprice AS price, epoch(o_orderdate) AS recency FROM orders),
+        |rk AS (SELECT q, item,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY price DESC, item) AS rank_price,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY recency DESC, item) AS rank_recency
+        |  FROM r),
+        |f AS (SELECT q, item, rank_price, rank_recency,
+        |    CAST(CAST(1.0 / (60 + rank_price) + 1.0 / (60 + rank_recency)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS fused FROM rk)
+        |SELECT q, item, rank_price, rank_recency, fused,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY fused DESC, item) AS fused_rank
+        |FROM f ORDER BY q, fused_rank""".stripMargin,
+    "q177_top_p_cap" ->
+      // keep-decision on cumulative-BEFORE mass in pure integer
+      // cross-multiplication — boundary row kept, every group keeps ≥ 1
+      """WITH w AS (SELECT source, doc_id, n_chars AS weight,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS group_weight
+        |  FROM documents)
+        |SELECT source, doc_id, weight,
+        |  CAST(cum_weight AS BIGINT) AS cum_weight,
+        |  CAST(group_weight AS BIGINT) AS group_weight
+        |FROM w WHERE (cum_weight - weight) * 1000 < 700 * group_weight
+        |ORDER BY source, cum_weight""".stripMargin,
+    "q178_bucket_batches" ->
+      // per-bucket position mirrored as ROW_NUMBER − 1; integer division
+      // (DuckDB //, Spark div); padding clamps to 0 in the last bucket
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok FROM documents),
+        |b AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    CAST(CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+        |              WHEN n_tok <= 64 THEN 64 ELSE 128 END AS BIGINT) AS bucket FROM t),
+        |r AS (SELECT doc_id, n_tok, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS pos FROM b)
+        |SELECT doc_id, n_tok, bucket, pos // 8 AS batch_id,
+        |  GREATEST(bucket - n_tok, 0) AS padding
+        |FROM r ORDER BY bucket, doc_id""".stripMargin,
+    "q179_canonical" ->
+      // q63's recursive-CTE cluster truth, then the keeper via the same
+      // (score DESC, node) total order the struct-max encodes
+      """WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lab FROM e JOIN r ON e.dst = r.node),
+        |c AS (SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node),
+        |k AS (SELECT c.cluster_id, c.node, p.p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY p.p_retailprice DESC, c.node) AS rk,
+        |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        |  FROM c JOIN part p ON p.p_partkey = c.node)
+        |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  node AS keeper_id, p_retailprice AS keeper_score
+        |FROM k WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "q180_quant_profile" ->
+      // same per-element chain in index order (divide, half-away round,
+      // clamp, multiply-subtract); list_sum mirrors aggregate's fold
+      """WITH x AS (SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+        |    len(embedding) AS n FROM embeddings),
+        |s AS (SELECT vec_id, xd, n,
+        |    list_max(list_transform(xd, v -> abs(v))) AS amax FROM x),
+        |e AS (SELECT vec_id, n, amax,
+        |    list_transform(xd, v -> v -
+        |      LEAST(GREATEST(round(v / (amax / 127)), -127), 127) * (amax / 127)) AS errs
+        |  FROM s)
+        |SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN 0.0
+        |    ELSE CAST(CAST(amax / 127 AS DECIMAL(18,9)) AS DOUBLE) END AS scale,
+        |  CASE WHEN amax = 0 THEN 0.0
+        |    ELSE CAST(CAST(list_sum(list_transform(errs, t -> t * t)) / n
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS mse,
+        |  CASE WHEN amax = 0 THEN 0.0
+        |    ELSE CAST(CAST(list_max(list_transform(errs, t -> abs(t)))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS max_abs_err
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q181_linkage" ->
+      // q60's candidate blocking; each field weight is the same double
+      // constant quantized DECIMAL(18,9) both sides, summed in field order
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST((CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN 1 ELSE 0 END)
+        |     + (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type THEN 1 ELSE 0 END)
+        |     + (CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  CAST(
+        |    -- literals forced to DOUBLE: a bare 0.9 is DECIMAL in DuckDB and
+        |    -- 0.9/0.04 would be the exact 22.5, not the JVM's double 22.49…96
+        |    (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand
+        |      THEN CAST(ln(CAST(0.9 AS DOUBLE) / CAST(0.04 AS DOUBLE)) AS DECIMAL(18,9))
+        |      ELSE CAST(ln((1 - CAST(0.9 AS DOUBLE)) / (1 - CAST(0.04 AS DOUBLE))) AS DECIMAL(18,9)) END)
+        |  + (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+        |      THEN CAST(ln(CAST(0.85 AS DOUBLE) / CAST(0.02 AS DOUBLE)) AS DECIMAL(18,9))
+        |      ELSE CAST(ln((1 - CAST(0.85 AS DOUBLE)) / (1 - CAST(0.02 AS DOUBLE))) AS DECIMAL(18,9)) END)
+        |  + (CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+        |      THEN CAST(ln(CAST(0.8 AS DOUBLE) / CAST(0.02 AS DOUBLE)) AS DECIMAL(18,9))
+        |      ELSE CAST(ln((1 - CAST(0.8 AS DOUBLE)) / (1 - CAST(0.02 AS DOUBLE))) AS DECIMAL(18,9)) END)
+        |  AS DOUBLE) AS score
+        |FROM pairs p JOIN part a ON a.p_partkey = p.id_a
+        |  JOIN part b ON b.p_partkey = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

@@ -446,4 +446,37 @@ object Curation {
           .cast("decimal(18,6)").cast("double").as("avg_logratio"))
       .orderBy(idCol)
   }
+
+  /** Length-bucketed inference batching: snap each doc's token count to the
+    * smallest bucket boundary that fits (oversize docs clamp to the last
+    * boundary — the truncation bucket), then number docs into fixed-size
+    * batches within their bucket. Bucketing by length is how serving/eval
+    * pipelines kill padding waste: a batch of like-sized sequences pads to
+    * its bucket boundary, not to the global max. `padding` reports the
+    * per-doc cost (boundary − tokens, 0 when clamped).
+    *
+    * Batch numbering must NOT be a row_number over PARTITION BY bucket —
+    * with a handful of buckets at 100 TB that is a single-reducer sort per
+    * bucket. Instead the global two-pass numbering
+    * ([[Analytics.globalRowNumber]] on (bucket, id)) hands every doc a
+    * dense rank; per-bucket offsets (one tiny agg, broadcast back) convert
+    * it to an in-bucket position, and batch = position div batchSize. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+                          boundaries: Seq[Int], batchSize: Int): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted && batchSize >= 1,
+      "need ascending boundaries and batchSize >= 1")
+    val nTok = size(tokens(col(textCol)))
+    val bucket = boundaries.init.reverse.foldLeft(
+      lit(boundaries.last)) { (acc, b) => when(nTok <= b, lit(b)).otherwise(acc) }
+    val sized = docs.select(col(idCol), nTok.cast("long").as("n_tok"),
+      bucket.cast("long").as("bucket"))
+    val numbered = Analytics.globalRowNumber(sized, Seq("bucket", idCol))
+    val offsets = numbered.groupBy("bucket").agg(min("seq").as("__first"))
+    numbered.join(broadcast(offsets), Seq("bucket"))
+      .select(col(idCol), col("n_tok"), col("bucket"),
+        // pure integer division (div, not /): / on longs is double division
+        expr(s"(seq - __first) div $batchSize").as("batch_id"),
+        greatest(col("bucket") - col("n_tok"), lit(0L)).as("padding"))
+      .orderBy(col("bucket"), col(idCol))
+  }
 }

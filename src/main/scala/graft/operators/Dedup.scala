@@ -723,4 +723,63 @@ object Dedup {
     tk.unpersist(false); counts.unpersist(false)
     out
   }
+
+  /** Canonical-record selection: given duplicate clusters (from
+    * [[connectedComponents]] / [[connectedComponentsStar]]) and a quality
+    * score per member, pick each cluster's keeper — highest score, ties to
+    * the lowest id so the choice is total and engine-independent. The step
+    * that turns "these records are the same thing" into "THIS row
+    * represents them" (dedup'd corpus, golden contact, canonical product).
+    *
+    * ONE hash aggregate: the argmax rides `max(struct(score, -id))`
+    * (lexicographic struct ordering — max score first, then max(-id) =
+    * min id), so there is no per-cluster window and a monster cluster
+    * costs what any other group-by key costs. */
+  def canonicalPerCluster(clusters: DataFrame, nodeCol: String, clusterCol: String,
+                          quality: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    clusters.select(col(nodeCol).as("node"), col(clusterCol).as("cluster_id"))
+      .join(quality.select(col(idCol).as("node"), col(scoreCol).as("__s")), Seq("node"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__s").as("s"), (-col("node")).as("negid"))).as("__m"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("__m.negid")).as("keeper_id"), col("__m.s").as("keeper_score"))
+      .orderBy("cluster_id")
+  }
+
+  /** Fellegi–Sunter record-linkage scoring (the 1969 probabilistic-linkage
+    * standard): for each candidate pair, each compared field contributes
+    * ln(m/u) on agreement and ln((1−m)/(1−u)) on disagreement — m the
+    * agreement probability among true matches, u among random pairs (here
+    * caller-supplied, in production estimated by EM). The summed log-odds
+    * is the match score a threshold/clerical-review band sits on. The
+    * probabilistic upgrade of [[fuzzyPairs]]' single-field distance.
+    *
+    * Candidates-only (blocking upstream bounds the quadratic); two id-keyed
+    * joins fetch the field tuples. Agreement is null-safe equality. Each
+    * field's two weights are CONSTANTS quantized to DECIMAL(18,9) once, so
+    * the per-pair score is an exact decimal sum in fixed field order — no
+    * data-ordered float accumulation. */
+  def linkageScore(pairs: DataFrame, aCol: String, bCol: String,
+                   records: DataFrame, idCol: String,
+                   fields: Seq[(String, Double, Double)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one compared field")
+    fields.foreach { case (f, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u, s"need 0 < u < m < 1 for $f") }
+    def side(suffix: String, on: String) = records.select(
+      col(idCol).as(on) +: fields.map { case (f, _, _) => col(f).as(s"$f$suffix") }: _*)
+    val joined = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .join(side("_a", "id_a"), Seq("id_a"))
+      .join(side("_b", "id_b"), Seq("id_b"))
+    def w(x: Double) = lit(x).cast("decimal(18,9)")
+    val agreeFlags = fields.map { case (f, _, _) =>
+      col(s"${f}_a") <=> col(s"${f}_b") }
+    val score = fields.zip(agreeFlags).map { case ((_, m, u), agree) =>
+      when(agree, w(math.log(m / u))).otherwise(w(math.log((1 - m) / (1 - u))))
+    }.reduce(_ + _) // fixed field order — exact decimal sum
+    val nAgree = agreeFlags.map(a => when(a, 1L).otherwise(0L)).reduce(_ + _)
+    joined.select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.cast("double").as("score"))
+      .orderBy("id_a", "id_b")
+  }
 }

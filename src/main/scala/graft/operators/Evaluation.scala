@@ -655,4 +655,34 @@ object Evaluation {
           .cast("decimal(18,9)").cast("double").as("rr"))
       .orderBy("q")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine several scored
+    * rankings of the same items with Σ_r 1/(kRff + rank_r) — the standard
+    * zero-training way to merge lexical + vector + recency retrieval legs,
+    * robust to incomparable score scales because only RANKS survive.
+    *
+    * One row_number window per leg, all over the SAME query-key partition
+    * (one shuffle, Catalyst shares the sort where orders align). The fused
+    * score is a FIXED-LENGTH fold over the legs in declaration order —
+    * never a data-ordered aggregate — so the double sum is deterministic;
+    * ties on the fused value break on the item id. */
+  def reciprocalRankFusion(df: DataFrame, queryCol: String, itemCol: String,
+                           scoreCols: Seq[String], kRrf: Int = 60): DataFrame = {
+    require(scoreCols.nonEmpty, "need at least one ranking leg")
+    val ranked = scoreCols.zipWithIndex.foldLeft(
+      df.select(col(queryCol).as("q") +: col(itemCol).as("item") +:
+        scoreCols.map(col): _*)) { case (acc, (sc, i)) =>
+      val w = Window.partitionBy("q").orderBy(col(sc).desc, col("item"))
+      acc.withColumn(s"rank_$sc", row_number().over(w).cast("long"))
+    }
+    val fused = scoreCols.map(sc => lit(1d) / (lit(kRrf.toDouble) + col(s"rank_$sc")))
+      .reduce(_ + _) // fixed fold order: leg 1 + leg 2 + … — not data-ordered
+    val wf = Window.partitionBy("q").orderBy(col("fused").desc, col("item"))
+    ranked
+      .withColumn("fused", fused.cast("decimal(18,9)").cast("double"))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .select(col("q") +: col("item") +: scoreCols.map(sc => col(s"rank_$sc")) :+
+        col("fused") :+ col("fused_rank"): _*)
+      .orderBy(col("q"), col("fused_rank"))
+  }
 }

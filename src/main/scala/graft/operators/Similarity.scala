@@ -556,4 +556,36 @@ object Similarity {
     v.unpersist(false)
     out
   }
+
+  /** Symmetric int8 quantization error profile: per vector, the max-abs
+    * scale (amax/127), round-to-nearest reconstruction error MSE, and the
+    * worst per-dimension error — the go/no-go readout before shipping a
+    * quantized ANN index or activation cache (is int8 loss acceptable per
+    * vector, which vectors need fp16 fallback).
+    *
+    * Entirely map-side (higher-order array functions inside codegen — no
+    * shuffle, no explode: rows never leave their partition), so it scales
+    * like a projection. Per element: one divide, one round (half-away —
+    * same rule both engines), one clamp, one multiply-subtract, all in
+    * index order; the error sum rides `aggregate`'s sequential fold —
+    * mirrored by DuckDB's list_sum — and outputs quantize to 9 dp. An
+    * all-zero vector short-circuits to (0, 0, 0), not NaN. */
+  def quantizationProfile(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val amax = array_max(transform(xd, x => abs(x)))
+    val scale = amax / lit(127d)
+    val errs = transform(xd, x =>
+      x - least(greatest(round(x / scale), lit(-127d)), lit(127d)) * scale)
+    val sumSq = aggregate(errs, lit(0d), (acc, e) => acc + e * e)
+    embeddings.select(col(idCol).cast("long").as("vec_id"),
+        when(amax === 0d, lit(0d))
+          .otherwise(scale.cast("decimal(18,9)").cast("double")).as("scale"),
+        when(amax === 0d, lit(0d))
+          .otherwise((sumSq / size(col(vecCol)).cast("double"))
+            .cast("decimal(18,9)").cast("double")).as("mse"),
+        when(amax === 0d, lit(0d))
+          .otherwise(array_max(transform(errs, e => abs(e)))
+            .cast("decimal(18,9)").cast("double")).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
 }

@@ -217,4 +217,35 @@ object Splits {
       .select(col(classCol), col(idCol), col("copy"))
       .orderBy(col(classCol), col(idCol), col("copy"))
   }
+
+  /** Top-p mass cap per group: keep each group's heaviest rows until they
+    * cover `pPerMille`/1000 of the group's total weight — the
+    * nucleus-sampling shape applied to corpus curation (cap every domain at
+    * p of its token mass, truncate a vocabulary at p of occurrences). The
+    * head block is decided on CUMULATIVE-BEFORE mass, so the row that
+    * crosses the boundary is still kept and every group keeps ≥ 1 row for
+    * any p ≥ 1‰ (the heaviest row's cumulative-before is always 0; p = 0
+    * keeps nothing, by construction).
+    *
+    * One shuffle on the group key; ranking + cumsum + total are per-GROUP
+    * windows over that one partitioning (Catalyst folds all three into one
+    * sort). Selection is pure integer cross-multiplication
+    * cum_before·1000 < pm·total — no float quantile boundary to ulp-flip.
+    * Weights must be integral (token/char counts); heavier-first order
+    * tie-breaks on the id so the kept set is total and engine-independent. */
+  def topPByGroup(df: DataFrame, groupCol: String, idCol: String,
+                  weightCol: String, pPerMille: Int): DataFrame = {
+    require(pPerMille >= 0 && pPerMille <= 1000, "p must be 0..1000 per-mille")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("weight").desc, col(idCol))
+    val g = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.select(col(groupCol), col(idCol), col(weightCol).cast("long").as("weight"))
+      .withColumn("__cum", sum("weight").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum("weight").over(g))
+      .filter((col("__cum") - col("weight")) * 1000 < lit(pPerMille) * col("__tot"))
+      .select(col(groupCol), col(idCol), col("weight"),
+        col("__cum").as("cum_weight"), col("__tot").as("group_weight"))
+      .orderBy(col(groupCol), col("cum_weight"))
+  }
 }

@@ -211,4 +211,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(p == out.map { case (k, v) => k -> v._2 })
   }
+
+  test("lengthBucketBatches: snap-to-boundary, oversize clamps, batches fill in id order") {
+    // token counts: 3, 10, 10, 10, 33 with boundaries 8/32 → buckets 8, 32×3, clamp 32
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 10).map(i => s"x$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"y$i").mkString(" ")),
+      (5L, (1 to 33).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Curation.lengthBucketBatches(docs, "doc_id", "text", Seq(8, 32), batchSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((3L, 8L, 0L, 5L)))          // 3 toks → bucket 8, pad 5
+    assert(out(2L) == ((10L, 32L, 0L, 22L)))       // batch 0 holds ids 2,3
+    assert(out(3L) == ((10L, 32L, 0L, 22L)))
+    assert(out(4L)._3 == 1L)                       // id 4 spills to batch 1
+    assert(out(5L) == ((33L, 32L, 1L, 0L)))        // oversize: clamp, pad 0
+    // repartition-invariant (two-pass numbering, not a local window)
+    val p = Curation.lengthBucketBatches(docs.repartition(7), "doc_id", "text",
+      Seq(8, 32), batchSize = 2).collect().map(_.toSeq).toSeq
+    assert(p == Curation.lengthBucketBatches(docs, "doc_id", "text",
+      Seq(8, 32), batchSize = 2).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -303,4 +303,49 @@ class DedupSpec extends SparkSpec {
     val j = Dedup.ngramJaccard(docs, "doc_id", "text", cands, threshold = 0.8)
     assert(j.count() == 0)
   }
+
+  test("canonicalPerCluster: max score wins, score ties go to lowest id, singleton clusters survive") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("node", "cluster_id")
+    val quality = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (7L, 4.0), (8L, 4.0), (9L, 1.0)).toDF("id", "score")
+    val out = Dedup.canonicalPerCluster(clusters, "node", "cluster_id",
+        quality, "id", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 9.0)), out.toString)  // clear max
+    assert(out(7L) == ((2L, 7L, 4.0)), out.toString)  // tie 4.0 → lowest id 7
+    assert(out(9L) == ((1L, 9L, 1.0)), out.toString)  // singleton
+    // one hash aggregate, repartition-invariant
+    val p = Dedup.canonicalPerCluster(clusters.repartition(5), "node", "cluster_id",
+        quality.repartition(3), "id", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(p == out)
+  }
+
+  test("linkageScore: all-agree tops all-disagree, hand log-odds exact, nulls agree null-safely") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val recs = Seq(
+      (1L, "B1", "T1"), (2L, "B1", "T1"),       // full agreement
+      (3L, "B2", "T1"),                          // brand differs
+      (4L, null.asInstanceOf[String], "T9"), (5L, null, "T9") // null brand BOTH → agree
+    ).toDF("id", "brand", "ptype")
+    val fields = Seq(("brand", 0.9, 0.1), ("ptype", 0.8, 0.2))
+    val out = Dedup.linkageScore(pairs, "id_a", "id_b", recs, "id", fields)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def q(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wB = q(math.log(0.9 / 0.1)); val wBd = q(math.log((1 - 0.9) / (1 - 0.1)))
+    val wT = q(math.log(0.8 / 0.2))
+    // decimal-sum-then-double vs double-sum can differ in the last ulp —
+    // compare within 1e-12 (the oracle mirrors the decimal sum exactly)
+    assert(out((1L, 2L))._1 == 2L && math.abs(out((1L, 2L))._2 - (wB + wT)) < 1e-12,
+      s"${out((1L, 2L))} vs ${wB + wT}")
+    assert(out((1L, 3L))._1 == 1L && math.abs(out((1L, 3L))._2 - (wBd + wT)) < 1e-12,
+      out.toString)
+    assert(out((4L, 5L))._1 == 2L) // null <=> null counts as agreement
+    assert(out((1L, 2L))._2 > out((1L, 3L))._2)
+    // invalid params rejected (u >= m breaks the log-odds sign convention)
+    intercept[IllegalArgumentException] {
+      Dedup.linkageScore(pairs, "id_a", "id_b", recs, "id", Seq(("brand", 0.5, 0.5)))
+    }
+  }
 }

@@ -343,4 +343,30 @@ class EvaluationSpec extends SparkSpec {
     assert(t1.toSeq == t8.toSeq)
     assert(t1.getDouble(3) == 0.142857143) // first relevant is item 7 (1/7 @ 9 dp)
   }
+
+  test("reciprocalRankFusion: agreement wins, hand values exact, single-leg degenerates to that leg") {
+    // item 1: rank 1 + rank 2; item 2: rank 2 + rank 1 (symmetric — tie on
+    // fused, broken by item id); item 3: rank 3 + rank 3 (strictly worse)
+    val df = Seq(
+      ("q", 1L, 9.0, 5.0), ("q", 2L, 8.0, 6.0), ("q", 3L, 7.0, 4.0)
+    ).toDF("q", "item", "s1", "s2")
+    val out = Evaluation.reciprocalRankFusion(df, "q", "item", Seq("s1", "s2"), 60)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+    val m = out.toMap
+    assert(m(1L)._1 == 1L && m(1L)._2 == 2L)
+    assert(m(2L)._1 == 2L && m(2L)._2 == 1L)
+    val f12 = BigDecimal(1.0 / 61 + 1.0 / 62).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L)._3 == f12 && m(2L)._3 == f12, s"${m(1L)._3} vs $f12")
+    assert(m(1L)._4 == 1L && m(2L)._4 == 2L) // fused tie → item id order
+    assert(m(3L)._4 == 3L)
+    // single leg: fused rank == that leg's rank (columns: q, item, rank_s2,
+    // fused, fused_rank)
+    val one = Evaluation.reciprocalRankFusion(df, "q", "item", Seq("s2"), 60)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(one == Map(2L -> ((1L, 1L)), 1L -> ((2L, 2L)), 3L -> ((3L, 3L))))
+    // repartition-invariant
+    val p = Evaluation.reciprocalRankFusion(df.repartition(7), "q", "item", Seq("s1", "s2"), 60)
+      .collect().map(_.toSeq).toSeq
+    assert(p == out.map(r => Seq[Any]("q", r._1, r._2._1, r._2._2, r._2._3, r._2._4)).toSeq)
+  }
 }

@@ -267,4 +267,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(p == out)
   }
+
+  test("quantizationProfile: exactly-representable vector has zero error; known scale; zero vector safe") {
+    // v1 = (127, -127, 0): scale 1, every element lands on an int8 code → 0 error
+    // v2 = (12.7, 6.35): scale 0.1, q = (127, 64) → err2 = 6.35 - 6.4 = -0.05
+    // v3 = all zeros: (0, 0, 0) not NaN
+    val vecs = Seq(
+      (1L, Array(127f, -127f, 0f)),
+      (2L, Array(12.7f, 6.35f)),
+      (3L, Array(0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizationProfile(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1.0, 0.0, 0.0)), out.toString)
+    assert(out(3L) == ((0.0, 0.0, 0.0)), out.toString)
+    val (s2, mse2, mx2) = out(2L)
+    assert(math.abs(s2 - 0.1) < 1e-7, s2.toString) // float 12.7 / 127
+    assert(math.abs(mx2 - 0.05) < 1e-6, mx2.toString)
+    assert(math.abs(mse2 - (0.05 * 0.05) / 2) < 1e-7, mse2.toString)
+    // clamp path: a dim at amax quantizes to ±127 exactly, never beyond
+    val big = Seq((1L, Array(100f, -1f))).toDF("vec_id", "embedding")
+    val b = Similarity.quantizationProfile(big, "vec_id", "embedding").head()
+    assert(b.getDouble(3) < 100.0 / 127 / 2 + 1e-9) // worst error ≤ half a step
+    // map-side only: no exchange in the plan before the final sort
+    val plan = Similarity.quantizationProfile(vecs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 2, plan) // only the orderBy's range exchange
+  }
 }

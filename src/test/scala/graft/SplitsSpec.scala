@@ -125,4 +125,34 @@ class SplitsSpec extends SparkSpec {
       "doc_id", "source").collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(again == first)
   }
+
+  test("topPByGroup: boundary row kept, p=0 keeps the single heaviest, exact head block") {
+    // group a: weights 50,30,15,5 (total 100); p=700‰ keeps 50,30 (cum-before
+    // 0,50 < 70) and the boundary row 15 (cum-before 80 >= 70? 80*10=800 >= 700 → cut)
+    val df = Seq(("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 15L), ("a", 4L, 5L),
+      ("b", 5L, 1L)).toDF("source", "doc_id", "n_chars")
+    val out = Splits.topPByGroup(df, "source", "doc_id", "n_chars", 700)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 5L)), out.mkString(","))
+
+    // the row CROSSING the boundary is kept: weights 60,40 at p=700 — row 2's
+    // cum-before is 60 < 70 → kept even though it overshoots to 100
+    val cross = Seq(("a", 1L, 60L), ("a", 2L, 40L)).toDF("source", "doc_id", "n_chars")
+    assert(Splits.topPByGroup(cross, "source", "doc_id", "n_chars", 700).count() == 2)
+
+    // p=0 still keeps exactly the heaviest row per group (cum-before 0 < 0 is
+    // false — but 0*1000 < 0 fails… the ≥1 guarantee comes from cum-before=0)
+    val p0 = Splits.topPByGroup(df, "source", "doc_id", "n_chars", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(p0 == Seq(("a", 1L), ("b", 5L)), p0.toString)
+
+    // weight ties break on id; repartition-invariant
+    val tied = (1L to 100L).map(i => ("g", i, 10L)).toDF("source", "doc_id", "n_chars")
+    val t1 = Splits.topPByGroup(tied, "source", "doc_id", "n_chars", 500)
+      .collect().map(_.getLong(1)).toSeq
+    assert(t1 == (1L to 50L), s"${t1.take(5)}…${t1.length}")
+    val t8 = Splits.topPByGroup(tied.repartition(8), "source", "doc_id", "n_chars", 500)
+      .collect().map(_.getLong(1)).toSeq
+    assert(t8 == t1)
+  }
 }
