@@ -257,6 +257,13 @@ object ScaleCheck {
         "id_a", "id_b", Tables.load(spark, d, "part"), "p_partkey",
         Seq(("p_brand", 0.9, 0.04), ("p_type", 0.85, 0.02), ("p_size", 0.8, 0.02)))
     })
+    time("split_leakage")(d => Splits.crossSplitLeakage(
+      Tables.documents(spark, d), "doc_id", "text"))
+    // n_queries grows with the corpus here (every vector is a query), so
+    // work is n²/20² — the eval-set contract; ratio is expected ~N², what
+    // must stay flat is the per-query cost (ratio/400 here)
+    time("knn_label_noise (n^2 by contract)")(d => Similarity.knnLabelNoise(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", "label", 5))
 
     spark.stop()
   }

@@ -516,6 +516,19 @@ object SparkEntry {
       Dedup.linkageScore(pairs, "id_a", "id_b", Tables.part(s, d), "p_partkey",
         Seq(("p_brand", 0.9, 0.04), ("p_type", 0.85, 0.02), ("p_size", 0.8, 0.02)))
     }),
+    "q182_split_leakage" -> ((s, d) => {
+      // plant EXACT copies under new ids: the content-blind id-hash split
+      // places each copy independently, so some pairs straddle the boundary
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(Tables.documents(s, d)
+        .filter(col("doc_id") < 40)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Splits.crossSplitLeakage(planted, "doc_id", "text")
+    }),
+    "q183_label_noise" -> ((s, d) =>
+      // flag vectors whose 5 exact NN majority-vote a different label
+      Similarity.knnLabelNoise(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", k = 5)),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -2002,6 +2015,44 @@ object SparkEntry {
         |FROM pairs p JOIN part a ON a.p_partkey = p.id_a
         |  JOIN part b ON b.p_partkey = p.id_b
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "q182_split_leakage" ->
+      // q44's split expression over the planted-copy corpus; md5(text) is
+      // the same lowercase hex both engines
+      """WITH e AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 40),
+        |s AS (SELECT text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM e),
+        |c AS (SELECT md5(text) AS text_hash,
+        |    COUNT(CASE WHEN b < 'cd' THEN 1 END) AS n_train,
+        |    COUNT(CASE WHEN b >= 'cd' AND b < 'e6' THEN 1 END) AS n_val,
+        |    COUNT(CASE WHEN b >= 'e6' THEN 1 END) AS n_test
+        |  FROM s GROUP BY 1)
+        |SELECT text_hash, n_train, n_val, n_test FROM c
+        |WHERE (n_train > 0 AND (n_val > 0 OR n_test > 0)) OR (n_val > 0 AND n_test > 0)
+        |ORDER BY text_hash""".stripMargin,
+    "q183_label_noise" ->
+      // ranks via q64's exact cosine recipe (double accumulation — a float
+      // list_cosine_similarity could ulp-flip a near-tie across 500 queries);
+      // majority = (votes DESC, label) first row, the struct-max's order
+      """WITH nn AS (
+        |  SELECT a.vec_id AS q, b.label AS n_label,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      (list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] * p[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x * x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x * x AS DOUBLE))))))
+        |      DESC, b.vec_id) AS rk
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  QUALIFY rk <= 5),
+        |v AS (SELECT q, n_label, COUNT(*) AS votes FROM nn GROUP BY 1, 2),
+        |m AS (SELECT q, n_label, votes,
+        |    row_number() OVER (PARTITION BY q ORDER BY votes DESC, n_label) AS mr FROM v)
+        |SELECT m.q AS vec_id, CAST(e.label AS BIGINT) AS label,
+        |  CAST(m.n_label AS BIGINT) AS majority_label, m.votes,
+        |  m.n_label <> e.label AS flagged
+        |FROM m JOIN embeddings e ON e.vec_id = m.q
+        |WHERE mr = 1 ORDER BY vec_id""".stripMargin,
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

@@ -570,6 +570,42 @@ object Similarity {
     * index order; the error sum rides `aggregate`'s sequential fold —
     * mirrored by DuckDB's list_sum — and outputs quantize to 9 dp. An
     * all-zero vector short-circuits to (0, 0, 0), not NaN. */
+  /** kNN label-noise screen (the Confident-Learning shape, Northcutt 2021,
+    * with hard votes): flag every labeled vector whose k exact nearest
+    * neighbors majority-vote a DIFFERENT label — mislabeled rows, class
+    * overlap, and annotation drift surface here before they poison a
+    * classifier or an eval set.
+    *
+    * Every vector is a query, so the query set is collect-and-broadcast —
+    * the LABELED-EVAL-SET contract (10⁴–10⁶ rows), same scan shape as
+    * [[bruteForceTopK]]: one corpus pass with bounded per-partition heaps,
+    * partitions × n × k candidates out. For corpus-scale label screens
+    * swap the candidate generator for [[annIvfTopK]]'s probe join — the
+    * vote/flag tail below is identical. Majority ties break to the
+    * smallest label id (max(struct(votes, −label)) — one hash aggregate,
+    * no per-query window). */
+  def knnLabelNoise(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val corpus = vectors(embeddings, idCol, vecCol)
+    val queries = corpus.collect() // eval-set contract — see scaladoc
+    val nn = finalTopK(heapScan(corpus, queries, k), k)
+    val nbrLabels = embeddings.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("n_label"))
+    val own = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    nn.join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id").as("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("votes").as("v"), (-col("n_label")).as("negl"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.negl")).as("majority_label"),
+        col("__m.v").as("votes"))
+      .join(own, "vec_id")
+      .select(col("vec_id"), col("label"), col("majority_label"), col("votes"),
+        (col("majority_label") =!= col("label")).as("flagged"))
+      .orderBy("vec_id")
+  }
+
   def quantizationProfile(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val xd = transform(col(vecCol), x => x.cast("double"))
     val amax = array_max(transform(xd, x => abs(x)))

@@ -248,4 +248,28 @@ object Splits {
         col("__cum").as("cum_weight"), col("__tot").as("group_weight"))
       .orderBy(col(groupCol), col("cum_weight"))
   }
+
+  /** Cross-split contamination audit: identical texts that straddle
+    * train/val/test after [[assignSplit]] — the train/test-leakage check
+    * every eval pipeline needs, because a dup pair split across the
+    * boundary silently inflates eval scores (the id-hash split is
+    * content-blind BY DESIGN, so textual copies with different ids land
+    * independently). Emits one row per leaking content hash with its
+    * per-split counts.
+    *
+    * One md5(text) hash aggregate (map-side combined) over the split
+    * assignment's pure map-side columns — exact-dup's shuffle shape.
+    * Near-dup leakage composes [[Dedup.minhashLsh]] pairs with the split
+    * column instead of the md5 key. */
+  def crossSplitLeakage(df: DataFrame, idCol: String, textCol: String,
+                        train256: Int = 205, val256: Int = 25): DataFrame = {
+    assignSplit(df, idCol, train256, val256)
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(when(col("split") === "train", lit(1))).as("n_train"),
+        count(when(col("split") === "val", lit(1))).as("n_val"),
+        count(when(col("split") === "test", lit(1))).as("n_test"))
+      .filter((col("n_train") > 0 && (col("n_val") > 0 || col("n_test") > 0)) ||
+        (col("n_val") > 0 && col("n_test") > 0))
+      .orderBy("text_hash")
+  }
 }

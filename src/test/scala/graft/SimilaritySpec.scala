@@ -294,4 +294,27 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length <= 2, plan) // only the orderBy's range exchange
   }
+
+  test("knnLabelNoise: planted mislabel flagged, clean clusters pass, majority tie breaks low") {
+    // two tight clusters: label 0 near (1,0), label 1 near (0,1); vector 10
+    // sits IN cluster 0 but carries label 1 → its 3 NN all vote 0 → flagged
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.01f), 0), (3L, Array(0.98f, 0.02f), 0),
+      (10L, Array(0.97f, 0.03f), 1),
+      (20L, Array(0f, 1f), 1), (21L, Array(0.01f, 0.99f), 1), (22L, Array(0.02f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelNoise(vecs, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(10L) == ((1L, 0L, true)), out.toString)   // the plant is caught
+    assert(!out(1L)._3 && !out(20L)._3, out.toString)    // clean rows pass
+    // 2-2 vote tie at k=4 breaks to the SMALLEST label (deterministic)
+    val tie = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.995f, 0.005f), 0),
+      (3L, Array(0.99f, 0.01f), 5), (4L, Array(0.985f, 0.015f), 5),
+      (5L, Array(0.98f, 0.02f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnLabelNoise(tie, "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t(1L) == 0L, t.toString) // 2 votes for 0, 2 for 5 → label 0 wins
+  }
 }

@@ -155,4 +155,29 @@ class SplitsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(t8 == t1)
   }
+
+  test("crossSplitLeakage: planted cross-boundary copy caught, same-split copy and unique docs are not") {
+    // choose ids so the md5 bucket puts 1 in train and 101 in test (checked
+    // below), then give them identical text — that's a leak; 2/102 with
+    // identical text in the SAME split is not; unique texts never appear
+    val base = (1L to 200L).map(i => (i, s"text body $i"))
+    val assigned = Splits.assignSplit(base.toDF("doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val crossPair = base.map(_._1).combinations(2)
+      .find { case Seq(a, b) => assigned(a) == "train" && assigned(b) == "test" }.get
+    val samePair = base.map(_._1).combinations(2)
+      .find { case Seq(a, b) => !crossPair.contains(a) && !crossPair.contains(b) &&
+        assigned(a) == "train" && assigned(b) == "train" }.get
+    val docs = base.map { case (i, t) =>
+      val text = if (crossPair.contains(i)) "LEAKED CONTENT"
+        else if (samePair.contains(i)) "SAFE DUP" else t
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Splits.crossSplitLeakage(docs, "doc_id", "text").collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out(0).getLong(1) == 1L && out(0).getLong(3) == 1L) // 1 train + 1 test
+    // clean corpus: no leakage rows at all
+    assert(Splits.crossSplitLeakage(base.toDF("doc_id", "text"), "doc_id", "text")
+      .count() == 0)
+  }
 }
