@@ -264,6 +264,14 @@ object ScaleCheck {
     // must stay flat is the per-query cost (ratio/400 here)
     time("knn_label_noise (n^2 by contract)")(d => Similarity.knnLabelNoise(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", "label", 5))
+    time("walk_forward_folds")(d => Splits.walkForwardFolds(
+      Tables.events(spark, d), "ts", "user_id", 4, 3600))
+    time("anova_f")(d => Evaluation.anovaF(Tables.load(spark, d, "lineitem"),
+      "l_returnflag", col("l_quantity").cast("decimal(18,2)")))
+    time("pareto_frontier")(d => Analytics.paretoFrontier(
+      Tables.load(spark, d, "part").select(col("p_partkey"), col("p_size"),
+        (col("p_retailprice") * 100).cast("long").as("cents")),
+      "p_partkey", "p_size", "cents"))
 
     spark.stop()
   }

@@ -529,6 +529,22 @@ object SparkEntry {
       // flag vectors whose 5 exact NN majority-vote a different label
       Similarity.knnLabelNoise(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", k = 5)),
+    "q184_walk_forward" -> ((s, d) =>
+      // 4 rolling-origin folds over the event stream, 1h embargo
+      Splits.walkForwardFolds(Tables.events(s, d), "ts", "user_id",
+        nFolds = 4, embargoSeconds = 3600)),
+    "q185_anova" -> ((s, d) =>
+      // does mean quantity differ across return flags (3 arms at once)
+      Evaluation.anovaF(Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity").cast("decimal(18,2)"))),
+    "q186_pareto" -> ((s, d) =>
+      // size×price frontier over part; price pre-scaled to exact cents
+      Analytics.paretoFrontier(
+        Tables.part(s, d).select(col("p_partkey"), col("p_size"),
+          (col("p_retailprice") * 100).cast("long").as("cents")),
+        "p_partkey", "p_size", "cents")
+        .select(col("id").as("p_partkey"), col("x").as("p_size"),
+          col("y").as("cents"))),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -2053,6 +2069,58 @@ object SparkEntry {
         |  m.n_label <> e.label AS flagged
         |FROM m JOIN embeddings e ON e.vec_id = m.q
         |WHERE mr = 1 ORDER BY vec_id""".stripMargin,
+    "q184_walk_forward" ->
+      // fold cuts from global min/max epoch seconds; `//` is bigint floor
+      // division = Scala's long `/` on non-negative spans
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),
+        |f AS (SELECT i.fold, b.mn + (b.mx - b.mn) * i.fold // 5 AS lo,
+        |    CASE WHEN i.fold = 4 THEN b.mx + 1
+        |         ELSE b.mn + (b.mx - b.mn) * (i.fold + 1) // 5 END AS hi
+        |  FROM b, (SELECT unnest(range(1, 5)) AS fold) i),
+        |a AS (SELECT f.fold,
+        |    CASE WHEN e.es < f.lo THEN 'train'
+        |         WHEN e.es < f.lo + 3600 THEN 'purged'
+        |         WHEN e.es < f.hi THEN 'test' END AS split,
+        |    e.user_id, e.es
+        |  FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id
+        |        FROM events) e, f)
+        |SELECT CAST(fold AS INTEGER) AS fold, split, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_actors,
+        |  min(es) AS min_epoch, max(es) AS max_epoch
+        |FROM a WHERE split IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q185_anova" ->
+      // exact decimal power sums; each group's S1²/n term quantized
+      // DECIMAL(28,9) before the order-independent sum; F a fixed chain
+      """WITH g AS (SELECT l_returnflag AS grp, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS s2
+        |  FROM lineitem GROUP BY 1),
+        |q AS (SELECT n, s1, s2,
+        |    CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(28,9)) AS term FROM g),
+        |t AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(s1) AS DOUBLE) AS t1d, CAST(SUM(s2) AS DOUBLE) AS t2d,
+        |    CAST(SUM(term) AS DOUBLE) AS qsumd FROM q),
+        |s AS (SELECT k, n,
+        |    qsumd - t1d * t1d / CAST(n AS DOUBLE) AS ss_between,
+        |    t2d - qsumd AS ss_within FROM t)
+        |SELECT k, n, ss_between, ss_within,
+        |  ss_between / CAST(k - 1 AS DOUBLE)
+        |    / (ss_within / CAST(n - k AS DOUBLE)) AS f_stat
+        |FROM s""".stripMargin,
+    "q186_pareto" ->
+      // brute-force dominance anti-join is the oracle's luxury (part is
+      // small at sf0.01); the engine runs the prefix-max scan instead
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(p_retailprice * 100 AS BIGINT) AS cents
+        |FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice
+        |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
+        |ORDER BY p_size DESC, p_partkey""".stripMargin,
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

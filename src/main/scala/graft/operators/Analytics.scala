@@ -1331,4 +1331,36 @@ object Analytics {
         col("chi_term").cast("double").as("chi_term"), col("chi2"))
       .orderBy("digit")
   }
+
+  /** 2-D Pareto frontier (skyline): rows no other row dominates, where p
+    * dominates q iff p.x ≥ q.x ∧ p.y ≥ q.y with at least one strict —
+    * "best tradeoffs" selection (quality×length doc picks, price×size
+    * catalog frontiers) without scoring-function guesswork. Both
+    * dimensions MAXIMIZED; equal-point duplicates all survive (neither
+    * dominates).
+    *
+    * Never the O(n²) self-join dominance test: collapse to max(y) per
+    * distinct x (hash aggregate — the only row-sized shuffle), take the
+    * strictly-preceding prefix max over x DESC via
+    * [[Evaluation.globalCumMin]]'s two-pass range-partitioned scan on
+    * negated values (exclusive form) — a frontier x is exactly one whose
+    * max-y beats every max-y at larger x — then broadcast the frontier
+    * (anti-correlated dims keep it tiny; O(log n) expected for
+    * independent dims) back over one map-side pass to recover qualifying
+    * rows. `xCol`/`yCol` must cast exactly to long (pre-scale decimals). */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val pts = df.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val perX = pts.groupBy("x").agg(max("y").as("my"))
+      .select(col("x"), col("my"), (-col("x")).as("negx"), (-col("my")).as("negy"))
+    val frontierX = Evaluation
+      .globalCumMin(perX, Seq("negx"), Seq("negy"), inclusive = false)
+      .filter(col("negy") < col("cummin_negy")) // strictly beats all larger x
+      .select(col("x"), col("my"))
+    pts.join(broadcast(frontierX), "x")
+      .where(col("y") === col("my"))
+      .select(col("id"), col("x"), col("y"))
+      .orderBy(col("x").desc, col("id"))
+  }
 }

@@ -495,9 +495,13 @@ object Evaluation {
     * collect O(partitions) per-partition minima, broadcast their exclusive
     * prefix-min, finish map-side. `valueCols` must be LongType; each gains
     * a `cummin_` twin. Needed wherever a running extremum would otherwise
-    * force a one-partition window (CUSUM, drawdown). */
+    * force a one-partition window (CUSUM, drawdown).
+    *
+    * `inclusive = false` emits the min over STRICTLY PRECEDING rows only
+    * (first row gets Long.MaxValue — the empty prefix), the form a
+    * "beats everything before me" record/frontier test needs. */
   def globalCumMin(df: DataFrame, orderCols: Seq[String],
-                   valueCols: Seq[String]): DataFrame = {
+                   valueCols: Seq[String], inclusive: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.sort(orderCols.map(col): _*).localCheckpoint()
     val idx = valueCols.map(c => sorted.schema.fieldIndex(c))
@@ -518,9 +522,10 @@ object Evaluation {
     val out = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
       val run = offsets.value(p).clone()
       it.map { r =>
+        val pre = if (inclusive) null else run.clone()
         var i = 0
         while (i < idx.length) { run(i) = math.min(run(i), r.getLong(idx(i))); i += 1 }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ (if (inclusive) run else pre).toSeq)
       }
     }
     spark.createDataFrame(out, schema)
@@ -684,5 +689,37 @@ object Evaluation {
       .select(col("q") +: col("item") +: scoreCols.map(sc => col(s"rank_$sc")) :+
         col("fused") :+ col("fused_rank"): _*)
       .orderBy(col("q"), col("fused_rank"))
+  }
+
+  /** One-way ANOVA F — "does the group mean differ anywhere" across k>2
+    * groups, the multi-arm generalization of [[abTest]]'s two-proportion z
+    * (reference analog: comparing a metric across every ingest source at
+    * once instead of pairwise). F = (SSB/(k−1)) / (SSW/(N−k)) from the
+    * classic power-sum identities SSB = Σ_g S1g²/n_g − T1²/N and
+    * SSW = T2 − Σ_g S1g²/n_g.
+    *
+    * Exactness: caller passes `value` pre-cast to an exactly-representable
+    * DECIMAL; per-group n/Σx/Σx² are then exact, each group's S1g²/n_g
+    * term is ONE fixed double chain quantized DECIMAL(28,9) before the
+    * order-independent sum across groups, and the final F is a fixed
+    * double chain over those — identical at any partitioning and in
+    * DuckDB. Scale: two hash aggregates (rows → k groups → 1 row);
+    * nothing else moves. */
+  def anovaF(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(value).as("s1"), sum(value * value).as("s2"))
+      .select(col("n"), col("s1"), col("s2"),
+        (col("s1").cast("double") * col("s1").cast("double") /
+          col("n").cast("double")).cast("decimal(28,9)").as("term"))
+    g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+        sum("s1").cast("double").as("t1d"), sum("s2").cast("double").as("t2d"),
+        sum("term").cast("double").as("qsumd"))
+      .select(col("k"), col("n"),
+        (col("qsumd") - col("t1d") * col("t1d") / col("n").cast("double"))
+          .as("ss_between"),
+        (col("t2d") - col("qsumd")).as("ss_within"))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        (col("ss_between") / (col("k") - 1).cast("double") /
+          (col("ss_within") / (col("n") - col("k")).cast("double"))).as("f_stat"))
   }
 }

@@ -261,6 +261,48 @@ object Splits {
     * assignment's pure map-side columns — exact-dup's shuffle shape.
     * Near-dup leakage composes [[Dedup.minhashLsh]] pairs with the split
     * column instead of the md5 key. */
+  /** Walk-forward (rolling-origin) temporal folds with an embargo gap —
+    * the time-series counterpart of [[assignSplit]]: fold i trains on
+    * everything before cut_i, skips an embargo window (rows whose effects
+    * leak across the boundary — label lookahead, session spillover), and
+    * tests on the next segment. The id-hash split is exactly what
+    * backtesting must NOT use: it would train on the future. Emits the
+    * per-(fold, split) audit — row count, distinct actors, time bounds —
+    * the readout that catches an empty or skewed test window before a
+    * backtest burns a cluster-day.
+    *
+    * Epoch-second fold cuts derive from global min/max (one 1-row action,
+    * then pure Scala long arithmetic — floor division matches the oracle's
+    * `//`). Each row is map-side replicated to its ≤ nFolds (fold, split)
+    * memberships via an `explode` over a literal fold array — a small
+    * constant blowup feeding ONE hash aggregate; nothing shuffles more
+    * than (folds × 3) groups, and the distinct-actor count rides Spark's
+    * partial aggregation. */
+  def walkForwardFolds(df: DataFrame, tsCol: String, actorCol: String,
+                       nFolds: Int = 4, embargoSeconds: Long = 3600): DataFrame = {
+    require(nFolds >= 1 && nFolds <= 64, "nFolds in [1,64]")
+    val e = col(tsCol).cast("long")
+    val b = df.agg(min(e), max(e)).head()
+    val (minE, maxE) = (b.getLong(0), b.getLong(1))
+    val span = maxE - minE
+    val nSeg = nFolds + 1L
+    def cut(i: Int): Long = minE + span * i / nSeg
+    val folds = array((1 to nFolds).map { i =>
+      struct(lit(i).as("fold"), lit(cut(i)).as("lo"),
+        lit(if (i == nFolds) maxE + 1 else cut(i + 1)).as("hi"))
+    }: _*)
+    df.select(e.as("es"), col(actorCol).as("actor"), explode(folds).as("f"))
+      .select(col("es"), col("actor"), col("f.fold").as("fold"),
+        when(col("es") < col("f.lo"), "train")
+          .when(col("es") < col("f.lo") + embargoSeconds, "purged")
+          .when(col("es") < col("f.hi"), "test").as("split"))
+      .where(col("split").isNotNull)
+      .groupBy("fold", "split")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("actor")).as("n_actors"),
+        min("es").as("min_epoch"), max("es").as("max_epoch"))
+      .orderBy("fold", "split")
+  }
+
   def crossSplitLeakage(df: DataFrame, idCol: String, textCol: String,
                         train256: Int = 205, val256: Int = 25): DataFrame = {
     assignSplit(df, idCol, train256, val256)

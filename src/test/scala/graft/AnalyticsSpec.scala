@@ -617,4 +617,24 @@ class AnalyticsSpec extends SparkSpec {
       .head().getDouble(5)
     assert(chi2 < 0.01, chi2.toString)
   }
+
+  test("paretoFrontier: equals brute-force dominance; duplicates and x-ties survive; partition-invariant") {
+    // deterministic scatter with planted structure: equal points (ids 100/101),
+    // an x-tie where only the max-y row is on the frontier, dominated interior
+    val pts = (1 to 60).map { i =>
+      (i.toLong, (i * 37 % 50).toLong, ((i * 61) % 80).toLong)
+    } ++ Seq((100L, 50L, 10L), (101L, 50L, 10L), (102L, 50L, 9L))
+    val df = pts.toDF("id", "x", "y")
+    val out = Analytics.paretoFrontier(df, "id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) => bx >= x && by >= y && (bx > x || by > y) }
+    }.sortBy(p => (-p._2, p._1))
+    assert(out.toSeq == brute, s"got ${out.toSeq}\nwant $brute")
+    assert(out.count(p => p._1 == 100L || p._1 == 101L) == 2) // equal pair kept
+    assert(!out.exists(_._1 == 102L))                          // x-tie loser out
+    val p8 = Analytics.paretoFrontier(df.repartition(8), "id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p8.toSeq == brute)
+  }
 }

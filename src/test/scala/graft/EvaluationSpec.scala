@@ -369,4 +369,22 @@ class EvaluationSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(p == out.map(r => Seq[Any]("q", r._1, r._2._1, r._2._2, r._2._3, r._2._4)).toSeq)
   }
+
+  test("anovaF: matches the textbook F on a hand dataset; equal means → F 0; partition-invariant") {
+    // classic 3-group example: means 2, 4, 6 with within-group variance 1
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 3), ("b", 4), ("b", 5),
+      ("c", 5), ("c", 6), ("c", 7)).toDF("g", "x")
+    val r = Evaluation.anovaF(df, "g", col("x").cast("decimal(18,2)")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    // SSB = 3·((2−4)² + 0 + (6−4)²) = 24; SSW = 3·2 = 6; F = (24/2)/(6/6)
+    assert(math.abs(r.getDouble(2) - 24.0) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(4) - 12.0) < 1e-9, r.toString)
+    // identical group means: SSB = 0 exactly → F = 0
+    val flat = Seq(("a", 1), ("a", 3), ("b", 1), ("b", 3)).toDF("g", "x")
+    val f0 = Evaluation.anovaF(flat, "g", col("x").cast("decimal(18,2)")).head()
+    assert(f0.getDouble(2) == 0.0 && f0.getDouble(4) == 0.0, f0.toString)
+    val p = Evaluation.anovaF(df.repartition(8), "g", col("x").cast("decimal(18,2)")).head()
+    assert(p.toSeq == r.toSeq)
+  }
 }

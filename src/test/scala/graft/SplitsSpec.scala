@@ -180,4 +180,22 @@ class SplitsSpec extends SparkSpec {
     assert(Splits.crossSplitLeakage(base.toDF("doc_id", "text"), "doc_id", "text")
       .count() == 0)
   }
+
+  test("walkForwardFolds: hand-checked fold membership, embargo excluded, last row tested") {
+    // epochs 0..100 → cuts at 20/40/60/80; embargo 5 s
+    val es = Seq(0L, 10L, 20L, 25L, 30L, 50L, 99L, 100L)
+    val df = es.zipWithIndex.map { case (e, i) => (e, (i % 3).toLong) }.toDF("ts", "uid")
+    val out = Splits.walkForwardFolds(df, "ts", "uid", nFolds = 4, embargoSeconds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1, "train") -> 2L, (1, "purged") -> 1L, (1, "test") -> 2L,
+      (2, "train") -> 5L, (2, "test") -> 1L,
+      (3, "train") -> 6L,
+      (4, "train") -> 6L, (4, "test") -> 2L), out.toString)
+    // the boundary row es=20 is PURGED in fold 1 (not train, not test), and
+    // the corpus max es=100 lands in fold 4's test (hi = max+1)
+    val f4 = Splits.walkForwardFolds(df, "ts", "uid", 4, 5)
+      .where(col("fold") === 4 && col("split") === "test").head()
+    assert(f4.getLong(5) == 100L, f4.toString)
+  }
 }
