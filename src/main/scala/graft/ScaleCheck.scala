@@ -272,6 +272,13 @@ object ScaleCheck {
       Tables.load(spark, d, "part").select(col("p_partkey"), col("p_size"),
         (col("p_retailprice") * 100).cast("long").as("cents")),
       "p_partkey", "p_size", "cents"))
+    time("woe_iv")(d => Evaluation.woeIv(Tables.load(spark, d, "orders"),
+      col("o_orderstatus") =!= "F", "o_totalprice", 10))
+    time("label_silhouette")(d => Similarity.labelSilhouette(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", "label"))
+    time("keyset_page")(d => Relational.keysetPage(Tables.load(spark, d, "orders"),
+      Seq("o_orderdate" -> java.time.Instant.parse("1998-01-01T00:00:00Z"),
+        "o_orderkey" -> 7500L), 50))
 
     spark.stop()
   }

@@ -545,6 +545,22 @@ object SparkEntry {
         "p_partkey", "p_size", "cents")
         .select(col("id").as("p_partkey"), col("x").as("p_size"),
           col("y").as("cents"))),
+    "q187_woe_iv" -> ((s, d) =>
+      // does order value separate failed orders from the rest
+      Evaluation.woeIv(Tables.orders(s, d),
+        col("o_orderstatus") =!= "F", "o_totalprice", bins = 10)),
+    "q188_silhouette" -> ((s, d) =>
+      // do the embedding labels separate in cosine space, per label
+      Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label")),
+    "q189_keyset_page" -> ((s, d) =>
+      // page after cursor (1998-01-01, key 7500), 50 rows; date-cast output
+      Relational.keysetPage(Tables.orders(s, d),
+        Seq("o_orderdate" -> java.time.Instant.parse("1998-01-01T00:00:00Z"),
+          "o_orderkey" -> 7500L), 50)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))),
     "q152_calibration" -> ((s, d) =>
       // does a synthetic [0,1) score's confidence track the F rate per bin
       Evaluation.calibration(Tables.orders(s, d),
@@ -2121,6 +2137,73 @@ object SparkEntry {
         |  WHERE b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_size DESC, p_partkey""".stripMargin,
+    "q187_woe_iv" ->
+      // q142's exact-binning core (goods anchor the edges, +0.5 smoothing,
+      // DECIMAL(28,9) quantization); woe/iv_term re-emit the same chains
+      """WITH e AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |           WHERE o_orderstatus <> 'F'),
+        |a AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |      WHERE o_orderstatus = 'F'),
+        |s AS (SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS w FROM e),
+        |eb AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / w) AS INT))) AS bin,
+        |              COUNT(*) AS en FROM e, s GROUP BY 1),
+        |ab AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / w) AS INT))) AS bin,
+        |              COUNT(*) AS an FROM a, s GROUP BY 1),
+        |cells AS (SELECT CAST(r.range AS INT) AS bin,
+        |                 COALESCE(en, 0) AS n_good, COALESCE(an, 0) AS n_bad
+        |          FROM range(0, 10) r
+        |          LEFT JOIN eb ON eb.bin = r.range LEFT JOIN ab ON ab.bin = r.range),
+        |tot AS (SELECT SUM(n_good) AS ne, SUM(n_bad) AS na FROM cells),
+        |terms AS (SELECT bin, n_good, n_bad,
+        |    (CAST(n_good AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(ne AS DOUBLE) + CAST(5 AS DOUBLE)) AS p,
+        |    (CAST(n_bad AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(5 AS DOUBLE)) AS q
+        |  FROM cells, tot),
+        |iv AS (SELECT CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(28,9))) AS DOUBLE) AS iv
+        |       FROM terms)
+        |SELECT t.bin, CAST(t.n_good AS BIGINT) AS n_good,
+        |  CAST(t.n_bad AS BIGINT) AS n_bad,
+        |  CAST(CAST(ln(p / q) AS DECIMAL(28,9)) AS DOUBLE) AS woe,
+        |  CAST(CAST((p - q) * ln(p / q) AS DECIMAL(28,9)) AS DOUBLE) AS iv_term,
+        |  iv.iv
+        |FROM terms t, iv ORDER BY t.bin""".stripMargin,
+    "q188_silhouette" ->
+      // centroids via q65's exact recipe (avg quantized DECIMAL(18,4)),
+      // cosine via q183's double chain with dims folded in list order,
+      // each s quantized DECIMAL(18,9) before the per-label mean
+      """WITH cent AS (
+        |  SELECT c_lbl, list(c ORDER BY dim) AS cv FROM (
+        |    SELECT label AS c_lbl, u[2] AS dim,
+        |      CAST(CAST(AVG(CAST(u[1] AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS c
+        |    FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+        |          FROM embeddings)
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |pair AS (
+        |  SELECT e.vec_id, e.label, c.c_lbl,
+        |    1.0 - (list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |             p -> CAST(p[1] AS DOUBLE) * p[2]))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x * x))))) AS d
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ab AS (SELECT vec_id, label,
+        |    MAX(CASE WHEN c_lbl = label THEN d END) AS a,
+        |    MIN(CASE WHEN c_lbl <> label THEN d END) AS b
+        |  FROM pair GROUP BY 1, 2),
+        |sq AS (SELECT label, CAST(CASE WHEN GREATEST(a, b) = 0 THEN 0
+        |    ELSE (b - a) / GREATEST(a, b) END AS DECIMAL(18,9)) AS s FROM ab)
+        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vectors,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+        |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q189_keyset_page" ->
+      // the seek predicate the engine runs; LIMIT picks the identical rows
+      // because the cursor tuple ends in the unique o_orderkey
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+        |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
+        |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

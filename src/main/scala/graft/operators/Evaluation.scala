@@ -691,6 +691,28 @@ object Evaluation {
       .orderBy(col("q"), col("fused_rank"))
   }
 
+  /** Weight-of-evidence / information-value feature screen — the
+    * credit-scoring standard for "how well does this numeric feature
+    * separate a binary outcome" (IV < 0.02 useless, 0.1–0.3 medium,
+    * > 0.5 suspicious). Per bin WOE = ln(good%/bad%); IV = Σ (good% −
+    * bad%)·WOE — algebraically [[psi]] of the goods distribution against
+    * the bads distribution, so this REUSES [[psiDetail]]'s exact binning
+    * core verbatim (expected = goods anchors the bin edges, +0.5 Laplace
+    * smoothing keeps ln finite on empty cells, every ln term quantized
+    * DECIMAL(28,9) before the order-independent sum). Two single-pass
+    * aggregates; nothing shuffles more than `bins` rows. */
+  def woeIv(df: DataFrame, good: Column, valueCol: String,
+            bins: Int = 10): DataFrame = {
+    val detail = psiDetail(df.where(good), df.where(!good), valueCol, bins)
+    val tot = detail.agg(sum("term").cast("double").as("iv"))
+    detail.crossJoin(broadcast(tot))
+      .select(col("bin"), col("expected_n").as("n_good"),
+        col("actual_n").as("n_bad"),
+        log(col("p") / col("q")).cast("decimal(28,9)").cast("double").as("woe"),
+        col("term").cast("double").as("iv_term"), col("iv"))
+      .orderBy("bin")
+  }
+
   /** One-way ANOVA F — "does the group mean differ anywhere" across k>2
     * groups, the multi-arm generalization of [[abTest]]'s two-proportion z
     * (reference analog: comparing a metric across every ingest source at

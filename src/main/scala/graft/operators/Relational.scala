@@ -202,4 +202,28 @@ object Relational {
     fact.filter(Native.bloomMightContain(lit(sketch), xxhash64(col(factKey))))
       .join(dimKeys, col(factKey) === col("__graft_dim_key"), "left_semi")
   }
+
+  /** Keyset ("seek-method") pagination — the listing-endpoint shape the
+    * reference's HTTP pagination implies, done the way OFFSET cannot scale:
+    * page N+1 = rows strictly after the last-seen key tuple, in
+    * (k1, k2, …) lexicographic order. The cursor tuple must end in a
+    * unique key so every page is deterministic.
+    *
+    * The lexicographic seek predicate (k1 > a1) OR (k1 = a1 AND k2 > a2)…
+    * is OR-shaped and opaque to parquet pruning, so a REDUNDANT conjunct
+    * `k1 >= a1` rides along — that one reaches the scan as a pushed
+    * min/max filter and skips every row group before the cursor. The
+    * page itself is a global top-N (TakeOrderedAndProject): no full sort,
+    * no OFFSET re-read of skipped pages. */
+  def keysetPage(df: DataFrame, cursor: Seq[(String, Any)],
+                 pageSize: Int): DataFrame = {
+    require(cursor.nonEmpty && pageSize > 0, "cursor cols and pageSize > 0")
+    val seek = cursor.indices.map { i =>
+      (cursor.take(i).map { case (k, a) => col(k) === lit(a) } :+
+        (col(cursor(i)._1) > lit(cursor(i)._2))).reduce(_ && _)
+    }.reduce(_ || _)
+    df.where(col(cursor.head._1) >= lit(cursor.head._2) && seek)
+      .orderBy(cursor.map(c => col(c._1)): _*)
+      .limit(pageSize)
+  }
 }

@@ -235,6 +235,52 @@ object Similarity {
       .agg(avg(col("x").cast("double")).cast("decimal(18,4)").as("c"))
       .orderBy("label", "dim")
 
+  /** Per-label mean silhouette against label centroids (the "medoid-free"
+    * simplified silhouette): a = cosine distance to the OWN label's
+    * centroid, b = min cosine distance to any other label's centroid,
+    * s = (b−a)/max(a,b) — the clustering-quality readout that says whether
+    * a labeling (or [[kmeansAssign]]'s output) actually separates in
+    * embedding space, per label, before anyone trains on it. Mean s near 0
+    * (or negative) flags the overlapping / mislabeled classes that
+    * [[knnLabelNoise]] then pinpoints row by row.
+    *
+    * Scale: centroids ride [[labelCentroids]]'s (label, dim) hash
+    * aggregate (shuffle carries partials, never raw rows), collapse to k
+    * ordered arrays, and broadcast; each row then scores its k cosines in
+    * ONE map-side pass (codegen'd HOFs, dims folded in index order — the
+    * deterministic double chain the oracle mirrors with list_sum). Each s
+    * quantizes DECIMAL(18,9) before the order-independent per-label sum. */
+  def labelSilhouette(embeddings: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val cent = labelCentroids(embeddings, labelCol, vecCol)
+      .groupBy(col("label").as("c_lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c").cast("double")).as("cv"))
+    val dotVC = aggregate(zip_with(col("v"), col("cv"),
+      (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
+    val nv = sqrt(aggregate(transform(col("v"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
+    val nc = sqrt(aggregate(transform(col("cv"), x => x * x),
+      lit(0.0), (a, x) => a + x))
+    val d = lit(1.0) - dotVC / (nv * nc)
+    val ab = embeddings
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_lbl"), d.as("d"))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("c_lbl") === col("label"), col("d"))).as("a"),
+        min(when(col("c_lbl") =!= col("label"), col("d"))).as("b"))
+    val s = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+      .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.select(col("label"), s.cast("decimal(18,9)").as("sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum("sq").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+
   // ------------------------------------------- higher-order vector algebra
 
   /** Vector algebra as codegen'd higher-order functions — the pure-SQL-

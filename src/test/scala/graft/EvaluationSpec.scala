@@ -387,4 +387,26 @@ class EvaluationSpec extends SparkSpec {
     val p = Evaluation.anovaF(df.repartition(8), "g", col("x").cast("decimal(18,2)")).head()
     assert(p.toSeq == r.toSeq)
   }
+
+  test("woeIv: separating feature scores high IV, identical distributions score 0; iv = Σ terms") {
+    // goods clustered low, bads clustered high: near-perfect separation
+    val sep = ((1 to 50).map(i => (true, i / 50.0)) ++
+      (1 to 50).map(i => (false, 9.0 + i / 50.0))).toDF("good", "v")
+    val rows = Evaluation.woeIv(sep, col("good"), "v", 10).collect()
+    assert(rows.length == 10)
+    val iv = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == iv)) // total repeated per row
+    assert(iv > 3.0, iv.toString)             // "suspiciously strong" range
+    assert(math.abs(rows.map(_.getDouble(4)).sum - iv) < 1e-6)
+    // bads all clamp into the top bin (they sit past the goods' range);
+    // a goods-only bin scores strongly positive woe, the bads bin negative
+    assert(rows(9).getLong(2) == 50L)
+    assert(rows.head.getLong(2) == 0L && rows.head.getDouble(3) > 0d)
+    assert(rows(9).getDouble(3) < 0d)
+    // same distribution both classes → every term 0 exactly (p == q)
+    val flat = ((1 to 40) ++ (1 to 40)).zipWithIndex
+      .map { case (v, i) => (i < 40, v.toDouble) }.toDF("good", "v")
+    val ivFlat = Evaluation.woeIv(flat, col("good"), "v", 8).head().getDouble(5)
+    assert(ivFlat == 0.0, ivFlat.toString)
+  }
 }

@@ -317,4 +317,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(t(1L) == 0L, t.toString) // 2 votes for 0, 2 for 5 → label 0 wins
   }
+
+  test("labelSilhouette: separated labels score near 1, co-located labels near 0") {
+    val sep = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.01f), 0), (3L, Array(0.98f, 0.02f), 0),
+      (4L, Array(0f, 1f), 1), (5L, Array(0.01f, 0.99f), 1), (6L, Array(0.02f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelSilhouette(sep, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 == 3L && out(1L)._1 == 3L)
+    assert(out(0L)._2 > 0.9 && out(1L)._2 > 0.9, out.toString)
+    // swap one cluster-0 point's label to 1: its a/b invert (negative s)
+    // and drag label 1's mean well below the clean label 0
+    val noisy = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.01f), 0), (3L, Array(0.98f, 0.02f), 0),
+      (4L, Array(0f, 1f), 1), (5L, Array(0.01f, 0.99f), 1),
+      (6L, Array(0.97f, 0.03f), 1) // sits in cluster 0, labeled 1
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.labelSilhouette(noisy, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(0L) > 0.8, m.toString)
+    assert(m(1L) < 0.5, m.toString) // the stray's negative s pulls the mean
+  }
 }
