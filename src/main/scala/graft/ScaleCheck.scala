@@ -279,6 +279,13 @@ object ScaleCheck {
     time("keyset_page")(d => Relational.keysetPage(Tables.load(spark, d, "orders"),
       Seq("o_orderdate" -> java.time.Instant.parse("1998-01-01T00:00:00Z"),
         "o_orderkey" -> 7500L), 50))
+    time("rendezvous_shards")(d => Splits.rendezvousShards(
+      Tables.documents(spark, d).select("doc_id"), "doc_id", 8))
+    time("zone_manifest")(d => Analytics.zoneMapManifest(
+      Tables.load(spark, d, "orders"),
+      date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_orderkey", "o_totalprice")))
+    time("debounce")(d => Analytics.debounce(Tables.events(spark, d),
+      "user_id", "event_type", "ts", "event_id", 30))
 
     spark.stop()
   }

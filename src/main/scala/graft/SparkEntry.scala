@@ -553,6 +553,22 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q190_rendezvous" -> ((s, d) =>
+      // HRW owner among 8 shards per doc — resize moves only 1/(N+1)
+      Splits.rendezvousShards(Tables.documents(s, d).select("doc_id"),
+        "doc_id", 8).orderBy("doc_id")),
+    "q191_zone_manifest" -> ((s, d) =>
+      // per-month zones over orders: the stats a skipping scan consults
+      Analytics.zoneMapManifest(Tables.orders(s, d),
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        Seq("o_orderkey", "o_totalprice"))),
+    "q192_debounce" -> ((s, d) =>
+      // burst leaders per (user, type), 30 s cooldown
+      Analytics.debounce(Tables.events(s, d), "user_id", "event_type",
+        "ts", "event_id", 30)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("__es").as("es"))
+        .orderBy("user_id", "event_type", "es", "event_id")),
     "q189_keyset_page" -> ((s, d) =>
       // page after cursor (1998-01-01, key 7500), 50 rows; date-cast output
       Relational.keysetPage(Tables.orders(s, d),
@@ -2204,6 +2220,32 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q190_rendezvous" ->
+      // same md5(key || '#' || shard) weights; DESC md5 then DESC shard
+      // mirrors greatest(struct)'s lexicographic max
+      """SELECT doc_id, CAST(shard AS INT) AS shard FROM (
+        |  SELECT doc_id, s.range AS shard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.range AS VARCHAR)) DESC,
+        |               s.range DESC) AS rk
+        |  FROM documents, range(0, 8) s)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q191_zone_manifest" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  min(o_orderkey) AS min_o_orderkey, max(o_orderkey) AS max_o_orderkey,
+        |  min(o_totalprice) AS min_o_totalprice, max(o_totalprice) AS max_o_totalprice
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q192_debounce" ->
+      // gap measured to the previous EVENT (burst semantics) — one lag
+      """WITH x AS (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, es FROM x
+        |WHERE prev IS NULL OR es - prev > 30
+        |ORDER BY user_id, event_type, es, event_id""".stripMargin,
     "q166_dim_profile" ->
       // zip-unnest (dim, value); floats exact as doubles, quantized
       // DECIMAL(18,9) before order-independent sums; std double chain last

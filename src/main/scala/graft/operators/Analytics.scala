@@ -1332,6 +1332,58 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** Zone-map manifest: per-bucket row count and min/max of the stat
+    * columns — the data-skipping index a lake layout (partition dirs,
+    * [[zorderKey]] ranges, Delta/Iceberg file stats) exists to serve,
+    * materialized as a queryable table. Pair with [[pruneByZoneMap]] to
+    * actually skip. ONE hash aggregate; the shuffle carries only
+    * per-bucket partials. Buckets must CLUSTER the stat columns for the
+    * zones to be tight (that is the layout's job, not this op's). */
+  def zoneMapManifest(df: DataFrame, bucket: Column,
+                      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val stats = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+      .orderBy("bucket")
+  }
+
+  /** Zone-map pruning: scan only the buckets whose [min,max] envelope
+    * intersects [lo,hi], then apply the exact predicate to settle false
+    * positives — semantically identical to the full filter, but when
+    * `bucketOf` matches the storage layout (partition column, z-range)
+    * the skipped buckets never leave the manifest. The manifest is
+    * contract-small (one row per bucket): the surviving bucket list
+    * collects to an IN filter the scan can prune on. */
+  def pruneByZoneMap(df: DataFrame, manifest: DataFrame, bucketOf: Column,
+                     statCol: String, lo: Any, hi: Any): DataFrame = {
+    val live = manifest
+      .where(col(s"min_$statCol") <= lit(hi) && col(s"max_$statCol") >= lit(lo))
+      .select("bucket").collect().map(_.get(0))
+    df.where(bucketOf.isin(live.toIndexedSeq: _*) &&
+      col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
+  }
+
+  /** Event de-bounce (burst-leader election): keep only the FIRST event of
+    * each burst per (actor, type), where a burst is a run of events each
+    * within `cooldownSeconds` of its predecessor — duplicate-click /
+    * retry-storm suppression with [[sessionize]]'s gap semantics (the gap
+    * measures to the previous EVENT, not the previous kept one, so the
+    * predicate is a single windowed lag — no iterative state). One
+    * shuffle on (actor, type); everything else is map-side. */
+  def debounce(events: DataFrame, actorCol: String, typeCol: String,
+               tsCol: String, idCol: String, cooldownSeconds: Long): DataFrame = {
+    val es = col(tsCol).cast("long")
+    val w = Window.partitionBy(col(actorCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__es", es)
+      .withColumn("__prev", lag(col("__es"), 1).over(w))
+      .where(col("__prev").isNull || col("__es") - col("__prev") > cooldownSeconds)
+      .drop("__prev")
+  }
+
   /** 2-D Pareto frontier (skyline): rows no other row dominates, where p
     * dominates q iff p.x ≥ q.x ∧ p.y ≥ q.y with at least one strict —
     * "best tradeoffs" selection (quality×length doc picks, price×size

@@ -249,6 +249,31 @@ object Splits {
       .orderBy(col(groupCol), col("cum_weight"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-hashing answer to "which of N shards owns this doc" for
+    * incrementally maintained datasets: when a shard is ADDED, only the
+    * keys the new shard now wins move (≈ 1/(N+1) of them); every other
+    * assignment is untouched. A `pmod(hash, N)` layout reshuffles nearly
+    * everything on every resize — the difference between rewriting 100 TB
+    * and appending one shard's worth.
+    *
+    * Weight of shard s for key k = md5(k || '#' || s); the winner is one
+    * `greatest` over N (weight, shard) structs — pure map-side codegen'd
+    * expressions, no shuffle, no RNG, engine-portable (md5 hex compares
+    * lexicographically the same everywhere). N is a literal expression
+    * fan-out: fine to ~64 shards; past that, generate a (key, shard)
+    * explode + max aggregate instead. */
+  def rendezvousShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 64, "nShards in [1,64]")
+    val scored = (0 until nShards).map { s =>
+      struct(md5(concat(col(idCol).cast("string"), lit("#"), lit(s.toString)))
+        .as("w"), lit(s).as("shard"))
+    }
+    val winner = if (nShards == 1) lit(0) // greatest() needs ≥ 2 args
+      else greatest(scored: _*).getField("shard")
+    df.select(col(idCol), winner.as("shard"))
+  }
+
   /** Cross-split contamination audit: identical texts that straddle
     * train/val/test after [[assignSplit]] — the train/test-leakage check
     * every eval pipeline needs, because a dup pair split across the

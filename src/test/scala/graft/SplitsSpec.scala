@@ -198,4 +198,24 @@ class SplitsSpec extends SparkSpec {
       .where(col("fold") === 4 && col("split") === "test").head()
     assert(f4.getLong(5) == 100L, f4.toString)
   }
+
+  test("rendezvousShards: total, deterministic, balanced-ish; resize moves ONLY keys the new shard wins") {
+    val ids = (1L to 2000L).toDF("id")
+    val at8 = Splits.rendezvousShards(ids, "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(at8.size == 2000 && at8.values.forall(s => s >= 0 && s < 8))
+    // every shard gets a sane share (expected 250; md5 is near-uniform)
+    val byShard = at8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.forall(n => n > 150 && n < 350),
+      byShard.toMap.toString)
+    // THE consistent-hashing property: at N=9, a key either keeps its N=8
+    // shard or moves to the NEW shard 8 — never between old shards
+    val at9 = Splits.rendezvousShards(ids, "id", 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = at8.keys.filter(k => at9(k) != at8(k))
+    assert(moved.forall(k => at9(k) == 8), "a key moved between OLD shards")
+    // moved fraction ≈ 1/9 of keys
+    assert(moved.size > 120 && moved.size < 330, moved.size.toString)
+    assert(Splits.rendezvousShards(ids, "id", 1).collect().forall(_.getInt(1) == 0))
+  }
 }
