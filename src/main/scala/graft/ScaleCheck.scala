@@ -286,6 +286,15 @@ object ScaleCheck {
       date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_orderkey", "o_totalprice")))
     time("debounce")(d => Analytics.debounce(Tables.events(spark, d),
       "user_id", "event_type", "ts", "event_id", 30))
+    time("scd2_lookup")(d => RangeJoin.scd2Lookup(
+      Tables.load(spark, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts")),
+      "o_custkey", "ts",
+      Analytics.scd2(Tables.load(spark, d, "orders"), "o_custkey",
+        "o_orderstatus", "o_orderdate"),
+      "o_custkey", "valid_from", "valid_to"))
+    time("twap")(d => Analytics.timeWeightedAvg(Tables.events(spark, d),
+      "user_id", "ts", "value", "event_id"))
 
     spark.stop()
   }

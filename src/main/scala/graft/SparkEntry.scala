@@ -553,6 +553,24 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q193_scd2_lookup" -> ((s, d) => {
+      // enrich each order with the status version valid one day later —
+      // the "as the entity WAS at event time" warehouse join
+      val hist = Analytics.scd2(Tables.orders(s, d), "o_custkey",
+        "o_orderstatus", "o_orderdate")
+      RangeJoin.scd2Lookup(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts")),
+        "o_custkey", "ts", hist, "o_custkey", "valid_from", "valid_to")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("__d_o_orderstatus").as("status_at"))
+        .orderBy("o_orderkey")
+    }),
+    "q194_twap" -> ((s, d) =>
+      // exposure-weighted mean event value per user (chat bursts don't
+      // over-weight); plain AVG is the wrong estimator here
+      Analytics.timeWeightedAvg(Tables.events(s, d), "user_id", "ts",
+        "value", "event_id")),
     "q190_rendezvous" -> ((s, d) =>
       // HRW owner among 8 shards per doc — resize moves only 1/(N+1)
       Splits.rendezvousShards(Tables.documents(s, d).select("doc_id"),
@@ -2220,6 +2238,44 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q193_scd2_lookup" ->
+      // q75's scd2 CTE + keyed containment; zero-length versions match
+      // nothing, so each order resolves to at most one version
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus) AS prev
+        |  FROM orders),
+        |changed AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate FROM ordered
+        |  WHERE prev IS NULL OR prev <> o_orderstatus),
+        |hist AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus) AS valid_to
+        |  FROM changed),
+        |fact AS (SELECT o_orderkey, o_custkey,
+        |    o_orderdate + INTERVAL 1 DAY AS ts FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, h.o_orderstatus AS status_at
+        |FROM fact f LEFT JOIN hist h
+        |  ON h.o_custkey = f.o_custkey AND f.ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin,
+    "q194_twap" ->
+      // v·Δt terms in integer micro-units (round(x·1e6), the q132/cusum
+      // recipe — a scale-9 decimal would overrun double precision here);
+      // last event carries no duration; single-event users → NULL twap
+      """WITH x AS (SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |a AS (SELECT user_id AS actor, COUNT(*) AS n_events,
+        |    max(es) - min(es) AS span_seconds,
+        |    CAST(SUM(CAST(round((value * CAST(nxt - es AS DOUBLE)) * 1000000.0) AS BIGINT)) AS DOUBLE) AS wsum_u
+        |  FROM x GROUP BY 1)
+        |SELECT actor, n_events, span_seconds,
+        |  CASE WHEN span_seconds > 0
+        |       THEN wsum_u / 1000000.0 / CAST(span_seconds AS DOUBLE) END AS twap
+        |FROM a ORDER BY actor""".stripMargin,
     "q190_rendezvous" ->
       // same md5(key || '#' || shard) weights; DESC md5 then DESC shard
       // mirrors greatest(struct)'s lexicographic max

@@ -1384,6 +1384,40 @@ object Analytics {
       .drop("__prev")
   }
 
+  /** Time-weighted average per actor (TWAP shape): Σ vᵢ·(tᵢ₊₁−tᵢ) over the
+    * actor's observed span — the exposure-correct mean for irregularly
+    * sampled state (price, queue depth, feature value), where the plain
+    * AVG over-weights chatty periods. The last observation carries no
+    * duration (its value had no observed holding time); single-event
+    * actors have no span → null.
+    *
+    * One (actor) shuffle for the lead window; each v·Δt term is rounded
+    * to integer MICRO-units (round(x·1e6): one IEEE multiply + round,
+    * identical in any engine — the q132/cusum recipe; a DECIMAL(_,9)
+    * quantization would NOT work here: terms reach ~1e8, so scale 9
+    * demands more significant digits than a double carries and the
+    * engines extend the phantom digits differently), summed exactly as
+    * DECIMAL(28,0), finished by a fixed double chain. */
+  def timeWeightedAvg(events: DataFrame, actorCol: String, tsCol: String,
+                      valueCol: String, idCol: String): DataFrame = {
+    val es = col(tsCol).cast("long")
+    events
+      .select(col(actorCol).as("actor"), col(valueCol).cast("double").as("v"),
+        es.as("es"), col(idCol).as("__id"), col(tsCol).as("__ts"))
+      .withColumn("__nxt", lead(col("es"), 1)
+        .over(Window.partitionBy("actor").orderBy(col("__ts"), col("__id"))))
+      .groupBy("actor")
+      .agg(count(lit(1)).as("n_events"),
+        (max("es") - min("es")).as("span_seconds"),
+        sum(round((col("v") * (col("__nxt") - col("es")).cast("double"))
+            * lit(1e6d)).cast("decimal(28,0)")).cast("double").as("wsum_u"))
+      .select(col("actor"), col("n_events"), col("span_seconds"),
+        when(col("span_seconds") > 0,
+          col("wsum_u") / lit(1e6d) / col("span_seconds").cast("double"))
+          .as("twap"))
+      .orderBy("actor")
+  }
+
   /** 2-D Pareto frontier (skyline): rows no other row dominates, where p
     * dominates q iff p.x ≥ q.x ∧ p.y ≥ q.y with at least one strict —
     * "best tradeoffs" selection (quality×length doc picks, price×size

@@ -69,4 +69,29 @@ object RangeJoin {
              col("__bucket") === greatest(col("__first_a"), col("__first_b")))
       .drop("__bucket", "__first_a", "__first_b")
   }
+
+  /** Keyed temporal (SCD2) lookup: enrich each fact row with the dimension
+    * version valid at its timestamp — key equality plus
+    * `from ≤ ts < to` (open current version: `to` null) — the standard
+    * warehouse "as the customer WAS when the order happened" join, and the
+    * keyed sibling of [[pointInInterval]] (which buckets because it has no
+    * key).
+    *
+    * No bucketing needed here: the key carries the join (one hash-join
+    * shuffle, broadcastable dim), the validity predicate is a residual
+    * condition over the handful of versions per key. [[Analytics.scd2]]'s
+    * histories make at most one version match (intervals per key are
+    * disjoint; zero-length versions match nothing), so the left join
+    * never duplicates facts. */
+  def scd2Lookup(fact: DataFrame, factKey: String, tsCol: String,
+                 dim: DataFrame, dimKey: String, fromCol: String,
+                 toCol: String): DataFrame = {
+    val d = dim.columns.foldLeft(dim)((x, c) => x.withColumnRenamed(c, s"__d_$c"))
+    fact.join(d,
+      col(factKey) === col(s"__d_$dimKey") &&
+        col(tsCol) >= col(s"__d_$fromCol") &&
+        (col(s"__d_$toCol").isNull || col(tsCol) < col(s"__d_$toCol")),
+      "left")
+      .drop(s"__d_$dimKey")
+  }
 }

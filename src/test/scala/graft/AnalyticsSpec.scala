@@ -657,6 +657,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("timeWeightedAvg: holding-time weights, last event carries none, single-event actor NULL") {
+    val t0 = 1700000000L
+    def ts(off: Long) = new java.sql.Timestamp((t0 + off) * 1000L)
+    val df = Seq(
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(10), 20.0), (1L, 3L, ts(30), 999.0),
+      (2L, 4L, ts(0), 5.0) // single event: no observed holding time
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.timeWeightedAvg(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    // user 1: 10·10 + 20·20 = 500 over span 30 → 16.666…; 999 never weighs
+    assert(out(1L)._1 == 3L && out(1L)._2 == 30L)
+    assert(math.abs(out(1L)._3.asInstanceOf[Double] - 500.0 / 30.0) < 1e-9, out.toString)
+    assert(out(2L)._3 == null, out.toString)
+    // the plain average would be 343 — the whole point of the weighting
+    assert(out(1L)._3.asInstanceOf[Double] < 30.0)
+  }
+
   test("debounce: burst leaders only, gap measured to previous event, key-isolated") {
     val t0 = 1700000000L
     def ts(off: Long) = new java.sql.Timestamp((t0 + off) * 1000L)

@@ -71,4 +71,28 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("scd2Lookup: version valid at ts; open tail matches; pre-history and foreign keys null; no fact dup") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Option(ts("2024-02-01 00:00:00"))),
+      (1L, "B", ts("2024-02-01 00:00:00"), None: Option[java.sql.Timestamp]),
+      (2L, "Z", ts("2024-03-01 00:00:00"), Option(ts("2024-03-01 00:00:00"))), // zero-length
+      (2L, "Y", ts("2024-03-01 00:00:00"), None: Option[java.sql.Timestamp])
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val fact = Seq(
+      (100L, 1L, ts("2024-01-15 00:00:00")), // inside A
+      (101L, 1L, ts("2024-02-01 00:00:00")), // boundary: A closed, B opens
+      (102L, 1L, ts("2023-12-01 00:00:00")), // before history
+      (103L, 2L, ts("2024-03-01 00:00:00")), // zero-length Z invisible → Y
+      (104L, 9L, ts("2024-01-01 00:00:00"))  // unknown key
+    ).toDF("fid", "k", "ts")
+    val out = RangeJoin.scd2Lookup(fact, "k", "ts", dim, "k", "valid_from", "valid_to")
+      .select(col("fid"), col("__d_v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out == Map(100L -> "A", 101L -> "B", 102L -> null,
+      103L -> "Y", 104L -> null), out.toString)
+    assert(RangeJoin.scd2Lookup(fact, "k", "ts", dim, "k", "valid_from", "valid_to")
+      .count() == 5) // left join never duplicates facts
+  }
 }
