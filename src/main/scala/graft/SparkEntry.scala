@@ -553,6 +553,14 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q195_image_neardups" -> ((s, d) =>
+      // ☆ rows-only: BMP encode→decode→dHash→banded Hamming join can't be
+      // expressed in SQL; DedupSpec/MultimodalSpec carry the evidence.
+      // ids sharing id%40 render identical patterns → planted dup groups
+      Multimodal.imageNearDupPairs(
+        Multimodal.synthesizePatternedImages(
+          Tables.documents(s, d).select("doc_id"), "doc_id"),
+        "doc_id", maxHamming = 2)),
     "q193_scd2_lookup" -> ((s, d) => {
       // enrich each order with the status version valid one day later —
       // the "as the entity WAS at event time" warehouse join

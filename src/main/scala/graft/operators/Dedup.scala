@@ -298,13 +298,26 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     import df.sparkSession.implicits._
+    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(Option(t).getOrElse(""))) }
+    hammingPairs64(sigs, maxHamming, maxBucket)
+      .withColumnRenamed("id_a", "doc_id_a").withColumnRenamed("id_b", "doc_id_b")
+  }
+
+  /** The pigeonhole-banded Hamming join behind [[simhashPairs]] (and the
+    * image perceptual-hash dedup): chunk each 64-bit signature into
+    * `maxHamming + 1` bands, bucket on (band, chunk) — any pair within the
+    * distance shares an intact band — popcount-verify inside buckets.
+    * Emits (id_a, id_b, hamming), a < b, exactly once. */
+  private[operators] def hammingPairs64(
+      sigs: org.apache.spark.sql.Dataset[(Long, Long)],
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of [0,63]")
     val nChunks = maxHamming + 1
     val base = 64 / nChunks; val extra = 64 % nChunks // first `extra` chunks are 1 bit wider
     val starts = (0 until nChunks).scanLeft(0)((s, c) => s + base + (if (c < extra) 1 else 0))
     val bounds = starts.sliding(2).map(w => (w(0), w(1))).toArray
-    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(Option(t).getOrElse(""))) }
     sigs.flatMap { case (id, h) =>
         bounds.iterator.zipWithIndex.map { case ((lo, hi), c) =>
           val chunk = (h >>> lo) & ((1L << (hi - lo)) - 1)
@@ -321,9 +334,9 @@ object Dedup {
           if d <= maxHamming
         } yield (m(i)._1, m(j)._1, d)
       }
-      .toDF("doc_id_a", "doc_id_b", "hamming")
-      .groupBy("doc_id_a", "doc_id_b").agg(min("hamming").as("hamming"))
-      .orderBy("doc_id_a", "doc_id_b")
+      .toDF("id_a", "id_b", "hamming")
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   // ---------------------------------------------------- cluster collapse

@@ -190,6 +190,74 @@ object Multimodal {
     }
   }
 
+  /** dHash perceptual hash of a BMP payload: nearest-neighbor downsample to
+    * a 9×8 luma grid, one bit per horizontal neighbor pair (set when the
+    * left pixel is brighter) — 64 bits whose Hamming distance survives
+    * re-encoding, resizing, and small edits, which is exactly what
+    * byte-level [[CsvIngest]]-style file hashing cannot see. Returns None
+    * for undecodable payloads (the codec-stub boundary, as in decode). */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    decodeBmpPixels(bytes).map { case (w, h, px) =>
+      var hash = 0L; var bit = 0
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(h - 1, y * h / 8)
+        var x = 0; var prev = 0
+        while (x < 9) {
+          val sx = math.min(w - 1, x * w / 9)
+          val (r, g, b) = px(sy)(sx)
+          val gray = (r * 299 + g * 587 + b * 114) / 1000
+          if (x > 0) { if (prev > gray) hash |= (1L << bit); bit += 1 }
+          prev = gray
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+  }
+
+  /** (id, dhash) per image — shuffle-free; undecodable payloads yield null. */
+  def imagePerceptualHashes(media: DataFrame, idCol: String): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, dHash64(b)) }
+      .toDF(idCol, "dhash")
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual hash: dHash each payload
+    * map-side, then reuse [[Dedup.hammingPairs64]]'s pigeonhole band join
+    * (the simhash tail) — the multimodal member of the dedup family:
+    * byte-identical dedup is file-hash (q14), text near-dup is
+    * minhash/simhash, and THIS catches re-encoded / slightly-edited
+    * images those can't. Undecodable payloads drop out (they can't be
+    * perceptually compared; the exact file hash still covers them). */
+  def imageNearDupPairs(media: DataFrame, idCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => dHash64(b).map(h => (id, h)) }
+    Dedup.hammingPairs64(sigs, maxHamming, maxBucket)
+  }
+
+  /** Synthesize per-doc PATTERNED BMPs (gradients keyed by id % patterns):
+    * unlike [[synthesizeImages]]'s flat colors (degenerate for dHash —
+    * every flat image hashes to 0), these give each pattern key a distinct
+    * luma structure, and ids sharing a key produce IDENTICAL images — the
+    * planted near-dup groups the perceptual dedup should find. */
+  def synthesizePatternedImages(docs: DataFrame, idCol: String,
+                                size: Int = 16, patterns: Int = 40): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val k = (id % patterns).toInt
+        (id, encodeBmp(size, size, (x, y) =>
+          ((x * (k + 3)) % 256, (y * (k + 5)) % 256, ((x + y) * (k + 7)) % 256)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
   // ------------------------------------------------------------- audio
 
   /** Synthesize a PCM WAV payload (16-bit mono). Like BMP, WAV is a

@@ -117,4 +117,38 @@ class MultimodalSpec extends SparkSpec {
     val one = frames.filter(col("frame_idx") === 0).count()
     assert(one == videos)
   }
+
+  test("dHash64: gradient direction sets/clears every bit; one-pixel edit stays within 2 bits") {
+    // strictly decreasing luma left→right: every neighbor comparison fires
+    val dec = Multimodal.encodeBmp(9, 8, (x, _) => { val v = 255 - x * 25; (v, v, v) })
+    assert(Multimodal.dHash64(dec).get == -1L) // all 64 bits
+    val inc = Multimodal.encodeBmp(9, 8, (x, _) => { val v = x * 25; (v, v, v) })
+    assert(Multimodal.dHash64(inc).get == 0L)
+    // flip a single interior pixel: at most its two comparisons change
+    val edit = Multimodal.encodeBmp(9, 8, (x, y) =>
+      if (x == 4 && y == 4) (255, 255, 255) else { val v = 255 - x * 25; (v, v, v) })
+    val d = java.lang.Long.bitCount(Multimodal.dHash64(dec).get ^ Multimodal.dHash64(edit).get)
+    assert(d >= 1 && d <= 2, d.toString)
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty) // not BMP
+  }
+
+  test("imageNearDupPairs: exact and near dups found, distant and undecodable images not") {
+    val dec = Multimodal.encodeBmp(9, 8, (x, _) => { val v = 255 - x * 25; (v, v, v) })
+    val edit = Multimodal.encodeBmp(9, 8, (x, y) =>
+      if (x == 4 && y == 4) (255, 255, 255) else { val v = 255 - x * 25; (v, v, v) })
+    val inc = Multimodal.encodeBmp(9, 8, (x, _) => { val v = x * 25; (v, v, v) })
+    val media = Seq((1L, dec), (2L, dec), (3L, edit), (4L, inc),
+      (5L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(media, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) >= 1 && pairs((1L, 3L)) <= 2)
+    // planted groups via the patterned synthesizer: ids 0,40,80 share a key
+    val docs = (0L until 120L).toDF("doc_id")
+    val planted = Multimodal.imageNearDupPairs(
+      Multimodal.synthesizePatternedImages(docs, "doc_id"), "doc_id", maxHamming = 0)
+    val grouped = planted.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(grouped.contains((0L, 40L)) && grouped.contains((40L, 80L)))
+  }
 }
