@@ -295,6 +295,15 @@ object ScaleCheck {
       "o_custkey", "valid_from", "valid_to"))
     time("twap")(d => Analytics.timeWeightedAvg(Tables.events(spark, d),
       "user_id", "ts", "value", "event_id"))
+    time("expectations")(d => Issues.expectationReport(
+      Tables.load(spark, d, "orders"), Seq(
+        "key_positive" -> (col("o_orderkey") > 0),
+        "price_range" -> (col("o_totalprice") > 0 && col("o_totalprice") < 600000))))
+    time("top_paths")(d => Analytics.topPaths(Tables.events(spark, d),
+      "user_id", "ts", "event_id", "event_type", 6, 20))
+    time("image_neardups")(d => Multimodal.imageNearDupPairs(
+      Multimodal.synthesizePatternedImages(
+        Tables.documents(spark, d).select("doc_id"), "doc_id"), "doc_id", 2))
 
     spark.stop()
   }

@@ -553,6 +553,27 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q196_expectations" -> ((s, d) =>
+      // declarative data contract over orders — one scan, all rules
+      Issues.expectationReport(Tables.orders(s, d), Seq(
+        "key_positive" -> (col("o_orderkey") > 0),
+        "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "price_range" -> (col("o_totalprice") > 0 && col("o_totalprice") < 600000),
+        "date_present" -> col("o_orderdate").isNotNull,
+        "priority_format" -> col("o_orderpriority").rlike("^[1-5]-")))),
+    "q197_linkage_em" -> ((s, d) => {
+      // unsupervised (m,u,prior) re-fit over the q181 candidate pairs
+      val pairs = Dedup.fuzzyPairs(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name", maxDist = 2)
+      Dedup.linkageEmRound(pairs, "id_a", "id_b", Tables.part(s, d), "p_partkey",
+        Seq(("p_brand", 0.9, 0.04), ("p_type", 0.85, 0.02), ("p_size", 0.8, 0.02)),
+        prior = 0.2)
+    }),
+    "q198_top_paths" -> ((s, d) =>
+      // discovered top-20 opening paths (first 6 events per user)
+      Analytics.topPaths(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", firstN = 6, k = 20)),
     "q195_image_neardups" -> ((s, d) =>
       // ☆ rows-only: BMP encode→decode→dHash→banded Hamming join can't be
       // expressed in SQL; DedupSpec/MultimodalSpec carry the evidence.
@@ -2246,6 +2267,94 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q196_expectations" ->
+      // NOT(pred) OR pred IS NULL — a rule that cannot evaluate did not
+      // hold; pass_rate literals forced DOUBLE (the q181 decimal gotcha)
+      """WITH v AS (
+        |  SELECT 'key_positive' AS rule,
+        |    COUNT(CASE WHEN NOT (o_orderkey > 0) OR (o_orderkey > 0) IS NULL THEN 1 END) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'status_domain',
+        |    COUNT(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) OR (o_orderstatus IN ('O','F','P')) IS NULL THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'price_range',
+        |    COUNT(CASE WHEN NOT (o_totalprice > 0 AND o_totalprice < 600000)
+        |               OR (o_totalprice > 0 AND o_totalprice < 600000) IS NULL THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'date_present',
+        |    COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'priority_format',
+        |    COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |               OR regexp_matches(o_orderpriority, '^[1-5]-') IS NULL THEN 1 END)
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT v.rule, n.n_rows, v.n_violations,
+        |  CAST(1 AS DOUBLE) - CAST(v.n_violations AS DOUBLE) / CAST(n.n_rows AS DOUBLE) AS pass_rate,
+        |  v.n_violations = 0 AS passed
+        |FROM v, n ORDER BY v.rule""".stripMargin,
+    "q197_linkage_em" ->
+      // q181's candidate CTE; E-step g quantized DECIMAL(18,9) before the
+      // order-independent sums; all outputs one division of exact sums
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 2),
+        |scored AS (
+        |  SELECT
+        |    CAST(CAST(0.2 AS DOUBLE) * mp / (CAST(0.2 AS DOUBLE) * mp + (1 - CAST(0.2 AS DOUBLE)) * up)
+        |      AS DECIMAL(18,9)) AS g,
+        |    ag_0, ag_1, ag_2
+        |  FROM (
+        |    SELECT
+        |      (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN CAST(0.9 AS DOUBLE) ELSE 1 - CAST(0.9 AS DOUBLE) END)
+        |      * (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type THEN CAST(0.85 AS DOUBLE) ELSE 1 - CAST(0.85 AS DOUBLE) END)
+        |      * (CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size THEN CAST(0.8 AS DOUBLE) ELSE 1 - CAST(0.8 AS DOUBLE) END) AS mp,
+        |      (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN CAST(0.04 AS DOUBLE) ELSE 1 - CAST(0.04 AS DOUBLE) END)
+        |      * (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type THEN CAST(0.02 AS DOUBLE) ELSE 1 - CAST(0.02 AS DOUBLE) END)
+        |      * (CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size THEN CAST(0.02 AS DOUBLE) ELSE 1 - CAST(0.02 AS DOUBLE) END) AS up,
+        |      CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN 1 ELSE 0 END AS ag_0,
+        |      CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type THEN 1 ELSE 0 END AS ag_1,
+        |      CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size THEN 1 ELSE 0 END AS ag_2
+        |    FROM pairs p JOIN part a ON a.p_partkey = p.id_a
+        |      JOIN part b ON b.p_partkey = p.id_b)),
+        |t AS (SELECT COUNT(*) AS n, SUM(g) AS sg,
+        |    COALESCE(SUM(CASE WHEN ag_0 = 1 THEN g END), CAST(0 AS DECIMAL(18,9))) AS sga_0,
+        |    CAST(SUM(ag_0) AS BIGINT) AS na_0,
+        |    COALESCE(SUM(CASE WHEN ag_1 = 1 THEN g END), CAST(0 AS DECIMAL(18,9))) AS sga_1,
+        |    CAST(SUM(ag_1) AS BIGINT) AS na_1,
+        |    COALESCE(SUM(CASE WHEN ag_2 = 1 THEN g END), CAST(0 AS DECIMAL(18,9))) AS sga_2,
+        |    CAST(SUM(ag_2) AS BIGINT) AS na_2
+        |  FROM scored)
+        |SELECT field, n AS n_pairs,
+        |  CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS p_est,
+        |  CAST(sga AS DOUBLE) / CAST(sg AS DOUBLE) AS m_est,
+        |  CAST(CAST(na AS DECIMAL(28,0)) - sga AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(28,0)) - sg AS DOUBLE) AS u_est
+        |FROM t, (VALUES ('p_brand', 0), ('p_size', 2), ('p_type', 1)) AS f(field, i),
+        |LATERAL (SELECT CASE i WHEN 0 THEN sga_0 WHEN 1 THEN sga_1 ELSE sga_2 END AS sga,
+        |                CASE i WHEN 0 THEN na_0 WHEN 1 THEN na_1 ELSE na_2 END AS na)
+        |ORDER BY field""".stripMargin,
+    "q198_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 6 GROUP BY 1)
+        |SELECT path, COUNT(*) AS n_actors FROM p
+        |GROUP BY 1 ORDER BY n_actors DESC, path LIMIT 20""".stripMargin,
     "q193_scd2_lookup" ->
       // q75's scd2 CTE + keyed containment; zero-length versions match
       // nothing, so each order resolves to at most one version

@@ -1418,6 +1418,34 @@ object Analytics {
       .orderBy("actor")
   }
 
+  /** Top-k navigation paths: each actor's first `firstN` event types in
+    * time order, joined into one path string, counted across actors —
+    * "how do users actually move through the product", the path-analysis
+    * readout behind funnels ([[funnel]] checks ONE hypothesized path;
+    * this DISCOVERS the paths worth hypothesizing).
+    *
+    * One (actor) shuffle: row_number prunes to the first N events
+    * (WindowGroupLimit pushes the limit below the sort), the path
+    * assembles from a sort_array of (rank, type) structs — deterministic
+    * regardless of aggregation order — and the path count is a second,
+    * path-keyed hash aggregate. Top-k is a global TakeOrdered, never a
+    * full sort. */
+  def topPaths(events: DataFrame, actorCol: String, tsCol: String,
+               idCol: String, typeCol: String, firstN: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(actorCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= firstN)
+      .groupBy(col(actorCol))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+          s => s.getField("t"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_actors"))
+      .orderBy(col("n_actors").desc, col("path"))
+      .limit(k)
+  }
+
   /** 2-D Pareto frontier (skyline): rows no other row dominates, where p
     * dominates q iff p.x ≥ q.x ∧ p.y ≥ q.y with at least one strict —
     * "best tradeoffs" selection (quality×length doc picks, price×size

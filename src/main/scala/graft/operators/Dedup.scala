@@ -795,4 +795,61 @@ object Dedup {
         score.cast("double").as("score"))
       .orderBy("id_a", "id_b")
   }
+
+  /** One EM re-estimation round for the Fellegi–Sunter parameters —
+    * where [[linkageScore]]'s (m, u) come FROM when no labeled pairs
+    * exist (Winkler's standard unsupervised fit): E-step scores each
+    * blocked pair's match posterior g from the current (m, u, prior);
+    * M-step re-estimates m (P(agree|match)), u (P(agree|non-match)) and
+    * the match prevalence from the g-weighted agreement rates. Run to
+    * fixity by feeding the output back in; each round is ONE pass.
+    *
+    * Exactness: per-pair likelihoods are fixed multiply chains over
+    * double literals (the oracle forces its bare decimals to DOUBLE the
+    * same way q181 does); g quantizes DECIMAL(18,9) before the
+    * order-independent sums; every output is one double division of
+    * exact decimal sums. Scale: candidates-only (blocking bounds the
+    * pair count), two id-keyed joins, one aggregate row; the per-field
+    * melt is driver-side over that row. */
+  def linkageEmRound(pairs: DataFrame, aCol: String, bCol: String,
+                     records: DataFrame, idCol: String,
+                     fields: Seq[(String, Double, Double)],
+                     prior: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one compared field")
+    require(prior > 0 && prior < 1, "prior in (0,1)")
+    def side(suffix: String, on: String) = records.select(
+      col(idCol).as(on) +: fields.map { case (f, _, _) => col(f).as(s"$f$suffix") }: _*)
+    val joined = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .join(side("_a", "id_a"), Seq("id_a"))
+      .join(side("_b", "id_b"), Seq("id_b"))
+    val agrees = fields.map { case (f, _, _) => col(s"${f}_a") <=> col(s"${f}_b") }
+    val mProd = fields.zip(agrees).map { case ((_, m, _), a) =>
+      when(a, lit(m)).otherwise(lit(1d) - lit(m)) }.reduce(_ * _)
+    val uProd = fields.zip(agrees).map { case ((_, _, u), a) =>
+      when(a, lit(u)).otherwise(lit(1d) - lit(u)) }.reduce(_ * _)
+    val g = (lit(prior) * mProd /
+      (lit(prior) * mProd + (lit(1d) - lit(prior)) * uProd)).cast("decimal(18,9)")
+    val scored = joined.select(g.as("g") +:
+      agrees.zipWithIndex.map { case (a, i) => a.cast("long").as(s"ag_$i") }: _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum("g").as("sg")) ++
+      fields.indices.flatMap(i => Seq(
+        sum(when(col(s"ag_$i") === 1, col("g"))).as(s"sga_$i"),
+        sum(col(s"ag_$i")).as(s"na_$i")))
+    // one aggregate row; the per-field melt + divisions happen driver-side
+    // over it (BigDecimal.doubleValue ≡ CAST(decimal AS DOUBLE))
+    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    val sg = row.getAs[java.math.BigDecimal]("sg")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    fields.zipWithIndex.map { case ((f, _, _), i) =>
+      // a field that never agrees sums to NULL → zero posterior mass
+      val sga = Option(row.getAs[java.math.BigDecimal](s"sga_$i"))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      val na = row.getAs[Long](s"na_$i")
+      (f, n, sg.doubleValue / n.toDouble, sga.doubleValue / sg.doubleValue,
+        new java.math.BigDecimal(na).subtract(sga).doubleValue /
+          new java.math.BigDecimal(n).subtract(sg).doubleValue)
+    }.toDF("field", "n_pairs", "p_est", "m_est", "u_est").orderBy("field")
+  }
 }

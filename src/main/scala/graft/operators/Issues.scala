@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
 
@@ -134,5 +134,33 @@ object Issues {
     f.join(d, Seq("__k"), "left_anti")
       .agg(count(lit(1)).as("orphan_n"))
       .select(lit(name).as("relationship"), col("orphan_n"))
+  }
+
+  /** Row-level data-contract expectations (the dbt-test / Great-
+    * Expectations shape): each rule is a predicate that should HOLD; the
+    * report gives per-rule violation counts, pass rates, and a go/no-go
+    * flag — the generalization of the reference's fixed issue taxonomy
+    * (DUPLICATE/INVALID/MISSING) to arbitrary caller-declared contracts.
+    * A NULL predicate result counts as a violation (a rule that cannot
+    * evaluate did not hold).
+    *
+    * ALL rules ride ONE scan (a single conditional-count aggregate row —
+    * map-side combined, K+1 longs cross the wire); the melt to rows is
+    * driver-side over that contract-small row. */
+  def expectationReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (n, p) =>
+      count(when(!coalesce(p, lit(false)), lit(1))).as(s"__v_$n") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = row.getAs[Long]("__n")
+    rules.map { case (name, _) => (name, n, row.getAs[Long](s"__v_$name")) }
+      .toDF("rule", "n_rows", "n_violations")
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (lit(1.0) - col("n_violations").cast("double") / col("n_rows").cast("double"))
+          .as("pass_rate"),
+        (col("n_violations") === 0).as("passed"))
+      .orderBy("rule")
   }
 }

@@ -675,6 +675,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L)._3.asInstanceOf[Double] < 30.0)
   }
 
+  test("topPaths: ordered opening paths, truncation at firstN, count-then-path tie order") {
+    val t0 = 1700000000L
+    def ts(off: Long) = new java.sql.Timestamp((t0 + off) * 1000L)
+    val df = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "c"),
+      (2L, 4L, ts(0), "a"), (2L, 5L, ts(1), "b"), (2L, 6L, ts(2), "c"),
+      (3L, 7L, ts(0), "a"), (3L, 8L, ts(1), "z"),
+      (4L, 9L, ts(0), "q")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.topPaths(df, "user_id", "ts", "event_id", "event_type",
+      firstN = 2, k = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    // truncation at 2 → users 1,2 share "a>b"; ties (1) order by path
+    assert(out.toSeq == Seq(("a>b", 2L), ("a>z", 1L), ("q", 1L)), out.mkString(","))
+    val deep = Analytics.topPaths(df.repartition(7), "user_id", "ts", "event_id",
+      "event_type", firstN = 5, k = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(deep.toSeq == Seq(("a>b>c", 2L), ("a>z", 1L), ("q", 1L)))
+  }
+
   test("debounce: burst leaders only, gap measured to previous event, key-isolated") {
     val t0 = 1700000000L
     def ts(off: Long) = new java.sql.Timestamp((t0 + off) * 1000L)

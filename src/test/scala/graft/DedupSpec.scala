@@ -348,4 +348,23 @@ class DedupSpec extends SparkSpec {
       Dedup.linkageScore(pairs, "id_a", "id_b", recs, "id", Seq(("brand", 0.5, 0.5)))
     }
   }
+
+  test("linkageEmRound: matches the hand-computed E/M step on a 2-pair, 1-field case") {
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .toDF("id", "brand")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b") // agree, disagree
+    val r = Dedup.linkageEmRound(pairs, "id_a", "id_b", recs, "id",
+      Seq(("brand", 0.8, 0.1)), prior = 0.5).head()
+    // g₁ = .5·.8/(.5·.8+.5·.1) = .888888889 (9 dp), g₂ = .5·.2/(.5·.2+.5·.9)
+    // = .181818182; sg = 1.070707071
+    val (g1, g2) = (0.888888889, 0.181818182)
+    val sg = BigDecimal(g1) + BigDecimal(g2)
+    assert(r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - (sg / 2).toDouble) < 1e-12)          // p_est
+    assert(math.abs(r.getDouble(3) - (BigDecimal(g1) / sg).toDouble) < 1e-9) // m_est
+    assert(math.abs(r.getDouble(4) -
+      ((1 - BigDecimal(g1)) / (2 - sg)).toDouble) < 1e-9)                 // u_est
+    // EM direction: the informative field's m rises toward the agree rate
+    assert(r.getDouble(3) > 0.8 && r.getDouble(4) < 0.2)
+  }
 }
