@@ -304,6 +304,15 @@ object ScaleCheck {
     time("image_neardups")(d => Multimodal.imageNearDupPairs(
       Multimodal.synthesizePatternedImages(
         Tables.documents(spark, d).select("doc_id"), "doc_id"), "doc_id", 2))
+    time("join_overlap_estimate")(d => Analytics.joinKeyOverlapEstimate(
+      Tables.load(spark, d, "orders"), "o_custkey",
+      Tables.load(spark, d, "customer"), "c_custkey"))
+    time("drift_report")(d => {
+      val ev = Tables.events(spark, d).select(col("event_type"), col("value"),
+        col("ts").cast("long").cast("double").as("es"))
+      Evaluation.driftReport(ev.filter(col("event_type") === "view").drop("event_type"),
+        ev.filter(col("event_type") === "purchase").drop("event_type"), Seq("es", "value"))
+    })
 
     spark.stop()
   }

@@ -553,6 +553,30 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q199_ewma" -> ((s, d) => {
+      // recency-weighted daily-volume baseline (adjust=True EWMA, 30-obs
+      // truncation) — the smoothed level anomaly rules compare against
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      Analytics.ewmaSeries(daily, "day", "n", alpha = 0.1, window = 30)
+        .select(col("day"), col("n").cast("long").as("n"), col("ewma"))
+    }),
+    "q200_join_overlap" -> ((s, d) =>
+      // ☆ rows-only: HLL estimates are approximate by construction; the
+      // spec pins them within 5% of exact on these tables
+      Analytics.joinKeyOverlapEstimate(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")),
+    "q201_drift_report" -> ((s, d) => {
+      // every-feature drift gate: purchase-event distribution vs the view
+      // reference, per column
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+        col("ts").cast("long").cast("double").as("es"))
+      Evaluation.driftReport(
+        ev.filter(col("event_type") === "view").drop("event_type"),
+        ev.filter(col("event_type") === "purchase").drop("event_type"),
+        Seq("es", "value"))
+    }),
     "q196_expectations" -> ((s, d) =>
       // declarative data contract over orders — one scan, all rules
       Issues.expectationReport(Tables.orders(s, d), Seq(
@@ -2267,6 +2291,64 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q199_ewma" ->
+      // the SAME driver-computed decay weights as the engine (literals on
+      // both sides — no cross-engine pow() drift); fixed-order list fold
+      s"""WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1),
+        |r AS (SELECT day, n, list_reverse(list(n) OVER (
+        |    ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) AS rev
+        |  FROM daily)
+        |SELECT day, CAST(n AS BIGINT) AS n,
+        |  list_sum(list_transform(rev, (x, i) -> x * w[i]))
+        |    / list_sum(list_transform(rev, (x, i) -> w[i])) AS ewma
+        |FROM r, (SELECT [${Array.iterate(1.0, 30)(_ * 0.9)
+            .map(d => s"CAST('$d' AS DOUBLE)").mkString(", ")}] AS w)
+        |ORDER BY day""".stripMargin,
+    "q201_drift_report" ->
+      // q142's psi block once per column, union'd; bins anchored on the
+      // view (expected) side of EACH column
+      """WITH e AS (SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS es, value
+        |           FROM events WHERE event_type = 'view'),
+        |a AS (SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS es, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT min(es) AS lo, (max(es) - min(es)) / 10 AS w FROM e),
+        |eb1 AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((es - lo) / w) AS INT))) AS bin,
+        |               COUNT(*) AS en FROM e, s1 GROUP BY 1),
+        |ab1 AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((es - lo) / w) AS INT))) AS bin,
+        |               COUNT(*) AS an FROM a, s1 GROUP BY 1),
+        |c1 AS (SELECT CAST(r.range AS INT) AS bin,
+        |              COALESCE(en, 0) AS expected_n, COALESCE(an, 0) AS actual_n
+        |       FROM range(0, 10) r
+        |       LEFT JOIN eb1 ON eb1.bin = r.range LEFT JOIN ab1 ON ab1.bin = r.range),
+        |t1 AS (SELECT SUM(expected_n) AS ne, SUM(actual_n) AS na FROM c1),
+        |r1 AS (SELECT 'es' AS col_name,
+        |    CAST(SUM(expected_n) AS BIGINT) AS expected_n,
+        |    CAST(SUM(actual_n) AS BIGINT) AS actual_n,
+        |    CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(28,9))) AS DOUBLE) AS psi
+        |  FROM (SELECT expected_n, actual_n,
+        |      (CAST(expected_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(ne AS DOUBLE) + CAST(5 AS DOUBLE)) AS p,
+        |      (CAST(actual_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(5 AS DOUBLE)) AS q
+        |    FROM c1, t1)),
+        |s2 AS (SELECT min(value) AS lo, (max(value) - min(value)) / 10 AS w FROM e),
+        |eb2 AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - lo) / w) AS INT))) AS bin,
+        |               COUNT(*) AS en FROM e, s2 GROUP BY 1),
+        |ab2 AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - lo) / w) AS INT))) AS bin,
+        |               COUNT(*) AS an FROM a, s2 GROUP BY 1),
+        |c2 AS (SELECT CAST(r.range AS INT) AS bin,
+        |              COALESCE(en, 0) AS expected_n, COALESCE(an, 0) AS actual_n
+        |       FROM range(0, 10) r
+        |       LEFT JOIN eb2 ON eb2.bin = r.range LEFT JOIN ab2 ON ab2.bin = r.range),
+        |t2 AS (SELECT SUM(expected_n) AS ne, SUM(actual_n) AS na FROM c2),
+        |r2 AS (SELECT 'value' AS col_name,
+        |    CAST(SUM(expected_n) AS BIGINT) AS expected_n,
+        |    CAST(SUM(actual_n) AS BIGINT) AS actual_n,
+        |    CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(28,9))) AS DOUBLE) AS psi
+        |  FROM (SELECT expected_n, actual_n,
+        |      (CAST(expected_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(ne AS DOUBLE) + CAST(5 AS DOUBLE)) AS p,
+        |      (CAST(actual_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(5 AS DOUBLE)) AS q
+        |    FROM c2, t2))
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY col_name""".stripMargin,
     "q196_expectations" ->
       // NOT(pred) OR pred IS NULL — a rule that cannot evaluate did not
       // hold; pass_rate literals forced DOUBLE (the q181 decimal gotcha)

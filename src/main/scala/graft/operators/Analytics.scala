@@ -1418,6 +1418,61 @@ object Analytics {
       .orderBy("actor")
   }
 
+  /** Exponentially-weighted moving average over an evenly spaced series
+    * (pandas `ewm(adjust=True)` semantics, truncated at `window`
+    * observations): the standard smoothing baseline for rate monitoring
+    * and the "expected level" input to anomaly rules — recency-weighted
+    * where [[rollingMedian]] is robustness-weighted.
+    *
+    * AGGREGATE FIRST (one row per step — same series contract as
+    * [[cusum]]/[[Analytics.acf]]); the window then runs over that
+    * contract-small table. The decay weights (1−α)^j are computed ONCE on
+    * the driver and embedded as literals — the oracle embeds the
+    * identical doubles, so no cross-engine pow() drift — and each step is
+    * a fixed-order fold over ≤ `window` terms. */
+  def ewmaSeries(series: DataFrame, tCol: String, valueCol: String,
+                 alpha: Double = 0.1, window: Int = 30): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(window >= 1 && window <= 64, "window in [1,64]")
+    val weights = Array.iterate(1.0, window)(_ * (1.0 - alpha))
+    val warr = array(weights.map(lit(_)): _*)
+    val w = Window.orderBy(tCol).rowsBetween(-(window - 1), 0)
+    val rev = reverse(collect_list(col(valueCol).cast("double")).over(w))
+    series
+      .withColumn("__rev", rev)
+      .select(col(tCol), col(valueCol),
+        (aggregate(transform(col("__rev"), (x, i) => x * element_at(warr, i + 1)),
+          lit(0.0), (acc, x) => acc + x) /
+         aggregate(transform(col("__rev"), (_, i) => element_at(warr, i + 1)),
+           lit(0.0), (acc, x) => acc + x)).as("ewma"))
+      .orderBy(tCol)
+  }
+
+  /** HLL-sketch estimate of join-key overlap: |keys(A) ∩ keys(B)| by
+    * inclusion–exclusion over mergeable sketches — the "how big is this
+    * join, roughly" question answered in two sketch scans BEFORE paying
+    * for the join itself (at 100 TB the estimate is minutes; the join is
+    * hours if the answer is wrong). ☆ approximate by nature (HLL standard
+    * error ≈ 1.6% at the default lgK); the spec pins it within 5% of
+    * exact on the test tables. */
+  def joinKeyOverlapEstimate(a: DataFrame, aKey: String,
+                             b: DataFrame, bKey: String): DataFrame = {
+    val tagged = a.select(lit("a").as("side"), col(aKey).cast("long").as("k"))
+      .unionAll(b.select(lit("b").as("side"), col(bKey).cast("long").as("k")))
+    val sk = tagged.groupBy("side").agg(hll_sketch_agg(col("k")).as("s"))
+      .select(col("side"), hll_sketch_estimate(col("s")).as("est"), col("s"))
+    sk.agg(
+        max(when(col("side") === "a", col("est"))).as("est_a"),
+        max(when(col("side") === "b", col("est"))).as("est_b"),
+        hll_sketch_estimate(hll_union_agg(col("s"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        // inclusion–exclusion on noisy estimates can dip below 0 or top
+        // the smaller side — clamp to the feasible range
+        greatest(lit(0L), least(col("est_a"), col("est_b"),
+          col("est_a") + col("est_b") - col("est_union")))
+          .as("est_intersection"))
+  }
+
   /** Top-k navigation paths: each actor's first `firstN` event types in
     * time order, joined into one path string, counted across actors —
     * "how do users actually move through the product", the path-analysis

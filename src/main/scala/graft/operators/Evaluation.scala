@@ -713,6 +713,21 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Multi-column drift report: [[psi]] per feature between a reference
+    * and a new snapshot, one row per column — the retraining gate run
+    * over EVERY model input at once instead of one ad-hoc psi call per
+    * feature. Two aggregate scans per column over pre-projected columns;
+    * the per-column union is metadata-sized. */
+  def driftReport(expected: DataFrame, actual: DataFrame,
+                  cols: Seq[String], bins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      psi(expected, actual, c, bins)
+        .select(lit(c).as("col_name"), col("expected_n"), col("actual_n"),
+          col("psi"))
+    }.reduce(_ unionAll _).orderBy("col_name")
+  }
+
   /** One-way ANOVA F — "does the group mean differ anywhere" across k>2
     * groups, the multi-arm generalization of [[abTest]]'s two-proportion z
     * (reference analog: comparing a metric across every ingest source at

@@ -675,6 +675,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L)._3.asInstanceOf[Double] < 30.0)
   }
 
+  test("ewmaSeries: constant is a fixed point; hand-weighted 3-point value; step converges toward new level") {
+    val const = (1 to 40).map(i => (f"d$i%03d", 7.0)).toDF("day", "n")
+    val c = Analytics.ewmaSeries(const, "day", "n", alpha = 0.1, window = 30)
+      .collect().map(_.getDouble(2))
+    // Σ(7·wⱼ)/Σwⱼ ≈ 7 to ulps (the two sums round independently)
+    assert(c.forall(v => math.abs(v - 7.0) < 1e-12), c.mkString(","))
+    val three = Seq(("d1", 1.0), ("d2", 2.0), ("d3", 6.0)).toDF("day", "n")
+    val e3 = Analytics.ewmaSeries(three, "day", "n", 0.1, 30).collect().map(_.getDouble(2))
+    // rev at d3 = [6, 2, 1], weights [1, .9, .81]
+    assert(math.abs(e3(2) - (6.0 + 0.9 * 2.0 + 0.81 * 1.0) / (1.0 + 0.9 + 0.81)) < 1e-12)
+    assert(e3(0) == 1.0)
+    // level shift 0→10 at step 20: smoothed value climbs toward 10
+    val step = (1 to 40).map(i => (f"d$i%03d", if (i <= 20) 0.0 else 10.0)).toDF("day", "n")
+    val s = Analytics.ewmaSeries(step, "day", "n", 0.1, 30).collect().map(_.getDouble(2))
+    assert(s(19) == 0.0 && s(39) > 8.0 && s(39) < 10.0, s"${s(19)} ${s(39)}")
+  }
+
+  test("joinKeyOverlapEstimate: within 5% of exact on planted overlap") {
+    val a = (1L to 1000L).toDF("k")
+    val b = (500L to 1500L).toDF("k")
+    val r = Analytics.joinKeyOverlapEstimate(a, "k", b, "k").head()
+    assert(math.abs(r.getLong(0) - 1000L) <= 50, r.toString)
+    assert(math.abs(r.getLong(1) - 1001L) <= 50, r.toString)
+    assert(math.abs(r.getLong(3) - 501L) <= 75, r.toString) // intersection
+    // disjoint sets: estimated intersection collapses to ~0 (clamped ≥ 0)
+    val d = Analytics.joinKeyOverlapEstimate(a, "k", (5000L to 6000L).toDF("k"), "k").head()
+    assert(d.getLong(3) <= 60, d.toString)
+  }
+
   test("topPaths: ordered opening paths, truncation at firstN, count-then-path tie order") {
     val t0 = 1700000000L
     def ts(off: Long) = new java.sql.Timestamp((t0 + off) * 1000L)

@@ -388,6 +388,16 @@ class EvaluationSpec extends SparkSpec {
     assert(p.toSeq == r.toSeq)
   }
 
+  test("driftReport: stable column ≈ 0, shifted column flagged, one row per column") {
+    val ref = (1 to 200).map(i => (i % 50 / 5.0, i % 20 / 2.0)).toDF("f_stable", "f_shift")
+    val cur = (1 to 200).map(i => (i % 50 / 5.0, i % 20 / 2.0 + 8.0)).toDF("f_stable", "f_shift")
+    val out = Evaluation.driftReport(ref, cur, Seq("f_stable", "f_shift"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.size == 2)
+    assert(out("f_stable") < 0.01, out.toString)   // identical distribution
+    assert(out("f_shift") > 0.5, out.toString)     // gross shift
+  }
+
   test("woeIv: separating feature scores high IV, identical distributions score 0; iv = Σ terms") {
     // goods clustered low, bads clustered high: near-perfect separation
     val sep = ((1 to 50).map(i => (true, i / 50.0)) ++

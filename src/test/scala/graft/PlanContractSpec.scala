@@ -46,7 +46,11 @@ class PlanContractSpec extends SparkSpec {
           "q168_ccf", "q169_srm",
           // kappa: three 1-row stat frames (n, agree, Σna·nb) cross-joined;
           // DSIR: the 1-row (Ns, Nt, V) totals broadcast over occurrences
-          "q172_kappa", "q173_dsir_weights")
+          "q172_kappa", "q173_dsir_weights",
+          // woe/iv rides psiDetail's 1-row broadcast totals (q142's shape);
+          // silhouette broadcasts the k-row centroid table over the corpus;
+          // drift report is psi per column (same 1-row totals, per block)
+          "q187_woe_iv", "q188_silhouette", "q201_drift_report")
         if (allowed(name)) None else Some(name)
       } else None
     }
