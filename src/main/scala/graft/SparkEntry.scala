@@ -553,6 +553,22 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q202_allocation" -> ((s, d) =>
+      // budget 1000 slots across sources, allocations sum EXACTLY to 1000
+      Splits.proportionalAllocation(Tables.documents(s, d), "source", 1000L)),
+    "q203_nfc_dedup" -> ((s, d) => {
+      // plant unicode-equivalent copies: composed é vs decomposed e+◌́ and
+      // case variants of real docs — byte-exact dedup misses all of them
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val composed = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("résumé "), upper(col("text"))).as("text"))
+      val decomposed = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(lit("re\u0301sume\u0301 "), col("text")).as("text"))
+      Dedup.normalizedExact(docs.unionAll(composed).unionAll(decomposed),
+        "doc_id", "text")
+    }),
     "q199_ewma" -> ((s, d) => {
       // recency-weighted daily-volume baseline (adjust=True EWMA, 30-obs
       // truncation) — the smoothed level anomaly rules compare against
@@ -2291,6 +2307,33 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q202_allocation" ->
+      // pure integer arithmetic: floor shares + largest remainders (ties
+      // to source name); allocations sum to exactly 1000
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS n FROM c),
+        |f AS (SELECT source, n_docs, (1000 * n_docs) // n AS fl,
+        |             (1000 * n_docs) % n AS rem FROM c, t),
+        |l AS (SELECT 1000 - CAST(SUM(fl) AS BIGINT) AS leftover FROM f),
+        |r AS (SELECT source, n_docs, fl,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM f)
+        |SELECT r.source, r.n_docs,
+        |  CAST(r.fl + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS allocation
+        |FROM r, l ORDER BY r.source""".stripMargin,
+    "q203_nfc_dedup" ->
+      // identical planted variants (composed é / decomposed e+́ /
+      // case); nfc_normalize(lower(…)) is the same canonical key both sides
+      """WITH e AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'résumé ' || upper(text)
+        |  FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, 'résumé ' || text
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT md5(nfc_normalize(lower(text))) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
+        |FROM e GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q199_ewma" ->
       // the SAME driver-computed decay weights as the engine (literals on
       // both sides — no cross-engine pow() drift); fixed-order list fold

@@ -23,6 +23,28 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Unicode-equivalence dedup: [[exact]]'s shape over an NFC-normalized,
+    * case-folded key — catches the "same text, different byte sequence"
+    * copies byte hashing misses (é composed vs e+◌́ decomposed, case
+    * variants), the canonicalization layer in front of every text-dedup
+    * stack. NFC runs in a typed map (the JVM Normalizer is the only
+    * correct NFC here — Spark has no builtin; still map-side,
+    * shuffle-free), lower-casing is Locale.ROOT to match the oracle's
+    * locale-free lower(). One hash-aggregate shuffle, exactly [[exact]]. */
+  def normalizedExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, java.text.Normalizer.normalize(
+          Option(t).getOrElse("").toLowerCase(java.util.Locale.ROOT),
+          java.text.Normalizer.Form.NFC))
+      }
+      .toDF(idCol, "__norm")
+      .groupBy(md5(col("__norm")).as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy("keep_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic 64-bit FNV-1a — stable across JVMs (String.hashCode is

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting & mixing for training pipelines.
@@ -247,6 +248,35 @@ object Splits {
       .select(col(groupCol), col(idCol), col("weight"),
         col("__cum").as("cum_weight"), col("__tot").as("group_weight"))
       .orderBy(col(groupCol), col("cum_weight"))
+  }
+
+  /** Largest-remainder proportional allocation: split a fixed budget of
+    * `total` slots across sources exactly in proportion to their sizes —
+    * floor(total·nₛ/N) each, the `total − Σfloor` leftover going to the
+    * largest fractional remainders (ties to source name) — so the
+    * allocations sum to EXACTLY `total`, which naive rounding does not
+    * (the curation question "budget 10M docs across these sources fairly"
+    * answered without a post-hoc fudge row; same method as seat
+    * apportionment). ALL integer arithmetic — engine-exact. One count
+    * aggregate; the ranking window runs over the sources table
+    * (contract-small). */
+  def proportionalAllocation(df: DataFrame, sourceCol: String,
+                             total: Long): DataFrame = {
+    require(total >= 0, "total must be non-negative")
+    val c = df.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+    val t = c.agg(sum("n_docs").as("__n"))
+    val f = c.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"),
+        expr(s"(${total}L * n_docs) div __n").as("__fl"),
+        ((lit(total) * col("n_docs")) % col("__n")).as("__rem"))
+    val lo = f.agg((lit(total) - sum("__fl")).as("__leftover"))
+    val w = Window.orderBy(col("__rem").desc, col("source"))
+    f.crossJoin(broadcast(lo))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("source"), col("n_docs"),
+        (col("__fl") + when(col("__rk") <= col("__leftover"), 1L).otherwise(0L))
+          .as("allocation"))
+      .orderBy("source")
   }
 
   /** Rendezvous (highest-random-weight) shard assignment — the

@@ -114,6 +114,72 @@ object EventStream {
       }
   }
 
+  case class QuotaEvent(userId: Long, eventId: Long, es: Long)
+  case class QuotaVerdict(userId: Long, eventId: Long, es: Long,
+                          allowed: Boolean, tokensAfter: Double)
+  case class Bucket(tokens: Double, lastEs: Long) // public: the state encoder's codegen needs it
+
+  /** Per-key token-bucket quota gate (the streaming rate limiter the
+    * reference's API tier implies): each key refills `ratePerSec` tokens
+    * up to `burst`; an event passes iff a full token is available and
+    * spends it — retry storms and runaway producers get flagged per event
+    * instead of poisoning downstream aggregates. Refill is EVENT-TIME
+    * driven (deterministic given the input, replay-safe), state is one
+    * (tokens, lastTs) pair per key partitioned by
+    * flatMapGroupsWithState — scales horizontally, evicted by
+    * processing-time timeout like [[trackJobs]]. Within a micro-batch,
+    * events apply in (es, eventId) order, so verdicts don't depend on
+    * arrival interleaving. The SAME fold runs in [[quotaGateBatch]] —
+    * batch parity is a spec assertion, not a hope. */
+  def quotaGate(events: Dataset[QuotaEvent], ratePerSec: Double, burst: Double,
+                timeout: String = "1 hour"): Dataset[QuotaVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[Bucket, QuotaVerdict](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, msgs: Iterator[QuotaEvent], state: GroupState[Bucket]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.getOrElse(Bucket(burst, Long.MinValue))
+            val out = msgs.toSeq.sortBy(e => (e.es, e.eventId)).map { e =>
+              val (v, next) = applyQuota(cur, e, ratePerSec, burst)
+              cur = next
+              v
+            }
+            state.update(cur)
+            state.setTimeoutDuration(timeout)
+            out.iterator
+          }
+      }
+  }
+
+  /** One token-bucket step — shared verbatim by stream and batch paths. */
+  private def applyQuota(b: Bucket, e: QuotaEvent, ratePerSec: Double,
+                         burst: Double): (QuotaVerdict, Bucket) = {
+    val elapsed = if (b.lastEs == Long.MinValue) 0L else math.max(0L, e.es - b.lastEs)
+    val refilled = math.min(burst, b.tokens + elapsed * ratePerSec)
+    val allowed = refilled >= 1.0
+    val after = if (allowed) refilled - 1.0 else refilled
+    (QuotaVerdict(e.userId, e.eventId, e.es, allowed, after),
+      Bucket(after, e.es))
+  }
+
+  /** Batch twin of [[quotaGate]]: the identical fold per key over the
+    * full history — the parity reference, and the backfill path when a
+    * quota policy changes retroactively. */
+  def quotaGateBatch(events: Dataset[QuotaEvent], ratePerSec: Double,
+                     burst: Double): Dataset[QuotaVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId).flatMapGroups { (_, it) =>
+      var cur = Bucket(burst, Long.MinValue)
+      it.toSeq.sortBy(e => (e.es, e.eventId)).map { e =>
+        val (v, next) = applyQuota(cur, e, ratePerSec, burst)
+        cur = next
+        v
+      }.iterator
+    }
+  }
+
   /** Stream → partitioned table with EXACTLY-ONCE table contents: each
     * micro-batch lands via dynamic-partition overwrite (Sinks) into
     * partitions keyed by (_batch_id, event_type). The batch id is the

@@ -349,6 +349,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("normalizedExact: composed/decomposed/case variants collapse; distinct texts do not") {
+    val composed = "résumé alpha"       // é as single code point
+    val decomposed = "résumé alpha"   // e + combining acute
+    val df = Seq(
+      (1L, composed), (2L, decomposed), (3L, composed.toUpperCase),
+      (4L, "plain text"), (5L, "plain text"), (6L, "other")
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizedExact(df, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 2L, 6L -> 1L), out.toString)
+    // byte-exact dedup sees all three résumé variants as different
+    assert(Dedup.exact(df, "doc_id", "text").count() == 5)
+  }
+
   test("linkageEmRound: matches the hand-computed E/M step on a 2-pair, 1-field case") {
     val recs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
       .toDF("id", "brand")

@@ -199,6 +199,22 @@ class SplitsSpec extends SparkSpec {
     assert(f4.getLong(5) == 100L, f4.toString)
   }
 
+  test("proportionalAllocation: sums exactly to total; remainders to largest fractions; ties to name") {
+    // sizes 5/3/2 over total 10 → exact 5/3/2; over total 7 → quotas
+    // 3.5/2.1/1.4 → floors 3/2/1 + 1 leftover → largest remainder (a: .5)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("src")
+    def alloc(total: Long) = Splits.proportionalAllocation(df, "src", total)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(alloc(10) == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    assert(alloc(7) == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(alloc(7).values.sum == 7L)
+    // equal remainders: sizes 1/1 over total 3 → .5/.5, tie → 'x' first
+    val tie = Seq("x", "y").toDF("src")
+    assert(Splits.proportionalAllocation(tie, "src", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap ==
+      Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("rendezvousShards: total, deterministic, balanced-ish; resize moves ONLY keys the new shard wins") {
     val ids = (1L to 2000L).toDF("id")
     val at8 = Splits.rendezvousShards(ids, "id", 8)

@@ -43,6 +43,38 @@ class StreamingSpec extends SparkSpec {
       (8L, ts("2024-01-01 09:00:00"), 1L)))
   }
 
+  test("quota gate: token bucket passes/drops deterministically; stream equals batch fold") {
+    import spark.implicits._
+    import EventStream.{QuotaEvent, QuotaVerdict}
+    val src = Files.createTempDirectory("graft_quota_src").toString
+    val ckpt = Files.createTempDirectory("graft_quota_ckpt").toString
+    // rate 0.1 tok/s, burst 2: events at t=0,1,2 → first two pass on the
+    // burst, third finds 0.2 tokens; after 100 s enough refills for one more
+    val evs = Seq(QuotaEvent(1L, 1L, 1000L), QuotaEvent(1L, 2L, 1001L),
+      QuotaEvent(1L, 3L, 1002L), QuotaEvent(1L, 4L, 1102L),
+      QuotaEvent(2L, 9L, 1000L)) // other key: independent bucket
+    // one file → one micro-batch: event-time order within the batch is
+    // what the gate sorts on; cross-batch ordering is the file feed's job
+    evs.toDF("userId", "eventId", "es").coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("userId LONG, eventId LONG, es LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src).as[QuotaEvent]
+    val q = EventStream.quotaGate(stream, ratePerSec = 0.1, burst = 2.0)
+      .writeStream.format("memory").queryName("quota_sink").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("quota_sink").as[QuotaVerdict]
+      .collect().map(v => v.eventId -> v.allowed).toMap
+    assert(streamed == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      9L -> true), streamed.toString)
+    val batch = EventStream.quotaGateBatch(evs.toDS(), 0.1, 2.0)
+      .collect().map(v => (v.eventId, v.allowed, v.tokensAfter)).toSet
+    val streamedFull = spark.table("quota_sink").as[QuotaVerdict]
+      .collect().map(v => (v.eventId, v.allowed, v.tokensAfter)).toSet
+    assert(streamedFull == batch, s"stream=$streamedFull batch=$batch")
+  }
+
   test("dedup gate: in-batch, cross-batch, and cross-RUN duplicates all collapse") {
     val base = Files.createTempDirectory("graft_gate").toString
     val src = base + "/src"; val store = base + "/store"; val acc = base + "/accepted"
