@@ -307,6 +307,17 @@ object ScaleCheck {
     time("join_overlap_estimate")(d => Analytics.joinKeyOverlapEstimate(
       Tables.load(spark, d, "orders"), "o_custkey",
       Tables.load(spark, d, "customer"), "c_custkey"))
+    time("incremental_lsh_probe")(d => {
+      val corpus = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      Dedup.minhashCandidatesAgainstIndex(
+        corpus.select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+        "doc_id", "text", idx)
+    })
+    time("missing_partitions")(d => Issues.missingPartitions(
+      Tables.events(spark, d), "event_type", "ts"))
+    time("flatten_json")(d => Analytics.flattenJson(
+      Tables.events(spark, d).select("event_id", "props"), "props", "k BIGINT"))
     time("drift_report")(d => {
       val ev = Tables.events(spark, d).select(col("event_type"), col("value"),
         col("ts").cast("long").cast("double").as("es"))

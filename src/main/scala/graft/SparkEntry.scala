@@ -553,6 +553,40 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q204_incremental_lsh" -> ((s, d) => {
+      // incremental ingest dedup: corpus indexed ONCE, the new batch
+      // (planted near-dups + exact copies) probes the index, candidates
+      // verify with exact jaccard — corpus never re-hashed
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val newBatch = Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+        .unionAll(Tables.documents(s, d).filter(col("doc_id") >= 480)
+          .select((col("doc_id") + 1500000).as("doc_id"), col("text")))
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      val cands = Dedup.minhashCandidatesAgainstIndex(newBatch, "doc_id",
+        "text", index)
+      Dedup.ngramJaccard(corpus.unionAll(newBatch), "doc_id", "text",
+        cands, threshold = 0.5)
+    }),
+    "q205_missing_partitions" -> ((s, d) =>
+      // which (event_type, day) partitions never landed over the span —
+      // a planted outage (purchases dark before Jan 6) must surface
+      Issues.missingPartitions(
+        Tables.events(s, d).filter(!(col("event_type") === "purchase" &&
+          col("ts") < to_timestamp(lit("2024-01-06 00:00:00")))),
+        "event_type", "ts")),
+    "q206_flatten_json" -> ((s, d) => {
+      // land props as typed columns; plant malformed payloads — flagged,
+      // never dropped, never a task failure
+      val ev = Tables.events(s, d).select(col("event_id"), col("props"))
+      val bad = Tables.events(s, d).filter(col("event_id") < 50)
+        .select((col("event_id") + 9000000).as("event_id"),
+          lit("{not json").as("props"))
+      Analytics.flattenJson(ev.unionAll(bad), "props", "k BIGINT")
+        .select(col("event_id"), col("k"), col("is_valid"))
+        .orderBy("event_id")
+    }),
     "q202_allocation" -> ((s, d) =>
       // budget 1000 slots across sources, allocations sum EXACTLY to 1000
       Splits.proportionalAllocation(Tables.documents(s, d), "source", 1000L)),
@@ -2307,6 +2341,52 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q204_incremental_lsh" ->
+      // q24's shingle/jaccard recipe, restricted to cross-set pairs
+      // (corpus ids < 1e6, new-batch ids ≥ 1e6)
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' planted near duplicate tail'
+        |  FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 1500000, text FROM documents WHERE doc_id >= 480),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+        |    END AS s
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < 1000000 AND b.doc_id >= 1000000)
+        |SELECT doc_id_a, doc_id_b, jaccard FROM p
+        |WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q205_missing_partitions" ->
+      """WITH ev AS (SELECT event_type, ts FROM events
+        |  WHERE NOT (event_type = 'purchase' AND ts < TIMESTAMP '2024-01-06 00:00:00')),
+        |b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM ev),
+        |days AS (SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS day
+        |         FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g FROM b)),
+        |srcs AS (SELECT DISTINCT event_type AS source FROM ev),
+        |spine AS (SELECT source, day FROM srcs, days),
+        |actual AS (SELECT DISTINCT event_type AS source,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM ev)
+        |SELECT * FROM (SELECT source, day FROM spine
+        |               EXCEPT SELECT source, day FROM actual)
+        |ORDER BY source, day""".stripMargin,
+    "q206_flatten_json" ->
+      // COALESCE(json_valid, FALSE) mirrors from_json's null-in → invalid
+      """WITH e AS (
+        |  SELECT event_id, props FROM events
+        |  UNION ALL
+        |  SELECT event_id + 9000000, '{not json' FROM events WHERE event_id < 50)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+        |  COALESCE(json_valid(props), FALSE) AS is_valid
+        |FROM e ORDER BY event_id""".stripMargin,
     "q202_allocation" ->
       // pure integer arithmetic: floor shares + largest remainders (ties
       // to source name); allocations sum to exactly 1000

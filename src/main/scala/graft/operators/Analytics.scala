@@ -1473,6 +1473,28 @@ object Analytics {
           .as("est_intersection"))
   }
 
+  /** Schema-declared JSON flattening with validity accounting: parse the
+    * JSON column against a caller schema, surface each field as a typed
+    * column, and FLAG (never drop) rows whose payload is malformed or
+    * missing — the q51 single-field extraction generalized to the "land
+    * semi-structured props as real columns, quarantine the garbage"
+    * ingest step. Pure map-side codegen'd `from_json`; malformed payloads
+    * land in the corrupt-record column (PERMISSIVE mode parses them to a
+    * struct of nulls, NOT a null struct — the flag must come from the
+    * corrupt column, not struct nullness), never a task failure. */
+  def flattenJson(df: DataFrame, jsonCol: String,
+                  schemaDdl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = from_json(col(jsonCol), schema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+    df.withColumn("__p", parsed)
+      .withColumn("is_valid",
+        col("__p").isNotNull && col("__p._corrupt_record").isNull)
+      .select(df.columns.map(col) ++ Seq(col("__p.*"), col("is_valid")): _*)
+      .drop("__p", "_corrupt_record")
+  }
+
   /** Top-k navigation paths: each actor's first `firstN` event types in
     * time order, joined into one path string, counted across actors —
     * "how do users actually move through the product", the path-analysis

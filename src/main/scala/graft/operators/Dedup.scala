@@ -179,6 +179,55 @@ object Dedup {
     materializeAndRelease(pairs, sigs)
   }
 
+  /** One signature's (band, band_hash) stream — the single banding
+    * definition shared by batch LSH, the persisted index, and the
+    * incremental probe (they MUST agree bit-for-bit or recall silently
+    * dies). */
+  private def bandHashes(sig: Array[Long], bands: Int,
+                         rows: Int): Iterator[(Int, Long)] =
+    (0 until bands).iterator.map { b =>
+      var bandHash = mix64(b.toLong)
+      var r = b * rows
+      while (r < (b + 1) * rows) { bandHash = mix64(bandHash ^ sig(r)); r += 1 }
+      (b, bandHash)
+    }
+
+  /** The persisted LSH band index of a corpus: (band, band_hash, sid) —
+    * build (and write) ONCE, then let every incremental batch probe it via
+    * [[minhashCandidatesAgainstIndex]] WITHOUT re-shingling or re-hashing
+    * the corpus. At 100 TB this is the difference between an O(batch)
+    * ingest step and an O(corpus) one. */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+                       seed: Long = 42L): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = numHashes / bands
+    minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
+      .flatMap { case (id, sig) =>
+        bandHashes(sig, bands, rows).map { case (b, h) => (b, h, id) }
+      }.toDF("band", "band_hash", "sid")
+  }
+
+  /** Incremental near-dup candidates: band the NEW batch with the same
+    * parameters and hash-join it against a prebuilt [[minhashBandIndex]] —
+    * (corpus_id, new_id) pairs, corpus side never recomputed. Parameters
+    * must match the index's build (same seed/bands/shingles) — the banding
+    * is content-addressed, so a mismatch yields empty joins, not wrong
+    * ones. Hot-bucket bounding is an index-build concern: run [[exact]]
+    * dedup before indexing so identical content can't pile into one
+    * band bucket. */
+  def minhashCandidatesAgainstIndex(newDocs: DataFrame, idCol: String,
+                                    textCol: String, index: DataFrame,
+                                    numHashes: Int = 128, bands: Int = 32,
+                                    shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+    val probe = minhashBandIndex(newDocs, idCol, textCol, numHashes, bands,
+      shingleK, seed)
+    probe.select(col("band"), col("band_hash"), col("sid").as("doc_id_b"))
+      .join(index.select(col("band"), col("band_hash"), col("sid").as("doc_id_a")),
+        Seq("band", "band_hash"))
+      .select("doc_id_a", "doc_id_b").distinct()
+  }
+
   /** Shared LSH banding core: (candidate pairs, persisted signature index).
     * Callers MUST release `sigs` (via [[materializeAndRelease]]) once their
     * derived result is materialized. */
@@ -191,12 +240,7 @@ object Dedup {
       .toDF("sid", "sig").persist() // the signature index: scanned by banding + both pair joins
 
     val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
-      (0 until bands).iterator.map { b =>
-        var bandHash = mix64(b.toLong)
-        var r = b * rows
-        while (r < (b + 1) * rows) { bandHash = mix64(bandHash ^ sig(r)); r += 1 }
-        ((b, bandHash), id)
-      }
+      bandHashes(sig, bands, numHashes / bands).map { case (b, h) => ((b, h), id) }
     }
 
     val pairs = banded.groupByKey(_._1)

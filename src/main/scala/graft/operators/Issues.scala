@@ -136,6 +136,29 @@ object Issues {
       .select(lit(name).as("relationship"), col("orphan_n"))
   }
 
+  /** Missing-partition (backfill) detector: the expected (source, day)
+    * spine — every source × every calendar day in the data's span —
+    * minus what actually landed. THE morning-after ops question ("which
+    * partitions didn't arrive?") as one anti-join; feed the output
+    * straight to a backfill scheduler. The spine derives from one global
+    * min/max action; actual (source, day) pairs collapse to a
+    * partition-count-sized distinct before the anti-join, so nothing
+    * row-sized crosses the wire twice. */
+  def missingPartitions(df: DataFrame, sourceCol: String,
+                        tsCol: String): DataFrame = {
+    val day = date_format(col(tsCol), "yyyy-MM-dd")
+    val b = df.agg(min(to_date(col(tsCol))), max(to_date(col(tsCol)))).head()
+    val (lo, hi) = (b.getDate(0), b.getDate(1))
+    val spine = df.select(col(sourceCol).as("source")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(1).select(explode(sequence(
+          lit(lo), lit(hi), expr("INTERVAL 1 DAY"))).as("d"))))
+      .select(col("source"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val actual = df.select(col(sourceCol).as("source"), day.as("day")).distinct()
+    spine.join(actual, Seq("source", "day"), "left_anti")
+      .orderBy("source", "day")
+  }
+
   /** Row-level data-contract expectations (the dbt-test / Great-
     * Expectations shape): each rule is a predicate that should HOLD; the
     * report gives per-rule violation counts, pass rates, and a go/no-go

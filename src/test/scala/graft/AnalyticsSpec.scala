@@ -675,6 +675,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L)._3.asInstanceOf[Double] < 30.0)
   }
 
+  test("flattenJson: typed fields out; malformed/null flagged not dropped; valid-but-missing field stays valid") {
+    val df = Seq(
+      (1L, """{"k": 7, "s": "x"}"""),
+      (2L, """{"s": "y"}"""),      // valid, k absent
+      (3L, "{definitely not json"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val out = Analytics.flattenJson(df, "props", "k BIGINT, s STRING")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) null else r.getLong(2): Any),
+          r.getString(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((7L, "x", true)), out.toString)
+    assert(out(2L) == ((null, "y", true)), out.toString)
+    assert(out(3L)._3 == false && out(4L)._3 == false, out.toString)
+    assert(out.size == 4) // nothing dropped
+  }
+
   test("ewmaSeries: constant is a fixed point; hand-weighted 3-point value; step converges toward new level") {
     val const = (1 to 40).map(i => (f"d$i%03d", 7.0)).toDF("day", "n")
     val c = Analytics.ewmaSeries(const, "day", "n", alpha = 0.1, window = 30)

@@ -349,6 +349,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH: new batch probes the prebuilt index; near-dup and exact copies found, fresh docs not") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark partitions and shuffles here"),
+      (3L, "yet another unrelated document concerning parquet column pruning")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today extra"),
+      (102L, "completely different content about spark partitions and shuffles here"),
+      (103L, "brand new text that matches nothing in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    val cands = Dedup.minhashCandidatesAgainstIndex(newBatch, "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 101L)) && cands.contains((2L, 102L)), cands.toString)
+    assert(!cands.exists(_._2 == 103L), cands.toString)
+    // probing with mismatched parameters finds nothing (content-addressed)
+    val wrongSeed = Dedup.minhashCandidatesAgainstIndex(newBatch, "doc_id", "text",
+      index, seed = 7L)
+    assert(wrongSeed.count() == 0)
+  }
+
   test("normalizedExact: composed/decomposed/case variants collapse; distinct texts do not") {
     val composed = "résumé alpha"       // é as single code point
     val decomposed = "résumé alpha"   // e + combining acute
