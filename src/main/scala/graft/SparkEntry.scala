@@ -553,6 +553,29 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q207_jackknife" -> ((s, d) =>
+      // failed-revenue share with a delete-1-bucket jackknife CI (ratio
+      // metric: the unit of randomization is the customer bucket, not row)
+      Evaluation.jackknifeRatioSE(Tables.orders(s, d),
+        pmod(col("o_custkey"), lit(16)),
+        when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))
+          .cast("decimal(18,2)"),
+        col("o_totalprice").cast("decimal(18,2)"))),
+    "q208_capture_recapture" -> ((s, d) =>
+      // estimate the distinct-customer population from two deterministic
+      // partial "crawls" of orders
+      Analytics.captureRecapture(
+        Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0), "o_custkey",
+        Tables.orders(s, d).filter(col("o_orderkey") % 11 === 0), "o_custkey")),
+    "q209_dedup_report" -> ((s, d) => {
+      // per-source dup observability over a corpus with planted exact and
+      // unicode-equivalent copies (q203's planting, source-tagged)
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"), col("text"))
+      val planted = Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select(col("source"), (col("doc_id") + 5000000).as("doc_id"),
+          upper(col("text")).as("text"))
+      Dedup.dedupReportBySource(docs.unionAll(planted), "source", "doc_id", "text")
+    }),
     "q204_incremental_lsh" -> ((s, d) => {
       // incremental ingest dedup: corpus indexed ONCE, the new batch
       // (planted near-dups + exact copies) probes the index, candidates
@@ -2341,6 +2364,57 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q207_jackknife" ->
+      // per-bucket exact decimal sums; each leave-one-out ratio quantized
+      // DECIMAL(18,9) before the order-independent variance sums
+      """WITH g AS (SELECT o_custkey % 16 AS grp,
+        |    SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
+        |        AS DECIMAL(18,2))) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS d
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS gk, SUM(n) AS tn, SUM(d) AS td FROM g),
+        |loo AS (SELECT gk, tn, td,
+        |    CAST(CAST(tn - n AS DOUBLE) / CAST(td - d AS DOUBLE) AS DECIMAL(18,9)) AS mi
+        |  FROM g, t),
+        |v AS (SELECT gk, tn, td, SUM(mi) AS sm, SUM(mi * mi) AS sm2
+        |  FROM loo GROUP BY 1, 2, 3),
+        |s AS (SELECT CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) AS ratio,
+        |    gk AS n_groups,
+        |    sqrt(CAST(gk - 1 AS DOUBLE) / CAST(gk AS DOUBLE) *
+        |      (CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+        |        / CAST(gk AS DOUBLE))) AS se
+        |  FROM v)
+        |SELECT ratio, n_groups, se,
+        |  ratio - CAST(1.96 AS DOUBLE) * se AS ci_lo,
+        |  ratio + CAST(1.96 AS DOUBLE) * se AS ci_hi
+        |FROM s""".stripMargin,
+    "q208_capture_recapture" ->
+      """WITH ka AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey % 7 = 0),
+        |kb AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey % 11 = 0),
+        |c AS (SELECT (SELECT COUNT(*) FROM ka) AS n_a,
+        |             (SELECT COUNT(*) FROM kb) AS n_b,
+        |             (SELECT COUNT(*) FROM ka JOIN kb USING (k)) AS n_overlap)
+        |SELECT n_a, n_b, n_overlap,
+        |  CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+        |    / CAST(n_overlap + 1 AS DOUBLE) - CAST(1 AS DOUBLE) AS chapman_est,
+        |  CASE WHEN n_overlap > 0 THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |    / CAST(n_overlap AS DOUBLE) END AS lincoln_petersen_est
+        |FROM c""".stripMargin,
+    "q209_dedup_report" ->
+      // nfc_normalize(lower()) mirrors the engine's JVM-Normalizer key
+      """WITH docs AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT source, doc_id + 5000000, upper(text)
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT source, COUNT(*) AS n_raw,
+        |  COUNT(DISTINCT md5(text)) AS n_exact_unique,
+        |  COUNT(DISTINCT md5(nfc_normalize(lower(text)))) AS n_norm_unique,
+        |  CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+        |  CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT md5(nfc_normalize(lower(text)))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS norm_dup_rate
+        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q204_incremental_lsh" ->
       // q24's shingle/jaccard recipe, restricted to cross-set pairs
       // (corpus ids < 1e6, new-batch ids ≥ 1e6)

@@ -1473,6 +1473,28 @@ object Analytics {
           .as("est_intersection"))
   }
 
+  /** Chapman capture–recapture population estimate from two overlapping
+    * key samples: N̂ = (nₐ+1)(n_b+1)/(m+1) − 1 (and the classic
+    * Lincoln–Petersen nₐ·n_b/m) — "how many distinct items exist in
+    * total" from two independent partial crawls/snapshots, the ecology
+    * estimator that transfers directly to corpus-size estimation. Three
+    * distinct-count aggregates (two sides + the key-join overlap); all
+    * integer until one double chain each. */
+  def captureRecapture(a: DataFrame, aKey: String,
+                       b: DataFrame, bKey: String): DataFrame = {
+    val ka = a.select(col(aKey).as("k")).distinct()
+    val kb = b.select(col(bKey).as("k")).distinct()
+    val na = ka.count(); val nb = kb.count()
+    val m = ka.join(kb, "k").count()
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((na, nb, m,
+      (na + 1).toDouble * (nb + 1).toDouble / (m + 1).toDouble - 1.0,
+      if (m == 0) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(na.toDouble * nb.toDouble / m.toDouble)))
+      .toDF("n_a", "n_b", "n_overlap", "chapman_est", "lincoln_petersen_est")
+  }
+
   /** Schema-declared JSON flattening with validity accounting: parse the
     * JSON column against a caller schema, surface each field as a typed
     * column, and FLAG (never drop) rows whose payload is malformed or

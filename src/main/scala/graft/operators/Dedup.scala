@@ -179,6 +179,37 @@ object Dedup {
     materializeAndRelease(pairs, sigs)
   }
 
+  /** Per-source dedup observability report: raw rows, byte-exact unique,
+    * unicode-equivalent unique, and the duplication rates — the ingest
+    * dashboard row that says WHICH source is flooding the corpus with
+    * copies (and how much of it only canonicalization can see) before
+    * anyone pays for near-dup passes on it. One scan: the NFC key is
+    * computed once map-side ([[normalizedExact]]'s key), both distincts
+    * ride one aggregate per source. */
+  def dedupReportBySource(df: DataFrame, sourceCol: String, idCol: String,
+                          textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(sourceCol), col(idCol).cast("long"), col(textCol))
+      .as[(String, Long, String)]
+      .map { case (src, id, t) =>
+        (src, id, t, java.text.Normalizer.normalize(
+          Option(t).getOrElse("").toLowerCase(java.util.Locale.ROOT),
+          java.text.Normalizer.Form.NFC))
+      }
+      .toDF("source", "id", "text", "__norm")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(md5(col("text"))).as("n_exact_unique"),
+        countDistinct(md5(col("__norm"))).as("n_norm_unique"))
+      .select(col("source"), col("n_raw"), col("n_exact_unique"),
+        col("n_norm_unique"),
+        (lit(1.0) - col("n_exact_unique").cast("double") /
+          col("n_raw").cast("double")).as("exact_dup_rate"),
+        (lit(1.0) - col("n_norm_unique").cast("double") /
+          col("n_raw").cast("double")).as("norm_dup_rate"))
+      .orderBy("source")
+  }
+
   /** One signature's (band, band_hash) stream — the single banding
     * definition shared by batch LSH, the persisted index, and the
     * incremental probe (they MUST agree bit-for-bit or recall silently

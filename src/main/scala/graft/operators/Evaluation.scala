@@ -728,6 +728,41 @@ object Evaluation {
     }.reduce(_ unionAll _).orderBy("col_name")
   }
 
+  /** Delete-1 jackknife standard error for a RATIO metric Σnum/Σden —
+    * the online-experimentation standard for metrics whose unit of
+    * randomization (user, session bucket) differs from the row (ratio
+    * metrics violate the i.i.d.-row assumption a plain variance needs):
+    * leave each group out once, recompute the ratio, and read the spread.
+    * Output: the ratio, its jackknife SE, and the ±1.96·SE interval.
+    *
+    * One hash aggregate to per-group (num, den) sums — exact decimals,
+    * caller pre-casts — then each leave-one-out ratio is a fixed double
+    * chain quantized DECIMAL(18,9) before the order-independent variance
+    * sums; groups are the only rows that move after the first aggregate. */
+  def jackknifeRatioSE(df: DataFrame, groupCol: Column, num: Column,
+                       den: Column): DataFrame = {
+    val g = df.groupBy(groupCol.as("grp"))
+      .agg(sum(num).as("n"), sum(den).as("d"))
+    val t = g.agg(count(lit(1)).as("gk"), sum("n").as("tn"), sum("d").as("td"))
+    val loo = g.crossJoin(broadcast(t))
+      .select(col("gk"), col("tn"), col("td"),
+        (((col("tn") - col("n")).cast("double")) /
+          ((col("td") - col("d")).cast("double")))
+          .cast("decimal(18,9)").as("mi"))
+    loo
+      .groupBy("gk", "tn", "td")
+      .agg(sum("mi").as("sm"), sum(col("mi") * col("mi")).as("sm2"))
+      .select(
+        (col("tn").cast("double") / col("td").cast("double")).as("ratio"),
+        col("gk").as("n_groups"),
+        sqrt(((col("gk") - 1).cast("double") / col("gk").cast("double")) *
+          (col("sm2").cast("double") - col("sm").cast("double") *
+            col("sm").cast("double") / col("gk").cast("double"))).as("se"))
+      .select(col("ratio"), col("n_groups"), col("se"),
+        (col("ratio") - lit(1.96) * col("se")).as("ci_lo"),
+        (col("ratio") + lit(1.96) * col("se")).as("ci_hi"))
+  }
+
   /** One-way ANOVA F — "does the group mean differ anywhere" across k>2
     * groups, the multi-arm generalization of [[abTest]]'s two-proportion z
     * (reference analog: comparing a metric across every ingest source at

@@ -675,6 +675,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L)._3.asInstanceOf[Double] < 30.0)
   }
 
+  test("captureRecapture: recovers a known population; zero overlap degrades gracefully") {
+    // population 1..100; sample A = multiples of 2 (50), B = multiples of 3 (33),
+    // overlap = multiples of 6 (16) → Chapman (51·34/17)−1 = 101
+    val pop = (1L to 100L)
+    val a = pop.filter(_ % 2 == 0).toDF("k")
+    val b = pop.filter(_ % 3 == 0).toDF("k")
+    val r = Analytics.captureRecapture(a, "k", b, "k").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((50L, 33L, 16L)))
+    assert(r.getDouble(3) == 101.0, r.toString) // Chapman lands on the truth
+    assert(math.abs(r.getDouble(4) - 50.0 * 33 / 16) < 1e-9)
+    val disjoint = Analytics.captureRecapture(a, "k",
+      Seq(1001L, 1002L).toDF("k"), "k").head()
+    assert(disjoint.getLong(2) == 0L && disjoint.isNullAt(4)) // LP undefined
+  }
+
   test("flattenJson: typed fields out; malformed/null flagged not dropped; valid-but-missing field stays valid") {
     val df = Seq(
       (1L, """{"k": 7, "s": "x"}"""),

@@ -349,6 +349,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupReportBySource: exact vs canonical dup rates split correctly per source") {
+    val df = Seq(
+      ("s1", 1L, "alpha"), ("s1", 2L, "alpha"),   // byte-exact dup
+      ("s1", 3L, "ALPHA"),                        // only canonicalization sees it
+      ("s1", 4L, "beta"),
+      ("s2", 5L, "gamma"), ("s2", 6L, "delta")    // clean source
+    ).toDF("source", "doc_id", "text")
+    val out = Dedup.dedupReportBySource(df, "source", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s1") == ((4L, 3L, 2L)), out.toString) // 4 raw, 3 exact-unique, 2 canonical
+    assert(out("s2") == ((2L, 2L, 2L)), out.toString)
+  }
+
   test("incremental LSH: new batch probes the prebuilt index; near-dup and exact copies found, fresh docs not") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -388,6 +388,22 @@ class EvaluationSpec extends SparkSpec {
     assert(p.toSeq == r.toSeq)
   }
 
+  test("jackknifeRatioSE: homogeneous groups → tiny SE; one deviant group widens it; ratio exact") {
+    // 4 groups, each ratio 0.5 → leave-one-out ratios all 0.5 → SE 0
+    val flat = (1 to 4).flatMap(g => Seq((g, 1.0, 2.0), (g, 2.0, 4.0)))
+      .toDF("g", "num", "den")
+    val r = Evaluation.jackknifeRatioSE(flat, col("g"),
+      col("num").cast("decimal(18,2)"), col("den").cast("decimal(18,2)")).head()
+    assert(r.getDouble(0) == 0.5 && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2)) < 1e-9, r.toString)
+    // one group with ratio 1.0 among 0.5s: SE strictly positive, CI brackets
+    val mixed = flat.unionAll(Seq((9, 6.0, 6.0)).toDF("g", "num", "den"))
+    val m = Evaluation.jackknifeRatioSE(mixed, col("g"),
+      col("num").cast("decimal(18,2)"), col("den").cast("decimal(18,2)")).head()
+    assert(m.getDouble(2) > 0.01, m.toString)
+    assert(m.getDouble(3) < m.getDouble(0) && m.getDouble(0) < m.getDouble(4))
+  }
+
   test("driftReport: stable column ≈ 0, shifted column flagged, one row per column") {
     val ref = (1 to 200).map(i => (i % 50 / 5.0, i % 20 / 2.0)).toDF("f_stable", "f_shift")
     val cur = (1 to 200).map(i => (i % 50 / 5.0, i % 20 / 2.0 + 8.0)).toDF("f_stable", "f_shift")
