@@ -318,6 +318,16 @@ object ScaleCheck {
       Tables.events(spark, d), "event_type", "ts"))
     time("flatten_json")(d => Analytics.flattenJson(
       Tables.events(spark, d).select("event_id", "props"), "props", "k BIGINT"))
+    time("cluster_aware_split")(d => {
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("doc_id_a"), md5(col("text")).as("h"))
+      val b = docs.select(col("doc_id").as("doc_id_b"), md5(col("text")).as("h"))
+      Splits.clusterAwareSplit(docs, "doc_id",
+        a.join(b, "h").where(col("doc_id_a") < col("doc_id_b"))
+          .select("doc_id_a", "doc_id_b"), "doc_id_a", "doc_id_b")
+    })
+    time("kcenter_select")(d => Similarity.kCenterSelect(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 4))
     time("drift_report")(d => {
       val ev = Tables.events(spark, d).select(col("event_type"), col("value"),
         col("ts").cast("long").cast("double").as("es"))

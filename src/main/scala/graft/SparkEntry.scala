@@ -553,6 +553,23 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q210_cluster_split" -> ((s, d) => {
+      // the FIX for q182's leakage: same planted copies, but the split
+      // hashes the duplicate-cluster representative — copies can no
+      // longer straddle train/val/test by construction
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionAll(Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val a = docs.select(col("doc_id").as("doc_id_a"), md5(col("text")).as("h"))
+      val b = docs.select(col("doc_id").as("doc_id_b"), md5(col("text")).as("h"))
+      val pairs = a.join(b, "h").where(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+      Splits.clusterAwareSplit(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+    }),
+    "q211_kcenter" -> ((s, d) =>
+      // 4 maximally spread exemplar vectors (greedy farthest-point)
+      Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 4)),
     "q207_jackknife" -> ((s, d) =>
       // failed-revenue share with a delete-1-bucket jackknife CI (ratio
       // metric: the unit of randomization is the customer bucket, not row)
@@ -2364,6 +2381,58 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q210_cluster_split" ->
+      // rep = min id over identical content (exact-dup CC ≡ content
+      // groups); split thresholds are q44/q182's md5-bucket boundaries
+      """WITH e AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 40),
+        |r AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM e)
+        |SELECT doc_id, rep,
+        |  CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q211_kcenter" ->
+      // 4 unrolled greedy rounds; every distance is the identical
+      // index-ordered double fold, so every argmax picks the same vector
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT e.vec_id, e.embedding,
+        |    list_sum(list_transform(list_zip(e.embedding, c.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS md
+        |  FROM e, c1 c),
+        |c2 AS (SELECT vec_id, embedding, md FROM d1
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM c1)
+        |  ORDER BY md DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d.vec_id, d.embedding, LEAST(d.md,
+        |    list_sum(list_transform(list_zip(d.embedding, c.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS md
+        |  FROM d1 d, c2 c),
+        |c3 AS (SELECT vec_id, embedding, md FROM d2
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2)
+        |  ORDER BY md DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d.vec_id, d.embedding, LEAST(d.md,
+        |    list_sum(list_transform(list_zip(d.embedding, c.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS md
+        |  FROM d2 d, c3 c),
+        |c4 AS (SELECT vec_id, md FROM d3
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM c2
+        |                       UNION ALL SELECT vec_id FROM c3)
+        |  ORDER BY md DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS pick_order, vec_id, CAST(NULL AS DOUBLE) AS dist_sq FROM c1
+        |  UNION ALL
+        |  SELECT 2, vec_id, CAST(CAST(md AS DECIMAL(18,9)) AS DOUBLE) FROM c2
+        |  UNION ALL
+        |  SELECT 3, vec_id, CAST(CAST(md AS DECIMAL(18,9)) AS DOUBLE) FROM c3
+        |  UNION ALL
+        |  SELECT 4, vec_id, CAST(CAST(md AS DECIMAL(18,9)) AS DOUBLE) FROM c4)
+        |ORDER BY pick_order""".stripMargin,
     "q207_jackknife" ->
       // per-bucket exact decimal sums; each leave-one-out ratio quantized
       // DECIMAL(18,9) before the order-independent variance sums

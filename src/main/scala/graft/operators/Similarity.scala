@@ -281,6 +281,60 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Greedy k-center (farthest-point) coreset selection: start from the
+    * min-id vector, repeatedly pick the vector FARTHEST from the chosen
+    * set (squared L2; ties to the smaller id) — the classic 2-approximation
+    * to the k-center cover, and the deterministic "maximally diverse
+    * subset" selector for eval panels, few-shot exemplars, and annotation
+    * batches (the opposite end of the spectrum from near-dup REMOVAL:
+    * here we keep the spread).
+    *
+    * Per round: one map-side min-distance update against the ONE new
+    * broadcast center plus one 1-row argmax action — the corpus never
+    * shuffles, mirroring [[kmeansAssign]]'s contract; k localCheckpoints
+    * pin the running state so round i never recomputes rounds 1..i−1.
+    * Distances fold dims in index order (the oracle's list_sum twin), so
+    * every pick is engine-identical; output dist quantizes DECIMAL(18,9). */
+  def kCenterSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1,64]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol)
+    def l2(a: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, c.length)
+      while (i < n) {
+        val d = a(i).toDouble - c(i).toDouble
+        s += d * d; i += 1
+      }
+      s
+    }
+    val first = corpus.reduce((x, y) => if (x._1 <= y._1) x else y)
+    var picks = List((1, first._1, Option.empty[Double]))
+    var center = first._2
+    var picked = Set(first._1)
+    // running (id, vec, minDistToChosen)
+    var state = corpus.map { case (id, v) => (id, v, Double.MaxValue) }
+    for (i <- 2 to k) {
+      val c = center
+      state = state.map { case (id, v, md) => (id, v, math.min(md, l2(v, c))) }
+        .localCheckpoint()
+      val p = picked
+      val next = state.filter(t => !p.contains(t._1))
+        .reduce((x, y) =>
+          if (x._3 > y._3 || (x._3 == y._3 && x._1 < y._1)) x else y)
+      picks ::= ((i, next._1, Some(next._3)))
+      center = next._2
+      picked += next._1
+    }
+    picks.reverse.map { case (o, id, d) => (o, id, d) }
+      .toDF("pick_order", "vec_id", "__d")
+      .select(col("pick_order"), col("vec_id"),
+        col("__d").cast("decimal(18,9)").cast("double").as("dist_sq"))
+      .orderBy("pick_order")
+  }
+
   // ------------------------------------------- higher-order vector algebra
 
   /** Vector algebra as codegen'd higher-order functions — the pure-SQL-

@@ -250,6 +250,30 @@ object Splits {
       .orderBy(col(groupCol), col("cum_weight"))
   }
 
+  /** Cluster-aware split: assign every document of a duplicate CLUSTER to
+    * the same train/val/test bucket by hashing the cluster representative
+    * instead of the doc id — the FIX for the leakage
+    * [[crossSplitLeakage]] detects (a content-blind id-hash split places
+    * copies independently; this one cannot, by construction). `pairs` is
+    * any near-dup pair list (exact, MinHash, simhash, perceptual);
+    * singleton docs are their own representative.
+    *
+    * Reuses [[Dedup.connectedComponents]] for the transitive closure
+    * (pairs-sized, not corpus-sized), one left join back to docs, then
+    * [[assignSplit]]'s pure map-side hash on the representative. */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String, bCol: String,
+                        train256: Int = 205, val256: Int = 25): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("cluster_id").as("__rep"))
+    val withRep = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__rep"), col(idCol)).as("rep"))
+    assignSplit(withRep, "rep", train256, val256)
+      .select(col(idCol), col("rep"), col("split"))
+      .orderBy(idCol)
+  }
+
   /** Largest-remainder proportional allocation: split a fixed budget of
     * `total` slots across sources exactly in proportion to their sizes —
     * floor(total·nₛ/N) each, the `total − Σfloor` leftover going to the

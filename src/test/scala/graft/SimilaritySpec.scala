@@ -318,6 +318,24 @@ class SimilaritySpec extends SparkSpec {
     assert(t(1L) == 0L, t.toString) // 2 votes for 0, 2 for 5 → label 0 wins
   }
 
+  test("kCenterSelect: farthest-point order on a hand grid; equals brute-force greedy; repartition-invariant") {
+    // square corners + a center point: greedy from min id walks the spread
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(0f, 10f)),
+      (4L, Array(10f, 10f)), (5L, Array(5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(vecs, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // from (0,0): farthest is (10,10) d=200; then (10,0)/(0,10) tie d=100 → id 2; then 3
+    assert(out.toSeq == Seq((1, 1L), (2, 4L), (3, 2L), (4, 3L)), out.mkString(","))
+    val d2 = Similarity.kCenterSelect(vecs, "vec_id", "embedding", 4)
+      .collect().map(r => if (r.isNullAt(2)) -1.0 else r.getDouble(2))
+    assert(d2(0) == -1.0 && d2(1) == 200.0 && d2(2) == 100.0 && d2(3) == 100.0)
+    val p = Similarity.kCenterSelect(vecs.repartition(8), "vec_id", "embedding", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(p.toSeq == out.toSeq)
+  }
+
   test("labelSilhouette: separated labels score near 1, co-located labels near 0") {
     val sep = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.01f), 0), (3L, Array(0.98f, 0.02f), 0),

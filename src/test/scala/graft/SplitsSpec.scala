@@ -199,6 +199,33 @@ class SplitsSpec extends SparkSpec {
     assert(f4.getLong(5) == 100L, f4.toString)
   }
 
+  test("clusterAwareSplit: whole cluster lands in ONE split; transitive chains; leakage audit reads zero") {
+    // chain 1-2, 2-3 (transitive cluster {1,2,3}); pair {10,11}; 20 alone
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
+      (20L, "f")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val out = Splits.clusterAwareSplit(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L) // rep = min id
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)        // one split
+    assert(out(10L)._2 == out(11L)._2)
+    assert(out(20L)._1 == 20L)
+    // closing the loop: exact copies split cluster-aware → NO leakage rows
+    val base = (1L to 200L).map(i => (i, s"text body $i"))
+    val dup = base.take(40).map { case (i, t) => (i + 2000000L, t) }
+    val corpus = (base ++ dup).toDF("doc_id", "text")
+    val h = corpus.select(col("doc_id").as("doc_id_a"), md5(col("text")).as("h"))
+    val p2 = h.join(corpus.select(col("doc_id").as("doc_id_b"), md5(col("text")).as("h")), "h")
+      .where(col("doc_id_a") < col("doc_id_b")).select("doc_id_a", "doc_id_b")
+    val assigned = Splits.clusterAwareSplit(corpus, "doc_id", p2, "doc_id_a", "doc_id_b")
+      .join(corpus, "doc_id")
+    val leaks = assigned
+      .groupBy(md5(col("text")).as("th"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1)
+    assert(leaks.count() == 0)
+  }
+
   test("proportionalAllocation: sums exactly to total; remainders to largest fractions; ties to name") {
     // sizes 5/3/2 over total 10 → exact 5/3/2; over total 7 → quotas
     // 3.5/2.1/1.4 → floors 3/2/1 + 1 leftover → largest remainder (a: .5)
