@@ -553,6 +553,16 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q212_threshold_sweep" -> ((s, d) =>
+      // where to cut the score: best-F1 and best-Youden operating points
+      Evaluation.thresholdSweep(Tables.orders(s, d),
+        (col("o_orderkey") % 1000) / lit(1000.0),
+        col("o_orderstatus") === "F")),
+    "q213_brier" -> ((s, d) =>
+      // is the score miscalibrated, uninformative, or is the problem hard
+      Evaluation.brierDecomposition(Tables.orders(s, d),
+        (col("o_orderkey") % 1000) / lit(1000.0),
+        col("o_orderstatus") === "F", bins = 10)),
     "q210_cluster_split" -> ((s, d) => {
       // the FIX for q182's leakage: same planted copies, but the split
       // hashes the duplicate-cluster representative — copies can no
@@ -2381,6 +2391,64 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q212_threshold_sweep" ->
+      // descending cumulative TP/FP over distinct scores; metrics
+      // quantized DECIMAL(18,9) before the (metric DESC, thr ASC) argmax
+      """WITH ps AS (SELECT
+        |    CAST(CAST(o_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS DECIMAL(18,9)) AS thr,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos,
+        |    COUNT(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 END) AS neg
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT thr, SUM(pos) OVER (ORDER BY thr DESC) AS tp,
+        |               SUM(neg) OVER (ORDER BY thr DESC) AS fp FROM ps),
+        |t AS (SELECT SUM(pos) AS p, SUM(neg) AS n FROM ps),
+        |m AS (SELECT thr, tp, fp, p - tp AS fn, n - fp AS tn,
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |    CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS recall,
+        |    CAST(CAST(tp AS DOUBLE) * 2 / CAST(tp * 2 + fp + (p - tp) AS DOUBLE) AS DECIMAL(18,9)) AS f1,
+        |    CAST(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)
+        |       - CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS youden
+        |  FROM cum, t)
+        |SELECT * FROM (
+        |  SELECT 'f1' AS criterion, CAST(thr AS DOUBLE) AS threshold,
+        |    CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |    CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |    precision, recall, CAST(f1 AS DOUBLE) AS f1, CAST(youden AS DOUBLE) AS youden
+        |  FROM m ORDER BY m.f1 DESC, thr LIMIT 1)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'youden', CAST(thr AS DOUBLE), CAST(tp AS BIGINT), CAST(fp AS BIGINT),
+        |    CAST(fn AS BIGINT), CAST(tn AS BIGINT),
+        |    precision, recall, CAST(f1 AS DOUBLE), CAST(youden AS DOUBLE)
+        |  FROM m ORDER BY m.youden DESC, thr LIMIT 1)
+        |ORDER BY criterion""".stripMargin,
+    "q213_brier" ->
+      // direct Brier fully exact in decimal; components via binned mean
+      // forecasts, each n_k·(·)² term quantized DECIMAL(28,9) pre-sum
+      """WITH x AS (SELECT
+        |    CAST(CAST(o_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS DECIMAL(18,9)) AS f,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o,
+        |    LEAST(9, GREATEST(0, CAST(FLOOR(CAST(o_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) * 10) AS BIGINT))) AS bin
+        |  FROM orders),
+        |cells AS (SELECT bin, COUNT(*) AS nk, SUM(f) AS sf,
+        |    CAST(SUM(o) AS BIGINT) AS so, SUM((f - o) * (f - o)) AS ssq
+        |  FROM x GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(so) AS BIGINT) AS son,
+        |    SUM(ssq) AS ssqt FROM cells),
+        |terms AS (SELECT nk, n, ssqt,
+        |    CAST((CAST(sf AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+        |       * (CAST(sf AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+        |       * CAST(nk AS DOUBLE) AS DECIMAL(28,9)) AS rel_t,
+        |    CAST((CAST(so AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(son AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(son AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * CAST(nk AS DOUBLE) AS DECIMAL(28,9)) AS res_t,
+        |    CAST(son AS DOUBLE) / CAST(n AS DOUBLE) AS ob
+        |  FROM cells, t)
+        |SELECT n, CAST(CAST(ssqt AS DECIMAL(28,9)) AS DOUBLE) / CAST(n AS DOUBLE) AS brier,
+        |  CAST(SUM(rel_t) AS DOUBLE) / CAST(n AS DOUBLE) AS reliability,
+        |  CAST(SUM(res_t) AS DOUBLE) / CAST(n AS DOUBLE) AS resolution,
+        |  ob * (CAST(1 AS DOUBLE) - ob) AS uncertainty
+        |FROM terms GROUP BY n, ssqt, ob""".stripMargin,
     "q210_cluster_split" ->
       // rep = min id over identical content (exact-dup CC ≡ content
       // groups); split thresholds are q44/q182's md5-bucket boundaries

@@ -728,6 +728,103 @@ object Evaluation {
     }.reduce(_ unionAll _).orderBy("col_name")
   }
 
+  /** Operating-point threshold sweep: evaluate "positive iff score ≥ t"
+    * at EVERY distinct score and return the best-F1 and best-Youden-J
+    * rows — how a score becomes a deployed classifier (AUC says the score
+    * ranks well; this says where to cut it). Ties break to the smallest
+    * threshold.
+    *
+    * Rows collapse to per-distinct-score (pos, neg) counts first (the
+    * groupedAuc recipe — the only row-sized shuffle), the descending
+    * cumulative TP/FP comes from [[globalCumSum]]'s two-pass scan (never
+    * a one-partition window over scores), and each metric is a fixed
+    * double chain quantized DECIMAL(18,9) before the order-independent
+    * argmax. */
+  def thresholdSweep(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val perScore = df
+      .select(score.cast("decimal(18,9)").as("thr"), label.as("y"))
+      .groupBy("thr")
+      .agg(count(when(col("y"), lit(1))).as("pos"),
+        count(when(!col("y"), lit(1))).as("neg"))
+      .withColumn("negthr", (-col("thr")).cast("decimal(18,9)"))
+    val cum = globalCumSum(
+      perScore.select(col("thr"), col("negthr"), col("pos"), col("neg")),
+      Seq("negthr"), Seq("pos", "neg"))
+    val tot = cum.agg(sum("pos").as("p"), sum("neg").as("n"))
+    val m = cum.crossJoin(broadcast(tot))
+      .select(col("thr"),
+        col("cum_pos").as("tp"), col("cum_neg").as("fp"),
+        (col("p") - col("cum_pos")).as("fn"), (col("n") - col("cum_neg")).as("tn"),
+        col("p"), col("n"))
+      .withColumn("precision",
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", col("tp").cast("double") / col("p").cast("double"))
+      .withColumn("f1",
+        (col("tp").cast("double") * 2d /
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+          .cast("decimal(18,9)"))
+      .withColumn("youden",
+        (col("tp").cast("double") / col("p").cast("double") -
+          col("fp").cast("double") / col("n").cast("double"))
+          .cast("decimal(18,9)"))
+    def best(metric: String): DataFrame = m
+      .select(struct(col(metric).as("m"), (-col("thr")).as("negt")).as("__k"),
+        col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision"), col("recall"), col("f1"), col("youden"))
+      .orderBy(col("__k").desc)
+      .limit(1)
+      .select(lit(metric).as("criterion"), col("thr").cast("double").as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"), col("precision"),
+        col("recall"), col("f1").cast("double").as("f1"),
+        col("youden").cast("double").as("youden"))
+    best("f1").unionAll(best("youden")).orderBy("criterion")
+  }
+
+  /** Brier score with Murphy's decomposition (reliability − resolution +
+    * uncertainty over K forecast bins) — WHY a probabilistic score is
+    * good or bad: badly calibrated (reliability), uninformative
+    * (resolution), or just a hard problem (uncertainty). The direct
+    * Brier term is fully EXACT: (f−o)² stays decimal until one final
+    * division. Components use binned mean forecasts (the standard
+    * discretization); each n_k·(·)² term quantizes DECIMAL(28,9) before
+    * the order-independent sum. Two hash aggregates (rows → bins → 1). */
+  def brierDecomposition(df: DataFrame, score: Column, label: Column,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2,1000]")
+    val f = score.cast("decimal(18,9)")
+    val o = when(label, lit(1)).otherwise(lit(0))
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor(score.cast("double") * bins))).cast("long")
+    val cells = df.select(bin.as("bin"), f.as("f"), o.as("o"),
+        ((f - o) * (f - o)).as("sq"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nk"), sum("f").as("sf"), sum("o").as("so"),
+        sum("sq").as("ssq"))
+    val tot = cells.agg(sum("nk").as("n"), sum("so").as("son"), sum("ssq").as("ssqt"))
+    val obar = col("son").cast("double") / col("n").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .select(col("nk"), col("n"), col("ssqt"),
+        ((col("sf").cast("double") / col("nk").cast("double") -
+          col("so").cast("double") / col("nk").cast("double")) *
+          (col("sf").cast("double") / col("nk").cast("double") -
+            col("so").cast("double") / col("nk").cast("double")) *
+          col("nk").cast("double")).cast("decimal(28,9)").as("rel_t"),
+        ((col("so").cast("double") / col("nk").cast("double") - obar) *
+          (col("so").cast("double") / col("nk").cast("double") - obar) *
+          col("nk").cast("double")).cast("decimal(28,9)").as("res_t"),
+        obar.as("ob"))
+      .groupBy("n", "ssqt", "ob")
+      .agg(sum("rel_t").as("srel"), sum("res_t").as("sres"))
+      .select(col("n"),
+        // quantize the (38,18) sum to 9 dp before the double cast — at 20+
+        // significant digits the raw decimal→double conversions disagree
+        (col("ssqt").cast("decimal(28,9)").cast("double") /
+          col("n").cast("double")).as("brier"),
+        (col("srel").cast("double") / col("n").cast("double")).as("reliability"),
+        (col("sres").cast("double") / col("n").cast("double")).as("resolution"),
+        (col("ob") * (lit(1.0) - col("ob"))).as("uncertainty"))
+  }
+
   /** Delete-1 jackknife standard error for a RATIO metric Σnum/Σden —
     * the online-experimentation standard for metrics whose unit of
     * randomization (user, session bucket) differs from the row (ratio

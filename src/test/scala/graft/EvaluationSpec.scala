@@ -388,6 +388,38 @@ class EvaluationSpec extends SparkSpec {
     assert(p.toSeq == r.toSeq)
   }
 
+  test("thresholdSweep: perfect separator found at the class boundary; metrics exact on a hand case") {
+    // scores 0.9/0.8 positive, 0.3/0.2/0.1 negative: threshold 0.8 is
+    // perfect (F1 = 1, J = 1); both criteria land on it
+    val df = Seq((0.9, true), (0.8, true), (0.3, false), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    val out = Evaluation.thresholdSweep(df, col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(8), r.getDouble(9)))).toMap
+    assert(out("f1") == ((0.8, 2L, 0L, 1.0, 1.0)), out.toString)
+    assert(out("youden") == ((0.8, 2L, 0L, 1.0, 1.0)), out.toString)
+    // overlap: best F1 trades differently than J but both are deterministic
+    val noisy = Seq((0.9, true), (0.7, false), (0.6, true), (0.5, true),
+      (0.4, false), (0.2, false)).toDF("s", "y")
+    val n = Evaluation.thresholdSweep(noisy, col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(n("f1") == 0.5, n.toString) // thr .5: tp3 fp1 → F1 6/7, the max
+  }
+
+  test("brierDecomposition: exact direct brier; calibrated forecasts → reliability exactly 0") {
+    // forecasts EQUAL the per-bin outcome frequency: reliability term 0
+    val cal = (Seq.fill(8)((0.2, false)) ++ Seq.fill(2)((0.2, true)) ++
+      Seq.fill(2)((0.8, false)) ++ Seq.fill(8)((0.8, true))).toDF("s", "y")
+    val r = Evaluation.brierDecomposition(cal, col("s"), col("y"), 10).head()
+    assert(r.getLong(0) == 20L)
+    assert(math.abs(r.getDouble(1) - 0.16) < 1e-9, r.toString)   // direct brier
+    assert(r.getDouble(2) == 0.0, r.toString)                    // reliability
+    assert(math.abs(r.getDouble(3) - 0.09) < 1e-9, r.toString)   // resolution
+    assert(r.getDouble(4) == 0.25, r.toString)                   // ō(1−ō)
+    // Murphy identity with binned forecasts: brier = rel − res + unc
+    assert(math.abs(r.getDouble(1) - (r.getDouble(2) - r.getDouble(3) + r.getDouble(4))) < 1e-9)
+  }
+
   test("jackknifeRatioSE: homogeneous groups → tiny SE; one deviant group widens it; ratio exact") {
     // 4 groups, each ratio 0.5 → leave-one-out ratios all 0.5 → SE 0
     val flat = (1 to 4).flatMap(g => Seq((g, 1.0, 2.0), (g, 2.0, 4.0)))
