@@ -328,6 +328,19 @@ object ScaleCheck {
     })
     time("kcenter_select")(d => Similarity.kCenterSelect(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 4))
+    time("jackknife_ratio")(d => Evaluation.jackknifeRatioSE(
+      Tables.load(spark, d, "orders"), pmod(col("o_custkey"), lit(16)),
+      when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))
+        .cast("decimal(18,2)"),
+      col("o_totalprice").cast("decimal(18,2)")))
+    time("dedup_report")(d => Dedup.dedupReportBySource(
+      Tables.documents(spark, d), "source", "doc_id", "text"))
+    time("threshold_sweep")(d => Evaluation.thresholdSweep(
+      Tables.load(spark, d, "orders"),
+      (col("o_orderkey") % 1000) / lit(1000.0), col("o_orderstatus") === "F"))
+    time("brier")(d => Evaluation.brierDecomposition(
+      Tables.load(spark, d, "orders"),
+      (col("o_orderkey") % 1000) / lit(1000.0), col("o_orderstatus") === "F"))
     time("drift_report")(d => {
       val ev = Tables.events(spark, d).select(col("event_type"), col("value"),
         col("ts").cast("long").cast("double").as("es"))

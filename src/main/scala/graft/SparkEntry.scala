@@ -553,6 +553,23 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q214_blocking_quality" -> ((s, d) => {
+      // tune the SN blocking scheme: planted 1-edit name variants are the
+      // ground truth; PC = how many it finds, RR = how much n² it skips
+      val names = Tables.part(s, d).groupBy("p_name")
+        .agg(min("p_partkey").as("p_partkey"))
+      val planted = names.filter(col("p_partkey") < 400)
+        .select(concat(col("p_name"), lit("x")).as("p_name"),
+          (col("p_partkey") + 7000000).as("p_partkey"))
+      val records = names.unionAll(planted)
+      val truth = names.filter(col("p_partkey") < 400)
+        .select(col("p_partkey").as("id_a"),
+          (col("p_partkey") + 7000000).as("id_b"))
+      val cands = Dedup.sortedNeighborhoodPairs(records, "p_partkey", "p_name",
+        maxDist = 3)
+      Dedup.blockingQuality(cands, "id_a", "id_b", truth, "id_a", "id_b",
+        records.count())
+    }),
     "q212_threshold_sweep" -> ((s, d) =>
       // where to cut the score: best-F1 and best-Youden operating points
       Evaluation.thresholdSweep(Tables.orders(s, d),
@@ -2391,6 +2408,29 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q214_blocking_quality" ->
+      // q117's SN scheme over the augmented names; truth = the planted
+      // (id, id+7e6) variants; counts then two double divisions
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |recs AS (SELECT p_name, p_partkey FROM names
+        |  UNION ALL
+        |  SELECT p_name || 'x', p_partkey + 7000000 FROM names WHERE p_partkey < 400),
+        |canon AS (SELECT DISTINCT p_partkey AS id, p_name AS s FROM recs),
+        |r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rk FROM canon),
+        |p AS (SELECT a.id AS ia, a.s AS sa, b.id AS ib, b.s AS sb
+        |      FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3),
+        |cand AS (SELECT DISTINCT least(ia, ib) AS pa, greatest(ia, ib) AS pb
+        |         FROM p WHERE levenshtein(sa, sb) <= 3),
+        |truth AS (SELECT p_partkey AS pa, p_partkey + 7000000 AS pb
+        |          FROM names WHERE p_partkey < 400),
+        |k AS (SELECT (SELECT COUNT(*) FROM cand) AS nc,
+        |             (SELECT COUNT(*) FROM truth) AS nt,
+        |             (SELECT COUNT(*) FROM cand JOIN truth USING (pa, pb)) AS nf,
+        |             (SELECT COUNT(*) FROM recs) AS n)
+        |SELECT nc AS n_candidates, nt AS n_true_pairs, nf AS n_found,
+        |  CASE WHEN nt > 0 THEN CAST(nf AS DOUBLE) / CAST(nt AS DOUBLE) END AS pair_completeness,
+        |  CAST(1 AS DOUBLE) - CAST(nc AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE) AS reduction_ratio
+        |FROM k""".stripMargin,
     "q212_threshold_sweep" ->
       // descending cumulative TP/FP over distinct scores; metrics
       // quantized DECIMAL(18,9) before the (metric DESC, thr ASC) argmax

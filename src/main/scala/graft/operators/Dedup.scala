@@ -595,6 +595,35 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Blocking-quality metrics (Christen's standard pair): pair
+    * completeness = found true pairs / all true pairs (recall of the
+    * blocking scheme) and reduction ratio = 1 − candidates / all possible
+    * pairs (how much of the n² it avoided) — HOW a blocking scheme
+    * (sorted-neighborhood window, prefix length, LSH bands) gets TUNED:
+    * push RR up until PC starts to fall. Pairs normalize to (lo, hi) so
+    * orientation never miscounts; three counts + two double divisions. */
+  def blockingQuality(candidates: DataFrame, aCol: String, bCol: String,
+                      truth: DataFrame, taCol: String, tbCol: String,
+                      nRecords: Long): DataFrame = {
+    require(nRecords >= 2, "need at least two records")
+    def norm(df: DataFrame, a: String, b: String) = df.select(
+      least(col(a), col(b)).as("pa"), greatest(col(a), col(b)).as("pb"))
+      .distinct()
+    val c = norm(candidates, aCol, bCol).localCheckpoint()
+    val t = norm(truth, taCol, tbCol).localCheckpoint()
+    val nc = c.count(); val nt = t.count()
+    val found = c.join(t, Seq("pa", "pb")).count()
+    val all = nRecords * (nRecords - 1) / 2
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    Seq((nc, nt, found,
+      if (nt == 0) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(found.toDouble / nt.toDouble),
+      1.0 - nc.toDouble / all.toDouble))
+      .toDF("n_candidates", "n_true_pairs", "n_found",
+        "pair_completeness", "reduction_ratio")
+  }
+
   /** Duplicated-span mass per document — the measurement half of exact-
     * substring dedup ([[substringPairs]] finds WHO shares spans; this
     * quantifies HOW MUCH of each document is corpus-duplicated, the number

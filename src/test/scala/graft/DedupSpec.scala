@@ -349,6 +349,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("blockingQuality: orientation-proof counting, PC/RR arithmetic, empty truth → null PC") {
+    val cands = Seq((1L, 2L), (4L, 3L), (5L, 6L), (6L, 5L)).toDF("a", "b") // 3 distinct
+    val truth = Seq((2L, 1L), (7L, 8L)).toDF("ta", "tb")
+    val r = Dedup.blockingQuality(cands, "a", "b", truth, "ta", "tb", 10L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+    assert(r.getDouble(3) == 0.5)                       // 1 of 2 true pairs found
+    assert(r.getDouble(4) == 1.0 - 3.0 / 45.0)          // 45 possible pairs
+    val e = Dedup.blockingQuality(cands, "a", "b",
+      truth.limit(0), "ta", "tb", 10L).head()
+    assert(e.isNullAt(3) && e.getLong(2) == 0L)
+  }
+
   test("dedupReportBySource: exact vs canonical dup rates split correctly per source") {
     val df = Seq(
       ("s1", 1L, "alpha"), ("s1", 2L, "alpha"),   // byte-exact dup
