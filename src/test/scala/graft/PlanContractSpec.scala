@@ -50,7 +50,13 @@ class PlanContractSpec extends SparkSpec {
           // woe/iv rides psiDetail's 1-row broadcast totals (q142's shape);
           // silhouette broadcasts the k-row centroid table over the corpus;
           // drift report is psi per column (same 1-row totals, per block)
-          "q187_woe_iv", "q188_silhouette", "q201_drift_report")
+          "q187_woe_iv", "q188_silhouette", "q201_drift_report",
+          // allocation: 1-row total + 1-row leftover over the sources
+          // table; missing partitions: the day spine × distinct sources;
+          // jackknife/threshold-sweep/brier: 1-row totals broadcast over
+          // group/score/bin tables — all contract-small by construction
+          "q202_allocation", "q205_missing_partitions", "q207_jackknife",
+          "q212_threshold_sweep", "q213_brier")
         if (allowed(name)) None else Some(name)
       } else None
     }
