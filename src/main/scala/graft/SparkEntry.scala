@@ -553,6 +553,23 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q215_corr_matrix" -> ((s, d) =>
+      // all pairwise correlations of lineitem's numeric columns, one scan
+      Analytics.correlationMatrix(Tables.lineitem(s, d), Seq(
+        "l_discount" -> col("l_discount").cast("decimal(18,6)"),
+        "l_extendedprice" -> col("l_extendedprice").cast("decimal(18,6)"),
+        "l_quantity" -> col("l_quantity").cast("decimal(18,6)"),
+        "l_tax" -> col("l_tax").cast("decimal(18,6)")))),
+    "q216_freshness" -> ((s, d) =>
+      // is any event source stale, and how much trailing volume does it carry
+      Analytics.freshnessReport(Tables.events(s, d), "event_type", "ts")),
+    "q217_forecast_baseline" -> ((s, d) =>
+      // the sanity floor a real forecaster must beat on daily event volume
+      Analytics.seasonalNaiveEval(
+        Tables.events(s, d)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "day", "n")),
     "q214_blocking_quality" -> ((s, d) => {
       // tune the SN blocking scheme: planted 1-edit name variants are the
       // ground truth; PC = how many it finds, RR = how much n² it skips
@@ -2408,6 +2425,77 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q215_corr_matrix" ->
+      // q77's fixed chain per pair over exact decimal power sums from ONE
+      // aggregate; DECIMAL(19,6) forces DuckDB's int128 multiply path
+      // (an 18-wide operand pair multiplies in int64 and overflows) —
+      // values are identical to the engine's (18,6) sums
+      """WITH t AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(l_discount AS DECIMAL(19,6))) AS s_d,
+        |    SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS ss_d,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS s_e,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS ss_e,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))) AS s_q,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS ss_q,
+        |    SUM(CAST(l_tax AS DECIMAL(19,6))) AS s_t,
+        |    SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS ss_t,
+        |    SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS p_de,
+        |    SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS p_dq,
+        |    SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS p_dt,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS p_eq,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS p_et,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS p_qt
+        |  FROM lineitem),
+        |u AS (SELECT CAST(n AS DOUBLE) AS nd,
+        |    CAST(s_d AS DOUBLE) AS sd, CAST(ss_d AS DOUBLE) AS ssd,
+        |    CAST(s_e AS DOUBLE) AS se, CAST(ss_e AS DOUBLE) AS sse,
+        |    CAST(s_q AS DOUBLE) AS sq, CAST(ss_q AS DOUBLE) AS ssq,
+        |    CAST(s_t AS DOUBLE) AS st, CAST(ss_t AS DOUBLE) AS sst,
+        |    CAST(p_de AS DOUBLE) AS pde, CAST(p_dq AS DOUBLE) AS pdq,
+        |    CAST(p_dt AS DOUBLE) AS pdt, CAST(p_eq AS DOUBLE) AS peq,
+        |    CAST(p_et AS DOUBLE) AS pet, CAST(p_qt AS DOUBLE) AS pqt
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+        |    CAST(CAST((nd * pde - sd * se) / (sqrt(nd * ssd - sd * sd) * sqrt(nd * sse - se * se)) AS DECIMAL(18,4)) AS DOUBLE) AS corr FROM u
+        |  UNION ALL SELECT 'l_discount', 'l_quantity',
+        |    CAST(CAST((nd * pdq - sd * sq) / (sqrt(nd * ssd - sd * sd) * sqrt(nd * ssq - sq * sq)) AS DECIMAL(18,4)) AS DOUBLE) FROM u
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    CAST(CAST((nd * pdt - sd * st) / (sqrt(nd * ssd - sd * sd) * sqrt(nd * sst - st * st)) AS DECIMAL(18,4)) AS DOUBLE) FROM u
+        |  UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+        |    CAST(CAST((nd * peq - se * sq) / (sqrt(nd * sse - se * se) * sqrt(nd * ssq - sq * sq)) AS DECIMAL(18,4)) AS DOUBLE) FROM u
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    CAST(CAST((nd * pet - se * st) / (sqrt(nd * sse - se * se) * sqrt(nd * sst - st * st)) AS DECIMAL(18,4)) AS DOUBLE) FROM u
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    CAST(CAST((nd * pqt - sq * st) / (sqrt(nd * ssq - sq * sq) * sqrt(nd * sst - st * st)) AS DECIMAL(18,4)) AS DOUBLE) FROM u)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q216_freshness" ->
+      """WITH g AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS gmax FROM events)
+        |SELECT event_type AS source, COUNT(*) AS n_rows,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS max_epoch,
+        |  g.gmax - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_seconds,
+        |  COUNT(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= g.gmax - 86400 THEN 1 END) AS n_last_day,
+        |  COUNT(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= g.gmax - 604800 THEN 1 END) AS n_last_week
+        |FROM events, g GROUP BY source, g.gmax ORDER BY source""".stripMargin,
+    "q217_forecast_baseline" ->
+      // integer |error| sums exact; MAPE terms quantized DECIMAL(18,9)
+      """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS v FROM events GROUP BY 1),
+        |l AS (SELECT day, v, lag(v, 1) OVER (ORDER BY day) AS lag1,
+        |             lag(v, 7) OVER (ORDER BY day) AS lag7 FROM daily)
+        |SELECT * FROM (
+        |  SELECT 'naive_lag1' AS model, COUNT(*) AS n_evaluated,
+        |    CAST(SUM(abs(v - lag1)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+        |    CAST(SUM(CAST(CAST(abs(v - lag1) AS DOUBLE) / CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mape
+        |  FROM l WHERE lag1 IS NOT NULL AND v > 0
+        |  UNION ALL
+        |  SELECT 'seasonal_lag7', COUNT(*),
+        |    CAST(SUM(abs(v - lag7)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(CAST(CAST(abs(v - lag7) AS DOUBLE) / CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)
+        |  FROM l WHERE lag7 IS NOT NULL AND v > 0)
+        |ORDER BY model""".stripMargin,
     "q214_blocking_quality" ->
       // q117's SN scheme over the augmented names; truth = the planted
       // (id, id+7e6) variants; counts then two double divisions

@@ -1473,6 +1473,84 @@ object Analytics {
           .as("est_intersection"))
   }
 
+  /** Exact Pearson correlation MATRIX over k pre-cast decimal columns in
+    * ONE aggregate pass (k·(k+3)/2 power sums: every Σx, Σx², and pairwise
+    * Σxy ride the same scan — profiling k columns costs one shuffle, not
+    * k² of them). Each r is the q77 fixed double chain over exact decimal
+    * sums; emits the upper triangle (col_a < col_b in declaration order). */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val names = cols.map(_._1)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap { case (nm, c) =>
+        Seq(sum(c).as(s"s_$nm"), sum(c * c).as(s"ss_$nm")) } ++
+      names.indices.flatMap(i => (i + 1 until names.size).map { j =>
+        sum(cols(i)._2 * cols(j)._2).as(s"sp_${names(i)}__${names(j)}")
+      })
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n").toDouble
+    def d(f: String) = row.getAs[java.math.BigDecimal](f).doubleValue
+    val spark = df.sparkSession
+    import spark.implicits._
+    names.indices.flatMap(i => (i + 1 until names.size).map { j =>
+      val (a, b) = (names(i), names(j))
+      val den = math.sqrt(n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")) *
+        math.sqrt(n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b"))
+      // quantize to 4 dp (q77's recipe): the huge-decimal→double conversion
+      // paths differ across engines at ~1e-12 relative; 1e-4 absorbs it
+      val r = if (den == 0d) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(BigDecimal(
+          (n * d(s"sp_${a}__${b}") - d(s"s_$a") * d(s"s_$b")) / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (a, b, r)
+    }).toDF("col_a", "col_b", "corr").orderBy("col_a", "col_b")
+  }
+
+  /** Per-source freshness report — the "is anything stale" ops readout:
+    * row count, latest timestamp, lag behind the freshest source, and
+    * trailing 1-day/7-day volumes (relative to the global max — the
+    * as-of point a monitoring run cares about). One 1-row action for the
+    * global max, then ONE conditional-count aggregate per source. */
+  def freshnessReport(df: DataFrame, sourceCol: String,
+                      tsCol: String): DataFrame = {
+    val es = col(tsCol).cast("long")
+    val gmax = df.agg(max(es)).head().getLong(0)
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"), max(es).as("max_epoch"),
+        count(when(es >= gmax - 86400L, lit(1))).as("n_last_day"),
+        count(when(es >= gmax - 604800L, lit(1))).as("n_last_week"))
+      .select(col("source"), col("n_rows"), col("max_epoch"),
+        (lit(gmax) - col("max_epoch")).as("lag_seconds"),
+        col("n_last_day"), col("n_last_week"))
+      .orderBy("source")
+  }
+
+  /** Seasonal-naive forecast baseline eval: score "tomorrow = same weekday
+    * last week" (lag 7) against plain naive "tomorrow = today" (lag 1) on
+    * a daily series — MAE + MAPE per model, the sanity floor every real
+    * forecast must beat before it ships. Aggregate-first series contract
+    * ([[cusum]]'s); counts are integers so |error| sums are EXACT; each
+    * MAPE term is one double division quantized DECIMAL(18,9) pre-sum. */
+  def seasonalNaiveEval(series: DataFrame, tCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.orderBy(tCol)
+    val base = series.select(col(tCol), col(valueCol).cast("long").as("v"))
+      .withColumn("lag1", lag(col("v"), 1).over(w))
+      .withColumn("lag7", lag(col("v"), 7).over(w))
+    def score(model: String, pred: Column): DataFrame = base
+      .where(pred.isNotNull && col("v") > 0)
+      .select(abs(col("v") - pred).as("ae"),
+        (abs(col("v") - pred).cast("double") / col("v").cast("double"))
+          .cast("decimal(18,9)").as("ape"))
+      .agg(count(lit(1)).as("n_evaluated"),
+        (sum("ae").cast("double") / count(lit(1)).cast("double")).as("mae"),
+        (sum("ape").cast("double") / count(lit(1)).cast("double")).as("mape"))
+      .select(lit(model).as("model"), col("n_evaluated"), col("mae"), col("mape"))
+    score("naive_lag1", col("lag1"))
+      .unionAll(score("seasonal_lag7", col("lag7")))
+      .orderBy("model")
+  }
+
   /** Chapman capture–recapture population estimate from two overlapping
     * key samples: N̂ = (nₐ+1)(n_b+1)/(m+1) − 1 (and the classic
     * Lincoln–Petersen nₐ·n_b/m) — "how many distinct items exist in

@@ -675,6 +675,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L)._3.asInstanceOf[Double] < 30.0)
   }
 
+  test("correlationMatrix: ±1 on linear pairs, upper triangle only, one row per pair") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3, -1.0 * i, (i % 7).toDouble))
+      .toDF("a", "b", "c", "d")
+    val cols = Seq("a", "b", "c", "d").map(n => n -> col(n).cast("decimal(18,6)"))
+    val out = Analytics.correlationMatrix(df, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 6)
+    assert(out(("a", "b")) == 1.0 && out(("a", "c")) == -1.0, out.toString)
+    assert(out(("b", "c")) == -1.0)
+    assert(math.abs(out(("a", "d"))) < 0.3) // mod-7 sawtooth ≈ uncorrelated
+  }
+
+  test("freshnessReport: lag vs freshest source, trailing windows counted from the global max") {
+    val t0 = 1700000000L
+    def ts(off: Long) = new java.sql.Timestamp((t0 + off) * 1000L)
+    val df = Seq(("a", ts(0)), ("a", ts(604800L)), ("b", ts(0)), ("b", ts(500000L)))
+      .toDF("src", "ts")
+    val out = Analytics.freshnessReport(df, "src", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((2L, 0L, 1L, 2L)), out.toString)   // fresh; day window catches 1
+    assert(out("b") == ((2L, 104800L, 0L, 2L)), out.toString) // stale by 104800 s
+  }
+
+  test("seasonalNaiveEval: exact weekly pattern → seasonal MAPE 0 while naive pays the swings") {
+    val days = (1 to 28).map(i => (f"d$i%03d", (if (i % 7 == 0) 100L else 10L)))
+      .toDF("day", "n")
+    val out = Analytics.seasonalNaiveEval(days, "day", "n")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("seasonal_lag7")._1 == 21L)
+    assert(out("seasonal_lag7")._2 == 0.0 && out("seasonal_lag7")._3 == 0.0)
+    assert(out("naive_lag1")._2 > 0.0, out.toString)
+  }
+
   test("captureRecapture: recovers a known population; zero overlap degrades gracefully") {
     // population 1..100; sample A = multiples of 2 (50), B = multiples of 3 (33),
     // overlap = multiples of 6 (16) → Chapman (51·34/17)−1 = 101
