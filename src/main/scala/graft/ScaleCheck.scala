@@ -341,6 +341,28 @@ object ScaleCheck {
     time("brier")(d => Evaluation.brierDecomposition(
       Tables.load(spark, d, "orders"),
       (col("o_orderkey") % 1000) / lit(1000.0), col("o_orderstatus") === "F"))
+    time("corr_matrix")(d => Analytics.correlationMatrix(
+      Tables.load(spark, d, "lineitem"), Seq(
+        "l_discount" -> col("l_discount").cast("decimal(18,6)"),
+        "l_extendedprice" -> col("l_extendedprice").cast("decimal(18,6)"),
+        "l_quantity" -> col("l_quantity").cast("decimal(18,6)"),
+        "l_tax" -> col("l_tax").cast("decimal(18,6)"))))
+    time("freshness")(d => Analytics.freshnessReport(
+      Tables.events(spark, d), "event_type", "ts"))
+    time("kanon_repair")(d => Privacy.kAnonymityRepair(
+      Tables.load(spark, d, "orders"), Seq(
+        "day_priority" -> Seq(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority")),
+        "year" -> Seq(date_format(col("o_orderdate"), "yyyy"))), 32))
+    time("blocking_quality")(d => {
+      val names = Tables.load(spark, d, "part").groupBy("p_name")
+        .agg(min("p_partkey").as("p_partkey"))
+      Dedup.blockingQuality(
+        Dedup.sortedNeighborhoodPairs(names, "p_partkey", "p_name", maxDist = 3),
+        "id_a", "id_b",
+        names.select(col("p_partkey").as("id_a"), col("p_partkey").as("id_b")),
+        "id_a", "id_b", 1000000L)
+    })
     time("drift_report")(d => {
       val ev = Tables.events(spark, d).select(col("event_type"), col("value"),
         col("ts").cast("long").cast("double").as("es"))

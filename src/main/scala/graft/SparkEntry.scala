@@ -553,6 +553,17 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q218_kanon_repair" -> ((s, d) =>
+      // release at the first generalization level where every
+      // (quasi-identifier) class reaches k=32 — q171's audit, repaired
+      Privacy.kAnonymityRepair(Tables.orders(s, d), Seq(
+        "day_priority" -> Seq(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority")),
+        "month_priority" -> Seq(date_format(col("o_orderdate"), "yyyy-MM"),
+          col("o_orderpriority")),
+        "month" -> Seq(date_format(col("o_orderdate"), "yyyy-MM")),
+        "year" -> Seq(date_format(col("o_orderdate"), "yyyy"))),
+        k = 32)),
     "q215_corr_matrix" -> ((s, d) =>
       // all pairwise correlations of lineitem's numeric columns, one scan
       Analytics.correlationMatrix(Tables.lineitem(s, d), Seq(
@@ -2425,6 +2436,38 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q218_kanon_repair" ->
+      // one grouped-count block per declared level; chosen = first passing
+      """WITH l0 AS (SELECT COUNT(*) AS n_classes, min(cs) AS min_class_size,
+        |    COUNT(CASE WHEN cs < 32 THEN 1 END) AS n_violating
+        |  FROM (SELECT COUNT(*) AS cs FROM orders
+        |        GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), o_orderpriority)),
+        |l1 AS (SELECT COUNT(*) AS n_classes, min(cs) AS min_class_size,
+        |    COUNT(CASE WHEN cs < 32 THEN 1 END) AS n_violating
+        |  FROM (SELECT COUNT(*) AS cs FROM orders
+        |        GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m'), o_orderpriority)),
+        |l2 AS (SELECT COUNT(*) AS n_classes, min(cs) AS min_class_size,
+        |    COUNT(CASE WHEN cs < 32 THEN 1 END) AS n_violating
+        |  FROM (SELECT COUNT(*) AS cs FROM orders
+        |        GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m'))),
+        |l3 AS (SELECT COUNT(*) AS n_classes, min(cs) AS min_class_size,
+        |    COUNT(CASE WHEN cs < 32 THEN 1 END) AS n_violating
+        |  FROM (SELECT COUNT(*) AS cs FROM orders
+        |        GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y'))),
+        |a AS (
+        |  SELECT 0 AS level, 'day_priority' AS level_name, n_classes, min_class_size,
+        |         n_violating, n_violating = 0 AS passes FROM l0
+        |  UNION ALL SELECT 1, 'month_priority', n_classes, min_class_size,
+        |         n_violating, n_violating = 0 FROM l1
+        |  UNION ALL SELECT 2, 'month', n_classes, min_class_size,
+        |         n_violating, n_violating = 0 FROM l2
+        |  UNION ALL SELECT 3, 'year', n_classes, min_class_size,
+        |         n_violating, n_violating = 0 FROM l3),
+        |fp AS (SELECT min(level) AS f FROM a WHERE passes)
+        |SELECT a.level, a.level_name, a.n_classes, a.min_class_size,
+        |  a.n_violating, a.passes,
+        |  (fp.f IS NOT NULL AND a.level = fp.f) AS chosen
+        |FROM a, fp ORDER BY a.level""".stripMargin,
     "q215_corr_matrix" ->
       // q77's fixed chain per pair over exact decimal power sums from ONE
       // aggregate; DECIMAL(19,6) forces DuckDB's int128 multiply path

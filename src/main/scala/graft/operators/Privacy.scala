@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy gates run before a curated dataset leaves the pipeline — the
@@ -40,5 +40,38 @@ object Privacy {
         (col("l_distinct") < l).as("l_violation")): _*)
       .filter(col("class_size") < k || col("l_distinct") < l)
       .orderBy(quasiCols.map(col): _*)
+  }
+
+  /** k-anonymity REPAIR by generalization ladder — the constructive
+    * counterpart of [[kAnonymityAudit]] (detect → fix, like the
+    * leakage-audit → cluster-aware-split pairing): evaluate each
+    * caller-supplied generalization level (e.g. day → month → year for a
+    * date quasi-identifier) in order and report, per level, the class
+    * landscape and whether it clears k — the caller releases at the
+    * FIRST passing level (Samarati's minimal-generalization search over
+    * a single ladder). One hash aggregate per level over the pre-coarsened
+    * key; levels are a small declared list, so the sweep is a handful of
+    * scans, each partial-aggregated. */
+  def kAnonymityRepair(df: DataFrame, ladder: Seq[(String, Seq[Column])],
+                       k: Int): DataFrame = {
+    require(ladder.nonEmpty && k >= 1, "need levels and k >= 1")
+    val levels = ladder.zipWithIndex.map { case ((name, cols), i) =>
+      df.groupBy(cols: _*)
+        .agg(count(lit(1)).as("class_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          min("class_size").as("min_class_size"),
+          count(when(col("class_size") < k, lit(1))).as("n_violating"))
+        .select(lit(i).as("level"), lit(name).as("level_name"),
+          col("n_classes"), col("min_class_size"), col("n_violating"),
+          (col("n_violating") === 0).as("passes"))
+    }
+    val all = levels.reduce(_ unionAll _)
+    // chosen = the first passing level (if any): flag it without a window
+    val firstPass = all.where(col("passes")).agg(min("level").as("__fp"))
+    all.crossJoin(broadcast(firstPass))
+      .select(col("level"), col("level_name"), col("n_classes"),
+        col("min_class_size"), col("n_violating"), col("passes"),
+        (col("__fp").isNotNull && col("level") === col("__fp")).as("chosen"))
+      .orderBy("level")
   }
 }

@@ -38,4 +38,22 @@ class PrivacySpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("kAnonymityRepair: first level clearing k is chosen; finer levels flagged violating; none passes → no chosen") {
+    // city level: classes of 1 (violates k=2); country level: classes 3+3
+    val df = Seq(
+      ("paris", "fr"), ("lyon", "fr"), ("nice", "fr"),
+      ("bonn", "de"), ("koeln", "de"), ("mainz", "de")
+    ).toDF("city", "country")
+    val ladder = Seq("city" -> Seq(col("city")), "country" -> Seq(col("country")))
+    val out = Privacy.kAnonymityRepair(df, ladder, k = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out(0) == ((6L, 6L, false, false)), out.toString) // 6 singleton classes
+    assert(out(1) == ((2L, 0L, true, true)), out.toString)   // chosen
+    // k too large for every level: nothing passes, nothing chosen
+    val none = Privacy.kAnonymityRepair(df, ladder, k = 10)
+      .collect().map(r => (r.getBoolean(5), r.getBoolean(6)))
+    assert(none.forall(t => !t._1 && !t._2))
+  }
 }
