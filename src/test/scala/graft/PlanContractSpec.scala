@@ -56,7 +56,10 @@ class PlanContractSpec extends SparkSpec {
           // jackknife/threshold-sweep/brier: 1-row totals broadcast over
           // group/score/bin tables — all contract-small by construction
           "q202_allocation", "q205_missing_partitions", "q207_jackknife",
-          "q212_threshold_sweep", "q213_brier")
+          "q212_threshold_sweep", "q213_brier",
+          // kanon repair: the 1-row first-passing-level frame broadcast
+          // over the 4-row level table
+          "q218_kanon_repair")
         if (allowed(name)) None else Some(name)
       } else None
     }
