@@ -553,6 +553,10 @@ object SparkEntry {
       // do the embedding labels separate in cosine space, per label
       Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q219_distinctive_terms" -> ((s, d) =>
+      // what words characterize each source vs the pooled corpus
+      Curation.distinctiveTerms(Tables.documents(s, d), "source", "text",
+        topK = 3, alpha0 = 500.0, minCount = 20)),
     "q218_kanon_repair" -> ((s, d) =>
       // release at the first generalization level where every
       // (quasi-identifier) class reaches k=32 — q171's audit, repaired
@@ -2436,6 +2440,33 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q219_distinctive_terms" ->
+      // Monroe log-odds with informative Dirichlet prior; identical double
+      // chains over exact counts; z quantized DECIMAL(18,9) pre-rank
+      """WITH toks AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |ys AS (SELECT source, tok, COUNT(*) AS ysi FROM toks GROUP BY 1, 2),
+        |yg AS (SELECT tok, CAST(SUM(ysi) AS BIGINT) AS yi FROM ys
+        |       GROUP BY 1 HAVING CAST(SUM(ysi) AS BIGINT) >= 20),
+        |ns AS (SELECT source, CAST(SUM(ysi) AS BIGINT) AS nsrc FROM ys GROUP BY 1),
+        |t AS (SELECT CAST(SUM(yi) AS BIGINT) AS n FROM yg),
+        |z AS (SELECT ys.source, ys.tok, ys.ysi,
+        |    CAST((ln((CAST(ys.ysi AS DOUBLE) + CAST(500 AS DOUBLE) * CAST(yg.yi AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |           / (CAST(ns.nsrc AS DOUBLE) + CAST(500 AS DOUBLE) - CAST(ys.ysi AS DOUBLE)
+        |              - CAST(500 AS DOUBLE) * CAST(yg.yi AS DOUBLE) / CAST(t.n AS DOUBLE)))
+        |       - ln((CAST(yg.yi AS DOUBLE) + CAST(500 AS DOUBLE) * CAST(yg.yi AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |           / (CAST(t.n AS DOUBLE) + CAST(500 AS DOUBLE) - CAST(yg.yi AS DOUBLE)
+        |              - CAST(500 AS DOUBLE) * CAST(yg.yi AS DOUBLE) / CAST(t.n AS DOUBLE))))
+        |      / sqrt(CAST(1 AS DOUBLE) / (CAST(ys.ysi AS DOUBLE) + CAST(500 AS DOUBLE) * CAST(yg.yi AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |           + CAST(1 AS DOUBLE) / (CAST(yg.yi AS DOUBLE) + CAST(500 AS DOUBLE) * CAST(yg.yi AS DOUBLE) / CAST(t.n AS DOUBLE)))
+        |      AS DECIMAL(18,9)) AS zq
+        |  FROM ys JOIN yg USING (tok) JOIN ns USING (source), t),
+        |r AS (SELECT source, tok, ysi, zq,
+        |    row_number() OVER (PARTITION BY source ORDER BY zq DESC, tok) AS rk
+        |  FROM z)
+        |SELECT source, CAST(rk AS INT) AS rk, tok, ysi, CAST(zq AS DOUBLE) AS z
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "q218_kanon_repair" ->
       // one grouped-count block per declared level; chosen = first passing
       """WITH l0 AS (SELECT COUNT(*) AS n_classes, min(cs) AS min_class_size,

@@ -479,4 +479,49 @@ object Curation {
         greatest(col("bucket") - col("n_tok"), lit(0L)).as("padding"))
       .orderBy(col("bucket"), col(idCol))
   }
+
+  /** Distinctive terms per source — Monroe/Colaresi/Quinn (2008) log-odds
+    * with an informative Dirichlet prior: which words characterize THIS
+    * source against the rest of the corpus, z-scored so high-frequency
+    * words don't drown the list (raw tf-idf/PMI both misbehave here; the
+    * prior shrinks rare-word noise, the variance term rescales the rest) —
+    * the corpus-exploration readout behind "what even IS this source".
+    *
+    * Two count aggregates (source×token, then token) from ONE
+    * tokenization pass; totals ride a 1-row broadcast; every z is a
+    * fixed double chain over exact counts + literals, quantized
+    * DECIMAL(18,9) before the per-source top-k (row_number →
+    * WindowGroupLimit prunes before the exchange). */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String, textCol: String,
+                       topK: Int = 3, alpha0: Double = 500.0,
+                       minCount: Long = 20): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        .as("tok"))
+    // pin the (source, token) counts: three consumers would otherwise each
+    // re-run the corpus tokenization (localCheckpoint, the tfidf recipe)
+    val ys = toks.groupBy("source", "tok").agg(count(lit(1)).as("ysi"))
+      .localCheckpoint()
+    val yg = ys.groupBy("tok").agg(sum("ysi").as("yi"))
+      .where(col("yi") >= minCount)
+    val ns = ys.groupBy("source").agg(sum("ysi").as("nsrc"))
+    val tot = yg.agg(sum("yi").as("__n"))
+    def d(c: Column) = c.cast("double")
+    val ai = lit(alpha0) * d(col("yi")) / d(col("__n"))
+    val numS = d(col("ysi")) + ai
+    val denS = d(col("nsrc")) + lit(alpha0) - d(col("ysi")) - ai
+    val numG = d(col("yi")) + ai
+    val denG = d(col("__n")) + lit(alpha0) - d(col("yi")) - ai
+    val z = ((log(numS / denS) - log(numG / denG)) /
+      sqrt(lit(1.0) / numS + lit(1.0) / numG)).cast("decimal(18,9)")
+    val w = Window.partitionBy("source")
+      .orderBy(col("z").desc, col("tok"))
+    ys.join(yg, "tok").join(ns, "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("tok"), col("ysi"), z.as("z"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("source"), col("rk"), col("tok"), col("ysi"),
+        col("z").cast("double").as("z"))
+      .orderBy("source", "rk")
+  }
 }

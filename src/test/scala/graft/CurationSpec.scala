@@ -235,4 +235,23 @@ class CurationSpec extends SparkSpec {
     assert(p == Curation.lengthBucketBatches(docs, "doc_id", "text",
       Seq(8, 32), batchSize = 2).collect().map(_.toSeq).toSeq)
   }
+
+  test("distinctiveTerms: a source's marker word tops its list; shared filler never does") {
+    // 'spam' is source A's marker, 'promo' is B's; 'the' floods both
+    val docs = (
+      (1 to 30).map(i => ("A", s"the common words spam spam here $i")) ++
+      (1 to 30).map(i => ("B", s"the common words promo promo there $i"))
+    ).zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = Curation.distinctiveTerms(docs, "source", "text",
+      topK = 2, alpha0 = 50.0, minCount = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out(("A", 1)) == "spam", out.toString)
+    assert(out(("B", 1)) == "promo", out.toString)
+    assert(!out.values.toSet.contains("the"), out.toString)
+    // z of the marker is strongly positive
+    val z = Curation.distinctiveTerms(docs, "source", "text", 2, 50.0, 10)
+      .where(col("tok") === "spam").head().getDouble(4)
+    assert(z > 3.0, z.toString)
+  }
 }
