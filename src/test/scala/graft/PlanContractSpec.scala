@@ -58,8 +58,9 @@ class PlanContractSpec extends SparkSpec {
           "q202_allocation", "q205_missing_partitions", "q207_jackknife",
           "q212_threshold_sweep", "q213_brier",
           // kanon repair: the 1-row first-passing-level frame broadcast
-          // over the 4-row level table
-          "q218_kanon_repair")
+          // over the 4-row level table; distinctive terms: the 1-row
+          // corpus-total broadcast over the (source, token) counts
+          "q218_kanon_repair", "q219_distinctive_terms")
         if (allowed(name)) None else Some(name)
       } else None
     }
