@@ -20,8 +20,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Plain parquet scan, with one normalization: driver testdata generations
+    * differ in whether temporal columns are annotated isAdjustedToUTC
+    * (→ TIMESTAMP) or not (→ TIMESTAMP_NTZ, which Spark 4 refuses to cast to
+    * numeric types). Every session runs with session timezone UTC, so casting
+    * NTZ → TIMESTAMP preserves the stored micros value exactly and gives all
+    * operators one stable input type. The cast happens before any filter, so
+    * pushdown on non-temporal columns is unaffected. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
