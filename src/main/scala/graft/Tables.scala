@@ -23,16 +23,17 @@ object Tables {
   /** Plain parquet scan, with one normalization: driver testdata generations
     * differ in whether temporal columns are annotated isAdjustedToUTC
     * (→ TIMESTAMP) or not (→ TIMESTAMP_NTZ, which Spark 4 refuses to cast to
-    * numeric types). Every session runs with session timezone UTC, so casting
-    * NTZ → TIMESTAMP preserves the stored micros value exactly and gives all
-    * operators one stable input type. The cast happens before any filter, so
-    * pushdown on non-temporal columns is unaffected. */
+    * numeric types, breaking every ts.cast("long") operator). Disabling NTZ
+    * schema inference makes the reader surface BOTH annotations as TIMESTAMP
+    * (micros preserved exactly; sessions run in UTC). Done via conf rather
+    * than a post-read cast so temporal predicates still push down to the
+    * scan — a cast-wrapped column would lose PushedFilters entirely, which
+    * at 100 TB means reading every row group instead of pruning on stats.
+    * Session-level and intentionally left set, same contract as the
+    * nanosAsLong conf in [[events]]. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
-      .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
