@@ -557,6 +557,10 @@ object SparkEntry {
       // what words characterize each source vs the pooled corpus
       Curation.distinctiveTerms(Tables.documents(s, d), "source", "text",
         topK = 3, alpha0 = 500.0, minCount = 20)),
+    "q220_bpe_pairs" -> ((s, d) =>
+      // the BPE-training inner loop: most frequent adjacent symbol pair
+      // over the word-frequency table (corpus never re-scanned)
+      Curation.bpePairCounts(Tables.documents(s, d), "text", 20)),
     "q218_kanon_repair" -> ((s, d) =>
       // release at the first generalization level where every
       // (quasi-identifier) class reaches k=32 — q171's audit, repaired
@@ -2440,6 +2444,18 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q220_bpe_pairs" ->
+      // pair counts over the distinct-word frequency table; generate_series
+      // mirrors Spark's sequence() explode over in-word positions
+      """WITH wc AS (SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents) GROUP BY w HAVING length(w) >= 2),
+        |p AS (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc)
+        |SELECT substring(w, CAST(i AS INT), 1) AS left_sym,
+        |       substring(w, CAST(i AS INT) + 1, 1) AS right_sym,
+        |       CAST(SUM(c) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
     "q219_distinctive_terms" ->
       // Monroe log-odds with informative Dirichlet prior; identical double
       // chains over exact counts; z quantized DECIMAL(18,9) pre-rank

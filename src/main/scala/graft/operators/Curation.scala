@@ -524,4 +524,32 @@ object Curation {
         col("z").cast("double").as("z"))
       .orderBy("source", "rk")
   }
+
+  /** BPE merge-pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016, nmt reference implementation): corpus →
+    * word frequency table → adjacent-symbol-pair counts weighted by word
+    * frequency; the top pair is the next merge rule. One training iteration
+    * = this count + a re-segmentation, driver-looped exactly like kmeans'
+    * Lloyd rounds (the per-iteration result is one row).
+    *
+    * The scale property that makes BPE trainable at 100 TB lives in the FIRST
+    * aggregate: the corpus collapses to its distinct-word table (vocab-sized,
+    * ~10⁶–10⁸ rows regardless of corpus bytes) with map-side partial counts,
+    * and every later stage — character pair explode, pair aggregate, top-k —
+    * runs on that table, never on the corpus again. Pair explode fanout is
+    * word_len-1 per distinct word; the final top-k is a TakeOrderedAndProject
+    * (no global sort). Ties break (count desc, left asc, right asc) so the
+    * cut is deterministic for the oracle. */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    wc.select(col("c"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+      .select(col("w").substr(col("i"), lit(1)).as("left_sym"),
+        col("w").substr(col("i") + 1, lit(1)).as("right_sym"), col("c"))
+      .groupBy("left_sym", "right_sym").agg(sum("c").as("pair_count"))
+      .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+      .limit(k)
+  }
 }

@@ -254,4 +254,20 @@ class CurationSpec extends SparkSpec {
       .where(col("tok") === "spam").head().getDouble(4)
     assert(z > 3.0, z.toString)
   }
+
+  test("bpePairCounts: word-frequency-weighted pair counts with in-word multiplicity") {
+    // 'aaa' ×2 docs contributes pair (a,a) twice per word occurrence;
+    // 'ab ab' inside one doc counts the word twice via the frequency table
+    val df = Seq(
+      (1L, "aaa ab"), (2L, "aaa ab"), (3L, "ab x") // 'x' too short for pairs
+    ).toDF("doc_id", "text")
+    val out = Curation.bpePairCounts(df, "text", 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((("a", "a"))) == 4L) // 2 words × 2 adjacent positions
+    assert(out((("a", "b"))) == 3L) // 'ab' appears 3 times corpus-wide
+    assert(out.size == 2)
+    // top pair = next merge rule; count-desc then lexicographic tiebreak
+    val top = Curation.bpePairCounts(df, "text", 1).head()
+    assert((top.getString(0), top.getString(1)) == (("a", "a")))
+  }
 }
