@@ -369,6 +369,8 @@ object ScaleCheck {
       Evaluation.driftReport(ev.filter(col("event_type") === "view").drop("event_type"),
         ev.filter(col("event_type") === "purchase").drop("event_type"), Seq("es", "value"))
     })
+    time("bpe_pairs")(d => Curation.bpePairCounts(
+      Tables.documents(spark, d), "text", 20))
 
     spark.stop()
   }
