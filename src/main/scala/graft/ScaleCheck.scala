@@ -371,6 +371,8 @@ object ScaleCheck {
     })
     time("bpe_pairs")(d => Curation.bpePairCounts(
       Tables.documents(spark, d), "text", 20))
+    time("bpe_train")(d => Curation.bpeTrain(
+      Tables.documents(spark, d), "text", 8))
 
     spark.stop()
   }

@@ -561,6 +561,19 @@ object SparkEntry {
       // the BPE-training inner loop: most frequent adjacent symbol pair
       // over the word-frequency table (corpus never re-scanned)
       Curation.bpePairCounts(Tables.documents(s, d), "text", 20)),
+    "q221_bpe_train" -> ((s, d) =>
+      // full tokenizer training: 8 merge rounds, each a vocab-sized job +
+      // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
+      // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
+      Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q222_bpe_subwords" -> ((s, d) => {
+      // token-cost estimate under the freshly trained merge table (☆):
+      // per-doc subword counts with reference greedy semantics
+      val merges = Curation.bpeTrain(Tables.documents(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Curation.bpeEncode(Tables.documents(s, d), "doc_id", "text", merges)
+    }),
     "q218_kanon_repair" -> ((s, d) =>
       // release at the first generalization level where every
       // (quasi-identifier) class reaches k=32 — q171's audit, repaired

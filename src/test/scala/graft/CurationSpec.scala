@@ -270,4 +270,31 @@ class CurationSpec extends SparkSpec {
     val top = Curation.bpePairCounts(df, "text", 1).head()
     assert((top.getString(0), top.getString(1)) == (("a", "a")))
   }
+
+  test("segmentGreedy: reference merge-all semantics, incl. odd same-symbol runs") {
+    val rank = Map(("a", "a") -> 0, ("aa", "aa") -> 1, ("b", "c") -> 2)
+    // merge-all left-to-right, lowest rank first: aaaaa -> aa aa a -> aaaa a
+    assert(Curation.segmentGreedy("aaaaa", rank).toSeq == Seq("aaaa", "a"))
+    assert(Curation.segmentGreedy("abc", rank).toSeq == Seq("a", "bc"))
+    assert(Curation.segmentGreedy("xyz", rank).toSeq == Seq("x", "y", "z"))
+    assert(Curation.segmentGreedy("a", rank).toSeq == Seq("a"))
+  }
+
+  test("bpeTrain: known-answer merge sequence; encode compresses accordingly") {
+    // corpus: 'abab' ×3, 'abc' ×2 → round 1 pair (a,b) count 8;
+    // round 2: symbols ab|ab ×3, ab|c ×2 → (ab,ab)=3 beats (ab,c)=2;
+    // round 3: (ab,c)=2
+    val df = Seq((1L, "abab abab abab abc"), (2L, "abc")).toDF("doc_id", "text")
+    val m = Curation.bpeTrain(df, "text", 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "ab", "c", 2L)), m.toSeq)
+    // fewer merges than distinct pairs available → stops when exhausted
+    assert(Curation.bpeTrain(df, "text", 99).count() <= 4)
+    val enc = Curation.bpeEncode(df, "doc_id", "text",
+        m.map(x => (x._2, x._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: abab->1 sym ×3 + abc->1 sym = 4 subwords over 15 alnum chars
+    assert(enc(1L) == ((4L, 15L)), enc.toString)
+    assert(enc(2L) == ((1L, 3L)))
+  }
 }
