@@ -44,4 +44,20 @@ object Formats {
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               delimiter: String = ","): DataFrame =
     spark.read.schema(schema).option("header", "true").option("delimiter", delimiter).csv(path)
+
+  /** Schema-evolution read: one DataFrame over parquet batches whose schemas
+    * differ by ADDED columns (the normal evolution of a long-lived ingest
+    * dir — new fields appear, old files stay). `mergeSchema` unions the
+    * per-file schemas; rows from pre-evolution batches surface the new
+    * columns as null. Incompatible type changes on a shared column fail the
+    * read loudly rather than silently coercing.
+    *
+    * Scale note: schema merging reads every file FOOTER (not the data) on
+    * the driver's file-index pass — cheap per file but O(files); on a
+    * million-file dir prefer declaring the target schema explicitly (the
+    * [[readJsonl]]/[[readOrc]] convention) and letting parquet null-fill,
+    * which skips the merge pass entirely. This entry point is for the
+    * schema-discovery moment, not the steady-state pipeline. */
+  def readEvolvedParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -61,4 +61,21 @@ class FormatsSpec extends SparkSpec {
     }
     assert(ff.getMessage != null)
   }
+
+  test("readEvolvedParquet: added columns union in, old rows null-fill; type conflicts fail") {
+    val d1 = tmp("evo1"); val d2 = tmp("evo2")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(d1)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(d2)
+    val merged = Formats.readEvolvedParquet(spark, Seq(d1, d2)).orderBy("id")
+    assert(shape(merged).map(_._1) == Seq("id", "name", "score"))
+    val rows = merged.collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+    // a shared column that CHANGED type is a loud failure, not a coercion
+    val d3 = tmp("evo3")
+    Seq((3, "c")).toDF("id", "name").write.parquet(d3) // id int vs long
+    val err = intercept[Exception] {
+      Formats.readEvolvedParquet(spark, Seq(d1, d3)).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
