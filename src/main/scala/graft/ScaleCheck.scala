@@ -373,6 +373,8 @@ object ScaleCheck {
       Tables.documents(spark, d), "text", 20))
     time("bpe_train")(d => Curation.bpeTrain(
       Tables.documents(spark, d), "text", 8))
+    time("pca_project")(d => Similarity.pcaProject(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 4))
 
     spark.stop()
   }

@@ -566,6 +566,11 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q223_pca" -> ((s, d) =>
+      // two-pass distributed PCA (O(d²) moments shuffle, driver eigensolve,
+      // map-side projection); ☆ rows-only — no SQL eigensolve twin; spec
+      // pins component recovery and sign canonicalization
+      Similarity.pcaProject(Tables.embeddings(s, d), "vec_id", "embedding", 4)),
     "q222_bpe_subwords" -> ((s, d) => {
       // token-cost estimate under the freshly trained merge table (☆):
       // per-doc subword counts with reference greedy semantics

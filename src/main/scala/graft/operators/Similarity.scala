@@ -724,4 +724,107 @@ object Similarity {
             .cast("decimal(18,9)").cast("double")).as("max_abs_err"))
       .orderBy("vec_id")
   }
+
+  /** PCA projection of an embedding column — dimensionality reduction before
+    * ANN / clustering / visualization (cheaper distance math, denser
+    * indexes). Classic two-pass distributed PCA with a driver-side
+    * eigensolve — right-sized because dim d is embedding-scale (64–4096):
+    *
+    *   pass 1: one typed partition scan accumulating (n, Σx, packed
+    *     upper-triangular Σxxᵀ) — O(d²) doubles per PARTITION cross the
+    *     wire (a few KB), never anything row-scaled;
+    *   driver: covariance from the moments, symmetric eigensolve via
+    *     breeze (ships in Spark's own classpath), top-k components
+    *     sign-canonicalized (largest-|component| entry made positive) so
+    *     the output is deterministic;
+    *   pass 2: map-side projection of each centered vector onto the
+    *     broadcast k×d components — no shuffle beyond the final ORDER BY.
+    *
+    * Returns (id, pc1..pck) scalar columns (driver-harness-friendly).
+    * Eigenvalue ordering/sign pinned by spec on planted anisotropic data. */
+  def pcaProject(embeddings: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val data = embeddings
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    val moments = data.mapPartitions { it =>
+      var n = 0L
+      var d = -1
+      var s: Array[Double] = null
+      var g: Array[Double] = null
+      it.foreach { case (_, a) =>
+        if (d < 0) { d = a.length; s = new Array(d); g = new Array(d * (d + 1) / 2) }
+        require(a.length == d, s"ragged embedding: ${a.length} vs $d")
+        n += 1
+        var i = 0
+        var t = 0
+        while (i < d) {
+          s(i) += a(i)
+          var j = i
+          while (j < d) { g(t) += a(i) * a(j); t += 1; j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, s, g))
+    }.collect()
+    require(moments.nonEmpty, "pcaProject: empty input")
+    val d = moments.head._2.length
+    val n = moments.map(_._1).sum.toDouble
+    val sum = new Array[Double](d)
+    val gram = new Array[Double](d * (d + 1) / 2)
+    moments.foreach { case (_, s, g) =>
+      var i = 0
+      while (i < d) { sum(i) += s(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += g(i); i += 1 }
+    }
+    val mu = sum.map(_ / n)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = gram(t) / n - mu(i) * mu(j)
+        cov(i, j) = c; cov(j, i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
+    val order = (0 until d).sortBy(c => -es.eigenvalues(c)).take(k)
+    val comps: Array[Array[Double]] = order.map { c =>
+      val v = Array.tabulate(d)(r => es.eigenvectors(r, c))
+      // sign canonicalization: the largest-|entry| coordinate (first on
+      // ties) is made positive — eigenvectors are otherwise sign-ambiguous
+      val m = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+    val bcComps = spark.sparkContext.broadcast(comps)
+    val bcMu = spark.sparkContext.broadcast(mu)
+    val kk = comps.length
+    val projected = data.mapPartitions { it =>
+      val cs = bcComps.value
+      val m = bcMu.value
+      it.map { case (id, a) =>
+        val p = new Array[Double](kk)
+        var c = 0
+        while (c < kk) {
+          var acc = 0.0
+          var r = 0
+          while (r < m.length) { acc += (a(r) - m(r)) * cs(c)(r); r += 1 }
+          p(c) = acc; c += 1
+        }
+        (id, p)
+      }
+    }.toDF(idCol, "p")
+    projected.select(
+        col(idCol) +: (0 until kk).map(c =>
+          element_at(col("p"), c + 1).cast("decimal(18,6)").cast("double")
+            .as(s"pc${c + 1}")): _*)
+      .orderBy(idCol)
+  }
 }
