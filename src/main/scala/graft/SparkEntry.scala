@@ -566,6 +566,11 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q224_bfs_distance" -> ((s, d) =>
+      // blast-radius tiers from seed parts through the co-occurrence graph;
+      // bounded synchronous frontier expansion (rounds = maxHops)
+      Graph.bfsDistances(partCooccurrenceEdges(s, d), "pa", "pb",
+        Seq(1L, 2L), maxHops = 2)),
     "q223_pca" -> ((s, d) =>
       // two-pass distributed PCA (O(d²) moments shuffle, driver eigensolve,
       // map-side projection); ☆ rows-only — no SQL eigensolve twin; spec
@@ -2462,6 +2467,17 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q224_bfs_distance" ->
+      // recursive CTE: every (node, d) walk row ≤ maxHops, then MIN(d) —
+      // identical min-dist semantics to the synchronous frontier rounds
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
+        |w(node, d) AS (
+        |  SELECT CAST(t.node AS BIGINT), t.d FROM (VALUES (1, 0), (2, 0)) AS t(node, d)
+        |  UNION
+        |  SELECT e.b, w.d + 1 FROM w JOIN e ON w.node = e.a WHERE w.d < 2)
+        |SELECT node, CAST(MIN(d) AS INT) AS dist FROM w GROUP BY node ORDER BY node""".stripMargin,
     "q220_bpe_pairs" ->
       // pair counts over the distinct-word frequency table; generate_series
       // mirrors Spark's sequence() explode over in-word positions

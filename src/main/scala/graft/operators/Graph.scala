@@ -211,4 +211,44 @@ object Graph {
       .select(col("n").as("node"), col("deg"))
       .orderBy("node")
   }
+
+  /** Multi-source BFS hop distances over an undirected edge list, bounded at
+    * `maxHops` — "how far is every node from the seed set": blast-radius of
+    * a bad ingest batch through the near-dup graph, reach of a spam cluster,
+    * neighborhood tiers for graph features. Synchronous frontier expansion
+    * (Pregel's BFS shape): per round, frontier ⋈ adjacency → candidate next
+    * tier, anti-join the visited set, checkpoint. Rounds = maxHops, so the
+    * plan depth is bounded a priori (unlike connectedComponents' diameter-
+    * driven loop); each round shuffles only the FRONTIER against the
+    * node-partitioned adjacency, never re-walks settled tiers. The visited
+    * set is localCheckpoint'ed per round — round N's plan starts from
+    * materialized state, not N stacked joins. Returns (node, dist) for
+    * reached nodes only; min-dist semantics make the result layout-
+    * independent and expressible as a recursive CTE for the oracle. */
+  def bfsDistances(edges: DataFrame, aCol: String, bCol: String,
+                   sources: Seq[Long], maxHops: Int): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbrs = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = sources.distinct.sorted.toDF("node")
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = nbrs.join(frontier, nbrs("a") === frontier("node"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node").as("v")), col("node") === col("v"), "left_anti")
+        .withColumn("dist", lit(hop))
+      val nextC = next.localCheckpoint(true)
+      visited = visited.unionAll(nextC).localCheckpoint(true)
+      frontier = nextC.select("node")
+    }
+    nbrs.unpersist(false)
+    visited.orderBy("node")
+  }
 }

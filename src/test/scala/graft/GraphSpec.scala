@@ -128,4 +128,21 @@ class GraphSpec extends SparkSpec {
     val k4more = Graph.kCore(li, "id_a", "id_b", k = 4, maxIters = 13)
     assert(k4core.collect().map(_.toSeq).toSeq == k4more.collect().map(_.toSeq).toSeq)
   }
+
+  test("bfsDistances: tiers exact on a path graph; maxHops bounds reach; multi-source min wins") {
+    // path 1-2-3-4-5 plus isolated edge 8-9
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val d = Graph.bfsDistances(path, "a", "b", Seq(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2), d.toString) // 4,5,8,9 unreached
+    // two sources: each node takes its NEAREST seed; seed order irrelevant
+    val m = Graph.bfsDistances(path, "a", "b", Seq(5L, 1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 0, 4L -> 1), m.toString)
+    // layout-independent
+    val p = Graph.bfsDistances(path.repartition(7), "a", "b", Seq(5L, 1L), 2)
+      .collect().map(_.toSeq).toSeq
+    assert(p == Graph.bfsDistances(path, "a", "b", Seq(5L, 1L), 2).collect().map(_.toSeq).toSeq)
+  }
 }
