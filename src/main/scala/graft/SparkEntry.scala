@@ -566,6 +566,9 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q225_cuped" -> ((s, d) =>
+      // variance-reduced A/B readout: previous-day covariate, pooled theta
+      Evaluation.cuped(Tables.events(s, d), "user_id", "ts", "value")),
     "q224_bfs_distance" -> ((s, d) =>
       // blast-radius tiers from seed parts through the co-occurrence graph;
       // bounded synchronous frontier expansion (rounds = maxHops)
@@ -2467,6 +2470,34 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q225_cuped" ->
+      // exact decimal moments, one mirrored double chain for theta/means;
+      // lag window deterministic (day unique per user after the group-by)
+      """WITH units AS (SELECT user_id AS u, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |                 SUM(CAST(value AS DECIMAL(18,6))) AS ysum
+        |               FROM events GROUP BY 1, 2),
+        |ux AS (SELECT u, CAST(ysum AS DECIMAL(18,6)) AS y,
+        |         CAST(COALESCE(lag(ysum) OVER (PARTITION BY u ORDER BY day), 0) AS DECIMAL(18,6)) AS x
+        |       FROM units),
+        |m AS (SELECT u, y, x, CAST(x*y AS DECIMAL(28,6)) AS xy,
+        |        CAST(x*x AS DECIMAL(28,6)) AS xx, CAST(y*y AS DECIMAL(28,6)) AS yy FROM ux),
+        |pooled AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |                  SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy FROM m),
+        |arms AS (SELECT CAST(u % 2 AS VARCHAR) AS arm, COUNT(*) AS n_units,
+        |                SUM(x) AS asx, SUM(y) AS asy FROM m GROUP BY 1),
+        |j AS (SELECT arm, n_units,
+        |        CAST(asy AS DOUBLE) / CAST(n_units AS DOUBLE) AS mean_y,
+        |        CAST(asx AS DOUBLE) / CAST(n_units AS DOUBLE) AS mean_x,
+        |        CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS covxy,
+        |        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS varx,
+        |        CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS vary,
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mux
+        |      FROM arms CROSS JOIN pooled)
+        |SELECT arm, CAST(n_units AS BIGINT) AS n_units, mean_y,
+        |  mean_y - (covxy / varx) * (mean_x - mux) AS mean_y_adj,
+        |  covxy / varx AS theta,
+        |  (covxy / varx) * (covxy / varx) * varx / vary AS var_reduction
+        |FROM j ORDER BY arm""".stripMargin,
     "q224_bfs_distance" ->
       // recursive CTE: every (node, d) walk row ≤ maxHops, then MIN(d) —
       // identical min-dist semantics to the synchronous frontier rounds

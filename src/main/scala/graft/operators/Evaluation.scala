@@ -891,4 +891,65 @@ object Evaluation {
         (col("ss_between") / (col("k") - 1).cast("double") /
           (col("ss_within") / (col("n") - col("k")).cast("double"))).as("f_stat"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments") — the
+    * standard pre-period-covariate adjustment: Y_adj = Y − θ(X − μx) with
+    * θ = cov(X,Y)/var(X) fit POOLED across arms, where X is the unit's
+    * pre-period metric. Same experiment family as [[abTest]]/[[srmCheck]];
+    * this is the step that makes small lifts detectable without more
+    * traffic. Units here are (user, day): Y = that day's exact metric sum,
+    * X = the SAME user's previous-day total (0 on the first day — classic
+    * missing-pre-period handling), arm = user parity (cluster-randomized
+    * shape: all of a user's units share an arm).
+    *
+    * Exactness: unit Y is an exact decimal sum re-quantized to (18,6);
+    * moment sums (Sx, Sy, Sxy, Sxx, Syy) are exact decimal products/sums —
+    * order-independent — and θ, means, and the variance-reduction ratio
+    * ρ² = θ²·var(X)/var(Y) are ONE fixed double chain over those exact
+    * moments, mirrored verbatim in the oracle. Scale: one (user, day) hash
+    * aggregate (map-side partials), one user-partitioned lag window, one
+    * global + one per-arm moment aggregate; the pooled moments are a 1-row
+    * broadcast. Nothing row-scaled crosses the wire after the first agg. */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+            valCol: String): DataFrame = {
+    val units = events
+      .groupBy(col(userCol).as("u"), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(sum(col(valCol).cast("decimal(18,6)")).as("ysum"))
+    val w = Window.partitionBy("u").orderBy("day")
+    val ux = units.select(col("u"),
+        col("ysum").cast("decimal(18,6)").as("y"),
+        coalesce(lag(col("ysum"), 1).over(w), lit(0))
+          .cast("decimal(18,6)").as("x"))
+      .select(col("u"), col("y"), col("x"),
+        // products re-quantized scale-6: exact (inputs carry ≤4 decimals)
+        // and it keeps the moment SUMS inside double-exact unscaled range —
+        // scale-12 sums overflow 2^53 and pick up 1-ULP engine skew (the
+        // q194/twap micro-unit rule, in decimal form)
+        (col("x") * col("y")).cast("decimal(28,6)").as("xy"),
+        (col("x") * col("x")).cast("decimal(28,6)").as("xx"),
+        (col("y") * col("y")).cast("decimal(28,6)").as("yy"))
+      .localCheckpoint() // pooled + per-arm consumers of one lag pass
+    def d(c: Column) = c.cast("double")
+    val pooled = ux.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("xy").as("sxy"),
+      sum("xx").as("sxx"), sum("yy").as("syy"))
+    val byArm = ux.groupBy((col("u") % 2).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n_units"), sum("x").as("asx"), sum("y").as("asy"))
+    val nd = d(col("n"))
+    val covxy = d(col("sxy")) - d(col("sx")) * d(col("sy")) / nd
+    val varx = d(col("sxx")) - d(col("sx")) * d(col("sx")) / nd
+    val vary = d(col("syy")) - d(col("sy")) * d(col("sy")) / nd
+    val theta = covxy / varx
+    val mux = d(col("sx")) / nd
+    val meanY = d(col("asy")) / d(col("n_units"))
+    val meanX = d(col("asx")) / d(col("n_units"))
+    byArm.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_units"),
+        meanY.as("mean_y"),
+        (meanY - theta * (meanX - mux)).as("mean_y_adj"),
+        theta.as("theta"),
+        (theta * theta * varx / vary).as("var_reduction"))
+      .orderBy("arm")
+  }
 }

@@ -467,4 +467,28 @@ class EvaluationSpec extends SparkSpec {
     val ivFlat = Evaluation.woeIv(flat, col("good"), "v", 8).head().getDouble(5)
     assert(ivFlat == 0.0, ivFlat.toString)
   }
+
+  test("cuped: hand-computed theta, adjusted means, and variance reduction") {
+    // u0: daily Y = 10,20,30 (X = 0,10,20); u1: Y = 20,40,60 (X = 0,20,40)
+    // pooled: n=6 Sx=90 Sy=180 Sxy=4000 Sxx=2500 Syy=7000
+    // -> cov=1300 varx=1150 vary=1600 theta=1300/1150 mux=15
+    val ev = Seq(
+      (0L, "2024-01-01 10:00:00", 10.0), (0L, "2024-01-02 10:00:00", 20.0),
+      (0L, "2024-01-03 10:00:00", 30.0),
+      (1L, "2024-01-01 10:00:00", 20.0), (1L, "2024-01-02 10:00:00", 40.0),
+      (1L, "2024-01-03 10:00:00", 60.0)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Evaluation.cuped(ev, "user_id", "ts", "value").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val theta = 1300.0 / 1150.0
+    assert(out("0")._1 == 3L && out("0")._2 == 20.0)
+    assert(out("0")._3 == 20.0 - theta * (10.0 - 15.0), out.toString)
+    assert(out("1")._3 == 40.0 - theta * (20.0 - 15.0), out.toString)
+    assert(out("0")._4 == theta)
+    assert(out("0")._5 == theta * theta * 1150.0 / 1600.0)
+    // adjustment shrinks the between-arm gap (the covariate explains part of it)
+    assert(math.abs(out("1")._3 - out("0")._3) < math.abs(40.0 - 20.0))
+  }
 }

@@ -38,6 +38,8 @@ class PlanContractSpec extends SparkSpec {
           // 1-row broadcast control arm in the A/B readout; the |X|×|Y|
           // contingency grid + 1-row broadcast totals in mutual info
           "q155_ab_test", "q156_mutual_info",
+          // 1-row broadcast pooled moments in the CUPED readout
+          "q225_cuped",
           // 1-row broadcast μ/den stats in the ACF; the 9-row digit spine ×
           // 1-row totals in the Benford audit
           "q159_acf", "q160_benford",
