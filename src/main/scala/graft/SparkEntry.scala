@@ -571,6 +571,12 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q226_blocklist" -> ((s, d) =>
+      // multi-pattern content screen in one Aho-Corasick text scan; the
+      // demo dictionary is border-free words so per-pattern all-occurrence
+      // counts equal the oracle's non-overlapping replace-length math
+      TextAnalysis.blocklistScreen(Tables.documents(s, d), "doc_id", "text",
+        Seq("value", "table", "spark", "query", "batch", "filter", "join", "data"))),
     "q225_cuped" -> ((s, d) =>
       // variance-reduced A/B readout: previous-day covariate, pooled theta
       Evaluation.cuped(Tables.events(s, d), "user_id", "ts", "value")),
@@ -2475,6 +2481,27 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q226_blocklist" ->
+      // per-pattern non-overlapping counts via replace-length arithmetic
+      // (equal to A-C all-occurrence counts for border-free patterns)
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |c AS (SELECT doc_id,
+        |  (length(s) - length(replace(s, 'value', ''))) // 5 AS c1,
+        |  (length(s) - length(replace(s, 'table', ''))) // 5 AS c2,
+        |  (length(s) - length(replace(s, 'spark', ''))) // 5 AS c3,
+        |  (length(s) - length(replace(s, 'query', ''))) // 5 AS c4,
+        |  (length(s) - length(replace(s, 'batch', ''))) // 5 AS c5,
+        |  (length(s) - length(replace(s, 'filter', ''))) // 6 AS c6,
+        |  (length(s) - length(replace(s, 'join', ''))) // 4 AS c7,
+        |  (length(s) - length(replace(s, 'data', ''))) // 4 AS c8
+        |  FROM t)
+        |SELECT doc_id, CAST(c1+c2+c3+c4+c5+c6+c7+c8 AS BIGINT) AS n_hits,
+        |  CAST((CASE WHEN c1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c5 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c6 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c7 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c8 > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_patterns
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q225_cuped" ->
       // exact decimal moments, one mirrored double chain for theta/means;
       // lag window deterministic (day unique per user after the group-by)

@@ -133,4 +133,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L)._1 == ((0L, 1L, 0L, 0L)) && out(5L)._2 == 1.0 / 5.0)
     assert(out(6L) == (((0L, 0L, 0L, 0L), 0.0)))
   }
+
+  test("blocklistScreen: Aho-Corasick counts overlapping and nested patterns per pattern") {
+    val docs = Seq(
+      (1L, "ababa"),            // ab at 0,2; ba at 1,3 — cross-overlaps counted
+      (2L, "xabcx"),            // abc hits; ab (prefix of abc) hits too; bc nested
+      (3L, "clean text here"),  // no pattern
+      (4L, "ABABA")             // lower() applies before matching
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistScreen(docs, "doc_id", "text",
+        Seq("ab", "ba", "abc", "bc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 2L)), out.toString)      // 2×ab + 2×ba
+    assert(out(2L) == ((3L, 3L)), out.toString)      // ab, abc, bc each once
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(4L) == ((4L, 2L)))
+    // failure links: a pattern that is a proper suffix of another still fires
+    val s = TextAnalysis.blocklistScreen(Seq((9L, "zzabczz")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("abc", "c", "zz"))
+      .head()
+    assert((s.getLong(1), s.getLong(2)) == ((4L, 3L))) // abc + c + 2×zz
+  }
 }
