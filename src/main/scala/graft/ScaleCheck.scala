@@ -375,6 +375,9 @@ object ScaleCheck {
       Tables.documents(spark, d), "text", 8))
     time("pca_project")(d => Similarity.pcaProject(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 4))
+    time("blocklist")(d => TextAnalysis.blocklistScreen(
+      Tables.documents(spark, d), "doc_id", "text",
+      Seq("value", "table", "spark", "query", "batch", "filter", "join", "data")))
 
     spark.stop()
   }
