@@ -60,4 +60,25 @@ object Formats {
     * schema-discovery moment, not the steady-state pipeline. */
   def readEvolvedParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Fixed-width record ingestion (mainframe exports, COBOL copybook dumps,
+    * legacy billing files — the classic format Spark has no native reader
+    * for). Composed the idiomatic way rather than via a custom DataSource:
+    * the distributed `text` source handles splitting/parallelism, and each
+    * column is one codegen'd substring+trim projection, so the whole read
+    * stays in WholeStageCodegen with zero extra passes. `colSpecs` are
+    * (name, width) pairs in record order; short lines yield null for
+    * columns past their end (substring beyond length → empty → null via
+    * nullif), mirroring PERMISSIVE csv. Values are trimmed strings — cast
+    * downstream with an explicit schema, same convention as [[readCsv]]. */
+  def readFixedWidth(spark: SparkSession, path: String,
+                     colSpecs: Seq[(String, Int)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, nullif, substring, trim, lit}
+    require(colSpecs.nonEmpty && colSpecs.forall(_._2 > 0), "widths must be positive")
+    val offsets = colSpecs.scanLeft(1) { case (off, (_, w)) => off + w }
+    val cols = colSpecs.zip(offsets).map { case ((name, w), off) =>
+      nullif(trim(substring(col("value"), off, w)), lit("")).as(name)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
 }

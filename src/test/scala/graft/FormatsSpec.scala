@@ -78,4 +78,20 @@ class FormatsSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("readFixedWidth: column slicing, trim, short-line nulls") {
+    val dir = Files.createTempDirectory("fw")
+    Files.write(dir.resolve("a.dat"), (
+      "001  alice  NY\n" + // id[3] name[7] state[2] with padding
+      "002  bob    CA\n" +
+      "003  carol\n"       // short line: state column past the end
+    ).getBytes)
+    val out = Formats.readFixedWidth(spark, dir.toString,
+        Seq("id" -> 3, "name" -> 7, "state" -> 4))
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(out(0) == (("001", "alice", Some("NY"))), out.mkString("|"))
+    assert(out(1) == (("002", "bob", Some("CA"))))
+    assert(out(2) == (("003", "carol", None))) // truncated record -> null
+  }
 }
