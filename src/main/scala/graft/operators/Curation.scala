@@ -30,6 +30,30 @@ object Curation {
   def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
+  /** One (keys…, gram) row per position-i word n-gram.
+    *
+    * Two performance rules live here, both measured at sf0.1:
+    * (1) the token array is bound to a REAL COLUMN in its own projection
+    * before any lambda touches it — an inline tokens() expression captured
+    * by a higher-order function re-runs the regex for every lambda
+    * evaluation (≈2·tokens extractions per doc; the bigram count stage
+    * measured 7.5 s inline vs 1.0 s two-step), and CollapseProject leaves
+    * the split alone because the array attribute is referenced multiple,
+    * non-cheap times; (2) grams are built INSIDE transform so the exploded
+    * rows carry only the gram string, never the token array (the
+    * O(tokens²)-bytes trap — 19 s vs 2.4 s when first measured). */
+  private[graft] def ngramRows(docs: DataFrame, keys: Seq[String],
+                                   textCol: String, n: Int,
+                                   gramCol: String): DataFrame = {
+    val tok = docs.select(keys.map(col) :+ tokens(col(textCol)).as("__t"): _*)
+    val t = col("__t")
+    tok.select(keys.map(col) :+ explode(
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as(gramCol): _*)
+  }
+
   /** Gopher-style repetition stats: duplicate-token ratio per document.
     * High dup_ratio ⇒ boilerplate/spam candidate for filtering. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -228,19 +252,12 @@ object Curation {
     * per bigram cast to decimal BEFORE the order-dependent sum; one double
     * division last. */
   def bigramLogLikelihood(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    // build "w1 w2" strings INSIDE transform, then explode the string array:
-    // exploding an index array that still carries the token array duplicates
-    // the whole array per bigram row (O(tokens²) bytes per doc — measured
-    // 19 s vs 2.4 s at sf0.1); the context word is recovered with one
-    // substring_index, and the (id, bigram) pair set is persisted because
-    // three consumers (pair counts, context counts, scoring join) would
-    // otherwise re-run the explode each
-    val bigrams = when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val dt = docs.select(col(idCol), explode(bigrams).as("bg"))
+    // bigram expansion via [[ngramRows]] (regex-once, gram-only rows); the
+    // context word is recovered with one substring_index, and the
+    // (id, bigram) pair set is persisted because three consumers (pair
+    // counts, context counts, scoring join) would otherwise re-run the
+    // explode each
+    val dt = ngramRows(docs, Seq(idCol), textCol, 2, "bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = dt.groupBy("bg").agg(count(lit(1)).as("cb"))
@@ -294,11 +311,6 @@ object Curation {
     * side aggregates DISTINCT docs per bigram, and the score is one double
     * division. */
   def bigramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val bigrams = when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
     // collapse to (doc, bigram, multiplicity) ONCE and persist it: the
     // support side is then a map-side-combined count over the grouped rows
     // (one row per sharing doc ⇒ its count IS the distinct-doc support),
@@ -308,7 +320,7 @@ object Curation {
     // Broadcast contract: support is |distinct bigrams|-sized. On an open
     // web vocabulary drop the broadcast() hint — the equi-join on bg then
     // shuffles both sides on the natural key, still one pass over grouped.
-    val grouped = docs.select(col(idCol), explode(bigrams).as("bg"))
+    val grouped = ngramRows(docs, Seq(idCol), textCol, 2, "bg")
       .groupBy(idCol, "bg").agg(count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val support = grouped.groupBy("bg").agg(count(lit(1)).as("nd"))
@@ -386,15 +398,7 @@ object Curation {
     * full sort of the gram counts). */
   def boilerplateGrams(docs: DataFrame, idCol: String, srcCol: String,
                        textCol: String, n: Int = 2, topK: Int = 3): DataFrame = {
-    // grams are built INSIDE transform so the exploded rows carry only the
-    // gram string, never the token array (see bigramLogLikelihood)
-    val t = tokens(col(textCol))
-    val gramArr = when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val grams = docs
-      .select(col(idCol), col(srcCol), explode(gramArr).as("gram"))
+    val grams = ngramRows(docs, Seq(idCol, srcCol), textCol, n, "gram")
       .distinct()
     val counts = grams.groupBy(srcCol, "gram")
       .agg(count(lit(1)).as("n_docs"))

