@@ -349,10 +349,16 @@ object Similarity {
 
     def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-    /** v / ‖v‖ (unchanged zero vector rather than NaNs). */
+    /** v / ‖v‖ (unchanged zero vector rather than NaNs). The norm rides a
+      * zip_with ARGUMENT (array_repeat) rather than a captured reference:
+      * HOF arguments evaluate once, while an expression captured inside the
+      * lambda body re-evaluates per element — an O(d) norm captured in a
+      * transform is O(d²) per row (the ngramRows lesson, vector form). */
     def normalize(a: Column): Column = {
       val n = l2Norm(a)
-      when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+      when(n === 0.0, a).otherwise(
+        zip_with(a, array_repeat(n, size(a)),
+          (x, nn) => (x.cast("double") / nn).cast("float")))
     }
 
     /** a + s·b — the AXPY building block of centroid/gradient updates. */
