@@ -271,6 +271,21 @@ class CurationSpec extends SparkSpec {
     assert((top.getString(0), top.getString(1)) == (("a", "a")))
   }
 
+  test("ngramRows: tokenizer regex appears ONCE in the physical plan") {
+    // the two-step projection must stay split: if CollapseProject (or a
+    // future rule) inlines the token array back into the gram lambda, the
+    // regex re-runs per element — the 7.5s-vs-1.0s regression this guards
+    // parquet-backed input: a local relation constant-folds the regex away
+    val pq = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Curation.ngramRows(pq, Seq("doc_id"), "text", 2, "g")
+      .queryExecution.executedPlan.toString
+    val hits = "regexp_extract_all".r.findAllIn(plan).size
+    assert(hits == 1, s"regex evaluated $hits times in plan:\n$plan")
+    // and the gram rows carry only (keys, gram) — never the token array
+    val out = Curation.ngramRows(docs, Seq("doc_id"), "text", 2, "g")
+    assert(out.columns.toSeq == Seq("doc_id", "g"))
+  }
+
   test("segmentGreedy: reference merge-all semantics, incl. odd same-symbol runs") {
     val rank = Map(("a", "a") -> 0, ("aa", "aa") -> 1, ("b", "c") -> 2)
     // merge-all left-to-right, lowest rank first: aaaaa -> aa aa a -> aaaa a
