@@ -571,6 +571,18 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q229_dp_counts" -> ((s, d) =>
+      // ε=1 discrete-Laplace release of per-type event counts; noise is a
+      // deterministic function of (seed, key) so the release is auditable
+      Privacy.dpNoisyCounts(Tables.events(s, d), "event_type")),
+    "q228_bootstrap_ci" -> ((s, d) =>
+      // distributed Poisson bootstrap: 40 replicates in one pass, CI from
+      // order statistics of the replicate means
+      Analytics.poissonBootstrapCI(Tables.events(s, d), "event_id", "value")),
+    "q227_rfm" -> ((s, d) =>
+      // per-segment RFM quintiles; windows partitioned by mktsegment
+      Reports.rfmSegments(Tables.orders(s, d), Tables.customer(s, d),
+        "1998-12-01")),
     "q226_blocklist" -> ((s, d) =>
       // multi-pattern content screen in one Aho-Corasick text scan; the
       // demo dictionary is border-free words so per-pattern all-occurrence
@@ -2481,6 +2493,83 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q229_dp_counts" ->
+      // identical md5-uniform + CASE-ladder noise draw; integer arithmetic
+      // end to end so the noisy release is bit-equal across engines
+      """WITH g AS (SELECT event_type, count(*) AS tc FROM events GROUP BY 1),
+        |u AS (SELECT event_type, tc,
+        |  CAST(CAST('0x' || substring(md5('dp1:' || event_type), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM g)
+        |SELECT event_type,
+        |  tc + (CASE WHEN u < 0.0006666391336166198 THEN -7
+        |             WHEN u < 0.001812113043049739 THEN -6
+        |             WHEN u < 0.004925833956035729 THEN -5
+        |             WHEN u < 0.013389804932698453 THEN -4
+        |             WHEN u < 0.03639726343516549 THEN -3
+        |             WHEN u < 0.0989380198014472 THEN -2
+        |             WHEN u < 0.2689414213699951 THEN -1
+        |             WHEN u < 0.7310585786300048 THEN 0
+        |             WHEN u < 0.9010619801985527 THEN 1
+        |             WHEN u < 0.9636027365648344 THEN 2
+        |             WHEN u < 0.9866101950673014 THEN 3
+        |             WHEN u < 0.9950741660439641 THEN 4
+        |             WHEN u < 0.9981878869569502 THEN 5
+        |             WHEN u < 0.9993333608663832 THEN 6
+        |             ELSE 7 END) AS noisy_count,
+        |  1.0 AS epsilon
+        |FROM u ORDER BY event_type""".stripMargin,
+    "q228_bootstrap_ci" ->
+      // same md5 uniforms, same Poisson CASE ladder, exact micro-unit
+      // integer sums per replicate; CI = order stats of replicate means
+      """WITH r AS (SELECT unnest(generate_series(0, 39)) AS r),
+        |e AS (SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS v_micro FROM events),
+        |w AS (SELECT event_id, r.r AS r, v_micro,
+        |  CAST(CAST('0x' || substring(md5('bs1:' || CAST(event_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM e CROSS JOIN r),
+        |pw AS (SELECT r, v_micro,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238463 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       WHEN u < 0.9994058151824183 THEN 5
+        |       WHEN u < 0.999916758850712 THEN 6
+        |       WHEN u < 0.9999897508033253 THEN 7
+        |       WHEN u < 0.999998874797402 THEN 8
+        |       ELSE 9 END AS w
+        |  FROM w),
+        |reps AS (SELECT r, sum(w) AS n_w, sum(w * v_micro) AS s_micro FROM pw GROUP BY r),
+        |means AS (SELECT r, CAST(s_micro AS DOUBLE) / 1000000.0 / CAST(n_w AS DOUBLE) AS mean_r FROM reps),
+        |ranked AS (SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rk FROM means),
+        |pt AS (SELECT CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS est_mean FROM events)
+        |SELECT est_mean,
+        |  (SELECT mean_r FROM ranked WHERE rk = 2) AS ci_lo,
+        |  (SELECT mean_r FROM ranked WHERE rk = 39) AS ci_hi,
+        |  CAST(40 AS BIGINT) AS n_replicates
+        |FROM pt""".stripMargin,
+    "q227_rfm" ->
+      // identical ntile windows (custkey tiebreaks make the total order
+      // unique, so bucket boundaries agree); decimal monetary cast at end
+      """WITH per AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-01') AS recency_days,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, recency_days, frequency,
+        |    CAST(mon_dec AS DOUBLE) AS monetary,
+        |    6 - ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY recency_days ASC, c_custkey ASC) AS r_score,
+        |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency ASC, c_custkey ASC) AS f_score,
+        |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY mon_dec ASC, c_custkey ASC) AS m_score
+        |  FROM per)
+        |SELECT c_custkey, segment, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM t ORDER BY c_custkey""".stripMargin,
     "q226_blocklist" ->
       // per-pattern non-overlapping counts via replace-length arithmetic
       // (equal to A-C all-occurrence counts for border-free patterns)

@@ -1654,4 +1654,60 @@ object Analytics {
       .select(col("id"), col("x"), col("y"))
       .orderBy(col("x").desc, col("id"))
   }
+
+  /** Poisson(1) CDF thresholds for the bootstrap weight ladder (clamped at
+    * 9; P(W>9) ≈ 1.1e-7). Literal doubles so Spark and any SQL oracle
+    * evaluate the identical CASE ladder. */
+  private val poissonCdf: Seq[(Double, Int)] = Seq(
+    0.36787944117144233 -> 0, 0.7357588823428847 -> 1, 0.9196986029286058 -> 2,
+    0.9810118431238463 -> 3, 0.9963401531726563 -> 4, 0.9994058151824183 -> 5,
+    0.999916758850712 -> 6, 0.9999897508033253 -> 7, 0.999998874797402 -> 8)
+
+  /** Poisson-bootstrap confidence interval for mean(valueCol) — the
+    * distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): a true resample would need n
+    * draws WITH replacement per replicate (a global shuffle each), but the
+    * multinomial weight vector converges to iid Poisson(1) per row, so one
+    * pass computes all B replicates with per-row deterministic weights.
+    *
+    * Exactness/portability: the weight is a CASE ladder over a md5-derived
+    * uniform (same literal thresholds in any engine); per-replicate sums
+    * are exact integers (micro-unit value quantization × integer weight),
+    * divided once at the end — replicate means are bit-equal at any
+    * parallelism. CI bounds are order statistics of the B means (drop one
+    * per tail → central 95% for B=40).
+    *
+    * Scale: B-way row explode feeds ONE hash aggregate with map-side
+    * partials — shuffle volume is partitions × B rows, not n × B; the
+    * final order-statistics step touches B rows. */
+  def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                         b: Int = 40, seed: String = "bs1"): DataFrame = {
+    require(b >= 4, "need at least 4 replicates for the drop-one-per-tail CI")
+    val u = conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"), lit(":"), col("r").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = poissonCdf.reverse.foldLeft(lit(9): Column) { case (acc, (t, k)) =>
+      when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    val reps = df.withColumn("r", explode(sequence(lit(0), lit(b - 1))))
+    val repMeans = reps
+      .select(col(idCol), col("r"),
+        round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
+      .withColumn("w", w)
+      .groupBy("r")
+      .agg(sum("w").as("n_w"), sum(col("w") * col("v_micro")).as("s_micro"))
+      .select(col("r"), (col("s_micro").cast("double") / lit(1e6) /
+        col("n_w").cast("double")).as("mean_r"))
+    val point = df.agg(
+      (sum(round(col(valueCol) * lit(1e6)).cast("long")).cast("double") /
+        lit(1e6) / count(lit(1)).cast("double")).as("est_mean"))
+    val sorted = repMeans.agg(
+      sort_array(collect_list(struct(col("mean_r"), col("r")))).as("ms"))
+      .select(
+        element_at(col("ms"), 2)("mean_r").as("ci_lo"),
+        element_at(col("ms"), b - 1)("mean_r").as("ci_hi"))
+    point.crossJoin(sorted)
+      .select(col("est_mean"), col("ci_lo"), col("ci_hi"),
+        lit(b.toLong).as("n_replicates"))
+  }
 }

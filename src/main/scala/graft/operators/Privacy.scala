@@ -74,4 +74,45 @@ object Privacy {
         (col("__fp").isNotNull && col("level") === col("__fp")).as("chosen"))
       .orderBy("level")
   }
+
+  /** Two-sided-geometric CDF at ε=1 (α=e⁻¹): P(Z=z) ∝ α^|z|, the discrete
+    * Laplace mechanism of Ghosh–Roughgarden–Sundararajan ("Universally
+    * Utility-Maximizing Privacy Mechanisms"). Cumulative literals for
+    * z=-7..6; below the first threshold clamps to -7, above the last to +7
+    * (each tail ≈ 7e-4 — the clamp is symmetric). Literal doubles so the
+    * ladder evaluates identically in any engine. */
+  private val dLaplaceCdf: Seq[(Double, Int)] = Seq(
+    0.0006666391336166198 -> -7, 0.001812113043049739 -> -6,
+    0.004925833956035729 -> -5, 0.013389804932698453 -> -4,
+    0.03639726343516549 -> -3, 0.0989380198014472 -> -2,
+    0.2689414213699951 -> -1, 0.7310585786300048 -> 0,
+    0.9010619801985527 -> 1, 0.9636027365648344 -> 2,
+    0.9866101950673014 -> 3, 0.9950741660439641 -> 4,
+    0.9981878869569502 -> 5, 0.9993333608663832 -> 6)
+
+  /** ε-differentially-private group counts: one hash aggregate to true
+    * counts (the only row-sized shuffle; count has sensitivity 1 under
+    * add/remove-one-row adjacency), then integer discrete-Laplace noise
+    * per group via the CASE ladder over a seeded md5 uniform. The noise
+    * draw is a pure function of (seed, key): the release is reproducible
+    * (audit-friendly) and engine-portable — a DETERMINISTIC seed means
+    * re-running does NOT spend extra privacy budget, but publishing a new
+    * release with a fresh seed composes ε's additively.
+    *
+    * Output carries only the noisy count + ε — the true count never leaves
+    * the operator, matching a real DP release boundary. */
+  def dpNoisyCounts(df: DataFrame, keyCol: String,
+                    seed: String = "dp1"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(seed + ":"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val z = dLaplaceCdf.foldRight(lit(7): Column) { case ((t, k), acc) =>
+      when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    df.groupBy(keyCol)
+      .agg(count(lit(1)).as("__true"))
+      .select(col(keyCol), (col("__true") + z).as("noisy_count"),
+        lit(1.0).as("epsilon"))
+      .orderBy(keyCol)
+  }
 }

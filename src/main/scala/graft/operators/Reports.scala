@@ -224,4 +224,45 @@ object Reports {
       GROUP BY ROLLUP(n_name, year(o_orderdate))
       ORDER BY nation, o_year""")
   }
+
+  /** RFM segmentation (Hughes' recency/frequency/monetary scoring): one
+    * hash aggregate to per-customer metrics, then ntile windows
+    * PARTITIONED BY market segment — scoring within segment keeps every
+    * window a parallel partition (the global-ntile version is a
+    * single-sort scale bug; per-cohort scoring is also the methodology:
+    * a builder-segment customer competes with builder-segment peers).
+    * Monetary sums in DECIMAL (order-independent), cast double only in
+    * the final projection. Every window orders with a custkey tiebreak so
+    * bucket boundaries are deterministic and engine-portable.
+    *
+    * Scale: aggregate ≪ orders; windows parallel by segment × AQE splits.
+    * Reference analog: per-user listing + count surface
+    * (job_repository.py:19-43) generalized to the classic CRM score. */
+  def rfmSegments(orders: DataFrame, customer: DataFrame, asOf: String,
+                  buckets: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders
+      .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        datediff(lit(asOf).cast("date"), max(col("o_orderdate")).cast("date"))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mon_dec"))
+    def tile(order: Seq[org.apache.spark.sql.Column]) = ntile(buckets).over(
+      Window.partitionBy("c_mktsegment").orderBy(order: _*))
+    // score 5 = best: most recent / most orders / highest spend
+    per.select(
+      col("c_custkey"), col("c_mktsegment").as("segment"),
+      col("recency_days").cast("long").as("recency_days"), col("frequency"),
+      col("mon_dec").cast("double").as("monetary"),
+      (lit(buckets + 1) - tile(Seq(col("recency_days").asc, col("c_custkey").asc)))
+        .cast("long").as("r_score"),
+      tile(Seq(col("frequency").asc, col("c_custkey").asc)).cast("long").as("f_score"),
+      tile(Seq(col("mon_dec").asc, col("c_custkey").asc)).cast("long").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("c_custkey")
+  }
 }

@@ -804,4 +804,20 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSet
     assert(kept == Set(1L, 4L, 10L, 20L), kept.toString)
   }
+
+  test("poissonBootstrapCI: degenerate distribution collapses, invariant to partitioning") {
+    // constant column: every replicate mean IS the constant → CI width 0
+    val const = (1L to 200L).map(i => (i, 3.25)).toDF("id", "v")
+    val row = Analytics.poissonBootstrapCI(const, "id", "v").collect()(0)
+    assert(row.getDouble(0) == 3.25 && row.getDouble(1) == 3.25 &&
+      row.getDouble(2) == 3.25 && row.getLong(3) == 40L, row.toString)
+
+    // varied data: CI ordered, replicate count honored, bit-equal under
+    // any partitioning (the exactness contract of the integer-sum design)
+    val varied = (1L to 500L).map(i => (i, (i % 13).toDouble / 7.0)).toDF("id", "v")
+    val a = Analytics.poissonBootstrapCI(varied, "id", "v", b = 10).collect()(0)
+    val b = Analytics.poissonBootstrapCI(varied.repartition(7), "id", "v", b = 10).collect()(0)
+    assert(a.toSeq == b.toSeq, s"$a vs $b")
+    assert(a.getDouble(1) <= a.getDouble(2) && a.getLong(3) == 10L)
+  }
 }

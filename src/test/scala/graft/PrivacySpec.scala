@@ -56,4 +56,27 @@ class PrivacySpec extends SparkSpec {
       .collect().map(r => (r.getBoolean(5), r.getBoolean(6)))
     assert(none.forall(t => !t._1 && !t._2))
   }
+
+  test("dpNoisyCounts: bounded integer noise, reproducible, partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"g${i % 10}")).toDF("id", "grp")
+    val truth = df.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rel = Privacy.dpNoisyCounts(df, "grp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rel.keySet == truth.keySet)
+    // clamped discrete-Laplace noise: |noisy - true| <= 7, ε reported
+    rel.foreach { case (g, (noisy, eps)) =>
+      assert(math.abs(noisy - truth(g)) <= 7, s"$g: $noisy vs ${truth(g)}")
+      assert(eps == 1.0)
+    }
+    // the release is a pure function of (seed, key): rerun + repartition equal
+    val again = Privacy.dpNoisyCounts(df.repartition(13), "grp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == rel)
+    // a different seed is a DIFFERENT release (new draws for these 10 keys)
+    val other = Privacy.dpNoisyCounts(df, "grp", seed = "dp2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(other.exists { case (g, n) => n != rel(g)._1 })
+  }
 }
