@@ -571,6 +571,17 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q232_stl" -> ((s, d) =>
+      // trend/weekly-seasonal/residual split of the daily event series;
+      // micro-unit quantization keeps the decomposition engine-exact
+      Analytics.seasonalDecompose(Tables.events(s, d), "ts")),
+    "q231_eigencentrality" -> ((s, d) =>
+      // power iteration on the part co-occurrence graph (= HITS on the
+      // symmetrized adjacency); max-normalized, 3 unrolled rounds
+      Graph.eigenCentrality(partCooccurrenceEdges(s, d), "pa", "pb")),
+    "q230_gopher_rules" -> ((s, d) =>
+      // published-quality-filter audit: per-rule flags + composed verdict
+      Curation.gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q229_dp_counts" -> ((s, d) =>
       // ε=1 discrete-Laplace release of per-type event counts; noise is a
       // deterministic function of (seed, key) so the release is auditable
@@ -2493,6 +2504,65 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q232_stl" ->
+      // same micro-unit recipe: trend/seasonal quantized to BIGINT right
+      // after their one double division; dow = epoch-days mod 7 (native
+      // dow functions disagree on Sunday=0 vs 1 across engines)
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT day, n,
+        |        CASE WHEN count(*) OVER w = 7
+        |          THEN CAST(round(sum(n) OVER w * 1000000.0 / 7.0) AS BIGINT) END AS trend_micro,
+        |        CAST(datediff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7 AS BIGINT) AS dow
+        |      FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, n, dow, trend_micro, n * 1000000 - trend_micro AS detr_micro FROM t),
+        |dm AS (SELECT dow, CAST(round(CAST(sum(detr_micro) AS DOUBLE) / count(*)) AS BIGINT) AS raw_micro
+        |       FROM t2 WHERE detr_micro IS NOT NULL GROUP BY dow),
+        |c AS (SELECT CAST(round(CAST(sum(raw_micro) AS DOUBLE) / count(*)) AS BIGINT) AS c_micro FROM dm),
+        |seas AS (SELECT dow, raw_micro - c_micro AS seas_micro FROM dm CROSS JOIN c)
+        |SELECT strftime(t2.day, '%Y-%m-%d') AS day, n, t2.dow,
+        |  CAST(trend_micro AS DOUBLE) / 1000000.0 AS trend,
+        |  CAST(seas_micro AS DOUBLE) / 1000000.0 AS seasonal,
+        |  CAST(n * 1000000 - trend_micro - seas_micro AS DOUBLE) / 1000000.0 AS residual
+        |FROM t2 JOIN seas USING (dow) ORDER BY day""".stripMargin,
+    "q231_eigencentrality" ->
+      // three unrolled power-iteration rounds; contributions through
+      // DECIMAL(28,9) before the sum (q110 recipe), max-normalized per
+      // round (no sqrt — L2 would be order-dependent)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
+        |r1 AS (SELECT e.b AS node, CAST(SUM(CAST(1.0 AS DECIMAL(28,9))) AS DOUBLE) AS raw
+        |       FROM e GROUP BY e.b),
+        |n1 AS (SELECT node, raw / (SELECT MAX(raw) FROM r1) AS score FROM r1),
+        |r2 AS (SELECT e.b AS node, CAST(SUM(CAST(n1.score AS DECIMAL(28,9))) AS DOUBLE) AS raw
+        |       FROM e JOIN n1 ON n1.node = e.a GROUP BY e.b),
+        |n2 AS (SELECT node, raw / (SELECT MAX(raw) FROM r2) AS score FROM r2),
+        |r3 AS (SELECT e.b AS node, CAST(SUM(CAST(n2.score AS DECIMAL(28,9))) AS DOUBLE) AS raw
+        |       FROM e JOIN n2 ON n2.node = e.a GROUP BY e.b),
+        |n3 AS (SELECT node, raw / (SELECT MAX(raw) FROM r3) AS score FROM r3)
+        |SELECT node, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
+        |FROM n3 ORDER BY score DESC, node LIMIT 20""".stripMargin,
+    "q230_gopher_rules" ->
+      // identical tokenization + integer sums; list lambdas mirror the
+      // Spark higher-order functions term for term
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS word_count,
+        |    CAST(list_aggregate(list_transform(ts, w -> length(w)), 'sum') AS DOUBLE)
+        |      / nullif(CAST(len(ts) AS DOUBLE), 0.0) AS mean_word_len,
+        |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / nullif(CAST(len(ts) AS DOUBLE), 0.0) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(ts),
+        |      ['the','be','to','of','and','that','have','with','a'])) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, word_count, mean_word_len, alpha_frac, n_stopwords,
+        |  word_count BETWEEN 50 AND 100000 AS ok_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+        |  alpha_frac >= 0.8 AS ok_alpha,
+        |  n_stopwords >= 2 AS ok_stopwords,
+        |  (word_count BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q229_dp_counts" ->
       // identical md5-uniform + CASE-ladder noise draw; integer arithmetic
       // end to end so the noisy release is bit-equal across engines

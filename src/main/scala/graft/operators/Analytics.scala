@@ -1710,4 +1710,57 @@ object Analytics {
       .select(col("est_mean"), col("ci_lo"), col("ci_hi"),
         lit(b.toLong).as("n_replicates"))
   }
+
+  /** Classical seasonal decomposition of the daily event count series
+    * (moving-average flavor of Cleveland's STL): trend = centered
+    * (2·half+1)-day moving average (full windows only), weekly seasonal =
+    * per-day-of-week mean of the detrended series re-centered to sum ≈ 0,
+    * residual = observed − trend − seasonal. The monitoring companion to
+    * [[Analytics.seasonalNaiveEval]]: the residual is what anomaly alerts
+    * should fire on, not the raw count (which always "spikes" on weekends).
+    *
+    * Exactness: the raw series is integer counts; trend and seasonal are
+    * quantized to micro-units (round(x·1e6) → BIGINT) immediately after
+    * their single double division, so every downstream subtraction is
+    * integer arithmetic — bit-equal in any engine at any parallelism.
+    * Day-of-week is (days since epoch) mod 7: both engines share the exact
+    * datediff, where native dow functions disagree on Sunday=0 vs 1.
+    *
+    * Scale: one count aggregate collapses events to the day grain
+    * (map-side partials); everything after runs on the day-sized series —
+    * the [[seasonalNaiveEval]]/[[cusum]] pattern. */
+  def seasonalDecompose(events: DataFrame, tsCol: String,
+                        halfWindow: Int = 3): DataFrame = {
+    val span = 2 * halfWindow + 1
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-halfWindow, halfWindow)
+    val t = daily
+      .withColumn("trend_micro",
+        when(count(lit(1)).over(w) === span,
+          round(sum("n").over(w) * lit(1e6) / lit(span.toDouble)).cast("long")))
+      .withColumn("detr_micro", col("n") * lit(1000000L) - col("trend_micro"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long"))
+    val dowMeans = t.filter(col("detr_micro").isNotNull)
+      .groupBy("dow")
+      .agg(round(sum("detr_micro").cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("raw_micro"))
+    val center = dowMeans.agg(
+      round(sum("raw_micro").cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("c_micro"))
+    val seas = dowMeans.crossJoin(broadcast(center))
+      .select(col("dow"), (col("raw_micro") - col("c_micro")).as("seas_micro"))
+    t.join(broadcast(seas), "dow")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("dow"),
+        (col("trend_micro").cast("double") / lit(1e6)).as("trend"),
+        (col("seas_micro").cast("double") / lit(1e6)).as("seasonal"),
+        ((col("n") * lit(1000000L) - col("trend_micro") - col("seas_micro"))
+          .cast("double") / lit(1e6)).as("residual"))
+      .orderBy("day")
+  }
 }

@@ -251,4 +251,44 @@ object Graph {
     nbrs.unpersist(false)
     visited.orderBy("node")
   }
+
+  /** Eigenvector centrality (Bonacich) by fixed-iteration power iteration
+    * on the symmetrized adjacency — the undamped cousin of [[pageRank]]:
+    * a node is central in proportion to its neighbors' centrality, so
+    * well-connected cliques concentrate mass where PageRank's damping
+    * flattens it. (On an undirected graph HITS hubs = authorities = this
+    * vector, so this one operator covers that family.)
+    *
+    * Determinism/portability: neighbor contributions pass through
+    * DECIMAL(28,9) before the order-dependent sum (the q110 recipe), and
+    * each round renormalizes by the MAX score — a deterministic 1-row
+    * broadcast, no sqrt, no order-dependent L2 — so three unrolled CTE
+    * rounds reproduce it bit-exactly in any engine.
+    *
+    * Scale: per round one shuffle of the 2|E| adjacency joined against the
+    * node-sized score table + one 1-row max broadcast; the graph itself
+    * never re-materializes (cached symmetrized edge list). */
+  def eigenCentrality(edges: DataFrame, aCol: String, bCol: String,
+                      iters: Int = 3, topK: Int = 20): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var s = e.select(col("a").as("node")).distinct()
+      .withColumn("score", lit(1.0))
+    for (_ <- 1 to iters) {
+      val raw = e.join(s, col("a") === col("node"))
+        .select(col("b"), col("score").cast("decimal(28,9)").as("c"))
+        .groupBy(col("b").as("node"))
+        .agg(sum("c").cast("double").as("raw"))
+      val mx = raw.agg(max("raw").as("mx"))
+      s = raw.crossJoin(broadcast(mx))
+        .select(col("node"), (col("raw") / col("mx")).as("score"))
+    }
+    e.unpersist(false)
+    s.select(col("node"),
+      col("score").cast("decimal(18,6)").cast("double").as("score"))
+      .orderBy(col("score").desc, col("node"))
+      .limit(topK)
+  }
 }

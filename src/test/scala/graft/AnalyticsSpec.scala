@@ -820,4 +820,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, s"$a vs $b")
     assert(a.getDouble(1) <= a.getDouble(2) && a.getLong(3) == 10L)
   }
+
+  test("seasonalDecompose: pure weekly signal recovered exactly, edges null") {
+    // 28 days, count = 100 + (epoch-day mod 7): every full 7-window sums to
+    // 721 -> trend exactly 103, seasonal exactly dow-3, residual exactly 0
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 28).flatMap { d =>
+      val day = base.plusDays(d)
+      val n = 100 + (day.toEpochDay % 7).toInt
+      (1 to n).map(i =>
+        (java.sql.Timestamp.valueOf(day.atTime(i % 24, 30)), d.toLong * 1000 + i))
+    }
+    val ev = rows.toDF("ts", "event_id")
+    val out = Analytics.seasonalDecompose(ev, "ts").collect()
+    assert(out.length == 28)
+    out.foreach { r =>
+      val (day, n, dow) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(n == 100 + dow, s"$day: n=$n dow=$dow")
+      val d = java.time.LocalDate.parse(day).toEpochDay - base.toEpochDay
+      if (d >= 3 && d <= 24) {
+        assert(r.getDouble(3) == 103.0, s"$day trend ${r.getDouble(3)}")
+        assert(r.getDouble(4) == (dow - 3).toDouble, s"$day seasonal")
+        assert(r.getDouble(5) == 0.0, s"$day residual ${r.getDouble(5)}")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(5), s"$day edge should be null")
+        assert(r.getDouble(4) == (dow - 3).toDouble) // seasonal still joins
+      }
+    }
+    // layout-independence
+    val p = Analytics.seasonalDecompose(ev.repartition(11), "ts").collect().map(_.toSeq).toSeq
+    assert(p == out.map(_.toSeq).toSeq)
+  }
 }

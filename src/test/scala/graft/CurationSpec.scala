@@ -312,4 +312,25 @@ class CurationSpec extends SparkSpec {
     assert(enc(1L) == ((4L, 15L)), enc.toString)
     assert(enc(2L) == ((1L, 3L)))
   }
+
+  test("gopherRules: each rule trips independently and the verdict composes") {
+    import spark.implicits._
+    val good = (("the and that " * 20) + "solid words here padding out " * 3).trim
+    val df = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "the and short doc"),                   // too few words
+      (3L, ("xx " * 60 + "the and").trim),         // mean word len 2 -> fails
+      (4L, ("wordy " * 60).trim),                  // no 2 distinct stopwords
+      (5L, ("the and " + "12345 " * 58).trim)      // alpha fraction < 0.8
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(df, "doc_id", "text", minWords = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(out(1L) == ((true, true, true, true, true)), out(1L).toString)
+    assert(!out(2L)._1 && !out(2L)._5)
+    assert(out(3L)._1 && !out(3L)._2 && !out(3L)._5, out(3L).toString)
+    assert(out(4L)._1 && !out(4L)._4 && !out(4L)._5)
+    assert(out(5L)._1 && !out(5L)._3 && !out(5L)._5, out(5L).toString)
+  }
 }

@@ -145,4 +145,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(p == Graph.bfsDistances(path, "a", "b", Seq(5L, 1L), 2).collect().map(_.toSeq).toSeq)
   }
+
+  test("eigenCentrality: hub of a star dominates, scores max-normalized, layout-independent") {
+    import spark.implicits._
+    // star: 1 is the hub of 2..6; separate edge 10-11 is a weak component
+    val star = ((2L to 6L).map(k => (1L, k)) ++ Seq((10L, 11L))).toDF("a", "b")
+    val out = Graph.eigenCentrality(star, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0, out.toString)                    // hub carries the max
+    assert((2L to 6L).forall(k => out(k) == out(2L) && out(k) < 1.0))
+    assert(out(10L) == out(11L) && out(10L) < out(2L))      // pair below leaves
+    // triangle + pendant: pendant strictly below the triangle nodes
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.eigenCentrality(tri, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t(3L) == 1.0 && t(4L) < t(1L) && t(1L) == t(2L), t.toString)
+    // bit-equal under partitioning (the decimal-contribution contract)
+    val a = Graph.eigenCentrality(tri.repartition(7), "a", "b").collect().map(_.toSeq).toSeq
+    assert(a == Graph.eigenCentrality(tri, "a", "b").collect().map(_.toSeq).toSeq)
+  }
 }

@@ -62,7 +62,12 @@ class PlanContractSpec extends SparkSpec {
           // kanon repair: the 1-row first-passing-level frame broadcast
           // over the 4-row level table; distinctive terms: the 1-row
           // corpus-total broadcast over the (source, token) counts
-          "q218_kanon_repair", "q219_distinctive_terms")
+          "q218_kanon_repair", "q219_distinctive_terms",
+          // bootstrap: 1-row point estimate × 1-row CI bounds; stl: the
+          // 1-row seasonal-center broadcast over the 7-row dow means;
+          // eigencentrality: a 1-row max broadcast per power-iteration
+          // round (the deterministic normalizer — no order-dependent L2)
+          "q228_bootstrap_ci", "q232_stl", "q231_eigencentrality")
         if (allowed(name)) None else Some(name)
       } else None
     }
