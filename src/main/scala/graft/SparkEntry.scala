@@ -571,6 +571,25 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q235_tail_index" -> ((s, d) =>
+      // Hill power-law tail estimate over order totals; TakeOrdered top-k,
+      // micro-quantized ln terms
+      Analytics.hillTailIndex(Tables.orders(s, d), "o_orderkey",
+        "o_totalprice")),
+    "q234_erasure_audit" -> ((s, d) => {
+      // GDPR dry run: forget every 97th customer, report cascade impact
+      val cust = Tables.customer(s, d)
+      Relational.erasureAudit(
+        cust.filter(pmod(col("c_custkey"), lit(97)) === 0),
+        cust, Tables.orders(s, d), Tables.lineitem(s, d))
+    }),
+    "q233_item_cf" -> ((s, d) =>
+      // "users who touched k also touched k'" over the props payload;
+      // one-shuffle pair explode, never an all-pairs item join
+      Similarity.itemItemCF(
+        Tables.events(s, d).withColumn("item",
+          get_json_object(col("props"), "$.k").cast("long")),
+        "user_id", "item")),
     "q232_stl" -> ((s, d) =>
       // trend/weekly-seasonal/residual split of the daily event series;
       // micro-unit quantization keeps the decomposition engine-exact
@@ -2504,6 +2523,54 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q235_tail_index" ->
+      // same pivot rule: min of the top-(k+1) set, strictly-above filter;
+      // ln terms micro-quantized before the order-dependent sum
+      """WITH top AS (SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS x
+        |             FROM orders WHERE o_totalprice > 0
+        |             ORDER BY x DESC, id LIMIT 501),
+        |p AS (SELECT MIN(x) AS x_k1 FROM top),
+        |t AS (SELECT CAST(round(ln(x / x_k1) * 1000000.0) AS BIGINT) AS t, x_k1
+        |      FROM top CROSS JOIN p WHERE x > x_k1)
+        |SELECT count(*) AS k_eff, x_k1,
+        |  CAST(sum(t) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS hill_h,
+        |  CAST(CAST(1000000.0 * CAST(count(*) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS alpha
+        |FROM t GROUP BY x_k1""".stripMargin,
+    "q234_erasure_audit" ->
+      """WITH fk AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |ho AS (SELECT DISTINCT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM fk))
+        |SELECT 'customer' AS table_name,
+        |  count(CASE WHEN c_custkey IN (SELECT c_custkey FROM fk) THEN 1 END) AS rows_to_delete,
+        |  count(CASE WHEN c_custkey NOT IN (SELECT c_custkey FROM fk) THEN 1 END) AS rows_retained
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders',
+        |  count(CASE WHEN o_custkey IN (SELECT c_custkey FROM fk) THEN 1 END),
+        |  count(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM fk) THEN 1 END)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  count(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM ho) THEN 1 END),
+        |  count(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM ho) THEN 1 END)
+        |FROM lineitem
+        |ORDER BY table_name""".stripMargin,
+    "q233_item_cf" ->
+      // same sorted-set pair explode semantics expressed as a self-join
+      // with ia < ib; integer counts, one quantized cosine division
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        |            FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |n AS (SELECT i, count(*) AS n FROM ui GROUP BY 1),
+        |pr AS (SELECT a.i AS ia, b.i AS ib, count(*) AS n_both
+        |       FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ia, ib, n_both, na.n AS n_a, nb.n AS n_b,
+        |  CAST(CAST(CAST(n_both AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        |FROM pr JOIN n na ON na.i = pr.ia JOIN n nb ON nb.i = pr.ib
+        |ORDER BY cosine DESC, ia, ib LIMIT 50""".stripMargin,
     "q232_stl" ->
       // same micro-unit recipe: trend/seasonal quantized to BIGINT right
       // after their one double division; dow = epoch-days mod 7 (native

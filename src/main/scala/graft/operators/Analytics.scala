@@ -1763,4 +1763,44 @@ object Analytics {
           .cast("double") / lit(1e6)).as("residual"))
       .orderBy("day")
   }
+
+  /** Hill estimator of the power-law tail index (Hill 1975): over the top
+    * k order statistics, H = (1/k)·Σ ln(x_(i)/x_(k+1)) and α̂ = 1/H — the
+    * "how heavy is this distribution's tail" gate that decides whether
+    * mean-based SLAs/capacity plans are even meaningful for a column.
+    *
+    * Scale: the ONLY full-data step is orderBy+limit(k+1), which Spark
+    * plans as TakeOrderedAndProject — per-partition bounded heaps, no
+    * global sort, no collect. Everything after runs on k+1 rows. The
+    * (value desc, id) tiebreak makes the selected set — and therefore the
+    * estimate — deterministic under ties at the boundary.
+    *
+    * Exactness: each ln term is quantized to micro-units BEFORE the sum
+    * (doubles summed in arbitrary order would drift); the mean divides
+    * exact integers and α̂ is quantized once at the end. */
+  def hillTailIndex(df: DataFrame, idCol: String, valueCol: String,
+                    k: Int = 500): DataFrame = {
+    val top = df
+      .select(col(idCol).as("id"), col(valueCol).cast("double").as("x"))
+      .filter(col("x") > 0)
+      .orderBy(col("x").desc, col("id"))
+      .limit(k + 1)
+    val xk1 = top.agg(min("x").as("x_k1"))
+    // keep rows strictly above the pivot: if ties straddle the k/k+1
+    // boundary this drops the whole tied value, so the estimate depends
+    // only on VALUES, never on which tied ids the heap happened to keep
+    top.crossJoin(broadcast(xk1))
+      .filter(col("x") > col("x_k1"))
+      .select(round(log(col("x") / col("x_k1")) * lit(1e6)).cast("long").as("t"),
+        col("x_k1"))
+      .groupBy(col("x_k1"))
+      .agg(count(lit(1)).as("k_eff"), sum("t").as("s_micro"))
+      .select(
+        col("k_eff"),
+        col("x_k1"),
+        (col("s_micro").cast("double") / lit(1e6) / col("k_eff").cast("double"))
+          .as("hill_h"),
+        (lit(1e6) * col("k_eff").cast("double") / col("s_micro").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("alpha"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spark-native analogs of the reference's repository query surface
@@ -225,5 +225,36 @@ object Relational {
     df.where(col(cursor.head._1) >= lit(cursor.head._2) && seek)
       .orderBy(cursor.map(c => col(c._1)): _*)
       .limit(pageSize)
+  }
+
+  /** Right-to-erasure impact audit (GDPR Art. 17 planning): given the
+    * customers to forget, report per table how many rows the cascade
+    * deletes vs retains — customer → orders(o_custkey) → lineitem(join
+    * through the affected orderkeys). The dry-run a deletion job runs
+    * before mutating anything; the real delete is the same semi-joins with
+    * [[graft.sources.Sinks]]' overwrite. Reference analog: the
+    * user-scoped delete surface (contact/job repositories' delete paths).
+    *
+    * Scale: the forget set broadcasts (it's a request batch, not a fact
+    * table); lineitem is pruned by the affected-ORDER key set, which is
+    * bounded by the forget batch's order fan-out. Each table contributes
+    * one conditional-count scan — no shuffle beyond the semi-join keys. */
+  def erasureAudit(forgetKeys: DataFrame, customer: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val keys = broadcast(forgetKeys.select(col("c_custkey").as("fk")).distinct())
+    def audit(df: DataFrame, table: String, hit: Column): DataFrame =
+      df.agg(count(when(hit, 1)).as("rows_to_delete"),
+        count(when(!hit, 1)).as("rows_retained"))
+        .select(lit(table).as("table_name"), col("rows_to_delete"),
+          col("rows_retained"))
+    val cust = audit(customer.join(keys,
+      col("c_custkey") === col("fk"), "left"), "customer", col("fk").isNotNull)
+    val ord = audit(orders.join(keys,
+      col("o_custkey") === col("fk"), "left"), "orders", col("fk").isNotNull)
+    val hitOrders = broadcast(orders.join(keys, col("o_custkey") === col("fk"))
+      .select(col("o_orderkey").as("hk")).distinct())
+    val li = audit(lineitem.join(hitOrders,
+      col("l_orderkey") === col("hk"), "left"), "lineitem", col("hk").isNotNull)
+    cust.unionAll(ord).unionAll(li).orderBy("table_name")
   }
 }

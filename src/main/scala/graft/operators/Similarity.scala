@@ -833,4 +833,44 @@ object Similarity {
             .as(s"pc${c + 1}")): _*)
       .orderBy(idCol)
   }
+
+  /** Item-item collaborative filtering on implicit feedback (the
+    * co-occurrence half of Sarwar et al. 2001 / Amazon's item-to-item):
+    * sim(i,j) = |U_i ∩ U_j| / √(|U_i|·|U_j|) — cosine over binary user
+    * vectors — for "users who touched i also touched j" recommendations.
+    *
+    * Shuffle shape (the [[graft.SparkEntry]] co-occurrence recipe): one
+    * distinct to (user, item), one collect_set per user whose sorted-array
+    * pair explode emits each unordered pair ONCE (i<j), one pair count.
+    * The user→items aggregate reuses the distinct's hash partitioning, so
+    * the whole pipeline is two row-sized shuffles + one pair-sized one —
+    * never an all-pairs item join. Item totals are an items-sized table,
+    * broadcast twice. Per-user item lists are bounded by the activity cap
+    * the caller enforces upstream (here: distinct props values, ≤100) —
+    * the published mitigation for power users at web scale.
+    *
+    * Exactness: counts are integers; the one cosine division happens once
+    * per surviving pair and is quantized to DECIMAL(18,6) — portable. */
+  def itemItemCF(events: DataFrame, userCol: String, itemCol: String,
+                 minSupport: Int = 5, topK: Int = 50): DataFrame = {
+    val ui = events.select(col(userCol).as("u"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull).distinct()
+    val itemN = ui.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = ui.groupBy("u")
+      .agg(sort_array(collect_set(col("i"))).as("is"))
+      .select(posexplode(col("is")).as(Seq("x", "ia")), col("is"))
+      .select(col("ia"), explode(slice(col("is"), col("x") + lit(2),
+        size(col("is")))).as("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(broadcast(itemN.select(col("i").as("ia"), col("n").as("n_a"))), "ia")
+      .join(broadcast(itemN.select(col("i").as("ib"), col("n").as("n_b"))), "ib")
+      .select(col("ia"), col("ib"), col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")))
+          .cast("decimal(18,6)").cast("double").as("cosine"))
+      .orderBy(col("cosine").desc, col("ia"), col("ib"))
+      .limit(topK)
+  }
 }

@@ -851,4 +851,26 @@ class AnalyticsSpec extends SparkSpec {
     val p = Analytics.seasonalDecompose(ev.repartition(11), "ts").collect().map(_.toSeq).toSeq
     assert(p == out.map(_.toSeq).toSeq)
   }
+
+  test("hillTailIndex: exact dyadic case, tie-at-pivot drops the tied value") {
+    // top-5 of {16,8,4,2,1,...}: pivot 1, terms ln16..ln2 = (4+3+2+1)ln2
+    val vals = Seq(16.0, 8.0, 4.0, 2.0, 1.0, 0.5, 0.25)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = Analytics.hillTailIndex(df, "id", "v", k = 4).collect()(0)
+    val expH = (4 to 1 by -1).map(e =>
+      math.round(math.log(math.pow(2.0, e)) * 1e6)).sum / 1e6 / 4.0
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == expH, s"${r.getDouble(2)} vs $expH")
+    // ties at the pivot: {8,4,2,2,2,2}: top-4 = {8,4,2,2}, pivot 2 ties ->
+    // every 2 is dropped, k_eff collapses to the strictly-above count
+    val tied = Seq(8.0, 4.0, 2.0, 2.0, 2.0, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val t = Analytics.hillTailIndex(tied, "id", "v", k = 3).collect()(0)
+    assert(t.getLong(0) == 2L && t.getDouble(1) == 2.0, t.toString)
+    // layout-independent
+    val big = (1L to 2000L).map(i => (i, 1000.0 / i)).toDF("id", "v")
+    val a = Analytics.hillTailIndex(big, "id", "v").collect()(0)
+    val b = Analytics.hillTailIndex(big.repartition(13), "id", "v").collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -67,7 +67,10 @@ class PlanContractSpec extends SparkSpec {
           // 1-row seasonal-center broadcast over the 7-row dow means;
           // eigencentrality: a 1-row max broadcast per power-iteration
           // round (the deterministic normalizer — no order-dependent L2)
-          "q228_bootstrap_ci", "q232_stl", "q231_eigencentrality")
+          "q228_bootstrap_ci", "q232_stl", "q231_eigencentrality",
+          // tail index: the 1-row pivot (min of top-k-plus-1) broadcast
+          // over the k-row top set
+          "q235_tail_index")
         if (allowed(name)) None else Some(name)
       } else None
     }

@@ -379,4 +379,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(p.toSeq == q.toSeq)
   }
+
+  test("itemItemCF: cosine from co-occurrence counts, support floor, each pair once") {
+    // items: 10 with 4 users, 20 with 3, shared by {1,2,3}; 30 only user 1;
+    // duplicate (1,10) events must not inflate counts
+    val ev = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L)
+    ).toDF("user_id", "item")
+    val out = Similarity.itemItemCF(ev, "user_id", "item", minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only (10,20) clears support 2: n_both=3, n_10=4, n_20=3
+    assert(out.keySet == Set((10L, 20L)), out.toString)
+    val (nb, na, nbn, cos) = out((10L, 20L))
+    assert(nb == 3L && na == 4L && nbn == 3L)
+    assert(cos == BigDecimal(3.0 / math.sqrt(12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cos.toString)
+    // support 1 admits the rest, still one row per unordered pair
+    val all = Similarity.itemItemCF(ev, "user_id", "item", minSupport = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSet == Set((10L, 20L), (10L, 30L), (20L, 30L)) && all.forall(p => p._1 < p._2))
+  }
 }
