@@ -79,6 +79,12 @@ object Bench {
     // the slow queries; the TOTAL keeps 1 dp in every rung)
     val line = Seq(mk(2), mk(1), mk(1, dropQ = true), mk(0, dropQ = true))
       .find(_.length <= 1900).getOrElse(mk(0, dropQ = true))
+    // full-precision sidecar for LOCAL analysis (baseline tables, outlier
+    // hunts): the driver only sees the stdout tail, but the builder needs
+    // ms resolution once the degradation ladder reaches integer seconds
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+      mk(3).getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)
     spark.stop()

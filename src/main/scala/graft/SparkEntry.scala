@@ -571,6 +571,9 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q236_readability" -> ((s, d) =>
+      // Flesch ease + FK grade per document, scan-speed projection
+      TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")),
     "q235_tail_index" -> ((s, d) =>
       // Hill power-law tail estimate over order totals; TakeOrdered top-k,
       // micro-quantized ln terms
@@ -2523,6 +2526,23 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q236_readability" ->
+      // identical regex counts; the score is a fixed left-assoc double
+      // chain over exact integer ratios, quantized once
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(CAST(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS flesch_ease,
+        |  CAST(CAST(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |            + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "q235_tail_index" ->
       // same pivot rule: min of the top-(k+1) set, strictly-above filter;
       // ln terms micro-quantized before the order-dependent sum
@@ -2661,7 +2681,7 @@ object SparkEntry {
       """WITH r AS (SELECT unnest(generate_series(0, 39)) AS r),
         |e AS (SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS v_micro FROM events),
         |w AS (SELECT event_id, r.r AS r, v_micro,
-        |  CAST(CAST('0x' || substring(md5('bs1:' || CAST(event_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  CAST(CAST('0x' || substring(md5('bs1:' || CAST(event_id AS VARCHAR) || ':' || CAST(r.r // 8 AS VARCHAR)), (r.r % 8) * 4 + 1, 4) AS BIGINT) AS DOUBLE) / 65536.0 AS u
         |  FROM e CROSS JOIN r),
         |pw AS (SELECT r, v_micro,
         |  CASE WHEN u < 0.36787944117144233 THEN 0

@@ -274,13 +274,20 @@ object Graph {
     val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var s = e.select(col("a").as("node")).distinct()
-      .withColumn("score", lit(1.0))
-    for (_ <- 1 to iters) {
-      val raw = e.join(s, col("a") === col("node"))
-        .select(col("b"), col("score").cast("decimal(28,9)").as("c"))
-        .groupBy(col("b").as("node"))
-        .agg(sum("c").cast("double").as("raw"))
+    var s: DataFrame = null
+    for (i <- 1 to iters) {
+      // round 1 is score≡1, so the edge⨝score join collapses to a degree
+      // count — one aggregate instead of a join (saves a third of the
+      // rounds at the default 3)
+      val raw =
+        if (i == 1)
+          e.groupBy(col("b").as("node"))
+            .agg(sum(lit(1.0).cast("decimal(28,9)")).cast("double").as("raw"))
+        else
+          e.join(s, col("a") === col("node"))
+            .select(col("b"), col("score").cast("decimal(28,9)").as("c"))
+            .groupBy(col("b").as("node"))
+            .agg(sum("c").cast("double").as("raw"))
       val mx = raw.agg(max("raw").as("mx"))
       s = raw.crossJoin(broadcast(mx))
         .select(col("node"), (col("raw") / col("mx")).as("score"))

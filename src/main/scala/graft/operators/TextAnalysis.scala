@@ -327,4 +327,36 @@ object TextAnalysis {
       .toDF(idCol, "n_hits", "n_patterns")
       .orderBy(idCol)
   }
+
+  /** Flesch reading ease + Flesch–Kincaid grade (Kincaid et al. 1975) —
+    * the classic readability pair, used as a cheap fluency prior when
+    * curating training text. Sentences = runs of [.!?] (floored at 1 so
+    * fragments don't divide by zero); syllables ≈ vowel-group runs, the
+    * standard regex approximation — spaces break groups, so counting over
+    * the whole lowered text equals the per-word sum.
+    *
+    * One scan-speed projection: three regexp counts + two fixed double
+    * chains over exact integer ratios, quantized once — no UDF, no
+    * shuffle, engine-portable term for term. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = docs.select(
+      col(idCol),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_words"),
+      greatest(lit(1L),
+        size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+        .as("n_sentences"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    counted
+      .filter(col("n_words") > 0)
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .cast("decimal(18,6)").cast("double").as("flesch_ease"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          .cast("decimal(18,6)").cast("double").as("fk_grade"))
+      .orderBy(idCol)
+  }
 }

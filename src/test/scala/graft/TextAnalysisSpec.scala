@@ -154,4 +154,23 @@ class TextAnalysisSpec extends SparkSpec {
       .head()
     assert((s.getLong(1), s.getLong(2)) == ((4L, 3L))) // abc + c + 2×zz
   }
+
+  test("readability: hand-counted Flesch terms, fragment floor, empty doc dropped") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences, 6 syllable groups
+      (2L, "no punctuation here"),         // fragment -> sentence floor of 1
+      (3L, "")                             // zero words -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (w, sn, sy, ease) = out(1L)
+    assert((w, sn, sy) == ((6L, 2L, 6L)), out(1L).toString)
+    val expect = BigDecimal(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ease == expect, s"$ease vs $expect")
+    // "no punctuation here": 3 words, 1 sentence, syllables o/u-a-io/e-e -> groups
+    assert(out(2L)._2 == 1L)
+  }
 }
