@@ -378,6 +378,37 @@ object ScaleCheck {
     time("blocklist")(d => TextAnalysis.blocklistScreen(
       Tables.documents(spark, d), "doc_id", "text",
       Seq("value", "table", "spark", "query", "batch", "filter", "join", "data")))
+    time("bootstrap_ci")(d => Analytics.poissonBootstrapCI(
+      Tables.events(spark, d), "event_id", "value"))
+    time("eigencentrality")(d => {
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+        .select(col("pa"), explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
+      Graph.eigenCentrality(li, "pa", "pb")
+    })
+    time("item_cf")(d => Similarity.itemItemCF(
+      Tables.events(spark, d).withColumn("item",
+        get_json_object(col("props"), "$.k").cast("long")),
+      "user_id", "item"))
+    time("gopher_rules")(d => Curation.gopherRules(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("rfm")(d => Reports.rfmSegments(
+      spark.read.parquet(s"$d/orders.parquet"),
+      spark.read.parquet(s"$d/customer.parquet"), "1998-12-01"))
+    time("tail_index")(d => Analytics.hillTailIndex(
+      spark.read.parquet(s"$d/orders.parquet"), "o_orderkey", "o_totalprice"))
+    time("readability")(d => TextAnalysis.readability(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("stl")(d => Analytics.seasonalDecompose(Tables.events(spark, d), "ts"))
+    time("erasure_audit")(d => {
+      val cust = spark.read.parquet(s"$d/customer.parquet")
+      Relational.erasureAudit(
+        cust.filter(pmod(col("c_custkey"), lit(97)) === 0), cust,
+        spark.read.parquet(s"$d/orders.parquet"),
+        spark.read.parquet(s"$d/lineitem.parquet"))
+    })
 
     spark.stop()
   }

@@ -571,6 +571,23 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q240_ppr" -> ((s, d) => {
+      // random walk with restart to parts {1,2}: "related to THESE parts";
+      // symmetrized like q110 so no node dangles
+      val e = partCooccurrenceEdges(s, d)
+      Graph.personalizedPageRank(
+        e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb"))),
+        "pa", "pb", Seq(1L, 2L))
+    }),
+    "q239_sax" -> ((s, d) =>
+      // PAA + quartile-breakpoint letters over the daily series
+      Analytics.saxSymbolize(Tables.events(s, d), "ts")),
+    "q238_link_jaccard" -> ((s, d) =>
+      // link-prediction feature: neighbor-set Jaccard via wedge counts
+      Graph.neighborJaccard(partCooccurrenceEdges(s, d), "pa", "pb")),
+    "q237_compression" -> ((s, d) =>
+      // ☆ DEFLATE ratio quality signal (no SQL twin; spec-pinned)
+      TextAnalysis.compressionRatio(Tables.documents(s, d), "doc_id", "text")),
     "q236_readability" -> ((s, d) =>
       // Flesch ease + FK grade per document, scan-speed projection
       TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")),
@@ -2526,6 +2543,62 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q240_ppr" ->
+      // q110's decimal-contribution recipe with the restart mass split
+      // over seeds {1,2}; r0 = teleport distribution (0.5 each)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
+        |deg AS (SELECT a AS src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT DISTINCT a AS node,
+        |         CASE WHEN a IN (1, 2) THEN 0.5 ELSE CAST(0.0 AS DOUBLE) END AS rank FROM e),
+        |r1 AS (SELECT e.b AS node,
+        |         CASE WHEN e.b IN (1, 2) THEN 0.075 ELSE CAST(0.0 AS DOUBLE) END
+        |           + 0.85 * CAST(SUM(CAST(r0.rank / deg.deg AS DECIMAL(28,9))) AS DOUBLE) AS rank
+        |       FROM e JOIN deg ON deg.src = e.a JOIN r0 ON r0.node = e.a GROUP BY e.b),
+        |r2 AS (SELECT e.b AS node,
+        |         CASE WHEN e.b IN (1, 2) THEN 0.075 ELSE CAST(0.0 AS DOUBLE) END
+        |           + 0.85 * CAST(SUM(CAST(r1.rank / deg.deg AS DECIMAL(28,9))) AS DOUBLE) AS rank
+        |       FROM e JOIN deg ON deg.src = e.a JOIN r1 ON r1.node = e.a GROUP BY e.b)
+        |SELECT node, CAST(CAST(rank AS DECIMAL(18,6)) AS DOUBLE) AS rank
+        |FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "q239_sax" ->
+      // integer Σ/Σ² moments; one mirrored double chain for mu/sigma/z;
+      // letters compare the UN-quantized z against literal breakpoints
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT min(day) AS d0, count(*) AS nd, sum(n) AS s, sum(n*n) AS ss FROM daily),
+        |f AS (SELECT datediff('day', CAST(d0 AS DATE), CAST(day AS DATE)) // 7 AS frame, n,
+        |        CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+        |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+        |             / CAST(nd AS DOUBLE)) AS sigma
+        |      FROM daily CROSS JOIN st),
+        |g AS (SELECT frame, count(*) AS n_days, sum(n) AS fs, min(mu) AS mu, min(sigma) AS sigma
+        |      FROM f GROUP BY frame),
+        |z AS (SELECT frame, n_days, CAST(fs AS DOUBLE) / CAST(n_days AS DOUBLE) AS paa,
+        |        (CAST(fs AS DOUBLE) / CAST(n_days AS DOUBLE) - mu) / sigma AS zv
+        |      FROM g)
+        |SELECT frame, n_days,
+        |  CAST(CAST(paa AS DECIMAL(18,6)) AS DOUBLE) AS paa,
+        |  CAST(CAST(zv AS DECIMAL(18,6)) AS DOUBLE) AS z,
+        |  CASE WHEN zv < -0.6744897501960817 THEN 'a' WHEN zv < 0.0 THEN 'b'
+        |       WHEN zv < 0.6744897501960817 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY frame""".stripMargin,
+    "q238_link_jaccard" ->
+      // wedge counts with the same hub cap; x<y once per pair; exact
+      // degrees joined at the pair level, one quantized division
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
+        |deg AS (SELECT a AS n, count(*) AS deg FROM e GROUP BY 1),
+        |w AS (SELECT e1.b AS x, e2.b AS y, count(*) AS n_common
+        |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      WHERE e1.a IN (SELECT n FROM deg WHERE deg <= 10000)
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT x, y, n_common, dx.deg AS deg_x, dy.deg AS deg_y,
+        |  CAST(CAST(CAST(n_common AS DOUBLE) / CAST(dx.deg + dy.deg - n_common AS DOUBLE)
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+        |FROM w JOIN deg dx ON dx.n = w.x JOIN deg dy ON dy.n = w.y
+        |ORDER BY jaccard DESC, x, y LIMIT 50""".stripMargin,
     "q236_readability" ->
       // identical regex counts; the score is a fixed left-assoc double
       // chain over exact integer ratios, quantized once

@@ -1788,6 +1788,52 @@ object Analytics {
     * Exactness: each ln term is quantized to micro-units BEFORE the sum
     * (doubles summed in arbitrary order would drift); the mean divides
     * exact integers and α̂ is quantized once at the end. */
+  /** SAX symbolization (Lin/Keogh 2003) of the daily event-count series:
+    * PAA frame means → z-normalize against the global series moments →
+    * quartile breakpoints of N(0,1) → a 4-letter word per frame. The
+    * standard "make a time series greppable" transform: motif discovery,
+    * novelty detection, and series indexing all run on the symbols.
+    *
+    * Exactness: counts are integers, so Σ and Σ² are exact; mean/var/std
+    * and each z follow ONE fixed double chain mirrored in the oracle
+    * (sqrt is IEEE-correctly-rounded everywhere), and displayed values
+    * quantize once at the end. Letters compare the UN-quantized z against
+    * literal breakpoints — same chain ⇒ same double ⇒ same letter.
+    *
+    * Scale: one count aggregate collapses to the day grain; the 1-row
+    * moment frame broadcasts over the day-sized series. */
+  def saxSymbolize(events: DataFrame, tsCol: String,
+                   frameDays: Int = 7): DataFrame = {
+    val bp = 0.6744897501960817 // N(0,1) quartiles
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(
+      min("day").as("d0"), count(lit(1)).as("nd"),
+      sum("n").as("s"), sum(col("n") * col("n")).as("ss"))
+    val mean = col("s").cast("double") / col("nd").cast("double")
+    val variance = (col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("nd").cast("double")) /
+      col("nd").cast("double")
+    val frames = daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n"),
+        floor(datediff(col("day"), col("d0")).cast("double") / lit(frameDays.toDouble))
+          .cast("long").as("frame"),
+        mean.as("mu"), sqrt(variance).as("sigma"))
+      .groupBy("frame")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("fs"),
+        first("mu").as("mu"), first("sigma").as("sigma"))
+    val paa = col("fs").cast("double") / col("n_days").cast("double")
+    val z = (paa - col("mu")) / col("sigma")
+    frames.select(
+      col("frame"), col("n_days"),
+      paa.cast("decimal(18,6)").cast("double").as("paa"),
+      z.cast("decimal(18,6)").cast("double").as("z"),
+      when(z < -bp, "a").when(z < 0.0, "b").when(z < bp, "c").otherwise("d")
+        .as("symbol"))
+      .orderBy("frame")
+  }
+
   def hillTailIndex(df: DataFrame, idCol: String, valueCol: String,
                     k: Int = 500): DataFrame = {
     val top = df

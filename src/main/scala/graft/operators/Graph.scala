@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics beyond the connected components in [[Dedup]]: PageRank
@@ -296,6 +296,90 @@ object Graph {
     s.select(col("node"),
       col("score").cast("decimal(18,6)").cast("double").as("score"))
       .orderBy(col("score").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** Neighbor-set Jaccard similarity — the classic link-prediction feature
+    * (Liben-Nowell & Kleinberg 2003): sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|,
+    * scored for EVERY pair sharing ≥ minCommon neighbors, adjacent or not
+    * (non-adjacent high scorers are the predicted links).
+    *
+    * Common-neighbor counts come from the sorted-set wedge explode: each
+    * center x emits its neighbor pairs once (i<j), one count aggregate —
+    * the same one-shuffle shape as the co-occurrence builders, never an
+    * all-pairs node join. Wedge work is Σ deg(x)², so centers above
+    * maxDegree are dropped (the standard hub cap: a 10⁶-degree hub would
+    * emit 10¹² wedges for near-zero Jaccard — at the default the cap is
+    * inert on anything but adversarial hubs, and the oracle applies the
+    * identical cap). Union sizes come from exact degrees joined in at the
+    * pair level; one quantized division at the end. */
+  def neighborJaccard(edges: DataFrame, aCol: String, bCol: String,
+                      minCommon: Int = 2, maxDegree: Int = 10000,
+                      topK: Int = 50): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg is node-sized: joins stay UN-hinted so AQE broadcasts it when it
+    // fits (dimension-entity graphs) and shuffles it when it doesn't
+    // (billion-node graphs) — the cap join and the two lookup joins are
+    // all node-keyed either way
+    val deg = e.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    val common = e.join(deg.filter(col("deg") <= maxDegree),
+        col("a") === col("n"))
+      .groupBy(col("a")).agg(sort_array(collect_set(col("b"))).as("ns"))
+      .select(posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
+      .select(col("x"), explode(slice(col("ns"), col("i") + lit(2),
+        size(col("ns")))).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(deg.select(col("n").as("x"), col("deg").as("deg_x")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("deg_y")), "y")
+      .select(col("x"), col("y"), col("n_common"), col("deg_x"), col("deg_y"),
+        (col("n_common").cast("double") /
+          (col("deg_x") + col("deg_y") - col("n_common")).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("jaccard"))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
+  /** Personalized PageRank (random walk with restart to a SEED set): the
+    * "similar to these nodes" primitive behind who-to-follow and related-
+    * item surfaces — global PageRank measures importance, PPR measures
+    * importance RELATIVE to the seeds. Same decimal-contribution recipe as
+    * [[pageRank]]; the restart mass (1−d)/|S| lands only on seeds, ranks
+    * start as the restart vector, fixed unrollable iterations. Non-seed
+    * sinks leak walk mass (no dangling redistribution) exactly as in
+    * [[pageRank]] — callers pass symmetrized edges. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iters: Int = 2,
+                           damping: Double = 0.85, topK: Int = 20): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val index = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val restart = 1.0 - damping
+    val p0 = restart / seeds.size
+    def resetOf(node: Column): Column =
+      when(node.isin(seeds: _*), lit(p0)).otherwise(lit(0.0))
+    var ranks = index.select(col("src").as("node")).distinct()
+      .withColumn("rank", resetOf(col("node")) / lit(restart)) // walk starts AT the seeds
+    for (i <- 1 to iters) {
+      ranks = index.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(28,9)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(damping) * sum(col("c")).cast("double")).as("walked"))
+        .select(col("node"),
+          (resetOf(col("node")) + col("walked")).as("rank"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    index.unpersist(false)
+    ranks
+      .select(col("node"), col("rank").cast("decimal(18,6)").cast("double").as("rank"))
+      .orderBy(col("rank").desc, col("node"))
       .limit(topK)
   }
 }

@@ -873,4 +873,23 @@ class AnalyticsSpec extends SparkSpec {
     val b = Analytics.hillTailIndex(big.repartition(13), "id", "v").collect()(0)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("saxSymbolize: square wave maps to alternating a/d, exact PAA and z") {
+    // 4 weeks alternating 10/20 events per day: mean 15, sigma 5, z = ∓1
+    val base = java.time.LocalDate.parse("2024-03-04")
+    val rows = (0 until 28).flatMap { d =>
+      val n = if ((d / 7) % 2 == 0) 10 else 20
+      (1 to n).map(i => (java.sql.Timestamp.valueOf(base.plusDays(d).atTime(i % 24, 0)),
+        d.toLong * 100 + i))
+    }
+    val out = Analytics.saxSymbolize(rows.toDF("ts", "event_id"), "ts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getString(4)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    out.foreach { case (f, (nd, paa, z, sym)) =>
+      assert(nd == 7L)
+      if (f % 2 == 0) assert(paa == 10.0 && z == -1.0 && sym == "a", s"$f $paa $z $sym")
+      else assert(paa == 20.0 && z == 1.0 && sym == "d", s"$f $paa $z $sym")
+    }
+  }
 }

@@ -164,4 +164,46 @@ class GraphSpec extends SparkSpec {
     val a = Graph.eigenCentrality(tri.repartition(7), "a", "b").collect().map(_.toSeq).toSeq
     assert(a == Graph.eigenCentrality(tri, "a", "b").collect().map(_.toSeq).toSeq)
   }
+
+  test("neighborJaccard: counts and union arithmetic, non-adjacent pairs scored, hub cap") {
+    import spark.implicits._
+    // K4 minus edge (1,4): N(1)={2,3}, N(4)={2,3} -> non-adjacent pair
+    // (1,4) has jaccard 2/(2+2-2)=1.0; adjacent (2,3) share {1,4} too
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.neighborJaccard(g, "a", "b", minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out((1L, 4L)) == ((2L, 2L, 2L, 1.0)), out.toString)
+    assert(out((2L, 3L)) == ((2L, 3L, 3L, 0.5)), out.toString)
+    assert(out.keySet == Set((1L, 4L), (2L, 3L)))
+    // hub cap: with maxDegree=2 the degree-3 centers stop contributing
+    // wedges; only centers 1 and 4 (degree 2) emit, so both pairs survive
+    // via their two low-degree witnesses... (2,3) keeps exactly those 2
+    val capped = Graph.neighborJaccard(g, "a", "b", minCommon = 2, maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((2L, 3L) -> 2L), capped.toString)
+  }
+
+  test("personalizedPageRank: mass concentrates at the seeds, layout-independent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized; seed {1}: rank must decay with distance
+    val p0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val path = p0.unionAll(p0.select($"b".as("a"), $"a".as("b")))
+    val out = Graph.personalizedPageRank(path, "a", "b", Seq(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a path is bipartite, so finite power iterations oscillate by parity
+    // — the stable facts: the seed's neighbor holds the walk mass, nodes
+    // beyond `iters` hops hold NONE, and the seed beats both non-neighbors
+    assert(out(2L) == out.values.max, out.toString)
+    assert(out(5L) == 0.0, out.toString) // distance 4 > 3 iterations
+    assert(out(1L) > out(3L) && out(1L) > out(4L), out.toString)
+    // two seeds at the ends: symmetric graph -> symmetric ranks
+    val two = Graph.personalizedPageRank(path, "a", "b", Seq(1L, 5L), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two(1L) == two(5L) && two(2L) == two(4L), two.toString)
+    val rep = Graph.personalizedPageRank(path.repartition(7), "a", "b", Seq(1L), iters = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(rep == Graph.personalizedPageRank(path, "a", "b", Seq(1L), iters = 3)
+      .collect().map(_.toSeq).toSeq)
+  }
 }

@@ -173,4 +173,24 @@ class TextAnalysisSpec extends SparkSpec {
     // "no punctuation here": 3 words, 1 sentence, syllables o/u-a-io/e-e -> groups
     assert(out(2L)._2 == 1L)
   }
+
+  test("compressionRatio: repetition compresses, entropy does not, deterministic") {
+    val rng = new scala.util.Random(7)
+    val noisy = (1 to 4000).map(_ => rng.nextPrintableChar()).mkString
+    val df = Seq(
+      (1L, "spam " * 800),       // pure repetition
+      (2L, noisy),               // high entropy
+      (3L, "")                   // empty -> null ratio
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4000L)
+    assert(out(1L).getDouble(3) < 0.05, out(1L).toString)   // boilerplate squashes
+    assert(out(2L).getDouble(3) > 0.5, out(2L).toString)    // entropy resists
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(3))
+    // pure function of the text: repartition changes nothing
+    val p = TextAnalysis.compressionRatio(df.repartition(5), "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(p == TextAnalysis.compressionRatio(df, "doc_id", "text").collect().map(_.toSeq).toSeq)
+  }
 }
