@@ -571,6 +571,21 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q243_cohort_ltv" -> ((s, d) =>
+      // cohort LTV triangle: revenue by (first-seen week, weeks-since),
+      // cumulative per-user LTV against the full cohort size
+      Analytics.cohortLtv(Tables.events(s, d), "user_id", "ts", "value")),
+    "q242_dp_sum" -> ((s, d) =>
+      // ε=1 DP revenue release: clip to [0,10], quantize to clip units,
+      // integer geometric noise — the portable continuous-Laplace stand-in
+      Privacy.dpNoisySum(Tables.events(s, d), "event_type", "value")),
+    "q241_synth_agg" -> ((s, d) =>
+      // aggregate pushdown on the V2 generator: count/min/max answered
+      // from the pushed interval without synthesizing rows (sf-independent)
+      s.read.format("synthdocs").option("rows", "10000000").load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 9000000)
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))),
     "q240_ppr" -> ((s, d) => {
       // random walk with restart to parts {1,2}: "related to THESE parts";
       // symmetrized like q110 so no node dangles
@@ -2543,6 +2558,56 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q243_cohort_ltv" ->
+      // decimal revenue end to end; weeks_since on day arithmetic (both
+      // engines truncate weeks to ISO Monday)
+      """WITH uw AS (SELECT user_id AS u, date_trunc('week', ts) AS wk,
+        |              SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2),
+        |c AS (SELECT u, min(wk) AS c0 FROM uw GROUP BY 1),
+        |sz AS (SELECT c0, count(*) AS cohort_users FROM c GROUP BY 1),
+        |g AS (SELECT c.c0, datediff('day', CAST(c.c0 AS DATE), CAST(uw.wk AS DATE)) // 7 AS weeks_since,
+        |        CAST(SUM(rev) AS DECIMAL(18,6)) AS rev
+        |      FROM uw JOIN c USING (u) GROUP BY 1, 2),
+        |k AS (SELECT g.c0, weeks_since, cohort_users, rev,
+        |        CAST(SUM(rev) OVER (PARTITION BY g.c0 ORDER BY weeks_since) AS DECIMAL(18,6)) AS cum
+        |      FROM g JOIN sz ON sz.c0 = g.c0)
+        |SELECT strftime(c0, '%Y-%m-%d') AS cohort_week,
+        |  CAST(weeks_since AS BIGINT) AS weeks_since, cohort_users,
+        |  CAST(rev AS DOUBLE) AS revenue, CAST(cum AS DOUBLE) AS cum_revenue,
+        |  CAST(CAST(CAST(cum AS DOUBLE) / CAST(cohort_users AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS ltv_per_user
+        |FROM k ORDER BY cohort_week, weeks_since""".stripMargin,
+    "q242_dp_sum" ->
+      // identical clip→micro-quantize→unit-quantize→ladder chain; the
+      // release is integer arithmetic scaled once by the clip bound
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(least(greatest(value, 0.0), 10.0) * 1000000.0) AS BIGINT) AS vm FROM events),
+        |g AS (SELECT event_type, sum(vm) AS sm FROM c GROUP BY 1),
+        |u AS (SELECT event_type, sm,
+        |  CAST(CAST('0x' || substring(md5('dps1:' || event_type), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM g)
+        |SELECT event_type,
+        |  CAST(CAST(round(CAST(sm AS DOUBLE) / 10000000.0) AS BIGINT)
+        |    + (CASE WHEN u < 0.0006666391336166198 THEN -7
+        |            WHEN u < 0.001812113043049739 THEN -6
+        |            WHEN u < 0.004925833956035729 THEN -5
+        |            WHEN u < 0.013389804932698453 THEN -4
+        |            WHEN u < 0.03639726343516549 THEN -3
+        |            WHEN u < 0.0989380198014472 THEN -2
+        |            WHEN u < 0.2689414213699951 THEN -1
+        |            WHEN u < 0.7310585786300048 THEN 0
+        |            WHEN u < 0.9010619801985527 THEN 1
+        |            WHEN u < 0.9636027365648344 THEN 2
+        |            WHEN u < 0.9866101950673014 THEN 3
+        |            WHEN u < 0.9950741660439641 THEN 4
+        |            WHEN u < 0.9981878869569502 THEN 5
+        |            WHEN u < 0.9993333608663832 THEN 6
+        |            ELSE 7 END) AS DOUBLE) * 10.0 AS noisy_sum,
+        |  1.0 AS epsilon, 10.0 AS clip_hi
+        |FROM u ORDER BY event_type""".stripMargin,
+    "q241_synth_agg" ->
+      // the generator's closed forms, reproduced from range()
+      """SELECT count(*) AS n_docs, min(range) AS min_id, max(range) AS max_id
+        |FROM range(1000, 9000000)""".stripMargin,
     "q240_ppr" ->
       // q110's decimal-contribution recipe with the restart mass split
       // over seeds {1,2}; r0 = teleport distribution (0.5 each)

@@ -1774,6 +1774,44 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Cohort LTV triangle: users cohort by FIRST-seen week, revenue
+    * accumulates per (cohort, weeks-since) cell — the monetary twin of
+    * [[growthAccounting]]'s retention triangle, and the table every
+    * payback-period model reads. Cumulative LTV divides by the FULL
+    * cohort size (not just that week's actives) — the convention that
+    * makes cells comparable across cohorts.
+    *
+    * One (user, week) aggregate, one user-keyed join against the
+    * user-sized cohort table (AQE broadcasts it when it fits), one grid
+    * aggregate (cohorts × weeks — tiny), then a cumulative window
+    * PARTITIONED by cohort. DECIMAL revenue end to end, doubles only in
+    * the final projection. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).as("wk"),
+      col(valueCol).cast("decimal(18,6)").as("v"))
+      .groupBy("u", "wk").agg(sum("v").as("rev"))
+    val cohorts = uw.groupBy("u").agg(min("wk").as("c0"))
+    val sizes = cohorts.groupBy("c0").agg(count(lit(1)).as("cohort_users"))
+    val grid = uw.join(cohorts, "u")
+      .groupBy(col("c0"),
+        (datediff(col("wk"), col("c0")) / lit(7)).cast("long").as("weeks_since"))
+      .agg(sum("rev").cast("decimal(18,6)").as("rev"))
+    val w = Window.partitionBy("c0").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(sizes, "c0")
+      .withColumn("cum", sum("rev").over(w).cast("decimal(18,6)"))
+      .select(
+        date_format(col("c0"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"), col("cohort_users"),
+        col("rev").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"),
+        (col("cum").cast("double") / col("cohort_users").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("ltv_per_user"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** Hill estimator of the power-law tail index (Hill 1975): over the top
     * k order statistics, H = (1/k)·Σ ln(x_(i)/x_(k+1)) and α̂ = 1/H — the
     * "how heavy is this distribution's tail" gate that decides whether

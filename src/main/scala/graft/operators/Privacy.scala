@@ -115,4 +115,36 @@ object Privacy {
         lit(1.0).as("epsilon"))
       .orderBy(keyCol)
   }
+
+  /** ε-DP group SUMS via clip + quantize + discrete Laplace: values clip
+    * to [0, clipHi] (bounding one row's contribution — the sensitivity),
+    * the exact micro-unit sum quantizes to clipHi-sized units (so one
+    * row moves the released integer by at most 1), and the same ε=1
+    * geometric ladder as [[dpNoisyCounts]] adds integer noise on that
+    * unit scale. Release = (q + Z)·clipHi. The quantize-then-noise shape
+    * is the granularity trick that keeps the mechanism integer-exact —
+    * and therefore engine-portable — instead of needing continuous
+    * Laplace draws. One hash aggregate; noise is a pure function of
+    * (seed, key). */
+  def dpNoisySum(df: DataFrame, keyCol: String, valueCol: String,
+                 clipHi: Double = 10.0, seed: String = "dps1"): DataFrame = {
+    require(clipHi > 0, "clip bound must be positive")
+    val u = conv(substring(md5(concat(lit(seed + ":"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val z = dLaplaceCdf.foldRight(lit(7): Column) { case ((t, k), acc) =>
+      when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    val unitMicro = math.round(clipHi * 1e6).toDouble
+    df.select(col(keyCol),
+      round(least(greatest(col(valueCol), lit(0.0)), lit(clipHi)) * lit(1e6))
+        .cast("long").as("__vm"))
+      .groupBy(keyCol)
+      .agg(sum("__vm").as("__sm"))
+      .select(col(keyCol),
+        ((round(col("__sm").cast("double") / lit(unitMicro)).cast("long") + z)
+          .cast("double") * lit(clipHi)).as("noisy_sum"),
+        lit(1.0).as("epsilon"), lit(clipHi).as("clip_hi"))
+      .orderBy(keyCol)
+  }
 }

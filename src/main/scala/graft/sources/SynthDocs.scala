@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Transform, aggregate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -88,12 +88,14 @@ class SynthDocsTable(rows: Long, partitions: Int) extends Table with SupportsRea
 }
 
 class SynthScanBuilder(rows: Long, partitions: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = SynthDocs.Schema
+  private var aggFuncs: Option[Seq[aggregate.AggregateFunc]] = None
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: Long => Some(n)
@@ -121,8 +123,69 @@ class SynthScanBuilder(rows: Long, partitions: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** Aggregate pushdown — the generator-side analog of parquet footer
+    * statistics, one better: COUNT(*), MIN(doc_id), MAX(doc_id) over a
+    * deterministic [lo, hi) interval are CLOSED FORMS, so the scan answers
+    * them in O(1) without synthesizing a single row (a count over 10⁹
+    * generated docs returns instantly). Complete pushdown (no grouping,
+    * only interval-answerable functions); anything else declines and runs
+    * as a normal aggregate over the generated rows. Filters have already
+    * been consumed into [lo, hi) by the time Spark offers the aggregate,
+    * so filter+aggregate compose exactly. */
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    aggAnswerable(agg)
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!aggAnswerable(agg)) return false
+    aggFuncs = Some(agg.aggregateExpressions().toSeq)
+    true
+  }
+  private def aggAnswerable(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
+      case _: aggregate.CountStar => true
+      case m: aggregate.Min => m.column().describe() == "doc_id"
+      case m: aggregate.Max => m.column().describe() == "doc_id"
+      case _ => false
+    }
+
   // contradictory predicates (lo > hi) collapse to the empty interval
-  override def build(): Scan = SynthScan(lo, math.max(lo, hi), partitions, required)
+  override def build(): Scan = aggFuncs match {
+    case Some(fs) => SynthAggScan(lo, math.max(lo, hi), fs)
+    case None     => SynthScan(lo, math.max(lo, hi), partitions, required)
+  }
+}
+
+/** O(1) aggregate answer for a pushed count/min/max over the generated
+  * interval: one partition, one row, computed from the bounds alone. */
+case class SynthAggScan(lo: Long, hi: Long,
+                        funcs: Seq[aggregate.AggregateFunc])
+  extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: aggregate.CountStar => StructField("count(*)", LongType, nullable = false)
+    case m: aggregate.Min => StructField(m.describe(), LongType)
+    case m: aggregate.Max => StructField(m.describe(), LongType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String = s"SynthAggScan[$lo, $hi) ${funcs.map(_.describe).mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = funcs
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val SynthRange(from, until) = partition
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val empty = until <= from
+        val values: Array[Any] = fs.map {
+          case _: aggregate.CountStar => math.max(0L, until - from)
+          case _: aggregate.Min => if (empty) null else from
+          case _: aggregate.Max => if (empty) null else until - 1
+        }.toArray
+        new GenericInternalRow(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Case class on purpose: specs (and humans) can fish it out of the

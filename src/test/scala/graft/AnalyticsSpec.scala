@@ -874,6 +874,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("cohortLtv: triangle cells, cumulative against full cohort size") {
+    def ts(day: Int, h: Int = 1) =
+      java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2024-01-01") // a Monday
+        .plusDays(day).atTime(h, 0))
+    // cohort W0: users 1,2 (user 2 returns in W1); cohort W1: user 3
+    val ev = Seq(
+      (1L, ts(0), 10.0), (2L, ts(1), 20.0),
+      (2L, ts(8), 5.0),                      // W1 revenue for cohort W0
+      (3L, ts(9), 7.0)                       // new cohort W1
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.cohortLtv(ev, "user_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(("2024-01-01", 0L)) == ((2L, 30.0, 30.0, 15.0)), out.toString)
+    assert(out(("2024-01-01", 1L)) == ((2L, 5.0, 35.0, 17.5)), out.toString)
+    assert(out(("2024-01-08", 0L)) == ((1L, 7.0, 7.0, 7.0)), out.toString)
+    assert(out.size == 3)
+  }
+
   test("saxSymbolize: square wave maps to alternating a/d, exact PAA and z") {
     // 4 weeks alternating 10/20 events per day: mean 15, sigma 5, z = ∓1
     val base = java.time.LocalDate.parse("2024-03-04")

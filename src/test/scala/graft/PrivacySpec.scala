@@ -79,4 +79,23 @@ class PrivacySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(other.exists { case (g, n) => n != rel(g)._1 })
   }
+
+  test("dpNoisySum: clipping bounds the release, noise on the clip-unit scale") {
+    import spark.implicits._
+    // group a: 100 rows of 5.0 (sum 500); group b: 10 rows of 1000.0 that
+    // CLIP to 10.0 (sum 100); group c: negatives clip to 0
+    val df = ((1 to 100).map(i => ("a", 5.0)) ++ (1 to 10).map(_ => ("b", 1000.0)) ++
+      (1 to 5).map(_ => ("c", -3.0))).toDF("grp", "v")
+    val out = Privacy.dpNoisySum(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    // noise z in [-7,7] on the 10-unit scale: release within ±70 of the
+    // clipped truth, and always a multiple of 10
+    assert(math.abs(out("a")._1 - 500.0) <= 70.0, out.toString)
+    assert(math.abs(out("b")._1 - 100.0) <= 70.0, out.toString)
+    assert(math.abs(out("c")._1 - 0.0) <= 70.0, out.toString)
+    out.values.foreach { case (s, c) => assert(s % 10.0 == 0.0 && c == 10.0) }
+    // deterministic under layout
+    val again = Privacy.dpNoisySum(df.repartition(9), "grp", "v").collect().map(_.toSeq).toSeq
+    assert(again == Privacy.dpNoisySum(df, "grp", "v").collect().map(_.toSeq).toSeq)
+  }
 }

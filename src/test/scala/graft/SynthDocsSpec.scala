@@ -79,4 +79,40 @@ class SynthDocsSpec extends SparkSpec {
     val sizes = ranges.map { case (a, b) => b - a }
     assert(sizes.max - sizes.min <= 1) // even split
   }
+
+  test("aggregate pushdown: count/min/max answered O(1) from the interval — 1e9 rows instantly") {
+    def aggScanOf(df: DataFrame) = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SynthAggScan] =>
+        b.scan.asInstanceOf[graft.sources.SynthAggScan]
+    }
+    val t0 = System.nanoTime()
+    val df = read(1000000000L).agg(count(lit(1)).as("n"),
+      min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val r = df.collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1000000000L, 0L, 999999999L)))
+    assert(aggScanOf(df).isDefined, "aggregate was not pushed into the scan")
+    assert(secs < 30, s"O(1) count took $secs s — rows were generated") // generating 1e9 texts would take minutes
+
+    // filter + aggregate compose: the consumed range narrows the answer
+    val f = read(1000000000L).filter(col("doc_id") >= 100 && col("doc_id") < 5000)
+      .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val fr = f.collect()(0)
+    assert((fr.getLong(0), fr.getLong(1), fr.getLong(2)) == ((4900L, 100L, 4999L)))
+    assert(aggScanOf(f).isDefined)
+
+    // empty interval: count 0, min/max null
+    val e = read(100).filter(col("doc_id") > 1000)
+      .agg(count(lit(1)).as("n"), min("doc_id").as("mn"))
+    val er = e.collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+
+    // a grouped aggregate DECLINES pushdown and still computes correctly
+    val g = read(100).groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SynthAggScan] => b
+    }.isEmpty)
+    val byLang = g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 60L)
+  }
 }
