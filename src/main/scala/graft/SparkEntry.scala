@@ -571,6 +571,13 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q245_window_funnel" -> ((s, d) =>
+      // conversion within 7 days of first touch, greedy earliest-match
+      Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))),
+    "q244_changepoint" -> ((s, d) =>
+      // WHERE the daily level shifted: argmin split of SSE_l + SSE_r
+      Analytics.changepoint(Tables.events(s, d), "ts")),
     "q243_cohort_ltv" -> ((s, d) =>
       // cohort LTV triangle: revenue by (first-seen week, weeks-since),
       // cumulative per-user LTV against the full cohort size
@@ -2558,6 +2565,41 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q245_window_funnel" ->
+      // identical min-aggregate chain; greedy earliest-match = first
+      // step-1, first step-2 after it, first step-3 after THAT
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |d1 AS (SELECT u, t1, t1 + INTERVAL 7 DAY AS deadline FROM s1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2, min(d1.deadline) AS deadline
+        |       FROM events e JOIN d1 ON e.user_id = d1.u
+        |       WHERE e.event_type = 'click' AND e.ts > d1.t1 AND e.ts <= d1.deadline
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.deadline
+        |       GROUP BY 1),
+        |d AS (SELECT u, 1 AS depth FROM s1 UNION ALL SELECT u, 2 FROM s2
+        |      UNION ALL SELECT u, 3 FROM s3),
+        |m AS (SELECT u, max(depth) AS depth FROM d GROUP BY 1)
+        |SELECT depth, count(*) AS n_users FROM m GROUP BY 1 ORDER BY depth""".stripMargin,
+    "q244_changepoint" ->
+      // integer prefix Σ/Σ², one mirrored double chain per candidate,
+      // argmin by (cost, day) total order
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS nd, sum(n) AS s, sum(n*n) AS ss FROM daily),
+        |c AS (SELECT day, count(*) OVER w AS k, sum(n) OVER w AS sL, sum(n*n) OVER w AS ssL
+        |      FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |x AS (SELECT day, k,
+        |        (CAST(ssL AS DOUBLE) - CAST(sL AS DOUBLE) * CAST(sL AS DOUBLE) / CAST(k AS DOUBLE))
+        |          + (CAST(ss - ssL AS DOUBLE) - CAST(s - sL AS DOUBLE) * CAST(s - sL AS DOUBLE) / CAST(nd - k AS DOUBLE)) AS cost,
+        |        CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS cost0
+        |      FROM c CROSS JOIN tot WHERE k >= 1 AND k < nd)
+        |SELECT strftime(day, '%Y-%m-%d') AS split_day, k AS n_days_before,
+        |  CAST(CAST(cost0 AS DECIMAL(18,6)) AS DOUBLE) AS sse_unsplit,
+        |  CAST(CAST(cost AS DECIMAL(18,6)) AS DOUBLE) AS sse_split,
+        |  CAST(CAST((cost0 - cost) / cost0 AS DECIMAL(18,6)) AS DOUBLE) AS reduction
+        |FROM x ORDER BY cost, day LIMIT 1""".stripMargin,
     "q243_cohort_ltv" ->
       // decimal revenue end to end; weeks_since on day arithmetic (both
       // engines truncate weeks to ISO Monday)

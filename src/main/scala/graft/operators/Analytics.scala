@@ -1812,6 +1812,82 @@ object Analytics {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** Single changepoint by binary segmentation (the first split of the
+    * classic CUSUM-of-squares/segmentation family): the day k that
+    * minimizes SSE_left + SSE_right over the daily count series — WHERE
+    * the level shifted, complementing [[Evaluation.cusum]]'s "did it
+    * shift" alarm. One candidate row per day from prefix sums (integer
+    * Σ/Σ² — exact), one fixed double chain per candidate, argmin by
+    * (cost, day) total order. Day-sized series after the first aggregate;
+    * the window prefix scan runs on it, not on events. */
+  def changepoint(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = daily.agg(count(lit(1)).as("nd"), sum("n").as("s"),
+      sum(col("n") * col("n")).as("ss"))
+    def sse(s: Column, ss: Column, n: Column): Column =
+      ss.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")
+    val cand = daily
+      .withColumn("k", count(lit(1)).over(w))     // rows BEFORE this day
+      .withColumn("sL", sum("n").over(w))
+      .withColumn("ssL", sum(col("n") * col("n")).over(w))
+      .filter(col("k") >= 1)
+      .crossJoin(broadcast(tot))
+      .filter(col("k") < col("nd"))
+      .select(col("day"), col("k"),
+        (sse(col("sL"), col("ssL"), col("k")) +
+          sse(col("s") - col("sL"), col("ss") - col("ssL"), col("nd") - col("k")))
+          .as("cost"),
+        sse(col("s"), col("ss"), col("nd")).as("cost0"))
+    cand.orderBy(col("cost").asc, col("day").asc).limit(1)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        col("k").as("n_days_before"),
+        col("cost0").cast("decimal(18,6)").cast("double").as("sse_unsplit"),
+        col("cost").cast("decimal(18,6)").cast("double").as("sse_split"),
+        ((col("cost0") - col("cost")) / col("cost0"))
+          .cast("decimal(18,6)").cast("double").as("reduction"))
+  }
+
+  /** Time-constrained funnel (the ClickHouse `windowFunnel` shape): how
+    * deep each user gets through an ORDERED event chain when every later
+    * step must land within `windowDays` of the FIRST step. Greedy
+    * earliest-match semantics — first step-1 event, then the first step-2
+    * event after it, then the first step-3 after THAT — which is exactly
+    * expressible as a chain of min-aggregates and therefore oracle-exact
+    * (q68's funnel counts unordered lifetime reach; this one answers "did
+    * they convert within the week").
+    *
+    * Per step: one filtered (user, min ts) aggregate + one user-keyed
+    * join — step tables shrink monotonically, everything partitions by
+    * user. Output: depth → user count. */
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowDays: Int = 7): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    val u = col(userCol).as("u")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .select(u, col(tsCol).as("ts"))
+      .groupBy("u").agg(min("ts").as("t_last"))
+      .withColumn("deadline", col("t_last") + expr(s"INTERVAL $windowDays DAYS"))
+    var tiers = List(cur.select("u") -> 1)
+    for (step <- steps.tail) {
+      cur = events.filter(col(typeCol) === step)
+        .select(u, col(tsCol).as("ts"))
+        .join(cur, "u")
+        .filter(col("ts") > col("t_last") && col("ts") <= col("deadline"))
+        .groupBy("u").agg(min("ts").as("t_last"), min("deadline").as("deadline"))
+      tiers ::= cur.select("u") -> (tiers.head._2 + 1)
+    }
+    tiers.map { case (df, depth) => df.select(lit(depth).as("depth"), col("u")) }
+      .reduce(_ unionAll _)
+      .groupBy("u").agg(max("depth").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
   /** Hill estimator of the power-law tail index (Hill 1975): over the top
     * k order statistics, H = (1/k)·Σ ln(x_(i)/x_(k+1)) and α̂ = 1/H — the
     * "how heavy is this distribution's tail" gate that decides whether

@@ -893,6 +893,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("changepoint: clean level shift found exactly, degenerate flat series") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.parse("2024-01-01").plusDays(day).atTime(6, 0))
+    // 10 days at 10/day then 10 days at 30/day: split at day 10, both
+    // segments constant -> sse_split 0, reduction exactly 1
+    val ev = (0 until 20).flatMap { d =>
+      (1 to (if (d < 10) 10 else 30)).map(i => (ts(d), d.toLong * 1000 + i))
+    }.toDF("ts", "event_id")
+    val r = Analytics.changepoint(ev, "ts").collect()(0)
+    assert(r.getString(0) == "2024-01-11" && r.getLong(1) == 10L, r.toString)
+    assert(r.getDouble(2) == 2000.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+    // layout-independence on a sawtooth (no clean split): the (cost, day)
+    // total order makes the argmin deterministic
+    val saw = (0 until 14).flatMap { d => (1 to (4 + 3 * (d % 3))).map(i =>
+      (ts(d), d.toLong * 100 + i)) }.toDF("ts", "event_id")
+    val a = Analytics.changepoint(saw, "ts").collect()(0)
+    val b = Analytics.changepoint(saw.repartition(9), "ts").collect()(0)
+    assert(a.toSeq == b.toSeq, s"$a vs $b")
+  }
+
+  test("windowFunnel: greedy earliest-match, window deadline, max depth per user") {
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.parse("2024-05-01").plusDays(day).atTime(h, 0))
+    val ev = Seq(
+      // u1: full chain inside the 7-day window
+      (1L, "signup", ts(0, 9)), (1L, "click", ts(1, 9)), (1L, "purchase", ts(2, 9)),
+      // u2: purchase lands after the deadline -> stops at depth 2
+      (2L, "signup", ts(0, 9)), (2L, "click", ts(1, 9)), (2L, "purchase", ts(9, 9)),
+      // u3: signup only
+      (3L, "signup", ts(0, 9)),
+      // u4: no signup -> not in the funnel at all
+      (4L, "click", ts(0, 9)), (4L, "purchase", ts(1, 9)),
+      // u5: purchase BEFORE the click must not count (greedy order)
+      (5L, "signup", ts(0, 9)), (5L, "purchase", ts(1, 9)), (5L, "click", ts(2, 9))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.windowFunnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 2L, 3 -> 1L), out.toString)
+  }
+
   test("saxSymbolize: square wave maps to alternating a/d, exact PAA and z") {
     // 4 weeks alternating 10/20 events per day: mean 15, sigma 5, z = ∓1
     val base = java.time.LocalDate.parse("2024-03-04")

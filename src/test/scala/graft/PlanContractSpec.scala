@@ -69,9 +69,9 @@ class PlanContractSpec extends SparkSpec {
           // round (the deterministic normalizer — no order-dependent L2)
           "q228_bootstrap_ci", "q232_stl", "q231_eigencentrality",
           // tail index: the 1-row pivot (min of top-k-plus-1) broadcast
-          // over the k-row top set; sax: the 1-row series-moment frame
-          // broadcast over the day-sized series
-          "q235_tail_index", "q239_sax")
+          // over the k-row top set; sax/changepoint: the 1-row series
+          // moments broadcast over the day-sized series
+          "q235_tail_index", "q239_sax", "q244_changepoint")
         if (allowed(name)) None else Some(name)
       } else None
     }
