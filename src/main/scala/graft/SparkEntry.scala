@@ -571,6 +571,37 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q246_segment_dedup" -> ((s, d) =>
+      // CCNet-shaped boilerplate removal: drop 8-token segments shared
+      // across documents, re-assemble the survivors in order
+      Curation.segmentDedup(Tables.documents(s, d), "doc_id", "text")),
+    "q247_winnow" -> ((s, d) =>
+      // MOSS winnowing: window-min k-gram fingerprints → overlap pairs
+      TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text")),
+    "q248_grid_join" -> ((s, d) =>
+      // spatial blocking: pairs within 30k micro-units, 3×3 cell probe,
+      // coordinates derived md5-deterministically from the customer key
+      RangeJoin.gridProximityJoin(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+          pmod(conv(substring(md5(concat(lit("gx:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10000000L)).as("x"),
+          pmod(conv(substring(md5(concat(lit("gy:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10000000L)).as("y")),
+        "id", "x", "y", 100000L)),
+    "q249_naive_bayes" -> ((s, d) =>
+      // count-based multinomial NB trained on the corpus's own lang labels,
+      // scored in place; decimal-quantized logs make argmax engine-stable
+      Evaluation.naiveBayes(Tables.documents(s, d), "doc_id", "text", "lang")),
+    "q250_target_encode" -> ((s, d) =>
+      // leakage-free categorical encoding: LOO mean order value per customer
+      Analytics.targetEncode(Tables.orders(s, d), "o_orderkey", "o_custkey",
+        "o_totalprice")),
+    "q251_holt" -> ((s, d) =>
+      // trend-aware smoothing of daily event volumes + 7-day forecast;
+      // α=0.5/β=0.25 are exact binary fractions ⇒ bit-stable recurrence
+      Analytics.holtForecast(Tables.events(s, d), "event_type", "ts")),
     "q245_window_funnel" -> ((s, d) =>
       // conversion within 7 days of first touch, greedy earliest-match
       Analytics.windowFunnel(Tables.events(s, d), "user_id", "ts",
@@ -2565,6 +2596,116 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q246_segment_dedup" ->
+      // identical tokenize → 8-token segment → md5 → distinct-doc count →
+      // drop shared → ordered string_agg re-assembly
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, CAST(g.s AS BIGINT) AS segpos,
+        |        array_to_string(toks[(CAST(g.s AS BIGINT)*8+1):(CAST(g.s AS BIGINT)*8+8)], ' ') AS segtext
+        |      FROM t, UNNEST(generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)) AS g(s)),
+        |h AS (SELECT doc_id, segpos, segtext, md5(segtext) AS h FROM s),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1),
+        |k AS (SELECT h.doc_id, count(*) AS n_segments,
+        |        count(CASE WHEN nd.nd > 1 THEN 1 END) AS n_removed,
+        |        string_agg(CASE WHEN nd.nd <= 1 THEN segtext END, ' ' ORDER BY segpos) AS kept_text
+        |      FROM h JOIN nd USING (h) GROUP BY 1)
+        |SELECT doc_id, coalesce(kept_text, '') AS kept_text, n_segments, n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q247_winnow" ->
+      // window-min over hash@pos strings = leftmost-min winnowing; the
+      // frequency cap (2..50 docs) and pair grouping mirror the Spark plan
+      """WITH g AS (SELECT doc_id, CAST(u.p AS INT) AS p,
+        |             substring(md5(substring(text, CAST(u.p AS INT), 24)), 1, 16)
+        |               || '@' || lpad(CAST(u.p AS VARCHAR), 7, '0') AS comb
+        |           FROM documents, UNNEST(generate_series(1, len(text) - 23)) AS u(p)
+        |           WHERE len(text) >= 24),
+        |w AS (SELECT doc_id, p, min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn FROM g),
+        |f AS (SELECT DISTINCT doc_id, substring(sel, 1, 16) AS h FROM w WHERE rn >= 8),
+        |c AS (SELECT h FROM (SELECT h, count(*) AS nd FROM f GROUP BY 1) WHERE nd BETWEEN 2 AND 20),
+        |ff AS (SELECT f.doc_id, f.h FROM f JOIN c USING (h)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |      FROM ff a JOIN ff b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 5 ORDER BY id_a, id_b""".stripMargin,
+    "q248_grid_join" ->
+      // the all-pairs truth the blocked join must reproduce exactly:
+      // integer micro-unit coordinates, BIGINT distance², no epsilon
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    CAST('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10000000 AS x,
+        |    CAST('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10000000 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000000000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q249_naive_bayes" ->
+      // same densified vocab×class model, add-one smoothing, DECIMAL(28,9)
+      // per-token logs, argmax by (score DESC, class ASC)
+      """WITH dt AS (SELECT doc_id, lang AS cls,
+        |              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |ct AS (SELECT cls, count(*) AS tokens_c FROM dt GROUP BY 1),
+        |dc AS (SELECT lang AS cls, count(*) AS docs_c FROM documents GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM documents) AS docs_n,
+        |               (SELECT count(DISTINCT tok) FROM dt) AS vocab_v),
+        |cnt AS (SELECT tok, cls, count(*) AS ctc FROM dt GROUP BY 1, 2),
+        |model AS (SELECT v.tok, ct.cls,
+        |    CAST(ln(CAST(coalesce(cnt.ctc, 0) + 1 AS DOUBLE)
+        |          / CAST(ct.tokens_c + tot.vocab_v AS DOUBLE)) AS DECIMAL(28,9)) AS lp
+        |  FROM (SELECT DISTINCT tok FROM dt) v CROSS JOIN ct
+        |  LEFT JOIN cnt ON cnt.tok = v.tok AND cnt.cls = ct.cls CROSS JOIN tot),
+        |pri AS (SELECT dc.cls,
+        |    CAST(ln(CAST(docs_c AS DOUBLE) / CAST(tot.docs_n AS DOUBLE)) AS DECIMAL(28,9)) AS prior_lp
+        |  FROM dc CROSS JOIN tot),
+        |sc AS (SELECT d.doc_id, m.cls, CAST(SUM(m.lp) AS DECIMAL(28,9)) AS sum_lp
+        |       FROM (SELECT doc_id, tok FROM dt) d JOIN model m USING (tok) GROUP BY 1, 2),
+        |t2 AS (SELECT sc.doc_id, sc.cls, sc.sum_lp + pri.prior_lp AS score FROM sc JOIN pri USING (cls)),
+        |best AS (SELECT doc_id, cls AS pred, score,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk FROM t2)
+        |SELECT b.doc_id, b.pred,
+        |  CAST(CAST(CAST(b.score AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS score,
+        |  d.lang AS truth, CASE WHEN b.pred = d.lang THEN 1 ELSE 0 END AS correct
+        |FROM best b JOIN documents d USING (doc_id) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q250_target_encode" ->
+      // decimal sums, one double division, singleton keys → global LOO mean
+      """WITH g AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS key_sum,
+        |        count(*) AS key_n FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS all_sum,
+        |        count(*) AS all_n FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, g.key_n,
+        |  CAST(CAST(CASE WHEN g.key_n > 1
+        |    THEN CAST(g.key_sum - CAST(o.o_totalprice AS DECIMAL(28,6)) AS DOUBLE) / CAST(g.key_n - 1 AS DOUBLE)
+        |    ELSE CAST(a.all_sum - CAST(o.o_totalprice AS DECIMAL(28,6)) AS DOUBLE) / CAST(a.all_n - 1 AS DOUBLE) END
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS loo_mean
+        |FROM orders o JOIN g USING (o_custkey) CROSS JOIN a ORDER BY o_orderkey""".stripMargin,
+    "q251_holt" ->
+      // the recurrence unrolled as a recursive CTE with the IDENTICAL
+      // association: s' = 0.5·x + 0.5·(s+b); b' = 0.25·(s'−s) + 0.75·b —
+      // every IEEE intermediate matches the fold bit-for-bit
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, CAST(n AS DOUBLE) AS x,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY day) AS t FROM daily),
+        |tc AS (SELECT event_type, max(t) AS tmax FROM idx GROUP BY 1),
+        |init AS (SELECT i1.event_type, 1 AS t, i1.x AS s, coalesce(i2.x - i1.x, 0.0) AS b
+        |         FROM idx i1 LEFT JOIN idx i2 ON i2.event_type = i1.event_type AND i2.t = 2
+        |         WHERE i1.t = 1),
+        |rec AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |         0.5 * i.x + 0.5 * (r.s + r.b),
+        |         0.25 * ((0.5 * i.x + 0.5 * (r.s + r.b)) - r.s) + 0.75 * r.b
+        |  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+        |)
+        |SELECT rec.event_type, CAST(tc.tmax AS BIGINT) AS n_days,
+        |  CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) AS level,
+        |  CAST(CAST(b AS DECIMAL(18,6)) AS DOUBLE) AS trend,
+        |  CAST(CAST(s + 7.0 * b AS DECIMAL(18,6)) AS DOUBLE) AS forecast
+        |FROM rec JOIN tc ON tc.event_type = rec.event_type AND rec.t = tc.tmax
+        |ORDER BY rec.event_type""".stripMargin,
     "q245_window_funnel" ->
       // identical min-aggregate chain; greedy earliest-match = first
       // step-1, first step-2 after it, first step-3 after THAT

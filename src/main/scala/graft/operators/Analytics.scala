@@ -1973,4 +1973,92 @@ object Analytics {
         (lit(1e6) * col("k_eff").cast("double") / col("s_micro").cast("double"))
           .cast("decimal(18,6)").cast("double").as("alpha"))
   }
+
+  /** Leave-one-out target encoding: replace a high-cardinality categorical
+    * key with the mean of the target over OTHER rows sharing the key —
+    * (Σ_key target − own) / (n_key − 1) — the standard leakage-free way to
+    * feed a 10⁷-cardinality key to a model (encoding WITH the own row leaks
+    * the label; k-fold schemes approximate what LOO computes exactly).
+    * Singleton keys have no "others" and fall back to the global mean over
+    * the other n−1 rows ((Σ − own)/(n−1): the same formula at the corpus
+    * grain, still leakage-free).
+    *
+    * Exactness: targets sum as DECIMAL (order-independent); each encoding
+    * is ONE double division of exact decimals, quantized to (18,6).
+    * Scale shape: one key-grain hash aggregate (map-side partials) joined
+    * back on the key — no window over raw rows, no per-key state. AQE
+    * broadcasts the aggregate when keys are few and skew-splits hot keys
+    * when they are not. */
+  def targetEncode(df: DataFrame, idCol: String, keyCol: String,
+                   targetCol: String): DataFrame = {
+    val t = col(targetCol).cast("decimal(28,6)")
+    val perKey = df.groupBy(keyCol)
+      .agg(sum(t).cast("decimal(28,6)").as("key_sum"),
+        count(lit(1)).as("key_n"))
+    val global = df.agg(sum(t).cast("decimal(28,6)").as("all_sum"),
+      count(lit(1)).as("all_n"))
+    df.select(col(idCol), col(keyCol), t.as("own"))
+      .join(perKey, Seq(keyCol))
+      .crossJoin(broadcast(global))
+      .select(col(idCol), col(keyCol), col("key_n"),
+        when(col("key_n") > 1,
+          (col("key_sum") - col("own")).cast("double") /
+            (col("key_n") - 1).cast("double"))
+          .otherwise((col("all_sum") - col("own")).cast("double") /
+            (col("all_n") - 1).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("loo_mean"))
+      .orderBy(idCol)
+  }
+
+  /** Holt linear-trend (double exponential) smoothing over per-key daily
+    * counts, with an h-step forecast — the trend-aware upgrade of the EWMA
+    * decay score: level sₜ = α·xₜ + (1−α)(sₜ₋₁+bₜ₋₁), trend
+    * bₜ = β(sₜ−sₜ₋₁) + (1−β)bₜ₋₁, initialized s₁=x₁, b₁=x₂−x₁; forecast
+    * x̂_{T+h} = s_T + h·b_T.
+    *
+    * Exactness: α and β are EXACT binary fractions (0.5, 0.25) and the
+    * recurrence is written with the identical association in the SQL twin,
+    * so every IEEE intermediate matches bit-for-bit on any engine; the
+    * final quantize is presentation only. The recurrence is inherently
+    * sequential IN TIME, so it folds over the key's own day series —
+    * aggregate() over a sorted collect_list — which is fine precisely
+    * because the series length is DAYS (bounded, thousands), not rows:
+    * the corpus-sized work (daily bucketing) is a plain hash aggregate,
+    * and the fold is per-key, day-sized, and never touches the driver. */
+  def holtForecast(events: DataFrame, keyCol: String, tsCol: String,
+                   horizon: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stateT = "struct<s:double,b:double>"
+    daily
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("day"), col("n").cast("double")
+          .as("x")))).as("xs"))
+      .withColumn("fin", when(col("n_days") === 1,
+          struct(col("xs")(0)("x").as("s"), lit(0.0).as("b")).cast(stateT))
+        .otherwise(aggregate(
+          slice(col("xs"), lit(3), greatest(col("n_days") - 2, lit(0))),
+          struct(
+            (lit(0.5) * col("xs")(1)("x") +
+              lit(0.5) * (col("xs")(0)("x") + (col("xs")(1)("x") - col("xs")(0)("x")))).as("s"),
+            (lit(0.25) * ((lit(0.5) * col("xs")(1)("x") +
+                lit(0.5) * (col("xs")(0)("x") + (col("xs")(1)("x") - col("xs")(0)("x"))))
+              - col("xs")(0)("x")) +
+              lit(0.75) * (col("xs")(1)("x") - col("xs")(0)("x"))).as("b"))
+            .cast(stateT),
+          (acc, e) => {
+            val sNew = lit(0.5) * e("x") + lit(0.5) * (acc("s") + acc("b"))
+            struct(sNew.as("s"),
+              (lit(0.25) * (sNew - acc("s")) + lit(0.75) * acc("b")).as("b"))
+              .cast(stateT)
+          })))
+      .select(col(keyCol), col("n_days"),
+        col("fin.s").cast("decimal(18,6)").cast("double").as("level"),
+        col("fin.b").cast("decimal(18,6)").cast("double").as("trend"),
+        (col("fin.s") + lit(horizon.toDouble) * col("fin.b"))
+          .cast("decimal(18,6)").cast("double").as("forecast"))
+      .orderBy(keyCol)
+  }
 }

@@ -721,4 +721,53 @@ object Curation {
           col("ok_alpha") && col("ok_stopwords"))
       .orderBy(idCol)
   }
+
+  /** Segment-level dedup with document reconstruction (the CCNet/RefinedWeb
+    * paragraph-dedup shape): split each document into fixed `segTokens`-word
+    * segments, hash each segment, count how many DISTINCT documents carry
+    * each hash corpus-wide, drop segments shared by more than `maxDocs`
+    * documents, and re-assemble the survivors in original order. Unlike
+    * [[Dedup.exact]] (whole-doc) or [[Dedup.duplicatedSpans]] (report-only),
+    * this EDITS the corpus — the boilerplate-removal pass an LLM data
+    * pipeline runs before training.
+    *
+    * Scale shape: segments explode once (gram built inside transform so
+    * exploded rows never carry the token array); the hash-frequency count
+    * shuffles (hash, doc) pairs with map-side partials; the keep/drop join
+    * is hash-keyed (AQE broadcasts a small dup set); re-assembly is ONE
+    * doc-keyed shuffle of kept segments folded back through a sorted
+    * collect. Nothing is corpus-quadratic and no driver state exists. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 8, maxDocs: Int = 1): DataFrame = {
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val nSeg = ceil(size(t).cast("double") / segTokens).cast("int")
+    val segs = tok
+      .select(col(idCol), explode(
+        when(size(t) > 0, transform(
+          sequence(lit(0), nSeg - 1),
+          s => struct(s.cast("long").as("segpos"),
+            concat_ws(" ", slice(t, s * segTokens + 1, lit(segTokens))).as("segtext"))))
+          .otherwise(array().cast("array<struct<segpos:long,segtext:string>>")))
+        .as("seg"))
+      .select(col(idCol), col("seg.segpos").as("segpos"),
+        col("seg.segtext").as("segtext"), md5(col("seg.segtext")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = segs.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    val out = segs.join(nd, Seq("h"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("nd") > maxDocs, 1)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("nd") <= maxDocs,
+            struct(col("segpos"), col("segtext"))))),
+          s => s.getField("segtext"))).as("kept_text"))
+      .select(col(idCol), col("kept_text"), col("n_segments"), col("n_removed"))
+      .orderBy(idCol)
+    val materialized = out.localCheckpoint(true)
+    segs.unpersist()
+    materialized
+  }
 }

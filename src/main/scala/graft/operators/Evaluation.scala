@@ -952,4 +952,72 @@ object Evaluation {
         (theta * theta * varx / vary).as("var_reduction"))
       .orderBy("arm")
   }
+
+  /** Multinomial Naive Bayes, trained and scored in one distributed pass
+    * structure — the classical count-based text classifier (add-one
+    * smoothing), the cheap router/labeler a data pipeline trains ON the
+    * corpus it curates (e.g. source/language routing before expensive
+    * models see a byte). Train: class priors P(c) = docs_c/docs and
+    * conditionals P(t|c) = (count(t,c)+1)/(tokens_c+V). Score: for every
+    * document and class, log P(c) + Σ_occurrences log P(t|c); predict the
+    * argmax (ties → lexicographically smallest class, a total order).
+    *
+    * Exactness: each per-token log quantizes to DECIMAL(28,9) BEFORE the
+    * per-(doc,class) sum (the [[Curation.unigramLogLikelihood]] recipe), so
+    * scores are order-independent and argmax is engine-stable.
+    *
+    * Scale shape: the model is (V×C + C) rows — vocabulary-sized, built
+    * with one token-keyed map-side-combined shuffle and DENSIFIED by a
+    * vocab×classes cross (zero counts must exist: a class missing a token
+    * still pays its smoothed log). Scoring joins occurrences to the model
+    * on the token key (AQE broadcasts a small model; a giant vocab falls
+    * back to a plain hash join) — rows never cross-join with rows. */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val dt = docs.select(col(idCol), col(labelCol).as("cls"),
+        explode(Curation.tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classTotals = dt.groupBy("cls").agg(count(lit(1)).as("tokens_c"))
+    val docsPerClass = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("docs_c"))
+    val totals = docs.agg(count(lit(1)).as("docs_n"))
+      .crossJoin(dt.select("tok").distinct().agg(count(lit(1)).as("vocab_v")))
+    val counts = dt.groupBy("tok", "cls").agg(count(lit(1)).as("ctc"))
+    val model = dt.select("tok").distinct()
+      .crossJoin(classTotals)
+      .join(counts, Seq("tok", "cls"), "left")
+      .na.fill(0L, Seq("ctc"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok"), col("cls"),
+        log((col("ctc") + 1).cast("double") /
+            (col("tokens_c") + col("vocab_v")).cast("double"))
+          .cast("decimal(28,9)").as("lp"))
+    val priors = docsPerClass.crossJoin(broadcast(totals))
+      .select(col("cls"),
+        log(col("docs_c").cast("double") / col("docs_n").cast("double"))
+          .cast("decimal(28,9)").as("prior_lp"))
+    val scored = dt.select(col(idCol), col("tok"))
+      .join(model, Seq("tok"))
+      .groupBy(col(idCol), col("cls"))
+      // sum(decimal(28,9)) widens to (38,9); adding the prior would bust
+      // precision 38 and silently DROP the scale to 8 (the decimal-sum
+      // gotcha) — re-narrow first, the sum is ~token_count × ln-sized
+      .agg(sum("lp").cast("decimal(28,9)").as("sum_lp"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col(idCol), col("cls"),
+        (col("sum_lp") + col("prior_lp")).as("score"))
+    val out = scored
+      .groupBy(idCol)
+      .agg(min(struct((-col("score")).as("ns"), col("cls").as("cls"),
+        col("score").as("score"))).as("best"))
+      .select(col(idCol), col("best.cls").as("pred"),
+        col("best.score").cast("double").cast("decimal(18,6)").cast("double")
+          .as("score"))
+      .join(docs.select(col(idCol), col(labelCol).as("truth")), Seq(idCol))
+      .withColumn("correct", (col("pred") === col("truth")).cast("int"))
+      .orderBy(idCol)
+    val materialized = out.localCheckpoint(true)
+    dt.unpersist()
+    materialized
+  }
 }

@@ -94,4 +94,45 @@ object RangeJoin {
       "left")
       .drop(s"__d_$dimKey")
   }
+
+  /** Grid-blocked proximity (distance) self-join: all point pairs within
+    * Euclidean `radius` of each other, integer coordinates. The spatial
+    * analog of [[pointInInterval]]'s bucketing: an all-pairs distance join
+    * is the textbook 100 TB cliff (BroadcastNestedLoopJoin), so points map
+    * to a square grid cell of side = `radius`; a pair within `radius` can
+    * then only meet when one point's 3×3 cell neighborhood covers the
+    * other's home cell. One side replicates ×9 with neighbor offsets, the
+    * other keeps its single home cell, and the match is a hash EQUI-join on
+    * the cell key + the exact integer distance filter. Each unordered pair
+    * meets exactly once (the right side's home cell is unique), so no dedup
+    * pass. Coordinates and radius share one integer unit (micro-degrees,
+    * metres — caller's choice); distances compare as dx²+dy² ≤ r² in
+    * BIGINT, so membership is exact on any engine — no trig, no epsilon.
+    *
+    * Scale shape: ×9 replication is a constant; the shuffle is cell-keyed
+    * (spatially uniform data ⇒ uniform partitions; a hot cell is a data
+    * hotspot AQE's skew split handles); per-cell work is |cell|·|cell|
+    * bounded by density × radius², the caller's physical knob. */
+  def gridProximityJoin(points: DataFrame, idCol: String,
+                        xCol: String, yCol: String, radius: Long): DataFrame = {
+    val r = lit(radius)
+    val home = points.select(col(idCol).as("id_b"), col(xCol).as("xb"),
+      col(yCol).as("yb"),
+      floor(col(xCol) / r).as("cx"), floor(col(yCol) / r).as("cy"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probe = points.select(col(idCol).as("id_a"), col(xCol).as("xa"),
+        col(yCol).as("ya"), explode(offsets).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (floor(col("xa") / r) + col("o.dx")).as("cx"),
+        (floor(col("ya") / r) + col("o.dy")).as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= r * r)
+      .select(col("id_a"), col("id_b"), col("dist2").cast("long").as("dist2"))
+      .orderBy("id_a", "id_b")
+  }
 }

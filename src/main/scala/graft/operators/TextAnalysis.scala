@@ -397,4 +397,53 @@ object TextAnalysis {
             .cast("decimal(18,6)").cast("double")))
       .orderBy(idCol)
   }
+
+  /** Winnowing fingerprint overlap (the MOSS local-fingerprinting scheme,
+    * Schleimer et al. SIGMOD'03): hash every `k`-char gram, slide a window
+    * of `w` consecutive gram hashes, select the minimum hash per window
+    * (ties broken to the LEFTMOST position by folding the zero-padded
+    * position into the compared string — deterministic where the paper's
+    * rightmost rule needs stateful scanning), and report document pairs
+    * sharing at least `minShared` selected fingerprints. Guarantees of the
+    * scheme: any shared substring of length ≥ w+k-1 yields at least one
+    * shared fingerprint, and the selected set is position-independent —
+    * which is what makes it a local (edit-robust) alternative to
+    * [[fingerprints]]' whole-doc hash.
+    *
+    * Scale shape: gram hashing + window-min are per-doc window work (one
+    * doc-keyed sort, no corpus interaction); matching shuffles DISTINCT
+    * (fingerprint, id) pairs only — never gram rows; fingerprints appearing
+    * in more than `maxDocs` documents are dropped before pairing (the
+    * boilerplate cap that bounds every bucket, same contract as minhash
+    * LSH), so the self-join is bucket-bounded and never corpus-quadratic. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 24, w: Int = 8, maxDocs: Int = 20,
+                  minShared: Int = 5): DataFrame = {
+    val len = length(col(textCol))
+    val grams = docs
+      .select(col(idCol), col(textCol), explode(
+        when(len >= k, sequence(lit(1), len - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col(idCol), col("p"),
+        concat(substring(md5(substring(col(textCol), col("p"), lit(k))), 1, 16),
+          lit("@"), lpad(col("p").cast("string"), 7, "0")).as("comb"))
+    val byDoc = Window.partitionBy(idCol).orderBy("p")
+    val sel = grams
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("sel", min(col("comb")).over(byDoc.rowsBetween(-(w - 1), 0)))
+      .filter(col("rn") >= w)
+      .select(col(idCol), substring(col("sel"), 1, 16).as("h"))
+      .distinct()
+    val capped = sel.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, maxDocs)).select("h")
+    val hits = sel.join(capped, Seq("h"))
+    val pairs = hits.select(col("h"), col(idCol).as("id_a"))
+      .join(hits.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+    pairs
+  }
 }

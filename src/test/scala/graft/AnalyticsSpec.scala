@@ -952,4 +952,40 @@ class AnalyticsSpec extends SparkSpec {
       else assert(paa == 20.0 && z == 1.0 && sym == "d", s"$f $paa $z $sym")
     }
   }
+
+  test("targetEncode: LOO means exclude the own row; singleton keys fall back to the global LOO mean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "k1", 10.0), (2L, "k1", 20.0), (3L, "k1", 30.0),
+      (4L, "k2", 100.0)
+    ).toDF("id", "key", "y")
+    val out = Analytics.targetEncode(df, "id", "key", "y")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 25.0 && out(2L) == 20.0 && out(3L) == 15.0, out.toString)
+    // k2 is a singleton: (Σ_all − own)/(n−1) = (160−100)/3
+    assert(out(4L) == 20.0, out.toString)
+  }
+
+  test("holtForecast: a perfectly linear daily series recovers level c+mT, trend m, forecast c+m(T+7) exactly") {
+    import spark.implicits._
+    // day t (t=1..5) carries 2+t events ⇒ x_t = 2+t: c=2, m=1
+    val rows = for {
+      t <- 1 to 5
+      i <- 1 to (2 + t)
+    } yield ("a", java.sql.Timestamp.valueOf(f"2024-01-${t}%02d 12:00:00"), i)
+    val ev = rows.toDF("event_type", "ts", "i")
+    val out = Analytics.holtForecast(ev, "event_type", "ts").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 7.0, s"level ${r.getDouble(2)}")   // 2 + 5
+    assert(r.getDouble(3) == 1.0, s"trend ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 14.0, s"forecast ${r.getDouble(4)}") // 2 + 12
+    // single-day key: level = the day's count, zero trend
+    val one = Analytics.holtForecast(
+      Seq(("b", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1),
+          ("b", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2))
+        .toDF("event_type", "ts", "i"), "event_type", "ts").collect()(0)
+    assert(one.getLong(1) == 1L && one.getDouble(2) == 2.0 && one.getDouble(3) == 0.0)
+  }
 }

@@ -333,4 +333,28 @@ class CurationSpec extends SparkSpec {
     assert(out(4L)._1 && !out(4L)._4 && !out(4L)._5)
     assert(out(5L)._1 && !out(5L)._3 && !out(5L)._5, out(5L).toString)
   }
+
+  test("segmentDedup: shared segments removed, survivors re-assemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // [a b c d][e f g h]
+      (2L, "a b c d x y z w"),       // shares segment 1 with doc 1
+      (3L, "p q r s"),               // fully unique
+      (4L, "a b c d a b c d"),       // both segments are the shared one
+      (5L, "u v")                    // short doc: one ragged segment
+    ).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("e f g h", 2L, 1L)), out(1L).toString)
+    assert(out(2L) == (("x y z w", 2L, 1L)))
+    assert(out(3L) == (("p q r s", 1L, 0L)))
+    // every copy of the cross-doc segment goes, including in-doc repeats
+    assert(out(4L) == (("", 2L, 2L)), out(4L).toString)
+    assert(out(5L) == (("u v", 1L, 0L)))
+    // pure function of the corpus: partitioning cannot change the edit
+    val p = Curation.segmentDedup(docs.repartition(5), "doc_id", "text", segTokens = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(p == Curation.segmentDedup(docs, "doc_id", "text", segTokens = 4)
+      .collect().map(_.toSeq).toSeq)
+  }
 }

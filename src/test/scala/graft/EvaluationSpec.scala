@@ -491,4 +491,32 @@ class EvaluationSpec extends SparkSpec {
     // adjustment shrinks the between-arm gap (the covariate explains part of it)
     assert(math.abs(out("1")._3 - out("0")._3) < math.abs(40.0 - 20.0))
   }
+
+  test("naiveBayes: separable classes classify correctly; score matches the hand-built model") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana", "fruit"),
+      (2L, "banana apple apple", "fruit"),
+      (3L, "dog cat", "animal"),
+      (4L, "cat dog dog", "animal")
+    ).toDF("doc_id", "text", "lang")
+    val out = Evaluation.naiveBayes(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getInt(4)))).toMap
+    assert(out.values.forall(_._3 == 1), out.toString) // all self-classified
+    assert(out(1L)._1 == "fruit" && out(3L)._1 == "animal")
+    // hand-computed score for doc 1 under class fruit, with the engine's
+    // quantization: per-token ln → scale 9 HALF_UP, exact sum, prior the
+    // same, final render at scale 6. V=4, tokens_fruit=5, apple=3, banana=2.
+    def q9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (q9(math.log(4.0 / 9.0)) + q9(math.log(3.0 / 9.0)) +
+      q9(math.log(2.0 / 4.0))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(out(1L)._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      == expected, s"${out(1L)._2} vs $expected")
+    // order-independence: repartitioning cannot move a score or a label
+    val p = Evaluation.naiveBayes(docs.repartition(5), "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSeq
+    assert(p == Evaluation.naiveBayes(docs, "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSeq)
+  }
 }

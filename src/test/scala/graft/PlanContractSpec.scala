@@ -71,7 +71,10 @@ class PlanContractSpec extends SparkSpec {
           // tail index: the 1-row pivot (min of top-k-plus-1) broadcast
           // over the k-row top set; sax/changepoint: the 1-row series
           // moments broadcast over the day-sized series
-          "q235_tail_index", "q239_sax", "q244_changepoint")
+          "q235_tail_index", "q239_sax", "q244_changepoint",
+          // target encoding: the 1-row global-mean fallback broadcast
+          // over the fact rows (q128_impute's shape)
+          "q250_target_encode")
         if (allowed(name)) None else Some(name)
       } else None
     }

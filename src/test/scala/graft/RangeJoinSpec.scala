@@ -95,4 +95,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.scd2Lookup(fact, "k", "ts", dim, "k", "valid_from", "valid_to")
       .count() == 5) // left join never duplicates facts
   }
+
+  test("gridProximityJoin: in-radius pairs found across cell boundaries, exactly once, far pairs never") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 30L, 40L),      // dist² = 2500, same cell
+      (3L, 10000L, 10000L),              // far from everything
+      (4L, 199L, 0L), (5L, 201L, 0L)     // dist² = 4, straddles cells 1|2
+    ).toDF("id", "x", "y")
+    val out = RangeJoin.gridProximityJoin(pts, "id", "x", "y", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 2500L, (4L, 5L) -> 4L), out.toString)
+    // count() == distinct pair count: the 3×3 probe meets each pair once
+    assert(RangeJoin.gridProximityJoin(pts, "id", "x", "y", 100L).count() == 2)
+  }
 }

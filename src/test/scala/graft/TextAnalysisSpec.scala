@@ -193,4 +193,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(p == TextAnalysis.compressionRatio(df, "doc_id", "text").collect().map(_.toSeq).toSeq)
   }
+
+  test("winnowPairs: shared substring ≥ w+k-1 guarantees a shared fingerprint; disjoint docs never pair") {
+    import spark.implicits._
+    // k=4, w=2 ⇒ any shared substring of length ≥ 5 must yield ≥1 shared
+    // selected fingerprint (the winnowing guarantee)
+    val shared = "hello winnowing world"
+    val docs = Seq(
+      (1L, "xx " + shared + " qq"),
+      (2L, "mm nn " + shared),
+      (3L, "0123456789012345678901234")  // disjoint alphabet: no common 4-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        k = 4, w = 2, maxDocs = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)), out.toString)
+    assert(out((1L, 2L)) >= 1L)
+    assert(out.keySet == Set((1L, 2L)), out.toString) // doc 3 pairs with nobody
+    // identical docs share (almost) their whole fingerprint set
+    val twins = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val tw = TextAnalysis.winnowPairs(twins, "doc_id", "text",
+      k = 4, w = 2, maxDocs = 10, minShared = 1).collect()
+    assert(tw.length == 1 && tw(0).getLong(2) >= 3, tw.mkString(","))
+  }
 }
