@@ -409,6 +409,26 @@ object ScaleCheck {
         spark.read.parquet(s"$d/orders.parquet"),
         spark.read.parquet(s"$d/lineitem.parquet"))
     })
+    time("segment_dedup")(d => Curation.segmentDedup(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("winnow_pairs")(d => TextAnalysis.winnowPairs(
+      Tables.documents(spark, d), "doc_id", "text"))
+    time("grid_join")(d => RangeJoin.gridProximityJoin(
+      spark.read.parquet(s"$d/customer.parquet").select(col("c_custkey").as("id"),
+        pmod(conv(substring(md5(concat(lit("gx:"), col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"), lit(10000000L)).as("x"),
+        pmod(conv(substring(md5(concat(lit("gy:"), col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"), lit(10000000L)).as("y")),
+      "id", "x", "y", 100000L))
+    time("naive_bayes")(d => Evaluation.naiveBayes(
+      Tables.documents(spark, d), "doc_id", "text", "lang"))
+    time("target_encode")(d => Analytics.targetEncode(
+      spark.read.parquet(s"$d/orders.parquet"), "o_orderkey", "o_custkey", "o_totalprice"))
+    time("holt")(d => Analytics.holtForecast(Tables.events(spark, d), "event_type", "ts"))
+    time("isotonic")(d => Evaluation.isotonicFit(
+      spark.read.parquet(s"$d/orders.parquet"), "o_totalprice",
+      col("o_orderstatus") === "F", 0.0, 600000.0, 16))
+    time("conformal")(d => Evaluation.conformalIntervals(
+      spark.read.parquet(s"$d/orders.parquet"), "o_orderkey", "o_orderpriority", "o_totalprice"))
+    time("heaps")(d => TextAnalysis.heapsFit(Tables.documents(spark, d), "doc_id", "text"))
 
     spark.stop()
   }

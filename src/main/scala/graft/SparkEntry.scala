@@ -571,6 +571,19 @@ object SparkEntry {
       // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
       // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
+    "q252_isotonic" -> ((s, d) =>
+      // monotone calibration map P(F | order value) via the minimax
+      // closed form == PAV, computed over 16 fixed-width score bins
+      Evaluation.isotonicFit(Tables.orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F", 0.0, 600000.0, 16)),
+    "q253_conformal" -> ((s, d) =>
+      // split conformal: md5 train/cal/test, per-priority mean model,
+      // k-th-smallest calibration residual radius, per-test-row intervals
+      Evaluation.conformalIntervals(Tables.orders(s, d), "o_orderkey",
+        "o_orderpriority", "o_totalprice")),
+    "q254_heaps" -> ((s, d) =>
+      // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
+      TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
     "q246_segment_dedup" -> ((s, d) =>
       // CCNet-shaped boilerplate removal: drop 8-token segments shared
       // across documents, re-assemble the survivors in order
@@ -2596,6 +2609,67 @@ object SparkEntry {
         |  AND (o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
         |       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500))
         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
+    "q252_isotonic" ->
+      // same bin → prefix-sum → interval-average lattice; DECIMAL(18,9)
+      // interval averages make the min/max comparisons engine-exact
+      """WITH cells AS (SELECT CAST(least(15, greatest(0, CAST(floor((o_totalprice - 0.0) / 37500.0) AS INT))) AS INT) AS bin,
+        |        count(*) AS n, COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS sy
+        |      FROM orders GROUP BY 1),
+        |pre AS (SELECT bin, n, sy, SUM(n) OVER w AS cn, SUM(sy) OVER w AS csy FROM cells
+        |        WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ivals AS (SELECT s.bin AS i, e.bin AS j,
+        |    CAST(CAST(e.csy - (s.csy - s.sy) AS DOUBLE) / CAST(e.cn - (s.cn - s.n) AS DOUBLE) AS DECIMAL(18,9)) AS a
+        |  FROM pre s JOIN pre e ON s.bin <= e.bin),
+        |mi AS (SELECT c.bin, c.n, c.sy, v.i, min(v.a) AS mi FROM cells c
+        |       JOIN ivals v ON v.i <= c.bin AND v.j >= c.bin GROUP BY 1, 2, 3, 4),
+        |fit AS (SELECT bin, n, sy, max(mi) AS fit FROM mi GROUP BY 1, 2, 3)
+        |SELECT bin, n,
+        |  CAST(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_y,
+        |  CAST(CAST(CAST(fit AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS fitted
+        |FROM fit ORDER BY bin""".stripMargin,
+    "q253_conformal" ->
+      // identical md5 split, per-group decimal mean, rank-k residual
+      """WITH t AS (SELECT o_orderkey AS id, o_orderpriority AS grp,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+        |        CAST('0x' || substring(md5('conf:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        |      FROM orders),
+        |tt AS (SELECT *, CASE WHEN b < 60 THEN 'train' WHEN b < 80 THEN 'cal' ELSE 'test' END AS split FROM t),
+        |model AS (SELECT grp, CAST(CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(18,6)) AS yhat_g
+        |          FROM tt WHERE split = 'train' GROUP BY 1),
+        |fb AS (SELECT CAST(CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(18,6)) AS yhat_all
+        |       FROM tt WHERE split = 'train'),
+        |cal AS (SELECT tt.id, abs(tt.y - coalesce(m.yhat_g, fb.yhat_all)) AS r
+        |        FROM tt LEFT JOIN model m USING (grp) CROSS JOIN fb WHERE split = 'cal'),
+        |nk AS (SELECT count(*) AS n FROM cal),
+        |q AS (SELECT r AS qhat FROM (SELECT id, r, row_number() OVER (ORDER BY r, id) AS rnk FROM cal) x
+        |      CROSS JOIN nk WHERE rnk = least(nk.n, CAST(ceil(0.9 * (nk.n + 1)) AS BIGINT)))
+        |SELECT tt.id AS o_orderkey, tt.grp,
+        |  CAST(coalesce(m.yhat_g, fb.yhat_all) AS DOUBLE) AS yhat,
+        |  CAST(coalesce(m.yhat_g, fb.yhat_all) - q.qhat AS DOUBLE) AS lo,
+        |  CAST(coalesce(m.yhat_g, fb.yhat_all) + q.qhat AS DOUBLE) AS hi,
+        |  CASE WHEN tt.y >= coalesce(m.yhat_g, fb.yhat_all) - q.qhat
+        |        AND tt.y <= coalesce(m.yhat_g, fb.yhat_all) + q.qhat THEN 1 ELSE 0 END AS covered
+        |FROM tt LEFT JOIN model m USING (grp) CROSS JOIN fb CROSS JOIN q
+        |WHERE split = 'test' ORDER BY o_orderkey""".stripMargin,
+    "q254_heaps" ->
+      // first-doc attribution → cumulative axes → q145's OLS recipe
+      """WITH pd AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok FROM documents),
+        |ft AS (SELECT tok, min(doc_id) AS first_doc FROM
+        |        (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+        |       GROUP BY 1),
+        |nv AS (SELECT first_doc AS doc_id, count(*) AS v_new FROM ft GROUP BY 1),
+        |sp AS (SELECT pd.doc_id, pd.n_tok, coalesce(nv.v_new, 0) AS v_new FROM pd LEFT JOIN nv USING (doc_id)),
+        |cum AS (SELECT doc_id, SUM(n_tok) OVER w AS cn, SUM(v_new) OVER w AS cv FROM sp
+        |        WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT CAST(ln(CAST(cn AS DOUBLE)) AS DECIMAL(18,2)) AS x,
+        |             CAST(ln(CAST(cv AS DOUBLE)) AS DECIMAL(18,2)) AS y FROM cum WHERE cn > 0 AND cv > 0),
+        |g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(24,2)) AS sx, CAST(SUM(y) AS DECIMAL(24,2)) AS sy,
+        |        CAST(SUM(x * y) AS DECIMAL(24,4)) AS sxy, CAST(SUM(x * x) AS DECIMAL(24,4)) AS sxx FROM d)
+        |SELECT n AS n_points,
+        |  CAST(CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
+        |FROM g""".stripMargin,
     "q246_segment_dedup" ->
       // identical tokenize → 8-token segment → md5 → distinct-doc count →
       // drop shared → ordered string_agg re-assembly

@@ -1020,4 +1020,108 @@ object Evaluation {
     dt.unpersist()
     materialized
   }
+
+  /** Isotonic regression (calibration curve fit) over score bins, via the
+    * minimax closed form: fitted(b) = max_{i≤b} min_{j≥b} wavg(y, i..j) —
+    * exactly the pool-adjacent-violators solution, computed as joins over
+    * the BIN table instead of the inherently sequential PAV merge loop.
+    * This is how a monotone calibration map (score → P(label)) is fit at
+    * 100 TB: raw rows collapse to ≤`bins` cells in one hash aggregate (the
+    * only corpus-sized work), and the B²/B³ interval tables are
+    * contract-small (bins ≤ 1000 ⇒ ≤10⁹ cheap integer rows at the extreme,
+    * ≤10⁴ at the default 16).
+    *
+    * Exactness: interval averages are ONE double division of exact integer
+    * sums, quantized to DECIMAL(18,9) BEFORE the min/max lattice — the
+    * fit compares identical decimals in any engine.
+    *
+    * [lo, hi] are caller-fixed bin bounds (the [[Analytics.histogram]]
+    * parity recipe — no data-dependent float bounds to disagree over). */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: Column,
+                  lo: Double, hi: Double, bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2,1000]")
+    val w = (hi - lo) / bins
+    val b = least(lit(bins - 1), greatest(lit(0),
+      floor((col(scoreCol).cast("double") - lit(lo)) / lit(w)))).cast("int")
+    val cells = df.select(b.as("bin"), labelCol.cast("int").as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      .localCheckpoint()
+    // prefix sums over ≤bins rows: the one-partition window is fine HERE
+    // because the frame is bin-sized by construction, never row-sized
+    val ws = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val pre = cells
+      .withColumn("cn", sum("n").over(ws))
+      .withColumn("csy", sum("sy").over(ws))
+    val starts = pre.select(col("bin").as("i"),
+      (col("cn") - col("n")).as("cn0"), (col("csy") - col("sy")).as("csy0"))
+    val ends = pre.select(col("bin").as("j"), col("cn").as("cn1"), col("csy").as("csy1"))
+    val ivals = starts.join(ends, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("csy1") - col("csy0")).cast("double") /
+          (col("cn1") - col("cn0")).cast("double")).cast("decimal(18,9)").as("a"))
+    val fitted = cells.select(col("bin"), col("n"), col("sy"))
+      .join(ivals, col("i") <= col("bin") && col("j") >= col("bin"))
+      .groupBy(col("bin"), col("n"), col("sy"), col("i"))
+      .agg(min("a").as("mi"))
+      .groupBy("bin", "n", "sy")
+      .agg(max("mi").as("fit"))
+    fitted.select(col("bin"), col("n"),
+        (col("sy").cast("double") / col("n").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("mean_y"),
+        // render via double FIRST: DuckDB's decimal→decimal downscale
+        // truncates while Spark's rounds; the double hop makes both
+        // engines quantize the identical IEEE value
+        col("fit").cast("double").cast("decimal(18,6)").cast("double").as("fitted"))
+      .orderBy("bin")
+  }
+
+  /** Split conformal prediction intervals — the distribution-free coverage
+    * guarantee (Vovk; Lei et al.): fit on the train split, take the
+    * k = ⌈(1−α)(n_cal+1)⌉-th smallest absolute calibration residual as the
+    * radius q̂, and every test prediction gets [ŷ−q̂, ŷ+q̂] with
+    * P(y ∈ interval) ≥ 1−α. The splits are md5-deterministic (no RNG), the
+    * model is the exact per-group train mean with a global fallback, and
+    * the order statistic comes from the DISTRIBUTED rank
+    * ([[Analytics.globalRowNumber]]) — never a driver sort.
+    *
+    * Exactness: targets quantize to DECIMAL(18,2) at ingest (money-grain),
+    * means to (18,6); residuals are decimal subtractions — so q̂ and every
+    * interval bound are identical in any engine, and `covered` is an exact
+    * integer comparison. */
+  def conformalIntervals(df: DataFrame, idCol: String, groupCol: String,
+                         targetCol: String, alpha: Double = 0.1): DataFrame = {
+    val y = col(targetCol).cast("decimal(18,2)")
+    val bucket = pmod(conv(substring(md5(concat(lit("conf:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"), lit(100L))
+    val tagged = df.select(col(idCol), col(groupCol).as("grp"), y.as("y"),
+        when(bucket < 60, "train").when(bucket < 80, "cal").otherwise("test")
+          .as("split"))
+      .localCheckpoint()
+    val train = tagged.filter(col("split") === "train")
+    val model = train.groupBy("grp")
+      .agg((sum("y").cast("double") / count(lit(1)).cast("double"))
+        .cast("decimal(18,6)").as("yhat_g"))
+    val fallback = train.agg((sum("y").cast("double") / count(lit(1)).cast("double"))
+      .cast("decimal(18,6)").as("yhat_all"))
+    def predicted(split: String): DataFrame = tagged
+      .filter(col("split") === split)
+      .join(broadcast(model), Seq("grp"), "left")
+      .crossJoin(broadcast(fallback))
+      .withColumn("yhat", coalesce(col("yhat_g"), col("yhat_all")))
+    val cal = predicted("cal")
+      .select(col(idCol), abs(col("y") - col("yhat")).as("r"))
+    val nCal = cal.count()
+    val k = math.min(nCal, math.ceil((1 - alpha) * (nCal + 1)).toLong)
+    val qhat = Analytics.globalRowNumber(cal, Seq("r", idCol), "rnk")
+      .filter(col("rnk") === k).select(col("r").as("qhat"))
+    predicted("test")
+      .crossJoin(broadcast(qhat))
+      .select(col(idCol), col("grp"),
+        col("yhat").cast("double").as("yhat"),
+        (col("yhat") - col("qhat")).cast("double").as("lo"),
+        (col("yhat") + col("qhat")).cast("double").as("hi"),
+        (col("y") >= col("yhat") - col("qhat") &&
+          col("y") <= col("yhat") + col("qhat")).cast("int").as("covered"))
+      .orderBy(idCol)
+  }
 }

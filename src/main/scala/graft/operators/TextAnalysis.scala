@@ -416,6 +416,38 @@ object TextAnalysis {
     * in more than `maxDocs` documents are dropped before pairing (the
     * boilerplate cap that bounds every bucket, same contract as minhash
     * LSH), so the self-join is bucket-bounded and never corpus-quadratic. */
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β — "how fast does new
+    * vocabulary appear as the corpus grows", the dual of [[zipfFit]] and
+    * the planning number behind tokenizer vocab sizing ("will 2× more data
+    * bring 2^β× more types?"). Observation points are per-document corpus
+    * prefixes in doc-id order: cumulative token count n_d vs cumulative
+    * distinct-type count V_d, fit by ln-ln least squares.
+    *
+    * V_d never re-scans prefixes: each type attributes itself to its FIRST
+    * document (one token-keyed min aggregate), new-type counts roll up per
+    * doc, and both cumulative axes come from the two-pass distributed
+    * prefix scan ([[Evaluation.globalCumSum]]) — no one-partition window,
+    * no quadratic prefix work. The regression reuses
+    * [[Analytics.regressionByGroup]]'s decimal-quantized recipe. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs.select(col(idCol),
+      size(Curation.tokens(col(textCol))).cast("long").as("n_tok"))
+    val newTypes = docs
+      .select(col(idCol), explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(min(col(idCol)).as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("v_new"))
+    val spine = perDoc
+      .join(newTypes, perDoc(idCol) === newTypes("first_doc"), "left")
+      .select(col(idCol), col("n_tok"), coalesce(col("v_new"), lit(0L)).as("v_new"))
+    val cum = Evaluation.globalCumSum(spine, Seq(idCol), Seq("n_tok", "v_new"))
+    val pts = cum.filter(col("cum_n_tok") > 0 && col("cum_v_new") > 0)
+      .select(lit("corpus").as("g"),
+        log(col("cum_n_tok").cast("double")).as("x"),
+        log(col("cum_v_new").cast("double")).as("y"))
+    Analytics.regressionByGroup(pts, "g", col("x"), col("y"))
+      .select(col("n").as("n_points"), col("slope").as("beta"))
+  }
+
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 24, w: Int = 8, maxDocs: Int = 20,
                   minShared: Int = 5): DataFrame = {

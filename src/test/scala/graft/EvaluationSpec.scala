@@ -519,4 +519,54 @@ class EvaluationSpec extends SparkSpec {
     assert(p == Evaluation.naiveBayes(docs, "doc_id", "text", "lang")
       .collect().map(_.toSeq).toSeq)
   }
+
+  test("isotonicFit: minimax solution equals hand-run PAV; violations pool, monotone output") {
+    import spark.implicits._
+    // 3 bins with mean y [1, 3, 2]·(1/4): bins 1,2 violate → pool to 2.5/4
+    // each; 4 points per bin, y encoded as k-of-4 positives
+    val rows =
+      (1 to 4).map(i => (5.0, i <= 1)) ++   // bin 0: mean 1/4
+      (1 to 4).map(i => (15.0, i <= 3)) ++  // bin 1: mean 3/4
+      (1 to 4).map(i => (25.0, i <= 2))     // bin 2: mean 2/4
+    val df = rows.toDF("s", "y")
+    val out = Evaluation.isotonicFit(df, "s", col("y"), 0.0, 30.0, 3)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0) == ((0.25, 0.25)), out.toString)
+    assert(out(1) == ((0.75, 0.625)), out.toString)  // pooled (3+2)/8
+    assert(out(2) == ((0.5, 0.625)), out.toString)
+    // fitted sequence is monotone non-decreasing by construction
+    val fits = Evaluation.isotonicFit(df, "s", col("y"), 0.0, 30.0, 3)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(fits == fits.sorted, fits.toString)
+    // weighted pooling: unbalance the violating bins (8 points vs 2)
+    val wrows =
+      (1 to 8).map(i => (15.0, i <= 6)) ++  // bin 1: mean 6/8, weight 8
+      (1 to 2).map(i => (25.0, i <= 0))     // bin 2: mean 0, weight 2
+    val wout = Evaluation.isotonicFit(wrows.toDF("s", "y"), "s", col("y"), 0.0, 30.0, 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(wout(1) == 0.6 && wout(2) == 0.6, wout.toString) // (6+0)/10
+  }
+
+  test("conformalIntervals: interval geometry, radius from calibration, deterministic") {
+    import spark.implicits._
+    val df = (1L to 2000L).map { i =>
+      (i, s"g${i % 4}", (i % 4) * 100.0 + (i % 7).toDouble)
+    }.toDF("id", "grp", "y")
+    val out = Evaluation.conformalIntervals(df, "id", "grp", "y", alpha = 0.1)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // geometry: lo ≤ yhat ≤ hi, symmetric radius, one radius for all rows
+    val radii = rows.map(r => BigDecimal(r.getDouble(4) - r.getDouble(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).distinct
+    assert(radii.length == 1, radii.toString)
+    assert(rows.forall(r => r.getDouble(3) <= r.getDouble(2) &&
+      r.getDouble(2) <= r.getDouble(4)))
+    // the conformal guarantee: empirical coverage ≥ 1−α−small-sample slack
+    val cov = rows.map(_.getInt(5)).sum.toDouble / rows.length
+    assert(cov >= 0.85, s"coverage $cov")
+    // md5 split + exact decimals ⇒ bit-identical under repartitioning
+    val p = Evaluation.conformalIntervals(df.repartition(7), "id", "grp", "y")
+      .collect().map(_.toSeq).toSeq
+    assert(p == rows.map(_.toSeq).toSeq)
+  }
 }

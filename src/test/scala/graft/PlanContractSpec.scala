@@ -74,7 +74,12 @@ class PlanContractSpec extends SparkSpec {
           "q235_tail_index", "q239_sax", "q244_changepoint",
           // target encoding: the 1-row global-mean fallback broadcast
           // over the fact rows (q128_impute's shape)
-          "q250_target_encode")
+          "q250_target_encode",
+          // isotonic: the B²/B³ interval lattice over ≤16 bin rows —
+          // contract-small inequality joins by construction
+          "q252_isotonic",
+          // conformal: 1-row fallback mean + 1-row q̂ radius broadcasts
+          "q253_conformal")
         if (allowed(name)) None else Some(name)
       } else None
     }

@@ -216,4 +216,17 @@ class TextAnalysisSpec extends SparkSpec {
       k = 4, w = 2, maxDocs = 10, minShared = 1).collect()
     assert(tw.length == 1 && tw(0).getLong(2) >= 3, tw.mkString(","))
   }
+
+  test("heapsFit: all-new vocabulary per doc ⇒ V(n) = n ⇒ β exactly 1; repeated corpus flattens β") {
+    import spark.implicits._
+    // every doc contributes 5 never-seen tokens: cum types == cum tokens
+    val fresh = (1L to 20L).map(d =>
+      (d, (1 to 5).map(i => s"w${d}x$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsFit(fresh, "doc_id", "text").collect()(0)
+    assert(out.getLong(0) == 20L && out.getDouble(1) == 1.0, out.toString)
+    // the same 5 tokens repeated: V(n) is constant after doc 1 ⇒ β ≈ 0
+    val stale = (1L to 20L).map(d => (d, "a b c d e")).toDF("doc_id", "text")
+    val b = TextAnalysis.heapsFit(stale, "doc_id", "text").collect()(0).getDouble(1)
+    assert(b >= 0.0 && b < 0.1, b.toString)
+  }
 }
