@@ -37,13 +37,23 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0 // sentinel: a failure must be visible in the JSON, not read as a fast success
       }
+      // Fresh-session hygiene between queries: operators that persist or
+      // localCheckpoint leave blocks pinned after their result is consumed;
+      // over 250+ queries the leak compounds into memory pressure that
+      // inflates every late-alphabet query (q22 measured 20 s inside a full
+      // run vs 3 s isolated before this). A real deployment runs one
+      // pipeline per session — the bench should charge each query its own
+      // work, not its predecessors' garbage.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      r
     }
     // The driver keeps only the LAST ~2 KB of combined output: round 1 lost
     // the metric line entirely to log noise, round 2's full-name 9-decimal

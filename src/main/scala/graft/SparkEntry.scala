@@ -584,6 +584,59 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q255_mannwhitney" -> ((s, d) =>
+      // did order value shift between finished and open orders: rank-sum
+      // U + tie-corrected z over per-distinct-value counts
+      Evaluation.mannWhitney(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderstatus") === "F")),
+    "q256_bh_fdr" -> ((s, d) =>
+      // 25 simultaneous nation-share tests → BH step-up q-values at α=.05
+      Evaluation.benjaminiHochberg(
+        Evaluation.shareTestPValues(Tables.customer(s, d), "c_nationkey"),
+        "key", "p", 0.05)),
+    "q257_kendall" -> ((s, d) =>
+      // do quantity and price move together within an order: pooled
+      // within-group concordant/discordant pair counts → tau-b
+      Analytics.kendallWithinGroups(Tables.lineitem(s, d), "l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice")),
+    "q258_kde" -> ((s, d) =>
+      // smooth order-value distribution at 21 grid points, h=25k
+      Analytics.kdeGrid(Tables.orders(s, d), col("o_totalprice"),
+        0.0, 500000.0, 21, 25000.0)),
+    "q259_mann_kendall" -> ((s, d) =>
+      // is monthly order volume drifting per priority class
+      Evaluation.mannKendall(
+        Tables.orders(s, d).groupBy(col("o_orderpriority").as("pri"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+          .agg(count(lit(1)).as("cnt")),
+        "pri", "m", "cnt")),
+    "q260_streaks" -> ((s, d) =>
+      // consecutive-order-day streaks per customer, as a length histogram
+      Analytics.streakHistogram(Tables.orders(s, d), "o_custkey",
+        col("o_orderdate"))),
+    "q261_simpson" -> ((s, d) =>
+      // would the aggregated priority comparison mislead: per-status
+      // strata sign vs aggregate sign, exact cross-multiplied means
+      Evaluation.simpsonFlips(Tables.orders(s, d), "o_orderpriority",
+        "o_orderstatus", col("o_totalprice"))),
+    "q262_hub_assign" -> ((s, d) =>
+      // route customers (md5-derived coordinates) to the nearest of 8
+      // fixed hubs by great-circle distance; per-hub load report
+      RangeJoin.haversineNearestHub(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (pmod(conv(substring(md5(concat(lit("lat:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(120000000L)).cast("double") / 1000000.0 - 60.0).as("lat"),
+          (pmod(conv(substring(md5(concat(lit("lon:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(360000000L)).cast("double") / 1000000.0 - 180.0).as("lon")),
+        "id", "lat", "lon",
+        Seq(("ams", 52.37, 4.90), ("gru", -23.55, -46.63),
+            ("hkg", 22.32, 114.17), ("jnb", -26.20, 28.04),
+            ("lax", 34.05, -118.24), ("nrt", 35.68, 139.65),
+            ("nyc", 40.71, -74.01), ("syd", -33.87, 151.21)))),
     "q246_segment_dedup" -> ((s, d) =>
       // CCNet-shaped boilerplate removal: drop 8-token segments shared
       // across documents, re-assemble the survivors in order
@@ -649,8 +702,16 @@ object SparkEntry {
       // PAA + quartile-breakpoint letters over the daily series
       Analytics.saxSymbolize(Tables.events(s, d), "ts")),
     "q238_link_jaccard" -> ((s, d) =>
-      // link-prediction feature: neighbor-set Jaccard via wedge counts
-      Graph.neighborJaccard(partCooccurrenceEdges(s, d), "pa", "pb")),
+      // link-prediction feature: neighbor-set Jaccard via wedge counts.
+      // Edges take a support filter first (pair co-occurs in ≥2 orders —
+      // the standard market-basket noise floor): the raw co-occurrence
+      // graph is near-complete (avg degree ~120 ⇒ 1.5e8 wedges) and
+      // 1-off co-purchases carry no link signal anyway
+      Graph.neighborJaccard(
+        partCooccurrenceEdges(s, d).groupBy("pa", "pb")
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+          .select("pa", "pb"),
+        "pa", "pb", minCommon = 1)),
     "q237_compression" -> ((s, d) =>
       // ☆ DEFLATE ratio quality signal (no SQL twin; spec-pinned)
       TextAnalysis.compressionRatio(Tables.documents(s, d), "doc_id", "text")),
@@ -2670,6 +2731,146 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q255_mannwhitney" ->
+      // same distinct-value collapse, doubled average ranks (integers),
+      // HUGEINT-exact 2R1 and tie sums, one mirrored double chain for z
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS na,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nb
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |r AS (SELECT v, na, nb, na + nb AS cnt,
+        |    SUM(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (na + nb) AS cumb
+        |  FROM cells),
+        |g AS (SELECT SUM(na) AS n1, SUM(nb) AS n2,
+        |    SUM(CAST(na AS HUGEINT) * (2 * cumb + cnt + 1)) AS r2,
+        |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3 FROM r)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2 AS u1,
+        |  CAST(CAST((CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    / (2 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12 *
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+        |          - CAST(tie3 AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS z
+        |FROM g""".stripMargin,
+    "q256_bh_fdr" ->
+      // identical Chernoff p per nation, then the BH step-up lattice:
+      // rank by (p, key), reverse running min of p·m/rank, clamp, α=.05
+      """WITH counts AS (SELECT c_nationkey AS key, count(*) AS n_k FROM customer GROUP BY 1),
+        |tot AS (SELECT SUM(n_k) AS n_total, COUNT(*) AS m FROM counts),
+        |pv AS (SELECT key, CAST(exp(
+        |    ((CAST(n_k AS DOUBLE) - CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(n_k AS DOUBLE) - CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE))
+        |      / ((CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE)) * (1 - 1 / CAST(m AS DOUBLE)))) * -0.5)
+        |    AS DECIMAL(18,9)) AS p, m
+        |  FROM counts CROSS JOIN tot),
+        |b AS (SELECT key, p, m, row_number() OVER (ORDER BY p, key) AS rnk FROM pv),
+        |q AS (SELECT key, p, rnk,
+        |    CAST(least(1.0, min(CAST(p AS DOUBLE) * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE))
+        |      OVER (ORDER BY p DESC, key DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DECIMAL(18,9)) AS q
+        |  FROM b)
+        |SELECT key, CAST(p AS DOUBLE) AS p, CAST(rnk AS BIGINT) AS rnk, CAST(q AS DOUBLE) AS q,
+        |  CASE WHEN q <= 0.05 THEN 1 ELSE 0 END AS rejected
+        |FROM q ORDER BY rnk""".stripMargin,
+    "q257_kendall" ->
+      // same keyed pair join (a.line < b.line), exact sign counts, one
+      // double chain for tau-b
+      """WITH p AS (SELECT sign(b.l_quantity - a.l_quantity) AS dx,
+        |    sign(b.l_extendedprice - a.l_extendedprice) AS dy
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber),
+        |g AS (SELECT COUNT(*) AS n0,
+        |    COUNT(CASE WHEN dx * dy = 1 THEN 1 END) AS nc,
+        |    COUNT(CASE WHEN dx * dy = -1 THEN 1 END) AS nd,
+        |    COUNT(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END) AS tx,
+        |    COUNT(CASE WHEN dy = 0 AND dx <> 0 THEN 1 END) AS ty,
+        |    COUNT(CASE WHEN dx = 0 AND dy = 0 THEN 1 END) AS txy FROM p)
+        |SELECT CAST(n0 AS BIGINT) AS n_pairs, CAST(nc AS BIGINT) AS concordant,
+        |  CAST(nd AS BIGINT) AS discordant, CAST(tx AS BIGINT) AS ties_x,
+        |  CAST(ty AS BIGINT) AS ties_y, CAST(txy AS BIGINT) AS ties_xy,
+        |  CAST(CAST(CAST(nc - nd AS DOUBLE) /
+        |    sqrt((CAST(n0 AS DOUBLE) - CAST(tx + txy AS DOUBLE)) * (CAST(n0 AS DOUBLE) - CAST(ty + txy AS DOUBLE)))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS tau_b
+        |FROM g""".stripMargin,
+    "q258_kde" ->
+      // same grid fan-out; each exp term DECIMAL(18,9)-quantized before
+      // the sum; sqrt(2π) as a shared literal
+      """WITH grid AS (SELECT CAST(i AS INT) AS gi, 0.0 + CAST(i AS DOUBLE) * 25000.0 AS g
+        |  FROM generate_series(0, 20) t(i)),
+        |t AS (SELECT gi, g, CAST(exp(((g - o_totalprice) / 25000.0) * ((g - o_totalprice) / 25000.0) * -0.5)
+        |    AS DECIMAL(18,9)) AS term
+        |  FROM orders CROSS JOIN grid),
+        |a AS (SELECT gi, g, COUNT(*) AS n, SUM(term) AS ksum FROM t GROUP BY 1, 2)
+        |SELECT gi, CAST(g AS DOUBLE) AS x,
+        |  CAST(CAST(CAST(ksum AS DOUBLE) / (CAST(n AS DOUBLE) * 25000.0 * 2.5066282746310002)
+        |    AS DECIMAL(18,12)) AS DOUBLE) AS density
+        |FROM a ORDER BY gi""".stripMargin,
+    "q259_mann_kendall" ->
+      // same monthly series, within-group pair signs, exact tie term,
+      // continuity-corrected z in one mirrored chain
+      """WITH ser AS (SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS m, count(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |pr AS (SELECT a.grp, sign(b.x - a.x) AS sg FROM ser a
+        |  JOIN ser b ON a.grp = b.grp AND a.m < b.m),
+        |s AS (SELECT grp, CAST(SUM(sg) AS BIGINT) AS s FROM pr GROUP BY 1),
+        |ties AS (SELECT grp, SUM(t) AS n, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+        |  FROM (SELECT grp, x, COUNT(*) AS t FROM ser GROUP BY 1, 2) GROUP BY 1)
+        |SELECT ties.grp, CAST(n AS BIGINT) AS n, s,
+        |  CAST(CAST(CASE
+        |    WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (2 * CAST(n AS DOUBLE) + 5) - CAST(tie_term AS DOUBLE)) / 18 <= 0 THEN NULL
+        |    WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (2 * CAST(n AS DOUBLE) + 5) - CAST(tie_term AS DOUBLE)) / 18)
+        |    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (2 * CAST(n AS DOUBLE) + 5) - CAST(tie_term AS DOUBLE)) / 18)
+        |    ELSE 0.0 END AS DECIMAL(18,9)) AS DOUBLE) AS z
+        |FROM ties JOIN s USING (grp) ORDER BY grp""".stripMargin,
+    "q260_streaks" ->
+      // the same date − row_number island key, then the length histogram
+      """WITH dd AS (SELECT DISTINCT o_custkey AS key, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |i AS (SELECT key, d - CAST(row_number() OVER (PARTITION BY key ORDER BY d) AS INT) AS anchor FROM dd),
+        |l AS (SELECT key, anchor, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT len AS streak_len, COUNT(*) AS n_streaks, COUNT(DISTINCT key) AS n_keys
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q261_simpson" ->
+      // signs by cross-multiplication on exact integer cents — no
+      // division anywhere, so no engine can flip a sign
+      """WITH cells AS (SELECT o_orderpriority AS g, o_orderstatus AS st,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(s) AS sg, SUM(n) AS ng FROM cells GROUP BY 1),
+        |ap AS (SELECT a.g AS ga, b.g AS gb,
+        |    CAST(sign(CAST(a.sg AS HUGEINT) * b.ng - CAST(b.sg AS HUGEINT) * a.ng) AS INT) AS agg_sign
+        |  FROM tot a JOIN tot b ON a.g < b.g),
+        |sp AS (SELECT a.g AS ga, b.g AS gb,
+        |    CAST(sign(CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n) AS INT) AS st_sign
+        |  FROM cells a JOIN cells b ON a.st = b.st AND a.g < b.g),
+        |spa AS (SELECT ga, gb, COUNT(*) AS n_strata,
+        |    SUM(CASE WHEN st_sign <> 0 THEN 1 ELSE 0 END) AS n_decided,
+        |    SUM(CASE WHEN st_sign <> 0 THEN st_sign ELSE 0 END) AS sign_sum
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT ap.ga, ap.gb, agg_sign, CAST(n_strata AS BIGINT) AS n_strata,
+        |  CAST(n_decided AS BIGINT) AS n_decided,
+        |  CASE WHEN agg_sign <> 0 AND n_decided > 0 AND sign_sum = -agg_sign * n_decided
+        |    THEN 1 ELSE 0 END AS full_reversal
+        |FROM ap JOIN spa USING (ga, gb) ORDER BY ga, gb""".stripMargin,
+    "q262_hub_assign" ->
+      // identical md5 coordinates, the same haversine chain quantized to
+      // 0.1 km BEFORE the (dist, hub) argmin and the per-hub stats
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    CAST(CAST('0x' || substring(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 120000000 AS DOUBLE) / 1000000.0 - 60.0 AS lat,
+        |    CAST(CAST('0x' || substring(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 360000000 AS DOUBLE) / 1000000.0 - 180.0 AS lon
+        |  FROM customer),
+        |hubs AS (SELECT * FROM (VALUES ('ams', 52.37, 4.90), ('gru', -23.55, -46.63),
+        |    ('hkg', 22.32, 114.17), ('jnb', -26.20, 28.04), ('lax', 34.05, -118.24),
+        |    ('nrt', 35.68, 139.65), ('nyc', 40.71, -74.01), ('syd', -33.87, 151.21)) AS h(hub, h_lat, h_lon)),
+        |d AS (SELECT id, hub, CAST(12742.0 * asin(sqrt(
+        |    sin((radians(h_lat) - radians(lat)) / 2) * sin((radians(h_lat) - radians(lat)) / 2)
+        |    + cos(radians(lat)) * cos(radians(h_lat))
+        |      * sin((radians(h_lon) - radians(lon)) / 2) * sin((radians(h_lon) - radians(lon)) / 2)))
+        |    AS DECIMAL(18,1)) AS dk
+        |  FROM pts CROSS JOIN hubs),
+        |best AS (SELECT id, dk, hub FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dk, hub) = 1)
+        |SELECT hub, COUNT(*) AS n_points, CAST(max(dk) AS DOUBLE) AS max_km,
+        |  CAST(CAST(CAST(SUM(dk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_km
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     "q246_segment_dedup" ->
       // identical tokenize → 8-token segment → md5 → distinct-doc count →
       // drop shared → ordered string_agg re-assembly
@@ -2909,13 +3110,15 @@ object SparkEntry {
       // wedge counts with the same hub cap; x<y once per pair; exact
       // degrees joined at the pair level, one quantized division
       """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |ew AS (SELECT x.p AS a, y.p AS b, count(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e0 AS (SELECT a, b FROM ew WHERE wt >= 2),
         |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
         |deg AS (SELECT a AS n, count(*) AS deg FROM e GROUP BY 1),
         |w AS (SELECT e1.b AS x, e2.b AS y, count(*) AS n_common
         |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
         |      WHERE e1.a IN (SELECT n FROM deg WHERE deg <= 10000)
-        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |      GROUP BY 1, 2 HAVING count(*) >= 1)
         |SELECT x, y, n_common, dx.deg AS deg_x, dy.deg AS deg_y,
         |  CAST(CAST(CAST(n_common AS DOUBLE) / CAST(dx.deg + dy.deg - n_common AS DOUBLE)
         |       AS DECIMAL(18,6)) AS DOUBLE) AS jaccard

@@ -23,6 +23,9 @@ object TimeQ {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[timeq] $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same per-query hygiene as Bench: drop pinned blocks between runs
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

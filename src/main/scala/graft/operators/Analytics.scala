@@ -2061,4 +2061,106 @@ object Analytics {
           .cast("decimal(18,6)").cast("double").as("forecast"))
       .orderBy(keyCol)
   }
+
+  /** Kendall tau-b concordance WITHIN small groups, pooled — "across all
+    * orders, do quantity and price move together line-by-line". Spearman
+    * ([[spearmanByGroup]]) ranks whole columns; Kendall counts concordant
+    * vs discordant PAIRS, which generalizes to a stratified form: pairs
+    * are taken only within a group (a Kendall partial concordance), so the
+    * self-join is keyed on the group column and costs Σ n_g² — bounded
+    * when groups are (like order line counts) naturally small. Never an
+    * unkeyed cross join.
+    *
+    * All six pair counts (concordant, discordant, x-only ties, y-only
+    * ties, both-tied, total) are exact integers; tau-b =
+    * (nc − nd)/√((n0 − tx_all)(n0 − ty_all)) — with tx_all/ty_all the
+    * pairs tied on that axis regardless of the other — is ONE double
+    * chain over them, quantized scale 9. `seqCol` must order rows totally
+    * within a group so each unordered pair is generated exactly once. */
+  def kendallWithinGroups(df: DataFrame, groupCol: String, seqCol: String,
+                          xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(seqCol).as("seq"),
+      col(xCol).as("x"), col(yCol).as("y"))
+    val a = base.select(col("grp"), col("seq").as("sa"), col("x").as("xa"), col("y").as("ya"))
+    val b = base.select(col("grp"), col("seq").as("sb"), col("x").as("xb"), col("y").as("yb"))
+    val dx = signum(col("xb") - col("xa")).cast("int")
+    val dy = signum(col("yb") - col("ya")).cast("int")
+    val pairs = a.join(b, Seq("grp")).filter(col("sa") < col("sb"))
+      .select(dx.as("dx"), dy.as("dy"))
+      .agg(count(lit(1)).as("n0"),
+        sum((col("dx") * col("dy") === 1).cast("long")).as("nc"),
+        sum((col("dx") * col("dy") === -1).cast("long")).as("nd"),
+        sum((col("dx") === 0 && col("dy") =!= 0).cast("long")).as("tx"),
+        sum((col("dy") === 0 && col("dx") =!= 0).cast("long")).as("ty"),
+        sum((col("dx") === 0 && col("dy") === 0).cast("long")).as("txy"))
+    val n0 = col("n0").cast("double")
+    val denom = sqrt((n0 - (col("tx") + col("txy")).cast("double")) *
+      (n0 - (col("ty") + col("txy")).cast("double")))
+    pairs.select(col("n0").cast("long").as("n_pairs"),
+      col("nc").cast("long").as("concordant"),
+      col("nd").cast("long").as("discordant"),
+      col("tx").cast("long").as("ties_x"), col("ty").cast("long").as("ties_y"),
+      col("txy").cast("long").as("ties_xy"),
+      when(denom > 0d,
+        ((col("nc") - col("nd")).cast("double") / denom)
+          .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
+  /** Gaussian kernel density estimate evaluated at a FIXED grid — the
+    * smooth histogram behind distribution dashboards and drift plots
+    * (Parzen 1962). f(g) = Σ K((g−x)/h) / (n·h·√2π) with the standard
+    * normal kernel.
+    *
+    * Scale shape: the grid is a CONSTANT-sized broadcast; each row fans
+    * out to gridN kernel terms map-side and partial aggregation collapses
+    * them before the shuffle, so the exchange carries gridN × partitions
+    * rows no matter how big the input. Exactness: each exp term is
+    * quantized DECIMAL(18,9) BEFORE the order-independent decimal sum
+    * (the [[Evaluation.naiveBayes]] ln recipe, for exp), and the final
+    * normalization is one double chain with √2π as a shared literal —
+    * `pi()`/`sqrt` provenance never enters the comparison. */
+  def kdeGrid(df: DataFrame, value: Column, vMin: Double, vMax: Double,
+              gridN: Int, bandwidth: Double): DataFrame = {
+    require(gridN >= 2 && gridN <= 512, "gridN in [2,512]")
+    val spark = df.sparkSession
+    val step = (vMax - vMin) / (gridN - 1).toDouble
+    val grid = spark.range(gridN.toLong)
+      .select(col("id").cast("int").as("gi"),
+        (lit(vMin) + col("id").cast("double") * step).as("g"))
+    val u = (col("g") - value.cast("double")) / bandwidth
+    val sqrt2pi = 2.5066282746310002d // shared literal: sqrt(2*pi)
+    df.crossJoin(broadcast(grid))
+      .select(col("gi"), col("g"),
+        exp(u * u * -0.5d).cast("decimal(18,9)").as("term"))
+      .groupBy("gi", "g")
+      .agg(count(lit(1)).as("n"), sum("term").as("ksum"))
+      .select(col("gi"), col("g").cast("double").as("x"),
+        (col("ksum").cast("double") /
+          (col("n").cast("double") * bandwidth * sqrt2pi))
+          .cast("decimal(18,12)").cast("double").as("density"))
+      .orderBy("gi")
+  }
+
+  /** Consecutive-day streak histogram (gaps-and-islands): for every key,
+    * split its distinct activity dates into maximal runs of consecutive
+    * days and count streaks by length — the engagement/retention shape
+    * behind "n-day streak" metrics, and the date-typed twin of
+    * [[sessionize]] (sessions gap on SECONDS, streaks on whole days).
+    *
+    * The classic island key is date − row_number·day: constant within a
+    * consecutive run, strictly decreasing across gaps. One distinct
+    * shuffle + one per-key window (parallel across keys, never global) +
+    * two hash aggregates; everything is exact integers. */
+  def streakHistogram(df: DataFrame, keyCol: String, dateCol: Column): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("d")
+    df.select(col(keyCol).as("key"), dateCol.cast("date").as("d"))
+      .distinct()
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy("key", "anchor").agg(count(lit(1)).as("len"))
+      .groupBy(col("len").as("streak_len"))
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct("key").as("n_keys"))
+      .orderBy("streak_len")
+  }
 }

@@ -1124,4 +1124,302 @@ object Evaluation {
           col("y") <= col("yhat") + col("qhat")).cast("int").as("covered"))
       .orderBy(idCol)
   }
+
+  /** Mann–Whitney U rank-sum test — the nonparametric two-sample location
+    * test (Mann & Whitney 1947), i.e. "did the metric's DISTRIBUTION shift
+    * between cohort A and cohort B" without assuming normality; the
+    * significance-test companion of [[groupedAuc]] (U/(n1·n2) IS the AUC).
+    *
+    * Never ranks raw rows (the [[groupedAuc]]/[[Analytics.spearmanByGroup]]
+    * collapse): one hash aggregate shrinks to per-distinct-value (nA, nB)
+    * counts and the rank window runs over that margin. Ranks use the
+    * DOUBLED average-rank 2·cumBefore + cnt + 1 — an integer — so
+    * 2·R1 = Σ nA·(2·cumBefore+cnt+1) is an exact decimal sum, the tie term
+    * Σ(t³−t) is an exact decimal sum, and the tie-corrected normal
+    * approximation z = (2U1 − n1·n2) / (2·√(n1·n2/12·((n+1) − T/(n(n−1)))))
+    * is ONE fixed double chain over those exact sums, mirrored verbatim in
+    * the oracle and quantized scale 9. The margin window is single-partition
+    * by construction (a global rank has no partition key) — acceptable
+    * because it sees |distinct values|, not |rows|; quantize a
+    * near-continuous metric first (the spearman note). */
+  def mannWhitney(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val cells = df.groupBy(value.as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+           sum(when(inA, 0L).otherwise(1L)).as("nb"))
+      .withColumn("cnt", col("na") + col("nb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cumBefore", sum("cnt").over(w) - col("cnt"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val agg = ranked.agg(
+      sum("na").as("n1"), sum("nb").as("n2"),
+      sum(c19(col("na")) *
+        c19(lit(2) * col("cumBefore") + col("cnt") + 1)).as("r2"),
+      sum((c19(col("cnt")) * col("cnt") * col("cnt"))
+        .cast("decimal(38,0)") - col("cnt")).as("tie3"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    // 2·U1 = 2·R1 − n1·(n1+1), exact in decimal
+    val twoU = (col("r2") - c19(col("n1")) * (col("n1") + 1))
+      .cast("decimal(38,0)")
+    val varU = n1 * n2 / 12d *
+      ((nn + 1d) - col("tie3").cast("double") / (nn * (nn - 1d)))
+    agg.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        (twoU.cast("double") / 2).as("u1"),
+        when(varU > 0d,
+          ((twoU.cast("double") - n1 * n2) / (lit(2d) * sqrt(varU)))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Per-key share test: the p-like score feeding [[benjaminiHochberg]].
+    * For each key with count n_k out of N total across m keys, the
+    * one-cell z² against the uniform null π=1/m is
+    * (n_k − Nπ)²/(Nπ(1−π)) and the score is the Chernoff tail bound
+    * p = exp(−z²/2) — monotone in |z|, in (0,1], and engine-exact once
+    * quantized to scale 9 (a true normal CDF needs erf, which neither
+    * engine guarantees bit-identical; any real p-value column plugs into
+    * [[benjaminiHochberg]] unchanged). Counts are exact; z² and exp run in
+    * one double chain mirrored in the oracle. */
+  def shareTestPValues(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_k")).localCheckpoint()
+    val totals = counts.agg(sum("n_k").as("n_total"),
+      count(lit(1)).as("m"))
+    val nT = col("n_total").cast("double"); val m = col("m").cast("double")
+    val expd = nT / m
+    val z2 = (col("n_k").cast("double") - expd) *
+      (col("n_k").cast("double") - expd) / (expd * (lit(1d) - lit(1d) / m))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_k"),
+        exp(z2 * -0.5d).cast("decimal(18,9)").as("p"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg 1995)
+    * over m simultaneous hypotheses — the multiple-testing control a
+    * metrics platform applies when it runs [[abTest]]/[[srmCheck]]-style
+    * tests across MANY segments at once (m tests at α each ⇒ ~mα false
+    * alarms; BH caps the FALSE DISCOVERY RATE at α instead).
+    *
+    * q_(i) = min_{j≥i} p_(j)·m/j, clamped to 1: rank by (p, key) — the key
+    * tiebreak makes the order total, so ranks are engine-stable given
+    * pre-quantized p (both producers here quantize scale 9) — then a
+    * reverse running min over the rank order. Both windows are
+    * single-partition over M ROWS where m = #hypotheses (segments, not
+    * data): BH is inherently a total order over the tests themselves.
+    * Each q is p·m/j double-divided once then re-quantized scale 9. */
+  def benjaminiHochberg(pvals: DataFrame, keyCol: String, pCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    val m = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wUp = Window.orderBy(col(pCol), col(keyCol))
+    val wDown = Window.orderBy(col(pCol).desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pvals
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rnk", row_number().over(wUp))
+      .withColumn("q_raw",
+        col(pCol).cast("double") * col("m").cast("double") /
+          col("rnk").cast("double"))
+      .withColumn("q",
+        least(lit(1d), min("q_raw").over(wDown)).cast("decimal(18,9)"))
+      .select(col(keyCol), col(pCol).cast("double").as("p"),
+        col("rnk").cast("long").as("rnk"),
+        col("q").cast("double").as("q"),
+        (col("q") <= alpha).cast("int").as("rejected"))
+      .orderBy("rnk")
+  }
+
+  /** Mann–Kendall trend test per series group (Mann 1945; Kendall 1975) —
+    * "is this metric monotonically drifting", the distribution-free
+    * companion of [[Analytics.theilSen]] (same S statistic family; Theil–Sen
+    * gives the slope, Mann–Kendall gives the significance). Input is ONE
+    * ROW PER TIME STEP per group (aggregate first, e.g. orders → monthly
+    * counts): series length n is calendar-bounded, so the within-group
+    * pair self-join is n²-per-group over a DIM-SIZED table — never raw rows.
+    *
+    * S = Σ_{i<j} sign(x_j − x_i) (exact integer), tie term Σ t(t−1)(2t+5)
+    * from per-value tie counts (exact), Var(S) = (n(n−1)(2n+5) − ties)/18,
+    * and the continuity-corrected z = (S∓1)/√Var(S) is one double chain
+    * quantized scale 9. */
+  def mannKendall(series: DataFrame, groupCol: String, tCol: String,
+                  valueCol: String): DataFrame = {
+    val base = series.select(col(groupCol).as("grp"), col(tCol).as("t"),
+      col(valueCol).as("x")).localCheckpoint() // pair join + tie scan
+    val a = base.select(col("grp"), col("t").as("ta"), col("x").as("xa"))
+    val b = base.select(col("grp"), col("t").as("tb"), col("x").as("xb"))
+    val s = a.join(b, Seq("grp")).filter(col("ta") < col("tb"))
+      .groupBy("grp")
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s"))
+    val ties = base.groupBy("grp", "x").agg(count(lit(1)).as("t"))
+      .groupBy("grp").agg(count(lit(1)).as("n_vals"), sum("t").as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    val nd = col("n").cast("double")
+    val varS = (nd * (nd - 1d) * (lit(2d) * nd + 5d) -
+      col("tie_term").cast("double")) / 18d
+    val sd = col("s").cast("double")
+    ties.join(s, Seq("grp"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("s").cast("long").as("s"),
+        when(varS > 0d,
+          (when(col("s") > 0, (sd - 1d) / sqrt(varS))
+            .when(col("s") < 0, (sd + 1d) / sqrt(varS))
+            .otherwise(lit(0d))).cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("z"))
+      .orderBy("grp")
+  }
+
+  /** McNemar's test for paired binary outcomes (McNemar 1947) — "did the
+    * per-unit condition CHANGE between two observations", e.g. user active
+    * before vs after a release. Unlike two independent proportions, only
+    * the DISCORDANT units carry signal: χ² = (|b−c|−1)²/(b+c) (continuity
+    * corrected) where b = yes→no and c = no→yes.
+    *
+    * One unit-keyed hash aggregate collapses raw rows to two flags per
+    * unit (max of each condition — any qualifying row counts), one global
+    * aggregate produces the four exact cell counts, and χ² is a single
+    * double chain over b and c quantized scale 9. Degenerate b+c=0 →
+    * NULL (no discordance, test undefined). */
+  def mcnemar(df: DataFrame, unitCol: String, beforeCond: Column,
+              afterCond: Column): DataFrame = {
+    val units = df.groupBy(col(unitCol).as("u"))
+      .agg(max(when(beforeCond, 1).otherwise(0)).as("fb"),
+           max(when(afterCond, 1).otherwise(0)).as("fa"))
+    val cells = units.agg(
+      sum((col("fb") === 1 && col("fa") === 1).cast("long")).as("n11"),
+      sum((col("fb") === 1 && col("fa") === 0).cast("long")).as("n10"),
+      sum((col("fb") === 0 && col("fa") === 1).cast("long")).as("n01"),
+      sum((col("fb") === 0 && col("fa") === 0).cast("long")).as("n00"))
+    val b = col("n10").cast("double"); val c = col("n01").cast("double")
+    cells.select(col("n11").cast("long").as("n11"), col("n10").cast("long").as("n10"),
+      col("n01").cast("long").as("n01"), col("n00").cast("long").as("n00"),
+      when(col("n10") + col("n01") > 0,
+        ((abs(b - c) - 1d) * (abs(b - c) - 1d) / (b + c))
+          .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) — "does the
+    * success proportion trend MONOTONICALLY across ordered dose levels",
+    * the ordered-alternative upgrade of the k-proportion chi-square (which
+    * wastes the ordering): e.g. completion rate across priority tiers.
+    *
+    * Doses collapse to per-level (w_i, n_i, r_i) in one hash aggregate;
+    * the five moment sums (N, R, Σwn, Σw²n, Σwr) are exact integers
+    * (integer dose weights), and z = T/√Var with
+    * T = Σwr − R·Σwn/N, Var = (R/N)(1−R/N)·(Σw²n − (Σwn)²/N)
+    * is ONE double chain over them, mirrored in the oracle, scale 9. */
+  def cochranArmitage(df: DataFrame, dose: Column, successCond: Column): DataFrame = {
+    val lv = df.groupBy(dose.cast("long").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCond, 1L).otherwise(0L)).as("r"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val g = lv.agg(sum("n").as("nn"), sum("r").as("rr"),
+      sum(c19(col("w")) * col("n")).as("swn"),
+      sum(c19(col("w")) * col("w") * col("n")).as("swwn"),
+      sum(c19(col("w")) * col("r")).as("swr"))
+    val nd = col("nn").cast("double"); val rd = col("rr").cast("double")
+    val swn = col("swn").cast("double"); val swwn = col("swwn").cast("double")
+    val swr = col("swr").cast("double")
+    val t = swr - rd * swn / nd
+    val varT = (rd / nd) * (lit(1d) - rd / nd) * (swwn - swn * swn / nd)
+    g.select(col("nn").cast("long").as("n_total"), col("rr").cast("long").as("r_total"),
+      when(varT > 0d, (t / sqrt(varT)).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Bradley–Terry pairwise-preference strengths (Bradley & Terry 1952) via
+    * the MM algorithm (Hunter 2004) with FIXED unrolled iterations — the
+    * batch model behind preference/RLHF data: given "i beat j" contests,
+    * recover latent strengths p with P(i beats j) = p_i/(p_i+p_j).
+    *
+    * Contests collapse once to the item×item win matrix (the only
+    * row-sized shuffle); everything after runs on K² rows. Each MM step
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j) quantizes the per-opponent term to
+    * DECIMAL(28,12) before the order-independent sum and the new p to
+    * DECIMAL(18,9) — so a fixed iteration count is bit-reproducible in
+    * the unrolled-CTE oracle. Deterministic from p⁰=1; never-winning
+    * items go to strength 0 (correct MLE limit). */
+  def bradleyTerry(contests: DataFrame, winCol: String, loseCol: String,
+                   iters: Int = 2): DataFrame = {
+    val w = contests.groupBy(col(winCol).as("i"), col(loseCol).as("j"))
+      .agg(count(lit(1)).as("w")).localCheckpoint()
+    val nij = w.select(col("i"), col("j"), col("w"))
+      .unionAll(w.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy("i", "j").agg(sum("w").as("nij")).localCheckpoint()
+    val wins = nij.select(col("i")).distinct()
+      .join(w.groupBy("i").agg(sum("w").as("wi")), Seq("i"), "left")
+      .select(col("i"), coalesce(col("wi"), lit(0L)).as("wi"))
+      .localCheckpoint()
+    var p = wins.select(col("i"), lit(BigDecimal(1)).cast("decimal(18,9)").as("p"))
+    for (_ <- 1 to iters) {
+      val denom = nij
+        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
+        .select(col("i"),
+          (col("nij").cast("double") / (col("pi") + col("pj")).cast("double"))
+            .cast("decimal(28,12)").as("term"))
+        .groupBy("i").agg(sum("term").as("den"))
+      p = wins.join(denom, Seq("i"))
+        .select(col("i"),
+          when(col("den") > 0,
+            (col("wi").cast("double") / col("den").cast("double"))
+              .cast("decimal(18,9)"))
+            .otherwise(lit(BigDecimal(0)).cast("decimal(18,9)")).as("p"))
+        .localCheckpoint()
+    }
+    wins.join(nij.groupBy("i").agg(sum("nij").as("games")), Seq("i"))
+      .join(p, Seq("i"))
+      .select(col("i").as("item"), col("wi").cast("long").as("wins"),
+        col("games").cast("long").as("games"),
+        col("p").cast("double").as("strength"))
+      .orderBy("item")
+  }
+
+  /** Simpson's-paradox detector over group pairs (Simpson 1951; the
+    * aggregation-reversal audit): for every pair of groups (a, b), compare
+    * the SIGN of the aggregated mean difference against the per-stratum
+    * signs — a pair where every decided stratum disagrees with the
+    * aggregate is a full reversal, i.e. the aggregated comparison would
+    * mislead (the classic admission-bias / batch-mix confounder a data
+    * pipeline should flag before anyone reads the aggregate table).
+    *
+    * All comparisons are EXACT: mean_a vs mean_b compares by
+    * cross-multiplication sign(s_a·n_b − s_b·n_a) on decimal sums —
+    * no division ever happens, so no rounding can flip a sign in one
+    * engine and not the other. Sizes: groups² × strata pairs over a
+    * twice-aggregated dim-sized table. */
+  def simpsonFlips(df: DataFrame, groupCol: String, strataCol: String,
+                   value: Column): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("g"), col(strataCol).as("st"))
+      .agg(sum(value.cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n")).localCheckpoint()
+    val totals = cells.groupBy("g")
+      .agg(sum("s").as("sg"), sum("n").as("ng"))
+    def cross(l: Column, r: Column, ln: Column, rn: Column): Column =
+      signum((l.cast("decimal(28,2)") * rn -
+        r.cast("decimal(28,2)") * ln).cast("decimal(38,2)")).cast("int")
+    val aggPairs = totals.select(col("g").as("ga"), col("sg").as("sa"), col("ng").as("na"))
+      .crossJoin(totals.select(col("g").as("gb"), col("sg").as("sb"), col("ng").as("nb")))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), cross(col("sa"), col("sb"), col("na"), col("nb")).as("agg_sign"))
+    val stratumPairs = cells.select(col("g").as("ga"), col("st"), col("s").as("s_a"), col("n").as("n_a"))
+      .join(cells.select(col("g").as("gb"), col("st"), col("s").as("s_b"), col("n").as("n_b")), Seq("st"))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        cross(col("s_a"), col("s_b"), col("n_a"), col("n_b")).as("st_sign"))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_strata"),
+        sum((col("st_sign") =!= 0).cast("long")).as("n_decided"),
+        sum((col("st_sign") =!= 0).cast("long") * col("st_sign")).as("sign_sum"))
+    aggPairs.join(stratumPairs, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("agg_sign"),
+        col("n_strata").cast("long").as("n_strata"),
+        col("n_decided").cast("long").as("n_decided"),
+        (col("agg_sign") =!= 0 && col("n_decided") > 0 &&
+          col("sign_sum") === -col("agg_sign") * col("n_decided"))
+          .cast("int").as("full_reversal"))
+      .orderBy("ga", "gb")
+  }
 }

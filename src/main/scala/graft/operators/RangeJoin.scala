@@ -135,4 +135,45 @@ object RangeJoin {
       .select(col("id_a"), col("id_b"), col("dist2").cast("long").as("dist2"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Nearest-hub assignment by great-circle (haversine) distance — route
+    * every point to the closest of a SMALL fixed hub set (regions,
+    * datacenters, depots) and report per-hub load. The geo companion of
+    * [[gridProximityJoin]]: that op finds point–point pairs; this one is
+    * the point–dimension k=1 classification, and because the hub side is
+    * constant-sized it broadcasts — the point side fans out ×|hubs|
+    * map-side, the argmin is a `min(struct(...))` hash aggregate (never a
+    * window), and per-hub stats partial-aggregate before the only shuffle.
+    *
+    * Exactness: the haversine chain (radians → sin/cos → asin → ×2R) runs
+    * in double and is mirrored verbatim in the oracle, but sin/cos/asin
+    * are libm calls with no cross-engine bit guarantee — so the distance
+    * is quantized to DECIMAL(18,1) km (0.1 km — 12 orders of magnitude
+    * above the ~1e-10 km double noise) BEFORE both the argmin comparison
+    * and the stats, and the argmin tie-breaks on hub name through the
+    * struct ordering, making assignment engine-stable. */
+  def haversineNearestHub(points: DataFrame, idCol: String,
+                          latCol: String, lonCol: String,
+                          hubs: Seq[(String, Double, Double)]): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hubDf = hubs.toDF("hub", "h_lat", "h_lon")
+    val earthR2 = 2d * 6371d
+    def rad(c: Column) = radians(c)
+    val sdLat = sin((rad(col("h_lat")) - rad(col("lat"))) / 2d)
+    val sdLon = sin((rad(col("h_lon")) - rad(col("lon"))) / 2d)
+    val h = sdLat * sdLat + cos(rad(col("lat"))) * cos(rad(col("h_lat"))) * sdLon * sdLon
+    val distKm = (lit(earthR2) * asin(sqrt(h))).cast("decimal(18,1)")
+    points.select(col(idCol).as("id"),
+        col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
+      .crossJoin(broadcast(hubDf))
+      .select(col("id"), struct(distKm.as("d"), col("hub")).as("cand"))
+      .groupBy("id").agg(min("cand").as("best"))
+      .groupBy(col("best.hub").as("hub"))
+      .agg(count(lit(1)).as("n_points"),
+        max(col("best.d")).cast("double").as("max_km"),
+        (sum(col("best.d")).cast("double") / count(lit(1)).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("avg_km"))
+      .orderBy("hub")
+  }
 }

@@ -988,4 +988,60 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("event_type", "ts", "i"), "event_type", "ts").collect()(0)
     assert(one.getLong(1) == 1L && one.getDouble(2) == 2.0 && one.getDouble(3) == 0.0)
   }
+
+  test("kendallWithinGroups: hand pair counts, perfect concordance and ties") {
+    import spark.implicits._
+    // one group, x strictly up, y strictly up → all 3 pairs concordant
+    val up = Seq((1L, 1, 1.0, 10.0), (1L, 2, 2.0, 20.0), (1L, 3, 3.0, 30.0))
+      .toDF("g", "seq", "x", "y")
+    val r = Analytics.kendallWithinGroups(up, "g", "seq", "x", "y").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getDouble(6) == 1.0, r.toString)
+    // y reversed → all discordant, tau = −1
+    val down = Seq((1L, 1, 1.0, 30.0), (1L, 2, 2.0, 20.0), (1L, 3, 3.0, 10.0))
+      .toDF("g", "seq", "x", "y")
+    assert(Analytics.kendallWithinGroups(down, "g", "seq", "x", "y")
+      .collect()(0).getDouble(6) == -1.0)
+    // tie classes: (x tie, y moves) → ties_x; both tie → ties_xy; pairs
+    // NEVER cross groups (two groups of 2 → 2 pairs, not 6)
+    val mixed = Seq((1L, 1, 1.0, 1.0), (1L, 2, 1.0, 2.0),
+                    (2L, 1, 5.0, 5.0), (2L, 2, 5.0, 5.0))
+      .toDF("g", "seq", "x", "y")
+    val m = Analytics.kendallWithinGroups(mixed, "g", "seq", "x", "y").collect()(0)
+    assert(m.getLong(0) == 2 && m.getLong(3) == 1 && m.getLong(5) == 1, m.toString)
+    assert(m.isNullAt(6), m.toString) // all pairs tied on x → denom 0
+  }
+
+  test("kdeGrid: mass integrates to ~1, peaks at the data, engine-stable quantization") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(100.0) ++ Seq.fill(50)(300.0)).toDF("v")
+    val out = Analytics.kdeGrid(df, col("v"), 0.0, 400.0, 41, 20.0)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // trapezoid integral over the grid ≈ 1 (two Gaussians fully inside)
+    val step = 10.0
+    val integral = out.values.sum * step
+    assert(math.abs(integral - 1.0) < 0.02, integral.toString)
+    // bimodal: density at the two modes far above the valley
+    assert(out(100.0) > 4 * out(200.0) && out(300.0) > 4 * out(200.0), out.toString)
+    // symmetric data → symmetric density
+    assert(out(100.0) == out(300.0), out.toString)
+    val p = Analytics.kdeGrid(df.repartition(7), col("v"), 0.0, 400.0, 41, 20.0)
+      .collect().map(_.toSeq)
+    assert(p.toSeq == Analytics.kdeGrid(df, col("v"), 0.0, 400.0, 41, 20.0)
+      .collect().map(_.toSeq).toSeq)
+  }
+
+  test("streakHistogram: islands split on gaps, histogram counts keys and streaks") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val df = Seq(
+      ("u1", d("2024-01-01")), ("u1", d("2024-01-02")), ("u1", d("2024-01-03")),
+      ("u1", d("2024-01-10")),                       // u1: streak 3 + streak 1
+      ("u2", d("2024-01-01")), ("u2", d("2024-01-02")),
+      ("u2", d("2024-01-02")),                       // duplicate day collapses
+      ("u2", d("2024-02-01")), ("u2", d("2024-02-02"))  // u2: two streaks of 2
+    ).toDF("k", "day")
+    val out = Analytics.streakHistogram(df, "k", col("day"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 1L))), out.toString)
+  }
 }

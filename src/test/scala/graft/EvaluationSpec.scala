@@ -569,4 +569,109 @@ class EvaluationSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(p == rows.map(_.toSeq).toSeq)
   }
+
+  test("mannWhitney: textbook U on a hand sample, tie handling, shift direction") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {4,5,6}: every B beats every A → U1 (for A) = 0
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+                 (4.0, "b"), (5.0, "b"), (6.0, "b")).toDF("v", "g")
+    val r = Evaluation.mannWhitney(df, col("v"), col("g") === "a").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.0, r.toString) // U1 = 0
+    assert(r.getDouble(3) < 0, r.toString)    // A stochastically below B
+    // all-tied sample: U1 = n1·n2/2, variance 0 → z null
+    val tied = Seq.fill(4)((7.0, "a")) ++ Seq.fill(4)((7.0, "b"))
+    val rt = Evaluation.mannWhitney(tied.toDF("v", "g"), col("v"), col("g") === "a")
+      .collect()(0)
+    assert(rt.getDouble(2) == 8.0 && rt.isNullAt(3), rt.toString)
+    // near-balanced interleave: R1 = 1+3+6 = 10 → U1 = 4, |z| small
+    val sym = Seq((1.0, "a"), (2.0, "b"), (3.0, "a"), (4.0, "b"),
+                  (5.0, "b"), (6.0, "a"))
+    val rs = Evaluation.mannWhitney(sym.toDF("v", "g"), col("v"), col("g") === "a")
+      .collect()(0)
+    assert(rs.getDouble(2) == 4.0 && math.abs(rs.getDouble(3)) < 0.3, rs.toString)
+    // partitioning invariance
+    val rp = Evaluation.mannWhitney(df.repartition(5), col("v"), col("g") === "a")
+      .collect()(0)
+    assert(rp.toSeq == r.toSeq)
+  }
+
+  test("benjaminiHochberg: step-up q-values match the hand lattice") {
+    import spark.implicits._
+    // classic example: p = .01, .02, .03, .04 with m=4:
+    // raw p·m/j = .04, .04, .04, .04 → all q = .04, all rejected at .05
+    val pv = Seq(("h1", BigDecimal("0.010000000")), ("h2", BigDecimal("0.020000000")),
+                 ("h3", BigDecimal("0.030000000")), ("h4", BigDecimal("0.040000000")))
+      .toDF("key", "p")
+    val out = Evaluation.benjaminiHochberg(pv, "key", "p", 0.05)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(out.values.forall(v => v._1 == 0.04 && v._2 == 1), out.toString)
+    // the step-up min: p = .01, .04, .042 → q3 = .042, q2 = min(.042, .06)
+    // = .042, q1 = min(.042, .03) = .03
+    val pv2 = Seq(("a", BigDecimal("0.010000000")), ("b", BigDecimal("0.040000000")),
+                  ("c", BigDecimal("0.042000000"))).toDF("key", "p")
+    val out2 = Evaluation.benjaminiHochberg(pv2, "key", "p", 0.05)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2("a") == 0.03 && out2("b") == 0.042 && out2("c") == 0.042, out2.toString)
+    // q clamps at 1
+    val pv3 = Seq(("x", BigDecimal("0.900000000")), ("y", BigDecimal("0.950000000")))
+      .toDF("key", "p")
+    assert(Evaluation.benjaminiHochberg(pv3, "key", "p")
+      .collect().forall(_.getDouble(3) <= 1.0))
+    // monotone: q non-decreasing in rank order
+    val qs = Evaluation.benjaminiHochberg(pv2, "key", "p").collect().map(_.getDouble(3))
+    assert(qs.toSeq == qs.sorted.toSeq)
+  }
+
+  test("shareTestPValues: uniform counts → p = 1; the farthest key has the smallest p") {
+    import spark.implicits._
+    val uniform = (1 to 30).map(i => (s"k${i % 3}", i)).toDF("key", "x")
+    val pu = Evaluation.shareTestPValues(uniform, "key").collect()
+    assert(pu.forall(r => r.getDecimal(2).doubleValue() == 1.0), pu.mkString)
+    val skewed = (Seq.fill(70)("hot") ++ Seq.fill(20)("warm") ++ Seq.fill(10)("cold"))
+      .zipWithIndex.toDF("key", "i")
+    val ps = Evaluation.shareTestPValues(skewed, "key")
+      .collect().map(r => r.getString(0) -> r.getDecimal(2).doubleValue()).toMap
+    // deviations from the uniform 33.3: hot +36.7, cold −23.3, warm −13.3
+    assert(ps("hot") < ps("cold") && ps("cold") < ps("warm"), ps.toString)
+  }
+
+  test("mannKendall: monotone series maximal S, constant series S=0, reversal flips z") {
+    import spark.implicits._
+    val up = (1 to 10).map(t => ("u", t, t * 2))
+    val down = (1 to 10).map(t => ("d", t, 100 - t))
+    val flat = (1 to 10).map(t => ("f", t, 7))
+    val out = Evaluation.mannKendall((up ++ down ++ flat).toDF("g", "t", "x"),
+        "g", "t", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out("u")._2 == 45 && out("u")._3 > 0)   // all 45 pairs ascending
+    assert(out("d")._2 == -45 && out("d")._3 < 0)
+    assert(out("f")._2 == 0)
+    // all-tied series: Var(S) = 0 → z null (tie term cancels exactly)
+    assert(out("f")._3.isNaN, out.toString)
+    // partitioning invariance
+    val a = Evaluation.mannKendall(up.toDF("g", "t", "x"), "g", "t", "x").collect().map(_.toSeq)
+    val b = Evaluation.mannKendall(up.toDF("g", "t", "x").repartition(7), "g", "t", "x").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("simpsonFlips: the planted reversal is flagged; aligned pairs are not") {
+    import spark.implicits._
+    // classic: group A beats B inside EVERY stratum, but B's mass sits in
+    // the high-value stratum → aggregated B beats A
+    val rows =
+      Seq.fill(80)(("A", "low", 10.0)) ++ Seq.fill(20)(("A", "high", 90.0)) ++
+      Seq.fill(20)(("B", "low", 5.0)) ++ Seq.fill(80)(("B", "high", 85.0)) ++
+      Seq.fill(50)(("C", "low", 1.0)) ++ Seq.fill(50)(("C", "high", 2.0))
+    val df = rows.toDF("g", "st", "v")
+    val out = Evaluation.simpsonFlips(df, "g", "st", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getLong(4), r.getInt(5)))).toMap
+    // A vs B: agg mean A = (800+1800)/100 = 26, B = (100+6800)/100 = 69
+    // → agg favors B; within low A wins (10>5), within high A wins (90>85)
+    assert(out(("A", "B")) == ((-1, 2L, 1)), out.toString)
+    // A vs C and B vs C: aggregate and strata all favor the non-C side
+    assert(out(("A", "C"))._3 == 0 && out(("B", "C"))._3 == 0, out.toString)
+  }
 }

@@ -109,4 +109,27 @@ class RangeJoinSpec extends SparkSpec {
     // count() == distinct pair count: the 3×3 probe meets each pair once
     assert(RangeJoin.gridProximityJoin(pts, "id", "x", "y", 100L).count() == 2)
   }
+
+  test("haversineNearestHub: points at a hub route to it; known distance checks out") {
+    import spark.implicits._
+    val hubs = Seq(("east", 0.0, 90.0), ("west", 0.0, -90.0), ("north", 89.0, 0.0))
+    val pts = Seq(
+      (1L, 0.0, 90.0),    // exactly on east → dist 0
+      (2L, 0.0, 89.0),    // 1° of longitude on the equator ≈ 111.2 km, east
+      (3L, 0.0, -80.0),   // west side
+      (4L, 88.0, 10.0)    // near the pole → north
+    ).toDF("id", "lat", "lon")
+    val out = RangeJoin.haversineNearestHub(pts, "id", "lat", "lon", hubs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("east")._1 == 2 && out("west")._1 == 1 && out("north")._1 == 1, out.toString)
+    // equatorial degree: 6371·π/180 ≈ 111.2 km; the max over east's two
+    // points is that arc (the other is 0)
+    assert(math.abs(out("east")._2 - 111.2) <= 0.1, out.toString)
+    // per-point argmin ties break deterministically: a point equidistant
+    // from east and west (lon 0, south of north's reach) picks 'east' by name
+    val tie = RangeJoin.haversineNearestHub(
+      Seq((9L, -45.0, 0.0)).toDF("id", "lat", "lon"), "id", "lat", "lon", hubs)
+      .collect().map(_.getString(0)).toSet
+    assert(tie == Set("east"), tie.toString)
+  }
 }
