@@ -584,6 +584,46 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q263_mcnemar" -> ((s, d) =>
+      // did per-user purchasing CHANGE between the two halves of the
+      // month: discordant-pair test on paired binary activity flags
+      Evaluation.mcnemar(Tables.events(s, d), "user_id",
+        col("event_type") === "purchase" &&
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+        col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-16").cast("timestamp"))),
+    "q264_cochran_armitage" -> ((s, d) =>
+      // does completion rate trend across ordered priority tiers (the
+      // leading digit of o_orderpriority is the dose weight)
+      Evaluation.cochranArmitage(Tables.orders(s, d),
+        substring(col("o_orderpriority"), 1, 1),
+        col("o_orderstatus") === "F")),
+    "q265_bradley_terry" -> ((s, d) => {
+      // preference-pair strengths: within an order, the pricier line's
+      // part family "beats" the cheaper one; 2 unrolled MM iterations
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_linenumber").as("ln"), pmod(col("l_partkey"), lit(20)).as("item"),
+        col("l_extendedprice").as("v"))
+      val a = li.select(col("k"), col("ln").as("ln_a"), col("item").as("item_a"), col("v").as("v_a"))
+      val b = li.select(col("k"), col("ln").as("ln_b"), col("item").as("item_b"), col("v").as("v_b"))
+      val contests = a.join(b, Seq("k"))
+        .filter(col("ln_a") < col("ln_b") && col("item_a") =!= col("item_b") &&
+          col("v_a") =!= col("v_b"))
+        .select(when(col("v_a") > col("v_b"), col("item_a")).otherwise(col("item_b")).as("winner"),
+          when(col("v_a") > col("v_b"), col("item_b")).otherwise(col("item_a")).as("loser"))
+      Evaluation.bradleyTerry(contests, "winner", "loser", iters = 2)
+    }),
+    "q266_modularity" -> ((s, d) =>
+      // is the brand grouping a real community structure on the
+      // support-filtered co-purchase graph (q238's edge rule)
+      Graph.modularity(
+        partCooccurrenceEdges(s, d).groupBy("pa", "pb")
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+          .select("pa", "pb"),
+        "pa", "pb",
+        Tables.part(s, d).select(col("p_partkey"),
+          concat(lit("b"), pmod(col("p_partkey"), lit(8))).as("brand")),
+        "p_partkey", "brand")),
     "q255_mannwhitney" -> ((s, d) =>
       // did order value shift between finished and open orders: rank-sum
       // U + tie-corrected z over per-distinct-value counts
@@ -2731,6 +2771,90 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q263_mcnemar" ->
+      // same per-unit flag collapse; four exact cells; continuity-
+      // corrected chi2 in one mirrored double chain
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS fb,
+        |    max(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS fa
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    COUNT(CASE WHEN fb = 1 AND fa = 1 THEN 1 END) AS n11,
+        |    COUNT(CASE WHEN fb = 1 AND fa = 0 THEN 1 END) AS n10,
+        |    COUNT(CASE WHEN fb = 0 AND fa = 1 THEN 1 END) AS n01,
+        |    COUNT(CASE WHEN fb = 0 AND fa = 0 THEN 1 END) AS n00 FROM u)
+        |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    CAST(CAST((abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1) * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1)
+        |      / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+        |  ELSE NULL END AS chi2
+        |FROM c""".stripMargin,
+    "q264_cochran_armitage" ->
+      // identical dose collapse; five HUGEINT-exact moment sums; one
+      // mirrored double chain for the trend z
+      """WITH lv AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w, count(*) AS n,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS r FROM orders GROUP BY 1),
+        |g AS (SELECT SUM(n) AS nn, SUM(r) AS rr, SUM(CAST(w AS HUGEINT) * n) AS swn,
+        |    SUM(CAST(w AS HUGEINT) * w * n) AS swwn, SUM(CAST(w AS HUGEINT) * r) AS swr FROM lv)
+        |SELECT CAST(nn AS BIGINT) AS n_total, CAST(rr AS BIGINT) AS r_total,
+        |  CAST(CAST(CASE WHEN (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) * (1 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(swwn AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE)) <= 0 THEN NULL
+        |    ELSE (CAST(swr AS DOUBLE) - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / sqrt((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) * (1 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          * (CAST(swwn AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |    END AS DECIMAL(18,9)) AS DOUBLE) AS z
+        |FROM g""".stripMargin,
+    "q265_bradley_terry" ->
+      // same contest derivation and win matrix; two unrolled MM steps
+      // with DECIMAL(28,12) terms and DECIMAL(18,9) strengths per step
+      """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey % 20 AS item, l_extendedprice AS v FROM lineitem),
+        |co AS (SELECT CASE WHEN a.v > b.v THEN a.item ELSE b.item END AS winner,
+        |              CASE WHEN a.v > b.v THEN b.item ELSE a.item END AS loser
+        |       FROM li a JOIN li b ON a.k = b.k AND a.ln < b.ln AND a.item <> b.item AND a.v <> b.v),
+        |wm AS (SELECT winner AS i, loser AS j, count(*) AS cw FROM co GROUP BY 1, 2),
+        |nij AS (SELECT i, j, SUM(cw) AS nij FROM
+        |        (SELECT i, j, cw FROM wm UNION ALL SELECT j AS i, i AS j, cw FROM wm) GROUP BY 1, 2),
+        |wins AS (SELECT t.i, coalesce(ww.wi, 0) AS wi FROM (SELECT DISTINCT i FROM nij) t
+        |         LEFT JOIN (SELECT i, SUM(cw) AS wi FROM wm GROUP BY 1) ww USING (i)),
+        |p0 AS (SELECT i, CAST(1 AS DECIMAL(18,9)) AS p FROM wins),
+        |d1 AS (SELECT n.i, SUM(CAST(CAST(n.nij AS DOUBLE) / CAST(pi.p + pj.p AS DOUBLE) AS DECIMAL(28,12))) AS den
+        |       FROM nij n JOIN p0 pi ON n.i = pi.i JOIN p0 pj ON n.j = pj.i GROUP BY 1),
+        |p1 AS (SELECT w.i, CASE WHEN d.den > 0 THEN CAST(CAST(w.wi AS DOUBLE) / CAST(d.den AS DOUBLE) AS DECIMAL(18,9))
+        |              ELSE CAST(0 AS DECIMAL(18,9)) END AS p
+        |       FROM wins w JOIN d1 d USING (i)),
+        |d2 AS (SELECT n.i, SUM(CAST(CAST(n.nij AS DOUBLE) / CAST(pi.p + pj.p AS DOUBLE) AS DECIMAL(28,12))) AS den
+        |       FROM nij n JOIN p1 pi ON n.i = pi.i JOIN p1 pj ON n.j = pj.i GROUP BY 1),
+        |p2 AS (SELECT w.i, CASE WHEN d.den > 0 THEN CAST(CAST(w.wi AS DOUBLE) / CAST(d.den AS DOUBLE) AS DECIMAL(18,9))
+        |              ELSE CAST(0 AS DECIMAL(18,9)) END AS p
+        |       FROM wins w JOIN d2 d USING (i))
+        |SELECT w.i AS item, CAST(w.wi AS BIGINT) AS wins, CAST(g.games AS BIGINT) AS games,
+        |  CAST(p2.p AS DOUBLE) AS strength
+        |FROM wins w JOIN (SELECT i, SUM(nij) AS games FROM nij GROUP BY 1) g USING (i)
+        |JOIN p2 USING (i) ORDER BY item""".stripMargin,
+    "q266_modularity" ->
+      // same support-filtered canonical edges and brand labels; per-
+      // community contribution quantized DECIMAL(28,12) before the exact
+      // Q sum
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |ew AS (SELECT x.p AS a, y.p AS b, count(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM ew WHERE wt >= 2),
+        |m AS (SELECT count(*) AS m FROM e),
+        |lab AS (SELECT p_partkey AS n, 'b' || CAST(p_partkey % 8 AS VARCHAR) AS c FROM part),
+        |ein AS (SELECT la.c, count(*) AS e_in FROM e
+        |        JOIN lab la ON e.a = la.n JOIN lab lb ON e.b = lb.n AND la.c = lb.c GROUP BY 1),
+        |deg AS (SELECT c, count(*) AS d_tot FROM
+        |        (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) t JOIN lab USING (n) GROUP BY 1),
+        |perc AS (SELECT deg.c, coalesce(ein.e_in, 0) AS e_in, deg.d_tot,
+        |    CAST(CAST(coalesce(ein.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+        |      - (CAST(deg.d_tot AS DOUBLE) / (2 * CAST(m.m AS DOUBLE))) * (CAST(deg.d_tot AS DOUBLE) / (2 * CAST(m.m AS DOUBLE)))
+        |      AS DECIMAL(28,12)) AS contrib
+        |  FROM deg LEFT JOIN ein USING (c) CROSS JOIN m),
+        |tot AS (SELECT SUM(contrib) AS q_total FROM perc)
+        |SELECT c, CAST(e_in AS BIGINT) AS e_in, CAST(d_tot AS BIGINT) AS d_tot,
+        |  CAST(contrib AS DOUBLE) AS contrib, CAST(q_total AS DOUBLE) AS q_total
+        |FROM perc CROSS JOIN tot ORDER BY c""".stripMargin,
     "q255_mannwhitney" ->
       // same distinct-value collapse, doubled average ranks (integers),
       // HUGEINT-exact 2R1 and tie sums, one mirrored double chain for z

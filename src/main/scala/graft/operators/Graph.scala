@@ -382,4 +382,52 @@ object Graph {
       .orderBy(col("rank").desc, col("node"))
       .limit(topK)
   }
+
+  /** Modularity of a labeled partition (Newman & Girvan 2004) — "is this
+    * community assignment better than chance": Q = Σ_c (e_c/m − (d_c/2m)²)
+    * with e_c = intra-community edges, d_c = total degree of community c,
+    * m = |edges|. The audit to run over [[labelPropagation]] / connected-
+    * components output (or ANY candidate grouping) before anyone trusts
+    * the clusters; Q ≈ 0 means the partition explains nothing.
+    *
+    * Edges canonicalize to one undirected row (least/greatest + distinct);
+    * labels join node-keyed onto endpoints and the degree margin. Every
+    * count is exact; each community's contribution is ONE double chain
+    * quantized DECIMAL(28,12), so the total Q (an exact decimal sum of the
+    * quantized terms — order-independent) matches any engine bit-for-bit.
+    * Output: per-community rows + the same q_total on each row. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("n"), col(labelCol).as("c"))
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // m + labeled-edge + degree consumers
+    val m = e.agg(count(lit(1)).as("m"))
+    val labeled = e
+      .join(lab.select(col("n").as("a"), col("c").as("ca")), Seq("a"))
+      .join(lab.select(col("n").as("b"), col("c").as("cb")), Seq("b"))
+    val eIn = labeled.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+    val dTot = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .join(lab, Seq("n"))
+      .groupBy("c").agg(count(lit(1)).as("d_tot"))
+    val md = col("m").cast("double")
+    val contrib = (col("e_in").cast("double") / md -
+      (col("d_tot").cast("double") / (lit(2d) * md)) *
+        (col("d_tot").cast("double") / (lit(2d) * md)))
+      .cast("decimal(28,12)")
+    val perC = dTot.join(eIn, Seq("c"), "left")
+      .select(col("c"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(m))
+      .select(col("c"), col("e_in").cast("long").as("e_in"),
+        col("d_tot").cast("long").as("d_tot"), contrib.as("contrib"))
+      .localCheckpoint() // rows + the Q total read it twice
+    perC.crossJoin(broadcast(perC.agg(sum("contrib").as("q_total"))))
+      .select(col("c"), col("e_in"), col("d_tot"),
+        col("contrib").cast("double").as("contrib"),
+        col("q_total").cast("double").as("q_total"))
+      .orderBy("c")
+  }
 }

@@ -656,6 +656,65 @@ class EvaluationSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("mcnemar: discordant cells drive the corrected chi2; no discordance → null") {
+    import spark.implicits._
+    // units: 2 both, 3 before-only, 1 after-only, 1 neither →
+    // chi2 = (|3−1|−1)²/(3+1) = 0.25
+    val rows =
+      Seq(("u1", "b"), ("u1", "a"), ("u2", "b"), ("u2", "a"),
+          ("u3", "b"), ("u4", "b"), ("u5", "b"),
+          ("u6", "a"), ("u7", "x"))
+    val df = rows.toDF("u", "tag")
+    val r = Evaluation.mcnemar(df, "u", col("tag") === "b", col("tag") === "a")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 3L, 1L, 1L)), r.toString)
+    assert(r.getDouble(4) == 0.25, r.toString)
+    // concordant-only sample: b + c = 0 → chi2 undefined
+    val conc = Seq(("v1", "b"), ("v1", "a"), ("v2", "x")).toDF("u", "tag")
+    assert(Evaluation.mcnemar(conc, "u", col("tag") === "b", col("tag") === "a")
+      .collect()(0).isNullAt(4))
+  }
+
+  test("cochranArmitage: monotone proportions give signed z; flat proportions give 0") {
+    import spark.implicits._
+    // doses 1,2,3 with 4 units each; successes 0, 2, 4 → rising trend
+    def mk(spec: Seq[(Int, Int)]) = spec.flatMap { case (w, r) =>
+      (1 to 4).map(i => (w, i <= r)) }.toDF("w", "s")
+    val up = Evaluation.cochranArmitage(mk(Seq(1 -> 0, 2 -> 2, 3 -> 4)),
+      col("w"), col("s")).collect()(0)
+    assert(up.getLong(0) == 12 && up.getLong(1) == 6 && up.getDouble(2) > 2, up.toString)
+    val down = Evaluation.cochranArmitage(mk(Seq(1 -> 4, 2 -> 2, 3 -> 0)),
+      col("w"), col("s")).collect()(0)
+    assert(down.getDouble(2) == -up.getDouble(2), s"$down vs $up")
+    // identical proportions at every dose → T = 0 exactly → z = 0
+    val flat = Evaluation.cochranArmitage(mk(Seq(1 -> 1, 2 -> 1, 3 -> 1)),
+      col("w"), col("s")).collect()(0)
+    assert(flat.getDouble(2) == 0.0, flat.toString)
+    // all-success: variance 0 → null
+    assert(Evaluation.cochranArmitage(mk(Seq(1 -> 4, 2 -> 4, 3 -> 4)),
+      col("w"), col("s")).collect()(0).isNullAt(2))
+  }
+
+  test("bradleyTerry: dominance orders strengths; never-winning item goes to 0") {
+    import spark.implicits._
+    // A sweeps B: closed form — p_A = W_A/den = 2, p_B = 0, stable at iter 2
+    val sweep = Seq(("A", "B"), ("A", "B")).toDF("w", "l")
+    val s = Evaluation.bradleyTerry(sweep, "w", "l", iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(s("A") == ((2L, 2L, 2.0)) && s("B") == ((0L, 2L, 0.0)), s.toString)
+    // transitive dominance A > B > C (3-1 head-to-heads) orders strengths
+    val h2h = (Seq.fill(3)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+               Seq.fill(3)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+               Seq.fill(3)(("A", "C")) ++ Seq.fill(1)(("C", "A"))).toDF("w", "l")
+    val t = Evaluation.bradleyTerry(h2h, "w", "l", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(t("A") > t("B") && t("B") > t("C"), t.toString)
+    // partitioning invariance: quantized terms make iterations bit-stable
+    val p = Evaluation.bradleyTerry(h2h.repartition(7), "w", "l", iters = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(p == Evaluation.bradleyTerry(h2h, "w", "l", iters = 2).collect().map(_.toSeq).toSeq)
+  }
+
   test("simpsonFlips: the planted reversal is flagged; aligned pairs are not") {
     import spark.implicits._
     // classic: group A beats B inside EVERY stratum, but B's mass sits in

@@ -206,4 +206,26 @@ class GraphSpec extends SparkSpec {
     assert(rep == Graph.personalizedPageRank(path, "a", "b", Seq(1L), iters = 3)
       .collect().map(_.toSeq).toSeq)
   }
+
+  test("modularity: perfect communities score 1/2 on two triangles; mixing lowers Q") {
+    import spark.implicits._
+    // two disjoint triangles; perfect labels → Q = 2·(3/6 − (6/12)²) = 0.5
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val goodLab = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+                      (4L, "y"), (5L, "y"), (6L, "y")).toDF("n", "c")
+    val good = Graph.modularity(tri, "a", "b", goodLab, "n", "c").collect()
+    assert(good.forall(_.getDouble(4) == 0.5), good.mkString(";"))
+    assert(good.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      == Map("x" -> ((3L, 6L)), "y" -> ((3L, 6L))))
+    // scrambled labels cut intra-community edges → Q strictly lower
+    val badLab = Seq((1L, "x"), (2L, "y"), (3L, "x"),
+                     (4L, "y"), (5L, "x"), (6L, "y")).toDF("n", "c")
+    val bad = Graph.modularity(tri, "a", "b", badLab, "n", "c").collect()
+    assert(bad.head.getDouble(4) < 0.5, bad.mkString(";"))
+    // duplicate + reversed edge rows canonicalize away; Q unchanged
+    val noisy = tri.unionAll(tri.select(col("b").as("a"), col("a").as("b")))
+    val q2 = Graph.modularity(noisy, "a", "b", goodLab, "n", "c").collect()
+    assert(q2.map(_.toSeq).toSeq == good.map(_.toSeq).toSeq)
+  }
 }
