@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: thresholded full-DP levenshtein comparisons run banded
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.BoundedLevenshteinRewrite)
+    // whole-operator extension: the native AS-OF join's planner strategy
+    // (the DataFrame entry NativeAsOf.join also injects it per-session)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftnative.AsOfJoinStrategy)
   }
 }

@@ -584,6 +584,20 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q267_asof_native" -> ((s, d) => {
+      // q40's point-in-time lookup through the custom WHOLE-OPERATOR
+      // extension path: AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec
+      // (merge scan; Catalyst places the exchanges from the operator's
+      // declared distribution/ordering). Same oracle as q40.
+      val orders = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      org.apache.spark.sql.graftnative.NativeAsOf.join(
+          Tables.events(s, d).select("event_id", "user_id", "ts"), orders,
+          "user_id", "r_user", "ts", "o_orderdate", "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
     "q263_mcnemar" -> ((s, d) =>
       // did per-user purchasing CHANGE between the two halves of the
       // month: discordant-pair test on paired binary activity flags
@@ -2771,6 +2785,14 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q267_asof_native" ->
+      // q40's oracle verbatim: the native operator must agree with both
+      // the union+window form and DuckDB's built-in ASOF JOIN
+      """WITH j AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, j.o_orderkey
+        |FROM events e ASOF JOIN j ON e.user_id = j.o_custkey AND e.ts >= j.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q263_mcnemar" ->
       // same per-unit flag collapse; four exact cells; continuity-
       // corrected chi2 in one mirrored double chain

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.AsOf
 
 /** As-of join semantics: latest-at-or-before match, equal-time inclusion,
@@ -61,5 +62,73 @@ class AsOfSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)              // union+window, not a join
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Window"), plan)
+  }
+
+  // ---- native whole-operator path (AsOfJoinPlan/Strategy/Exec) ----
+
+  private def native(l: org.apache.spark.sql.DataFrame,
+                     r: org.apache.spark.sql.DataFrame, inner: Boolean = true) =
+    org.apache.spark.sql.graftnative.NativeAsOf.join(
+      l, r, "inst", "inst", "t", "qt", "quote_id", inner)
+
+  test("native exec: same semantics as the union+window form on the hand case") {
+    val quotesR = quotes.select(col("inst"), col("qt"), col("quote_id"), col("px"))
+    val out = native(trades, quotesR)
+      .select("trade_id", "quote_id", "px").orderBy("trade_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10L, 1.0), (2L, 21L, 2.5), (4L, 30L, 3.0)), out.mkString)
+    // left-outer keeps trade 3 with null right side
+    val lo = native(trades, quotesR, inner = false)
+      .orderBy("trade_id").collect()
+    assert(lo.length == 4)
+    val t3 = lo.find(_.getLong(0) == 3L).get
+    assert(t3.isNullAt(5) && t3.isNullAt(6), t3.toString) // quote_id, px
+  }
+
+  test("native exec: parity with AsOf.join on a randomized corpus; repartition-stable") {
+    val left = (1 to 500).map { i =>
+      (i.toLong, (i % 13).toLong, ts(f"2024-01-01 10:${(i * 7) % 60}%02d:${(i * 3) % 60}%02d"))
+    }.toDF("trade_id", "inst", "t")
+    val right = (1 to 200).map { i =>
+      ((i % 13).toLong, ts(f"2024-01-01 10:${(i * 11) % 60}%02d:${(i * 5) % 60}%02d"),
+        i.toLong, i / 10.0)
+    }.toDF("inst", "qt", "quote_id", "px")
+      // dedupe per (inst, qt): highest quote_id wins, both forms agree
+      .groupBy("inst", "qt").agg(max("quote_id").as("quote_id"), max("px").as("px"))
+    val ref = AsOf.join(left, right, "inst", "t", "qt", Seq("quote_id"), "quote_id")
+      .select("trade_id", "quote_id").orderBy("trade_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nat = native(left, right)
+      .select("trade_id", "quote_id").orderBy("trade_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nat == ref, s"native=${nat.take(5)} ref=${ref.take(5)}")
+    val natRep = native(left.repartition(7), right.repartition(3))
+      .select("trade_id", "quote_id").orderBy("trade_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(natRep == ref)
+  }
+
+  test("native exec: plan contains AsOfJoinExec with Catalyst-inserted exchanges and sorts") {
+    val plan = native(trades, quotes).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("native exec: null keys and null times never match") {
+    val l = Seq((1L, Option(100L), Option(ts("2024-01-01 10:00:05"))),
+                (2L, Option.empty[Long], Option(ts("2024-01-01 10:00:05"))),
+                (3L, Option(100L), Option.empty[java.sql.Timestamp]))
+      .toDF("trade_id", "inst", "t")
+    val r = Seq((Option(100L), ts("2024-01-01 10:00:00"), 10L, 1.0),
+                (Option.empty[Long], ts("2024-01-01 09:00:00"), 99L, 9.0))
+      .toDF("inst", "qt", "quote_id", "px")
+    val out = org.apache.spark.sql.graftnative.NativeAsOf.join(
+        l, r, "inst", "inst", "t", "qt", "quote_id", inner = false)
+      .orderBy("trade_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(5) == 10L)              // normal match
+    assert(out(1).isNullAt(5) && out(2).isNullAt(5), out.mkString) // null key / null time
   }
 }
