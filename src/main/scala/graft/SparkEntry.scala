@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cols, MisraGries}
@@ -584,6 +585,46 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q268_delta_join" -> ((s, d) => {
+      // incremental view maintenance: new join rows from (dL⋈R)∪(L⋈dR)∪
+      // (dL⋈dR) — history is never re-joined; oracle proves the identity
+      // as full-join aggregate minus old-join aggregate
+      val cut = lit("1998-01-01").cast("timestamp")
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        col("o_totalprice"), col("o_orderdate"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_nationkey"), pmod(col("c_custkey"), lit(7)).as("m"))
+      Analytics.incrementalJoinDelta(
+        o.filter(col("o_orderdate") < cut).drop("o_orderdate"),
+        o.filter(col("o_orderdate") >= cut).drop("o_orderdate"),
+        c.filter(col("m") =!= 0).drop("m"),
+        c.filter(col("m") === 0).drop("m"),
+        "k", "c_nationkey", "o_totalprice")
+    }),
+    "q269_stump" -> ((s, d) =>
+      // depth-1 decision tree: the order-value threshold that best
+      // separates finished orders, by exact weighted Gini
+      Evaluation.bestSplit(Tables.orders(s, d),
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderstatus") === "F")),
+    "q270_ipw" -> ((s, d) =>
+      // stratified IPW treatment effect: user-parity "treatment" on
+      // event value, propensity per event_type stratum
+      Evaluation.ipwEffect(Tables.events(s, d), "event_type",
+        col("user_id") % 2 === 1, col("value"))),
+    "q271_knee" -> ((s, d) => {
+      // where does part popularity stop paying: knee of the cumulative
+      // (Lorenz) demand curve, parts ranked by line count
+      val counts = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("l_partkey"))
+      val curve = counts
+        .select(row_number().over(ord).cast("long").as("x"), col("c"))
+        .withColumn("y", sum("c").over(Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("x", "y")
+      Analytics.kneePoint(curve, "x", "y", concave = true)
+    }),
     "q267_asof_native" -> ((s, d) => {
       // q40's point-in-time lookup through the custom WHOLE-OPERATOR
       // extension path: AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec
@@ -2785,6 +2826,77 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q268_delta_join" ->
+      // the IVM identity, checked from the other side: full-join minus
+      // old-join aggregates per nation (deltas only ADD rows, so the
+      // difference IS the delta contribution)
+      """WITH f AS (SELECT c_nationkey AS grp, count(*) AS n,
+        |      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+        |    FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |o AS (SELECT c_nationkey AS grp, count(*) AS n,
+        |      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    WHERE o_orderdate < TIMESTAMP '1998-01-01' AND c_custkey % 7 <> 0 GROUP BY 1)
+        |SELECT f.grp, f.n - coalesce(o.n, 0) AS n_delta,
+        |  CAST(f.sv - coalesce(o.sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_delta
+        |FROM f LEFT JOIN o USING (grp)
+        |WHERE f.n - coalesce(o.n, 0) > 0 ORDER BY grp""".stripMargin,
+    "q269_stump" ->
+      // same distinct-value threshold lattice; impurity chain mirrored
+      // term-for-term; argmin by (gini, threshold)
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, count(*) AS n,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos FROM orders GROUP BY 1),
+        |cum AS (SELECT v, SUM(n) OVER w AS nl, SUM(pos) OVER w AS posl,
+        |    SUM(n) OVER () AS nt, SUM(pos) OVER () AS post FROM cells
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT v, nl, nt, post,
+        |    CAST((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (1 - (CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE)) * (CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |           - (1 - CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE)) * (1 - CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      + ((CAST(nt AS DOUBLE) - CAST(nl AS DOUBLE)) / CAST(nt AS DOUBLE))
+        |        * (1 - (CAST(post - posl AS DOUBLE) / (CAST(nt AS DOUBLE) - CAST(nl AS DOUBLE))) * (CAST(post - posl AS DOUBLE) / (CAST(nt AS DOUBLE) - CAST(nl AS DOUBLE)))
+        |           - (1 - CAST(post - posl AS DOUBLE) / (CAST(nt AS DOUBLE) - CAST(nl AS DOUBLE))) * (1 - CAST(post - posl AS DOUBLE) / (CAST(nt AS DOUBLE) - CAST(nl AS DOUBLE))))
+        |      AS DECIMAL(18,9)) AS g
+        |  FROM cum WHERE nl < nt)
+        |SELECT v AS threshold, CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+        |  CAST(g AS DOUBLE) AS split_gini,
+        |  CAST(CAST(1 - (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      - (1 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (1 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS root_gini
+        |FROM sc ORDER BY g, v LIMIT 1""".stripMargin,
+    "q270_ipw" ->
+      // same stratum cells; per-stratum reweighted term quantized
+      // DECIMAL(28,9) before the cross-strata sum; one /N chain
+      """WITH cells AS (SELECT event_type AS s, count(*) AS n,
+        |    COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n1,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y1,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(0 AS DECIMAL(18,2)) ELSE CAST(value AS DECIMAL(18,2)) END) AS y0
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT SUM(n) AS n_total,
+        |    SUM(CASE WHEN n1 > 0 AND n1 < n THEN 0 ELSE 1 END) AS n_degenerate,
+        |    SUM(CASE WHEN n1 > 0 AND n1 < n THEN CAST(CAST(y1 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE) AS DECIMAL(28,9)) END) AS t1,
+        |    SUM(CASE WHEN n1 > 0 AND n1 < n THEN CAST(CAST(y0 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS DECIMAL(28,9)) END) AS t0,
+        |    SUM(CASE WHEN n1 > 0 AND n1 < n THEN n ELSE 0 END) AS n_ok FROM cells)
+        |SELECT CAST(n_total AS BIGINT) AS n_total, CAST(n_degenerate AS BIGINT) AS n_degenerate,
+        |  CAST(CAST(CAST(t1 AS DOUBLE) / CAST(n_ok AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mu_treated,
+        |  CAST(CAST(CAST(t0 AS DOUBLE) / CAST(n_ok AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mu_control,
+        |  CAST(CAST(CAST(t1 AS DOUBLE) / CAST(n_ok AS DOUBLE) - CAST(t0 AS DOUBLE) / CAST(n_ok AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS ate
+        |FROM g""".stripMargin,
+    "q271_knee" ->
+      // same rank/cumulative curve; normalized chord distance quantized
+      // scale 9; argmax by (d, x)
+      """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |curve AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, l_partkey) AS BIGINT) AS x,
+        |    SUM(c) OVER (ORDER BY c DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+        |  FROM counts),
+        |ext AS (SELECT CAST(min(x) AS DOUBLE) AS xmin, CAST(max(x) AS DOUBLE) AS xmax,
+        |    CAST(min(y) AS DOUBLE) AS ymin, CAST(max(y) AS DOUBLE) AS ymax FROM curve),
+        |pts AS (SELECT x, y,
+        |    CAST((CAST(y AS DOUBLE) - ymin) / (ymax - ymin) - (CAST(x AS DOUBLE) - xmin) / (xmax - xmin)
+        |      AS DECIMAL(18,9)) AS d
+        |  FROM curve CROSS JOIN ext)
+        |SELECT x AS knee_x, CAST(y AS BIGINT) AS knee_y, CAST(d AS DOUBLE) AS distance
+        |FROM pts ORDER BY d DESC, x LIMIT 1""".stripMargin,
     "q267_asof_native" ->
       // q40's oracle verbatim: the native operator must agree with both
       // the union+window form and DuckDB's built-in ASOF JOIN

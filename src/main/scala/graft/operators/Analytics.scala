@@ -2142,6 +2142,63 @@ object Analytics {
       .orderBy("gi")
   }
 
+  /** Incremental join maintenance (the delta-join identity of incremental
+    * view maintenance): given a materialized inner join J = L ⋈ R and
+    * append-only deltas ΔL, ΔR, the NEW join rows are exactly
+    * ΔJ = (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR) — three joins whose left/right
+    * inputs are delta-sized on at least one side, never a re-join of the
+    * full bases. The exact-join companion of [[hllMergePipeline]] /
+    * [[incrementalAgg]]: those maintain aggregates without re-scans, this
+    * maintains a JOIN without re-joining history (at 100 TB the delta is
+    * the only thing that should touch the shuffle).
+    *
+    * Returns ΔJ aggregated per `groupCol` (count + exact decimal sum of
+    * `valueCol`) so the identity is oracle-checkable as
+    * "full-join aggregate − old-join aggregate". */
+  def incrementalJoinDelta(leftOld: DataFrame, leftDelta: DataFrame,
+                           rightOld: DataFrame, rightDelta: DataFrame,
+                           key: String, groupCol: String,
+                           valueCol: String): DataFrame = {
+    def j(l: DataFrame, r: DataFrame) = l.join(r, key)
+    val delta = j(leftDelta, rightOld)
+      .unionByName(j(leftOld, rightDelta))
+      .unionByName(j(leftDelta, rightDelta))
+    delta.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_delta"))
+      .orderBy("grp")
+  }
+
+  /** Knee/elbow point of a monotone curve (Kneedle, Satopää et al. 2011,
+    * simplified): min-max normalize both axes and take the point of
+    * maximum vertical distance from the chord — ŷ − x̂ for a concave
+    * curve (diminishing returns: scree plots, recall@k), x̂ − ŷ for a
+    * convex one (Lorenz/Pareto concentration). The "where to stop"
+    * reader for every cumulative curve this engine produces.
+    *
+    * The curve is aggregate-sized by contract (points = ranks/deciles/k
+    * values, not raw rows) so the min-max scan and the argmax are cheap;
+    * the normalized distance is ONE double chain per point, quantized
+    * scale 9, and the argmax is a max(struct) with an x tiebreak —
+    * engine-stable. */
+  def kneePoint(curve: DataFrame, xCol: String, yCol: String,
+                concave: Boolean): DataFrame = {
+    val ext = curve.agg(min(col(xCol)).cast("double").as("xmin"),
+      max(col(xCol)).cast("double").as("xmax"),
+      min(col(yCol)).cast("double").as("ymin"),
+      max(col(yCol)).cast("double").as("ymax"))
+    val xn = (col(xCol).cast("double") - col("xmin")) / (col("xmax") - col("xmin"))
+    val yn = (col(yCol).cast("double") - col("ymin")) / (col("ymax") - col("ymin"))
+    val dRaw = if (concave) yn - xn else xn - yn
+    curve.crossJoin(broadcast(ext))
+      .select(col(xCol).as("x"), col(yCol).as("y"),
+        dRaw.cast("decimal(18,9)").as("d"))
+      .agg(max(struct(col("d"), (col("x").cast("double") * -1d).as("negx"),
+        col("x"), col("y"))).as("k"))
+      .select(col("k.x").as("knee_x"), col("k.y").as("knee_y"),
+        col("k.d").cast("double").as("distance"))
+  }
+
   /** Consecutive-day streak histogram (gaps-and-islands): for every key,
     * split its distinct activity dates into maximal runs of consecutive
     * days and count streaks by length — the engagement/retention shape

@@ -1270,6 +1270,97 @@ object Evaluation {
       .orderBy("grp")
   }
 
+  /** Best binary split of one feature against a binary label — a depth-1
+    * decision tree (stump) by exact weighted Gini impurity: the classical
+    * feature-scoring / weak-learner primitive (CART; also THE mutual-
+    * information-adjacent "is this feature worth anything" probe, in
+    * threshold form).
+    *
+    * Candidate thresholds are the distinct feature values (quantize a
+    * near-continuous feature first — the [[mannWhitney]] margin note). One
+    * hash aggregate collapses rows to per-value (n, pos); a cumulative
+    * margin window yields exact left-side counts per threshold; the
+    * weighted impurity
+    * (nL/n)·(1 − pL² − qL²) + (nR/n)·(1 − pR² − qR²)
+    * is ONE double chain per threshold quantized scale 9, and the argmin
+    * tie-breaks on the threshold — engine-stable. Output also restates the
+    * root impurity so the gain is readable. */
+  def bestSplit(df: DataFrame, feature: Column, label: Column): DataFrame = {
+    val cells = df.groupBy(feature.as("v"))
+      .agg(count(lit(1)).as("n"), sum(when(label, 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("nl", sum("n").over(w))
+      .withColumn("posl", sum("pos").over(w))
+      .withColumn("nt", sum("n").over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("post", sum("pos").over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("nl") < col("nt")) // a split must leave a right side
+    def gini(p: Column, q: Column): Column =
+      lit(1d) - p * p - q * q
+    val nl = col("nl").cast("double"); val nt = col("nt").cast("double")
+    val nr = nt - nl
+    val pl = col("posl").cast("double") / nl
+    val pr = (col("post") - col("posl")).cast("double") / nr
+    val impurity = (nl / nt) * gini(pl, lit(1d) - pl) +
+      (nr / nt) * gini(pr, lit(1d) - pr)
+    val pRoot = col("post").cast("double") / nt
+    cum.select(col("v"), col("nl"), col("nt"), col("post"),
+        impurity.cast("decimal(18,9)").as("g"))
+      .agg(min(struct(col("g"), col("v"), col("nl"), col("nt"), col("post"))).as("b"))
+      .select(col("b.v").as("threshold"),
+        col("b.nl").cast("long").as("n_left"),
+        (col("b.nt") - col("b.nl")).cast("long").as("n_right"),
+        col("b.g").cast("double").as("split_gini"),
+        (gini(col("b.post").cast("double") / col("b.nt").cast("double"),
+          lit(1d) - col("b.post").cast("double") / col("b.nt").cast("double")))
+          .cast("decimal(18,9)").cast("double").as("root_gini"))
+  }
+
+  /** Stratified inverse-propensity-weighted treatment effect (Horvitz–
+    * Thompson / IPW): within each stratum s the propensity is the OBSERVED
+    * treated share p_s = n1_s/n_s, so the weighted outcome means are
+    * μ̂1 = (1/N)·Σ_s Σ_{i∈1,s} y_i·n_s/n1_s (and symmetrically μ̂0) and
+    * ATE = μ̂1 − μ̂0 — the standard confounder adjustment when treatment
+    * assignment varies by stratum ([[cuped]] reduces variance; this
+    * removes stratum-composition bias).
+    *
+    * Exactness: per-stratum sums are exact decimals; each stratum's
+    * reweighted term sum_y·n_s/n1_s is one double chain quantized
+    * DECIMAL(28,9) BEFORE the cross-strata sum; the final /N and
+    * subtraction mirror in the oracle. Strata with a missing arm
+    * contribute nothing to either mean (positivity violation —
+    * reported in `n_degenerate`). */
+  def ipwEffect(df: DataFrame, strataCol: String, treated: Column,
+                outcome: Column): DataFrame = {
+    val cells = df.groupBy(col(strataCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(treated, 1L).otherwise(0L)).as("n1"),
+        sum(when(treated, outcome.cast("decimal(18,2)"))
+          .otherwise(lit(BigDecimal(0)))).as("y1"),
+        sum(when(treated, lit(BigDecimal(0)))
+          .otherwise(outcome.cast("decimal(18,2)"))).as("y0"))
+    val ok = col("n1") > 0 && col("n1") < col("n")
+    val term1 = (col("y1").cast("double") * col("n").cast("double") /
+      col("n1").cast("double")).cast("decimal(28,9)")
+    val term0 = (col("y0").cast("double") * col("n").cast("double") /
+      (col("n") - col("n1")).cast("double")).cast("decimal(28,9)")
+    val g = cells.agg(sum("n").as("n_total"),
+      sum(when(ok, lit(0)).otherwise(lit(1))).as("n_degenerate"),
+      sum(when(ok, term1)).as("t1"),
+      sum(when(ok, term0)).as("t0"),
+      sum(when(ok, col("n")).otherwise(lit(0L))).as("n_ok"))
+    val nOk = col("n_ok").cast("double")
+    g.select(col("n_total").cast("long").as("n_total"),
+      col("n_degenerate").cast("long").as("n_degenerate"),
+      (col("t1").cast("double") / nOk).cast("decimal(18,6)").cast("double").as("mu_treated"),
+      (col("t0").cast("double") / nOk).cast("decimal(18,6)").cast("double").as("mu_control"),
+      ((col("t1").cast("double") / nOk) - (col("t0").cast("double") / nOk))
+        .cast("decimal(18,6)").cast("double").as("ate"))
+  }
+
   /** McNemar's test for paired binary outcomes (McNemar 1947) — "did the
     * per-unit condition CHANGE between two observations", e.g. user active
     * before vs after a release. Unlike two independent proportions, only

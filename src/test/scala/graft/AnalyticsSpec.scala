@@ -1030,6 +1030,38 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq)
   }
 
+  test("incrementalJoinDelta: the three-way delta equals full-join minus old-join") {
+    import spark.implicits._
+    val lOld = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val lNew = Seq((1L, 30.0), (3L, 40.0)).toDF("k", "v")
+    val rOld = Seq((1L, "a"), (3L, "b")).toDF("k", "g")
+    val rNew = Seq((2L, "a"), (1L, "c")).toDF("k", "g")
+    val delta = Analytics.incrementalJoinDelta(lOld, lNew, rOld, rNew,
+        "k", "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // full join minus old join, by hand:
+    // old = {1⋈a(10)}            full adds: 1⋈a(30), 1⋈c(10), 1⋈c(30),
+    //                            2⋈a(20), 3⋈b(40)
+    assert(delta == Map("a" -> ((2L, 50.0)), "b" -> ((1L, 40.0)),
+      "c" -> ((2L, 40.0))), delta.toString)
+  }
+
+  test("kneePoint: finds the bend of a piecewise-linear curve; direction flag") {
+    import spark.implicits._
+    // concave: steep rise to (3, 90) then flat to (10, 97) → knee at 3
+    val concave = Seq((0L, 0L), (1L, 30L), (2L, 60L), (3L, 90L), (4L, 91L),
+      (5L, 92L), (6L, 93L), (7L, 94L), (8L, 95L), (9L, 96L), (10L, 97L))
+      .toDF("x", "y")
+    val k = Analytics.kneePoint(concave, "x", "y", concave = true).collect()(0)
+    assert(k.getLong(0) == 3L && k.getLong(1) == 90L, k.toString)
+    // convex mirror (slow then steep) with the convex flag → bend at 7
+    val convex = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L),
+      (5L, 5L), (6L, 6L), (7L, 7L), (8L, 37L), (9L, 67L), (10L, 97L))
+      .toDF("x", "y")
+    val kc = Analytics.kneePoint(convex, "x", "y", concave = false).collect()(0)
+    assert(kc.getLong(0) == 7L, kc.toString)
+  }
+
   test("streakHistogram: islands split on gaps, histogram counts keys and streaks") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)

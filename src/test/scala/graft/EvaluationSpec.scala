@@ -715,6 +715,45 @@ class EvaluationSpec extends SparkSpec {
     assert(p == Evaluation.bradleyTerry(h2h, "w", "l", iters = 2).collect().map(_.toSeq).toSeq)
   }
 
+  test("bestSplit: finds the planted threshold; degenerate right side excluded") {
+    import spark.implicits._
+    // label flips exactly at v > 20: a stump must split at v = 20 with
+    // pure children (split gini 0); root is 50/50
+    val df = ((1 to 10).map(i => (i * 2.0, false)) ++
+              (11 to 20).map(i => (i * 2.0, true))).toDF("v", "y")
+    val r = Evaluation.bestSplit(df, col("v"), col("y")).collect()(0)
+    assert(r.getDouble(0) == 20.0, r.toString)
+    assert(r.getLong(1) == 10 && r.getLong(2) == 10)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.5, r.toString)
+    // constant label: every split scores the root gini 0; argmin tie →
+    // smallest threshold
+    val const = (1 to 8).map(i => (i.toDouble, true)).toDF("v", "y")
+    val rc = Evaluation.bestSplit(const, col("v"), col("y")).collect()(0)
+    assert(rc.getDouble(0) == 1.0 && rc.getDouble(3) == 0.0)
+  }
+
+  test("ipwEffect: recovers the stratum-adjusted effect a raw diff gets wrong") {
+    import spark.implicits._
+    // stratum A: treated 30, control 10 (effect +5 within); stratum B:
+    // treated 10, control 30... plant: within-stratum effect +2 always,
+    // but treatment is 80% in the high-outcome stratum → naive diff ≫ 2
+    val rows =
+      Seq.fill(80)(("hi", true, 102.0)) ++ Seq.fill(20)(("hi", false, 100.0)) ++
+      Seq.fill(20)(("lo", true, 12.0)) ++ Seq.fill(80)(("lo", false, 10.0))
+    val df = rows.toDF("s", "t", "y")
+    val r = Evaluation.ipwEffect(df, "s", col("t"), col("y")).collect()(0)
+    // IPW reweights each arm to the stratum sizes: μ1 = (102+12)/2 = 57,
+    // μ0 = (100+10)/2 = 55 → ATE exactly +2
+    assert(r.getLong(0) == 200 && r.getLong(1) == 0, r.toString)
+    assert(r.getDouble(2) == 57.0 && r.getDouble(3) == 55.0, r.toString)
+    assert(r.getDouble(4) == 2.0, r.toString)
+    // a stratum with only one arm is excluded and counted
+    val degen = rows ++ Seq.fill(10)(("only_treated", true, 999.0))
+    val rd = Evaluation.ipwEffect(degen.toDF("s", "t", "y"), "s", col("t"), col("y"))
+      .collect()(0)
+    assert(rd.getLong(1) == 1 && rd.getDouble(4) == 2.0, rd.toString)
+  }
+
   test("simpsonFlips: the planted reversal is flagged; aligned pairs are not") {
     import spark.implicits._
     // classic: group A beats B inside EVERY stratum, but B's mass sits in

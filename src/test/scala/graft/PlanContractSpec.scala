@@ -79,7 +79,17 @@ class PlanContractSpec extends SparkSpec {
           // contract-small inequality joins by construction
           "q252_isotonic",
           // conformal: 1-row fallback mean + 1-row q̂ radius broadcasts
-          "q253_conformal")
+          "q253_conformal",
+          // bh_fdr: the 1-row (N, m) totals broadcast over the m-key
+          // counts; kde: the constant gridN-row grid broadcast over the
+          // fact side (map-side fan-out by design); simpson: the
+          // groups-sized totals self-cross (dim² by construction)
+          "q256_bh_fdr", "q258_kde", "q261_simpson",
+          // hub assignment: the constant 8-row hub table broadcast over
+          // the points; modularity: the 1-row m and the communities-sized
+          // q_total broadcasts; knee: the 1-row min/max extents broadcast
+          // over the aggregate-sized curve
+          "q262_hub_assign", "q266_modularity", "q271_knee")
         if (allowed(name)) None else Some(name)
       } else None
     }
