@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming analog of the reference's SQS worker handoff
@@ -313,6 +313,73 @@ object EventStream {
 
   /** File-source stream over a directory of event parquet drops (the queue
     * analog). Processes everything currently available, then stops. */
+  case class MetricEvent(userId: Long, eventId: Long, value: Double)
+  case class AnomalyVerdict(userId: Long, eventId: Long, value: Double,
+                            nSeen: Long, anomalous: Boolean)
+  // public: the TWS state encoder's codegen needs it
+  case class Welford(n: Long, mean: Double, m2: Double)
+
+  /** Per-key running z-score gate on the `transformWithState` API (the
+    * arbitrary-state operator that supersedes flatMapGroupsWithState):
+    * each user's value stream keeps Welford (n, mean, M2) state and an
+    * event is flagged when it sits > `z` standard deviations from THAT
+    * USER's history-so-far (never including itself) — the streaming
+    * ingest-quality tripwire ([[graft.operators.Analytics]]' batch
+    * z-score twin judges against the global distribution; this one
+    * personalizes and never re-scans history).
+    *
+    * State story: ONE fixed-size value-state row per active user —
+    * O(users), not O(events); under TimeMode.ProcessingTime a TTLConfig
+    * ages idle keys out of the store entirely (the TWS-native state
+    * bound; fMGWS needed hand-rolled timeouts for the same thing — see
+    * the note in init). Requires the RocksDB state store provider (the
+    * TWS contract). Within a micro-batch, rows apply in eventId order so
+    * replayed batches fold identically. */
+  class RunningZScoreProcessor(z: Double, minHistory: Int)
+      extends StatefulProcessor[Long, MetricEvent, AnomalyVerdict] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Welford] = _
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      // production note: under TimeMode.ProcessingTime, pass
+      // TTLConfig(Duration.ofHours(...)) here and idle keys age out of the
+      // store entirely. The operator runs TimeMode.None by default because
+      // pending TTL timers keep an AvailableNow drain alive until they
+      // fire — wrong shape for the replay/backfill path this gate serves.
+      st = getHandle.getValueState[Welford]("welford",
+        org.apache.spark.sql.Encoders.product[Welford],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[MetricEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AnomalyVerdict] = {
+      var s = if (st.exists()) st.get() else Welford(0L, 0d, 0d)
+      val out = rows.toSeq.sortBy(_.eventId).map { e =>
+        val sd = if (s.n >= 2) math.sqrt(s.m2 / (s.n - 1)) else 0d
+        val flagged = s.n >= minHistory && sd > 0d &&
+          math.abs(e.value - s.mean) > z * sd
+        val n1 = s.n + 1
+        val d = e.value - s.mean
+        val mean1 = s.mean + d / n1
+        s = Welford(n1, mean1, s.m2 + d * (e.value - mean1))
+        AnomalyVerdict(e.userId, e.eventId, e.value, n1, flagged)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RunningZScoreProcessor]] onto a stream (or batch frame — TWS
+    * runs in both). Caller's session must use the RocksDB state store
+    * provider for streaming. */
+  def anomalyGate(events: Dataset[MetricEvent], z: Double = 3.0,
+                  minHistory: Int = 5): Dataset[AnomalyVerdict] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[AnomalyVerdict] =
+      Encoders.product[AnomalyVerdict]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .transformWithState(new RunningZScoreProcessor(z, minHistory),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   def runFileStream(spark: SparkSession, srcDir: String, checkpointDir: String,
                     sinkTable: String): StreamingQuery = {
     val stream = spark.readStream

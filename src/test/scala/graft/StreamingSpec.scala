@@ -221,4 +221,50 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", 0L, 2L), ("2024-01-01 10:00:00.0", 5L, 1L),
       ("2024-01-01 11:00:00.0", 9L, 1L)))
   }
+
+  test("anomaly gate (transformWithState): per-user z-score, cross-batch state, batch parity") {
+    import spark.implicits._
+    import EventStream.{AnomalyVerdict, MetricEvent}
+    val src = Files.createTempDirectory("graft_tws_src").toString
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    // batch 1 (history): user 7 alternates 10/12 (sd ≈ 1.1); user 8 constant
+    val hist = (1 to 6).map(i => MetricEvent(7L, i.toLong, if (i % 2 == 0) 12.0 else 10.0)) ++
+               (1 to 6).map(i => MetricEvent(8L, i.toLong, 5.0))
+    hist.toDS().coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mtime → file 2 forms the second micro-batch
+    // batch 2 (probes): 100 is ~80σ off user 7's history; 11 is on-profile;
+    // user 8 has zero variance so nothing can flag
+    val probes = Seq(MetricEvent(7L, 10L, 100.0), MetricEvent(7L, 11L, 11.0),
+                     MetricEvent(8L, 10L, 5.0))
+    probes.toDS().coalesce(1).write.mode("append").parquet(src)
+
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("userId LONG, eventId LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src).as[MetricEvent]
+      val q = EventStream.anomalyGate(stream).writeStream
+        .format("memory").queryName("tws_sink").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val out = spark.table("tws_sink").as[AnomalyVerdict].collect()
+        .map(v => (v.userId, v.eventId) -> ((v.nSeen, v.anomalous))).toMap
+      assert(out.size == 15)
+      // cross-batch continuity: the probe sees n = 7, not 1 — state carried
+      assert(out((7L, 10L)) == ((7L, true)), out.toString)
+      assert(out((7L, 11L))._2 == false)       // post-spike sd absorbs 11
+      assert(out((8L, 10L)) == ((7L, false)))  // zero variance never flags
+      assert(hist.forall(e => !out((e.userId, e.eventId))._2)) // history clean
+      // batch parity: TWS on a batch frame folds the same (eventId order)
+      val batchOut = EventStream.anomalyGate((hist ++ probes).toDS()).collect()
+        .map(v => (v.userId, v.eventId) -> ((v.nSeen, v.anomalous))).toMap
+      assert(batchOut == out, s"batch=$batchOut stream=$out")
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
 }
