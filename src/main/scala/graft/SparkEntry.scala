@@ -585,6 +585,17 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q272_join_estimate" -> ((s, d) =>
+      // CBO audit: Selinger uniform estimate vs exact Σ n_a(v)·n_b(v)
+      // for orders ⋈ lineitem on the order key
+      Analytics.joinSizeEstimate(Tables.orders(s, d), Tables.lineitem(s, d),
+        "o_orderkey", "l_orderkey")),
+    "q273_fd_discovery" -> ((s, d) =>
+      // schema profiling: which column pairs are functional dependencies
+      Analytics.functionalDependencies(Tables.orders(s, d), Seq(
+        ("o_orderkey", "o_custkey"),       // PK → anything: must hold
+        ("o_custkey", "o_orderpriority"),  // repeat customers: expect violations
+        ("o_orderstatus", "o_orderpriority")))),
     "q268_delta_join" -> ((s, d) => {
       // incremental view maintenance: new join rows from (dL⋈R)∪(L⋈dR)∪
       // (dL⋈dR) — history is never re-joined; oracle proves the identity
@@ -2826,6 +2837,40 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q272_join_estimate" ->
+      // same per-key count tables; HUGEINT-exact truth; one mirrored
+      // double chain each for the estimate and its relative error
+      """WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+        |sa AS (SELECT SUM(na) AS n_a, COUNT(*) AS d_a FROM ca),
+        |sb AS (SELECT SUM(nb) AS n_b, COUNT(*) AS d_b FROM cb),
+        |tr AS (SELECT coalesce(SUM(CAST(na AS HUGEINT) * nb), 0) AS actual FROM ca JOIN cb USING (k))
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+        |  CAST(CAST(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(greatest(d_a, d_b) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS estimate,
+        |  CAST(actual AS BIGINT) AS actual,
+        |  CASE WHEN actual > 0 THEN
+        |    CAST(CAST((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(greatest(d_a, d_b) AS DOUBLE) - CAST(actual AS DOUBLE))
+        |      / CAST(actual AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+        |  ELSE NULL END AS rel_err
+        |FROM sa CROSS JOIN sb CROSS JOIN tr""".stripMargin,
+    "q273_fd_discovery" ->
+      // one (A,B)-distinct collapse per pair, A-grain image counts,
+      // UNION ALL of the three audits
+      """WITH p1 AS (SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs, COUNT(*) AS n_keys,
+        |    COUNT(CASE WHEN nb > 1 THEN 1 END) AS n_violating, MAX(nb) AS max_images
+        |  FROM (SELECT av, count(*) AS nb FROM (SELECT DISTINCT o_orderkey AS av, o_custkey AS bv FROM orders) GROUP BY 1)),
+        |p2 AS (SELECT 'o_custkey', 'o_orderpriority', COUNT(*),
+        |    COUNT(CASE WHEN nb > 1 THEN 1 END), MAX(nb)
+        |  FROM (SELECT av, count(*) AS nb FROM (SELECT DISTINCT o_custkey AS av, o_orderpriority AS bv FROM orders) GROUP BY 1)),
+        |p3 AS (SELECT 'o_orderstatus', 'o_orderpriority', COUNT(*),
+        |    COUNT(CASE WHEN nb > 1 THEN 1 END), MAX(nb)
+        |  FROM (SELECT av, count(*) AS nb FROM (SELECT DISTINCT o_orderstatus AS av, o_orderpriority AS bv FROM orders) GROUP BY 1)),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |SELECT lhs, rhs, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_violating AS BIGINT) AS n_violating, CAST(max_images AS BIGINT) AS max_images,
+        |  CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS fd_holds
+        |FROM u ORDER BY lhs, rhs""".stripMargin,
     "q268_delta_join" ->
       // the IVM identity, checked from the other side: full-join minus
       // old-join aggregates per nation (deltas only ADD rows, so the

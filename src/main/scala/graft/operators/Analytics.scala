@@ -2169,6 +2169,70 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Join cardinality: the optimizer's uniform estimate vs ground truth.
+    * |A ⋈ B| on an equi-key is EXACTLY Σ_v n_a(v)·n_b(v); a cost-based
+    * planner with only (rowCount, distinctCount) per side estimates it as
+    * N_a·N_b / max(d_a, d_b) (the Selinger/System-R uniformity+containment
+    * assumption every CBO still ships). This operator computes both — the
+    * truth from the two per-key count tables joined (key-sized, never the
+    * join itself materialized) — and reports the error: the audit to run
+    * before trusting a planner's join ordering on skewed keys, and the
+    * statistic a stats-collection pipeline should alarm on.
+    *
+    * Everything is exact integers (per-key products in DECIMAL(38,0))
+    * except the estimate and relative error, one double chain each,
+    * quantized scale 6. */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame,
+                       keyA: String, keyB: String): DataFrame = {
+    val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("na"))
+      .localCheckpoint() // totals + the truth join both read it
+    val cb = b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("nb"))
+      .localCheckpoint()
+    val sa = ca.agg(sum("na").as("n_a"), count(lit(1)).as("d_a"))
+    val sb = cb.agg(sum("nb").as("n_b"), count(lit(1)).as("d_b"))
+    val truth = ca.join(cb, "k")
+      .agg(coalesce(sum(col("na").cast("decimal(19,0)") * col("nb")), lit(0))
+        .cast("decimal(38,0)").as("actual"))
+    val est = (col("n_a").cast("double") * col("n_b").cast("double") /
+      greatest(col("d_a"), col("d_b")).cast("double"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(truth))
+      .select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("d_a").cast("long").as("d_a"), col("d_b").cast("long").as("d_b"),
+        est.cast("decimal(18,6)").cast("double").as("estimate"),
+        col("actual").cast("long").as("actual"),
+        when(col("actual") > 0,
+          ((est - col("actual").cast("double")) / col("actual").cast("double"))
+            .cast("decimal(18,6)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("rel_err"))
+  }
+
+  /** Functional-dependency discovery over candidate column pairs — the
+    * schema-profiling primitive ("is A a key for B") behind FK inference,
+    * normalization advice, and silent-denormalization drift alarms:
+    * A → B holds iff every A value maps to exactly one B value, i.e. no
+    * A-group has two distinct B's.
+    *
+    * Per pair: one (A, B)-distinct collapse, then an A-grain aggregate of
+    * the per-A distinct-B count — exact integers; violations are A values
+    * with ≥2 images. Pairs are enumerated by the CALLER (p² column pairs
+    * is a choice, not a default); each pair is an independent aggregate
+    * unioned into one report. */
+  def functionalDependencies(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    pairs.map { case (a, b) =>
+      df.select(col(a).as("av"), col(b).as("bv")).distinct()
+        .groupBy("av").agg(countDistinct("bv").as("nb"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("nb").as("max_images"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_keys").cast("long").as("n_keys"),
+          col("n_violating").cast("long").as("n_violating"),
+          col("max_images").cast("long").as("max_images"),
+          (col("n_violating") === 0).cast("int").as("fd_holds"))
+    }.reduce(_.unionByName(_)).orderBy("lhs", "rhs")
+  }
+
   /** Knee/elbow point of a monotone curve (Kneedle, Satopää et al. 2011,
     * simplified): min-max normalize both axes and take the point of
     * maximum vertical distance from the chord — ŷ − x̂ for a concave

@@ -1062,6 +1062,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(kc.getLong(0) == 7L, kc.toString)
   }
 
+  test("joinSizeEstimate: uniform keys estimate exactly; planted skew underestimates") {
+    import spark.implicits._
+    // uniform: 4 keys × 1 on each side → actual 4, est = 4·4/4 = 4
+    val u = (1 to 4).map(i => (i.toLong, s"x$i")).toDF("k", "v")
+    val r = Analytics.joinSizeEstimate(u, u, "k", "k").collect()(0)
+    assert(r.getLong(5) == 4L && r.getDouble(4) == 4.0 && r.getDouble(6) == 0.0, r.toString)
+    // skew: one hot key with 10 rows per side among 11 keys →
+    // actual = 100 + 10 = 110; est = 20·20/11 ≈ 36.4 → ~3× under
+    val s = ((1 to 10).map(_ => (0L, "hot")) ++ (1 to 10).map(i => (i.toLong, "cold")))
+      .toDF("k", "v")
+    val rs = Analytics.joinSizeEstimate(s, s, "k", "k").collect()(0)
+    assert(rs.getLong(5) == 110L, rs.toString)
+    assert(rs.getDouble(6) < -0.6, rs.toString) // est ≪ actual on skew
+    // disjoint keys: actual 0, rel_err undefined
+    val d = Analytics.joinSizeEstimate(u, u.select((col("k") + 100).as("k"), col("v")),
+      "k", "k").collect()(0)
+    assert(d.getLong(5) == 0L && d.isNullAt(6))
+  }
+
+  test("functionalDependencies: planted FD holds; violations counted per lhs value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "p"), (2L, "a", "p"), (3L, "b", "q"),
+      (4L, "b", "r"),               // b maps to q AND r → c1→c2 fails via...
+      (5L, "c", "p")
+    ).toDF("id", "c1", "c2")
+    val out = Analytics.functionalDependencies(df,
+        Seq(("id", "c1"), ("c1", "c2"), ("c2", "c1")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out(("id", "c1")) == ((5L, 0L, 1L, 1)), out.toString)   // PK → holds
+    assert(out(("c1", "c2")) == ((3L, 1L, 2L, 0)), out.toString)   // b has 2 images
+    // c2→c1: p maps to {a, c}, q→{b}, r→{b} → 1 violating of 3
+    assert(out(("c2", "c1")) == ((3L, 1L, 2L, 0)), out.toString)
+  }
+
   test("streakHistogram: islands split on gaps, histogram counts keys and streaks") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -146,4 +146,21 @@ class SinksAndStateSpec extends SparkSpec {
     assert(finals(2L).status == "FAILED")
     assert(finals(3L).status == "PROCESSING")
   }
+
+  test("writeAudited: Observation metrics ride the write pass and match the data") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_audit_out").toString + "/t"
+    val df = Seq(
+      (1L, Option("a@x.com"), Option(10.50)),
+      (2L, Option.empty[String], Option(2.25)),
+      (3L, Option("c@x.com"), Option.empty[Double]),
+      (4L, Option.empty[String], Option(7.25))
+    ).toDF("id", "email", "amount")
+    val m = Sinks.writeAudited(df, out, Seq("email", "amount"), Some("amount"))
+    assert(m("n_rows") == 4L, m.toString)
+    assert(m("null_email") == 2L && m("null_amount") == 1L, m.toString)
+    assert(m("sum_amount") == "20.00", m.toString) // exact decimal, not float
+    // and the write itself landed everything
+    assert(spark.read.parquet(out).count() == 4L)
+  }
 }
