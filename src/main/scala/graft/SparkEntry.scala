@@ -585,6 +585,27 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q274_url_dedup" -> ((s, d) => {
+      // crawl-style URL canonicalization: four deterministic cosmetic
+      // variants (host case, :443, utm_* params, fragment) per doc must
+      // collapse to one canonical key; groups with ≥2 variants reported
+      val id40 = (col("doc_id") % 40).cast("string")
+      val base = concat(lit("https://www."), col("source"),
+        lit(".example.com/Docs/"), id40)
+      val v = col("doc_id") % 4
+      val url = when(v === 0, base)
+        .when(v === 1, concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".EXAMPLE.COM/Docs/"), id40))
+        .when(v === 2, concat(base, lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://www."), col("source"),
+          lit(".example.com:443/Docs/"), id40, lit("#sec-2")))
+      Curation.urlDedup(
+        Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+    }),
+    "q275_dispersion" -> ((s, d) =>
+      // is daily event volume Poisson-plausible per type, or bursty
+      Analytics.dispersionCheck(Tables.events(s, d), "event_type", "ts")),
     "q272_join_estimate" -> ((s, d) =>
       // CBO audit: Selinger uniform estimate vs exact Σ n_a(v)·n_b(v)
       // for orders ⋈ lineitem on the order key
@@ -2837,6 +2858,42 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q274_url_dedup" ->
+      // identical variant derivation and RFC-3986-style normalization:
+      // lowercase scheme/host, strip :443/:80 + fragment, drop utm_*,
+      // sort surviving params, trim the trailing slash
+      """WITH raw AS (SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN 'https://www.' || source || '.example.com/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+        |    WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+        |    WHEN 2 THEN 'https://www.' || source || '.example.com/Docs/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |    ELSE 'https://www.' || source || '.example.com:443/Docs/' || CAST(doc_id % 40 AS VARCHAR) || '#sec-2' END AS url
+        |  FROM documents),
+        |q AS (SELECT doc_id, url,
+        |    list_sort(list_filter(string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1), '&'),
+        |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=') OR p = ''))) AS kept
+        |  FROM raw),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(443|80)$', '') ||
+        |    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/$', '') ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical
+        |  FROM q)
+        |SELECT canonical, count(*) AS n_variants,
+        |  array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), ',') AS id_list
+        |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY canonical""".stripMargin,
+    "q275_dispersion" ->
+      // same day-grain collapse; exact moments; one mirrored VMR chain
+      """WITH daily AS (SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT key, CAST(n AS BIGINT) AS n_days,
+        |  CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_daily,
+        |  CAST(CAST(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS vmr,
+        |  CASE WHEN ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 2.0 THEN 1 ELSE 0 END AS overdispersed
+        |FROM g WHERE n > 1 ORDER BY key""".stripMargin,
     "q272_join_estimate" ->
       // same per-key count tables; HUGEINT-exact truth; one mirrored
       // double chain each for the estimate and its relative error

@@ -2169,6 +2169,36 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Overdispersion check on grouped count data (variance-to-mean ratio):
+    * a Poisson arrival stream has VMR ≈ 1, so a per-key daily-count VMR
+    * far above 1 means bursty/clumped arrivals (bot traffic, replays,
+    * batch dumps) and far below means throttled/regularized flow — the
+    * cheap distributional sanity gate on event volume BEFORE modeling
+    * assumes Poisson anything.
+    *
+    * Day-grain counts via one hash aggregate; per key the moment sums
+    * (n, Σx, Σx²) are exact integers and VMR = s²/x̄ is one double chain
+    * (sample variance), quantized scale 9. */
+  def dispersionCheck(events: DataFrame, keyCol: String, tsCol: String,
+                      threshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("key"), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val g = daily.groupBy("key").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum(c19(col("x")) * col("x")).as("sxx"))
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val mean = sx / n
+    val varS = (sxx - sx * sx / n) / (n - 1d)
+    g.filter(col("n") > 1)
+      .select(col("key"), col("n").cast("long").as("n_days"),
+        mean.cast("decimal(18,6)").cast("double").as("mean_daily"),
+        (varS / mean).cast("decimal(18,9)").cast("double").as("vmr"),
+        (varS / mean > threshold).cast("int").as("overdispersed"))
+      .orderBy("key")
+  }
+
   /** Join cardinality: the optimizer's uniform estimate vs ground truth.
     * |A ⋈ B| on an equi-key is EXACTLY Σ_v n_a(v)·n_b(v); a cost-based
     * planner with only (rowCount, distinctCount) per side estimates it as

@@ -770,4 +770,47 @@ object Curation {
     segs.unpersist()
     materialized
   }
+
+  /** URL canonicalization — the first, cheapest dedup stage of every web
+    * crawl pipeline (before ANY content hashing): scheme/host lowercase,
+    * default :80/:443 port strip, fragment strip, tracking parameters
+    * (utm_*, fbclid, gclid) dropped, remaining query params SORTED (order
+    * is semantically irrelevant), trailing slash normalized. Two fetches
+    * of the same page under cosmetically different URLs collapse to one
+    * canonical key; path case is PRESERVED (paths are case-sensitive,
+    * hosts are not — the RFC 3986 split).
+    *
+    * Pure column expressions end to end — regex splits + higher-order
+    * array filter/sort — so the whole normalization runs inside
+    * whole-stage codegen on the scan; the only shuffle is the final
+    * canonical-key aggregate. Returns one row per canonical URL with
+    * ≥2 variants (the dedup candidates), variant count + ids. */
+  def urlDedup(urls: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val authority = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/$", "")
+    val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(split(rawQuery, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === "")))
+    val canonical = concat(scheme, lit("://"), authority, path,
+      when(size(keptParams) > 0, concat(lit("?"), array_join(keptParams, "&")))
+        .otherwise(lit("")))
+    urls.select(col(idCol).as("id"), canonical.as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        sort_array(collect_list(col("id"))).as("ids"))
+      .filter(col("n_variants") >= 2)
+      .select(col("canonical"), col("n_variants"),
+        concat_ws(",", transform(col("ids"), _.cast("string")))
+          .as("id_list")) // engine-boundary: no arrays
+      .orderBy("canonical")
+  }
+
 }

@@ -1062,6 +1062,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(kc.getLong(0) == 7L, kc.toString)
   }
 
+  test("dispersionCheck: bursty arrivals read VMR >> 1; regular flow reads < 1") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:${i % 60}%02d")
+    // regular: exactly 5/day over 6 days → variance 0 → VMR 0
+    val regular = (1 to 6).flatMap(d => (1 to 5).map(i => ("steady", ts(d, i))))
+    // bursty: 20 on one day, 1 on each of five days → VMR ≈ 12
+    val bursty = (1 to 20).map(i => ("bursty", ts(1, i))) ++
+      (2 to 6).map(d => ("bursty", ts(d, 0)))
+    val out = Analytics.dispersionCheck((regular ++ bursty).toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out("steady") == ((6L, 0.0, 0)), out.toString)
+    // mean = 25/6; var = (Σx²−(Σx)²/n)/(n−1) = (425−625/6)/5 = 64.166…;
+    // VMR = 15.4 → overdispersed
+    assert(out("bursty")._1 == 6L && out("bursty")._2 > 10 && out("bursty")._3 == 1, out.toString)
+  }
+
   test("joinSizeEstimate: uniform keys estimate exactly; planted skew underestimates") {
     import spark.implicits._
     // uniform: 4 keys × 1 on each side → actual 4, est = 4·4/4 = 4

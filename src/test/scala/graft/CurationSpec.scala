@@ -357,4 +357,26 @@ class CurationSpec extends SparkSpec {
     assert(p == Curation.segmentDedup(docs, "doc_id", "text", segTokens = 4)
       .collect().map(_.toSeq).toSeq)
   }
+
+  test("urlDedup: cosmetic variants collapse; real differences do not") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://www.Site.example.com/Docs/A"),
+      (2L, "HTTPS://WWW.SITE.EXAMPLE.COM/Docs/A"),          // host case
+      (3L, "https://www.site.example.com:443/Docs/A"),      // default port
+      (4L, "https://www.site.example.com/Docs/A?utm_source=x&utm_medium=y"),
+      (5L, "https://www.site.example.com/Docs/A#section-3"), // fragment
+      (6L, "https://www.site.example.com/Docs/A/"),          // trailing slash
+      (7L, "https://www.site.example.com/Docs/A?b=2&a=1"),   // params, sorted
+      (8L, "https://www.site.example.com/Docs/A?a=1&b=2"),   // same params, other order
+      (9L, "https://www.site.example.com/docs/a"),           // path case DIFFERS → distinct
+      (10L, "http://www.site.example.com/Docs/A")            // scheme differs → distinct
+    ).toDF("id", "url")
+    val out = Curation.urlDedup(urls, "id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("https://www.site.example.com/Docs/A") == ((6L, "1,2,3,4,5,6")), out.toString)
+    assert(out("https://www.site.example.com/Docs/A?a=1&b=2") == ((2L, "7,8")), out.toString)
+    // path-case and scheme variants stayed singletons (not reported)
+    assert(out.size == 2, out.toString)
+  }
 }

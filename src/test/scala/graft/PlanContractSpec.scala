@@ -89,7 +89,9 @@ class PlanContractSpec extends SparkSpec {
           // the points; modularity: the 1-row m and the communities-sized
           // q_total broadcasts; knee: the 1-row min/max extents broadcast
           // over the aggregate-sized curve
-          "q262_hub_assign", "q266_modularity", "q271_knee")
+          "q262_hub_assign", "q266_modularity", "q271_knee",
+          // join-size audit: three 1-row stat frames cross-joined
+          "q272_join_estimate")
         if (allowed(name)) None else Some(name)
       } else None
     }
