@@ -429,6 +429,36 @@ object ScaleCheck {
     time("conformal")(d => Evaluation.conformalIntervals(
       spark.read.parquet(s"$d/orders.parquet"), "o_orderkey", "o_orderpriority", "o_totalprice"))
     time("heaps")(d => TextAnalysis.heapsFit(Tables.documents(spark, d), "doc_id", "text"))
+    time("mannwhitney")(d => Evaluation.mannWhitney(
+      Tables.orders(spark, d).filter(col("o_orderstatus").isin("F", "O")),
+      col("o_totalprice").cast("decimal(18,2)"), col("o_orderstatus") === "F"))
+    time("bh_fdr")(d => Evaluation.benjaminiHochberg(
+      Evaluation.shareTestPValues(Tables.orders(spark, d), "o_orderpriority"), "key", "p"))
+    time("kendall_pairs")(d => Analytics.kendallWithinGroups(
+      Tables.lineitem(spark, d), "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    time("kde_grid")(d => Analytics.kdeGrid(
+      Tables.orders(spark, d), col("o_totalprice"), 0.0, 500000.0, 21, 25000.0))
+    time("streaks")(d => Analytics.streakHistogram(
+      Tables.orders(spark, d), "o_custkey", col("o_orderdate")))
+    time("simpson")(d => Evaluation.simpsonFlips(
+      Tables.orders(spark, d), "o_orderpriority", "o_orderstatus", col("o_totalprice")))
+    time("mcnemar")(d => Evaluation.mcnemar(Tables.events(spark, d), "user_id",
+      col("event_type") === "purchase" && col("ts") < lit("2024-01-16").cast("timestamp"),
+      col("event_type") === "purchase" && col("ts") >= lit("2024-01-16").cast("timestamp")))
+    time("bradley_terry")(d => SparkEntry.queries("q265_bradley_terry")(spark, d))
+    time("modularity")(d => SparkEntry.queries("q266_modularity")(spark, d))
+    time("asof_native")(d => SparkEntry.queries("q267_asof_native")(spark, d))
+    time("delta_join")(d => SparkEntry.queries("q268_delta_join")(spark, d))
+    time("stump")(d => Evaluation.bestSplit(Tables.orders(spark, d),
+      col("o_totalprice").cast("decimal(18,2)"), col("o_orderstatus") === "F"))
+    time("ipw")(d => Evaluation.ipwEffect(Tables.events(spark, d), "event_type",
+      col("user_id") % 2 === 1, col("value")))
+    time("join_estimate")(d => Analytics.joinSizeEstimate(
+      Tables.orders(spark, d), Tables.lineitem(spark, d), "o_orderkey", "l_orderkey"))
+    time("fd_discovery")(d => Analytics.functionalDependencies(
+      Tables.orders(spark, d), Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"))))
+    time("url_dedup")(d => SparkEntry.queries("q274_url_dedup")(spark, d))
+    time("dispersion")(d => Analytics.dispersionCheck(Tables.events(spark, d), "event_type", "ts"))
 
     spark.stop()
   }
