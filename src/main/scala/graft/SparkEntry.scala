@@ -585,6 +585,18 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q276_copula" -> ((s, d) =>
+      // where does quantity–price dependence live: rank-decile grid
+      Analytics.copulaGrid(Tables.lineitem(s, d), "l_quantity",
+        "l_extendedprice", 10)),
+    "q277_cat_assoc" -> ((s, d) =>
+      // categorical dependency audit: Cramér's V + Theil's U per pair
+      Evaluation.categoricalAssociation(
+        Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")),
+        Seq(("status", "priority"), ("priority", "status"),
+            ("status", "month")))),
     "q274_url_dedup" -> ((s, d) => {
       // crawl-style URL canonicalization: four deterministic cosmetic
       // variants (host case, :443, utm_* params, fragment) per doc must
@@ -2858,6 +2870,83 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q276_copula" ->
+      // same margin collapse, doubled average ranks, exact integer
+      // decile arithmetic — ties land in one bucket on both engines
+      """WITH cells AS (SELECT l_quantity AS x, l_extendedprice AS y, count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT x, least(9, CAST(floor((2 * (SUM(nv) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv) + nv + 1 - 1) * 10
+        |         / (2 * SUM(nv) OVER ())) AS BIGINT)) AS bx
+        |  FROM (SELECT x, SUM(cnt) AS nv FROM cells GROUP BY 1)),
+        |my AS (SELECT y, least(9, CAST(floor((2 * (SUM(nv) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv) + nv + 1 - 1) * 10
+        |         / (2 * SUM(nv) OVER ())) AS BIGINT)) AS by
+        |  FROM (SELECT y, SUM(cnt) AS nv FROM cells GROUP BY 1))
+        |SELECT bx, by, CAST(SUM(cnt) AS BIGINT) AS n
+        |FROM cells JOIN mx USING (x) JOIN my USING (y)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q277_cat_assoc" ->
+      // per pair: one contingency collapse; chi-square and entropy terms
+      // quantized DECIMAL(28,9) pre-sum; V and U as mirrored chains
+      """WITH src AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m') AS month FROM orders),
+        |pair1 AS (
+        |  WITH cells AS (SELECT CAST(status AS VARCHAR) AS av, CAST(priority AS VARCHAR) AS bv, count(*) AS c FROM src GROUP BY 1, 2),
+        |  nn AS (SELECT SUM(c) AS n FROM cells),
+        |  ra AS (SELECT av, SUM(c) AS ca FROM cells GROUP BY 1),
+        |  rb AS (SELECT bv, SUM(c) AS cb FROM cells GROUP BY 1),
+        |  grid AS (SELECT ra.av, rb.bv, ra.ca, rb.cb, coalesce(cells.c, 0) AS c
+        |    FROM ra CROSS JOIN rb LEFT JOIN cells USING (av, bv)),
+        |  ag AS (SELECT first(nn.n) AS n,
+        |      SUM(CAST((CAST(c AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,9))) AS chi2,
+        |      COUNT(DISTINCT av) AS r, COUNT(DISTINCT bv) AS cdim,
+        |      SUM(CASE WHEN c > 0 THEN CAST(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(cb AS DOUBLE)) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END) AS hcneg
+        |    FROM grid CROSS JOIN nn),
+        |  ha AS (SELECT SUM(CAST(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE) * ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,9))) AS haneg FROM ra CROSS JOIN nn)
+        |  SELECT 'status' AS col_a, 'priority' AS col_b,
+        |    CASE WHEN least(r, cdim) - 1 > 0 AND n > 0 THEN CAST(CAST(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(least(r, cdim) - 1 AS DOUBLE))) AS DECIMAL(18,6)) AS DOUBLE) END AS cramers_v,
+        |    CASE WHEN CAST(haneg AS DOUBLE) * -1 > 0 THEN CAST(CAST((CAST(haneg AS DOUBLE) * -1 - CAST(hcneg AS DOUBLE) * -1) / (CAST(haneg AS DOUBLE) * -1) AS DECIMAL(18,6)) AS DOUBLE) END AS theils_u
+        |  FROM ag CROSS JOIN ha),
+        |pair2 AS (
+        |  WITH cells AS (SELECT CAST(priority AS VARCHAR) AS av, CAST(status AS VARCHAR) AS bv, count(*) AS c FROM src GROUP BY 1, 2),
+        |  nn AS (SELECT SUM(c) AS n FROM cells),
+        |  ra AS (SELECT av, SUM(c) AS ca FROM cells GROUP BY 1),
+        |  rb AS (SELECT bv, SUM(c) AS cb FROM cells GROUP BY 1),
+        |  grid AS (SELECT ra.av, rb.bv, ra.ca, rb.cb, coalesce(cells.c, 0) AS c
+        |    FROM ra CROSS JOIN rb LEFT JOIN cells USING (av, bv)),
+        |  ag AS (SELECT first(nn.n) AS n,
+        |      SUM(CAST((CAST(c AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,9))) AS chi2,
+        |      COUNT(DISTINCT av) AS r, COUNT(DISTINCT bv) AS cdim,
+        |      SUM(CASE WHEN c > 0 THEN CAST(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(cb AS DOUBLE)) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END) AS hcneg
+        |    FROM grid CROSS JOIN nn),
+        |  ha AS (SELECT SUM(CAST(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE) * ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,9))) AS haneg FROM ra CROSS JOIN nn)
+        |  SELECT 'priority', 'status',
+        |    CASE WHEN least(r, cdim) - 1 > 0 AND n > 0 THEN CAST(CAST(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(least(r, cdim) - 1 AS DOUBLE))) AS DECIMAL(18,6)) AS DOUBLE) END,
+        |    CASE WHEN CAST(haneg AS DOUBLE) * -1 > 0 THEN CAST(CAST((CAST(haneg AS DOUBLE) * -1 - CAST(hcneg AS DOUBLE) * -1) / (CAST(haneg AS DOUBLE) * -1) AS DECIMAL(18,6)) AS DOUBLE) END
+        |  FROM ag CROSS JOIN ha),
+        |pair3 AS (
+        |  WITH cells AS (SELECT CAST(status AS VARCHAR) AS av, CAST(month AS VARCHAR) AS bv, count(*) AS c FROM src GROUP BY 1, 2),
+        |  nn AS (SELECT SUM(c) AS n FROM cells),
+        |  ra AS (SELECT av, SUM(c) AS ca FROM cells GROUP BY 1),
+        |  rb AS (SELECT bv, SUM(c) AS cb FROM cells GROUP BY 1),
+        |  grid AS (SELECT ra.av, rb.bv, ra.ca, rb.cb, coalesce(cells.c, 0) AS c
+        |    FROM ra CROSS JOIN rb LEFT JOIN cells USING (av, bv)),
+        |  ag AS (SELECT first(nn.n) AS n,
+        |      SUM(CAST((CAST(c AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,9))) AS chi2,
+        |      COUNT(DISTINCT av) AS r, COUNT(DISTINCT bv) AS cdim,
+        |      SUM(CASE WHEN c > 0 THEN CAST(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(cb AS DOUBLE)) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END) AS hcneg
+        |    FROM grid CROSS JOIN nn),
+        |  ha AS (SELECT SUM(CAST(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE) * ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,9))) AS haneg FROM ra CROSS JOIN nn)
+        |  SELECT 'status', 'month',
+        |    CASE WHEN least(r, cdim) - 1 > 0 AND n > 0 THEN CAST(CAST(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(least(r, cdim) - 1 AS DOUBLE))) AS DECIMAL(18,6)) AS DOUBLE) END,
+        |    CASE WHEN CAST(haneg AS DOUBLE) * -1 > 0 THEN CAST(CAST((CAST(haneg AS DOUBLE) * -1 - CAST(hcneg AS DOUBLE) * -1) / (CAST(haneg AS DOUBLE) * -1) AS DECIMAL(18,6)) AS DOUBLE) END
+        |  FROM ag CROSS JOIN ha)
+        |SELECT * FROM pair1 UNION ALL SELECT * FROM pair2 UNION ALL SELECT * FROM pair3
+        |ORDER BY col_a, col_b""".stripMargin,
     "q274_url_dedup" ->
       // identical variant derivation and RFC-3986-style normalization:
       // lowercase scheme/host, strip :443/:80 + fragment, drop utm_*,

@@ -2169,6 +2169,44 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Empirical copula grid — the scale-free dependence picture: both axes
+    * transform to average-rank deciles and the k×k cell counts show
+    * WHERE the dependence lives (corners = tail dependence, diagonal =
+    * monotone association; a flat grid ≈ n/k² everywhere means
+    * independence). Spearman/Kendall compress this to one number; the
+    * grid is what you plot before trusting them.
+    *
+    * Never ranks raw rows (the [[spearmanByGroup]] margin collapse): each
+    * axis ranks its per-distinct-value margin, the DOUBLED average rank
+    * 2·cumBefore+cnt+1 stays integral, and the decile is the exact
+    * integer ((avgRank2 − 1)·k) / (2n) taken in floor arithmetic —
+    * engine-identical bucketing, no percent_rank doubles anywhere. Cells
+    * join back value-keyed and aggregate; ties land in ONE bucket on
+    * both engines by construction. */
+  def copulaGrid(df: DataFrame, xCol: String, yCol: String,
+                 k: Int = 10): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    def margin(valCol: String, out: String): DataFrame = {
+      val w = Window.orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells.groupBy(col(valCol)).agg(sum("cnt").as("nv"))
+        .withColumn("avgRank2",
+          lit(2) * (sum("nv").over(w) - col("nv")) + col("nv") + 1)
+        .withColumn("n", sum("nv").over(wAll))
+        .select(col(valCol),
+          least(lit(k - 1), floor((col("avgRank2") - 1) * k /
+            (lit(2) * col("n")))).cast("long").as(out))
+    }
+    cells
+      .join(margin("x", "bx"), Seq("x"))
+      .join(margin("y", "by"), Seq("y"))
+      .groupBy("bx", "by").agg(sum("cnt").as("n"))
+      .orderBy("bx", "by")
+  }
+
   /** Overdispersion check on grouped count data (variance-to-mean ratio):
     * a Poisson arrival stream has VMR ≈ 1, so a per-key daily-count VMR
     * far above 1 means bursty/clumped arrivals (bot traffic, replays,

@@ -1270,6 +1270,71 @@ object Evaluation {
       .orderBy("grp")
   }
 
+  /** Categorical association matrix: Cramér's V (symmetric, χ²-based) and
+    * Theil's uncertainty coefficient U(A|B) (asymmetric, entropy-based —
+    * "how much of A does knowing B explain") for every requested column
+    * pair. The profiling companion of the numeric correlation matrix:
+    * V answers "related at all", U answers "in which direction", and
+    * together they find redundant/derivable categorical columns before a
+    * feature pipeline double-counts them ([[mutualInfo]] generalized to a
+    * report).
+    *
+    * Per pair, ONE (a,b) contingency collapse; χ² terms and the p·ln p
+    * entropy terms each quantize DECIMAL(28,9) BEFORE their
+    * order-independent sums (the [[naiveBayes]] recipe), and V/U are
+    * fixed double chains over those exact sums, scale 6. Cells are
+    * |A|×|B|-sized; the raw table is touched once per pair. */
+  def categoricalAssociation(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(col(a).cast("string").as("av"),
+          col(b).cast("string").as("bv"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val n = cells.agg(sum("c").as("n"), count(lit(1)).as("n_cells"))
+      val ra = cells.groupBy("av").agg(sum("c").as("ca")).localCheckpoint()
+      val rb = cells.groupBy("bv").agg(sum("c").as("cb")).localCheckpoint()
+      // densified grid: χ² REQUIRES the structural zeros — an empty cell
+      // still pays (0−e)²/e (the q92/mutualInfo structural-zero rule)
+      val joined = ra.crossJoin(rb)
+        .join(cells, Seq("av", "bv"), "left")
+        .select(col("av"), col("bv"), col("ca"), col("cb"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .crossJoin(broadcast(n))
+      val nd = col("n").cast("double")
+      val e = col("ca").cast("double") * col("cb").cast("double") / nd
+      val chiTerm = ((col("c").cast("double") - e) * (col("c").cast("double") - e) / e)
+        .cast("decimal(28,9)")
+      // entropy terms: H(A) from the a-margin, H(A|B) from the OCCUPIED
+      // cells (0·ln 0 = 0 by convention — zero cells contribute nothing)
+      val pA = col("ca").cast("double") / nd
+      val hATerm = (pA * log(pA)).cast("decimal(28,9)")
+      val pAB = col("c").cast("double") / nd
+      val hCondTerm = when(col("c") > 0,
+        (pAB * log(col("c").cast("double") / col("cb").cast("double")))
+          .cast("decimal(28,9)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)"))
+      val agg = joined.agg(
+        first("n").as("n"),
+        sum(chiTerm).as("chi2"),
+        countDistinct("av").as("r"), countDistinct("bv").as("cdim"),
+        sum(hCondTerm).as("hCondNeg"))
+      val hA = ra.crossJoin(broadcast(n))
+        .agg(sum(hATerm).as("hANeg"))
+      val chi = col("chi2").cast("double")
+      val minDim = (least(col("r"), col("cdim")) - 1).cast("double")
+      val hAd = (col("hANeg").cast("double") * -1d)
+      val hCd = (col("hCondNeg").cast("double") * -1d)
+      agg.crossJoin(broadcast(hA))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          when(minDim > 0d && col("n") > 0,
+            sqrt(chi / (col("n").cast("double") * minDim))
+              .cast("decimal(18,6)").cast("double"))
+            .otherwise(lit(null).cast("double")).as("cramers_v"),
+          when(hAd > 0d, ((hAd - hCd) / hAd).cast("decimal(18,6)").cast("double"))
+            .otherwise(lit(null).cast("double")).as("theils_u"))
+    }.reduce(_.unionByName(_)).orderBy("col_a", "col_b")
+  }
+
   /** Best binary split of one feature against a binary label — a depth-1
     * decision tree (stump) by exact weighted Gini impurity: the classical
     * feature-scoring / weak-learner primitive (CART; also THE mutual-

@@ -339,6 +339,58 @@ object Multimodal {
       }.toDF(idCol, "sample_rate", "n_samples", "duration_ms", "mean_abs", "peak")
   }
 
+  /** Frame-level audio energy profile (the VAD-lite curation signal): the
+    * PCM sample stream splits into fixed frames (default 160 samples =
+    * 20 ms at 8 kHz — the telephony standard), each frame's RMS computes
+    * from an exact integer sum of squares, and frames below `silenceRms`
+    * count as silence. Silence ratio and the longest silent run are THE
+    * cheap audio-quality gates (dead air, truncated recordings, mic
+    * failures) a speech-data pipeline runs before any model hears a
+    * sample — the audio twin of text's repetition/quality scores.
+    *
+    * Same codec boundary as [[decodeAudio]]: real parse for mono 16-bit
+    * PCM WAV, sentinel row for anything else, never a task crash.
+    * Shuffle-free map pass; frames never materialize as rows. */
+  def audioEnergyProfile(media: DataFrame, idCol: String,
+                         frameSamples: Int = 160,
+                         silenceRms: Double = 500.0): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(f) if f.nSamples > 0 =>
+              val buf = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nFrames = (f.nSamples + frameSamples - 1) / frameSamples
+              var silent = 0; var run = 0; var longestRun = 0
+              var maxRms = 0.0
+              var fr = 0
+              while (fr < nFrames) {
+                val start = fr * frameSamples
+                val end = math.min(start + frameSamples, f.nSamples)
+                var sumSq = 0L; var i = start
+                while (i < end) {
+                  val v = buf.getShort(44 + i * 2).toLong
+                  sumSq += v * v; i += 1
+                }
+                val rms = math.sqrt(sumSq.toDouble / (end - start))
+                if (rms > maxRms) maxRms = rms
+                if (rms < silenceRms) { silent += 1; run += 1
+                  if (run > longestRun) longestRun = run
+                } else run = 0
+                fr += 1
+              }
+              (id, nFrames, silent,
+                math.rint(silent.toDouble / nFrames * 1e6) / 1e6,
+                longestRun, math.rint(maxRms * 10) / 10)
+            case _ => (id, -1, -1, Double.NaN, -1, Double.NaN)
+          }
+        }
+      }.toDF(idCol, "n_frames", "n_silent", "silence_ratio",
+        "longest_silent_run", "max_rms")
+  }
+
   /** Frame sampling for video rows: emit `n` evenly-spaced frame timestamps
     * per video — pure `sequence`/`explode`, no UDF, scales as a map-side
     * expand. (The frame DECODE would be a decodeStub-style pass downstream.) */

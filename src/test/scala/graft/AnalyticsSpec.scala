@@ -1062,6 +1062,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(kc.getLong(0) == 7L, kc.toString)
   }
 
+  test("copulaGrid: monotone dependence fills the diagonal; ties land in one bucket") {
+    import spark.implicits._
+    // y = x over 100 distinct values → every decile maps to itself: 10
+    // cells of 10 on the diagonal
+    val mono = (1 to 100).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    val g = Analytics.copulaGrid(mono, "x", "y", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(g.size == 10 && (0 until 10).forall(i => g((i.toLong, i.toLong)) == 10L), g.toString)
+    // y = −x → anti-diagonal
+    val anti = (1 to 100).map(i => (i.toDouble, -i * 1.0)).toDF("x", "y")
+    val ga = Analytics.copulaGrid(anti, "x", "y", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert((0 until 10).forall(i => ga((i.toLong, (9 - i).toLong)) == 10L), ga.toString)
+    // all-tied y: the single y value's average rank (n+1)/2 puts ALL
+    // mass in one y-bucket (⌊(2·avgRank−2)·k/2n⌋ = ⌊100·10/200⌋ = 5),
+    // never split
+    val tied = (1 to 100).map(i => (i.toDouble, 7.0)).toDF("x", "y")
+    val gt = Analytics.copulaGrid(tied, "x", "y", 10).collect()
+    assert(gt.forall(_.getLong(1) == 5L), gt.mkString(";"))
+  }
+
   test("dispersionCheck: bursty arrivals read VMR >> 1; regular flow reads < 1") {
     import spark.implicits._
     def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:${i % 60}%02d")

@@ -715,6 +715,20 @@ class EvaluationSpec extends SparkSpec {
     assert(p == Evaluation.bradleyTerry(h2h, "w", "l", iters = 2).collect().map(_.toSeq).toSeq)
   }
 
+  test("categoricalAssociation: identical columns read V=U=1; independent read 0") {
+    import spark.implicits._
+    // balanced independent grid: every (a,b) combination equally often
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r"); _ <- 1 to 5 }
+      yield (a, b, a)).toDF("a", "b", "copy_a")
+    val out = Evaluation.categoricalAssociation(indep,
+        Seq(("a", "b"), ("a", "copy_a"), ("b", "a")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == ((0.0, 0.0)), out.toString)     // independent
+    assert(out(("a", "copy_a")) == ((1.0, 1.0)), out.toString) // identical
+    assert(out(("b", "a")) == ((0.0, 0.0)), out.toString)
+  }
+
   test("bestSplit: finds the planted threshold; degenerate right side excluded") {
     import spark.implicits._
     // label flips exactly at v > 20: a stump must split at v = 20 with

@@ -151,4 +151,21 @@ class MultimodalSpec extends SparkSpec {
     val grouped = planted.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(grouped.contains((0L, 40L)) && grouped.contains((40L, 80L)))
   }
+
+  test("audioEnergyProfile: silence frames counted, runs tracked, junk yields sentinel") {
+    import spark.implicits._
+    // 2 silent frames + 3 loud (constant 10000 → rms exactly 10000) +
+    // 1 silent at 160 samples/frame
+    val samples: Array[Short] =
+      Array.fill[Short](320)(0) ++ Array.fill[Short](480)(10000) ++ Array.fill[Short](160)(0)
+    val media = Seq(
+      (1L, Multimodal.encodeWav(8000, samples)),
+      (2L, "not audio at all".getBytes)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.audioEnergyProfile(media, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((6, 3, 0.5, 2, 10000.0)), out.toString)
+    assert(out(2L)._1 == -1 && out(2L)._3.isNaN, out.toString)
+  }
 }
