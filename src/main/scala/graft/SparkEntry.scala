@@ -585,6 +585,25 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q278_levene" -> ((s, d) =>
+      // do priority tiers differ in SPREAD of order value (the ANOVA
+      // precondition q185 assumes): Levene W on |x − group mean|
+      Evaluation.leveneTest(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice"))),
+    "q279_hellinger" -> ((s, d) => {
+      // bounded drift distance on the q142 cells: Hellinger ∈ [0,1]
+      val ev = Tables.events(s, d)
+      Evaluation.hellingerDrift(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value", 10)
+    }),
+    "q280_mmd" -> ((s, d) =>
+      // embedding-space two-sample test: did label-0 vectors drift from
+      // label-1 vectors (RBF-kernel MMD², capped unbiased estimator)
+      Similarity.mmdTest(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("label") === 0)),
+    "q281_durbin_watson" -> ((s, d) =>
+      // is daily event volume's detrended residual still autocorrelated
+      Analytics.durbinWatson(Tables.events(s, d), "ts")),
     "q276_copula" -> ((s, d) =>
       // where does quantity–price dependence live: rank-decile grid
       Analytics.copulaGrid(Tables.lineitem(s, d), "l_quantity",
@@ -2870,6 +2889,100 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q278_levene" ->
+      // exact integer cents; half-up integer-division centers; the ANOVA
+      // lattice on exact integer deviations (term headroom DECIMAL(38,6))
+      """WITH ctr AS (SELECT o_orderpriority AS grp,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(28,0))) AS BIGINT) AS scl,
+        |    COUNT(*) AS ng
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o.o_orderpriority AS grp,
+        |    CAST(abs(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(28,0)) AS BIGINT)
+        |      - (ctr.scl * 2 + ctr.ng) // (2 * ctr.ng)) AS DECIMAL(28,0)) AS adev
+        |  FROM orders o JOIN ctr ON o.o_orderpriority = ctr.grp),
+        |g AS (SELECT grp, COUNT(*) AS n, SUM(adev) AS s1,
+        |    SUM(CAST(adev AS DECIMAL(28,0)) * CAST(adev AS DECIMAL(28,0))) AS s2 FROM d GROUP BY 1),
+        |q AS (SELECT n, s1, s2,
+        |    CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(38,6)) AS term FROM g),
+        |t AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(s1) AS DOUBLE) AS t1d, CAST(SUM(s2) AS DOUBLE) AS t2d,
+        |    CAST(SUM(term) AS DOUBLE) AS qsumd FROM q),
+        |s AS (SELECT k, n, qsumd - t1d * t1d / CAST(n AS DOUBLE) AS ss_between,
+        |    t2d - qsumd AS ss_within FROM t)
+        |SELECT k, n, ss_between, ss_within,
+        |  ss_between / CAST(k - 1 AS DOUBLE) / (ss_within / CAST(n - k AS DOUBLE)) AS w_stat
+        |FROM s""".stripMargin,
+    "q279_hellinger" ->
+      // q142's smoothed cells; √(p·q) DECIMAL(28,12) pre-sum; BC + H
+      """WITH e AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+        |a AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS w FROM e),
+        |eb AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / w) AS INT))) AS bin,
+        |              COUNT(*) AS en FROM e, s GROUP BY 1),
+        |ab AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / w) AS INT))) AS bin,
+        |              COUNT(*) AS an FROM a, s GROUP BY 1),
+        |cells AS (SELECT CAST(r.range AS INT) AS bin,
+        |                 COALESCE(en, 0) AS expected_n, COALESCE(an, 0) AS actual_n
+        |          FROM range(0, 10) r
+        |          LEFT JOIN eb ON eb.bin = r.range LEFT JOIN ab ON ab.bin = r.range),
+        |tot AS (SELECT SUM(expected_n) AS ne, SUM(actual_n) AS na FROM cells),
+        |terms AS (SELECT
+        |    (CAST(expected_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(ne AS DOUBLE) + CAST(5 AS DOUBLE)) AS p,
+        |    (CAST(actual_n AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(5 AS DOUBLE)) AS q
+        |  FROM cells, tot),
+        |bc AS (SELECT SUM(CAST(sqrt(p * q) AS DECIMAL(28,12))) AS bcSum FROM terms)
+        |SELECT CAST(CAST(CAST(bcSum AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS bhattacharyya,
+        |  CAST(CAST(sqrt(greatest(0, 1 - CAST(bcSum AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE) AS hellinger
+        |FROM bc""".stripMargin,
+    "q280_mmd" ->
+      // same caps (lowest 200 ids/side), γ = 2⁻⁶ (binary-exact), the q64
+      // float-product/double-sum dot recipe, DECIMAL(18,5) kernel terms
+      """WITH x AS (SELECT vec_id AS xid, embedding AS xv,
+        |    list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS xn
+        |  FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 200),
+        |y AS (SELECT vec_id AS yid, embedding AS yv,
+        |    list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS yn
+        |  FROM embeddings WHERE label <> 0 ORDER BY vec_id LIMIT 200),
+        |m AS (SELECT COUNT(*) AS m FROM x), nn AS (SELECT COUNT(*) AS n FROM y),
+        |sxx AS (SELECT SUM(CAST(exp(-0.015625 * (a.xn + b.xn - 2 *
+        |      list_sum(list_transform(list_zip(a.xv, b.xv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+        |    AS DECIMAL(18,5))) AS sxx
+        |  FROM x a JOIN x b ON a.xid < b.xid),
+        |syy AS (SELECT SUM(CAST(exp(-0.015625 * (a.yn + b.yn - 2 *
+        |      list_sum(list_transform(list_zip(a.yv, b.yv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+        |    AS DECIMAL(18,5))) AS syy
+        |  FROM y a JOIN y b ON a.yid < b.yid),
+        |sxy AS (SELECT SUM(CAST(exp(-0.015625 * (x.xn + y.yn - 2 *
+        |      list_sum(list_transform(list_zip(x.xv, y.yv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+        |    AS DECIMAL(18,5))) AS sxy
+        |  FROM x CROSS JOIN y)
+        |SELECT CAST(m.m AS BIGINT) AS m, CAST(nn.n AS BIGINT) AS n,
+        |  CAST(CAST(2 * CAST(sxx AS DOUBLE) / (CAST(m.m AS DOUBLE) * (CAST(m.m AS DOUBLE) - 1))
+        |    + 2 * CAST(syy AS DOUBLE) / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1))
+        |    - 2 * CAST(sxy AS DOUBLE) / (CAST(m.m AS DOUBLE) * CAST(nn.n AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS mmd2
+        |FROM sxx CROSS JOIN syy CROSS JOIN sxy CROSS JOIN m CROSS JOIN nn""".stripMargin,
+    "q281_durbin_watson" ->
+      // same day series; OLS from exact moments; residual terms
+      // DECIMAL(28,9) pre-sum; one DW division
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS x FROM events GROUP BY 1),
+        |ts AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM daily),
+        |mom AS (SELECT COUNT(*) AS n, SUM(t) AS st, SUM(x) AS sx,
+        |    SUM(CAST(t AS HUGEINT) * x) AS stx, SUM(CAST(t AS HUGEINT) * t) AS stt FROM ts),
+        |r AS (SELECT t,
+        |    CAST(x AS DOUBLE) - ((CAST(sx AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + ((CAST(n AS DOUBLE) * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * CAST(t AS DOUBLE)) AS e
+        |  FROM ts CROSS JOIN mom),
+        |lagd AS (SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM r),
+        |agg AS (SELECT COUNT(*) AS n_days,
+        |    SUM(CAST(e * e AS DECIMAL(28,9))) AS se2,
+        |    SUM(CASE WHEN ep IS NOT NULL THEN CAST((e - ep) * (e - ep) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END) AS sd2
+        |  FROM lagd)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CASE WHEN se2 > 0 THEN CAST(CAST(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS dw
+        |FROM agg""".stripMargin,
     "q276_copula" ->
       // same margin collapse, doubled average ranks, exact integer
       // decile arithmetic — ties land in one bucket on both engines

@@ -2169,6 +2169,54 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Durbin–Watson statistic on the daily-volume series after removing a
+    * linear trend — "are the residuals autocorrelated", i.e. does the
+    * series still carry structure a trend line doesn't explain (DW ≈ 2
+    * none, → 0 positive autocorrelation, → 4 negative). The residual
+    * companion of [[acf]]: ACF describes the raw series, DW scores what's
+    * LEFT after the model — the classic "your forecast errors aren't
+    * noise" alarm.
+    *
+    * Day-grain aggregate (calendar-bounded series); OLS a,b from exact
+    * integer moments in one double chain; each residual term (e_t²,
+    * (e_t−e_{t−1})²) quantizes DECIMAL(28,9) before its exact sum; DW is
+    * one division, scale 9. */
+  def durbinWatson(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day")
+    val ts = daily.withColumn("t", row_number().over(w).cast("long"))
+      .localCheckpoint() // moments + residual scan
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val mom = ts.agg(count(lit(1)).as("n"), sum("t").as("st"), sum("x").as("sx"),
+      sum(c19(col("t")) * col("x")).as("stx"),
+      sum(c19(col("t")) * col("t")).as("stt"))
+    val nd = col("n").cast("double"); val st = col("st").cast("double")
+    val sx = col("sx").cast("double"); val stx = col("stx").cast("double")
+    val stt = col("stt").cast("double")
+    val b = (nd * stx - st * sx) / (nd * stt - st * st)
+    val a = (sx - b * st) / nd
+    val resid = ts.crossJoin(broadcast(mom))
+      .select(col("t"),
+        (col("x").cast("double") - (a + b * col("t").cast("double"))).as("e"))
+    val wl = Window.orderBy("t")
+    resid
+      .withColumn("ePrev", lag("e", 1).over(wl))
+      .select(
+        (col("e") * col("e")).cast("decimal(28,9)").as("e2"),
+        when(col("ePrev").isNotNull,
+          ((col("e") - col("ePrev")) * (col("e") - col("ePrev")))
+            .cast("decimal(28,9)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)")).as("d2"))
+      .agg(count(lit(1)).as("n_days"), sum("e2").as("se2"), sum("d2").as("sd2"))
+      .select(col("n_days").cast("long").as("n_days"),
+        when(col("se2") > 0,
+          (col("sd2").cast("double") / col("se2").cast("double"))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("dw"))
+  }
+
   /** Empirical copula grid — the scale-free dependence picture: both axes
     * transform to average-rank deciles and the k×k cell counts show
     * WHERE the dependence lives (corners = tail dependence, diagonal =

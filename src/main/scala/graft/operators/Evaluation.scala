@@ -148,6 +148,28 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Hellinger distance + Bhattacharyya coefficient between two samples'
+    * binned distributions — the bounded drift metric rounding out the
+    * family: PSI is unbounded and explodes on empty bins, KS sees only
+    * the worst single gap; Hellinger H = √(1 − Σ√(p·q)) lives in [0,1]
+    * (0 = identical, 1 = disjoint), making thresholds portable across
+    * metrics and epochs. Reuses [[psiDetail]]'s reference-binned smoothed
+    * shares, so all three drift gates read the SAME cells.
+    *
+    * Each √(p·q) term quantizes DECIMAL(28,12) before the exact sum; BC
+    * and H are one double chain over it, scale 9. */
+  def hellingerDrift(expected: DataFrame, actual: DataFrame,
+                     valueCol: String, bins: Int = 10): DataFrame = {
+    psiDetail(expected, actual, valueCol, bins)
+      .select(sqrt(col("p") * col("q")).cast("decimal(28,12)").as("bcTerm"))
+      .agg(sum("bcTerm").as("bcSum"))
+      .select(
+        col("bcSum").cast("double").cast("decimal(18,9)").cast("double")
+          .as("bhattacharyya"),
+        sqrt(greatest(lit(0d), lit(1d) - col("bcSum").cast("double")))
+          .cast("decimal(18,9)").cast("double").as("hellinger"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic D = max |F_a − F_b| — the
     * nonparametric drift test PSI's binning can blur, exact over the full
     * value resolution.
@@ -890,6 +912,57 @@ object Evaluation {
       .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
         (col("ss_between") / (col("k") - 1).cast("double") /
           (col("ss_within") / (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  /** Levene variance-homogeneity test (Levene 1960, mean-centered form):
+    * "do these groups have the SAME SPREAD" — the precondition check for
+    * [[anovaF]] (whose F assumes equal variances) and the dispersion-
+    * drift alarm an equal-means comparison silently misses. W is
+    * literally the one-way ANOVA F computed on |x − x̄_g|.
+    *
+    * Centers are exact-decimal-sum means (ONE double division each —
+    * bit-identical in any engine), so every |x − x̄_g| has identical bits
+    * cross-engine and the DECIMAL(18,6) quantization before [[anovaF]]'s
+    * moment sums can never straddle a rounding boundary differently.
+    * (The Brown–Forsythe MEDIAN variant is deliberately not used here:
+    * interpolated medians are engine-library arithmetic with no bit
+    * contract — a hash-checked pipeline centers on means.) */
+  def leveneTest(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    // EXACT integer micro-units end to end: the obvious
+    // |x − mean|.cast(decimal) quantization is NOT engine-portable — a
+    // /2^k·5 group size gives the mean a terminating decimal expansion,
+    // |x − mean|·10^s lands exactly on a representable ·5 double, and the
+    // two engines' double→decimal tie rules disagree (observed on real
+    // data). So: cents are exact, the center is the HALF-UP integer
+    // division (2·s·10⁴ + n) div (2n) in micro-dollars, and deviations
+    // are exact integer differences — no double exists anywhere before
+    // anovaF's final chain.
+    val cents = (value.cast("decimal(18,2)") * 100).cast("decimal(28,0)")
+    val ctr = df.groupBy(col(groupCol))
+      .agg(sum(cents).cast("long").as("scl"), count(lit(1)).as("ng"))
+    val dev = df.join(ctr, Seq(groupCol))
+      .withColumn("xm", cents.cast("long"))
+      .withColumn("mm", expr("(scl * 2 + ng) div (2 * ng)")) // half-up mean, exact
+      .select(col(groupCol).as("grp"),
+        abs(col("xm") - col("mm")).cast("decimal(28,0)").as("adev"))
+    // anovaF's lattice, re-quantized for cent-unit magnitudes: the
+    // S1²/n term needs DECIMAL(38,6) headroom (28,9 caps at 1e19)
+    val g = dev.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("adev").as("s1"),
+        sum(col("adev") * col("adev")).as("s2"))
+      .select(col("n"), col("s1"), col("s2"),
+        (col("s1").cast("double") * col("s1").cast("double") /
+          col("n").cast("double")).cast("decimal(38,6)").as("term"))
+    g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+        sum("s1").cast("double").as("t1d"), sum("s2").cast("double").as("t2d"),
+        sum("term").cast("double").as("qsumd"))
+      .select(col("k"), col("n"),
+        (col("qsumd") - col("t1d") * col("t1d") / col("n").cast("double"))
+          .as("ss_between"),
+        (col("t2d") - col("qsumd")).as("ss_within"))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        (col("ss_between") / (col("k") - 1).cast("double") /
+          (col("ss_within") / (col("n") - col("k")).cast("double"))).as("w_stat"))
   }
 
   /** CUPED variance-reduced experiment readout (Deng et al. 2013,

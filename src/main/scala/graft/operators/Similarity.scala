@@ -873,4 +873,51 @@ object Similarity {
       .orderBy(col("cosine").desc, col("ia"), col("ib"))
       .limit(topK)
   }
+
+  /** Kernel two-sample test (MMD², Gretton et al. 2012) between two
+    * embedding populations — the EMBEDDING-space drift detector: PSI/KS
+    * compare scalar columns; MMD compares whole vector distributions, the
+    * check to run when a new corpus snapshot or encoder version might
+    * have moved the representation (identical distributions → MMD² ≈ 0).
+    * Unbiased estimator over an RBF kernel k(x,y) = exp(−γ‖x−y‖²):
+    * MMD² = 2ΣΣ_{i<j}k(x,x)/m(m−1) + 2ΣΣ_{i<j}k(y,y)/n(n−1) − 2ΣΣk(x,y)/mn.
+    *
+    * Scale contract: both sides CAP deterministically (lowest `cap` ids) —
+    * MMD is quadratic by definition, so the sample is the knob, not the
+    * join (240k kernel pairs at the default; the statistic converges at
+    * O(1/√cap) — more rows buy little). Exactness: squared distances use
+    * the mirrored float-product/double-accumulation dot recipe (the q64
+    * rule), γ = 2⁻⁶ is binary-exact, each kernel term quantizes
+    * DECIMAL(18,5) before its exact sum, and MMD² is one double chain
+    * scale 9. */
+  def mmdTest(emb: DataFrame, idCol: String, vecCol: String, inX: Column,
+              cap: Int = 200, gamma: Double = 0.015625): DataFrame = {
+    def side(cond: Column, pre: String): DataFrame =
+      emb.filter(cond).orderBy(idCol).limit(cap)
+        .select(col(idCol).as(s"${pre}id"), col(vecCol).as(s"${pre}v"),
+          VectorHof.dot(col(vecCol), col(vecCol)).as(s"${pre}n"))
+        .localCheckpoint()
+    val x = side(inX, "x"); val y = side(!inX, "y")
+    def kTerm(ln: Column, rn: Column, lv: Column, rv: Column): Column =
+      exp(lit(-gamma) * (ln + rn - lit(2d) * VectorHof.dot(lv, rv)))
+        .cast("decimal(18,5)")
+    val xx = x.crossJoin(x.select(col("xid").as("bid"), col("xv").as("bv"), col("xn").as("bn")))
+      .filter(col("xid") < col("bid"))
+      .agg(sum(kTerm(col("xn"), col("bn"), col("xv"), col("bv"))).as("sxx"),
+        count(lit(1)).as("npx"))
+    val yy = y.crossJoin(y.select(col("yid").as("bid"), col("yv").as("bv"), col("yn").as("bn")))
+      .filter(col("yid") < col("bid"))
+      .agg(sum(kTerm(col("yn"), col("bn"), col("yv"), col("bv"))).as("syy"),
+        count(lit(1)).as("npy"))
+    val xy = x.crossJoin(y)
+      .agg(sum(kTerm(col("xn"), col("yn"), col("xv"), col("yv"))).as("sxy"),
+        count(lit(1)).as("npxy"))
+    val m = x.count().toDouble; val n = y.count().toDouble
+    xx.crossJoin(broadcast(yy)).crossJoin(broadcast(xy))
+      .select(lit(m.toLong).as("m"), lit(n.toLong).as("n"),
+        (lit(2d) * col("sxx").cast("double") / (lit(m) * (lit(m) - 1d)) +
+         lit(2d) * col("syy").cast("double") / (lit(n) * (lit(n) - 1d)) -
+         lit(2d) * col("sxy").cast("double") / (lit(m) * lit(n)))
+          .cast("decimal(18,9)").cast("double").as("mmd2"))
+  }
 }

@@ -1062,6 +1062,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(kc.getLong(0) == 7L, kc.toString)
   }
 
+  test("durbinWatson: alternating residuals read ≈ 4; an exact linear series is degenerate") {
+    import spark.implicits._
+    def day(i: Int) = f"2024-01-$i%02d"
+    // counts 10, 11, 10, 11… over 20 days: zero slope, residuals ±0.5
+    // alternating → DW = Σ(2·0.5)²·(n−1) / Σ0.25·n ≈ 4·19/20
+    val alt = (1 to 20).flatMap(i => (1 to (10 + i % 2)).map(_ =>
+      java.sql.Timestamp.valueOf(s"${day(i)} 10:00:00"))).toDF("ts")
+    val r = Analytics.durbinWatson(alt, "ts").collect()(0)
+    assert(r.getLong(0) == 20)
+    assert(r.getDouble(1) > 3.5 && r.getDouble(1) <= 4.0, r.toString)
+    // exactly linear counts (t+1 per day): residuals identically 0 → null
+    val lin = (1 to 10).flatMap(i => (1 to (i + 1)).map(_ =>
+      java.sql.Timestamp.valueOf(s"${day(i)} 10:00:00"))).toDF("ts")
+    assert(Analytics.durbinWatson(lin, "ts").collect()(0).isNullAt(1))
+  }
+
   test("copulaGrid: monotone dependence fills the diagonal; ties land in one bucket") {
     import spark.implicits._
     // y = x over 100 distinct values → every decile maps to itself: 10

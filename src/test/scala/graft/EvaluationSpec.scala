@@ -715,6 +715,35 @@ class EvaluationSpec extends SparkSpec {
     assert(p == Evaluation.bradleyTerry(h2h, "w", "l", iters = 2).collect().map(_.toSeq).toSeq)
   }
 
+  test("leveneTest: identical spreads score W exactly 0; unequal spreads flag") {
+    import spark.implicits._
+    // A and B identical shape (spread 10), C doubled (spread 20)
+    val same = Seq(("A", 10.0), ("A", 20.0), ("A", 30.0),
+                   ("B", 110.0), ("B", 120.0), ("B", 130.0)).toDF("g", "v")
+    val w0 = Evaluation.leveneTest(same, "g", col("v")).collect()(0)
+    assert(w0.getLong(0) == 2 && w0.getLong(1) == 6)
+    // adev multisets identical → SSB is pure floating cancellation noise
+    assert(math.abs(w0.getDouble(4)) < 1e-9, w0.toString)
+    val diff = Seq(("A", 10.0), ("A", 20.0), ("A", 30.0),
+                   ("C", 0.0), ("C", 20.0), ("C", 40.0),
+                   ("C", 0.0), ("C", 20.0), ("C", 40.0)).toDF("g", "v")
+    val w1 = Evaluation.leveneTest(diff, "g", col("v")).collect()(0)
+    assert(w1.getDouble(4) > 1.0, w1.toString)
+    // location shift alone (B vs A) does NOT flag — Levene sees spread only
+  }
+
+  test("hellingerDrift: identical samples ≈ 0 distance; disjoint masses ≈ 1") {
+    import spark.implicits._
+    val ref = (1 to 200).map(i => (i % 50) * 1.0).toDF("v")
+    val h0 = Evaluation.hellingerDrift(ref, ref, "v").collect()(0)
+    assert(h0.getDouble(0) > 0.999999 && h0.getDouble(1) < 0.01, h0.toString)
+    // actual mass clamps into the far top bin → near-disjoint (Laplace
+    // smoothing floors BC ≈ 0.45 at 10 bins, so H tops out ≈ 0.74)
+    val far = (1 to 200).map(_ => 1e6).toDF("v")
+    val h1 = Evaluation.hellingerDrift(ref, far, "v").collect()(0)
+    assert(h1.getDouble(1) > 0.7, h1.toString)
+  }
+
   test("categoricalAssociation: identical columns read V=U=1; independent read 0") {
     import spark.implicits._
     // balanced independent grid: every (a,b) combination equally often

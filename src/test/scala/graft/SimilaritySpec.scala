@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** ANN brute-force exactness, LSH recall vs the exact baseline, near-dup
@@ -402,5 +403,27 @@ class SimilaritySpec extends SparkSpec {
     val all = Similarity.itemItemCF(ev, "user_id", "item", minSupport = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.toSet == Set((10L, 20L), (10L, 30L), (20L, 30L)) && all.forall(p => p._1 < p._2))
+  }
+
+  test("mmdTest: same distribution ≈ 0; a shifted population separates; caps respected") {
+    import spark.implicits._
+    // deterministic "distribution": vector pattern depends on i%7 only,
+    // so X (label 0) and Y (label 1) draw the same 7 atoms
+    def vec(i: Int, shift: Float): Array[Float] =
+      Array.tabulate(8)(d => (i % 7) * 0.1f + d * 0.01f + shift)
+    val same = ((0 until 70).map(i => (i.toLong, vec(i, 0f), 0)) ++
+                (100 until 170).map(i => (i.toLong, vec(i, 0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val m0 = Similarity.mmdTest(same, "vec_id", "embedding", col("label") === 0, cap = 50)
+      .collect()(0)
+    assert(m0.getLong(0) == 50 && m0.getLong(1) == 50)
+    assert(math.abs(m0.getDouble(2)) < 0.01, m0.toString)
+    val shifted = ((0 until 70).map(i => (i.toLong, vec(i, 0f), 0)) ++
+                   (100 until 170).map(i => (i.toLong, vec(i, 3f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val m1 = Similarity.mmdTest(shifted, "vec_id", "embedding", col("label") === 0, cap = 50)
+      .collect()(0)
+    assert(m1.getDouble(2) > 0.3, m1.toString)
+    assert(m1.getDouble(2) > 10 * math.abs(m0.getDouble(2)))
   }
 }
