@@ -459,6 +459,16 @@ object ScaleCheck {
       Tables.orders(spark, d), Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"))))
     time("url_dedup")(d => SparkEntry.queries("q274_url_dedup")(spark, d))
     time("dispersion")(d => Analytics.dispersionCheck(Tables.events(spark, d), "event_type", "ts"))
+    time("copula")(d => Analytics.copulaGrid(Tables.lineitem(spark, d), "l_quantity", "l_extendedprice", 10))
+    time("cat_assoc")(d => SparkEntry.queries("q277_cat_assoc")(spark, d))
+    time("levene")(d => Evaluation.leveneTest(Tables.orders(spark, d), "o_orderpriority", col("o_totalprice")))
+    time("hellinger")(d => SparkEntry.queries("q279_hellinger")(spark, d))
+    time("mmd")(d => SparkEntry.queries("q280_mmd")(spark, d))
+    time("durbin_watson")(d => Analytics.durbinWatson(Tables.events(spark, d), "ts"))
+    time("tukey")(d => Evaluation.tukeyPairs(Tables.orders(spark, d), "o_orderpriority", col("o_totalprice").cast("decimal(18,2)")))
+    time("sprt")(d => Evaluation.sprt(Tables.events(spark, d), "ts", col("event_type") === "purchase", 0.18, 0.22))
+    time("audio_energy")(d => graft.operators.Multimodal.audioEnergyProfile(
+      graft.operators.Multimodal.synthesizeAudio(Tables.documents(spark, d), "doc_id"), "doc_id"))
 
     spark.stop()
   }

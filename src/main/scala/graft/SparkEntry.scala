@@ -585,6 +585,16 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q282_tukey" -> ((s, d) =>
+      // WHICH priority tiers differ in mean order value: studentized
+      // pairwise differences against the pooled within-group variance
+      Evaluation.tukeyPairs(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice").cast("decimal(18,2)"))),
+    "q283_sprt" -> ((s, d) =>
+      // when could the experiment have STOPPED: Wald SPRT on the daily
+      // purchase-share stream, H0 p=0.18 vs H1 p=0.22, α=.05 β=.2
+      Evaluation.sprt(Tables.events(s, d), "ts",
+        col("event_type") === "purchase", 0.18, 0.22)),
     "q278_levene" -> ((s, d) =>
       // do priority tiers differ in SPREAD of order value (the ANOVA
       // precondition q185 assumes): Levene W on |x − group mean|
@@ -2889,6 +2899,45 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q282_tukey" ->
+      // same per-group exact moments; MSW one chain; k² pair lattice
+      """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT SUM(n) AS nt, COUNT(*) AS k, CAST(SUM(s2) AS DOUBLE) AS t2d,
+        |    CAST(SUM(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS qsumd
+        |  FROM g),
+        |m AS (SELECT nt, k, (t2d - qsumd) / CAST(nt - k AS DOUBLE) AS msw FROM p)
+        |SELECT a.grp AS ga, b.grp AS gb,
+        |  CAST(CAST(CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+        |  CAST(CAST(CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+        |  CAST(CAST(CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS diff,
+        |  CASE WHEN m.msw > 0 THEN CAST(CAST(
+        |    (CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |      / sqrt(m.msw / 2 * (1 / CAST(a.n AS DOUBLE) + 1 / CAST(b.n AS DOUBLE)))
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS q_stat
+        |FROM g a CROSS JOIN g b CROSS JOIN m
+        |WHERE a.grp < b.grp ORDER BY ga, gb""".stripMargin,
+    "q283_sprt" ->
+      // LLR increments and bounds are the ENGINE's exact double literals
+      // (ln provenance never compared); day terms DECIMAL(28,9) pre-cumsum
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS t,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS s FROM events GROUP BY 1),
+        |c AS (SELECT day, SUM(CAST(CAST(s AS DOUBLE) * 0.20067069546215124
+        |    + CAST(t - s AS DOUBLE) * -0.05001042057466142 AS DECIMAL(28,9)))
+        |    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+        |  FROM daily),
+        |agg AS (SELECT
+        |    min(CASE WHEN CAST(llr AS DOUBLE) >= 2.772588722239781
+        |          OR CAST(llr AS DOUBLE) <= -1.5581446180465497 THEN day END) AS crossing_day,
+        |    COUNT(*) AS n_days, arg_max(llr, day) AS fin FROM c)
+        |SELECT crossing_day, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(fin AS DOUBLE) AS final_llr,
+        |  CASE WHEN CAST(fin AS DOUBLE) >= 2.772588722239781 THEN 'accept_h1'
+        |       WHEN CAST(fin AS DOUBLE) <= -1.5581446180465497 THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM agg""".stripMargin,
     "q278_levene" ->
       // exact integer cents; half-up integer-division centers; the ANOVA
       // lattice on exact integer deviations (term headroom DECIMAL(38,6))

@@ -914,6 +914,87 @@ object Evaluation {
           (col("ss_within") / (col("n") - col("k")).cast("double"))).as("f_stat"))
   }
 
+  /** Tukey-style pairwise post-hoc comparisons after ANOVA: for every
+    * group pair, the standardized difference q = (x̄_i − x̄_j) /
+    * √(MSW/2·(1/n_i + 1/n_j)) against the pooled within-group variance —
+    * the step that turns [[anovaF]]'s "SOMETHING differs" into WHICH
+    * pairs differ, with the studentized scaling that keeps the family
+    * comparable (|q| ≳ 3–4 at typical sizes ⇒ that pair is real).
+    *
+    * One hash aggregate to per-group exact moments (n, Σx, Σx²); MSW is
+    * one double chain over the pooled sums (broadcast 1-row); the k²
+    * pair frame is dim-sized. Means and q are fixed double chains over
+    * exact decimal sums, scale 6/9. */
+  def tukeyPairs(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(value).as("s1"),
+        sum(value * value).as("s2"))
+      .localCheckpoint() // pooled MSW + both pair sides
+    val pooled = g
+      .select(col("n"), col("s2"),
+        (col("s1").cast("double") * col("s1").cast("double") /
+          col("n").cast("double")).cast("decimal(38,6)").as("term"))
+      .agg(sum("n").as("nt"), count(lit(1)).as("k"),
+        sum("s2").cast("double").as("t2d"), sum("term").cast("double").as("qsumd"))
+      .select(col("nt"), col("k"),
+        ((col("t2d") - col("qsumd")) /
+          (col("nt") - col("k")).cast("double")).as("msw"))
+    val a = g.select(col("grp").as("ga"), col("n").as("na"), col("s1").as("sa"))
+    val b = g.select(col("grp").as("gb"), col("n").as("nb"), col("s1").as("sb"))
+    val ma = col("sa").cast("double") / col("na").cast("double")
+    val mb = col("sb").cast("double") / col("nb").cast("double")
+    val se = sqrt(col("msw") / 2d *
+      (lit(1d) / col("na").cast("double") + lit(1d) / col("nb").cast("double")))
+    a.crossJoin(b).filter(col("ga") < col("gb"))
+      .crossJoin(broadcast(pooled))
+      .select(col("ga"), col("gb"),
+        ma.cast("decimal(18,6)").cast("double").as("mean_a"),
+        mb.cast("decimal(18,6)").cast("double").as("mean_b"),
+        (ma - mb).cast("decimal(18,6)").cast("double").as("diff"),
+        when(col("msw") > 0d, ((ma - mb) / se).cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+      .orderBy("ga", "gb")
+  }
+
+  /** Sequential probability ratio test (Wald 1945) on a daily conversion
+    * stream — the EARLY-STOPPING readout a peeking-prone experiment
+    * culture actually needs: test H0: p = p0 vs H1: p = p1 with error
+    * budget (α, β); the cumulative log-likelihood ratio walks until it
+    * crosses ln((1−β)/α) (accept H1) or ln(β/(1−α)) (accept H0), and the
+    * crossing DAY is the answer to "when could we have stopped".
+    *
+    * Exactness: the two per-observation LLR increments are CONSTANTS —
+    * they and the bounds are computed once driver-side and embedded as
+    * plain double literals (an oracle pastes the same literals — ln's
+    * libm provenance never enters the comparison); each day's term
+    * s·lnA + (t−s)·lnB quantizes DECIMAL(28,9) before the cumulative
+    * window over the calendar-bounded day series. */
+  def sprt(events: DataFrame, tsCol: String, success: Column,
+           p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    val lnA = math.log(p1 / p0)
+    val lnB = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val daily = events
+      .groupBy(date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("t"), sum(when(success, 1L).otherwise(0L)).as("s"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = (col("s").cast("double") * lnA +
+      (col("t") - col("s")).cast("double") * lnB).cast("decimal(28,9)")
+    daily.withColumn("llr", sum(term).over(w))
+      .select(min(when(col("llr").cast("double") >= upper ||
+          col("llr").cast("double") <= lower, col("day"))).as("crossing_day"),
+        count(lit(1)).as("n_days"),
+        max(struct(col("day"), col("llr"))).as("fin"))
+      .select(col("crossing_day"), col("n_days").cast("long").as("n_days"),
+        col("fin.llr").cast("double").as("final_llr"),
+        when(col("fin.llr").cast("double") >= upper, lit("accept_h1"))
+          .when(col("fin.llr").cast("double") <= lower, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
   /** Levene variance-homogeneity test (Levene 1960, mean-centered form):
     * "do these groups have the SAME SPREAD" — the precondition check for
     * [[anovaF]] (whose F assumes equal variances) and the dispersion-

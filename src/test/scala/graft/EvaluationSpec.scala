@@ -715,6 +715,40 @@ class EvaluationSpec extends SparkSpec {
     assert(p == Evaluation.bradleyTerry(h2h, "w", "l", iters = 2).collect().map(_.toSeq).toSeq)
   }
 
+  test("tukeyPairs: equal-mean pair scores q=0; shifted pair hits the hand value") {
+    import spark.implicits._
+    // A and B share mean 10, C sits at 20; every group has variance 4
+    // → MSW = 4, se = √(4/2·(1/3+1/3)) = √(4/3), q(A,C) = −10/1.1547
+    val df = Seq(("A", 8.0), ("A", 10.0), ("A", 12.0),
+                 ("B", 8.0), ("B", 10.0), ("B", 12.0),
+                 ("C", 18.0), ("C", 20.0), ("C", 22.0)).toDF("g", "v")
+    val out = Evaluation.tukeyPairs(df, "g", col("v").cast("decimal(18,2)"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(("A", "B")) == ((0.0, 0.0)), out.toString)
+    assert(out(("A", "C"))._1 == -10.0, out.toString)
+    assert(math.abs(out(("A", "C"))._2 - (-10.0 / math.sqrt(4.0 / 3.0))) < 1e-6, out.toString)
+    assert(out.size == 3)
+  }
+
+  test("sprt: a strong lift crosses the H1 bound on day 2; dead flow accepts H0") {
+    import spark.implicits._
+    def day(i: Int, tpe: String, k: Int) = (1 to k).map(_ =>
+      (java.sql.Timestamp.valueOf(f"2024-01-$i%02d 10:00:00"), tpe))
+    // 10 purchases + 10 views per day: per-day LLR ≈ +1.507 → crosses
+    // ln(0.8/0.05) = 2.77 on day 2
+    val hot = (1 to 5).flatMap(i => day(i, "purchase", 10) ++ day(i, "view", 10))
+      .toDF("ts", "event_type")
+    val h = Evaluation.sprt(hot, "ts", col("event_type") === "purchase", 0.18, 0.22)
+      .collect()(0)
+    assert(h.getString(0) == "2024-01-02" && h.getString(3) == "accept_h1", h.toString)
+    // zero conversions: −1.0/day → crosses the lower bound on day 2
+    val cold = (1 to 5).flatMap(i => day(i, "view", 20)).toDF("ts", "event_type")
+    val c = Evaluation.sprt(cold, "ts", col("event_type") === "purchase", 0.18, 0.22)
+      .collect()(0)
+    assert(c.getString(0) == "2024-01-02" && c.getString(3) == "accept_h0", c.toString)
+  }
+
   test("leveneTest: identical spreads score W exactly 0; unequal spreads flag") {
     import spark.implicits._
     // A and B identical shape (spread 10), C doubled (spread 20)
