@@ -585,6 +585,15 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q284_eb_shrinkage" -> ((s, d) =>
+      // leaderboard fix: per-part return rates shrunk toward the
+      // method-of-moments beta prior; 3/3 stops beating 95/100
+      Evaluation.ebShrink(Tables.lineitem(s, d), "l_partkey",
+        col("l_returnflag") === "R")),
+    "q285_slo_burn" -> ((s, d) =>
+      // SRE gate: hourly + rolling-6h error-budget burn, alert on both>1
+      Analytics.sloBurn(Tables.events(s, d), "ts",
+        col("event_type") === "error", budget = 0.25)),
     "q282_tukey" -> ((s, d) =>
       // WHICH priority tiers differ in mean order value: studentized
       // pairwise differences against the pooled within-group variance
@@ -2899,6 +2908,45 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q284_eb_shrinkage" ->
+      // same item collapse; rate moments DECIMAL(28,12) pre-sum; MoM
+      // prior + posterior means as mirrored chains
+      """WITH items AS (SELECT l_partkey AS item, COUNT(*) AS n,
+        |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS s FROM lineitem GROUP BY 1),
+        |ir AS (SELECT item, n, s, CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,12)) AS r FROM items),
+        |mom AS (SELECT COUNT(*) AS k, SUM(r) AS sr, SUM(r * r) AS srr FROM ir),
+        |prior AS (SELECT
+        |    CASE WHEN CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) > 0
+        |          AND CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |              < (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (1 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      THEN (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (1 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |          / (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))) - 1)
+        |      ELSE 0 END AS alpha,
+        |    CASE WHEN CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) > 0
+        |          AND CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |              < (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (1 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      THEN (1 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (1 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |          / (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))) - 1)
+        |      ELSE 0 END AS beta
+        |  FROM mom)
+        |SELECT item, n, s,
+        |  CAST(CAST(CAST(r AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS raw_rate,
+        |  CAST(CAST((CAST(s AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) AS DECIMAL(18,6)) AS DOUBLE) AS shrunk_rate
+        |FROM ir CROSS JOIN prior
+        |ORDER BY shrunk_rate DESC, item LIMIT 20""".stripMargin,
+    "q285_slo_burn" ->
+      // same hour collapse; rolling long window; exact-share burn chains
+      """WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS t,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS e FROM events GROUP BY 1),
+        |r AS (SELECT hour, t, e,
+        |    SUM(t) OVER w AS lt, SUM(e) OVER w AS le FROM hourly
+        |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT hour, CAST(t AS BIGINT) AS n_requests, CAST(e AS BIGINT) AS n_errors,
+        |  CAST(CAST(CAST(e AS DOUBLE) / CAST(t AS DOUBLE) / 0.25 AS DECIMAL(18,6)) AS DOUBLE) AS burn_1h,
+        |  CAST(CAST(CAST(le AS DOUBLE) / CAST(lt AS DOUBLE) / 0.25 AS DECIMAL(18,6)) AS DOUBLE) AS burn_long,
+        |  CASE WHEN CAST(e AS DOUBLE) / CAST(t AS DOUBLE) / 0.25 > 1
+        |        AND CAST(le AS DOUBLE) / CAST(lt AS DOUBLE) / 0.25 > 1 THEN 1 ELSE 0 END AS alert
+        |FROM r ORDER BY hour""".stripMargin,
     "q282_tukey" ->
       // same per-group exact moments; MSW one chain; k² pair lattice
       """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,

@@ -2169,6 +2169,36 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Multi-window SLO error-budget burn rate (the SRE alerting recipe):
+    * per hour, the error share over the SHORT window and over a rolling
+    * LONG window, each divided by the budget — an alert fires only when
+    * BOTH exceed 1 (short window: you're burning now; long window: it's
+    * not a blip). Burn rate 1 = exactly consuming budget; 14.4 = the
+    * classic "1h window eats 2% of a 30-day budget" page.
+    *
+    * Hour-grain hash aggregate (the only row-sized work); the rolling
+    * window runs over the calendar-bounded hour series; shares are exact
+    * integer divisions, burn chains scale 6. */
+  def sloBurn(events: DataFrame, tsCol: String, isError: Column,
+              budget: Double, longWindowHours: Int = 6): DataFrame = {
+    val hourly = events
+      .groupBy(date_format(col(tsCol), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("t"), sum(when(isError, 1L).otherwise(0L)).as("e"))
+    val w = Window.orderBy("hour")
+      .rowsBetween(-(longWindowHours - 1), Window.currentRow)
+    val shortBurn = (col("e").cast("double") / col("t").cast("double")) / budget
+    val longBurn = (col("le").cast("double") / col("lt").cast("double")) / budget
+    hourly
+      .withColumn("lt", sum("t").over(w))
+      .withColumn("le", sum("e").over(w))
+      .select(col("hour"), col("t").cast("long").as("n_requests"),
+        col("e").cast("long").as("n_errors"),
+        shortBurn.cast("decimal(18,6)").cast("double").as("burn_1h"),
+        longBurn.cast("decimal(18,6)").cast("double").as("burn_long"),
+        (shortBurn > 1d && longBurn > 1d).cast("int").as("alert"))
+      .orderBy("hour")
+  }
+
   /** Durbin–Watson statistic on the daily-volume series after removing a
     * linear trend — "are the residuals autocorrelated", i.e. does the
     * series still carry structure a trend line doesn't explain (DW ≈ 2

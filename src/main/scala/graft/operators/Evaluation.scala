@@ -914,6 +914,48 @@ object Evaluation {
           (col("ss_within") / (col("n") - col("k")).cast("double"))).as("f_stat"))
   }
 
+  /** Empirical-Bayes beta-binomial shrinkage of per-item rates (the
+    * method-of-moments James–Stein recipe): small-sample items get pulled
+    * toward the population prior, so "3/3 returned" stops outranking
+    * "95/100 returned" — THE fix for every leaderboard/ranking built on
+    * per-item success counts. Prior (α, β) fits from the observed rate
+    * distribution's mean/variance: M = μ(1−μ)/v − 1, α = μM, β = (1−μ)M;
+    * the posterior mean (s+α)/(n+α+β) is the shrunk rate.
+    *
+    * One item-grain aggregate; per-item raw rates are single exact-int
+    * divisions (identical bits any engine) quantized DECIMAL(28,12)
+    * before the moment sums; the prior and each shrunk rate are fixed
+    * double chains, scale 6. Degenerate variance (v ≤ 0 or ≥ μ(1−μ)) →
+    * no shrinkage basis → raw rates returned with α=β=0. */
+  def ebShrink(df: DataFrame, itemCol: String, success: Column,
+               topK: Int = 20): DataFrame = {
+    val items = df.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"), sum(when(success, 1L).otherwise(0L)).as("s"))
+      // (18,12): r ≤ 1 so 18 digits suffice, and r·r then types (37,24) —
+      // a (28,12) square busts precision 38 and Catalyst silently drops
+      // the product scale (the decimal-overflow gotcha, moment form)
+      .withColumn("r", (col("s").cast("double") / col("n").cast("double"))
+        .cast("decimal(18,12)"))
+      .localCheckpoint() // moment scan + the shrink pass
+    val mom = items.agg(count(lit(1)).as("k"),
+      sum("r").as("sr"), sum(col("r") * col("r")).as("srr"))
+    val kd = col("k").cast("double")
+    val mu = col("sr").cast("double") / kd
+    val v = col("srr").cast("double") / kd - mu * mu
+    val bigM = mu * (lit(1d) - mu) / v - 1d
+    val prior = mom.select(
+      when(v > 0d && v < mu * (lit(1d) - mu), mu * bigM).otherwise(lit(0d)).as("alpha"),
+      when(v > 0d && v < mu * (lit(1d) - mu), (lit(1d) - mu) * bigM).otherwise(lit(0d)).as("beta"))
+    items.crossJoin(broadcast(prior))
+      .select(col("item"), col("n").cast("long").as("n"), col("s").cast("long").as("s"),
+        col("r").cast("double").cast("decimal(18,6)").cast("double").as("raw_rate"),
+        ((col("s").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta")))
+          .cast("decimal(18,6)").cast("double").as("shrunk_rate"))
+      .orderBy(col("shrunk_rate").desc, col("item"))
+      .limit(topK)
+  }
+
   /** Tukey-style pairwise post-hoc comparisons after ANOVA: for every
     * group pair, the standardized difference q = (x̄_i − x̄_j) /
     * √(MSW/2·(1/n_i + 1/n_j)) against the pooled within-group variance —

@@ -1062,6 +1062,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(kc.getLong(0) == 7L, kc.toString)
   }
 
+  test("sloBurn: a lone spike trips only the short window; a sustained burn alerts") {
+    import spark.implicits._
+    def h(i: Int, err: Boolean, k: Int) = (1 to k).map(_ =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00"), err))
+    // hours 0-9 at 10% errors (budget 25% → burn 0.4); hour 5 spikes to
+    // 50% for one hour (short burn 2, long stays < 1 → NO alert);
+    // hours 10-15 sustain 50% (both windows > 1 → alert)
+    val rows = (0 to 9).flatMap { i =>
+      val errs = if (i == 5) 10 else 2
+      h(i, err = true, errs) ++ h(i, err = false, 20 - errs)
+    } ++ (10 to 15).flatMap(i => h(i, err = true, 10) ++ h(i, err = false, 10))
+    val out = Analytics.sloBurn(rows.toDF("ts", "e"), "ts", col("e"), budget = 0.25)
+      .collect().map(r => r.getString(0).takeRight(2) ->
+        ((r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(out("05") == ((2.0, 0.666667, 0)), out.toString) // spike, no alert
+    assert(out("04")._3 == 0 && out("09")._3 == 0)
+    // the sustained burn needs the long window to catch up: alert from 12
+    assert(out("11")._3 == 0 && out("12")._3 == 1, out.toString)
+    assert(out("15") == ((2.0, 2.0, 1)), out.toString)
+  }
+
   test("durbinWatson: alternating residuals read ≈ 4; an exact linear series is degenerate") {
     import spark.implicits._
     def day(i: Int) = f"2024-01-$i%02d"

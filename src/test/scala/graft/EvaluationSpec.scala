@@ -715,6 +715,26 @@ class EvaluationSpec extends SparkSpec {
     assert(p == Evaluation.bradleyTerry(h2h, "w", "l", iters = 2).collect().map(_.toSeq).toSeq)
   }
 
+  test("ebShrink: 95/100 outranks 3/3 after shrinkage; degenerate variance returns raw") {
+    import spark.implicits._
+    // population: 30 items around rate ~0.5 with spread, one perfect 3/3
+    // midget, one 95/100 heavyweight
+    val rows =
+      (1 to 30).flatMap(i => (1 to 20).map(j => (i.toLong, j <= 8 + (i % 7)))) ++
+      (1 to 3).map(j => (100L, true)) ++
+      (1 to 100).map(j => (200L, j <= 95))
+    val out = Evaluation.ebShrink(rows.toDF("item", "ok"), "item", col("ok"), topK = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(100L)._1 == 1.0 && out(200L)._1 == 0.95)
+    assert(out(200L)._2 > out(100L)._2,
+      s"shrunk 95/100=${out(200L)._2} must beat 3/3=${out(100L)._2}")
+    // zero-variance rates: no shrinkage basis → raw rates pass through
+    val flat = (1 to 5).flatMap(i => Seq((i.toLong, true), (i.toLong, false)))
+    val f = Evaluation.ebShrink(flat.toDF("item", "ok"), "item", col("ok"))
+      .collect()
+    assert(f.forall(r => r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5))
+  }
+
   test("tukeyPairs: equal-mean pair scores q=0; shifted pair hits the hand value") {
     import spark.implicits._
     // A and B share mean 10, C sits at 20; every group has variance 4
