@@ -91,7 +91,15 @@ class PlanContractSpec extends SparkSpec {
           // over the aggregate-sized curve
           "q262_hub_assign", "q266_modularity", "q271_knee",
           // join-size audit: three 1-row stat frames cross-joined
-          "q272_join_estimate")
+          "q272_join_estimate",
+          // cat_assoc: margins cross to the densified |A|×|B| grid +
+          // 1-row totals/entropy frames; hellinger/durbin_watson: 1-row
+          // totals/moments broadcast over bin/day tables; mmd: the capped
+          // sample blocks cross by definition (quadratic estimator);
+          // tukey: the k-group pair lattice + 1-row MSW; eb_shrinkage:
+          // the 1-row prior broadcast over items
+          "q277_cat_assoc", "q279_hellinger", "q280_mmd",
+          "q281_durbin_watson", "q282_tukey", "q284_eb_shrinkage")
         if (allowed(name)) None else Some(name)
       } else None
     }
