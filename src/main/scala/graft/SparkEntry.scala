@@ -585,6 +585,16 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q286_markov_entropy" -> ((s, d) =>
+      // one number for behavioral predictability: entropy rate of the
+      // event-type Markov chain in bits
+      Analytics.markovEntropyRate(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")),
+    "q287_kfold_cv" -> ((s, d) =>
+      // 5-fold CV of the per-priority mean model: per-fold MSE + the
+      // cross-fold spread a single holdout hides; folds never retrain
+      Analytics.kFoldCv(Tables.orders(s, d), "o_orderkey",
+        "o_orderpriority", "o_totalprice")),
     "q284_eb_shrinkage" -> ((s, d) =>
       // leaderboard fix: per-part return rates shrunk toward the
       // method-of-moments beta prior; 3/3 stops beating 95/100
@@ -2908,6 +2918,48 @@ object SparkEntry {
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
         |FROM g""".stripMargin,
+    "q286_markov_entropy" ->
+      // same lag pairs; π(i)·p·log₂p terms DECIMAL(28,12) pre-sum with
+      // ln2 as the engine-exact literal divisor
+      """WITH pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type FROM events),
+        |counts AS (SELECT prev_type, next_type, count(*) AS n FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (SELECT prev_type, SUM(n) AS n_from FROM counts GROUP BY 1),
+        |grand AS (SELECT SUM(n_from) AS n_all FROM totals),
+        |t AS (SELECT prev_type,
+        |    CAST((CAST(n_from AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE))
+        |      * (ln(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE)) / 0.6931471805599453)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM counts JOIN totals USING (prev_type) CROSS JOIN grand)
+        |SELECT CAST(COUNT(DISTINCT prev_type) AS BIGINT) AS n_states,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(CAST(CAST(SUM(term) AS DOUBLE) * -1 AS DECIMAL(18,9)) AS DOUBLE) AS entropy_rate_bits
+        |FROM t""".stripMargin,
+    "q287_kfold_cv" ->
+      // same md5 folds; leave-fold-out means from one (group×fold)
+      // aggregate; per-row se DECIMAL(28,6) pre-sum; mirrored summary
+      """WITH base AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(28,0)) AS BIGINT) AS yc,
+        |    CAST('0x' || substring(md5('cv:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS f
+        |  FROM orders),
+        |cells AS (SELECT grp, f, COUNT(*) AS nc, SUM(yc) AS sc FROM base GROUP BY 1, 2),
+        |gt AS (SELECT grp, SUM(nc) AS ng, SUM(sc) AS sg FROM cells GROUP BY 1),
+        |lfo AS (SELECT grp, f, ng - nc AS nTrain, CAST(sg - sc AS BIGINT) AS sTrain
+        |  FROM cells JOIN gt USING (grp)),
+        |l2 AS (SELECT grp, f, nTrain, (sTrain * 20000 + nTrain) // (2 * nTrain) AS yhatMicro
+        |  FROM lfo WHERE nTrain > 0),
+        |scored AS (SELECT b.f,
+        |    CAST(b.yc * 10000 - l.yhatMicro AS DECIMAL(28,0)) * CAST(b.yc * 10000 - l.yhatMicro AS DECIMAL(28,0)) AS se
+        |  FROM base b JOIN l2 l ON b.grp = l.grp AND b.f = l.f),
+        |folds AS (SELECT f, COUNT(*) AS n,
+        |    CAST(CAST(SUM(se) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS DECIMAL(18,0)) AS mse FROM scored GROUP BY 1),
+        |summ AS (SELECT CAST(SUM(mse) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_mse,
+        |    COUNT(*) AS kk, SUM(CAST(mse AS DECIMAL(28,0)) * CAST(mse AS DECIMAL(28,0))) AS mse2 FROM folds)
+        |SELECT CAST(f AS BIGINT) AS fold, CAST(n AS BIGINT) AS n_rows, CAST(mse AS DOUBLE) AS mse,
+        |  mean_mse,
+        |  CASE WHEN kk > 1 THEN sqrt(greatest(0, (CAST(mse2 AS DOUBLE) - CAST(kk AS DOUBLE) * mean_mse * mean_mse) / CAST(kk - 1 AS DOUBLE))) END AS sd_mse
+        |FROM folds CROSS JOIN summ ORDER BY fold""".stripMargin,
     "q284_eb_shrinkage" ->
       // same item collapse; rate moments DECIMAL(28,12) pre-sum; MoM
       // prior + posterior means as mirrored chains

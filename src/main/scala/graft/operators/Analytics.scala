@@ -565,6 +565,108 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Entropy rate of the behavior Markov chain — ONE number for "how
+    * predictable are these users": H = Σ_i π(i)·H(row i) over
+    * [[markovTransitions]]' matrix with the empirical prev-state
+    * distribution as π. H ≈ 0 means the next action is foretold (bots,
+    * replayed traffic); H near log₂|types| means uniform wandering. The
+    * summary the per-cell transition report doesn't give you.
+    *
+    * Counts are exact; each cell's π(i)·p·log₂p term is a fixed double
+    * chain over exact integers quantized DECIMAL(28,12) before the
+    * order-independent sum; the |types|-sized tables broadcast. */
+  def markovEntropyRate(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(lag(col(typeCol), 1).over(w).as("prev_type"),
+        col(typeCol).as("next_type"))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // row totals + grand total + the term scan
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("n_from"))
+    val grand = totals.agg(sum("n_from").as("n_all"))
+    val p = col("n").cast("double") / col("n_from").cast("double")
+    val pi = col("n_from").cast("double") / col("n_all").cast("double")
+    val term = (pi * p * (log(p) / math.log(2.0))).cast("decimal(28,12)")
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .crossJoin(broadcast(grand))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(term).as("hNeg"), countDistinct("prev_type").as("n_states"))
+      .select(col("n_states").cast("long").as("n_states"),
+        col("n_cells").cast("long").as("n_cells"),
+        (col("hNeg").cast("double") * -1d)
+          .cast("decimal(18,9)").cast("double").as("entropy_rate_bits"))
+  }
+
+  /** Deterministic k-fold cross-validation of the per-group mean model
+    * (conformal's base predictor, CV'd): folds assign by md5, each fold's
+    * prediction for a row is the LEAVE-FOLD-OUT group mean
+    * (Σ_g − Σ_{g,fold})/(n_g − n_{g,fold}) — computed from ONE
+    * (group × fold) aggregate, never k re-trainings — and the report is
+    * per-fold MSE plus the mean/sd across folds: the variance a single
+    * holdout hides, which is the whole point of CV.
+    *
+    * Rows whose group sits ENTIRELY inside the scored fold have no
+    * trained model and are excluded from that fold's MSE (reported via
+    * the fold row counts). */
+  def kFoldCv(df: DataFrame, idCol: String, groupCol: String,
+              valueCol: String, k: Int = 5): DataFrame = {
+    // EXACT integer micro-units throughout (the leveneTest rule, CV
+    // form): quantizing a ~1e10-magnitude double to a fine decimal is
+    // NOT engine-portable — the other engine rounds v·10^s in double
+    // domain with ulp(v·10^s)/2 slack, several quantization units at
+    // these magnitudes. Predictions are half-up integer-division means
+    // in micro-dollars; squared errors are exact integers; only the
+    // final per-fold/cross-fold chains run in double, and the one
+    // decimal re-quantization (mse at scale 0) sits 16 orders of
+    // magnitude above the double noise.
+    val fold = pmod(conv(substring(md5(concat(lit("cv:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"), lit(k))
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100)
+      .cast("decimal(28,0)").cast("long")
+    val base = df.select(col(groupCol).as("grp"), cents.as("yc"), fold.as("f"))
+      .localCheckpoint() // cell aggregate + the scoring pass
+    val cells = base.groupBy("grp", "f")
+      .agg(count(lit(1)).as("nc"), sum("yc").as("sc"))
+    val gTot = cells.groupBy("grp").agg(sum("nc").as("ng"), sum("sc").as("sg"))
+    // leave-fold-out micro-dollar means, half-up integer division
+    val lfo = cells.join(gTot, Seq("grp"))
+      .select(col("grp"), col("f"),
+        (col("ng") - col("nc")).as("nTrain"),
+        (col("sg") - col("sc")).cast("long").as("sTrain"))
+      .withColumn("yhatMicro",
+        expr("(sTrain * 20000 + nTrain) div (2 * nTrain)"))
+    val scored = base
+      .join(lfo.select(col("grp"), col("f"), col("nTrain"), col("yhatMicro")),
+        Seq("grp", "f"))
+      .filter(col("nTrain") > 0) // a group fully inside one fold has no model
+      .select(col("f"),
+        ((col("yc") * 10000L - col("yhatMicro")).cast("decimal(28,0)") *
+          (col("yc") * 10000L - col("yhatMicro"))).as("se")) // micro² exact
+    val folds = scored.groupBy("f")
+      .agg(count(lit(1)).as("n"), sum("se").as("sse"))
+      // mse in whole dollar² (scale 0): Σse/(n·10¹²) is one double chain
+      // over exact ints; unit-rounding it is 16 orders above double noise
+      .select(col("f"), col("n"),
+        (col("sse").cast("double") /
+          (col("n").cast("double") * 1e12)).cast("decimal(18,0)").as("mse"))
+      .localCheckpoint() // rows + the cross-fold summary read it twice
+    val summary = folds.agg(
+      (sum("mse").cast("double") / count(lit(1)).cast("double")).as("mean_mse"),
+      count(lit(1)).as("kk"),
+      sum(col("mse") * col("mse")).as("mse2"))
+    folds.crossJoin(broadcast(summary))
+      .select(col("f").cast("long").as("fold"), col("n").cast("long").as("n_rows"),
+        col("mse").cast("double").as("mse"),
+        col("mean_mse").as("mean_mse"),
+        when(col("kk") > 1,
+          sqrt(greatest(lit(0d), (col("mse2").cast("double") - col("kk").cast("double") *
+            col("mean_mse") * col("mean_mse")) / (col("kk") - 1).cast("double"))))
+          .otherwise(lit(null).cast("double")).as("sd_mse"))
+      .orderBy("fold")
+  }
+
   /** Last-touch attribution: each conversion event credits the event-type
     * that immediately preceded it in the same user's timeline within
     * `windowMinutes` — or "direct" when the conversion opens cold. One

@@ -1062,6 +1062,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(kc.getLong(0) == 7L, kc.toString)
   }
 
+  test("markovEntropyRate: deterministic chains score 0 bits; a fair branch scores 0.5") {
+    import spark.implicits._
+    def ev(u: Long, i: Int, t: String) =
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), u, t)
+    // user 1 strictly alternates a→b→a→b: every transition deterministic
+    val cycle = (0 until 20).map(i => ev(1L, i, if (i % 2 == 0) "a" else "b"))
+    val h0 = Analytics.markovEntropyRate(cycle.toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type").collect()(0)
+    assert(h0.getLong(0) == 2 && math.abs(h0.getDouble(2)) < 1e-9, h0.toString)
+    // a → (b|c) evenly, b→a, c→a: H = π(a)·1 bit = (20/39 of the 39
+    // transitions start at a) ≈ 0.5128
+    val branch = (0 until 40).map { i =>
+      val t = (i % 4) match { case 0 => "a"; case 1 => "b"; case 2 => "a"; case _ => "c" }
+      ev(1L, i, t)
+    }
+    val h1 = Analytics.markovEntropyRate(branch.toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type").collect()(0)
+    assert(math.abs(h1.getDouble(2) - 20.0 / 39.0) < 1e-6, h1.toString)
+  }
+
+  test("kFoldCv: constant-within-group values give MSE 0; spread shows up in every fold") {
+    import spark.implicits._
+    val const = (1 to 200).map(i => (i.toLong, s"g${i % 4}", 100.0 + (i % 4)))
+    val c = Analytics.kFoldCv(const.toDF("id", "g", "v"), "id", "g", "v")
+      .collect()
+    assert(c.length == 5 && c.forall(_.getDouble(2) == 0.0), c.mkString(";"))
+    assert(c.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    assert(c.map(_.getLong(1)).sum == 200)
+    val spread = (1 to 200).map(i => (i.toLong, s"g${i % 4}", (i % 10) * 1000.0))
+    val s = Analytics.kFoldCv(spread.toDF("id", "g", "v"), "id", "g", "v").collect()
+    assert(s.forall(_.getDouble(2) > 1e5), s.mkString(";"))
+    // repartitioning cannot move a number (exact integer pipeline)
+    val p = Analytics.kFoldCv(spread.toDF("id", "g", "v").repartition(7), "id", "g", "v")
+      .collect().map(_.toSeq).toSeq
+    assert(p == s.map(_.toSeq).toSeq)
+  }
+
   test("sloBurn: a lone spike trips only the short window; a sustained burn alerts") {
     import spark.implicits._
     def h(i: Int, err: Boolean, k: Int) = (1 to k).map(_ =>

@@ -99,7 +99,10 @@ class PlanContractSpec extends SparkSpec {
           // tukey: the k-group pair lattice + 1-row MSW; eb_shrinkage:
           // the 1-row prior broadcast over items
           "q277_cat_assoc", "q279_hellinger", "q280_mmd",
-          "q281_durbin_watson", "q282_tukey", "q284_eb_shrinkage")
+          "q281_durbin_watson", "q282_tukey", "q284_eb_shrinkage",
+          // markov entropy: the 1-row grand total over the |types|² cells;
+          // kfold: the 1-row cross-fold summary over the k fold rows
+          "q286_markov_entropy", "q287_kfold_cv")
         if (allowed(name)) None else Some(name)
       } else None
     }
