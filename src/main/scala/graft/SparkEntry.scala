@@ -585,6 +585,10 @@ object SparkEntry {
     "q254_heaps" -> ((s, d) =>
       // Heaps'-law β: ln V(n) vs ln n over per-doc corpus prefixes
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+    "q288_vocab_coverage" -> ((s, d) =>
+      // how much vocabulary is still unseen: Chao1 richness ceiling +
+      // Good–Turing next-token novelty mass
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), "text")),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -2917,6 +2921,19 @@ object SparkEntry {
         |  CAST(CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS beta
+        |FROM g""".stripMargin,
+    "q288_vocab_coverage" ->
+      // same tokenization; exact frequency-of-frequencies; mirrored
+      // Chao1 / Good–Turing chains
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS s, SUM(c) AS n,
+        |    COUNT(CASE WHEN c = 1 THEN 1 END) AS f1, COUNT(CASE WHEN c = 2 THEN 1 END) AS f2 FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS n_types,
+        |  CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+        |  CAST(CAST(CASE WHEN f2 > 0 THEN CAST(s AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2 * CAST(f2 AS DOUBLE))
+        |    ELSE CAST(s AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1) / 2 END AS DECIMAL(18,6)) AS DOUBLE) AS chao1_richness,
+        |  CAST(CAST(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS unseen_mass
         |FROM g""".stripMargin,
     "q286_markov_entropy" ->
       // same lag pairs; π(i)·p·log₂p terms DECIMAL(28,12) pre-sum with

@@ -448,6 +448,35 @@ object TextAnalysis {
       .select(col("n").as("n_points"), col("slope").as("beta"))
   }
 
+  /** Vocabulary coverage estimate: Chao1 unseen-type richness
+    * Ŝ = S + f₁²/(2f₂) (Chao 1984) and the Good–Turing unseen-probability
+    * mass P₀ = f₁/N — "how much vocabulary has this corpus NOT shown us
+    * yet", the planning numbers behind tokenizer vocab sizing and
+    * how-much-more-data decisions ([[heapsFit]] fits the growth CURVE;
+    * these estimate its ceiling and the next token's novelty odds).
+    *
+    * One token-keyed count aggregate → a frequency-of-frequencies
+    * collapse (tiny); f₁, f₂, S, N are exact integers and both estimates
+    * are single mirrored double chains, scale 6. f₂ = 0 → Chao1's
+    * bias-corrected fallback S + f₁(f₁−1)/2. */
+  def vocabCoverage(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val g = counts.agg(count(lit(1)).as("s"), sum("c").as("n"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+    val f1 = col("f1").cast("double"); val f2 = col("f2").cast("double")
+    val sd = col("s").cast("double")
+    g.select(col("n").cast("long").as("n_tokens"), col("s").cast("long").as("n_types"),
+      col("f1").cast("long").as("singletons"), col("f2").cast("long").as("doubletons"),
+      when(col("f2") > 0, (sd + f1 * f1 / (lit(2d) * f2)))
+        .otherwise(sd + f1 * (f1 - 1d) / 2d)
+        .cast("decimal(18,6)").cast("double").as("chao1_richness"),
+      (f1 / col("n").cast("double"))
+        .cast("decimal(18,9)").cast("double").as("unseen_mass"))
+  }
+
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 24, w: Int = 8, maxDocs: Int = 20,
                   minShared: Int = 5): DataFrame = {

@@ -229,4 +229,18 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.heapsFit(stale, "doc_id", "text").collect()(0).getDouble(1)
     assert(b >= 0.0 && b < 0.1, b.toString)
   }
+
+  test("vocabCoverage: hand frequency-of-frequencies, Chao1 and unseen mass exact") {
+    import spark.implicits._
+    // tokens: a×3, b×2, c×2, d×1, e×1, f×1 → S=6, N=10, f1=3, f2=2
+    // Chao1 = 6 + 9/4 = 8.25; P0 = 3/10
+    val docs = Seq((1L, "a a a b b"), (2L, "c c d e f")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, "text").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 6L, 3L, 2L)), r.toString)
+    assert(r.getDouble(4) == 8.25 && r.getDouble(5) == 0.3, r.toString)
+    // no doubletons: bias-corrected fallback S + f1(f1−1)/2 = 3 + 3
+    val nd = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.vocabCoverage(nd, "text").collect()(0)
+    assert(r2.getDouble(4) == 6.0, r2.toString)
+  }
 }
