@@ -469,6 +469,15 @@ object ScaleCheck {
     time("sprt")(d => Evaluation.sprt(Tables.events(spark, d), "ts", col("event_type") === "purchase", 0.18, 0.22))
     time("audio_energy")(d => graft.operators.Multimodal.audioEnergyProfile(
       graft.operators.Multimodal.synthesizeAudio(Tables.documents(spark, d), "doc_id"), "doc_id"))
+    time("eb_shrinkage")(d => Evaluation.ebShrink(Tables.lineitem(spark, d), "l_partkey",
+      col("l_returnflag") === "R"))
+    time("slo_burn")(d => Analytics.sloBurn(Tables.events(spark, d), "ts",
+      col("event_type") === "error", budget = 0.25))
+    time("markov_entropy")(d => Analytics.markovEntropyRate(Tables.events(spark, d),
+      "user_id", "ts", "event_id", "event_type"))
+    time("kfold_cv")(d => Analytics.kFoldCv(Tables.orders(spark, d), "o_orderkey",
+      "o_orderpriority", "o_totalprice"))
+    time("vocab_coverage")(d => TextAnalysis.vocabCoverage(Tables.documents(spark, d), "text"))
 
     spark.stop()
   }
