@@ -589,6 +589,103 @@ object SparkEntry {
       // how much vocabulary is still unseen: Chao1 richness ceiling +
       // Good–Turing next-token novelty mass
       TextAnalysis.vocabCoverage(Tables.documents(s, d), "text")),
+    "q289_kruskal" -> ((s, d) =>
+      // rank-based k-group shift test over priority tiers (anova's robust
+      // twin); doubled ranks keep every sum integer
+      Evaluation.kruskalWallis(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice").cast("decimal(18,2)"))),
+    "q290_jarque_bera" -> ((s, d) =>
+      // are per-flag quantity distributions normal enough for σ rules:
+      // skew/kurtosis/JB from exact power sums
+      Evaluation.jarqueBera(Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity").cast("long"))),
+    "q291_bartlett" -> ((s, d) =>
+      // is order-value variance homogeneous across priority tiers (the
+      // SCALE test next to q289's location test); exact cent units
+      Evaluation.bartlett(Tables.orders(s, d), "o_orderpriority",
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(19,0)"))),
+    "q292_ljung_box" -> ((s, d) =>
+      // any serial structure left in daily ingest volume: cumulative
+      // portmanteau Q over acf lags 1..7
+      Evaluation.ljungBox(
+        Tables.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt", maxLag = 7)),
+    "q293_odds_ratio" -> ((s, d) =>
+      // does urgency associate with finishing: 2x2 cells + Haldane OR
+      // with a Wald CI — the effect size next to the p-value
+      Evaluation.contingency2x2(Tables.orders(s, d),
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")),
+    "q294_wasserstein" -> ((s, d) =>
+      // HOW MANY DOLLARS did the order-value distribution move between
+      // finished and open books: exact earth-mover integral
+      Evaluation.wasserstein1(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice"), col("o_orderstatus") === "F")),
+    "q295_grubbs" -> ((s, d) =>
+      // the single most extreme order per priority tier: too extreme to
+      // be chance?
+      Evaluation.grubbs(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice").cast("decimal(18,2)"))),
+    "q296_effect_size" -> ((s, d) =>
+      // Cohen's d / Hedges' g between finished and open order values —
+      // the magnitude readout every big-n p-value needs
+      Evaluation.effectSize(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderstatus") === "F")),
+    "q297_forecast_eval" -> ((s, d) =>
+      // seasonal-naive backtest scorecard per priority: MAE/RMSE/SMAPE +
+      // MASE over monthly order counts
+      Evaluation.forecastAccuracy(
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(count(lit(1)).as("cnt")),
+        "prio", "m", "cnt", season = 12)),
+    "q298_pinball" -> ((s, d) =>
+      // quantile-forecast backtest: train-era p10/p50/p90 order value per
+      // priority scored on the eval era with pinball loss
+      Evaluation.pinballLoss(Tables.orders(s, d), "o_orderpriority",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("o_orderdate") < lit("1997-01-01").cast("date"),
+        Seq(100, 500, 900))),
+    "q299_adamic_adar" -> ((s, d) =>
+      // who should be linked next: rare shared neighbors weighted
+      // 1/ln(deg) over the repeat (wt≥2) co-occurrence graph — the raw
+      // weight-1 graph at sf0.1 is near-complete (median deg 119, 148M
+      // wedges measured): repeat co-purchase is the signal graph, and
+      // the q238 link-prediction family runs on the same one
+      Graph.adamicAdar(
+        partCooccurrenceEdges(s, d).groupBy("pa", "pb")
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+          .select("pa", "pb"),
+        "pa", "pb", minCommon = 1, maxDegree = 10000, topK = 50)),
+    "q300_harmonic" -> ((s, d) =>
+      // which parts sit closest to everywhere: harmonic centrality from
+      // a pinned 6-source BFS sample, 3 hops
+      Graph.harmonicCentrality(partCooccurrenceEdges(s, d), "pa", "pb",
+        sources = Seq(1L, 2L, 3L, 4L, 5L, 6L), maxHops = 3)),
+    "q301_t_closeness" -> ((s, d) =>
+      // the post-k/l leak: does any nation's segment mix sit too far from
+      // the global mix (total-variation t-closeness)
+      Privacy.tCloseness(Tables.customer(s, d), Seq("c_nationkey"),
+        "c_mktsegment", threshold = 0.05)),
+    "q302_rouge" -> ((s, d) => {
+      // score the planted paraphrase pairs: ROUGE-1/2 clipped-overlap
+      // precision/recall/F1, candidate = planted copy, reference = original
+      val docs = Tables.documents(s, d)
+      TextAnalysis.rougeOverlap(docsWithPlantedDups(docs), "doc_id", "text",
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("cand"), col("doc_id").as("ref")),
+        "cand", "ref")
+    }),
+    "q303_lexical_diversity" -> ((s, d) =>
+      // vocabulary richness per language bucket: TTR, hapax share, Yule's K
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d), "lang", "text")),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -2935,6 +3032,366 @@ object SparkEntry {
         |    ELSE CAST(s AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1) / 2 END AS DECIMAL(18,6)) AS DOUBLE) AS chao1_richness,
         |  CAST(CAST(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS unseen_mass
         |FROM g""".stripMargin,
+    "q289_kruskal" ->
+      // same distinct-value collapse as q255: doubled average ranks stay
+      // integers, per-group rank sums HUGEINT-exact, H one double chain
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    o_orderpriority AS grp, COUNT(*) AS cnt FROM orders GROUP BY 1, 2),
+        |margin AS (SELECT v, SUM(cnt) AS cntv FROM cells GROUP BY 1),
+        |r AS (SELECT v, cntv,
+        |    SUM(cntv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cntv AS cumb
+        |  FROM margin),
+        |rd AS (SELECT v, 2 * cumb + cntv + 1 AS dr FROM r),
+        |pg AS (SELECT grp, SUM(cnt) AS n, SUM(CAST(cnt AS HUGEINT) * rd.dr) AS dr2
+        |  FROM cells JOIN rd USING (v) GROUP BY 1),
+        |ties AS (SELECT SUM(CAST(cntv AS HUGEINT) * cntv * cntv - cntv) AS tie3,
+        |    SUM(cntv) AS ntot FROM margin),
+        |terms AS (SELECT COUNT(*) AS k,
+        |    CAST(SUM(CAST((CAST(dr2 AS DOUBLE) / 2) * (CAST(dr2 AS DOUBLE) / 2)
+        |      / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS qsum FROM pg),
+        |g AS (SELECT k, qsum, CAST(ntot AS DOUBLE) AS nd, CAST(tie3 AS DOUBLE) AS t3
+        |  FROM terms CROSS JOIN ties),
+        |hh AS (SELECT k, 12 / (nd * (nd + 1)) * qsum - 3 * (nd + 1) AS hv,
+        |    1 - t3 / (nd * nd * nd - nd) AS c FROM g)
+        |SELECT grp, CAST(n AS BIGINT) AS n, CAST(dr2 AS DOUBLE) / 2 AS rank_sum,
+        |  CAST(k AS BIGINT) AS k, CAST(CAST(hv AS DECIMAL(18,9)) AS DOUBLE) AS h,
+        |  CASE WHEN c > 0 THEN CAST(CAST(hv / c AS DECIMAL(18,9)) AS DOUBLE) END AS h_corrected
+        |FROM pg CROSS JOIN hh ORDER BY grp""".stripMargin,
+    "q290_jarque_bera" ->
+      // HUGEINT power sums; central moments in the SAME left-assoc double
+      // chain; JB from the raw (unquantized) skew/kurt exactly as Spark
+      """WITH g AS (SELECT l_returnflag AS grp, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS HUGEINT)) AS s1,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s2,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s3,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT grp, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM g),
+        |mm AS (SELECT grp, n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+        |    r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |sk AS (SELECT grp, n, mu, m2, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt FROM mm)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(mu AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+        |  CASE WHEN m2 > 0 THEN CAST(CAST(skew AS DECIMAL(18,9)) AS DOUBLE) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN CAST(CAST(kurt AS DECIMAL(18,9)) AS DOUBLE) END AS kurtosis,
+        |  CASE WHEN m2 > 0 THEN CAST(CAST(CAST(n AS DOUBLE) / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS jb_stat
+        |FROM sk ORDER BY grp""".stripMargin,
+    "q291_bartlett" ->
+      // per-group exact (n, Σx, Σx²); (n−1)·ln s² quantized DECIMAL(28,9)
+      // BEFORE the k-term sum; T and the Box correction mirrored verbatim
+      """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s1,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+        |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s2
+        |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 2),
+        |ss AS (SELECT n, CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ssv FROM g),
+        |t AS (SELECT COUNT(*) AS k, SUM(n) AS ntot,
+        |    CAST(SUM(CAST(ssv AS DECIMAL(38,0))) AS DOUBLE) AS pooledss,
+        |    CAST(SUM(CAST((CAST(n AS DOUBLE) - 1) * ln(ssv / (CAST(n AS DOUBLE) - 1)) AS DECIMAL(28,9))) AS DOUBLE) AS sumln,
+        |    CAST(SUM(CAST(1 / (CAST(n AS DOUBLE) - 1) AS DECIMAL(18,12))) AS DOUBLE) AS suminv
+        |  FROM ss),
+        |f AS (SELECT k, ntot, pooledss, sumln, suminv,
+        |    CAST(ntot - k AS DOUBLE) AS nmk FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(ntot AS BIGINT) AS n,
+        |  CAST(CAST(pooledss / nmk AS DECIMAL(28,6)) AS DOUBLE) AS pooled_var,
+        |  CASE WHEN k >= 2 AND pooledss > 0 THEN
+        |    CAST(CAST((nmk * ln(pooledss / nmk) - sumln)
+        |      / (1 + (suminv - 1 / nmk) / (3 * (CAST(k AS DOUBLE) - 1)))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS t_stat
+        |FROM f""".stripMargin,
+    "q292_ljung_box" ->
+      // q159's acf verbatim, then the portmanteau: ρ²/(n−h) quantized
+      // DECIMAL(28,12) before the cumulative lag window; n = series length
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t, COUNT(*) AS x
+        |           FROM events GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |st AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx FROM d),
+        |m AS (SELECT CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+        |        CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)
+        |          * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+        |          * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS den FROM st),
+        |p AS (SELECT l.lag, d1.x AS x0, d2.x AS xh
+        |      FROM d d1 CROSS JOIN (SELECT CAST(r AS BIGINT) AS lag FROM range(1,8) t(r)) l
+        |      JOIN d d2 ON d2.t = d1.t + l.lag),
+        |g AS (SELECT lag, den, COUNT(*) AS n_pairs,
+        |        CAST(SUM(CAST((CAST(x0 AS DOUBLE) - mu) * (CAST(xh AS DOUBLE) - mu)
+        |          AS DECIMAL(28,9))) AS DOUBLE) AS num
+        |      FROM p CROSS JOIN m GROUP BY lag, den),
+        |rho AS (SELECT lag,
+        |    CASE WHEN den > 0 THEN CAST(CAST(num/den AS DECIMAL(18,9)) AS DOUBLE) END AS acf
+        |  FROM g),
+        |lb AS (SELECT lag, n, acf,
+        |    CAST(acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) AS DECIMAL(28,12)) AS term
+        |  FROM rho CROSS JOIN nn)
+        |SELECT lag, CAST(n AS BIGINT) AS n, acf,
+        |  CAST(CAST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2)
+        |    * CAST(SUM(term) OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS q_stat
+        |FROM lb ORDER BY lag""".stripMargin,
+    "q293_odds_ratio" ->
+      // four exact cells; Haldane +½ odds ratio, Wald CI — one mirrored
+      // 1-row double chain (ln/sqrt/exp with the same literal z)
+      """WITH c AS (SELECT
+        |    SUM(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n11,
+        |    SUM(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n10,
+        |    SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n01,
+        |    SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n00
+        |  FROM orders),
+        |h AS (SELECT n11, n10, n01, n00,
+        |    (CAST(n11 AS DOUBLE) + 0.5) * (CAST(n00 AS DOUBLE) + 0.5)
+        |      / ((CAST(n10 AS DOUBLE) + 0.5) * (CAST(n01 AS DOUBLE) + 0.5)) AS orr,
+        |    sqrt(1 / (CAST(n11 AS DOUBLE) + 0.5) + 1 / (CAST(n10 AS DOUBLE) + 0.5)
+        |      + 1 / (CAST(n01 AS DOUBLE) + 0.5) + 1 / (CAST(n00 AS DOUBLE) + 0.5)) AS se
+        |  FROM c)
+        |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(CAST(orr AS DECIMAL(18,6)) AS DOUBLE) AS odds_ratio,
+        |  CAST(CAST(ln(orr) AS DECIMAL(18,9)) AS DOUBLE) AS log_or,
+        |  CAST(CAST(exp(ln(orr) - 1.959964 * se) AS DECIMAL(18,6)) AS DOUBLE) AS ci_lo,
+        |  CAST(CAST(exp(ln(orr) + 1.959964 * se) AS DECIMAL(18,6)) AS DOUBLE) AS ci_hi
+        |FROM h""".stripMargin,
+    "q294_wasserstein" ->
+      // distinct-value margin; |cuma·nb − cumb·na| re-typed DECIMAL(20,0)
+      // so ×gap stays in precision 38 in both engines; ONE final division
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS na,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nb
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |tot AS (SELECT SUM(na) AS natot, SUM(nb) AS nbtot FROM cells),
+        |st AS (SELECT v,
+        |    SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    LEAD(v) OVER (ORDER BY v) - v AS gap
+        |  FROM cells),
+        |a AS (SELECT SUM(CAST(abs(CAST(cuma AS HUGEINT) * nbtot
+        |      - CAST(cumb AS HUGEINT) * natot) AS DECIMAL(20,0)) * gap) AS num
+        |  FROM st CROSS JOIN tot WHERE gap IS NOT NULL)
+        |SELECT CAST(natot AS BIGINT) AS na, CAST(nbtot AS BIGINT) AS nb,
+        |  CAST(CAST(CAST(num AS DOUBLE) / (CAST(natot AS DOUBLE) * CAST(nbtot AS DOUBLE))
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS w1
+        |FROM a CROSS JOIN tot""".stripMargin,
+    "q295_grubbs" ->
+      // exact (n, Σx, Σx², min, max); sample sd; extreme = the farther
+      // tail (ties → min); G one mirrored chain
+      """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+        |    MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS xmin,
+        |    MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS xmax
+        |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 3),
+        |m AS (SELECT grp, n, xmin, xmax,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1)) AS sd
+        |  FROM g),
+        |d AS (SELECT grp, n, mu, sd,
+        |    mu - CAST(xmin AS DOUBLE) AS devlo, CAST(xmax AS DOUBLE) - mu AS devhi,
+        |    xmin, xmax FROM m)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(mu AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+        |  CAST(CAST(sd AS DECIMAL(18,6)) AS DOUBLE) AS sd,
+        |  CAST(CASE WHEN devlo >= devhi THEN xmin ELSE xmax END AS DOUBLE) AS extreme,
+        |  CASE WHEN sd > 0 THEN CAST(CAST(greatest(devlo, devhi) / sd AS DECIMAL(18,9)) AS DOUBLE) END AS g_stat
+        |FROM d ORDER BY grp""".stripMargin,
+    "q296_effect_size" ->
+      // one pass to both cohorts' exact moments; pooled sd; d and the
+      // Hedges small-sample factor mirrored
+      """WITH c AS (SELECT
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS sa1,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS sa2,
+        |    SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN o_orderstatus <> 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS sb1,
+        |    SUM(CASE WHEN o_orderstatus <> 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS sb2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |m AS (SELECT na, nb,
+        |    CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) AS mua,
+        |    CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE) AS mub,
+        |    CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) AS ssa,
+        |    CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS ssb
+        |  FROM c),
+        |s AS (SELECT na, nb, mua, mub,
+        |    sqrt((ssa + ssb) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)) AS sp
+        |  FROM m),
+        |d AS (SELECT na, nb, mua, mub, sp, (mua - mub) / sp AS dd FROM s)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(CAST(mua AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+        |  CAST(CAST(mub AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+        |  CASE WHEN sp > 0 THEN CAST(CAST(dd AS DECIMAL(18,9)) AS DOUBLE) END AS cohen_d,
+        |  CASE WHEN sp > 0 THEN CAST(CAST(dd * (1 - 3 / (4 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9))
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS hedges_g
+        |FROM d""".stripMargin,
+    "q297_forecast_eval" ->
+      // integer errors vs the lag-12 seasonal naive; Σ|e|, Σe² HUGEINT;
+      // SMAPE terms DECIMAL(18,12) pre-sum; MASE cross-multiplied exact
+      """WITH s AS (SELECT o_orderpriority AS grp,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m, COUNT(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT grp, m, x,
+        |    lag(x, 12) OVER (PARTITION BY grp ORDER BY m) AS f,
+        |    abs(x - lag(x, 1) OVER (PARTITION BY grp ORDER BY m)) AS d1
+        |  FROM s),
+        |g AS (SELECT grp,
+        |    SUM(CASE WHEN f IS NOT NULL THEN 1 END) AS neval,
+        |    SUM(CASE WHEN f IS NOT NULL THEN CAST(abs(x - f) AS HUGEINT) END) AS sae,
+        |    SUM(CASE WHEN f IS NOT NULL THEN CAST(x - f AS HUGEINT) * (x - f) END) AS sse,
+        |    SUM(CASE WHEN f IS NOT NULL AND abs(x) + abs(f) > 0 THEN
+        |      CAST(2 * CAST(abs(x - f) AS DOUBLE) / CAST(abs(x) + abs(f) AS DOUBLE) AS DECIMAL(18,12)) END) AS ssm,
+        |    SUM(CASE WHEN d1 IS NOT NULL THEN 1 END) AS n1,
+        |    SUM(CASE WHEN d1 IS NOT NULL THEN CAST(d1 AS HUGEINT) END) AS sd1
+        |  FROM l GROUP BY 1)
+        |SELECT grp, CAST(neval AS BIGINT) AS n_eval,
+        |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(neval AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mae,
+        |  CAST(CAST(sqrt(CAST(sse AS DOUBLE) / CAST(neval AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS rmse,
+        |  CAST(CAST(CAST(ssm AS DOUBLE) / CAST(neval AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS smape,
+        |  CASE WHEN sd1 > 0 THEN CAST(CAST(CAST(sae * n1 AS DOUBLE) / CAST(sd1 * neval AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS mase
+        |FROM g WHERE neval > 0 ORDER BY grp""".stripMargin,
+    "q298_pinball" ->
+      // train-era per-mille quantiles by integer cross-multiplication over
+      // the train margin; per-row loss terms are exact integers
+      """WITH base AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    o_orderdate < DATE '1997-01-01' AS trn FROM orders),
+        |margin AS (SELECT grp, y, COUNT(*) AS nv FROM base WHERE trn GROUP BY 1, 2),
+        |cum AS (SELECT grp, y, nv,
+        |    SUM(nv) OVER (PARTITION BY grp ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(nv) OVER (PARTITION BY grp) AS tw
+        |  FROM margin),
+        |q AS (SELECT grp, pm, MIN(y) AS q FROM cum
+        |  CROSS JOIN (SELECT unnest([100, 500, 900]) AS pm)
+        |  WHERE cumw * 1000 >= pm * tw GROUP BY 1, 2),
+        |e AS (SELECT b.grp, q.pm, q.q, b.y FROM base b JOIN q ON q.grp = b.grp WHERE NOT b.trn)
+        |SELECT grp, pm, CAST(MAX(q) AS BIGINT) AS q_forecast,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(CAST(CAST(SUM(CASE WHEN y >= q THEN CAST(pm AS HUGEINT) * (y - q)
+        |      ELSE CAST(1000 - pm AS HUGEINT) * (q - y) END) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000) AS DECIMAL(18,6)) AS DOUBLE) AS pinball
+        |FROM e GROUP BY 1, 2 ORDER BY grp, pm""".stripMargin,
+    "q299_adamic_adar" ->
+      // q238's wedge recipe, apex weight 1/ln(deg) quantized DECIMAL(18,12)
+      // pre-sum; existing edges anti-joined out; top-50 by (score, pair)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |ew AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e0 AS (SELECT a, b FROM ew WHERE wt >= 2),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |deg AS (SELECT a AS n, COUNT(*) AS deg FROM e GROUP BY 1),
+        |apex AS (SELECT n, CAST(1 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(18,12)) AS wz
+        |  FROM deg WHERE deg BETWEEN 2 AND 10000),
+        |w AS (SELECT e1.b AS x, e2.b AS y, COUNT(*) AS n_common, SUM(ap.wz) AS aa
+        |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN apex ap ON ap.n = e1.a
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+        |cand AS (SELECT w.x, w.y, w.n_common, w.aa FROM w
+        |  LEFT JOIN e0 ON e0.a = w.x AND e0.b = w.y WHERE e0.a IS NULL)
+        |SELECT x, y, CAST(n_common AS BIGINT) AS n_common, CAST(aa AS DOUBLE) AS aa_score
+        |FROM cand ORDER BY aa_score DESC, x, y LIMIT 50""".stripMargin,
+    "q300_harmonic" ->
+      // labeled recursive walk ≤3 hops from the pinned sources; min dist
+      // per (src, node); 1/d quantized DECIMAL(18,12) pre-sum
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
+        |w(src, node, d) AS (
+        |  SELECT CAST(t.s AS BIGINT), CAST(t.s AS BIGINT), 0
+        |  FROM (VALUES (1), (2), (3), (4), (5), (6)) AS t(s)
+        |  UNION
+        |  SELECT w.src, e.b, w.d + 1 FROM w JOIN e ON w.node = e.a WHERE w.d < 3),
+        |md AS (SELECT src, node, MIN(d) AS dist FROM w GROUP BY 1, 2)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(CAST(1 / CAST(dist AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE) AS harmonic
+        |FROM md WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
+    "q301_t_closeness" ->
+      // class × sensitive-margin grid with materialized zero cells; the
+      // TV numerator is a sum of exact integer cross-products
+      """WITH cells AS (SELECT c_nationkey, CAST(c_mktsegment AS VARCHAR) AS s, COUNT(*) AS n_gs
+        |  FROM customer GROUP BY 1, 2),
+        |classes AS (SELECT c_nationkey, SUM(n_gs) AS n_g FROM cells GROUP BY 1),
+        |margins AS (SELECT s, SUM(n_gs) AS n_s FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(n_s) AS ntot FROM margins),
+        |grid AS (SELECT c.c_nationkey, m.s, c.n_g, m.n_s, t.ntot, COALESCE(cl.n_gs, 0) AS n_gs
+        |  FROM classes c CROSS JOIN margins m CROSS JOIN tot t
+        |  LEFT JOIN cells cl ON cl.c_nationkey = c.c_nationkey AND cl.s = m.s),
+        |dev AS (SELECT c_nationkey, MAX(n_g) AS n_g, MAX(ntot) AS ntot,
+        |    SUM(abs(CAST(n_gs AS HUGEINT) * ntot - CAST(n_s AS HUGEINT) * n_g)) AS devsum
+        |  FROM grid GROUP BY 1),
+        |td AS (SELECT c_nationkey, n_g,
+        |    CAST(CAST(CAST(devsum AS DOUBLE) / (2 * CAST(n_g AS DOUBLE) * CAST(ntot AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS t_distance
+        |  FROM dev)
+        |SELECT c_nationkey, CAST(n_g AS BIGINT) AS class_size, t_distance,
+        |  CASE WHEN t_distance > 0.05 THEN 1 ELSE 0 END AS t_violation
+        |FROM td ORDER BY c_nationkey""".stripMargin,
+    "q302_rouge" ->
+      // clipped n-gram overlap on the planted pairs; F1 = 2·ov/(nc+nr)
+      // single divisions of exact integers; len<2 candidates → NULL rouge2
+      """WITH p AS (SELECT doc_id + 1000000 AS cand_id, doc_id AS ref_id,
+        |    text || ' planted near duplicate tail' AS ctext, text AS rtext
+        |  FROM documents WHERE doc_id < 20),
+        |ct AS (SELECT cand_id, ref_id, regexp_extract_all(lower(ctext), '[a-z0-9]+') AS toks FROM p),
+        |rt AS (SELECT cand_id, ref_id, regexp_extract_all(lower(rtext), '[a-z0-9]+') AS toks FROM p),
+        |c1 AS (SELECT cand_id, ref_id, unnest(toks) AS gram FROM ct),
+        |r1 AS (SELECT cand_id, ref_id, unnest(toks) AS gram FROM rt),
+        |c2 AS (SELECT cand_id, ref_id, toks[i] || ' ' || toks[i + 1] AS gram
+        |  FROM (SELECT cand_id, ref_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM ct WHERE len(toks) >= 2)),
+        |r2 AS (SELECT cand_id, ref_id, toks[i] || ' ' || toks[i + 1] AS gram
+        |  FROM (SELECT cand_id, ref_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM rt WHERE len(toks) >= 2)),
+        |cc1 AS (SELECT cand_id, ref_id, gram, COUNT(*) AS c FROM c1 GROUP BY 1, 2, 3),
+        |rc1 AS (SELECT cand_id, ref_id, gram, COUNT(*) AS c FROM r1 GROUP BY 1, 2, 3),
+        |cc2 AS (SELECT cand_id, ref_id, gram, COUNT(*) AS c FROM c2 GROUP BY 1, 2, 3),
+        |rc2 AS (SELECT cand_id, ref_id, gram, COUNT(*) AS c FROM r2 GROUP BY 1, 2, 3),
+        |l1 AS (SELECT COALESCE(a.cand_id, b.cand_id) AS cand_id, COALESCE(a.ref_id, b.ref_id) AS ref_id,
+        |    SUM(COALESCE(a.c, 0)) AS nc, SUM(COALESCE(b.c, 0)) AS nr,
+        |    SUM(least(COALESCE(a.c, 0), COALESCE(b.c, 0))) AS ov
+        |  FROM cc1 a FULL OUTER JOIN rc1 b
+        |    ON a.cand_id = b.cand_id AND a.ref_id = b.ref_id AND a.gram = b.gram
+        |  GROUP BY 1, 2),
+        |l2 AS (SELECT COALESCE(a.cand_id, b.cand_id) AS cand_id, COALESCE(a.ref_id, b.ref_id) AS ref_id,
+        |    SUM(COALESCE(a.c, 0)) AS nc, SUM(COALESCE(b.c, 0)) AS nr,
+        |    SUM(least(COALESCE(a.c, 0), COALESCE(b.c, 0))) AS ov
+        |  FROM cc2 a FULL OUTER JOIN rc2 b
+        |    ON a.cand_id = b.cand_id AND a.ref_id = b.ref_id AND a.gram = b.gram
+        |  GROUP BY 1, 2)
+        |SELECT l1.cand_id, l1.ref_id,
+        |  CAST(l1.nc AS BIGINT) AS n1_cand, CAST(l1.nr AS BIGINT) AS n1_ref,
+        |  CAST(l1.ov AS BIGINT) AS overlap1,
+        |  CASE WHEN l1.nc > 0 THEN CAST(CAST(CAST(l1.ov AS DOUBLE) / CAST(l1.nc AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rouge1_p,
+        |  CASE WHEN l1.nr > 0 THEN CAST(CAST(CAST(l1.ov AS DOUBLE) / CAST(l1.nr AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rouge1_r,
+        |  CASE WHEN l1.nc + l1.nr > 0 THEN CAST(CAST(2 * CAST(l1.ov AS DOUBLE) / CAST(l1.nc + l1.nr AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rouge1_f,
+        |  CAST(l2.nc AS BIGINT) AS n2_cand, CAST(l2.nr AS BIGINT) AS n2_ref,
+        |  CAST(l2.ov AS BIGINT) AS overlap2,
+        |  CASE WHEN l2.nc > 0 THEN CAST(CAST(CAST(l2.ov AS DOUBLE) / CAST(l2.nc AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rouge2_p,
+        |  CASE WHEN l2.nr > 0 THEN CAST(CAST(CAST(l2.ov AS DOUBLE) / CAST(l2.nr AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rouge2_r,
+        |  CASE WHEN l2.nc + l2.nr > 0 THEN CAST(CAST(2 * CAST(l2.ov AS DOUBLE) / CAST(l2.nc + l2.nr AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rouge2_f
+        |FROM l1 LEFT JOIN l2 ON l2.cand_id = l1.cand_id AND l2.ref_id = l1.ref_id
+        |ORDER BY l1.cand_id, l1.ref_id""".stripMargin,
+    "q303_lexical_diversity" ->
+      // (group, token) counts; N, V, V1, Σc² exact; TTR/hapax/K single
+      // divisions, mirrored quantization
+      """WITH t AS (SELECT lang AS grp, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT grp, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |g AS (SELECT grp, SUM(c) AS ntok, COUNT(*) AS v,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS sumsq
+        |  FROM c GROUP BY 1)
+        |SELECT grp, CAST(ntok AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+        |  CAST(v1 AS BIGINT) AS n_hapax,
+        |  CASE WHEN ntok > 0 THEN CAST(CAST(CAST(v AS DOUBLE) / CAST(ntok AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS ttr,
+        |  CASE WHEN v > 0 THEN CAST(CAST(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS hapax_ratio,
+        |  CASE WHEN ntok > 0 THEN CAST(CAST(1e4 * (CAST(sumsq AS DOUBLE) - CAST(ntok AS DOUBLE))
+        |    / (CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END AS yule_k
+        |FROM g ORDER BY grp""".stripMargin,
     "q286_markov_entropy" ->
       // same lag pairs; π(i)·p·log₂p terms DECIMAL(28,12) pre-sum with
       // ln2 as the engine-exact literal divisor

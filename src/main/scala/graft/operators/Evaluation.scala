@@ -1774,4 +1774,415 @@ object Evaluation {
           .cast("int").as("full_reversal"))
       .orderBy("ga", "gb")
   }
+
+  /** Kruskal–Wallis H test (rank-based one-way ANOVA) across k groups —
+    * [[mannWhitney]]'s k-group generalization and [[anovaF]]'s robust
+    * twin: "did ANY of these cohorts' value distributions shift", without
+    * assuming normality (order-value distributions are heavy-tailed, so
+    * the rank test is the one that actually holds its size).
+    *
+    * Same distinct-value collapse as [[mannWhitney]]: rows fold to
+    * (value, group) count cells in one hash aggregate; the rank window
+    * runs over the VALUE MARGIN (distinct-value-sized, not row-sized).
+    * Doubled average ranks 2r̄(v) = 2·cumBefore + cnt + 1 stay integers;
+    * per-group doubled rank sums Σ n_gv·2r̄ are DECIMAL(38,0)-exact, so
+    * H's input sums are bit-identical in any engine and at any
+    * parallelism. H, the tie correction C = 1 − Σ(t³−t)/(N³−N), and
+    * H/C are one mirrored double chain, quantized scale 9. Returns one
+    * row per group (n, rank_sum) with the global h/h_corrected
+    * replicated, [[Graph.modularity]]-style. */
+  def kruskalWallis(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val cells = df.groupBy(value.as("v"), col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    val margin = cells.groupBy("v").agg(sum("cnt").as("cntv"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = margin
+      .withColumn("cumBefore", sum("cntv").over(w) - col("cntv"))
+      .withColumn("dr", lit(2) * col("cumBefore") + col("cntv") + 1)
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val perGroup = cells.join(ranked.select("v", "dr"), "v")
+      .groupBy("grp")
+      .agg(sum("cnt").as("n"), sum(c19(col("cnt")) * col("dr")).as("dr2"))
+      .localCheckpoint() // H needs the group sums twice (terms + totals)
+    val ties = margin.agg(
+      sum((c19(col("cntv")) * col("cntv") * col("cntv"))
+        .cast("decimal(38,0)") - col("cntv")).as("tie3"),
+      sum("cntv").as("nTot"))
+    // per-group H term R_g²/n_g = (dr2/2)²/n_g — double, quantized before
+    // the k-term sum so group order can't wiggle the total
+    val terms = perGroup.select(col("n"),
+      ((col("dr2").cast("double") / 2d) * (col("dr2").cast("double") / 2d) /
+        col("n").cast("double")).cast("decimal(38,6)").as("term"))
+      .agg(count(lit(1)).as("k"), sum("term").cast("double").as("qsum"))
+    val nD = col("nTot").cast("double")
+    val h = lit(12d) / (nD * (nD + 1d)) * col("qsum") - lit(3d) * (nD + 1d)
+    val cTie = lit(1d) - col("tie3").cast("double") / (nD * nD * nD - nD)
+    val global = terms.crossJoin(ties).select(col("k"),
+      h.cast("decimal(18,9)").cast("double").as("h"),
+      when(cTie > 0d, (h / cTie).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("h_corrected"))
+    perGroup.crossJoin(broadcast(global))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        (col("dr2").cast("double") / 2d).as("rank_sum"),
+        col("k").cast("long").as("k"), col("h"), col("h_corrected"))
+      .orderBy("grp")
+  }
+
+  /** Jarque–Bera normality test per group, from exact integer power sums:
+    * the sanity gate before any z-score/σ-based rule ([[anovaF]],
+    * anomaly thresholds) — JB = n/6·(S² + (K−3)²/4) blows up exactly when
+    * skewness S or excess kurtosis K−3 says "these σ rules will lie".
+    *
+    * One hash aggregate computes n, Σx, Σx², Σx³, Σx⁴ as DECIMAL(38,0)
+    * over integer-valued inputs (cast `value` to long yourself) — exact at
+    * any parallelism. Central moments m2..m4 expand from the raw sums in
+    * ONE mirrored double chain (m3 = s3/n − 3μs2/n + 2μ³, m4 = s4/n −
+    * 4μs3/n + 6μ²s2/n − 3μ⁴); S = m3/(m2√m2), K = m4/m2². Outputs
+    * quantized scale 9. Degenerate variance → NULLs, not NaNs. */
+  def jarqueBera(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val x = value.cast("decimal(19,0)")
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum((x * x).cast("decimal(38,0)")).as("s2"),
+        sum((x * x * x).cast("decimal(38,0)")).as("s3"),
+        sum((x * x * x * x).cast("decimal(38,0)")).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3d) * mu * (col("s2").cast("double") / nD) + lit(2d) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD -
+      lit(4d) * mu * (col("s3").cast("double") / nD) +
+      lit(6d) * mu * mu * (col("s2").cast("double") / nD) -
+      lit(3d) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    g.select(col("grp"), col("n").cast("long").as("n"),
+        mu.cast("decimal(18,6)").cast("double").as("mean"),
+        when(m2 > 0d, skew.cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("skewness"),
+        when(m2 > 0d, kurt.cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("kurtosis"),
+        when(m2 > 0d,
+          (nD / 6d * (skew * skew + (kurt - 3d) * (kurt - 3d) / 4d))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("jb_stat"))
+      .orderBy("grp")
+  }
+
+  /** Bartlett's test for variance homogeneity across k groups — the
+    * power-against-[[leveneTest]] tradeoff: Bartlett is the sharper test
+    * when the data are near-normal (and the χ²_{k−1} reference is exact),
+    * Levene the robust one. Running both brackets the answer.
+    *
+    * One hash aggregate to per-group exact (n, Σx, Σx²); each group's
+    * (n_i−1)·ln s_i² is computed in a fixed double chain and QUANTIZED to
+    * DECIMAL(28,9) before the k-term sum (ln is the only transcendental —
+    * quantizing before the order-dependent sum keeps the total
+    * engine-exact); pooled SS and Σ1/(n_i−1) get the same treatment.
+    * Groups need n_i ≥ 2 (enforced by filter); T and the Box correction
+    * denominator are one mirrored double chain, scale 9. */
+  def bartlett(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(value).as("s1"),
+        sum(value * value).as("s2"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val ss = col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD
+    val terms = g.select(col("n"),
+        // scale 0: SS of integer-unit values runs ~1e16 at cent units —
+        // a finer scale would ask the double for >15 significant digits
+        // and the two engines' roundings diverge (the twap rule)
+        ss.cast("decimal(38,0)").as("ssq"),
+        ((nD - 1d) * log(ss / (nD - 1d))).cast("decimal(28,9)").as("lnterm"),
+        (lit(1d) / (nD - 1d)).cast("decimal(18,12)").as("invterm"))
+      .agg(count(lit(1)).as("k"), sum("n").as("nTot"),
+        sum("ssq").cast("double").as("pooledSS"),
+        sum("lnterm").cast("double").as("sumLn"),
+        sum("invterm").cast("double").as("sumInv"))
+    val k = col("k").cast("double")
+    val nmk = (col("nTot") - col("k")).cast("double")
+    val sp2 = col("pooledSS") / nmk
+    val tRaw = nmk * log(sp2) - col("sumLn")
+    val corr = lit(1d) + (col("sumInv") - lit(1d) / nmk) / (lit(3d) * (k - 1d))
+    terms.select(col("k").cast("long").as("k"),
+      col("nTot").cast("long").as("n"),
+      sp2.cast("decimal(28,6)").cast("double").as("pooled_var"),
+      when(col("k") >= 2 && col("pooledSS") > 0d,
+        (tRaw / corr).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("t_stat"))
+  }
+
+  /** Ljung–Box portmanteau test on a series' autocorrelations — the "is
+    * there ANY serial structure left" gate run on residuals after a
+    * forecast fit (white-noise residuals ⇒ Q ~ χ²_m; a big Q says the
+    * model left signal on the table). Complements [[Analytics.acf]]
+    * (which shows WHERE the structure is) with one decision number.
+    *
+    * Q_m = n(n+2)·Σ_{h≤m} ρ̂_h²/(n−h), reported cumulatively per lag.
+    * ρ̂ comes from [[Analytics.acf]] (already scale-9-quantized, so ρ²
+    * is an exact double product); each term ρ²/(n−h) is quantized
+    * DECIMAL(28,12) before the cumulative sum (m-row window over the lag
+    * margin). n is the series length (one count), NOT the pair count. */
+  def ljungBox(series: DataFrame, tCol: String, valueCol: String,
+               maxLag: Int): DataFrame = {
+    val rho = Analytics.acf(series, tCol, valueCol, maxLag)
+    val nRow = series.agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val term = (col("acf") * col("acf") / (nD - col("lag").cast("double")))
+      .cast("decimal(28,12)")
+    val w = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rho.crossJoin(broadcast(nRow))
+      .withColumn("term", term)
+      .withColumn("q_stat",
+        (nD * (nD + 2d) * sum("term").over(w).cast("double"))
+          .cast("decimal(18,9)").cast("double"))
+      .select(col("lag"), col("n").cast("long").as("n"), col("acf"),
+        col("q_stat"))
+      .orderBy("lag")
+  }
+
+  /** 2×2 contingency summary: exact cell counts + Haldane–Anscombe odds
+    * ratio with a Wald 95% CI on the log scale — the effect-size readout
+    * for "does exposure X associate with outcome Y" that [[abTest]]'s
+    * z-score doesn't give (a z says IS there an effect; the OR says HOW
+    * BIG, and stays defined when a cell is 0 thanks to the +½).
+    *
+    * One hash aggregate produces the four exact cells; everything after
+    * is a fixed 1-row double chain (ln, sqrt, exp — mirrored verbatim in
+    * the oracle), outputs quantized scale 6/9. */
+  def contingency2x2(df: DataFrame, exposed: Column, outcome: Column): DataFrame = {
+    val cells = df.agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).as("n11"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).as("n10"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).as("n01"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("n00"))
+    val h = (c: Column) => c.cast("double") + 0.5d
+    val orr = h(col("n11")) * h(col("n00")) / (h(col("n10")) * h(col("n01")))
+    val se = sqrt(lit(1d) / h(col("n11")) + lit(1d) / h(col("n10")) +
+      lit(1d) / h(col("n01")) + lit(1d) / h(col("n00")))
+    cells.select(
+      col("n11").cast("long").as("n11"), col("n10").cast("long").as("n10"),
+      col("n01").cast("long").as("n01"), col("n00").cast("long").as("n00"),
+      orr.cast("decimal(18,6)").cast("double").as("odds_ratio"),
+      log(orr).cast("decimal(18,9)").cast("double").as("log_or"),
+      exp(log(orr) - lit(1.959964d) * se)
+        .cast("decimal(18,6)").cast("double").as("ci_lo"),
+      exp(log(orr) + lit(1.959964d) * se)
+        .cast("decimal(18,6)").cast("double").as("ci_hi"))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between two samples — the drift
+    * metric that reports HOW FAR the distribution moved in VALUE UNITS
+    * (dollars, tokens), where [[ksTest]] reports the worst single gap and
+    * [[hellingerDrift]] a unitless overlap: W₁ = ∫|F_a − F_b| dv. The
+    * one that answers "how many dollars did the typical order shift".
+    *
+    * EXACT BY CONSTRUCTION: rows collapse to the distinct-value margin
+    * (one hash aggregate); on the margin, |F_a(v) − F_b(v)|·Δv =
+    * |cuma·nb − cumb·na|·Δv/(na·nb) keeps the numerator an exact
+    * DECIMAL product (integer cumulative counts × exact decimal value
+    * gap), sums it exactly, and performs ONE double division at the end.
+    * No float CDF is ever summed. The margin window is single-partition
+    * over distinct values (grouped-AUC note applies). */
+  def wasserstein1(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val cells = df.groupBy(value.cast("decimal(18,2)").as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+           sum(when(inA, 0L).otherwise(1L)).as("nb"))
+      .localCheckpoint() // totals + the stepped scan
+    val totals = cells.agg(sum("na").as("naTot"), sum("nb").as("nbTot"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = Window.orderBy("v")
+    val stepped = cells
+      .withColumn("cuma", sum("na").over(w))
+      .withColumn("cumb", sum("nb").over(w))
+      .withColumn("gap", lead("v", 1).over(lw) - col("v"))
+      .filter(col("gap").isNotNull)
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    // |cuma·nbTot − cumb·naTot| ≤ N² — re-typed DECIMAL(20,0) (exact for
+    // N ≤ 10¹⁰ rows; widen both engines together past that) so the ×gap
+    // product stays inside precision 38 in BOTH engines; the whole
+    // integral is then one exact decimal sum
+    val area = stepped.crossJoin(broadcast(totals))
+      .agg(sum(abs((c19(col("cuma")) * col("nbTot")).cast("decimal(38,0)") -
+          (c19(col("cumb")) * col("naTot")).cast("decimal(38,0)"))
+          .cast("decimal(20,0)") * col("gap")).as("num"))
+    area.crossJoin(totals)
+      .select(col("naTot").cast("long").as("na"),
+        col("nbTot").cast("long").as("nb"),
+        (col("num").cast("double") /
+          (col("naTot").cast("double") * col("nbTot").cast("double")))
+          .cast("decimal(18,6)").cast("double").as("w1"))
+  }
+
+  /** Grubbs' extreme-outlier statistic per group: G = max|x − x̄|/s —
+    * "is the single most extreme point in this cohort too extreme to be
+    * chance" (G ≳ 3–4 at typical n ⇒ investigate that point). The
+    * per-group twin of the global z-score anomaly scan, reduced to the
+    * decision number an alerting rule wants.
+    *
+    * One hash aggregate to exact (n, Σx, Σx², min, max); mean/sd/G are
+    * one mirrored double chain (sample sd, n−1); the extreme value
+    * reported is the min or max, whichever deviates more (ties → min,
+    * deterministic). Outputs quantized scale 6/9. */
+  def grubbs(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(value).as("s1"),
+        sum(value * value).as("s2"),
+        min(value).as("xmin"), max(value).as("xmax"))
+      .filter(col("n") >= 3)
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val sd = sqrt((col("s2").cast("double") - col("s1").cast("double") *
+      col("s1").cast("double") / nD) / (nD - 1d))
+    val devLo = mu - col("xmin").cast("double")
+    val devHi = col("xmax").cast("double") - mu
+    g.select(col("grp"), col("n").cast("long").as("n"),
+        mu.cast("decimal(18,6)").cast("double").as("mean"),
+        sd.cast("decimal(18,6)").cast("double").as("sd"),
+        when(devLo >= devHi, col("xmin")).otherwise(col("xmax"))
+          .cast("double").as("extreme"),
+        when(sd > 0d, (greatest(devLo, devHi) / sd)
+          .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("g_stat"))
+      .orderBy("grp")
+  }
+
+  /** Standardized effect size between two cohorts: Cohen's d from the
+    * pooled sample sd, plus Hedges' g (the small-sample bias correction
+    * 1 − 3/(4N−9)) — the number that belongs NEXT TO every [[abTest]] /
+    * [[mannWhitney]] p-value, because with 10⁶ rows everything is
+    * "significant" and only the effect SIZE says whether anyone should
+    * care (|d| ≈ 0.2 small / 0.5 medium / 0.8 large).
+    *
+    * One aggregate to both cohorts' exact (n, Σx, Σx²) in a single pass;
+    * pooled variance and both statistics are one mirrored double chain,
+    * quantized scale 6/9. */
+  def effectSize(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val agg = df.agg(
+      sum(when(inA, 1L).otherwise(0L)).as("na"),
+      sum(when(inA, value).otherwise(lit(0))).as("sa1"),
+      sum(when(inA, value * value).otherwise(lit(0))).as("sa2"),
+      sum(when(!inA, 1L).otherwise(0L)).as("nb"),
+      sum(when(!inA, value).otherwise(lit(0))).as("sb1"),
+      sum(when(!inA, value * value).otherwise(lit(0))).as("sb2"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val muA = col("sa1").cast("double") / naD
+    val muB = col("sb1").cast("double") / nbD
+    val ssA = col("sa2").cast("double") - col("sa1").cast("double") * muA
+    val ssB = col("sb2").cast("double") - col("sb1").cast("double") * muB
+    val sp = sqrt((ssA + ssB) / (naD + nbD - 2d))
+    val d = (muA - muB) / sp
+    agg.select(col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+      muA.cast("decimal(18,6)").cast("double").as("mean_a"),
+      muB.cast("decimal(18,6)").cast("double").as("mean_b"),
+      when(sp > 0d, d.cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("cohen_d"),
+      when(sp > 0d, (d * (lit(1d) - lit(3d) / (lit(4d) * (naD + nbD) - 9d)))
+        .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("hedges_g"))
+  }
+
+  /** Forecast-accuracy scorecard for the seasonal-naive forecaster
+    * f_t = x_{t−season}, per series: MAE, RMSE, SMAPE, and MASE — the
+    * standard backtest readout that turns "we have a forecast baseline"
+    * into "here is how wrong it is, scale-free". MASE (MAE over the
+    * in-sample lag-1 naive MAE, Hyndman & Koehler 2006) is the one to
+    * rank across series of different volumes; MASE < 1 beats naive.
+    *
+    * The series must be integer-valued at a contiguous integer time grid
+    * (counts per period — the [[Analytics.acf]] contract). Then every
+    * error e_t = x_t − x_{t−s} is an exact integer: Σ|e| and Σe² are
+    * exact decimal sums, MAE/RMSE/MASE are single double divisions of
+    * exact integers. Only SMAPE (2|e|/(|x|+|f|)) has per-row division —
+    * each term is quantized DECIMAL(18,12) before its sum. One window
+    * per series (series-count parallelism over period-grain rows). */
+  def forecastAccuracy(series: DataFrame, groupCol: String, tCol: String,
+                       valueCol: String, season: Int): DataFrame = {
+    require(season >= 1, "season >= 1")
+    val w = Window.partitionBy(groupCol).orderBy(tCol)
+    val lagged = series
+      .select(col(groupCol).as("grp"), col(tCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("f", lag("x", season).over(Window.partitionBy("grp").orderBy("t")))
+      .withColumn("d1", abs(col("x") - lag("x", 1).over(
+        Window.partitionBy("grp").orderBy("t"))))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val g = lagged.groupBy("grp").agg(
+      sum(when(col("f").isNotNull, 1L)).as("nEval"),
+      sum(when(col("f").isNotNull, c19(abs(col("x") - col("f"))))).as("sae"),
+      sum(when(col("f").isNotNull,
+        (c19(col("x") - col("f")) * (col("x") - col("f"))).cast("decimal(38,0)"))).as("sse"),
+      sum(when(col("f").isNotNull && (abs(col("x")) + abs(col("f"))) > 0,
+        (lit(2d) * abs(col("x") - col("f")).cast("double") /
+          (abs(col("x")) + abs(col("f"))).cast("double")).cast("decimal(18,12)"))).as("ssm"),
+      sum(when(col("d1").isNotNull, 1L)).as("n1"),
+      sum(when(col("d1").isNotNull, c19(col("d1")))).as("sd1"))
+    val nE = col("nEval").cast("double")
+    g.filter(col("nEval") > 0)
+      .select(col("grp"), col("nEval").cast("long").as("n_eval"),
+        (col("sae").cast("double") / nE)
+          .cast("decimal(18,6)").cast("double").as("mae"),
+        sqrt(col("sse").cast("double") / nE)
+          .cast("decimal(18,6)").cast("double").as("rmse"),
+        (col("ssm").cast("double") / nE)
+          .cast("decimal(18,9)").cast("double").as("smape"),
+        // MASE = (Σ|e|·n1)/(nEval·Σd1): cross-multiplied exact integers,
+        // ONE division
+        when(col("sd1") > 0,
+          ((col("sae") * col("n1")).cast("double") /
+            (col("sd1") * col("nEval")).cast("double"))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("mase"))
+      .orderBy("grp")
+  }
+
+  /** Pinball (quantile) loss backtest: per series, forecast the τ-quantile
+    * of the value from TRAIN rows as the empirical lower quantile, then
+    * score on EVAL rows with L_τ(y,q) = τ(y−q)⁺ + (1−τ)(q−y)⁺ — THE
+    * proper scoring rule for quantile forecasts (an SLA "p90 order value"
+    * band is judged by exactly this, not by MAE).
+    *
+    * All integer: τ runs in per-mille, the train quantile is the smallest
+    * value whose cumulative count reaches ⌈τ‰·W⌉ (integer
+    * cross-multiplication over the train distinct-value margin — the
+    * [[Analytics.weightedPercentilesByGroup]] recipe), and each loss term
+    * is τ‰·(y−q) or (1000−τ‰)·(q−y) — an exact integer. ONE double
+    * division (by 1000·n) at the end. `value` must be integer-valued. */
+  def pinballLoss(df: DataFrame, groupCol: String, value: Column,
+                  isTrain: Column, probesPm: Seq[Int]): DataFrame = {
+    require(probesPm.nonEmpty && probesPm.forall(p => p >= 1 && p <= 999),
+      "per-mille probes in [1,999]")
+    val base = df.select(col(groupCol).as("grp"), value.cast("long").as("y"),
+      isTrain.as("trn")).localCheckpoint() // margin + eval scans
+    val margin = base.filter(col("trn"))
+      .groupBy("grp", "y").agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy("grp").orderBy("y")
+    val tot = Window.partitionBy("grp")
+    val q = margin
+      .withColumn("cumw", sum("nv").over(w))
+      .withColumn("tw", sum("nv").over(tot))
+      .withColumn("pm", explode(array(probesPm.distinct.sorted.map(p => lit(p)): _*)))
+      .filter(col("cumw") * 1000 >= col("pm") * col("tw"))
+      .groupBy("grp", "pm").agg(min("y").as("q"))
+    val evalRows = base.filter(!col("trn"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    evalRows.join(q, Seq("grp"))
+      .groupBy("grp", "pm")
+      .agg(max("q").as("q_forecast"), count(lit(1)).as("nEval"),
+        sum(when(col("y") >= col("q"),
+            c19(col("pm")) * (col("y") - col("q")))
+          .otherwise(c19(lit(1000) - col("pm")) * (col("q") - col("y"))))
+          .as("lossSum"))
+      .select(col("grp"), col("pm"), col("q_forecast").cast("long").as("q_forecast"),
+        col("nEval").cast("long").as("n_eval"),
+        (col("lossSum").cast("double") /
+          (col("nEval").cast("double") * 1000d))
+          .cast("decimal(18,6)").cast("double").as("pinball"))
+      .orderBy("grp", "pm")
+  }
 }

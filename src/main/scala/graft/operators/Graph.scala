@@ -435,4 +435,123 @@ object Graph {
         col("q_total").cast("double").as("q_total"))
       .orderBy("c")
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): score a candidate
+    * pair by Σ_z 1/ln(deg z) over common neighbors z — [[neighborJaccard]]
+    * weighted so that a RARE shared neighbor (two customers sharing a
+    * niche part) counts more than a ubiquitous one (everyone touches the
+    * popular part). The standard second opinion next to raw-Jaccard in
+    * who-to-link / related-item candidate ranking.
+    *
+    * Same wedge recipe as [[neighborJaccard]] — pairs are generated from
+    * each apex's sorted neighbor list (never all-pairs), apex degree
+    * capped by `maxDegree` so hub wedge fan-out is bounded. The apex
+    * weight 1/ln(deg) is computed ONCE per apex and quantized
+    * DECIMAL(18,12) BEFORE the per-pair sum (ln is the only
+    * transcendental; summing pre-quantized decimals keeps the score
+    * engine- and order-exact). Existing edges are anti-joined out —
+    * this predicts NEW links. Returns top-K by (score desc, pair). */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 minCommon: Int = 2, maxDegree: Int = 10000,
+                 topK: Int = 50): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val und = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = e.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    // deg ≥ 2 (ln 1 = 0 has no weight — a degree-1 apex makes no wedge
+    // anyway); weight quantized once per apex, then summed exactly
+    val apex = deg.filter(col("deg") >= 2 && col("deg") <= maxDegree)
+      .select(col("n"),
+        (lit(1d) / log(col("deg").cast("double")))
+          .cast("decimal(18,12)").as("wz"))
+    val pairs = e.join(apex, e("a") === apex("n"))
+      .groupBy(col("a")).agg(max("wz").as("wz"),
+        sort_array(collect_set(col("b"))).as("ns"))
+      .select(col("wz"), posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
+      .select(col("wz"), col("x"),
+        explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"), sum("wz").as("aa"))
+      .filter(col("n_common") >= minCommon)
+    val out = pairs
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .select(col("x"), col("y"), col("n_common").cast("long").as("n_common"),
+        col("aa").cast("double").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("x"), col("y"))
+      .limit(topK)
+      .localCheckpoint(true)
+    und.unpersist(false)
+    out
+  }
+
+  /** Harmonic centrality from a sampled source set: C_H(v) = Σ_s 1/d(s,v)
+    * over sources s that reach v within `maxHops` — the closeness-family
+    * centrality that stays DEFINED on disconnected graphs (unreachable
+    * pairs contribute 0, not ∞), estimated the way it's actually run at
+    * scale: exact BFS from a small pinned sample (Eppstein–Wang style),
+    * not all-pairs.
+    *
+    * BIT-PARALLEL multi-source BFS (the MS-BFS recipe, Then et al. VLDB
+    * 2015): each source is one bit of a 64-bit mask, state is ONE row per
+    * node (node, visited-mask), and a hop is ONE join of the symmetrized
+    * adjacency against the fresh frontier + a `bit_or` hash aggregate —
+    * the frontier is NEVER duplicated per source (the naive source-labeled
+    * frontier measured 35 s vs ~2 s on the sf0.1 co-occurrence graph: on
+    * a small-world graph hop 2–3 explodes |S|-fold). Newly-set bits at
+    * hop h contribute popcount·quantize(1/h) — a DECIMAL(18,12) multiple
+    * of the per-source term, so the result is bit-identical to summing
+    * per-source 1/d terms (what the recursive-CTE oracle does). ≤64
+    * sources per call (one mask word); larger samples run in words of 64.
+    * Sources score each other; self-distance contributes nothing. */
+  def harmonicCentrality(edges: DataFrame, aCol: String, bCol: String,
+                         sources: Seq[Long], maxHops: Int): DataFrame = {
+    val srcs = sources.distinct.sorted
+    require(srcs.nonEmpty && srcs.size <= 64 && maxHops >= 1,
+      "need 1..64 sources and maxHops >= 1")
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbrs = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var state = srcs.zipWithIndex.map { case (s, i) => (s, 1L << i) }
+      .toDF("node", "vis").localCheckpoint(true) // (node, all bits seen)
+    var frontier = state.select(col("node"), col("vis").as("fresh"))
+    val hopRecords = Seq.newBuilder[DataFrame] // (node, fresh, hop)
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val cand = nbrs.join(frontier, nbrs("a") === frontier("node"))
+        .groupBy(col("b").as("node")).agg(expr("bit_or(fresh)").as("cand"))
+      val fresh = cand.join(state, Seq("node"), "left")
+        .select(col("node"), coalesce(col("vis"), lit(0L)).as("vis"), col("cand"))
+        .withColumn("fresh", expr("cand & ~vis"))
+        .filter(col("fresh") =!= 0)
+        .select("node", "fresh", "vis")
+        .localCheckpoint(true)
+      hopRecords += fresh.select(col("node"), col("fresh"), lit(hop).as("hop"))
+      state = state.join(fresh.select(col("node"), col("fresh")), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("vis"), lit(0L)).bitwiseOR(coalesce(col("fresh"), lit(0L)))).as("vis"))
+        .localCheckpoint(true)
+      frontier = fresh.select(col("node"), col("fresh"))
+    }
+    nbrs.unpersist(false)
+    val recs = hopRecords.result()
+    val all = recs.tail.foldLeft(recs.head)(_ unionAll _)
+    all
+      .select(col("node"), bit_count(col("fresh")).cast("long").as("nbits"),
+        (lit(1d) / col("hop").cast("double")).cast("decimal(18,12)").as("term"))
+      .groupBy("node")
+      .agg(sum("nbits").as("n_reached"),
+        sum(col("nbits").cast("decimal(19,0)") * col("term")).as("h"))
+      .select(col("node"), col("n_reached").cast("long").as("n_reached"),
+        col("h").cast("double").as("harmonic"))
+      .orderBy("node")
+  }
 }

@@ -147,4 +147,47 @@ object Privacy {
         lit(1.0).as("epsilon"), lit(clipHi).as("clip_hi"))
       .orderBy(keyCol)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung after [[kAnonymityAudit]]'s k and l: a class can be large (k ok)
+    * and diverse (l ok) and STILL leak by skew — "90% of this class is in
+    * collections vs 20% globally". Requires every equivalence class's
+    * sensitive-attribute distribution to sit within `threshold` of the
+    * global one, measured here by total-variation distance (the standard
+    * choice for categorical sensitive attributes; EMD reduces to TV when
+    * the ground metric is 0/1).
+    *
+    * EXACT: t_g = ½·Σ_s |p_gs − p_s| = Σ_s |n_gs·N − n_s·n_g| / (2·n_g·N)
+    * — the numerator is a sum of exact integer cross-products (including
+    * the ZERO cells, materialized by the class × sensitive-margin grid),
+    * and ONE double division happens at the end. One row-sized hash
+    * aggregate to (class, s) cells; classes, margins, and totals derive
+    * from the cells (cell-sized scans); the grid is classes ×
+    * |sensitive categories| — bounded by a categorical's cardinality. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, threshold: Double): DataFrame = {
+    require(quasiCols.nonEmpty && threshold > 0, "need quasiCols, threshold > 0")
+    val cells = df.groupBy(
+        quasiCols.map(col) :+ col(sensitiveCol).cast("string").as("s"): _*)
+      .agg(count(lit(1)).as("n_gs")).localCheckpoint() // classes+margins+grid
+    val classes = cells.groupBy(quasiCols.map(col): _*).agg(sum("n_gs").as("n_g"))
+    val margins = cells.groupBy("s").agg(sum("n_gs").as("n_s")).localCheckpoint()
+    val total = margins.agg(sum("n_s").as("nTot"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val grid = classes.crossJoin(broadcast(margins)).crossJoin(broadcast(total))
+      .join(cells, quasiCols :+ "s", "left")
+      .na.fill(0L, Seq("n_gs"))
+    grid
+      .select(quasiCols.map(col) ++ Seq(col("n_g"), col("nTot"),
+        abs((c19(col("n_gs")) * col("nTot")).cast("decimal(38,0)") -
+          (c19(col("n_s")) * col("n_g")).cast("decimal(38,0)")).as("dev")): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max("n_g").as("n_g"), max("nTot").as("nTot"), sum("dev").as("devSum"))
+      .select(quasiCols.map(col) ++ Seq(col("n_g").cast("long").as("class_size"),
+        (col("devSum").cast("double") /
+          (lit(2d) * col("n_g").cast("double") * col("nTot").cast("double")))
+          .cast("decimal(18,9)").cast("double").as("t_distance")): _*)
+      .withColumn("t_violation", (col("t_distance") > threshold).cast("int"))
+      .orderBy(quasiCols.map(col): _*)
+  }
 }

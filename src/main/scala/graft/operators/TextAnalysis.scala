@@ -550,4 +550,97 @@ object TextAnalysis {
       .orderBy("id_a", "id_b")
     pairs
   }
+
+  /** ROUGE-1/ROUGE-2 n-gram overlap between declared (candidate, reference)
+    * document pairs — the standard summarization/paraphrase proximity
+    * readout (Lin 2004), used in a data pipeline to SCORE aligned pairs
+    * (distillation outputs vs sources, near-dup candidates) rather than
+    * just to flag them: recall says how much of the reference survives,
+    * precision how much of the candidate is grounded.
+    *
+    * EXACT: per (pair, gram) clipped counts min(c_cand, c_ref) are
+    * integers; P = ov/n_cand, R = ov/n_ref, and F1 = 2·ov/(n_cand+n_ref)
+    * (the algebraic collapse — never P·R/(P+R) over rounded doubles) are
+    * each ONE double division of exact integers. Gram expansion is
+    * regex-once via [[Curation.ngramRows]]; counts shuffle on
+    * (pair, gram) — pair-local, never corpus-crossing; text joins hash on
+    * the doc id. Pairs whose candidate or reference has no bigram (len<2)
+    * emit NULL rouge2 metrics, not a crash. */
+  def rougeOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, candCol: String, refCol: String): DataFrame = {
+    val p = pairs.select(col(candCol).cast("long").as("cand_id"),
+      col(refCol).cast("long").as("ref_id"))
+    val txt = docs.select(col(idCol).cast("long").as("__id"),
+      col(textCol).as("__txt"))
+    def sideCounts(side: String, n: Int): DataFrame = {
+      val idc = if (side == "cand") "cand_id" else "ref_id"
+      val joined = p.join(txt, p(idc) === txt("__id"))
+        .select(col("cand_id"), col("ref_id"), col("__txt"))
+      Curation.ngramRows(joined, Seq("cand_id", "ref_id"), "__txt", n, "gram")
+        .groupBy("cand_id", "ref_id", "gram")
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    def level(n: Int, tag: String): DataFrame =
+      sideCounts("cand", n).join(sideCounts("ref", n),
+          Seq("cand_id", "ref_id", "gram"), "full_outer")
+        .groupBy("cand_id", "ref_id")
+        .agg(sum(coalesce(col("c_cand"), lit(0L))).as("ncT"),
+          sum(coalesce(col("c_ref"), lit(0L))).as("nrT"),
+          sum(least(coalesce(col("c_cand"), lit(0L)),
+            coalesce(col("c_ref"), lit(0L)))).as("ovT"))
+        .select(col("cand_id"), col("ref_id"),
+          col("ncT").cast("long").as(s"n${tag}_cand"),
+          col("nrT").cast("long").as(s"n${tag}_ref"),
+          col("ovT").cast("long").as(s"overlap$tag"))
+    def metrics(df: DataFrame, tag: String): DataFrame = {
+      val ov = col(s"overlap$tag").cast("double")
+      val nc = col(s"n${tag}_cand"); val nr = col(s"n${tag}_ref")
+      df.withColumn(s"rouge${tag}_p",
+          when(nc > 0, (ov / nc.cast("double")).cast("decimal(18,9)").cast("double")))
+        .withColumn(s"rouge${tag}_r",
+          when(nr > 0, (ov / nr.cast("double")).cast("decimal(18,9)").cast("double")))
+        .withColumn(s"rouge${tag}_f",
+          when(nc + nr > 0, (lit(2d) * ov / (nc + nr).cast("double"))
+            .cast("decimal(18,9)").cast("double")))
+    }
+    val u = metrics(level(1, "1"), "1")
+    val b = metrics(level(2, "2"), "2")
+    u.join(b, Seq("cand_id", "ref_id"), "left")
+      .orderBy("cand_id", "ref_id")
+  }
+
+  /** Lexical-diversity profile per group — type–token ratio, hapax share,
+    * and Yule's K (Yule 1944): the vocabulary-richness scorecard that
+    * separates template/boilerplate buckets (low TTR, K through the roof)
+    * from organic prose, at corpus-bucket grain where [[Curation
+    * .repetitionStats]] works per document. K = 10⁴·(Σ_types c² − N)/N²
+    * is length-invariant, so buckets of different sizes compare fairly.
+    *
+    * One (group, token) hash aggregate (map-side combined) then one
+    * group-grain pass: N = Σc, V = #types, V1 = #{c=1}, Σc² — all exact
+    * integers (Σc² in DECIMAL(38,0)); TTR/hapax/K are single double
+    * divisions of exact integers, quantized scale 9. */
+  def lexicalDiversity(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+        explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val g = tok.groupBy("grp").agg(
+      sum("c").as("nTok"), count(lit(1)).as("v"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+      sum((c19(col("c")) * col("c")).cast("decimal(38,0)")).as("sumSq"))
+    val nD = col("nTok").cast("double")
+    g.select(col("grp"), col("nTok").cast("long").as("n_tokens"),
+        col("v").cast("long").as("n_types"),
+        col("v1").cast("long").as("n_hapax"),
+        when(col("nTok") > 0, (col("v").cast("double") / nD)
+          .cast("decimal(18,9)").cast("double")).as("ttr"),
+        when(col("v") > 0, (col("v1").cast("double") / col("v").cast("double"))
+          .cast("decimal(18,9)").cast("double")).as("hapax_ratio"),
+        when(col("nTok") > 0,
+          (lit(1e4d) * (col("sumSq").cast("double") - nD) / (nD * nD))
+            .cast("decimal(18,9)").cast("double")).as("yule_k"))
+      .orderBy("grp")
+  }
 }

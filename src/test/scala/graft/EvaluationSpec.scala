@@ -869,4 +869,103 @@ class EvaluationSpec extends SparkSpec {
     // A vs C and B vs C: aggregate and strata all favor the non-C side
     assert(out(("A", "C"))._3 == 0 && out(("B", "C"))._3 == 0, out.toString)
   }
+
+  test("kruskalWallis: tie-free hand case H = 2.4; rank sums exact") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val out = Evaluation.kruskalWallis(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // ranks 1..4: R_A = 3, R_B = 7; H = 0.6·(9/2 + 49/2) − 15 = 2.4
+    assert(out("A").getDouble(2) == 3.0 && out("B").getDouble(2) == 7.0)
+    assert(math.abs(out("A").getDouble(4) - 2.4) < 1e-9)
+    // no ties → corrected H equals H
+    assert(out("A").getDouble(5) == out("A").getDouble(4))
+  }
+
+  test("jarqueBera: symmetric data → zero skew, platykurtic K = 1.5, JB hand value") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("k", "x")
+    val r = Evaluation.jarqueBera(df, "k", col("x")).collect()(0)
+    assert(r.getDouble(3) == 0.0, "skewness")
+    assert(math.abs(r.getDouble(4) - 1.5) < 1e-9, "kurtosis")
+    // JB = 3/6·(0 + (1.5−3)²/4) = 0.28125
+    assert(math.abs(r.getDouble(5) - 0.28125) < 1e-9, "jb")
+  }
+
+  test("bartlett: identical group distributions → T ≈ 0; k and n exact") {
+    val vals = Seq(1L, 2L, 3L, 4L)
+    val df = (for (g <- Seq("a", "b", "c"); v <- vals) yield (g, v)).toDF("g", "v")
+    val r = Evaluation.bartlett(df, "g", col("v")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 12)
+    assert(math.abs(r.getDouble(3)) < 1e-6, s"t_stat ${r.getDouble(3)}")
+  }
+
+  test("ljungBox: trending series piles Q up over lags; row per lag") {
+    val df = (1L to 40L).map(t => (t, t)).toDF("t", "x")
+    val out = Evaluation.ljungBox(df, "t", "x", maxLag = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 3)
+    val qs = out.map(_.getDouble(3))
+    assert(qs(0) > 0 && qs(1) > qs(0) && qs(2) > qs(1), qs.mkString(","))
+  }
+
+  test("contingency2x2: Haldane odds ratio hand case; CI straddles consistently") {
+    val rows = Seq.fill(10)(("e", "o")) ++ Seq.fill(5)(("e", "n")) ++
+      Seq.fill(3)(("c", "o")) ++ Seq.fill(12)(("c", "n"))
+    val df = rows.toDF("arm", "out")
+    val r = Evaluation.contingency2x2(df, col("arm") === "e", col("out") === "o").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 5L, 3L, 12L)))
+    // (10.5·12.5)/(5.5·3.5) = 6.818182 at scale 6
+    assert(math.abs(r.getDouble(4) - 6.818182) < 1e-6)
+    assert(r.getDouble(6) < r.getDouble(4) && r.getDouble(4) < r.getDouble(7))
+  }
+
+  test("wasserstein1: two point masses 10 apart → W1 = 10; symmetric") {
+    val df = Seq(("a", 0.0), ("a", 0.0), ("b", 10.0), ("b", 10.0)).toDF("s", "v")
+    val r = Evaluation.wasserstein1(df, col("v"), col("s") === "a").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 10.0)
+    val r2 = Evaluation.wasserstein1(df, col("v"), col("s") === "b").collect()(0)
+    assert(r2.getDouble(2) == 10.0, "direction-symmetric")
+  }
+
+  test("grubbs: planted outlier is the extreme; G matches the hand chain") {
+    val df = (Seq.fill(4)(10L) :+ 100L).map(("g", _)).toDF("k", "v")
+    val r = Evaluation.grubbs(df, "k", col("v")).collect()(0)
+    assert(r.getDouble(4) == 100.0, "extreme")
+    // mean 28, sd = √1620; G = 72/√1620 = 1.788854382
+    assert(math.abs(r.getDouble(5) - 72.0 / math.sqrt(1620.0)) < 1e-8)
+  }
+
+  test("effectSize: hand case d = √2, Hedges shrinks by 4/7") {
+    val df = Seq(("a", 2L), ("a", 4L), ("b", 0L), ("b", 2L)).toDF("s", "v")
+    val r = Evaluation.effectSize(df, col("v"), col("s") === "a").collect()(0)
+    assert(math.abs(r.getDouble(4) - math.sqrt(2.0)) < 1e-8, "cohen_d")
+    assert(math.abs(r.getDouble(5) - math.sqrt(2.0) * 4.0 / 7.0) < 1e-8, "hedges_g")
+  }
+
+  test("forecastAccuracy: linear trend vs naive-1 → MAE=RMSE=MASE=1, SMAPE hand sum") {
+    val df = (1L to 5L).map(t => ("g", t, t)).toDF("g", "t", "x")
+    val r = Evaluation.forecastAccuracy(df, "g", "t", "x", season = 1).collect()(0)
+    assert(r.getLong(1) == 4 && r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    val smapeHand = (2.0 / 3 + 2.0 / 5 + 2.0 / 7 + 2.0 / 9) / 4
+    assert(math.abs(r.getDouble(4) - smapeHand) < 1e-8)
+    assert(r.getDouble(5) == 1.0, "mase")
+  }
+
+  test("forecastAccuracy: perfect seasonal repetition → zero error, MASE 0") {
+    val xs = Seq(3L, 7L, 3L, 7L, 3L, 7L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }.toDF("g", "t", "x")
+    val r = Evaluation.forecastAccuracy(df, "g", "t", "x", season = 2).collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("pinballLoss: train median forecast scored on eval rows, hand value") {
+    val train = (1L to 10L).map(v => ("g", v, true))
+    val eval = Seq(("g", 5L, false), ("g", 7L, false))
+    val df = (train ++ eval).toDF("g", "v", "trn")
+    val out = Evaluation.pinballLoss(df, "g", col("v"), col("trn"), Seq(500))
+      .collect()(0)
+    assert(out.getLong(2) == 5L, "q_forecast = lower median")
+    // y=5: 0; y=7: 500·2/1000 = 1.0; mean over 2 rows = 0.5
+    assert(out.getDouble(4) == 0.5)
+  }
 }

@@ -228,4 +228,44 @@ class GraphSpec extends SparkSpec {
     val q2 = Graph.modularity(noisy, "a", "b", goodLab, "n", "c").collect()
     assert(q2.map(_.toSeq).toSeq == good.map(_.toSeq).toSeq)
   }
+
+  test("adamicAdar: shared-neighbor square scores both diagonals, skips existing edges") {
+    // 4-cycle 1-10-2-20-1: non-adjacent pairs (1,2) and (10,20) each share
+    // two degree-2 neighbors → aa = 2·quantize(1/ln 2); adjacent pairs never
+    // appear even though they share a neighbor each
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L)).toDF("a", "b")
+    val out = Graph.adamicAdar(edges, "a", "b", minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set((1L, 2L), (10L, 20L)), out.toString)
+    val w = BigDecimal(1.0 / math.log(2.0)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    assert(out((1L, 2L)) == ((2L, (w * 2).toDouble)), out.toString)
+  }
+
+  test("adamicAdar: rare neighbors outweigh hubs") {
+    // x,y share rare z (deg 2) and hub h (deg 5); u,v share only the hub
+    val rare = Seq((100L, 1L), (100L, 2L))
+    val hub = Seq((200L, 1L), (200L, 2L), (200L, 3L), (200L, 4L), (200L, 5L))
+    val out = Graph.adamicAdar((rare ++ hub).toDF("a", "b"), "a", "b", minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, 2L)) > out((3L, 4L)), out.toString)
+  }
+
+  test("harmonicCentrality: path graph from one source → 1/d terms; bounded by maxHops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.harmonicCentrality(edges, "a", "b", Seq(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) == 1.0 && out(3L) == 0.5)
+    assert(math.abs(out(4L) - 1.0 / 3) < 1e-9)
+    assert(!out.contains(5L), "4 hops away — beyond the bound")
+    assert(!out.contains(1L), "sources don't score themselves")
+  }
+
+  test("harmonicCentrality: multi-source sums per-source shortest paths") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.harmonicCentrality(edges, "a", "b", Seq(1L, 3L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // node 2: dist 1 from both sources → 2.0; endpoints see each other at 2
+    assert(out(2L) == ((2L, 2.0)))
+    assert(out(1L) == ((1L, 0.5)) && out(3L) == ((1L, 0.5)))
+  }
 }

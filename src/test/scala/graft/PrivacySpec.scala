@@ -98,4 +98,26 @@ class PrivacySpec extends SparkSpec {
     val again = Privacy.dpNoisySum(df.repartition(9), "grp", "v").collect().map(_.toSeq).toSeq
     assert(again == Privacy.dpNoisySum(df, "grp", "v").collect().map(_.toSeq).toSeq)
   }
+
+  test("tCloseness: hand TV distance with zero cells; threshold flags") {
+    // global sensitive mix 4:4; class A is 3:1, class B 1:3 → t = 0.25 each
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(3)(("B", "y"))).toDF("quasi", "s")
+    val out = Privacy.tCloseness(df, Seq("quasi"), "s", threshold = 0.2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out("A") == ((4L, 0.25, 1)) && out("B") == ((4L, 0.25, 1)), out.toString)
+    // a class missing a sensitive value entirely (zero cell) still scores:
+    // C all-x vs global — |1−p_x| contributes, y's zero cell contributes p_y
+    val df2 = df.unionAll(Seq.fill(4)(("C", "x")).toDF("quasi", "s"))
+    val t = Privacy.tCloseness(df2, Seq("quasi"), "s", 0.2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // global now 8:4 → C: ½(|1−2/3| + |0−1/3|) = 1/3
+    assert(math.abs(t("C") - 1.0 / 3) < 1e-9, t.toString)
+    // matching mix → distance 0, no flag
+    val bal = (Seq.fill(2)(("D", "x")) ++ Seq.fill(1)(("D", "y"))).toDF("quasi", "s")
+    val t2 = Privacy.tCloseness(df2.unionAll(bal).unionAll(bal), Seq("quasi"), "s", 0.2)
+    // D's 4:2 equals the new global 12:6
+    val d = t2.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d("D") == 0.0, d.toString)
+  }
 }

@@ -243,4 +243,43 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = TextAnalysis.vocabCoverage(nd, "text").collect()(0)
     assert(r2.getDouble(4) == 6.0, r2.toString)
   }
+
+  test("rougeOverlap: hand pair — unigram 2/3, bigram 1 of 2; clipping caps repeats") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x x x"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("cand", "ref")
+    val out = TextAnalysis.rougeOverlap(docs, "doc_id", "text", pairs, "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p12 = out(1L)
+    assert(p12.getLong(4) == 2, "unigram overlap a,b")
+    assert(math.abs(p12.getDouble(7) - 2.0 / 3) < 1e-8, "rouge1_f = 2·2/(3+3)")
+    assert(p12.getLong(10) == 1, "bigram overlap 'a b'")
+    assert(p12.getDouble(13) == 0.5, "rouge2_f = 2·1/(2+2)")
+    // clipped: cand "x x x" vs ref "x y" — min(3,1)=1, not 3
+    val p34 = out(3L)
+    assert(p34.getLong(4) == 1, "clipped unigram overlap")
+  }
+
+  test("rougeOverlap: reference without bigrams yields NULL rouge2, not a crash") {
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("cand", "ref")
+    val r = TextAnalysis.rougeOverlap(docs, "doc_id", "text", pairs, "cand", "ref")
+      .collect()(0)
+    assert(r.getLong(4) == 1 && !r.isNullAt(7), "rouge1 present")
+    assert(r.isNullAt(12), "rouge2_r null when ref has no bigram")
+  }
+
+  test("lexicalDiversity: exact TTR/hapax/YuleK on a hand corpus") {
+    val docs = Seq(("en", "a a b"), ("de", "x y z")).toDF("lang", "text")
+    val out = TextAnalysis.lexicalDiversity(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 3 && en.getLong(2) == 2 && en.getLong(3) == 1)
+    assert(math.abs(en.getDouble(4) - 2.0 / 3) < 1e-8, "ttr")
+    assert(en.getDouble(5) == 0.5, "hapax")
+    // K = 1e4·(Σc²−N)/N² = 1e4·(5−3)/9
+    assert(math.abs(en.getDouble(6) - 1e4 * 2 / 9) < 1e-6, "yule k")
+    // all-hapax group: K = 0
+    assert(out("de").getDouble(6) == 0.0)
+  }
 }
