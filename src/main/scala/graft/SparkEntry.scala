@@ -686,6 +686,42 @@ object SparkEntry {
     "q303_lexical_diversity" -> ((s, d) =>
       // vocabulary richness per language bucket: TTR, hapax share, Yule's K
       TextAnalysis.lexicalDiversity(Tables.documents(s, d), "lang", "text")),
+    "q304_cvm" -> ((s, d) =>
+      // the everywhere-a-little drift KS under-weights: integrated squared
+      // CDF gap between finished and open order values
+      Evaluation.cramerVonMises(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderstatus") === "F")),
+    "q305_cliffs_delta" -> ((s, d) =>
+      // the ordinal effect size next to q255's rank p-value: P(a>b)−P(a<b)
+      Evaluation.cliffsDelta(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderstatus") === "F")),
+    "q306_runs_test" -> ((s, d) =>
+      // is daily order volume a random sequence about its mean, or does
+      // it run in regimes: Wald–Wolfowitz runs z
+      Evaluation.runsTest(
+        Tables.orders(s, d)
+          .groupBy(datediff(col("o_orderdate"),
+            lit("1992-01-01").cast("date")).as("t"))
+          .agg(count(lit(1)).as("cnt")),
+        "t", "cnt")),
+    "q307_theil" -> ((s, d) =>
+      // is char-volume concentration BETWEEN sources or INSIDE them:
+      // additive Theil-T decomposition over document lengths
+      Analytics.theilDecomposition(Tables.documents(s, d), "source",
+        col("n_chars"))),
+    "q308_hhi" -> ((s, d) =>
+      // segment-mix concentration per nation: HHI + Shannon + evenness
+      Analytics.concentrationProfile(Tables.customer(s, d), "c_nationkey",
+        "c_mktsegment")),
+    "q309_power" -> ((s, d) =>
+      // how long must an experiment run per priority tier to detect a 2%
+      // relative lift on the F-rate at 5%/80%
+      Evaluation.powerAnalysis(Tables.orders(s, d), "o_orderpriority",
+        col("o_orderstatus") === "F", "o_orderdate", mdePct = 2)),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -3392,6 +3428,134 @@ object SparkEntry {
         |  CASE WHEN ntok > 0 THEN CAST(CAST(1e4 * (CAST(sumsq AS DOUBLE) - CAST(ntok AS DOUBLE))
         |    / (CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END AS yule_k
         |FROM g ORDER BY grp""".stripMargin,
+    "q304_cvm" ->
+      // distinct-value margin; cntv·(cuma·n2−cumb·n1)² HUGEINT-exact;
+      // ONE division by N²·n1·n2
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS na,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nb
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |tot AS (SELECT SUM(na) AS n1, SUM(nb) AS n2 FROM cells),
+        |st AS (SELECT v, na, nb,
+        |    SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM cells),
+        |s AS (SELECT n1, n2,
+        |    SUM(CAST(na + nb AS HUGEINT)
+        |      * (CAST(cuma AS HUGEINT) * n2 - CAST(cumb AS HUGEINT) * n1)
+        |      * (CAST(cuma AS HUGEINT) * n2 - CAST(cumb AS HUGEINT) * n1)) AS s
+        |  FROM st CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(CAST(CAST(s AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |    * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS cvm_t
+        |FROM s""".stripMargin,
+    "q305_cliffs_delta" ->
+      // #(a>b)/#(a<b) from exact integer margin products; one division
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS na,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nb
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |tot AS (SELECT SUM(na) AS n1, SUM(nb) AS n2 FROM cells),
+        |st AS (SELECT v, na, nb,
+        |    SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM cells),
+        |a AS (SELECT SUM(CAST(na AS HUGEINT) * (cumb - nb)) AS gt,
+        |    SUM(CAST(na AS HUGEINT) * (n2 - cumb)) AS lt
+        |  FROM st CROSS JOIN tot)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(gt AS BIGINT) AS n_greater, CAST(lt AS BIGINT) AS n_less,
+        |  CAST(CAST(CAST(gt - lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS cliffs_delta
+        |FROM a CROSS JOIN tot""".stripMargin,
+    "q306_runs_test" ->
+      // sign by integer cross-product x·n ≥ Σx (no mean division); runs
+      // via one lag; E[R]/Var[R] mirrored chains
+      """WITH d AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS t, COUNT(*) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM d),
+        |s AS (SELECT t, CASE WHEN CAST(x AS HUGEINT) * n >= CAST(sx AS HUGEINT) THEN 1 ELSE 0 END AS up
+        |  FROM d CROSS JOIN tot),
+        |r AS (SELECT up, CASE WHEN lag(up) OVER (ORDER BY t) IS NULL
+        |    OR lag(up) OVER (ORDER BY t) <> up THEN 1 ELSE 0 END AS chg FROM s),
+        |a AS (SELECT SUM(chg) AS runs, SUM(up) AS n1, SUM(1 - up) AS n2 FROM r),
+        |c AS (SELECT runs, n1, n2,
+        |    2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1 AS er,
+        |    2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1)) AS vr
+        |  FROM a)
+        |SELECT CAST(runs AS BIGINT) AS runs, CAST(n1 AS BIGINT) AS n_above,
+        |  CAST(n2 AS BIGINT) AS n_below,
+        |  CAST(CAST(er AS DECIMAL(18,6)) AS DOUBLE) AS expected_runs,
+        |  CASE WHEN vr > 0 THEN CAST(CAST((CAST(runs AS DOUBLE) - er) / sqrt(vr)
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS z
+        |FROM c""".stripMargin,
+    "q307_theil" ->
+      // margin terms quantize their single ln DECIMAL(28,12) pre-sum;
+      // between over the k-row group table; total = tb + Σ share·tw
+      """WITH m AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE n_chars >= 0 GROUP BY 1, 2),
+        |g AS (SELECT grp, SUM(cnt) AS ng, SUM(CAST(v AS HUGEINT) * cnt) AS xg FROM m
+        |  GROUP BY 1 HAVING SUM(CAST(v AS HUGEINT) * cnt) > 0),
+        |tot AS (SELECT SUM(ng) AS n, SUM(xg) AS x FROM g),
+        |w AS (SELECT m.grp, SUM(CAST(CAST(cnt AS DOUBLE) * CAST(v AS DOUBLE) / CAST(xg AS DOUBLE)
+        |      * ln(CAST(v AS DOUBLE) * CAST(ng AS DOUBLE) / CAST(xg AS DOUBLE)) AS DECIMAL(28,12))) AS tw
+        |  FROM m JOIN g USING (grp) WHERE v > 0 GROUP BY 1),
+        |b AS (SELECT SUM(CAST((CAST(xg AS DOUBLE) / CAST(x AS DOUBLE))
+        |      * ln(CAST(xg AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(x AS DOUBLE) * CAST(ng AS DOUBLE)))
+        |      AS DECIMAL(28,12))) AS tb FROM g CROSS JOIN tot),
+        |wt AS (SELECT g.grp, g.ng, g.xg, w.tw, tot.n, tot.x, b.tb
+        |  FROM g LEFT JOIN w USING (grp) CROSS JOIN tot CROSS JOIN b),
+        |tt AS (SELECT CAST(MAX(tb) AS DOUBLE)
+        |    + CAST(SUM(CAST((CAST(xg AS DOUBLE) / CAST(x AS DOUBLE))
+        |        * COALESCE(CAST(tw AS DOUBLE), 0) AS DECIMAL(28,12))) AS DOUBLE) AS tt FROM wt)
+        |SELECT grp, CAST(ng AS BIGINT) AS n,
+        |  CAST(CAST(xg AS DECIMAL(19,0)) AS DOUBLE) AS total,
+        |  CAST(CAST(CAST(xg AS DOUBLE) / CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS share,
+        |  CAST(CAST(COALESCE(CAST(tw AS DOUBLE), 0) AS DECIMAL(18,9)) AS DOUBLE) AS theil_within,
+        |  CAST(CAST(CAST(tb AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS theil_between,
+        |  CAST(CAST(tt AS DECIMAL(18,9)) AS DOUBLE) AS theil_total
+        |FROM wt CROSS JOIN tt ORDER BY grp""".stripMargin,
+    "q308_hhi" ->
+      // HHI = Σn²/n² exact; Shannon terms −s·ln s DECIMAL(28,12) pre-sum
+      """WITH cells AS (SELECT c_nationkey AS grp, c_mktsegment AS cat, COUNT(*) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |g AS (SELECT grp, COUNT(*) AS k, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * c) AS sumsq
+        |  FROM cells GROUP BY 1),
+        |sh AS (SELECT cells.grp, SUM(CAST(CAST(c AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |      * ln(CAST(c AS DOUBLE) / CAST(g.n AS DOUBLE)) * -1 AS DECIMAL(28,12))) AS h
+        |  FROM cells JOIN g USING (grp) GROUP BY 1)
+        |SELECT grp, CAST(k AS BIGINT) AS n_categories, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS hhi,
+        |  CAST(CAST(CAST(h AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS shannon_h,
+        |  CASE WHEN k >= 2 THEN CAST(CAST(CAST(h AS DOUBLE) / ln(CAST(k AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS evenness
+        |FROM g JOIN sh USING (grp) ORDER BY grp""".stripMargin,
+    "q309_power" ->
+      // baseline rate one exact division; z literals embedded; ceil'd
+      // per-arm n and calendar days mirrored
+      """WITH g AS (SELECT o_orderpriority AS segment, COUNT(*) AS n,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s,
+        |    COUNT(DISTINCT o_orderdate) AS days
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT segment, n, s, days,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p0,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * (1 + CAST(2 AS DOUBLE) / 100) AS p1
+        |  FROM g),
+        |f AS (SELECT segment, n, s, days, p0, p1, (p0 + p1) / 2 AS pbar FROM c),
+        |z AS (SELECT segment, n, s, days, p0, p1,
+        |    1.959964 * sqrt(2 * pbar * (1 - pbar)) + 0.841621 * sqrt(p0 * (1 - p0) + p1 * (1 - p1)) AS num
+        |  FROM f),
+        |o AS (SELECT segment, n, s, days, p0, p1,
+        |    num * num / ((p1 - p0) * (p1 - p0)) AS narm,
+        |    (s > 0 AND s < n AND p1 < 1) AS ok FROM z)
+        |SELECT segment, CAST(n AS BIGINT) AS n_observed,
+        |  CAST(CAST(p0 AS DECIMAL(18,9)) AS DOUBLE) AS baseline_rate,
+        |  CASE WHEN ok THEN CAST(ceil(narm) AS BIGINT) END AS n_per_arm,
+        |  CASE WHEN ok THEN CAST(ceil(narm * 2 / (CAST(n AS DOUBLE) / CAST(days AS DOUBLE))) AS BIGINT) END AS days_at_current_rate
+        |FROM o ORDER BY segment""".stripMargin,
     "q286_markov_entropy" ->
       // same lag pairs; π(i)·p·log₂p terms DECIMAL(28,12) pre-sum with
       // ln2 as the engine-exact literal divisor

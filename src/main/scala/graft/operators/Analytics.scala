@@ -2532,4 +2532,105 @@ object Analytics {
         countDistinct("key").as("n_keys"))
       .orderBy("streak_len")
   }
+
+  /** Theil-T inequality index with its exact between/within-group
+    * decomposition (Theil 1967) — the inequality measure [[giniByGroup]]
+    * can't decompose: T_total = T_between + Σ share_g·T_within(g)
+    * ADDITIVELY, so "is token concentration driven by a few sources or
+    * by skew inside each source" gets a precise answer. T = 0 equal,
+    * ln(n) max-concentrated.
+    *
+    * Works on the per-group distinct-value margin (`value` must be a
+    * non-negative integer measure — cents, tokens, bytes): each margin
+    * row's cnt·(v/X_g)·ln(v/μ_g) term quantizes its single ln to
+    * DECIMAL(28,12) BEFORE the sum (the PMI recipe), with v/X_g and
+    * v/μ_g as exact-integer cross-ratios inside the double chain.
+    * Between-group terms run over the k-row group table the same way.
+    * Zero values contribute zero (lim x→0 x·ln x = 0), zero-total
+    * groups are dropped. Returns one row per group (n, total, share,
+    * theil_within) with theil_between/theil_total replicated. */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         value: Column): DataFrame = {
+    val margin = df.select(col(groupCol).as("grp"), value.cast("long").as("v"))
+      .filter(col("v") >= 0)
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // group totals + within terms
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val groups = margin.groupBy("grp")
+      .agg(sum("cnt").as("ng"), sum(c19(col("v")) * col("cnt")).as("xg"))
+      .filter(col("xg") > 0).localCheckpoint() // within join + between scan
+    val tot = groups.agg(sum("ng").as("n"), sum("xg").as("x"))
+    // within(g): Σ cnt·(v/X_g)·ln(v·n_g/X_g); ln arg = exact ratio of
+    // exact integers, quantized pre-sum
+    val within = margin.join(groups, "grp")
+      .filter(col("v") > 0)
+      .select(col("grp"),
+        (col("cnt").cast("double") * col("v").cast("double") /
+          col("xg").cast("double") *
+          log(col("v").cast("double") * col("ng").cast("double") /
+            col("xg").cast("double"))).cast("decimal(28,12)").as("term"))
+      .groupBy("grp").agg(sum("term").as("tw"))
+    // between: Σ (X_g/X)·ln((X_g/X)/(n_g/n)) over the k-row group table
+    val between = groups.crossJoin(broadcast(tot))
+      .select(((col("xg").cast("double") / col("x").cast("double")) *
+        log(col("xg").cast("double") * col("n").cast("double") /
+          (col("x").cast("double") * col("ng").cast("double"))))
+        .cast("decimal(28,12)").as("bterm"))
+      .agg(sum("bterm").as("tb"))
+    val shareD = col("xg").cast("double") / col("x").cast("double")
+    val withTotals = groups.join(within, Seq("grp"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(between))
+      .localCheckpoint() // total needs Σ share·tw over these same rows
+    val tTotal = withTotals.agg(
+      (max(col("tb")).cast("double") +
+        sum((shareD * coalesce(col("tw").cast("double"), lit(0d)))
+          .cast("decimal(28,12)")).cast("double")).as("tt"))
+    withTotals.crossJoin(broadcast(tTotal))
+      .select(col("grp"), col("ng").cast("long").as("n"),
+        col("xg").cast("decimal(19,0)").cast("double").as("total"),
+        shareD.cast("decimal(18,9)").cast("double").as("share"),
+        coalesce(col("tw").cast("double"), lit(0d))
+          .cast("decimal(18,9)").cast("double").as("theil_within"),
+        col("tb").cast("double").cast("decimal(18,9)").cast("double").as("theil_between"),
+        col("tt").cast("decimal(18,9)").cast("double").as("theil_total"))
+      .orderBy("grp")
+  }
+
+  /** Market-concentration scorecard per group: Herfindahl–Hirschman index
+    * (Σ share² — the antitrust screen: <0.15 unconcentrated, >0.25
+    * concentrated), Shannon diversity H = −Σ s·ln s, and Pielou evenness
+    * H/ln(k) — the three standard readings of "is this group dominated
+    * by a few categories", for source-mix / vendor-dependence audits.
+    *
+    * HHI is EXACT: Σ n_i² / n² is one double division of exact integers
+    * (DECIMAL(38,0) numerator). Shannon quantizes each −s·ln s term to
+    * DECIMAL(28,12) pre-sum (PMI recipe). One (group, category) hash
+    * aggregate; everything after is category-margin-sized. */
+  def concentrationProfile(df: DataFrame, groupCol: String,
+                           categoryCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("grp"),
+        col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val g = cells.groupBy("grp").agg(
+      count(lit(1)).as("k"), sum("c").as("n"),
+      sum((c19(col("c")) * col("c")).cast("decimal(38,0)")).as("sumSq"))
+    val sh = cells.join(g.select(col("grp"), col("n").as("nTot")), "grp")
+      .select(col("grp"),
+        (col("c").cast("double") / col("nTot").cast("double") *
+          log(col("c").cast("double") / col("nTot").cast("double")) * -1d)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy("grp").agg(sum("term").as("h"))
+    g.join(sh, "grp")
+      .select(col("grp"), col("k").cast("long").as("n_categories"),
+        col("n").cast("long").as("n"),
+        (col("sumSq").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .cast("decimal(18,9)").cast("double").as("hhi"),
+        col("h").cast("double").cast("decimal(18,9)").cast("double").as("shannon_h"),
+        when(col("k") >= 2, (col("h").cast("double") /
+          log(col("k").cast("double"))).cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("evenness"))
+      .orderBy("grp")
+  }
 }

@@ -2185,4 +2185,147 @@ object Evaluation {
           .cast("decimal(18,6)").cast("double").as("pinball"))
       .orderBy("grp", "pm")
   }
+
+  /** Two-sample Cramér–von Mises statistic — [[ksTest]]'s integrating
+    * sibling: KS reports the WORST single CDF gap, CvM the SUM of squared
+    * gaps over every pooled observation, so a distribution that differs
+    * a little EVERYWHERE (which KS under-weights) still scores. T =
+    * (n₁n₂/N²)·Σ_z (F_a(z) − F_b(z))², summed over pooled points with
+    * multiplicity.
+    *
+    * EXACT BY CONSTRUCTION: on the distinct-value margin,
+    * cntv·(cuma·n₂ − cumb·n₁)² is an exact integer (DECIMAL(38,0)); the
+    * whole statistic is that sum divided ONCE by N²·n₁·n₂. No float CDF
+    * is ever summed — same guarantee as [[wasserstein1]]. */
+  def cramerVonMises(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val cells = df.groupBy(value.as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+           sum(when(inA, 0L).otherwise(1L)).as("nb"))
+      .localCheckpoint() // totals + the cumulative scan
+    val totals = cells.agg(sum("na").as("n1"), sum("nb").as("n2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val stepped = cells
+      .withColumn("cuma", sum("na").over(w))
+      .withColumn("cumb", sum("nb").over(w))
+    val s = stepped.crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        (c19(col("na") + col("nb")) *
+          ((c19(col("cuma")) * col("n2")).cast("decimal(38,0)") -
+           (c19(col("cumb")) * col("n1")).cast("decimal(38,0)")) *
+          ((c19(col("cuma")) * col("n2")).cast("decimal(38,0)") -
+           (c19(col("cumb")) * col("n1")).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("term"))
+      .groupBy("n1", "n2").agg(sum("term").as("s"))
+    val nD = (col("n1") + col("n2")).cast("double")
+    s.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      (col("s").cast("double") /
+        (nD * nD * col("n1").cast("double") * col("n2").cast("double")))
+        .cast("decimal(18,9)").cast("double").as("cvm_t"))
+  }
+
+  /** Cliff's delta ordinal effect size: δ = (#(a>b) − #(a<b))/(n₁n₂) —
+    * the nonparametric magnitude that belongs next to [[mannWhitney]]'s
+    * p exactly as [[effectSize]] belongs next to the t-test: δ = ±1 is
+    * total separation, 0 is overlap; |δ| ≳ 0.147/0.33/0.474 ≈
+    * small/medium/large (Romano 2006). Robust where Cohen's d isn't
+    * (no variance, no normality).
+    *
+    * From the distinct-value margin: #(a>b) = Σ_v na(v)·cumbBefore(v),
+    * #(a<b) = Σ_v na(v)·(n₂ − cumb(v)) — exact integer products summed in
+    * DECIMAL(38,0), ONE final division. */
+  def cliffsDelta(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val cells = df.groupBy(value.as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+           sum(when(inA, 0L).otherwise(1L)).as("nb"))
+      .localCheckpoint()
+    val totals = cells.agg(sum("na").as("n1"), sum("nb").as("n2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val stepped = cells.withColumn("cumb", sum("nb").over(w))
+    val agg = stepped.crossJoin(broadcast(totals))
+      .agg(sum((c19(col("na")) * (col("cumb") - col("nb"))).cast("decimal(38,0)")).as("gt"),
+        sum((c19(col("na")) * (col("n2") - col("cumb"))).cast("decimal(38,0)")).as("lt"))
+    agg.crossJoin(totals)
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("gt").cast("long").as("n_greater"), col("lt").cast("long").as("n_less"),
+        ((col("gt") - col("lt")).cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")))
+          .cast("decimal(18,9)").cast("double").as("cliffs_delta"))
+  }
+
+  /** Wald–Wolfowitz runs test on a series' signs about its mean — the
+    * order-sensitive randomness check the moment tests can't do: too FEW
+    * runs ⇒ positive serial correlation (regimes/trends), too MANY ⇒
+    * oscillation. Complements [[Analytics.acf]]/[[ljungBox]] with a
+    * distribution-free yes/no on the SIGN pattern.
+    *
+    * Signs compare exact integer cross-products (x_t·N vs Σx — no mean
+    * division); the runs count is one lag window over the period-grain
+    * series; E[R] = 2n₁n₂/N + 1 and Var[R] are the standard chains over
+    * exact counts, z quantized scale 9. Equal-to-mean points count as
+    * above (deterministic, documented; DuckDB mirrors the >= exactly). */
+  def runsTest(series: DataFrame, tCol: String, valueCol: String): DataFrame = {
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x")).localCheckpoint()
+    val tot = base.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val signed = base.crossJoin(broadcast(tot))
+      .select(col("t"),
+        ((c19(col("x")) * col("n")).cast("decimal(38,0)") >=
+          c19(col("sx")).cast("decimal(38,0)")).cast("int").as("up"))
+    val w = Window.orderBy("t")
+    val agg = signed
+      .withColumn("chg",
+        when(lag("up", 1).over(w).isNull ||
+          lag("up", 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .agg(sum("chg").as("runs"), sum("up").as("n1"),
+        sum(lit(1L) - col("up")).as("n2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nD = n1 + n2
+    val eR = lit(2d) * n1 * n2 / nD + 1d
+    val vR = lit(2d) * n1 * n2 * (lit(2d) * n1 * n2 - nD) /
+      (nD * nD * (nD - 1d))
+    agg.select(col("runs").cast("long").as("runs"),
+      col("n1").cast("long").as("n_above"), col("n2").cast("long").as("n_below"),
+      eR.cast("decimal(18,6)").cast("double").as("expected_runs"),
+      when(vR > 0d, ((col("runs").cast("double") - eR) / sqrt(vR))
+        .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Two-proportion power analysis: the sample size per arm to detect a
+    * relative lift `mdePct`% over each segment's observed baseline rate
+    * at α = 5% (two-sided) / 80% power — the "how long must this test
+    * run" planner that turns [[abTest]] from a post-hoc readout into a
+    * design tool. n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₀q₀+p₁q₁))²/(p₁−p₀)².
+    *
+    * Baseline p₀ per segment is ONE division of exact counts; the rest is
+    * a fixed mirrored double chain with z literals (1.959964, 0.841621)
+    * — no inverse-normal is ever computed in-engine. Degenerate baselines
+    * (p₀ = 0 or 1) → NULL. `days_at_current_rate` divides n by the
+    * segment's observed daily unit volume — the actual calendar answer. */
+  def powerAnalysis(df: DataFrame, segmentCol: String, success: Column,
+                    tsCol: String, mdePct: Int): DataFrame = {
+    require(mdePct >= 1 && mdePct <= 100, "mdePct in [1,100]")
+    val g = df.groupBy(col(segmentCol).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("s"),
+        countDistinct(to_date(col(tsCol))).as("days"))
+    val p0 = col("s").cast("double") / col("n").cast("double")
+    val p1 = p0 * (lit(1d) + lit(mdePct.toDouble) / 100d)
+    val pBar = (p0 + p1) / 2d
+    val num = lit(1.959964d) * sqrt(lit(2d) * pBar * (lit(1d) - pBar)) +
+      lit(0.841621d) * sqrt(p0 * (lit(1d) - p0) + p1 * (lit(1d) - p1))
+    val nArm = num * num / ((p1 - p0) * (p1 - p0))
+    val ok = col("s") > 0 && col("s") < col("n") && p1 < 1d
+    g.select(col("segment"), col("n").cast("long").as("n_observed"),
+        p0.cast("decimal(18,9)").cast("double").as("baseline_rate"),
+        when(ok, ceil(nArm).cast("long")).as("n_per_arm"),
+        when(ok, ceil(nArm * 2d / (col("n").cast("double") / col("days").cast("double")))
+          .cast("long")).as("days_at_current_rate"))
+      .orderBy("segment")
+  }
 }

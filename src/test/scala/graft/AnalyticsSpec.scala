@@ -1223,4 +1223,38 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 1L))), out.toString)
   }
+
+  test("theilDecomposition: equal within ⇒ T_within 0 and total = between; full equality ⇒ all 0") {
+    val df = Seq(("g1", 10L), ("g1", 10L), ("g2", 30L), ("g2", 30L)).toDF("g", "v")
+    val out = Analytics.theilDecomposition(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getDouble(4) == 0.0 && out("g2").getDouble(4) == 0.0, "within")
+    val tb = 0.25 * math.log(0.25 / 0.5) + 0.75 * math.log(0.75 / 0.5)
+    assert(math.abs(out("g1").getDouble(5) - tb) < 1e-8, "between")
+    assert(out("g1").getDouble(6) == out("g1").getDouble(5), "total = between")
+    val eq = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r = Analytics.theilDecomposition(eq, "g", col("v")).collect()(0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("theilDecomposition: zero values contribute zero, not a crash") {
+    val df = Seq(("g", 0L), ("g", 10L), ("g", 10L)).toDF("g", "v")
+    val r = Analytics.theilDecomposition(df, "g", col("v")).collect()(0)
+    // within: two equal positive values + a zero: Σ (10/20)·ln(10·3/20) =
+    // ln(1.5) exactly (the zero row adds nothing)
+    assert(math.abs(r.getDouble(4) - math.log(1.5)) < 1e-8, r.toString)
+  }
+
+  test("concentrationProfile: monopoly ⇒ HHI 1 / H 0; uniform ⇒ HHI 1/k, evenness 1") {
+    val df = (Seq.fill(4)(("mono", "only")) ++
+      Seq(("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"))).toDF("g", "c")
+    val out = Analytics.concentrationProfile(df, "g", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = out("mono")
+    assert(m.getDouble(3) == 1.0 && m.getDouble(4) == 0.0 && m.isNullAt(5))
+    val u = out("uni")
+    assert(u.getDouble(3) == 0.25, "hhi")
+    assert(math.abs(u.getDouble(4) - math.log(4.0)) < 1e-9, "shannon")
+    assert(u.getDouble(5) == 1.0, "evenness")
+  }
 }

@@ -968,4 +968,55 @@ class EvaluationSpec extends SparkSpec {
     // y=5: 0; y=7: 500·2/1000 = 1.0; mean over 2 rows = 0.5
     assert(out.getDouble(4) == 0.5)
   }
+
+  test("cramerVonMises: identical samples ⇒ 0; disjoint hand case 0.375") {
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("s", "v")
+    assert(Evaluation.cramerVonMises(same, col("v"), col("s") === "a")
+      .collect()(0).getDouble(2) == 0.0)
+    val apart = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("s", "v")
+    val r = Evaluation.cramerVonMises(apart, col("v"), col("s") === "a").collect()(0)
+    // Σ cntv·(cuma·n2−cumb·n1)² = 4+16+4+0 = 24; 24/(4²·2·2) = 0.375
+    assert(r.getDouble(2) == 0.375, r.toString)
+  }
+
+  test("cliffsDelta: total separation ⇒ ±1 with exact pair counts; overlap ⇒ 0") {
+    val df = Seq(("a", 3L), ("a", 4L), ("b", 1L), ("b", 2L)).toDF("s", "v")
+    val r = Evaluation.cliffsDelta(df, col("v"), col("s") === "a").collect()(0)
+    assert(r.getLong(2) == 4 && r.getLong(3) == 0 && r.getDouble(4) == 1.0)
+    val rev = Evaluation.cliffsDelta(df, col("v"), col("s") === "b").collect()(0)
+    assert(rev.getDouble(4) == -1.0)
+    val tie = Seq(("a", 5L), ("b", 5L)).toDF("s", "v")
+    assert(Evaluation.cliffsDelta(tie, col("v"), col("s") === "a")
+      .collect()(0).getDouble(4) == 0.0)
+  }
+
+  test("runsTest: perfect alternation ⇒ max runs, positive z; blocks ⇒ few runs, negative z") {
+    val alt = (0L until 10L).map(i => (i, if (i % 2 == 0) 1L else 9L)).toDF("t", "x")
+    val r = Evaluation.runsTest(alt, "t", "x").collect()(0)
+    assert(r.getLong(0) == 10 && r.getLong(1) == 5 && r.getLong(2) == 5)
+    assert(r.getDouble(3) == 6.0, "E[R] = 2·25/10 + 1")
+    val zHand = 4.0 / math.sqrt(2000.0 / 900.0)
+    assert(math.abs(r.getDouble(4) - zHand) < 1e-8)
+    val blocks = (0L until 10L).map(i => (i, if (i < 5) 1L else 9L)).toDF("t", "x")
+    val b = Evaluation.runsTest(blocks, "t", "x").collect()(0)
+    assert(b.getLong(0) == 2 && b.getDouble(4) < 0, b.toString)
+  }
+
+  test("powerAnalysis: hand chain at 50% baseline; degenerate rates → NULL") {
+    val rows = (1 to 50).map(i => ("seg", true, java.sql.Date.valueOf("2024-01-01"))) ++
+      (1 to 50).map(i => ("seg", false, java.sql.Date.valueOf("2024-01-02"))) ++
+      (1 to 10).map(i => ("dead", false, java.sql.Date.valueOf("2024-01-01")))
+    val df = rows.toDF("segment", "won", "d")
+    val out = Evaluation.powerAnalysis(df, "segment", col("won"), "d", mdePct = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p0 = 0.5; val p1 = 0.55; val pb = 0.525
+    val num = 1.959964 * math.sqrt(2 * pb * (1 - pb)) +
+      0.841621 * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+    val nArm = math.ceil(num * num / (0.05 * 0.05)).toLong
+    val seg = out("seg")
+    assert(seg.getDouble(2) == 0.5 && seg.getLong(3) == nArm, seg.toString)
+    // 100 units over 2 observed days = 50/day; both arms ⇒ 2n/50 days
+    assert(seg.getLong(4) == math.ceil(nArm * 2 / 50.0).toLong, seg.toString)
+    assert(out("dead").isNullAt(3) && out("dead").isNullAt(4), "0% baseline → null")
+  }
 }
