@@ -478,6 +478,44 @@ object ScaleCheck {
     time("kfold_cv")(d => Analytics.kFoldCv(Tables.orders(spark, d), "o_orderkey",
       "o_orderpriority", "o_totalprice"))
     time("vocab_coverage")(d => TextAnalysis.vocabCoverage(Tables.documents(spark, d), "text"))
+    time("kruskal")(d => Evaluation.kruskalWallis(Tables.orders(spark, d),
+      "o_orderpriority", col("o_totalprice").cast("decimal(18,2)")))
+    time("wasserstein")(d => Evaluation.wasserstein1(
+      Tables.orders(spark, d).filter(col("o_orderstatus").isin("F", "O")),
+      col("o_totalprice"), col("o_orderstatus") === "F"))
+    time("cvm")(d => Evaluation.cramerVonMises(
+      Tables.orders(spark, d).filter(col("o_orderstatus").isin("F", "O")),
+      col("o_totalprice").cast("decimal(18,2)"), col("o_orderstatus") === "F"))
+    // graph ops get a GENERATED graph: table replication multiplies
+    // co-occurrence pair weights (parts are dim-kept), which turns the
+    // sparse wt≥2 signal graph into the dense weight-1 graph — a harness
+    // artifact, not an operator property. A deterministic small-world
+    // ring (each node → +1, +7, +31) scales node count with the factor.
+    def ringGraph(d: String): DataFrame = {
+      val n = if (d == src) 100000L else 100000L * factor
+      spark.range(n).select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+        .unionAll(spark.range(n).select(col("id").as("a"), ((col("id") + 7) % n).as("b")))
+        .unionAll(spark.range(n).select(col("id").as("a"), ((col("id") + 31) % n).as("b")))
+    }
+    time("adamic_adar")(d => Graph.adamicAdar(ringGraph(d), "a", "b",
+      minCommon = 1, maxDegree = 10000, topK = 50))
+    time("harmonic")(d => Graph.harmonicCentrality(ringGraph(d), "a", "b",
+      sources = Seq(1L, 2L, 3L, 4L, 5L, 6L), maxHops = 3))
+    time("theil")(d => Analytics.theilDecomposition(
+      Tables.documents(spark, d), "source", col("n_chars")))
+    time("lexical_diversity")(d => TextAnalysis.lexicalDiversity(
+      Tables.documents(spark, d), "lang", "text"))
+    time("rouge")(d => SparkEntry.queries("q302_rouge")(spark, d))
+    time("pinball")(d => Evaluation.pinballLoss(Tables.orders(spark, d),
+      "o_orderpriority", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      col("o_orderdate") < lit("1997-01-01").cast("date"), Seq(100, 500, 900)))
+    time("forecast_eval")(d => SparkEntry.queries("q297_forecast_eval")(spark, d))
+    time("jarque_bera")(d => Evaluation.jarqueBera(Tables.lineitem(spark, d),
+      "l_returnflag", col("l_quantity").cast("long")))
+    time("runs_test")(d => SparkEntry.queries("q306_runs_test")(spark, d))
+    time("pq_adc")(d => Similarity.pqTopK(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+      Seq(100L, 101L, 102L), 10))
 
     spark.stop()
   }

@@ -722,6 +722,11 @@ object SparkEntry {
       // relative lift on the F-rate at 5%/80%
       Evaluation.powerAnalysis(Tables.orders(s, d), "o_orderpriority",
         col("o_orderstatus") === "F", "o_orderdate", mdePct = 2)),
+    "q310_pq" -> ((s, d) =>
+      // the memory side of the ANN ladder: 64-dim float32 → 4 codes
+      // (64× compression), ADC top-10 from fixed-point table lookups
+      Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        Seq(100L, 101L, 102L), kNeighbors = 10)),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -1965,6 +1970,68 @@ object SparkEntry {
     * decimal(38,18)-exact sums with one double division + one float rounding.
     * Both engines share every rounding path, so the three unrolled rounds
     * land on identical float centroids and identical assignments. */
+  /** Unrolled-SQL twin of [[Similarity.pqTopK]] (m=4, k=8, 2 training
+    * rounds, queries 100–102, top-10): the q81 recipe per BLOCK — argmin
+    * assignment, exact decimal centroid means with one float rounding,
+    * COALESCE fallback for empty clusters — then codes from the final
+    * codebook and ADC with scale-8 fixed-point BIGINT table entries, so
+    * candidate distances and ranks are exact integer comparisons in both
+    * engines. */
+  private val pqOracleSql: String = {
+    def round(n: Int): String = {
+      val prev = if (n == 1) "c0" else s"c${n - 1}f"
+      s"""pa$n AS (
+        |  SELECT f.vec_id, f.blk, c.cluster,
+        |    SUM((CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE)) * (CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE))) AS d
+        |  FROM fb f JOIN $prev c ON c.blk = f.blk AND c.d = f.d GROUP BY 1, 2, 3),
+        |pw$n AS (
+        |  SELECT vec_id, blk, cluster FROM (
+        |    SELECT vec_id, blk, cluster, row_number() OVER (PARTITION BY vec_id, blk ORDER BY d, cluster) AS rk
+        |    FROM pa$n) WHERE rk = 1),
+        |pu$n AS (
+        |  SELECT w.blk, w.cluster, f.d,
+        |    CAST(CAST(SUM(CAST(round(CAST(f.x AS DOUBLE) * 1000000000) AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1e9 AS FLOAT) AS c
+        |  FROM pw$n w JOIN fb f ON f.vec_id = w.vec_id AND f.blk = w.blk GROUP BY 1, 2, 3),
+        |c${n}f AS (
+        |  SELECT p.cluster, p.blk, p.d, COALESCE(u.c, p.c) AS c
+        |  FROM $prev p LEFT JOIN pu$n u ON u.blk = p.blk AND u.cluster = p.cluster AND u.d = p.d)""".stripMargin
+    }
+    s"""WITH v AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |fb AS (
+      |  SELECT vec_id, (CAST(u.e[2] AS INTEGER) - 1) // 16 AS blk,
+      |    (CAST(u.e[2] AS INTEGER) - 1) % 16 AS d, CAST(u.e[1] AS FLOAT) AS x
+      |  FROM (SELECT vec_id, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS e FROM v) u(vec_id, e)),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, blk, d, x AS c FROM fb WHERE vec_id < 8),
+      |${round(1)},
+      |${round(2)},
+      |ea AS (
+      |  SELECT f.vec_id, f.blk, c.cluster,
+      |    SUM((CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE)) * (CAST(f.x AS DOUBLE) - CAST(c.c AS DOUBLE))) AS d
+      |  FROM fb f JOIN c2f c ON c.blk = f.blk AND c.d = f.d GROUP BY 1, 2, 3),
+      |enc AS (
+      |  SELECT vec_id, blk, cluster FROM (
+      |    SELECT vec_id, blk, cluster, row_number() OVER (PARTITION BY vec_id, blk ORDER BY d, cluster) AS rk
+      |    FROM ea) WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, blk, d, x FROM fb WHERE vec_id IN (100, 101, 102)),
+      |tab AS (
+      |  SELECT q.qid, c.blk, c.cluster,
+      |    CAST(SUM(CAST((CAST(q.x AS DOUBLE) - CAST(c.c AS DOUBLE)) * (CAST(q.x AS DOUBLE) - CAST(c.c AS DOUBLE))
+      |      AS DECIMAL(18,10))) * 10000000000 AS BIGINT) AS t10
+      |  FROM q JOIN c2f c ON c.blk = q.blk AND c.d = q.d GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT t.qid, e.vec_id, SUM(t.t10) AS dist10
+      |  FROM enc e JOIN tab t ON t.blk = e.blk AND t.cluster = e.cluster
+      |  WHERE e.vec_id <> t.qid GROUP BY 1, 2),
+      |r AS (SELECT qid, vec_id, dist10,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist10, vec_id) AS rank FROM adc)
+      |SELECT CAST(qid AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+      |  CAST(vec_id AS BIGINT) AS neighbor_id, CAST(dist10 AS DOUBLE) / 1e10 AS adc_dist
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val kmeansOracleSql: String = {
     def round(n: Int): String = {
       val prev = if (n == 1) "c0" else s"c${n - 1}f"
@@ -2008,6 +2075,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q81_kmeans" -> kmeansOracleSql,
+    "q310_pq" -> pqOracleSql,
     "q24_minhash_lsh" -> jaccardTruthSql("0.5"),
     "q26_ngram_jaccard" -> jaccardTruthSql("0.3"),
     "q28_ann_lsh" ->

@@ -920,4 +920,155 @@ object Similarity {
          lit(2d) * col("sxy").cast("double") / (lit(m) * lit(n)))
           .cast("decimal(18,9)").cast("double").as("mmd2"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011) — the MEMORY
+    * side of the ANN ladder: [[annLshTopK]]/[[annIvfTopK]] prune which
+    * vectors get exact math; PQ compresses the vectors themselves, m
+    * sub-block codes of log₂k bits replacing 4·dim bytes (64-dim float32
+    * → 4 bytes at m=4/k=8: 64×), which is what makes a 100 TB embedding
+    * corpus fit an ANN serving tier at all. Distances are approximated
+    * by ADC (asymmetric distance computation): per query, an m×k table
+    * of exact query-to-centroid sub-distances is computed ONCE, and each
+    * corpus vector costs m table lookups — no float math per candidate.
+    *
+    * Spark shape: codebooks train like [[kmeansAssign]] but ALL m blocks
+    * share each iteration's single shuffle (assignment is map-side vs the
+    * broadcast codebook; the update aggregate keys on (block, cluster,
+    * dim)); encoding is one map-side pass (no shuffle); the ADC scan is
+    * the [[bruteForceTopK]] bounded-heap recipe over CODES, so only
+    * partitions × queries × k rows ever shuffle.
+    *
+    * Exactness/portability: the q81 recipe throughout — deterministic
+    * init (sub-vectors of ids 0..k−1), exact DECIMAL(38,18) centroid
+    * sums with ONE double division + float rounding, fixed iterations.
+    * ADC table entries are quantized to scale-8 FIXED-POINT LONGS
+    * driver-side; a candidate's distance is an exact integer sum of m
+    * of them, so ranking (dist, id) and the emitted `adc_dist` are
+    * bit-identical in any engine that mirrors the table (the unrolled
+    * SQL oracle does). Requires ids 0..k−1 present and dim % m == 0. */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], kNeighbors: Int,
+             m: Int = 4, kCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = vectors(embeddings, idCol, vecCol).persist()
+    val dim = corpus.head()._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m blocks")
+    val dsub = dim / m
+
+    // init: sub-vectors of ids 0..k-1 (the kmeansAssign contract)
+    val seeds = corpus.filter(_._1 < kCentroids).collect().sortBy(_._1)
+    require(seeds.length == kCentroids, s"need ids 0..${kCentroids - 1} as seeds")
+    var codebook: Array[Array[Array[Float]]] = // [block][cluster][dsub]
+      Array.tabulate(m)(b => seeds.map(s => s._2.slice(b * dsub, (b + 1) * dsub)))
+
+    def l2(v: Array[Float], off: Int, c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = v(off + i).toDouble - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assignBlock(cb: Array[Array[Array[Float]]], v: Array[Float], b: Int): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      val blocks = cb(b)
+      while (c < blocks.length) {
+        val d = l2(v, b * dsub, blocks(c))
+        if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(codebook)
+      val updated = corpus.flatMap { case (_, v) =>
+        (0 until m).iterator.flatMap { b =>
+          val cl = assignBlock(bc.value, v, b)
+          (0 until dsub).iterator.map(d => (b, cl, d, v(b * dsub + d)))
+        }
+      }.toDF("blk", "cluster", "d", "x")
+        .groupBy("blk", "cluster", "d")
+        // nano-unit integer sums, NOT a decimal cast of the float: DuckDB's
+        // float→decimal conversion is inexact past ~9 significant digits
+        // (measured: CAST(-0.1546943634748459f AS DECIMAL(38,18)) ends
+        // …362540802048, exact is …363474845886), so the q81 recipe's
+        // decimal(38,18) sums are NOT engine-portable at PQ's sensitivity;
+        // round(x·1e9) is the same double op in both engines
+        .agg(sum(round(col("x").cast("double") * 1e9d).cast("decimal(19,0)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("blk"), col("cluster"), col("d"),
+          (col("sx").cast("double") / col("n").cast("double") / 1e9d)
+            .cast("float").as("c"))
+        .collect()
+      val next = codebook.map(_.map(_.clone()))
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
+      codebook = next // empty clusters keep their previous centroid
+      it += 1
+    }
+
+    // encode map-side: (id, m codes) — the compressed corpus
+    val bcFinal = spark.sparkContext.broadcast(codebook)
+    val codes = corpus.map { case (id, v) =>
+      (id, Array.tabulate(m)(b => assignBlock(bcFinal.value, v, b)))
+    }
+
+    // ADC tables: per query, m×k sub-distances as scale-10 fixed-point
+    // longs, quantized PER DIMENSION before the sum — each per-dim
+    // (q−c)² is the same IEEE product in any engine, so quantizing there
+    // (not after an order-dependent block sum) makes the table, every
+    // candidate distance, and the ranking bit-identical to the oracle
+    val queries = corpus.filter(r => queryIds.contains(r._1)).collect().sortBy(_._1)
+    val tables: Array[(Long, Array[Array[Long]])] = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(m)(b => Array.tabulate(kCentroids) { c =>
+        val cb = codebook(b)(c); var t = 0L; var i = 0
+        while (i < cb.length) {
+          val d = qv(b * dsub + i).toDouble - cb(i)
+          t += BigDecimal(d * d).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+            .underlying.movePointRight(10).longValueExact
+          i += 1
+        }
+        t
+      }))
+    }
+    val bt = spark.sparkContext.broadcast(tables)
+    val cands = codes.mapPartitions { it =>
+      val qs = bt.value
+      // head = current worst kept = MAX distance, ties prefer larger id out
+      val heaps = qs.map(q => (q._1, collection.mutable.PriorityQueue.empty[(Long, Long)](
+        Ordering.by[(Long, Long), (Long, Long)](x => (x._1, -x._2)))))
+      it.foreach { case (id, code) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, tab) = qs(qi)
+          if (qid != id) {
+            var dist = 0L; var b = 0
+            while (b < m) { dist += tab(b)(code(b)); b += 1 }
+            val h = heaps(qi)._2
+            if (h.size < kNeighbors) h.enqueue((dist, id))
+            else if (dist < h.head._1 || (dist == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((dist, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (d, id) => (qid, id, d) } }
+    }.toDF("query_id", "neighbor_id", "dist10")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist10"), col("neighbor_id"))
+    val out = cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        // dist10 < 2^53 ⇒ the double division by the exactly-representable
+        // 1e10 is the correctly-rounded value of the exact rational — the
+        // same double an oracle gets from CAST(exact-decimal AS DOUBLE)
+        (col("dist10").cast("double") / 1e10d).as("adc_dist"))
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    corpus.unpersist(false)
+    out
+  }
 }

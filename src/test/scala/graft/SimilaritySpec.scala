@@ -426,4 +426,33 @@ class SimilaritySpec extends SparkSpec {
     assert(m1.getDouble(2) > 0.3, m1.toString)
     assert(m1.getDouble(2) > 10 * math.abs(m0.getDouble(2)))
   }
+
+  test("pqTopK: separated clusters retrieve the query's cluster; ADC ties rank by id") {
+    val a = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    // seeds 0 (A) and 1 (B); exact duplicate members per cluster
+    val rows = Seq(0L -> a, 1L -> b, 2L -> a, 3L -> b, 4L -> a, 5L -> b,
+      100L -> a)
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, "vec_id", "embedding", Seq(100L),
+      kNeighbors = 3, m = 2, kCentroids = 2, iters = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every A-member codes to the A centroid → identical ADC distance 0,
+    // ties resolved by id: 0, 2, 4
+    assert(out.map(_._2).toSeq == Seq(0L, 2L, 4L), out.mkString(","))
+    assert(out.forall(_._3 == 0.0), "exact-duplicate cluster ⇒ ADC distance 0")
+  }
+
+  test("pqTopK: partitioning-invariant and self-excluding") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat / 11f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val one = Similarity.pqTopK(df, "vec_id", "embedding", Seq(10L, 11L), 5)
+      .collect().map(_.toSeq).toSeq
+    val re = Similarity.pqTopK(df.repartition(7), "vec_id", "embedding", Seq(10L, 11L), 5)
+      .collect().map(_.toSeq).toSeq
+    assert(one == re, "layout-independent")
+    assert(one.forall(r => r(2) != r(0)), "query never returns itself")
+  }
 }
