@@ -516,6 +516,12 @@ object ScaleCheck {
     time("pq_adc")(d => Similarity.pqTopK(
       spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
       Seq(100L, 101L, 102L), 10))
+    time("nelson_aalen")(d => SparkEntry.queries("q311_nelson_aalen")(spark, d))
+    time("anova2")(d => Evaluation.anovaTwoWay(Tables.lineitem(spark, d),
+      "l_returnflag", "l_linestatus", col("l_quantity").cast("long")))
+    time("digit_uniformity")(d => Analytics.lastDigitUniformity(
+      Tables.orders(spark, d), col("o_totalprice")))
+    time("soundex_blocks")(d => SparkEntry.queries("q314_soundex_blocks")(spark, d))
 
     spark.stop()
   }

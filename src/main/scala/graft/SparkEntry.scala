@@ -727,6 +727,34 @@ object SparkEntry {
       // (64× compression), ADC top-10 from fixed-point table lookups
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(100L, 101L, 102L), kNeighbors = 10)),
+    "q311_nelson_aalen" -> ((s, d) => {
+      // q157's cohort, additive form: cumulative hazard + Fleming-
+      // Harrington survival (the curve you DIFF between cohorts)
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(((max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("long")).as("span_sec"),
+          count(when(col("event_type") === "purchase", lit(1))).as("purchases"))
+        .select(expr("span_sec div 86400").as("t_days"),
+          (col("purchases") > 0).as("died"))
+      Evaluation.nelsonAalen(perUser, "t_days", col("died"))
+    }),
+    "q312_anova2" -> ((s, d) =>
+      // quantity vs return-flag × line-status: main effects AND the
+      // interaction one-way ANOVA can't see (Type-I sums, A then B)
+      Evaluation.anovaTwoWay(Tables.lineitem(s, d), "l_returnflag",
+        "l_linestatus", col("l_quantity").cast("long"))),
+    "q313_digit_uniformity" -> ((s, d) =>
+      // fabricated-amounts flag: are order-value CENTS uniform, or do
+      // .00/.99 endings spike (Benford's tail-end sibling)
+      Analytics.lastDigitUniformity(Tables.orders(s, d),
+        col("o_totalprice"), topK = 5)),
+    "q314_soundex_blocks" -> ((s, d) =>
+      // phonetic blocking over part names: sound-alike spellings land in
+      // one block — linkage recall where lexicographic windows miss
+      Dedup.soundexBlocks(
+        Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
+        "p_partkey", "p_name")),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -2032,6 +2060,28 @@ object SparkEntry {
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.functions.Cols.soundexCode]] blocking: the
+    * identical translate / replace-chain / substring pipeline (the run
+    * collapse is 4 halving literal replaces per digit, generated by the
+    * same loop as the Column chain). */
+  private val soundexOracleSql: String = {
+    val collapse = (1 to 6).foldLeft("coded")((acc, d) =>
+      (1 to 4).foldLeft(acc)((a, _) => s"replace($a, '$d$d', '$d')"))
+    s"""WITH base AS (SELECT p_name AS name FROM part GROUP BY p_name),
+      |fl AS (SELECT name, regexp_replace(upper(name), '[^A-Z]', '', 'g') AS letters
+      |  FROM base WHERE length(trim(name)) > 0),
+      |cd AS (SELECT name, letters,
+      |    translate(letters, 'AEIOUYHWBFPVCGJKQSXZDTLMNR', '00000000111122222222334556') AS coded
+      |  FROM fl),
+      |cl AS (SELECT name, letters, $collapse AS collapsed FROM cd),
+      |sx AS (SELECT name, concat(substring(letters, 1, 1),
+      |    rpad(substring(replace(substring(collapsed, 2, 1000), '0', ''), 1, 3), 3, '0')) AS code
+      |  FROM cl)
+      |SELECT code, COUNT(*) AS n_records, COUNT(DISTINCT name) AS n_spellings,
+      |  MIN(name) AS sample_name
+      |FROM sx GROUP BY code HAVING COUNT(*) >= 2 ORDER BY code""".stripMargin
+  }
+
   private val kmeansOracleSql: String = {
     def round(n: Int): String = {
       val prev = if (n == 1) "c0" else s"c${n - 1}f"
@@ -2076,6 +2126,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q81_kmeans" -> kmeansOracleSql,
     "q310_pq" -> pqOracleSql,
+    "q314_soundex_blocks" -> soundexOracleSql,
     "q24_minhash_lsh" -> jaccardTruthSql("0.5"),
     "q26_ngram_jaccard" -> jaccardTruthSql("0.3"),
     "q28_ann_lsh" ->
@@ -3624,6 +3675,81 @@ object SparkEntry {
         |  CASE WHEN ok THEN CAST(ceil(narm) AS BIGINT) END AS n_per_arm,
         |  CASE WHEN ok THEN CAST(ceil(narm * 2 / (CAST(n AS DOUBLE) / CAST(days AS DOUBLE))) AS BIGINT) END AS days_at_current_rate
         |FROM o ORDER BY segment""".stripMargin,
+    "q311_nelson_aalen" ->
+      // q157's margin and at-risk recipe; d/n hazard increments as
+      // nano-unit integers pre-cumsum; exp(-H) quantized 9 dp
+      """WITH pu AS (SELECT user_id,
+        |        (CAST(floor(epoch(max(ts))) AS BIGINT) -
+        |         CAST(floor(epoch(min(ts))) AS BIGINT)) // 86400 AS t,
+        |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS died
+        |      FROM events GROUP BY user_id),
+        |pt AS (SELECT t, COUNT(CASE WHEN died THEN 1 END) AS d,
+        |              COUNT(CASE WHEN NOT died THEN 1 END) AS c
+        |       FROM pu GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS nn FROM pt),
+        |cum AS (SELECT t, d, c, SUM(d) OVER (ORDER BY t) AS cum_d,
+        |               SUM(c) OVER (ORDER BY t) AS cum_c FROM pt),
+        |risk AS (SELECT t, d, nn - (cum_d + cum_c - d - c) AS n_risk
+        |         FROM cum, tot WHERE d > 0),
+        |hz AS (SELECT t, n_risk, d,
+        |         CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9) AS BIGINT) AS h
+        |       FROM risk),
+        |s AS (SELECT t, n_risk, d, SUM(h) OVER (ORDER BY t) AS ch FROM hz)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+        |  CAST(CAST(CAST(ch AS DOUBLE) / 1e9 AS DECIMAL(18,9)) AS DOUBLE) AS cum_hazard,
+        |  CAST(CAST(exp(CAST(ch AS DOUBLE) / -1e9) AS DECIMAL(18,9)) AS DOUBLE) AS survival_fh
+        |FROM s ORDER BY t""".stripMargin,
+    "q312_anova2" ->
+      // one (a,b) cell aggregate; S²/n terms DECIMAL(38,6) pre-sum per
+      // table; Type-I SS algebra and F ratios mirrored
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS HUGEINT)) AS s1,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s2
+        |  FROM lineitem GROUP BY 1, 2),
+        |grand AS (SELECT SUM(n) AS nt, SUM(s1) AS t1, SUM(s2) AS t2, COUNT(*) AS ncells,
+        |    CAST(SUM(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS qcells
+        |  FROM cells),
+        |ma AS (SELECT a, SUM(s1) AS sa, SUM(n) AS na FROM cells GROUP BY 1),
+        |qa AS (SELECT COUNT(*) AS ka,
+        |    CAST(SUM(CAST(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS qav FROM ma),
+        |mb AS (SELECT b, SUM(s1) AS sb, SUM(n) AS nb FROM cells GROUP BY 1),
+        |qb AS (SELECT COUNT(*) AS kb,
+        |    CAST(SUM(CAST(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS qbv FROM mb),
+        |j AS (SELECT nt, t1, t2, ncells, qcells, ka, qav, kb, qbv,
+        |    CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(nt AS DOUBLE) AS cf
+        |  FROM grand CROSS JOIN qa CROSS JOIN qb),
+        |ss AS (SELECT nt, ka, kb, ncells,
+        |    qav - cf AS ssa, qbv - cf AS ssb, qcells - cf AS sscells,
+        |    qcells - cf - (qav - cf) - (qbv - cf) AS ssab,
+        |    CAST(t2 AS DOUBLE) - qcells AS ssw FROM j),
+        |d AS (SELECT nt, ka, kb, ssa, ssb, ssab, ssw,
+        |    CAST(ka - 1 AS DOUBLE) AS dfa, CAST(kb - 1 AS DOUBLE) AS dfb,
+        |    CAST(ncells - ka - kb + 1 AS DOUBLE) AS dfab,
+        |    CAST(nt - ncells AS DOUBLE) AS dfw FROM ss),
+        |f AS (SELECT nt, ka, kb, ssa, ssb, ssab, ssw, dfa, dfb, dfab, ssw / dfw AS mse FROM d)
+        |SELECT CAST(nt AS BIGINT) AS n, CAST(ka AS BIGINT) AS levels_a, CAST(kb AS BIGINT) AS levels_b,
+        |  CAST(CAST(ssa AS DECIMAL(28,6)) AS DOUBLE) AS ss_a,
+        |  CAST(CAST(ssb AS DECIMAL(28,6)) AS DOUBLE) AS ss_b,
+        |  CAST(CAST(ssab AS DECIMAL(28,6)) AS DOUBLE) AS ss_interaction,
+        |  CAST(CAST(ssw AS DECIMAL(28,6)) AS DOUBLE) AS ss_within,
+        |  CASE WHEN dfa > 0 AND mse > 0 THEN CAST(CAST(ssa / dfa / mse AS DECIMAL(18,9)) AS DOUBLE) END AS f_a,
+        |  CASE WHEN dfb > 0 AND mse > 0 THEN CAST(CAST(ssb / dfb / mse AS DECIMAL(18,9)) AS DOUBLE) END AS f_b,
+        |  CASE WHEN dfab > 0 AND mse > 0 THEN CAST(CAST(ssab / dfab / mse AS DECIMAL(18,9)) AS DOUBLE) END AS f_interaction
+        |FROM f""".stripMargin,
+    "q313_digit_uniformity" ->
+      // χ² = (100·Σo² − n²)/n — exact integer numerator, one division;
+      // top-5 endings by count
+      """WITH cells AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 AS ending,
+        |    COUNT(*) AS o FROM orders GROUP BY 1),
+        |chi AS (SELECT SUM(o) AS n, COUNT(*) AS k,
+        |    CAST(CAST(100 * SUM(CAST(o AS HUGEINT) * o) - CAST(SUM(o) AS HUGEINT) * SUM(o) AS DOUBLE)
+        |      / CAST(SUM(o) AS DOUBLE) AS DECIMAL(18,6)) AS chi2
+        |  FROM cells)
+        |SELECT ending, CAST(o AS BIGINT) AS n_ending, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(CAST(o AS DOUBLE) * 100 / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS rel_freq_pct,
+        |  CAST(chi2 AS DOUBLE) AS chi2
+        |FROM cells CROSS JOIN chi
+        |ORDER BY n_ending DESC, ending LIMIT 5""".stripMargin,
     "q286_markov_entropy" ->
       // same lag pairs; π(i)·p·log₂p terms DECIMAL(28,12) pre-sum with
       // ln2 as the engine-exact literal divisor

@@ -50,4 +50,23 @@ object Cols {
   /** Deterministic 64-bit fingerprint of normalized text (md5-based so the
     * oracle can mirror it; xxhash64 would be faster but is Spark-only). */
   def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Simplified American Soundex (H/W treated as separators like vowels —
+    * the classic H/W-transparency rule is dropped; documented variant):
+    * uppercase letters only → digit classes (B F P V→1, C G J K Q S X Z→2,
+    * D T→3, L→4, M N→5, R→6, vowels/H/W/Y→0) → equal-adjacent runs
+    * collapsed (4 halving passes per digit cover runs ≤ 16) → first LETTER
+    * + first 3 non-zero digits of the rest, zero-padded. Every step is a
+    * `translate`/`regexp_replace`/`substring` chain reproducible verbatim
+    * in DuckDB ('g'-flag replaces), so phonetic blocks are oracle-exact. */
+  def soundexCode(c: Column): Column = {
+    val letters = regexp_replace(upper(c), "[^A-Z]", "")
+    val coded = translate(letters,
+      "AEIOUYHWBFPVCGJKQSXZDTLMNR", "00000000111122222222334556")
+    val collapsed = (1 to 6).foldLeft(coded) { (s, d) =>
+      (1 to 4).foldLeft(s)((t, _) => regexp_replace(t, s"$d$d", d.toString))
+    }
+    val tail = regexp_replace(substring(collapsed, 2, 1000), "0", "")
+    concat(substring(letters, 1, 1), rpad(substring(tail, 1, 3), 3, "0"))
+  }
 }

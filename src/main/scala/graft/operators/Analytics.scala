@@ -2596,6 +2596,38 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Last-two-digit uniformity audit — [[benfordAudit]]'s tail-end
+    * sibling: first digits obey Benford, but the CENTS of organic amounts
+    * should be near-UNIFORM; humans inventing numbers overuse .00/.99/.50,
+    * so a fat χ²₉₉ here is the classic fabricated-amounts flag. Reports
+    * the exact χ² against uniform plus the most over-represented endings.
+    *
+    * EXACT: with o_d the ending counts and n = Σo, χ² = (100·Σo_d² − n²)/n
+    * — the algebraic collapse keeps the numerator an exact integer
+    * (DECIMAL(38,0)) with ONE final division. One 100-row margin. */
+  def lastDigitUniformity(df: DataFrame, amount: Column,
+                          topK: Int = 5): DataFrame = {
+    val ending = pmod((amount.cast("decimal(18,2)") * 100).cast("long"), lit(100L))
+    val cells = df.select(ending.as("ending"))
+      .groupBy("ending").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // chi2 + the top-endings listing
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val chi = cells.agg(sum("o").as("n"), count(lit(1)).as("k"),
+        sum((c19(col("o")) * col("o")).cast("decimal(38,0)")).as("sumSq"))
+      .select(col("n"), col("k"),
+        ((lit(100) * col("sumSq") - (c19(col("n")) * col("n")).cast("decimal(38,0)"))
+          .cast("double") / col("n").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("chi2"))
+    cells.crossJoin(broadcast(chi))
+      .select(col("ending"), col("o").cast("long").as("n_ending"),
+        col("n").cast("long").as("n"),
+        (col("o").cast("double") * 100d / col("n").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("rel_freq_pct"),
+        col("chi2"))
+      .orderBy(col("n_ending").desc, col("ending"))
+      .limit(topK)
+  }
+
   /** Market-concentration scorecard per group: Herfindahl–Hirschman index
     * (Σ share² — the antitrust screen: <0.15 unconcentrated, >0.25
     * concentrated), Shannon diversity H = −Σ s·ln s, and Pielou evenness

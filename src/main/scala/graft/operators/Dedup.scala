@@ -976,4 +976,28 @@ object Dedup {
           new java.math.BigDecimal(n).subtract(sg).doubleValue)
     }.toDF("field", "n_pairs", "p_est", "m_est", "u_est").orderBy("field")
   }
+
+  /** Phonetic blocking by Soundex ([[Cols.soundexCode]]): names that SOUND
+    * alike land in one block regardless of spelling — the recall-side
+    * complement of [[sortedNeighborhoodPairs]]'s lexicographic blocking
+    * ("Smith"/"Smyth"/"Schmidt" share a window only if they SORT together;
+    * they always SOUND together). Standard first-stage blocking in record
+    * linkage (Fellegi–Sunter pipelines key m/u estimation on exactly such
+    * blocks). Returns block profiles (size, distinct spellings, sample);
+    * blocks with one record can't pair and are dropped.
+    *
+    * One hash aggregate on the code — the same cost shape as exact dedup;
+    * downstream pair generation inside blocks is bounded by the block-size
+    * listing this emits (audit before exploding). */
+  def soundexBlocks(df: DataFrame, idCol: String, nameCol: String,
+                    minBlock: Int = 2): DataFrame =
+    df.select(col(idCol), col(nameCol).as("name"))
+      .filter(length(trim(col("name"))) > 0)
+      .withColumn("code", Cols.soundexCode(col("name")))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("name")).as("n_spellings"),
+        min("name").as("sample_name"))
+      .filter(col("n_records") >= minBlock)
+      .orderBy("code")
 }

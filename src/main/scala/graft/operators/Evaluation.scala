@@ -477,6 +477,94 @@ object Evaluation {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative hazard + the Fleming–Harrington survival
+    * Ŝ = e^{−Ĥ} — [[kaplanMeier]]'s additive sibling: Ĥ(t) = Σ d_i/n_i is
+    * the expected events-per-at-risk-unit so far, the curve you DIFF
+    * between cohorts ("how much extra hazard did cohort B accumulate"),
+    * and the better-behaved estimator at small n_risk. Same censoring
+    * semantics and the same distributed recipe: per-duration margin, one
+    * [[globalCumSum]] for at-risk counts, each d/n hazard increment
+    * pre-quantized to nano-units so the cumulative sum is an exact
+    * integer sum at any partitioning. */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: Column): DataFrame = {
+    val perT = df
+      .select(col(durationCol).cast("long").as("t"), eventCol.as("ev"))
+      .groupBy("t")
+      .agg(count(when(col("ev"), lit(1))).as("d"),
+           count(when(!col("ev"), lit(1))).as("c"))
+    val cum = globalCumSum(perT, Seq("t"), Seq("d", "c"))
+    val tot = cum.agg((sum("d") + sum("c")).as("__n"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__n") - (col("cum_d") + col("cum_c") - col("d") - col("c")))
+      .filter(col("d") > 0)
+      .withColumn("hz",
+        round(col("d").cast("double") / col("n_risk").cast("double") * lit(1e9d))
+          .cast("long"))
+      .select("t", "n_risk", "d", "hz")
+    globalCumSum(risk, Seq("t"), Seq("hz"))
+      .select(col("t"), col("n_risk"), col("d"),
+        (col("cum_hz").cast("double") / lit(1e9d))
+          .cast("decimal(18,9)").cast("double").as("cum_hazard"),
+        exp(col("cum_hz").cast("double") / lit(-1e9d))
+          .cast("decimal(18,9)").cast("double").as("survival_fh"))
+      .orderBy("t")
+  }
+
+  /** Two-way factorial ANOVA (sequential / Type-I sums, A then B then
+    * A×B) from exact integer power sums — "does quantity move with
+    * return-flag, with line-status, or only with their COMBINATION":
+    * the interaction F is the readout one-way [[anovaF]] can't give.
+    * On unbalanced cells the decomposition is order-dependent (standard
+    * Type-I caveat, documented; swap factors to bracket).
+    *
+    * ONE hash aggregate to (a, b) cell stats (n, Σx, Σx²); every SS is
+    * the classic Σ S²/n − T²/N expansion over cell/margin tables with
+    * per-cell terms quantized DECIMAL(38,6) before their k-term sums;
+    * F ratios are one mirrored chain. `value` must be integer-typed. */
+  def anovaTwoWay(df: DataFrame, aCol: String, bCol: String,
+                  value: Column): DataFrame = {
+    val x = value.cast("decimal(19,0)")
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum((x * x).cast("decimal(38,0)")).as("s2"))
+      .localCheckpoint() // grand + margins + cell terms all reuse it
+    def qterm(s: Column, n: Column): Column =
+      (s.cast("double") * s.cast("double") / n.cast("double"))
+        .cast("decimal(38,6)")
+    val grand = cells.agg(sum("n").as("nT"), sum("s1").as("t1"),
+      sum("s2").as("t2"), count(lit(1)).as("nCells"),
+      sum(qterm(col("s1"), col("n"))).as("qCells"))
+    val qa = cells.groupBy("a").agg(sum("s1").as("sa"), sum("n").as("na"))
+      .agg(count(lit(1)).as("ka"), sum(qterm(col("sa"), col("na"))).as("qA"))
+    val qb = cells.groupBy("b").agg(sum("s1").as("sb"), sum("n").as("nb"))
+      .agg(count(lit(1)).as("kb"), sum(qterm(col("sb"), col("nb"))).as("qB"))
+    val j = grand.crossJoin(broadcast(qa)).crossJoin(broadcast(qb))
+    val cf = col("t1").cast("double") * col("t1").cast("double") /
+      col("nT").cast("double")
+    val ssA = col("qA").cast("double") - cf
+    val ssB = col("qB").cast("double") - cf
+    val ssCells = col("qCells").cast("double") - cf
+    val ssAB = ssCells - ssA - ssB
+    val ssW = col("t2").cast("double") - col("qCells").cast("double")
+    val dfA = (col("ka") - 1).cast("double")
+    val dfB = (col("kb") - 1).cast("double")
+    val dfAB = (col("nCells") - col("ka") - col("kb") + 1).cast("double")
+    val dfW = (col("nT") - col("nCells")).cast("double")
+    val mse = ssW / dfW
+    def f(ss: Column, dfx: Column): Column =
+      when(dfx > 0d && mse > 0d, (ss / dfx / mse)
+        .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double"))
+    j.select(col("nT").cast("long").as("n"),
+      col("ka").cast("long").as("levels_a"), col("kb").cast("long").as("levels_b"),
+      ssA.cast("decimal(28,6)").cast("double").as("ss_a"),
+      ssB.cast("decimal(28,6)").cast("double").as("ss_b"),
+      ssAB.cast("decimal(28,6)").cast("double").as("ss_interaction"),
+      ssW.cast("decimal(28,6)").cast("double").as("ss_within"),
+      f(ssA, dfA).as("f_a"), f(ssB, dfB).as("f_b"), f(ssAB, dfAB).as("f_interaction"))
+  }
+
   /** Per-class precision / recall / F1 with support, from ONE contingency
     * pass — the eval report for any labeling/filtering model in the
     * pipeline. After the (actual, predicted) count aggregate everything is

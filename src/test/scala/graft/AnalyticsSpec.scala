@@ -1245,6 +1245,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - math.log(1.5)) < 1e-8, r.toString)
   }
 
+  test("lastDigitUniformity: all-.00 endings max the χ²; uniform endings zero it") {
+    val fab = (1 to 10).map(i => Tuple1(BigDecimal(i * 100))).toDF("amt")
+    val r = Analytics.lastDigitUniformity(fab, col("amt"), topK = 1).collect()(0)
+    // χ² = (100·n² − n²)/n = 99n = 990; the one ending is .00
+    assert(r.getLong(0) == 0 && r.getLong(1) == 10 && r.getDouble(4) == 990.0, r.toString)
+    val u = Analytics.lastDigitUniformity(
+      (0 until 100).map(c => Tuple1(BigDecimal(700 + c, 2))).toDF("amt"),
+      col("amt"), topK = 3).collect()
+    assert(u.forall(_.getDouble(4) == 0.0), "uniform endings ⇒ χ² 0")
+  }
+
   test("concentrationProfile: monopoly ⇒ HHI 1 / H 0; uniform ⇒ HHI 1/k, evenness 1") {
     val df = (Seq.fill(4)(("mono", "only")) ++
       Seq(("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"))).toDF("g", "c")

@@ -429,4 +429,26 @@ class DedupSpec extends SparkSpec {
     // EM direction: the informative field's m rises toward the agree rate
     assert(r.getDouble(3) > 0.8 && r.getDouble(4) < 0.2)
   }
+
+  test("soundexBlocks: sound-alike spellings share a block; singletons drop") {
+    val names = Seq((1L, "Smith"), (2L, "Smyth"), (3L, "Robert"), (4L, "Rupert"),
+      (5L, "Unique"), (6L, "  ")).toDF("id", "name")
+    val out = Dedup.soundexBlocks(names, "id", "name")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // classic pairs: Smith/Smyth → S530, Robert/Rupert → R163
+    assert(out("S530") == ((2L, 2L, "Smith")), out.toString)
+    assert(out("R163") == ((2L, 2L, "Robert")), out.toString)
+    assert(out.size == 2, "singleton and blank names produce no block")
+  }
+
+  test("soundexBlocks: run collapse and zero-padding edge cases") {
+    // PFISTER: P,F both code 1 and must collapse through the first letter;
+    // LEE/LEO: all-vowel tails pad to L000
+    val names = Seq((1L, "Pfister"), (2L, "Phister"), (3L, "Lee"), (4L, "Leo"))
+      .toDF("id", "name")
+    val out = Dedup.soundexBlocks(names, "id", "name")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains("P236") && out("P236") == 2, out.toString) // both P?ster forms
+    assert(out.contains("L000") && out("L000") == 2, out.toString)
+  }
 }

@@ -1019,4 +1019,25 @@ class EvaluationSpec extends SparkSpec {
     assert(seg.getLong(4) == math.ceil(nArm * 2 / 50.0).toLong, seg.toString)
     assert(out("dead").isNullAt(3) && out("dead").isNullAt(4), "0% baseline → null")
   }
+
+  test("nelsonAalen: hand hazard increments accumulate; FH survival = exp(−H)") {
+    val df = Seq((1L, true), (1L, false), (2L, true), (2L, false)).toDF("t", "ev")
+    val out = Evaluation.nelsonAalen(df, "t", col("ev"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // t=1: 1 death / 4 at risk → H = 0.25; t=2: 1 death / 2 → H = 0.75
+    assert(out(1L).getLong(1) == 4 && out(2L).getLong(1) == 2)
+    assert(out(1L).getDouble(3) == 0.25 && out(2L).getDouble(3) == 0.75)
+    assert(math.abs(out(2L).getDouble(4) - math.exp(-0.75)) < 1e-9, "FH survival")
+  }
+
+  test("anovaTwoWay: pure-interaction design → zero main effects, interaction carries all") {
+    val rows = Seq(("a1", "b1", 0L), ("a1", "b1", 2L), ("a1", "b2", 2L), ("a1", "b2", 4L),
+      ("a2", "b1", 2L), ("a2", "b1", 4L), ("a2", "b2", 0L), ("a2", "b2", 2L))
+    val r = Evaluation.anovaTwoWay(rows.toDF("a", "b", "v"), "a", "b", col("v")).collect()(0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0, "main effects zero")
+    assert(r.getDouble(5) == 8.0, "interaction SS")
+    assert(r.getDouble(6) == 8.0, "within SS")
+    // F_ab = (8/1)/(8/4) = 4; zero-SS main effects give F = 0, not null
+    assert(r.getDouble(9) == 4.0 && r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0)
+  }
 }

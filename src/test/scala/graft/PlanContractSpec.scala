@@ -102,7 +102,21 @@ class PlanContractSpec extends SparkSpec {
           "q281_durbin_watson", "q282_tukey", "q284_eb_shrinkage",
           // markov entropy: the 1-row grand total over the |types|² cells;
           // kfold: the 1-row cross-fold summary over the k fold rows
-          "q286_markov_entropy", "q287_kfold_cv")
+          "q286_markov_entropy", "q287_kfold_cv",
+          // kruskal: 1-row tie/total frames over the k-group table;
+          // ljung_box: the 1-row series length over the lag margin;
+          // wasserstein/cvm/cliffs: 1-row cohort totals over the
+          // distinct-value margin; runs_test: the 1-row (n, Σx) moments
+          // over the day series; t_closeness: the sensitive-margin ×
+          // class grid (categorical-sized) + 1-row total; theil: 1-row
+          // corpus totals + 1-row between over the k-group table
+          "q289_kruskal", "q292_ljung_box", "q294_wasserstein",
+          "q301_t_closeness", "q304_cvm", "q305_cliffs_delta",
+          "q306_runs_test", "q307_theil",
+          // nelson_aalen: q157's 1-row cohort-size broadcast; anova2: the
+          // two 1-row margin-quadratic frames; digit_uniformity: the
+          // 1-row χ² over the 100-row ending margin
+          "q311_nelson_aalen", "q312_anova2", "q313_digit_uniformity")
         if (allowed(name)) None else Some(name)
       } else None
     }
