@@ -522,6 +522,10 @@ object ScaleCheck {
     time("digit_uniformity")(d => Analytics.lastDigitUniformity(
       Tables.orders(spark, d), col("o_totalprice")))
     time("soundex_blocks")(d => SparkEntry.queries("q314_soundex_blocks")(spark, d))
+    time("friedman")(d => SparkEntry.queries("q315_friedman")(spark, d))
+    time("mantel_haenszel")(d => SparkEntry.queries("q316_mantel_haenszel")(spark, d))
+    time("dunn")(d => Evaluation.dunnTest(Tables.orders(spark, d),
+      "o_orderpriority", col("o_totalprice").cast("decimal(18,2)")))
 
     spark.stop()
   }

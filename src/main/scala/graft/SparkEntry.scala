@@ -755,6 +755,25 @@ object SparkEntry {
       Dedup.soundexBlocks(
         Tables.part(s, d).groupBy("p_name").agg(min("p_partkey").as("p_partkey")),
         "p_partkey", "p_name")),
+    "q315_friedman" -> ((s, d) =>
+      // does any priority tier consistently out-earn the others MONTH BY
+      // MONTH (blocks remove seasonal level; q289 pools everything)
+      Evaluation.friedman(Tables.orders(s, d),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        "o_orderpriority",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(19,0)"))),
+    "q316_mantel_haenszel" -> ((s, d) =>
+      // does being in debt associate with finished orders AFTER adjusting
+      // for segment mix: the confounder-pooled odds ratio
+      Evaluation.mantelHaenszel(
+        Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", col("c_acctbal") < 0, col("o_orderstatus") === "F")),
+    "q317_dunn" -> ((s, d) =>
+      // q289 said SOMETHING differs; Dunn says WHICH priority pairs, with
+      // BH FDR over the 10 simultaneous pair tests
+      Evaluation.dunnTest(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice").cast("decimal(18,2)"))),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -3736,6 +3755,94 @@ object SparkEntry {
         |  CASE WHEN dfb > 0 AND mse > 0 THEN CAST(CAST(ssb / dfb / mse AS DECIMAL(18,9)) AS DOUBLE) END AS f_b,
         |  CASE WHEN dfab > 0 AND mse > 0 THEN CAST(CAST(ssab / dfab / mse AS DECIMAL(18,9)) AS DOUBLE) END AS f_interaction
         |FROM f""".stripMargin,
+    "q315_friedman" ->
+      // complete blocks only; doubled within-block average ranks stay
+      // integers; the ×4-cleared tie-general χ² is a ratio of exact
+      // integers — one division
+      """WITH cells AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS blk,
+        |    o_orderpriority AS trt,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+        |complete AS (SELECT blk FROM cells GROUP BY blk
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |ib AS (SELECT c.* FROM cells c JOIN complete USING (blk)),
+        |margin AS (SELECT blk, v, COUNT(*) AS cnt FROM ib GROUP BY 1, 2),
+        |r AS (SELECT blk, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY blk ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cb
+        |  FROM margin),
+        |rd AS (SELECT blk, v, 2 * cb + cnt + 1 AS dr FROM r),
+        |dc AS (SELECT ib.blk, ib.trt, rd.dr FROM ib JOIN rd ON rd.blk = ib.blk AND rd.v = ib.v),
+        |pt AS (SELECT trt, COUNT(*) AS b, SUM(CAST(dr AS HUGEINT)) AS drj FROM dc GROUP BY 1),
+        |sq AS (SELECT SUM(CAST(dr AS HUGEINT) * dr) AS sumdr2 FROM dc),
+        |tt AS (SELECT COUNT(*) AS nk, MAX(b) AS bb, SUM(CAST(drj AS HUGEINT) * drj) AS sumdrj2 FROM pt),
+        |g AS (SELECT nk, bb,
+        |    CASE WHEN CAST(sumdr2 AS DOUBLE) - CAST(bb AS DOUBLE) * CAST(nk AS DOUBLE) * (CAST(nk AS DOUBLE) + 1) * (CAST(nk AS DOUBLE) + 1) > 0
+        |      THEN CAST(CAST((CAST(nk AS DOUBLE) - 1) * (CAST(sumdrj2 AS DOUBLE)
+        |          - CAST(bb AS DOUBLE) * CAST(bb AS DOUBLE) * CAST(nk AS DOUBLE) * (CAST(nk AS DOUBLE) + 1) * (CAST(nk AS DOUBLE) + 1))
+        |        / (CAST(sumdr2 AS DOUBLE) - CAST(bb AS DOUBLE) * CAST(nk AS DOUBLE) * (CAST(nk AS DOUBLE) + 1) * (CAST(nk AS DOUBLE) + 1))
+        |        AS DECIMAL(18,9)) AS DOUBLE) END AS chi2_f
+        |  FROM tt CROSS JOIN sq)
+        |SELECT trt, CAST(b AS BIGINT) AS n_blocks, CAST(drj AS DOUBLE) / 2 AS rank_sum,
+        |  CAST(nk AS BIGINT) AS k, chi2_f
+        |FROM pt CROSS JOIN g ORDER BY trt""".stripMargin,
+    "q316_mantel_haenszel" ->
+      // per-stratum exact cells; each cross-product/N term quantized
+      // DECIMAL(28,12) pre-sum; pooled OR one division; Haldane per-stratum
+      """WITH j AS (SELECT c_mktsegment AS stratum, c_acctbal < 0 AS ex,
+        |    o_orderstatus = 'F' AS oc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT stratum,
+        |    SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS n11,
+        |    SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS n10,
+        |    SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS n01,
+        |    SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS n00
+        |  FROM j GROUP BY 1),
+        |t AS (SELECT
+        |    SUM(CAST(CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS DECIMAL(28,12))) AS r,
+        |    SUM(CAST(CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS DECIMAL(28,12))) AS s
+        |  FROM cells),
+        |p AS (SELECT CASE WHEN s > 0 THEN CAST(CAST(CAST(r AS DOUBLE) / CAST(s AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) END AS mh_or FROM t)
+        |SELECT stratum, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(CAST((CAST(n11 AS DOUBLE) + 0.5) * (CAST(n00 AS DOUBLE) + 0.5)
+        |    / ((CAST(n10 AS DOUBLE) + 0.5) * (CAST(n01 AS DOUBLE) + 0.5)) AS DECIMAL(18,6)) AS DOUBLE) AS stratum_or,
+        |  mh_or
+        |FROM cells CROSS JOIN p ORDER BY stratum""".stripMargin,
+    "q317_dunn" ->
+      // q289's doubled-rank margin; mean-rank z per pair quantized 9 dp;
+      // Chernoff p feeds the BH step-up lattice (q256's shape)
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    o_orderpriority AS grp, COUNT(*) AS cnt FROM orders GROUP BY 1, 2),
+        |margin AS (SELECT v, SUM(cnt) AS cntv FROM cells GROUP BY 1),
+        |r AS (SELECT v, cntv,
+        |    SUM(cntv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cntv AS cumb
+        |  FROM margin),
+        |rd AS (SELECT v, 2 * cumb + cntv + 1 AS dr FROM r),
+        |pg AS (SELECT grp, SUM(cnt) AS n, SUM(CAST(cnt AS HUGEINT) * rd.dr) AS dr2
+        |  FROM cells JOIN rd USING (v) GROUP BY 1),
+        |ties AS (SELECT SUM(CAST(cntv AS HUGEINT) * cntv * cntv - cntv) AS tie3,
+        |    SUM(cntv) AS ntot FROM margin),
+        |pr AS (SELECT a.grp AS ga, a.n AS na, a.dr2 AS da, b.grp AS gb, b.n AS nb, b.dr2 AS db
+        |  FROM pg a CROSS JOIN pg b WHERE a.grp < b.grp),
+        |z AS (SELECT ga, gb,
+        |    CAST(CAST((CAST(da AS DOUBLE) / (2 * CAST(na AS DOUBLE)) - CAST(db AS DOUBLE) / (2 * CAST(nb AS DOUBLE)))
+        |      / sqrt((CAST(ntot AS DOUBLE) * (CAST(ntot AS DOUBLE) + 1) / 12
+        |          - CAST(tie3 AS DOUBLE) / (12 * (CAST(ntot AS DOUBLE) - 1)))
+        |        * (1 / CAST(na AS DOUBLE) + 1 / CAST(nb AS DOUBLE)))
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS z
+        |  FROM pr CROSS JOIN ties),
+        |pz AS (SELECT ga, gb, ga || '|' || gb AS pair, z,
+        |    CAST(exp(z * z * -0.5) AS DECIMAL(18,9)) AS p FROM z),
+        |b2 AS (SELECT pair, ga, gb, z, p, COUNT(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p, pair) AS rnk FROM pz),
+        |q AS (SELECT pair, ga, gb, z, p, rnk,
+        |    least(1000000000, min((CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * m) // rnk)
+        |      OVER (ORDER BY p DESC, pair DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qn
+        |  FROM b2)
+        |SELECT ga, gb, z, CAST(p AS DOUBLE) AS p, CAST(qn AS DOUBLE) / 1e9 AS q,
+        |  CASE WHEN qn <= 50000000 THEN 1 ELSE 0 END AS rejected
+        |FROM q ORDER BY ga, gb""".stripMargin,
     "q313_digit_uniformity" ->
       // χ² = (100·Σo² − n²)/n — exact integer numerator, one division;
       // top-5 endings by count
@@ -4308,11 +4415,11 @@ object SparkEntry {
         |  FROM counts CROSS JOIN tot),
         |b AS (SELECT key, p, m, row_number() OVER (ORDER BY p, key) AS rnk FROM pv),
         |q AS (SELECT key, p, rnk,
-        |    CAST(least(1.0, min(CAST(p AS DOUBLE) * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE))
-        |      OVER (ORDER BY p DESC, key DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DECIMAL(18,9)) AS q
+        |    least(1000000000, min((CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * m) // rnk)
+        |      OVER (ORDER BY p DESC, key DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qn
         |  FROM b)
-        |SELECT key, CAST(p AS DOUBLE) AS p, CAST(rnk AS BIGINT) AS rnk, CAST(q AS DOUBLE) AS q,
-        |  CASE WHEN q <= 0.05 THEN 1 ELSE 0 END AS rejected
+        |SELECT key, CAST(p AS DOUBLE) AS p, CAST(rnk AS BIGINT) AS rnk, CAST(qn AS DOUBLE) / 1e9 AS q,
+        |  CASE WHEN qn <= 50000000 THEN 1 ELSE 0 END AS rejected
         |FROM q ORDER BY rnk""".stripMargin,
     "q257_kendall" ->
       // same keyed pair join (a.line < b.line), exact sign counts, one

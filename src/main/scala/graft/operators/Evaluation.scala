@@ -1500,18 +1500,21 @@ object Evaluation {
     val wUp = Window.orderBy(col(pCol), col(keyCol))
     val wDown = Window.orderBy(col(pCol).desc, col(keyCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the whole lattice runs in EXACT nano-unit integers: p is scale-9 by
+    // producer contract, so p·m stays integral and the only division is a
+    // FLOOR div (identical in both engines) — a double p·m/rnk re-quantized
+    // to scale 9 was observed to ulp-flip at a rounding boundary (q317)
     pvals
       .withColumn("m", count(lit(1)).over(m))
       .withColumn("rnk", row_number().over(wUp))
       .withColumn("q_raw",
-        col(pCol).cast("double") * col("m").cast("double") /
-          col("rnk").cast("double"))
-      .withColumn("q",
-        least(lit(1d), min("q_raw").over(wDown)).cast("decimal(18,9)"))
+        expr(s"(CAST(round(CAST($pCol AS DOUBLE) * 1e9) AS BIGINT) * m) div rnk"))
+      .withColumn("q_nano",
+        least(lit(1000000000L), min("q_raw").over(wDown)))
       .select(col(keyCol), col(pCol).cast("double").as("p"),
         col("rnk").cast("long").as("rnk"),
-        col("q").cast("double").as("q"),
-        (col("q") <= alpha).cast("int").as("rejected"))
+        (col("q_nano").cast("double") / 1e9d).as("q"),
+        (col("q_nano") <= math.round(alpha * 1e9)).cast("int").as("rejected"))
       .orderBy("rnk")
   }
 
@@ -2272,6 +2275,155 @@ object Evaluation {
           (col("nEval").cast("double") * 1000d))
           .cast("decimal(18,6)").cast("double").as("pinball"))
       .orderBy("grp", "pm")
+  }
+
+  /** Friedman test (rank-based repeated-measures ANOVA): k treatments
+    * ranked WITHIN each of b blocks — "does any treatment consistently
+    * rank higher across blocks", the paired complement of
+    * [[kruskalWallis]] (which pools all rows; Friedman removes
+    * between-block level differences first, e.g. seasonal volume when
+    * blocks are months).
+    *
+    * FULLY EXACT even with ties: doubled within-block average ranks are
+    * integers, and the tie-general statistic χ² = (k−1)·[Σ DR_j² −
+    * b²k(k+1)²] / (Σ dr² − b·k(k+1)²) (the ×4-cleared form) is a ratio
+    * of exact integers — ONE division. Blocks missing a treatment are
+    * dropped whole (the test needs complete blocks). Ranking windows run
+    * per block over k-row partitions. */
+  def friedman(df: DataFrame, block: Column, treatmentCol: String,
+               value: Column): DataFrame = {
+    val cells = df.groupBy(block.as("blk"), col(treatmentCol).as("trt"))
+      .agg(sum(value).as("v")).localCheckpoint() // complete-block filter + ranks
+    val k = cells.agg(countDistinct("trt").as("k"))
+    val complete = cells.groupBy("blk").agg(count(lit(1)).as("ntrt"))
+      .crossJoin(broadcast(k)).filter(col("ntrt") === col("k"))
+      .select("blk")
+    val inBlocks = cells.join(complete, "blk")
+    val margin = inBlocks.groupBy("blk", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = margin
+      .withColumn("dr", lit(2) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1)
+    val drCells = inBlocks.join(ranked.select("blk", "v", "dr"), Seq("blk", "v"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val perTrt = drCells.groupBy("trt")
+      .agg(count(lit(1)).as("b"), sum(c19(col("dr"))).as("drj"))
+      .localCheckpoint() // output rows + the Σ DR² total
+    val sq = drCells.agg(
+      sum((c19(col("dr")) * col("dr")).cast("decimal(38,0)")).as("sumDr2"),
+      count(lit(1)).as("nCells"))
+    val tots = perTrt.agg(count(lit(1)).as("kk"), max("b").as("bb"),
+      sum((c19(col("drj")) * col("drj")).cast("decimal(38,0)")).as("sumDRj2"))
+    val kD = col("kk").cast("double"); val bD = col("bb").cast("double")
+    val num = (kD - 1d) * (col("sumDRj2").cast("double") -
+      bD * bD * kD * (kD + 1d) * (kD + 1d))
+    val den = col("sumDr2").cast("double") - bD * kD * (kD + 1d) * (kD + 1d)
+    val global = tots.crossJoin(sq).select(
+      col("kk").cast("long").as("k"),
+      when(den > 0d, (num / den).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("chi2_f"))
+    perTrt.crossJoin(broadcast(global))
+      .select(col("trt"), col("b").cast("long").as("n_blocks"),
+        (col("drj").cast("double") / 2d).as("rank_sum"),
+        col("k"), col("chi2_f"))
+      .orderBy("trt")
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata — the confounder-
+    * adjusted effect [[contingency2x2]] can't give: if segment mix
+    * differs between exposed/unexposed, the crude OR mixes the exposure
+    * effect with the segment effect; MH pools the per-stratum ORs
+    * weighted by n10·n01/N (Mantel & Haenszel 1959), the standard
+    * epidemiology/experimentation adjustment next to [[ipwEffect]].
+    *
+    * One (stratum)-grain aggregate to four exact cells each; the two MH
+    * sums quantize each stratum's single cross-product/N division to
+    * DECIMAL(28,12) before summing; pooled OR is ONE division of the two
+    * sums. Per-stratum Haldane ORs ride along for the heterogeneity
+    * eyeball. */
+  def mantelHaenszel(df: DataFrame, strataCol: String, exposed: Column,
+                     outcome: Column): DataFrame = {
+    val cells = df.groupBy(col(strataCol).as("stratum")).agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).as("n11"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).as("n10"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).as("n01"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("n00"))
+      .localCheckpoint() // MH sums + the per-stratum listing
+    val nS = (col("n11") + col("n10") + col("n01") + col("n00")).cast("double")
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val terms = cells.select(
+      ((c19(col("n11")) * col("n00")).cast("decimal(38,0)").cast("double") / nS)
+        .cast("decimal(28,12)").as("rTerm"),
+      ((c19(col("n10")) * col("n01")).cast("decimal(38,0)").cast("double") / nS)
+        .cast("decimal(28,12)").as("sTerm"))
+      .agg(sum("rTerm").as("r"), sum("sTerm").as("s"))
+    val pooled = terms.select(
+      when(col("s") > 0,
+        (col("r").cast("double") / col("s").cast("double"))
+          .cast("decimal(18,6)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("mh_or"))
+    val h = (c: Column) => c.cast("double") + 0.5d
+    cells.crossJoin(broadcast(pooled))
+      .select(col("stratum"),
+        col("n11").cast("long").as("n11"), col("n10").cast("long").as("n10"),
+        col("n01").cast("long").as("n01"), col("n00").cast("long").as("n00"),
+        ((h(col("n11")) * h(col("n00"))) / (h(col("n10")) * h(col("n01"))))
+          .cast("decimal(18,6)").cast("double").as("stratum_or"),
+        col("mh_or"))
+      .orderBy("stratum")
+  }
+
+  /** Dunn's post-hoc test after [[kruskalWallis]] — WHICH groups differ
+    * in rank, with [[benjaminiHochberg]] FDR control over the k(k−1)/2
+    * simultaneous pairs (the rank-world twin of [[tukeyPairs]]): z_ij =
+    * (R̄_i − R̄_j) / √[(N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_i + 1/n_j)].
+    *
+    * Reuses the doubled-rank margin recipe (ranks never touch raw rows);
+    * mean doubled ranks divide once per group; z is one mirrored chain
+    * quantized scale 9; the p-score is the Chernoff bound exp(−z²/2)
+    * (monotone in |z|, engine-exact at scale 9 — the [[shareTestPValues]]
+    * convention) feeding the BH step-up lattice. */
+  def dunnTest(df: DataFrame, groupCol: String, value: Column,
+               alpha: Double = 0.05): DataFrame = {
+    val cells = df.groupBy(value.as("v"), col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    val margin = cells.groupBy("v").agg(sum("cnt").as("cntv"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = margin
+      .withColumn("cumBefore", sum("cntv").over(w) - col("cntv"))
+      .withColumn("dr", lit(2) * col("cumBefore") + col("cntv") + 1)
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val perGroup = cells.join(ranked.select("v", "dr"), "v")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("nRows"), sum("cnt").as("n"),
+        sum(c19(col("cnt")) * col("dr")).as("dr2"))
+      .localCheckpoint() // both pair sides
+    val ties = margin.agg(
+      sum((c19(col("cntv")) * col("cntv") * col("cntv"))
+        .cast("decimal(38,0)") - col("cntv")).as("tie3"),
+      sum("cntv").as("nTot"))
+    val a = perGroup.select(col("grp").as("ga"), col("n").as("na"), col("dr2").as("da"))
+    val b = perGroup.select(col("grp").as("gb"), col("n").as("nb"), col("dr2").as("db"))
+    val nD = col("nTot").cast("double")
+    val varBase = nD * (nD + 1d) / 12d -
+      col("tie3").cast("double") / (lit(12d) * (nD - 1d))
+    val meanA = col("da").cast("double") / (lit(2d) * col("na").cast("double"))
+    val meanB = col("db").cast("double") / (lit(2d) * col("nb").cast("double"))
+    val se = sqrt(varBase * (lit(1d) / col("na").cast("double") +
+      lit(1d) / col("nb").cast("double")))
+    val z = ((meanA - meanB) / se).cast("decimal(18,9)").cast("double")
+    val pairs = a.crossJoin(b).filter(col("ga") < col("gb"))
+      .crossJoin(broadcast(ties))
+      .select(concat(col("ga"), lit("|"), col("gb")).as("pair"),
+        col("ga"), col("gb"), z.as("z"),
+        exp(z * z * lit(-0.5d)).cast("decimal(18,9)").as("p"))
+    benjaminiHochberg(pairs, "pair", "p", alpha)
+      .join(pairs.select("pair", "ga", "gb", "z"), "pair")
+      .select(col("ga"), col("gb"), col("z"),
+        col("p").cast("double").as("p"), col("q").cast("double").as("q"),
+        col("rejected"))
+      .orderBy("ga", "gb")
   }
 
   /** Two-sample Cramér–von Mises statistic — [[ksTest]]'s integrating

@@ -1040,4 +1040,47 @@ class EvaluationSpec extends SparkSpec {
     // F_ab = (8/1)/(8/4) = 4; zero-SS main effects give F = 0, not null
     assert(r.getDouble(9) == 4.0 && r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0)
   }
+
+  test("friedman: consistent within-block order → classic χ² = 6; incomplete blocks drop") {
+    val rows = for (b <- 1 to 3; (t, v) <- Seq(("t1", 1L), ("t2", 5L), ("t3", 9L)))
+      yield (b, t, v + b * 100) // block level shifts don't matter — ranks do
+    val df = (rows ++ Seq((99, "t1", 0L), (99, "t2", 1L))) // incomplete block 99
+      .toDF("blk", "trt", "v")
+    val out = Evaluation.friedman(df, col("blk"), "trt", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("t1").getDouble(2) == 3.0 && out("t3").getDouble(2) == 9.0, "rank sums b·j")
+    assert(out("t1").getLong(1) == 3, "block 99 dropped")
+    // 12/(b·k(k+1))·ΣR² − 3b(k+1) = 42 − 36 = 6; tie-general form agrees
+    assert(out("t1").getDouble(4) == 6.0, out("t1").toString)
+  }
+
+  test("mantelHaenszel: homogeneous strata pool to the common OR") {
+    val stratum = Seq.fill(10)(("e", "o")) ++ Seq.fill(5)(("e", "n")) ++
+      Seq.fill(3)(("c", "o")) ++ Seq.fill(12)(("c", "n"))
+    val rows = stratum.map { case (a, o) => ("s1", a, o) } ++
+      stratum.map { case (a, o) => ("s2", a, o) }
+    val out = Evaluation.mantelHaenszel(rows.toDF("st", "arm", "out"),
+      "st", col("arm") === "e", col("out") === "o")
+      .collect()
+    // each stratum: r = 10·12/30 = 4, s = 5·3/30 = 0.5 → MH = 8/1 = 8
+    assert(out.forall(_.getDouble(6) == 8.0), out.mkString(","))
+    // per-stratum Haldane OR rides along
+    assert(math.abs(out(0).getDouble(5) - 6.818182) < 1e-6)
+  }
+
+  test("dunnTest: tie-free hand z per pair; BH q monotone over the pair lattice") {
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(10L, 11L, 12L).map(("B", _)) ++
+      Seq(20L, 21L, 22L).map(("C", _))).toDF("g", "v")
+    val out = Evaluation.dunnTest(df, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // mean ranks 2/5/8, varBase = 9·10/12, se = √5
+    val se = math.sqrt(5.0)
+    assert(math.abs(out(("A", "B")).getDouble(2) - (-3.0 / se)) < 1e-8)
+    assert(math.abs(out(("A", "C")).getDouble(2) - (-6.0 / se)) < 1e-8)
+    // the extreme pair has the smallest p and q; q respects the step-up order
+    val rows = out.values.toSeq
+    val pAC = out(("A", "C")).getDouble(3)
+    assert(rows.forall(_.getDouble(3) >= pAC))
+    assert(rows.forall(r => r.getDouble(4) >= r.getDouble(3)), "q >= p")
+  }
 }
