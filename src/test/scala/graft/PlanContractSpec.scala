@@ -116,7 +116,11 @@ class PlanContractSpec extends SparkSpec {
           // nelson_aalen: q157's 1-row cohort-size broadcast; anova2: the
           // two 1-row margin-quadratic frames; digit_uniformity: the
           // 1-row χ² over the 100-row ending margin
-          "q311_nelson_aalen", "q312_anova2", "q313_digit_uniformity")
+          "q311_nelson_aalen", "q312_anova2", "q313_digit_uniformity",
+          // friedman: the 1-row k frame over blocks + 1-row χ² over the
+          // k-treatment table; mantel_haenszel: the 1-row pooled OR over
+          // the strata table; dunn: the k² pair lattice + 1-row tie frame
+          "q315_friedman", "q316_mantel_haenszel", "q317_dunn")
         if (allowed(name)) None else Some(name)
       } else None
     }
