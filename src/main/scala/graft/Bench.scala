@@ -84,11 +84,26 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     def mk(dp: Int, dropQ: Boolean = false): String =
       s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfName","queries":${qline(dp, dropQ)}}"""
+    // final rungs for 300+ queries: the per-query map keeps only entries
+    // ≥ thr seconds (and every failure) — fast queries can't inform an
+    // outlier hunt at 1-dp precision anyway — with the omission made
+    // EXPLICIT: fast_thr + n_fast + their summed seconds stay in the
+    // line, so the count of covered queries is never ambiguous
+    def mkSlow(thr: Double): String = {
+      val slow = results.filter { case (_, v) => v >= thr || v < 0 }
+      val fast = results.filter { case (_, v) => v >= 0 && v < thr }
+      val m = slow.map { case (k, v) =>
+        "\"" + short(k).stripPrefix("q") + "\":" + trim(num(v, 1))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"fast_thr":${trim(num(thr, 1))},"n_fast":${fast.size},"fast_total":${num(fast.map(_._2).sum, 1)},"sf":"$sfName","queries":$m}"""
+    }
     // degradation ladder, first fit under 1900 B wins: 2 dp → 1 dp →
-    // 1 dp w/o key prefix → 0 dp w/o prefix (integer seconds still rank
-    // the slow queries; the TOTAL keeps 1 dp in every rung)
-    val line = Seq(mk(2), mk(1), mk(1, dropQ = true), mk(0, dropQ = true))
-      .find(_.length <= 1900).getOrElse(mk(0, dropQ = true))
+    // 1 dp w/o key prefix → 0 dp w/o prefix → ≥thr-second entries only at
+    // rising thresholds (integer/1-dp seconds still rank the slow
+    // queries; the TOTAL keeps 1 dp in every rung)
+    val line = (Seq(mk(2), mk(1), mk(1, dropQ = true), mk(0, dropQ = true)) ++
+        Seq(0.5, 1.0, 1.5, 2.0, 3.0).map(mkSlow))
+      .find(_.length <= 1900).getOrElse(mkSlow(5.0))
     // full-precision sidecar for LOCAL analysis (baseline tables, outlier
     // hunts): the driver only sees the stdout tail, but the builder needs
     // ms resolution once the degradation ladder reaches integer seconds
