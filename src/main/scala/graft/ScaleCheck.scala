@@ -526,6 +526,9 @@ object ScaleCheck {
     time("mantel_haenszel")(d => SparkEntry.queries("q316_mantel_haenszel")(spark, d))
     time("dunn")(d => Evaluation.dunnTest(Tables.orders(spark, d),
       "o_orderpriority", col("o_totalprice").cast("decimal(18,2)")))
+    time("cochran_q")(d => SparkEntry.queries("q318_cochran_q")(spark, d))
+    time("page_trend")(d => SparkEntry.queries("q319_page_trend")(spark, d))
+    time("partial_corr")(d => SparkEntry.queries("q320_partial_corr")(spark, d))
 
     spark.stop()
   }

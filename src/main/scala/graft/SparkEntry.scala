@@ -774,6 +774,24 @@ object SparkEntry {
       // BH FDR over the 10 simultaneous pair tests
       Evaluation.dunnTest(Tables.orders(s, d), "o_orderpriority",
         col("o_totalprice").cast("decimal(18,2)"))),
+    "q318_cochran_q" -> ((s, d) =>
+      // do the event types penetrate users equally: the binary Friedman
+      // over the user × event-type incidence matrix
+      Evaluation.cochranQ(Tables.events(s, d), "user_id", "event_type",
+        lit(true))),
+    "q319_page_trend" -> ((s, d) =>
+      // the ORDERED question q315 can't ask: do priority tiers earn
+      // monotonically in their declared order, month by month
+      Evaluation.pageTrend(Tables.orders(s, d),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        "o_orderpriority",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(19,0)"))),
+    "q320_partial_corr" -> ((s, d) =>
+      // does quantity-revenue correlation survive holding discount fixed
+      Evaluation.partialCorrelation(Tables.lineitem(s, d),
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long"))),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -3786,6 +3804,85 @@ object SparkEntry {
         |SELECT trt, CAST(b AS BIGINT) AS n_blocks, CAST(drj AS DOUBLE) / 2 AS rank_sum,
         |  CAST(nk AS BIGINT) AS k, chi2_f
         |FROM pt CROSS JOIN g ORDER BY trt""".stripMargin,
+    "q318_cochran_q" ->
+      // incidence cells once; Q is a ratio of exact integers, one division
+      """WITH x AS (SELECT user_id AS blk, event_type AS trt FROM events GROUP BY 1, 2),
+        |c AS (SELECT trt, COUNT(*) AS cj FROM x GROUP BY 1),
+        |r AS (SELECT blk, COUNT(*) AS ru FROM x GROUP BY 1),
+        |sc AS (SELECT COUNT(*) AS k, SUM(cj) AS sc, SUM(CAST(cj AS HUGEINT) * cj) AS sc2 FROM c),
+        |sr AS (SELECT COUNT(*) AS b, SUM(ru) AS sr, SUM(CAST(ru AS HUGEINT) * ru) AS sr2 FROM r),
+        |g AS (SELECT k, b,
+        |    CASE WHEN CAST(k AS DOUBLE) * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE) > 0
+        |    THEN CAST(CAST((CAST(k AS DOUBLE) - 1) * (CAST(k AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END AS q_stat
+        |  FROM sc CROSS JOIN sr)
+        |SELECT trt, CAST(cj AS BIGINT) AS n_yes, CAST(k AS BIGINT) AS k,
+        |  CAST(b AS BIGINT) AS n_blocks, q_stat
+        |FROM c CROSS JOIN g ORDER BY trt""".stripMargin,
+    "q319_page_trend" ->
+      // q315's doubled-rank machinery + sorted-order weights; 2L exact;
+      // E/Var/z one mirrored chain
+      """WITH cells AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS blk,
+        |    o_orderpriority AS trt,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+        |complete AS (SELECT blk FROM cells GROUP BY blk
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |ib AS (SELECT c.* FROM cells c JOIN complete USING (blk)),
+        |margin AS (SELECT blk, v, COUNT(*) AS cnt FROM ib GROUP BY 1, 2),
+        |r AS (SELECT blk, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY blk ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cb
+        |  FROM margin),
+        |rd AS (SELECT blk, v, 2 * cb + cnt + 1 AS dr FROM r),
+        |wt AS (SELECT trt, row_number() OVER (ORDER BY trt) AS w
+        |  FROM (SELECT DISTINCT trt FROM cells)),
+        |pt AS (SELECT ib.trt, COUNT(*) AS b, SUM(CAST(rd.dr AS HUGEINT)) AS drj
+        |  FROM ib JOIN rd ON rd.blk = ib.blk AND rd.v = ib.v GROUP BY 1),
+        |a AS (SELECT COUNT(*) AS k, MAX(pt.b) AS b,
+        |    SUM(CAST(wt.w AS HUGEINT) * pt.drj) AS twol
+        |  FROM pt JOIN wt USING (trt)),
+        |f AS (SELECT k, b, CAST(twol AS DOUBLE) / 2 AS l,
+        |    CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1) * (CAST(k AS DOUBLE) + 1) / 4 AS el,
+        |    CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1) * (CAST(k AS DOUBLE) + 1) * (CAST(k AS DOUBLE) - 1) / 144 AS vl
+        |  FROM a)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS n_blocks, l AS l_stat,
+        |  CAST(CAST(el AS DECIMAL(18,6)) AS DOUBLE) AS expected_l,
+        |  CASE WHEN vl > 0 THEN CAST(CAST((l - el) / sqrt(vl) AS DECIMAL(18,9)) AS DOUBLE) END AS z
+        |FROM f""".stripMargin,
+    "q320_partial_corr" ->
+      // 9 exact power/cross sums in one pass; Pearson legs and the
+      // partial identity mirrored, quantized 9 dp
+      """WITH g AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS HUGEINT)) AS sx,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sy,
+        |    SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sz,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS syy,
+        |    SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT) * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS szz,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxy,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxz,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS syz
+        |  FROM lineitem),
+        |rr AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(rxy AS DECIMAL(18,9)) AS DOUBLE) AS r_xy,
+        |  CAST(CAST(rxz AS DECIMAL(18,9)) AS DOUBLE) AS r_xz,
+        |  CAST(CAST(ryz AS DECIMAL(18,9)) AS DOUBLE) AS r_yz,
+        |  CASE WHEN sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) > 0
+        |    THEN CAST(CAST((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS r_xy_given_z
+        |FROM rr""".stripMargin,
     "q316_mantel_haenszel" ->
       // per-stratum exact cells; each cross-product/N term quantized
       // DECIMAL(28,12) pre-sum; pooled OR one division; Haldane per-stratum

@@ -2329,6 +2329,132 @@ object Evaluation {
       .orderBy("trt")
   }
 
+  /** Cochran's Q test (Cochran 1950) — the BINARY [[friedman]]: k
+    * yes/no treatments observed on the same b blocks ("do our event
+    * types penetrate users equally", "do k rule variants flag the same
+    * documents"), the k-treatment generalization of [[mcnemar]]. Q ~
+    * χ²_{k−1} under exchangeability.
+    *
+    * FULLY EXACT: Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / (k·ΣR_u − ΣR_u²) is a
+    * ratio of exact integers — ONE division. One (block, treatment) hash
+    * aggregate (the only row-sized shuffle); column/row totals are two
+    * re-aggregates of it; unobserved (block, treatment) cells count 0 by
+    * construction. All-0/all-k blocks cancel algebraically — no
+    * filtering needed. Degenerate denominator → NULL. */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               success: Column): DataFrame = {
+    val x = df.groupBy(col(blockCol).as("blk"), col(treatmentCol).as("trt"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("x"))
+      .filter(col("x") === 1).localCheckpoint() // col + row totals
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val cTot = x.groupBy("trt").agg(count(lit(1)).as("cj")).localCheckpoint()
+    val rTot = x.groupBy("blk").agg(count(lit(1)).as("ru"))
+    val sC = cTot.agg(count(lit(1)).as("k"),
+      sum("cj").as("sc"),
+      sum((c19(col("cj")) * col("cj")).cast("decimal(38,0)")).as("sc2"))
+    val sR = rTot.agg(count(lit(1)).as("b"),
+      sum("ru").as("sr"),
+      sum((c19(col("ru")) * col("ru")).cast("decimal(38,0)")).as("sr2"))
+    val kD = col("k").cast("double")
+    val num = (kD - 1d) * (kD * col("sc2").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double"))
+    val den = kD * col("sr").cast("double") - col("sr2").cast("double")
+    val global = sC.crossJoin(sR).select(
+      col("k").cast("long").as("k"), col("b").cast("long").as("n_blocks"),
+      when(den > 0d, (num / den).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("q_stat"))
+    cTot.crossJoin(broadcast(global))
+      .select(col("trt"), col("cj").cast("long").as("n_yes"),
+        col("k"), col("n_blocks"), col("q_stat"))
+      .orderBy("trt")
+  }
+
+  /** Page's trend test for ORDERED alternatives in blocked ranks (Page
+    * 1963) — where [[friedman]] asks "any difference", Page asks "does
+    * the DECLARED ordering hold" (priority tiers should earn
+    * monotonically; treatment doses should respond monotonically), which
+    * buys real power when the order is the hypothesis. Treatments are
+    * weighted by their sorted-order rank. L big ⇒ the order holds.
+    *
+    * Doubled within-block average ranks keep 2L = Σ w_j·DR_j an exact
+    * integer (decimal sum); E[L] = b·k(k+1)²/4 and the no-tie normal
+    * variance b·k²(k+1)²(k−1)/144 are one mirrored chain (ties make z
+    * slightly conservative — documented). Complete blocks only, like
+    * [[friedman]]. */
+  def pageTrend(df: DataFrame, block: Column, treatmentCol: String,
+                value: Column): DataFrame = {
+    val cells = df.groupBy(block.as("blk"), col(treatmentCol).as("trt"))
+      .agg(sum(value).as("v")).localCheckpoint()
+    val k = cells.agg(countDistinct("trt").as("k"))
+    val complete = cells.groupBy("blk").agg(count(lit(1)).as("ntrt"))
+      .crossJoin(broadcast(k)).filter(col("ntrt") === col("k"))
+      .select("blk")
+    val inBlocks = cells.join(complete, "blk")
+    val margin = inBlocks.groupBy("blk", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = margin
+      .withColumn("dr", lit(2) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1)
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val weights = cells.select("trt").distinct()
+      .withColumn("wt", row_number().over(Window.orderBy("trt")))
+    val perTrt = inBlocks.join(ranked.select("blk", "v", "dr"), Seq("blk", "v"))
+      .groupBy("trt").agg(count(lit(1)).as("b"), sum(c19(col("dr"))).as("drj"))
+      .join(broadcast(weights), "trt")
+    val agg = perTrt.agg(count(lit(1)).as("k"), max("b").as("b"),
+      sum((c19(col("wt")) * col("drj")).cast("decimal(38,0)")).as("twoL"))
+    val kD = col("k").cast("double"); val bD = col("b").cast("double")
+    val lStat = col("twoL").cast("double") / 2d
+    val eL = bD * kD * (kD + 1d) * (kD + 1d) / 4d
+    val vL = bD * kD * kD * (kD + 1d) * (kD + 1d) * (kD - 1d) / 144d
+    agg.select(col("k").cast("long").as("k"), col("b").cast("long").as("n_blocks"),
+      lStat.as("l_stat"),
+      eL.cast("decimal(18,6)").cast("double").as("expected_l"),
+      when(vL > 0d, ((lStat - eL) / sqrt(vL)).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** First-order partial correlation r_xy·z — "do x and y still move
+    * together once z is held fixed", the 3-variable disentangler
+    * ([[Analytics]] q77's Pearson says quantity and revenue correlate;
+    * this asks whether that survives controlling for discount). Computed
+    * from the classic identity r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)).
+    *
+    * ONE aggregate pass collects all 9 exact integer power/cross sums
+    * (inputs must be integer-typed); the three Pearson r's and the
+    * partial are one mirrored double chain, outputs quantized scale 9.
+    * Degenerate variance or |r| = 1 legs → NULL. */
+  def partialCorrelation(df: DataFrame, x: Column, y: Column,
+                         z: Column): DataFrame = {
+    val cx = x.cast("decimal(19,0)"); val cy = y.cast("decimal(19,0)")
+    val cz = z.cast("decimal(19,0)")
+    val g = df.agg(count(lit(1)).as("n"),
+      sum(cx).as("sx"), sum(cy).as("sy"), sum(cz).as("sz"),
+      sum((cx * cx).cast("decimal(38,0)")).as("sxx"),
+      sum((cy * cy).cast("decimal(38,0)")).as("syy"),
+      sum((cz * cz).cast("decimal(38,0)")).as("szz"),
+      sum((cx * cy).cast("decimal(38,0)")).as("sxy"),
+      sum((cx * cz).cast("decimal(38,0)")).as("sxz"),
+      sum((cy * cz).cast("decimal(38,0)")).as("syz"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String): Column =
+      (nD * d(sab) - d(sa) * d(sb)) /
+        sqrt((nD * d(saa) - d(sa) * d(sa)) * (nD * d(sbb) - d(sb) * d(sb)))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val denom = sqrt((lit(1d) - rxz * rxz) * (lit(1d) - ryz * ryz))
+    g.select(col("n").cast("long").as("n"),
+      rxy.cast("decimal(18,9)").cast("double").as("r_xy"),
+      rxz.cast("decimal(18,9)").cast("double").as("r_xz"),
+      ryz.cast("decimal(18,9)").cast("double").as("r_yz"),
+      when(denom > 0d, ((rxy - rxz * ryz) / denom)
+        .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("r_xy_given_z"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata — the confounder-
     * adjusted effect [[contingency2x2]] can't give: if segment mix
     * differs between exposed/unexposed, the crude OR mixes the exposure

@@ -1083,4 +1083,37 @@ class EvaluationSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) >= pAC))
     assert(rows.forall(r => r.getDouble(4) >= r.getDouble(3)), "q >= p")
   }
+
+  test("cochranQ: hand incidence matrix → Q = 3 exactly; unobserved cells count 0") {
+    val rows = Seq((1, "A"), (1, "B"), (2, "A"), (3, "A"), (3, "B"), (3, "C"))
+    val out = Evaluation.cochranQ(rows.toDF("blk", "trt"), "blk", "trt", lit(true))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 3 && out("B").getLong(1) == 2 && out("C").getLong(1) == 1)
+    // Q = (k−1)(kΣC²−(ΣC)²)/(kΣR−ΣR²) = 2·(42−36)/(18−14) = 3
+    assert(out("A").getDouble(4) == 3.0, out("A").toString)
+  }
+
+  test("pageTrend: declared order holds perfectly → L = 42, z = 6/√6") {
+    val rows = for (b <- 1 to 3; (t, v) <- Seq(("t1", 1L), ("t2", 5L), ("t3", 9L)))
+      yield (b, t, v)
+    val r = Evaluation.pageTrend(rows.toDF("blk", "trt", "v"),
+      col("blk"), "trt", col("v")).collect()(0)
+    assert(r.getDouble(2) == 42.0 && r.getDouble(3) == 36.0)
+    assert(math.abs(r.getDouble(4) - 6.0 / math.sqrt(6.0)) < 1e-8, r.toString)
+    // reversed order scores the minimum L → negative z
+    val rev = for (b <- 1 to 3; (t, v) <- Seq(("t1", 9L), ("t2", 5L), ("t3", 1L)))
+      yield (b, t, v)
+    val r2 = Evaluation.pageTrend(rev.toDF("blk", "trt", "v"),
+      col("blk"), "trt", col("v")).collect()(0)
+    assert(r2.getDouble(2) == 30.0 && r2.getDouble(4) < 0, r2.toString)
+  }
+
+  test("partialCorrelation: y = x + z with x ⊥ z → r_xy·z = 1 exactly") {
+    val rows = Seq((0L, 0L, 0L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 2L))
+    val r = Evaluation.partialCorrelation(rows.toDF("x", "z", "y"),
+      col("x"), col("y"), col("z")).collect()(0)
+    assert(r.getDouble(1) == 0.707106781, "r_xy = 1/√2 at scale 9")
+    assert(r.getDouble(2) == 0.0, "x ⊥ z")
+    assert(r.getDouble(4) == 1.0, "controlling z leaves the deterministic x-link")
+  }
 }
