@@ -529,6 +529,8 @@ object ScaleCheck {
     time("cochran_q")(d => SparkEntry.queries("q318_cochran_q")(spark, d))
     time("page_trend")(d => SparkEntry.queries("q319_page_trend")(spark, d))
     time("partial_corr")(d => SparkEntry.queries("q320_partial_corr")(spark, d))
+    time("seasonal_mk")(d => SparkEntry.queries("q321_seasonal_mk")(spark, d))
+    time("jonckheere")(d => SparkEntry.queries("q322_jonckheere")(spark, d))
 
     spark.stop()
   }

@@ -792,6 +792,20 @@ object SparkEntry {
         col("l_quantity").cast("long"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
         (col("l_discount").cast("decimal(18,2)") * 100).cast("long"))),
+    "q321_seasonal_mk" -> ((s, d) =>
+      // is yearly order volume trending once Januaries compare only with
+      // Januaries: per-month S and exact-integer variance, combined
+      Evaluation.seasonalMannKendall(
+        Tables.orders(s, d)
+          .groupBy(month(col("o_orderdate")).as("mo"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("cnt")),
+        col("mo"), "yr", "cnt")),
+    "q322_jonckheere" -> ((s, d) =>
+      // do order values shift UP across priority tiers in declared order
+      // (the unblocked ordered question next to q319)
+      Evaluation.jonckheereTerpstra(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice").cast("decimal(18,2)"))),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -3804,6 +3818,57 @@ object SparkEntry {
         |SELECT trt, CAST(b AS BIGINT) AS n_blocks, CAST(drj AS DOUBLE) / 2 AS rank_sum,
         |  CAST(nk AS BIGINT) AS k, chi2_f
         |FROM pt CROSS JOIN g ORDER BY trt""".stripMargin,
+    "q321_seasonal_mk" ->
+      // per-season S exact; 18·Var per season is an exact integer so the
+      // combined variance sums exactly; one continuity-corrected z
+      """WITH srs AS (SELECT month(o_orderdate) AS season, year(o_orderdate) AS t, COUNT(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT a.season, SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS s
+        |  FROM srs a JOIN srs b ON a.season = b.season AND a.t < b.t GROUP BY 1),
+        |ties AS (SELECT season, SUM(tc) AS n,
+        |    SUM(CAST(tc AS HUGEINT) * (tc - 1) * (2 * tc + 5)) AS tieterm
+        |  FROM (SELECT season, x, COUNT(*) AS tc FROM srs GROUP BY 1, 2) GROUP BY 1),
+        |per AS (SELECT ties.season, ties.n, s.s,
+        |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tieterm AS var18
+        |  FROM ties JOIN s USING (season)),
+        |tot AS (SELECT SUM(s) AS stot, SUM(var18) AS v18, SUM(n) AS ntot FROM per),
+        |g AS (SELECT CAST(stot AS BIGINT) AS s_total, CAST(ntot AS BIGINT) AS n_total,
+        |    CASE WHEN CAST(v18 AS DOUBLE) / 18 > 0 THEN
+        |      CAST(CAST(CASE WHEN stot > 0 THEN (CAST(stot AS DOUBLE) - 1) / sqrt(CAST(v18 AS DOUBLE) / 18)
+        |                     WHEN stot < 0 THEN (CAST(stot AS DOUBLE) + 1) / sqrt(CAST(v18 AS DOUBLE) / 18)
+        |                     ELSE 0 END AS DECIMAL(18,9)) AS DOUBLE) END AS z
+        |  FROM tot)
+        |SELECT CAST(season AS INTEGER) AS season, CAST(n AS BIGINT) AS n,
+        |  CAST(s AS BIGINT) AS s, s_total, n_total, z
+        |FROM per CROSS JOIN g ORDER BY season""".stripMargin,
+    "q322_jonckheere" ->
+      // densified group × value grid for cumBelow; 2J and 4E exact
+      // integers; no-tie normal variance (documented caveat)
+      """WITH cells AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    o_orderpriority AS grp, COUNT(*) AS cnt FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT m.v, g.grp, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT v FROM cells) m
+        |  CROSS JOIN (SELECT DISTINCT grp FROM cells) g
+        |  LEFT JOIN cells c ON c.v = m.v AND c.grp = g.grp),
+        |cum AS (SELECT v, grp, cnt,
+        |    SUM(cnt) OVER (PARTITION BY grp)
+        |      - SUM(cnt) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS above
+        |  FROM grid),
+        |pr AS (SELECT i.v, i.grp AS gi, i.cnt AS ci, j.grp AS gj, j.cnt AS cj, j.above
+        |  FROM cells i JOIN cum j ON j.v = i.v WHERE i.grp < j.grp),
+        |tj AS (SELECT SUM(CAST(ci AS HUGEINT) * (2 * above + cj)) AS twoj FROM pr),
+        |sz AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
+        |    SUM(CAST(ng AS HUGEINT) * ng) AS sn2,
+        |    SUM(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS sn23
+        |  FROM (SELECT grp, SUM(cnt) AS ng FROM cells GROUP BY 1)),
+        |f AS (SELECT k, n, CAST(twoj AS DOUBLE) / 2 AS j,
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)) / 4 AS ej,
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (2 * CAST(n AS DOUBLE) + 3) - CAST(sn23 AS DOUBLE)) / 72 AS varj
+        |  FROM tj CROSS JOIN sz)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, j AS j_stat,
+        |  CAST(CAST(ej AS DECIMAL(28,6)) AS DOUBLE) AS expected_j,
+        |  CASE WHEN varj > 0 THEN CAST(CAST((j - ej) / sqrt(varj) AS DECIMAL(18,9)) AS DOUBLE) END AS z
+        |FROM f""".stripMargin,
     "q318_cochran_q" ->
       // incidence cells once; Q is a ratio of exact integers, one division
       """WITH x AS (SELECT user_id AS blk, event_type AS trt FROM events GROUP BY 1, 2),

@@ -1557,6 +1557,102 @@ object Evaluation {
       .orderBy("grp")
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) — the
+    * [[mannKendall]] every operational series actually needs: compare
+    * Januaries with Januaries so seasonality neither fakes nor masks a
+    * trend. S sums across seasons; so does Var — and because 18·Var(S)
+    * per season is an EXACT INTEGER (n(n−1)(2n+5) − Σt(t−1)(2t+5)), the
+    * combined variance is an exact integer sum with ONE division; the
+    * continuity-corrected z is one mirrored chain. Input one row per
+    * (season, period); within-season pair joins are span-bounded. */
+  def seasonalMannKendall(series: DataFrame, seasonCol: Column, tCol: String,
+                          valueCol: String): DataFrame = {
+    val base = series.select(seasonCol.as("season"), col(tCol).as("t"),
+      col(valueCol).as("x")).localCheckpoint() // pair join + tie scan
+    val a = base.select(col("season"), col("t").as("ta"), col("x").as("xa"))
+    val b = base.select(col("season"), col("t").as("tb"), col("x").as("xb"))
+    val s = a.join(b, Seq("season")).filter(col("ta") < col("tb"))
+      .groupBy("season")
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val ties = base.groupBy("season", "x").agg(count(lit(1)).as("tc"))
+      .groupBy("season").agg(sum("tc").as("n"),
+        sum((c19(col("tc")) * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .cast("decimal(38,0)")).as("tieTerm"))
+    val per = ties.join(s, Seq("season"))
+      .withColumn("var18",
+        ((c19(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5))
+          .cast("decimal(38,0)") - col("tieTerm")).cast("decimal(38,0)"))
+      .localCheckpoint() // totals + the per-season listing
+    val tot = per.agg(sum("s").as("sTot"), sum("var18").as("v18"),
+      sum("n").as("nTot"))
+    val sd = col("sTot").cast("double")
+    val varS = col("v18").cast("double") / 18d
+    val z = when(varS > 0d,
+      (when(col("sTot") > 0, (sd - 1d) / sqrt(varS))
+        .when(col("sTot") < 0, (sd + 1d) / sqrt(varS))
+        .otherwise(lit(0d))).cast("decimal(18,9)").cast("double"))
+      .otherwise(lit(null).cast("double"))
+    val global = tot.select(col("sTot").cast("long").as("s_total"),
+      col("nTot").cast("long").as("n_total"), z.as("z"))
+    per.crossJoin(broadcast(global))
+      .select(col("season"), col("n").cast("long").as("n"),
+        col("s").cast("long").as("s"), col("s_total"), col("n_total"), col("z"))
+      .orderBy("season")
+  }
+
+  /** Jonckheere–Terpstra test for ordered alternatives across INDEPENDENT
+    * groups — [[pageTrend]]'s unblocked sibling and the ordered question
+    * [[kruskalWallis]] can't ask: "do the groups shift UP in their
+    * declared order" (groups order by their sorted names). J = Σ_{i<j}
+    * U_ij with the standard ½-credit for ties.
+    *
+    * EXACT J: on the per-group value margin, 2U_ij = Σ_v [2·cnt_i·
+    * cumBelow_j + cnt_i·cnt_j] is an integer (cumBelow from a densified
+    * group × value grid — margin×k rows, never raw pairs); 4·E[J] =
+    * N² − Σn_i² is exact. The normal variance uses the no-tie formula
+    * (N²(2N+3) − Σn²(2n+3))/72 — with heavy ties z is slightly
+    * conservative (the [[pageTrend]] caveat, documented). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         value: Column): DataFrame = {
+    val cells = df.groupBy(value.as("v"), col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint() // grid + pair scan
+    val margin = cells.select("v").distinct()
+    val groups = cells.select("grp").distinct()
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val grid = margin.crossJoin(groups)
+      .join(cells, Seq("v", "grp"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // above_j(v) = n_j − #{x_j ≤ v}: the j-group mass ABOVE each i value
+    val cum = grid.withColumn("above",
+      sum("cnt").over(Window.partitionBy("grp")) - sum("cnt").over(w))
+    val pairRows = cells.select(col("v"), col("grp").as("gi"), col("cnt").as("ci"))
+      .join(cum.select(col("v"), col("grp").as("gj"),
+        col("cnt").as("cj"), col("above")), Seq("v"))
+      .filter(col("gi") < col("gj"))
+    val twoJ = pairRows.agg(
+      sum((c19(col("ci")) * (lit(2) * col("above") + col("cj")))
+        .cast("decimal(38,0)")).as("twoJ"))
+    val sizes = cells.groupBy("grp").agg(sum("cnt").as("ng"))
+      .agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum((c19(col("ng")) * col("ng")).cast("decimal(38,0)")).as("sn2"),
+        sum((c19(col("ng")) * col("ng") * (lit(2) * col("ng") + 3))
+          .cast("decimal(38,0)")).as("sn23"))
+    val nD = col("n").cast("double")
+    val jStat = col("twoJ").cast("double") / 2d
+    val eJ = (nD * nD - col("sn2").cast("double")) / 4d
+    val varJ = (nD * nD * (lit(2d) * nD + 3d) - col("sn23").cast("double")) / 72d
+    twoJ.crossJoin(sizes).select(
+      col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+      jStat.as("j_stat"),
+      eJ.cast("decimal(28,6)").cast("double").as("expected_j"),
+      when(varJ > 0d, ((jStat - eJ) / sqrt(varJ))
+        .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Categorical association matrix: Cramér's V (symmetric, χ²-based) and
     * Theil's uncertainty coefficient U(A|B) (asymmetric, entropy-based —
     * "how much of A does knowing B explain") for every requested column

@@ -1108,6 +1108,30 @@ class EvaluationSpec extends SparkSpec {
     assert(r2.getDouble(2) == 30.0 && r2.getDouble(4) < 0, r2.toString)
   }
 
+  test("seasonalMannKendall: trend in one season, flat ties in the other — exact S and variance") {
+    val rows = Seq((1, 2020L, 1L), (1, 2021L, 2L), (1, 2022L, 3L), (1, 2023L, 4L),
+      (2, 2020L, 5L), (2, 2021L, 5L), (2, 2022L, 5L), (2, 2023L, 5L))
+    val out = Evaluation.seasonalMannKendall(rows.toDF("season", "t", "x"),
+      col("season"), "t", "x").collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(2) == 6 && out(2).getLong(2) == 0, "per-season S")
+    assert(out(1).getLong(3) == 6, "combined S")
+    // season 1: 18·Var = 4·3·13 = 156; season 2 all-tied contributes 0
+    val z = 5.0 / math.sqrt(156.0 / 18.0)
+    assert(math.abs(out(1).getDouble(5) - z) < 1e-8, out(1).toString)
+  }
+
+  test("jonckheereTerpstra: fully ordered groups hit max J; ties take half credit") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L), ("C", 5L), ("C", 6L))
+      .toDF("g", "v")
+    val r = Evaluation.jonckheereTerpstra(df, "g", col("v")).collect()(0)
+    assert(r.getDouble(2) == 12.0 && r.getDouble(3) == 6.0)
+    // Var = (36·15 − 3·4·7)/72 = 19/3
+    assert(math.abs(r.getDouble(4) - 6.0 / math.sqrt(19.0 / 3.0)) < 1e-8, r.toString)
+    val tied = Seq(("A", 1L), ("B", 1L)).toDF("g", "v")
+    val t = Evaluation.jonckheereTerpstra(tied, "g", col("v")).collect()(0)
+    assert(t.getDouble(2) == 0.5, "equal pair scores half")
+  }
+
   test("partialCorrelation: y = x + z with x ⊥ z → r_xy·z = 1 exactly") {
     val rows = Seq((0L, 0L, 0L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 2L))
     val r = Evaluation.partialCorrelation(rows.toDF("x", "z", "y"),
