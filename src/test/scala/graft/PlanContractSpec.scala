@@ -120,7 +120,11 @@ class PlanContractSpec extends SparkSpec {
           // friedman: the 1-row k frame over blocks + 1-row χ² over the
           // k-treatment table; mantel_haenszel: the 1-row pooled OR over
           // the strata table; dunn: the k² pair lattice + 1-row tie frame
-          "q315_friedman", "q316_mantel_haenszel", "q317_dunn")
+          "q315_friedman", "q316_mantel_haenszel", "q317_dunn",
+          // cochran_q/seasonal_mk: 1-row global stats over the
+          // treatment/season tables; jonckheere: the value-margin ×
+          // k-group densifying grid + two 1-row frames
+          "q318_cochran_q", "q321_seasonal_mk", "q322_jonckheere")
         if (allowed(name)) None else Some(name)
       } else None
     }
