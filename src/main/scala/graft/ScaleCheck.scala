@@ -531,6 +531,7 @@ object ScaleCheck {
     time("partial_corr")(d => SparkEntry.queries("q320_partial_corr")(spark, d))
     time("seasonal_mk")(d => SparkEntry.queries("q321_seasonal_mk")(spark, d))
     time("jonckheere")(d => SparkEntry.queries("q322_jonckheere")(spark, d))
+    time("morans_i")(d => SparkEntry.queries("q323_morans_i")(spark, d))
 
     spark.stop()
   }

@@ -806,6 +806,21 @@ object SparkEntry {
       // (the unblocked ordered question next to q319)
       Evaluation.jonckheereTerpstra(Tables.orders(s, d), "o_orderpriority",
         col("o_totalprice").cast("decimal(18,2)"))),
+    "q323_morans_i" -> ((s, d) =>
+      // is the geo metric CLUSTERED or salt-and-pepper: Moran's I over
+      // the q248 md5-derived points with a cell-smooth value + noise
+      Analytics.moransI(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+          pmod(conv(substring(md5(concat(lit("gx:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10000000L)).as("x"),
+          pmod(conv(substring(md5(concat(lit("gy:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10000000L)).as("y"))
+          .withColumn("v",
+            pmod(expr("x div 1000000") * 7 + expr("y div 1000000") * 3, lit(50))
+              + pmod(col("id"), lit(10))),
+        "id", "x", "y", "v", cellSize = 1000000L)),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -3818,6 +3833,34 @@ object SparkEntry {
         |SELECT trt, CAST(b AS BIGINT) AS n_blocks, CAST(drj AS DOUBLE) / 2 AS rank_sum,
         |  CAST(nk AS BIGINT) AS k, chi2_f
         |FROM pt CROSS JOIN g ORDER BY trt""".stripMargin,
+    "q323_morans_i" ->
+      // same md5 coordinate recipe as q248; same-cell pair products
+      // collapse to per-cell sums; I = NUM/(W·(n·SS − T²)), one division
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    CAST('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10000000 AS x,
+        |    CAST('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10000000 AS y
+        |  FROM customer),
+        |pv AS (SELECT id, x, y,
+        |    ((x // 1000000) * 7 + (y // 1000000) * 3) % 50 + id % 10 AS v FROM pts),
+        |cells AS (SELECT x // 1000000 AS cx, y // 1000000 AS cy, COUNT(*) AS nc,
+        |    SUM(CAST(v AS HUGEINT)) AS sc, SUM(CAST(v AS HUGEINT) * v) AS qc
+        |  FROM pv GROUP BY 1, 2),
+        |g AS (SELECT SUM(nc) AS n, SUM(sc) AS t, SUM(qc) AS ss, COUNT(*) AS ncells FROM cells),
+        |terms AS (SELECT
+        |    SUM((CAST(n AS HUGEINT) * sc - CAST(nc AS HUGEINT) * t) * (CAST(n AS HUGEINT) * sc - CAST(nc AS HUGEINT) * t)
+        |      - CAST(n AS HUGEINT) * n * qc
+        |      + 2 * CAST(n AS HUGEINT) * t * sc
+        |      - CAST(nc AS HUGEINT) * t * t) AS num,
+        |    SUM(CAST(nc AS HUGEINT) * (nc - 1)) AS w
+        |  FROM cells CROSS JOIN g)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ncells AS BIGINT) AS n_cells,
+        |  CAST(w AS BIGINT) AS w_pairs,
+        |  CASE WHEN w > 0 AND CAST(n AS HUGEINT) * ss - CAST(t AS HUGEINT) * t > 0
+        |    THEN CAST(CAST(CAST(num AS DOUBLE)
+        |      / (CAST(w AS DOUBLE) * CAST(CAST(n AS HUGEINT) * ss - CAST(t AS HUGEINT) * t AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS morans_i,
+        |  CAST(CAST(-1 / (CAST(n AS DOUBLE) - 1) AS DECIMAL(18,9)) AS DOUBLE) AS expected_i
+        |FROM terms CROSS JOIN g""".stripMargin,
     "q321_seasonal_mk" ->
       // per-season S exact; 18·Var per season is an exact integer so the
       // combined variance sums exactly; one continuity-corrected z

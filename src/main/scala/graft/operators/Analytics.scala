@@ -2596,6 +2596,58 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Global Moran's I spatial autocorrelation with block-contiguity
+    * weights (w_ij = 1 inside a grid cell) — "is this metric CLUSTERED in
+    * space or salt-and-pepper", the first spatial statistic any
+    * geo-bucketed metric needs (I > E[I] = −1/(n−1) ⇒ clustered, < ⇒
+    * dispersed). Block contiguity is the standard scalable weight choice
+    * (the [[RangeJoin.gridProximityJoin]] family's statistic).
+    *
+    * NO PAIR EXPLOSION AND EXACT BY CONSTRUCTION: same-cell pair products
+    * collapse to per-cell sums — Σ_{i≠j∈c}(x_i−μ)(x_j−μ) scaled by n²
+    * equals (n·s_c − n_c·T)² − n²·q_c + 2·n·T·s_c − n_c·T², all exact
+    * integers from one (cell)-grain aggregate — and the n² scaling
+    * cancels against the denominator, leaving I = NUM/(W·(n·SS − T²)):
+    * ONE double division of exact integer sums. `value` must be
+    * integer-typed. */
+  def moransI(df: DataFrame, idCol: String, xCol: String, yCol: String,
+              valueCol: String, cellSize: Long): DataFrame = {
+    require(cellSize >= 1, "cellSize >= 1")
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val v = col(valueCol).cast("long")
+    val cells = df.select(
+        expr(s"CAST($xCol AS BIGINT) div $cellSize").as("cx"),
+        expr(s"CAST($yCol AS BIGINT) div $cellSize").as("cy"), v.as("v"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("nc"), sum(c19(col("v"))).as("sc"),
+        sum((c19(col("v")) * col("v")).cast("decimal(38,0)")).as("qc"))
+      .localCheckpoint() // global totals + the per-cell term scan
+    val glob = cells.agg(sum("nc").as("n"), sum("sc").as("t"),
+      sum("qc").as("ss"), count(lit(1)).as("nCells"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val inner = d38(c19(col("n")) * col("sc")) - d38(c19(col("nc")) * col("t"))
+    val terms = cells.crossJoin(broadcast(glob))
+      .select(
+        ((inner * inner).cast("decimal(38,0)") -
+          d38(c19(col("n")) * col("n") * col("qc")) +
+          d38(lit(2) * c19(col("n")) * col("t") * col("sc")) -
+          d38(c19(col("nc")) * col("t") * col("t"))).cast("decimal(38,0)").as("num"),
+        (c19(col("nc")) * (col("nc") - 1)).cast("decimal(38,0)").as("w"))
+      .agg(sum("num").as("num"), sum("w").as("w"))
+    val den = (d38(c19(col("n")) * col("ss")) - d38(c19(col("t")) * col("t")))
+      .cast("decimal(38,0)")
+    terms.crossJoin(glob)
+      .select(col("n").cast("long").as("n"),
+        col("nCells").cast("long").as("n_cells"),
+        col("w").cast("long").as("w_pairs"),
+        when(col("w") > 0 && den > 0,
+          (col("num").cast("double") / (col("w").cast("double") * den.cast("double")))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("morans_i"),
+        (lit(-1d) / (col("n").cast("double") - 1d))
+          .cast("decimal(18,9)").cast("double").as("expected_i"))
+  }
+
   /** Last-two-digit uniformity audit — [[benfordAudit]]'s tail-end
     * sibling: first digits obey Benford, but the CENTS of organic amounts
     * should be near-UNIFORM; humans inventing numbers overuse .00/.99/.50,

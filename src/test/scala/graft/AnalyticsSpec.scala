@@ -1245,6 +1245,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - math.log(1.5)) < 1e-8, r.toString)
   }
 
+  test("moransI: constant-per-cell ⇒ I = 1 exactly; within-cell alternation ⇒ I = −1") {
+    // cellSize 10: two cells on the x axis
+    val clustered = Seq((1L, 0L, 0L, 5L), (2L, 1L, 0L, 5L),
+      (3L, 10L, 0L, 9L), (4L, 11L, 0L, 9L)).toDF("id", "x", "y", "v")
+    val r = Analytics.moransI(clustered, "id", "x", "y", "v", 10L).collect()(0)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 4, "two cells, 4 ordered pairs")
+    assert(r.getDouble(3) == 1.0, r.toString)
+    assert(math.abs(r.getDouble(4) - (-1.0 / 3)) < 1e-8, "E[I] = −1/(n−1)")
+    val dispersed = Seq((1L, 0L, 0L, 0L), (2L, 1L, 0L, 2L),
+      (3L, 10L, 0L, 0L), (4L, 11L, 0L, 2L)).toDF("id", "x", "y", "v")
+    val r2 = Analytics.moransI(dispersed, "id", "x", "y", "v", 10L).collect()(0)
+    assert(r2.getDouble(3) == -1.0, r2.toString)
+    // constant field → zero variance → NULL, not a crash
+    val flat = Seq((1L, 0L, 0L, 7L), (2L, 1L, 0L, 7L)).toDF("id", "x", "y", "v")
+    assert(Analytics.moransI(flat, "id", "x", "y", "v", 10L).collect()(0).isNullAt(3))
+  }
+
   test("lastDigitUniformity: all-.00 endings max the χ²; uniform endings zero it") {
     val fab = (1 to 10).map(i => Tuple1(BigDecimal(i * 100))).toDF("amt")
     val r = Analytics.lastDigitUniformity(fab, col("amt"), topK = 1).collect()(0)

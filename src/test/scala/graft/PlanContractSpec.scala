@@ -123,8 +123,10 @@ class PlanContractSpec extends SparkSpec {
           "q315_friedman", "q316_mantel_haenszel", "q317_dunn",
           // cochran_q/seasonal_mk: 1-row global stats over the
           // treatment/season tables; jonckheere: the value-margin ×
-          // k-group densifying grid + two 1-row frames
-          "q318_cochran_q", "q321_seasonal_mk", "q322_jonckheere")
+          // k-group densifying grid + two 1-row frames; morans_i: the
+          // 1-row global moments over the cell table
+          "q318_cochran_q", "q321_seasonal_mk", "q322_jonckheere",
+          "q323_morans_i")
         if (allowed(name)) None else Some(name)
       } else None
     }
