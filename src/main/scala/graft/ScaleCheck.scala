@@ -532,6 +532,7 @@ object ScaleCheck {
     time("seasonal_mk")(d => SparkEntry.queries("q321_seasonal_mk")(spark, d))
     time("jonckheere")(d => SparkEntry.queries("q322_jonckheere")(spark, d))
     time("morans_i")(d => SparkEntry.queries("q323_morans_i")(spark, d))
+    time("getis_ord")(d => SparkEntry.queries("q324_getis_ord")(spark, d))
 
     spark.stop()
   }

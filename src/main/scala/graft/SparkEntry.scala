@@ -821,6 +821,21 @@ object SparkEntry {
             pmod(expr("x div 1000000") * 7 + expr("y div 1000000") * 3, lit(50))
               + pmod(col("id"), lit(10))),
         "id", "x", "y", "v", cellSize = 1000000L)),
+    "q324_getis_ord" -> ((s, d) =>
+      // q323 said clustered; General G says WHICH kind — do HIGH values
+      // cluster (G > W/(n(n−1))) or low ones
+      Analytics.getisOrdG(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+          pmod(conv(substring(md5(concat(lit("gx:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10000000L)).as("x"),
+          pmod(conv(substring(md5(concat(lit("gy:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10000000L)).as("y"))
+          .withColumn("v",
+            pmod(expr("x div 1000000") * 7 + expr("y div 1000000") * 3, lit(50))
+              + pmod(col("id"), lit(10))),
+        "id", "x", "y", "v", cellSize = 1000000L)),
     "q286_markov_entropy" -> ((s, d) =>
       // one number for behavioral predictability: entropy rate of the
       // event-type Markov chain in bits
@@ -3861,6 +3876,30 @@ object SparkEntry {
         |      AS DECIMAL(18,9)) AS DOUBLE) END AS morans_i,
         |  CAST(CAST(-1 / (CAST(n AS DOUBLE) - 1) AS DECIMAL(18,9)) AS DOUBLE) AS expected_i
         |FROM terms CROSS JOIN g""".stripMargin,
+    "q324_getis_ord" ->
+      // same cells as q323; G = Σ(s²−q)/(T²−SS), E[G] = W/(n(n−1)) —
+      // two single divisions of exact integer sums
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    CAST('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10000000 AS x,
+        |    CAST('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10000000 AS y
+        |  FROM customer),
+        |pv AS (SELECT id, x, y,
+        |    ((x // 1000000) * 7 + (y // 1000000) * 3) % 50 + id % 10 AS v FROM pts),
+        |cells AS (SELECT x // 1000000 AS cx, y // 1000000 AS cy, COUNT(*) AS nc,
+        |    SUM(CAST(v AS HUGEINT)) AS sc, SUM(CAST(v AS HUGEINT) * v) AS qc
+        |  FROM pv GROUP BY 1, 2),
+        |a AS (SELECT SUM(nc) AS n, SUM(sc) AS t, SUM(qc) AS ss, COUNT(*) AS ncells,
+        |    SUM(CAST(sc AS HUGEINT) * sc - qc) AS num,
+        |    SUM(CAST(nc AS HUGEINT) * (nc - 1)) AS w
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ncells AS BIGINT) AS n_cells,
+        |  CAST(w AS BIGINT) AS w_pairs,
+        |  CASE WHEN CAST(t AS HUGEINT) * t - ss > 0
+        |    THEN CAST(CAST(CAST(num AS DOUBLE) / CAST(CAST(t AS HUGEINT) * t - ss AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS general_g,
+        |  CAST(CAST(CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS expected_g
+        |FROM a""".stripMargin,
     "q321_seasonal_mk" ->
       // per-season S exact; 18·Var per season is an exact integer so the
       // combined variance sums exactly; one continuity-corrected z

@@ -2648,6 +2648,45 @@ object Analytics {
           .cast("decimal(18,9)").cast("double").as("expected_i"))
   }
 
+  /** Getis–Ord General G with the same block-contiguity weights as
+    * [[moransI]] — the HOT-vs-COLD disambiguator: Moran's I says
+    * "clustered", G says WHICH KIND (G above its expectation W/(n(n−1))
+    * ⇒ HIGH values cluster together; below ⇒ low values do). Standard
+    * companion pair in spatial screening. Requires non-negative values.
+    *
+    * Same no-pair-explosion collapse: Σ_{i≠j∈c} x_i x_j = Σ_c (s_c² −
+    * q_c) exactly, the denominator is T² − SS, and G is ONE double
+    * division of exact integer sums; E[G] is one more. */
+  def getisOrdG(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                valueCol: String, cellSize: Long): DataFrame = {
+    require(cellSize >= 1, "cellSize >= 1")
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val v = col(valueCol).cast("long")
+    val cells = df.select(
+        expr(s"CAST($xCol AS BIGINT) div $cellSize").as("cx"),
+        expr(s"CAST($yCol AS BIGINT) div $cellSize").as("cy"), v.as("v"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("nc"), sum(c19(col("v"))).as("sc"),
+        sum((c19(col("v")) * col("v")).cast("decimal(38,0)")).as("qc"))
+    val agg = cells.agg(sum("nc").as("n"), sum("sc").as("t"),
+      sum("qc").as("ss"), count(lit(1)).as("nCells"),
+      sum(((c19(col("sc")) * col("sc")).cast("decimal(38,0)") - col("qc"))
+        .cast("decimal(38,0)")).as("num"),
+      sum((c19(col("nc")) * (col("nc") - 1)).cast("decimal(38,0)")).as("w"))
+    val den = ((c19(col("t")) * col("t")).cast("decimal(38,0)") - col("ss"))
+      .cast("decimal(38,0)")
+    val nD = col("n").cast("double")
+    agg.select(col("n").cast("long").as("n"),
+      col("nCells").cast("long").as("n_cells"),
+      col("w").cast("long").as("w_pairs"),
+      when(den > 0,
+        (col("num").cast("double") / den.cast("double"))
+          .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("general_g"),
+      (col("w").cast("double") / (nD * (nD - 1d)))
+        .cast("decimal(18,9)").cast("double").as("expected_g"))
+  }
+
   /** Last-two-digit uniformity audit — [[benfordAudit]]'s tail-end
     * sibling: first digits obey Benford, but the CENTS of organic amounts
     * should be near-UNIFORM; humans inventing numbers overuse .00/.99/.50,

@@ -1262,6 +1262,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.moransI(flat, "id", "x", "y", "v", 10L).collect()(0).isNullAt(3))
   }
 
+  test("getisOrdG: high-value cell concentration lifts G above E[G]") {
+    // cell A holds the high values, cell B the low: within-cell products
+    // over-represent high×high → G > W/(n(n−1))
+    val hot = Seq((1L, 0L, 0L, 10L), (2L, 1L, 0L, 10L),
+      (3L, 10L, 0L, 1L), (4L, 11L, 0L, 1L)).toDF("id", "x", "y", "v")
+    val r = Analytics.getisOrdG(hot, "id", "x", "y", "v", 10L).collect()(0)
+    // num = (20²−200)+(2²−2) = 202; den = 22²−202 = 282; E = 4/12
+    assert(math.abs(r.getDouble(3) - 202.0 / 282.0) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-9)
+    assert(r.getDouble(3) > r.getDouble(4), "high values cluster ⇒ G > E[G]")
+    // mixed cells (one high + one low each) push G BELOW expectation
+    val mixed = Seq((1L, 0L, 0L, 10L), (2L, 1L, 0L, 1L),
+      (3L, 10L, 0L, 10L), (4L, 11L, 0L, 1L)).toDF("id", "x", "y", "v")
+    val m = Analytics.getisOrdG(mixed, "id", "x", "y", "v", 10L).collect()(0)
+    assert(m.getDouble(3) < m.getDouble(4), m.toString)
+  }
+
   test("lastDigitUniformity: all-.00 endings max the χ²; uniform endings zero it") {
     val fab = (1 to 10).map(i => Tuple1(BigDecimal(i * 100))).toDF("amt")
     val r = Analytics.lastDigitUniformity(fab, col("amt"), topK = 1).collect()(0)
