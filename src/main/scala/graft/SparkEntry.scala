@@ -3910,9 +3910,9 @@ object SparkEntry {
         |ties AS (SELECT season, SUM(tc) AS n,
         |    SUM(CAST(tc AS HUGEINT) * (tc - 1) * (2 * tc + 5)) AS tieterm
         |  FROM (SELECT season, x, COUNT(*) AS tc FROM srs GROUP BY 1, 2) GROUP BY 1),
-        |per AS (SELECT ties.season, ties.n, s.s,
+        |per AS (SELECT ties.season, ties.n, COALESCE(s.s, 0) AS s,
         |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tieterm AS var18
-        |  FROM ties JOIN s USING (season)),
+        |  FROM ties LEFT JOIN s USING (season)),
         |tot AS (SELECT SUM(s) AS stot, SUM(var18) AS v18, SUM(n) AS ntot FROM per),
         |g AS (SELECT CAST(stot AS BIGINT) AS s_total, CAST(ntot AS BIGINT) AS n_total,
         |    CASE WHEN CAST(v18 AS DOUBLE) / 18 > 0 THEN
@@ -3954,7 +3954,9 @@ object SparkEntry {
     "q318_cochran_q" ->
       // incidence cells once; Q is a ratio of exact integers, one division
       """WITH x AS (SELECT user_id AS blk, event_type AS trt FROM events GROUP BY 1, 2),
-        |c AS (SELECT trt, COUNT(*) AS cj FROM x GROUP BY 1),
+        |c AS (SELECT t.trt, COALESCE(s.cj1, 0) AS cj
+        |  FROM (SELECT DISTINCT trt FROM x) t
+        |  LEFT JOIN (SELECT trt, COUNT(*) AS cj1 FROM x GROUP BY 1) s USING (trt)),
         |r AS (SELECT blk, COUNT(*) AS ru FROM x GROUP BY 1),
         |sc AS (SELECT COUNT(*) AS k, SUM(cj) AS sc, SUM(CAST(cj AS HUGEINT) * cj) AS sc2 FROM c),
         |sr AS (SELECT COUNT(*) AS b, SUM(ru) AS sr, SUM(CAST(ru AS HUGEINT) * ru) AS sr2 FROM r),
@@ -4083,10 +4085,11 @@ object SparkEntry {
         |q AS (SELECT pair, ga, gb, z, p, rnk,
         |    least(1000000000, min((CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * m) // rnk)
         |      OVER (ORDER BY p DESC, pair DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qn
-        |  FROM b2)
+        |  FROM b2),
+        |istar AS (SELECT COALESCE(MAX(CASE WHEN CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * m <= 50000000 * rnk THEN rnk END), 0) AS i_star FROM b2)
         |SELECT ga, gb, z, CAST(p AS DOUBLE) AS p, CAST(qn AS DOUBLE) / 1e9 AS q,
-        |  CASE WHEN qn <= 50000000 THEN 1 ELSE 0 END AS rejected
-        |FROM q ORDER BY ga, gb""".stripMargin,
+        |  CASE WHEN rnk <= i_star THEN 1 ELSE 0 END AS rejected
+        |FROM q CROSS JOIN istar ORDER BY ga, gb""".stripMargin,
     "q313_digit_uniformity" ->
       // χ² = (100·Σo² − n²)/n — exact integer numerator, one division;
       // top-5 endings by count
@@ -4661,10 +4664,11 @@ object SparkEntry {
         |q AS (SELECT key, p, rnk,
         |    least(1000000000, min((CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * m) // rnk)
         |      OVER (ORDER BY p DESC, key DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qn
-        |  FROM b)
+        |  FROM b),
+        |istar AS (SELECT COALESCE(MAX(CASE WHEN CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * m <= 50000000 * rnk THEN rnk END), 0) AS i_star FROM b)
         |SELECT key, CAST(p AS DOUBLE) AS p, CAST(rnk AS BIGINT) AS rnk, CAST(qn AS DOUBLE) / 1e9 AS q,
-        |  CASE WHEN qn <= 50000000 THEN 1 ELSE 0 END AS rejected
-        |FROM q ORDER BY rnk""".stripMargin,
+        |  CASE WHEN rnk <= i_star THEN 1 ELSE 0 END AS rejected
+        |FROM q CROSS JOIN istar ORDER BY rnk""".stripMargin,
     "q257_kendall" ->
       // same keyed pair join (a.line < b.line), exact sign counts, one
       // double chain for tau-b

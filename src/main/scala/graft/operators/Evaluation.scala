@@ -1511,10 +1511,19 @@ object Evaluation {
         expr(s"(CAST(round(CAST($pCol AS DOUBLE) * 1e9) AS BIGINT) * m) div rnk"))
       .withColumn("q_nano",
         least(lit(1000000000L), min("q_raw").over(wDown)))
+      // the REJECTION uses the exact rational p·m ≤ α·rnk (integers both
+      // sides — no floor-div bias): the floor in q_raw is < 1e-9 low, which
+      // at an exact boundary could flip q_nano ≤ α_nano even though the
+      // true BH condition fails; the displayed q keeps the floored lattice
+      // (mirrored in the oracle), the rejected flag is exact step-up
+      .withColumn("ok_rnk",
+        when(expr(s"CAST(round(CAST($pCol AS DOUBLE) * 1e9) AS BIGINT) * m <= " +
+          s"${math.round(alpha * 1e9)} * rnk"), col("rnk")))
+      .withColumn("i_star", coalesce(max("ok_rnk").over(m), lit(0L)))
       .select(col(keyCol), col(pCol).cast("double").as("p"),
         col("rnk").cast("long").as("rnk"),
         (col("q_nano").cast("double") / 1e9d).as("q"),
-        (col("q_nano") <= math.round(alpha * 1e9)).cast("int").as("rejected"))
+        (col("rnk") <= col("i_star")).cast("int").as("rejected"))
       .orderBy("rnk")
   }
 
@@ -1579,7 +1588,12 @@ object Evaluation {
       .groupBy("season").agg(sum("tc").as("n"),
         sum((c19(col("tc")) * (col("tc") - 1) * (lit(2) * col("tc") + 5))
           .cast("decimal(38,0)")).as("tieTerm"))
-    val per = ties.join(s, Seq("season"))
+    // LEFT join: a season with only one period has no (ta < tb) pairs and
+    // so no S row — it must still appear (s = 0) and count toward n_total,
+    // or the reported sample size understates the data (S and Var
+    // contributions are legitimately 0, so z is unaffected either way)
+    val per = ties.join(s, Seq("season"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("var18",
         ((c19(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5))
           .cast("decimal(38,0)") - col("tieTerm")).cast("decimal(38,0)"))
@@ -2439,11 +2453,19 @@ object Evaluation {
     * filtering needed. Degenerate denominator → NULL. */
   def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
                success: Column): DataFrame = {
-    val x = df.groupBy(col(blockCol).as("blk"), col(treatmentCol).as("trt"))
+    val cells = df.groupBy(col(blockCol).as("blk"), col(treatmentCol).as("trt"))
       .agg(max(when(success, 1L).otherwise(0L)).as("x"))
-      .filter(col("x") === 1).localCheckpoint() // col + row totals
+      .localCheckpoint() // success cells + the raw treatment listing
+    val x = cells.filter(col("x") === 1)
     val c19 = (c: Column) => c.cast("decimal(19,0)")
-    val cTot = x.groupBy("trt").agg(count(lit(1)).as("cj")).localCheckpoint()
+    // k and the treatment listing come from the RAW observed cells, not the
+    // success cells: a treatment present in the data but never successful
+    // (a rule variant that flags nothing) must contribute C_j = 0 — dropping
+    // it shrinks k and corrupts the (k−1) and k factors of Q
+    val cTot = cells.select("trt").distinct()
+      .join(x.groupBy("trt").agg(count(lit(1)).as("cj1")), Seq("trt"), "left")
+      .select(col("trt"), coalesce(col("cj1"), lit(0L)).as("cj"))
+      .localCheckpoint()
     val rTot = x.groupBy("blk").agg(count(lit(1)).as("ru"))
     val sC = cTot.agg(count(lit(1)).as("k"),
       sum("cj").as("sc"),

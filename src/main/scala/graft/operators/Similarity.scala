@@ -943,7 +943,7 @@ object Similarity {
     * Exactness/portability: the q81 recipe throughout — deterministic
     * init (sub-vectors of ids 0..k−1), exact DECIMAL(38,18) centroid
     * sums with ONE double division + float rounding, fixed iterations.
-    * ADC table entries are quantized to scale-8 FIXED-POINT LONGS
+    * ADC table entries are quantized to scale-10 FIXED-POINT LONGS
     * driver-side; a candidate's distance is an exact integer sum of m
     * of them, so ranking (dist, id) and the emitted `adc_dist` are
     * bit-identical in any engine that mirrors the table (the unrolled
@@ -1035,9 +1035,14 @@ object Similarity {
     val bt = spark.sparkContext.broadcast(tables)
     val cands = codes.mapPartitions { it =>
       val qs = bt.value
-      // head = current worst kept = MAX distance, ties prefer larger id out
+      // head = current worst kept = (MAX distance, MAX id) under natural
+      // tuple order — the eviction test below replaces the head only when
+      // (dist, id) < head, so among tied-distance candidates the LARGER id
+      // leaves first. PQ makes exact ties pervasive (only k^m distinct
+      // codes), so an inverted tie order (the old (dist, -id)) returned the
+      // wrong top-k whenever tied ids arrived out of ascending order.
       val heaps = qs.map(q => (q._1, collection.mutable.PriorityQueue.empty[(Long, Long)](
-        Ordering.by[(Long, Long), (Long, Long)](x => (x._1, -x._2)))))
+        Ordering.by[(Long, Long), (Long, Long)](x => (x._1, x._2)))))
       it.foreach { case (id, code) =>
         var qi = 0
         while (qi < qs.length) {

@@ -1140,4 +1140,38 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0, "x ⊥ z")
     assert(r.getDouble(4) == 1.0, "controlling z leaves the deterministic x-link")
   }
+
+  test("cochranQ: a treatment observed but never successful keeps C_j = 0 (k counts it)") {
+    // A succeeds in every block, B is observed everywhere but never flags:
+    // k must be 2 (not 1), C_B = 0, and Q = 1·(2·9 − 9)/(2·3 − 3) = 3
+    val rows = Seq((1, "A", 1), (1, "B", 0), (2, "A", 1), (2, "B", 0),
+      (3, "A", 1), (3, "B", 0))
+    val out = Evaluation.cochranQ(rows.toDF("blk", "trt", "ok"), "blk", "trt",
+      col("ok") === 1).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("A", "B"), "zero-success treatment must appear")
+    assert(out("B").getLong(1) == 0 && out("A").getLong(1) == 3)
+    assert(out("A").getLong(2) == 2, "k from the raw treatment listing")
+    assert(out("A").getDouble(4) == 3.0, out("A").toString)
+  }
+
+  test("seasonalMannKendall: a single-period season survives with s = 0 and counts in n_total") {
+    val rows = Seq((1, 2020L, 1L), (1, 2021L, 2L), (1, 2022L, 3L),
+      (2, 2020L, 7L)) // season 2 has ONE period → no pairs
+    val out = Evaluation.seasonalMannKendall(rows.toDF("season", "t", "x"),
+      col("season"), "t", "x").collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(1, 2), "single-period season must not vanish")
+    assert(out(2).getLong(2) == 0 && out(2).getLong(1) == 1)
+    assert(out(1).getLong(4) == 4, "n_total counts the lone observation")
+  }
+
+  test("benjaminiHochberg: rejection is the exact rational step-up, not the floored q") {
+    // p₍₂₎·m = 99,999,999 nano; α = 0.049999999 ⇒ floor(p·m/2) = 49,999,999 ≤ α_nano
+    // but the exact BH test 99,999,999 ≤ 2·49,999,999 = 99,999,998 FAILS —
+    // only rank 1 may reject
+    val pv = Seq(("a", BigDecimal("0.000000001")), ("b", BigDecimal("0.033333333")),
+      ("c", BigDecimal("0.900000000"))).toDF("key", "p")
+    val out = Evaluation.benjaminiHochberg(pv, "key", "p", 0.049999999)
+      .collect().map(r => r.getString(0) -> r.getInt(4)).toMap
+    assert(out == Map("a" -> 1, "b" -> 0, "c" -> 0), out.toString)
+  }
 }

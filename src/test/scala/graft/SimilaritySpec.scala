@@ -455,4 +455,19 @@ class SimilaritySpec extends SparkSpec {
     assert(one == re, "layout-independent")
     assert(one.forall(r => r(2) != r(0)), "query never returns itself")
   }
+
+  test("pqTopK: tied-distance candidates arriving in DESCENDING id order still keep the smallest ids") {
+    // PQ ties are pervasive (k^m codes); the heap's tie order must evict the
+    // LARGEST id. A single partition whose duplicates arrive 8,6,4,2,0 fills
+    // the k=3 heap with {8,6,4} before the best ids show up — the round-4
+    // inverted ordering returned {8,6,2} here.
+    val a = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val rows = Seq(8L -> a, 6L -> a, 4L -> a, 2L -> a, 1L -> b, 0L -> a, 100L -> a)
+    val df = rows.toDF("vec_id", "embedding").coalesce(1)
+    val out = Similarity.pqTopK(df, "vec_id", "embedding", Seq(100L),
+      kNeighbors = 3, m = 2, kCentroids = 2, iters = 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(0L, 2L, 4L), out.mkString(","))
+  }
 }
