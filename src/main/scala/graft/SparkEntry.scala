@@ -1416,11 +1416,13 @@ object SparkEntry {
       Analytics.topPaths(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", firstN = 6, k = 20)),
     "q195_image_neardups" -> ((s, d) =>
-      // ☆ rows-only: BMP encode→decode→dHash→banded Hamming join can't be
+      // ☆ rows-only: encode→decode→dHash→banded Hamming join can't be
       // expressed in SQL; DedupSpec/MultimodalSpec carry the evidence.
-      // ids sharing id%40 render identical patterns → planted dup groups
+      // ids sharing id%40 render identical patterns in MIXED containers
+      // (BMP/PNG/JPEG via ImageIO) → planted dup groups that CROSS the
+      // format boundary — only decoded-pixel hashing can see them
       Multimodal.imageNearDupPairs(
-        Multimodal.synthesizePatternedImages(
+        Multimodal.synthesizeMixedImages(
           Tables.documents(s, d).select("doc_id"), "doc_id"),
         "doc_id", maxHamming = 2)),
     "q193_scd2_lookup" -> ((s, d) => {
@@ -1966,9 +1968,11 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val media = Multimodal.attachBinary(docs, "doc_id", "text")
       val stubFeats = Multimodal.decodeStub(media, "doc_id")
+      // mixed BMP/PNG/JPEG payloads: resize + decode exercise the real
+      // ImageIO codecs, not just the pure-JVM BMP parser
       val imgFeats = Multimodal.decodeImages(
         Multimodal.resizeImages(
-          Multimodal.synthesizeImages(docs, "doc_id"), "doc_id", 4, 4), "doc_id")
+          Multimodal.synthesizeMixedImages(docs, "doc_id", size = 8), "doc_id", 4, 4), "doc_id")
       val audioFeats = Multimodal.decodeAudio(
         Multimodal.synthesizeAudio(docs, "doc_id"), "doc_id")
       jsonized(stubFeats.join(imgFeats, "doc_id").join(audioFeats, "doc_id")

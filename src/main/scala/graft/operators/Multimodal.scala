@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * batched per-partition transforms (the Scala analog of `mapInPandas` —
   * one iterator per partition, vectorizable batch shape).
   *
-  * The actual media DECODE IS A STUB (this container has no image/audio
-  * codecs): `decodeStub` produces a deterministic fake feature vector from
-  * the bytes. Everything around it — schema, partitioning, batch iteration,
-  * metadata plumbing — is real and tested; swapping the stub for a JNI/codec
-  * call changes no plan shape.
+  * Image decode is REAL for the JDK-native formats: a pure-JVM BMP parser
+  * (fast path, exact) plus `javax.imageio` for PNG/JPEG/GIF — ImageIO ships
+  * in the JDK with zero native dependencies, so dims, mean RGB, dHash, and
+  * resize all run on real codecs. PCM WAV audio decodes natively too. Only
+  * formats with no JDK codec (video, compressed audio) remain behind the
+  * declared stub boundary: `decodeStub` produces a deterministic fake
+  * feature vector, and swapping it for a JNI/codec call changes no plan
+  * shape — schema, partitioning, batch iteration, metadata plumbing are
+  * identical either way.
   */
 object Multimodal {
 
@@ -117,6 +121,86 @@ object Multimodal {
     Some(ImageFeatures(width, height, r.toDouble / n, g.toDouble / n, b.toDouble / n))
   }
 
+  /** ImageIO decode for the other JDK-native formats (PNG/JPEG/GIF — and
+    * BMP, though [[decodeBmpPixels]] is the cheaper path for that): returns
+    * the row-major RGB grid. Guard rails mirror [[decodeBmp]]: undecodable
+    * bytes → None (ImageIO.read returns null on unknown formats), dimension
+    * caps bound decompression bombs (a 100-byte PNG can declare 2^30
+    * pixels), and NO exception ever escapes to kill the task. */
+  private[graft] def decodeImageIOPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Array[(Int, Int, Int)]])] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        w.toLong * h > (1L << 26)) None
+      else {
+        val px = Array.ofDim[(Int, Int, Int)](h, w)
+        val rgbRow = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rgbRow, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = rgbRow(x)
+            px(y)(x) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    }
+  } catch { case _: Throwable => None }
+
+  /** Pixel decode across ALL supported formats: pure-JVM BMP fast path,
+    * then ImageIO (PNG/JPEG/GIF). The single entry point behind decode /
+    * dHash / resize — adding a codec here upgrades every image operator. */
+  private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Array[(Int, Int, Int)]])] =
+    decodeBmpPixels(bytes).orElse(decodeImageIOPixels(bytes))
+
+  /** Encode a pixel grid as PNG via ImageIO (lossless, deterministic) —
+    * synthesizes real non-BMP payloads for tests/demos and serves as the
+    * re-encode target for resized non-BMP inputs. */
+  private[graft] def encodePng(width: Int, height: Int,
+                               rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG encode (lossy — round-trip means approximately, not byte-equal). */
+  private[graft] def encodeJpeg(width: Int, height: Int,
+                                rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Synthesize real BMP payloads per doc (deterministic color from id) —
     * the test/demo stand-in for reading image bytes off the object store. */
   def synthesizeImages(docs: DataFrame, idCol: String, size: Int = 8): DataFrame = {
@@ -130,13 +214,30 @@ object Multimodal {
   }
 
   /** Decode image payloads → (id, width, height, mean RGB). Real parse for
-    * BMP; unknown formats yield null (the codec-stub boundary). */
+    * BMP (header-walk fast path, no grid materialization) and PNG/JPEG/GIF
+    * (ImageIO); undecodable payloads yield the sentinel row — the codec
+    * boundary only starts where the JDK has no decoder. */
   def decodeImages(media: DataFrame, idCol: String): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          decodeBmp(bytes) match {
+          decodeBmp(bytes).orElse {
+            decodeImageIOPixels(bytes).map { case (w, h, px) =>
+              var r = 0L; var g = 0L; var b = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val (pr, pg, pb) = px(y)(x)
+                  r += pr; g += pg; b += pb; x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              ImageFeatures(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+            }
+          } match {
             case Some(f) => (id, f.width, f.height, f.meanR, f.meanG, f.meanB)
             case None => (id, -1, -1, Double.NaN, Double.NaN, Double.NaN)
           }
@@ -144,11 +245,11 @@ object Multimodal {
       }.toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
-  /** Nearest-neighbor resize for BMP payloads: decode → sample the source
-    * grid → re-encode at (w, h). Real pixel work for the no-codec format
-    * (other formats would dispatch to a codec here, like decode). Returns
-    * the original payload untouched when it isn't decodable BMP — resize is
-    * an enrichment, not a gate. */
+  /** Nearest-neighbor resize: decode (BMP fast path or ImageIO) → sample
+    * the source grid → re-encode at (w, h). BMP inputs re-encode as BMP,
+    * ImageIO-decoded inputs as PNG (lossless, deterministic). Returns the
+    * original payload untouched when it isn't decodable — resize is an
+    * enrichment, not a gate. */
   def resizeImages(media: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
@@ -157,7 +258,11 @@ object Multimodal {
           val out = decodeBmpPixels(bytes) match {
             case Some((sw, sh, px)) =>
               encodeBmp(w, h, (x, y) => px(math.min(sh - 1, y * sh / h))(math.min(sw - 1, x * sw / w)))
-            case None => bytes
+            case None => decodeImageIOPixels(bytes) match {
+              case Some((sw, sh, px)) =>
+                encodePng(w, h, (x, y) => px(math.min(sh - 1, y * sh / h))(math.min(sw - 1, x * sw / w)))
+              case None => bytes
+            }
           }
           (id, out)
         }
@@ -190,14 +295,16 @@ object Multimodal {
     }
   }
 
-  /** dHash perceptual hash of a BMP payload: nearest-neighbor downsample to
-    * a 9×8 luma grid, one bit per horizontal neighbor pair (set when the
-    * left pixel is brighter) — 64 bits whose Hamming distance survives
-    * re-encoding, resizing, and small edits, which is exactly what
-    * byte-level [[CsvIngest]]-style file hashing cannot see. Returns None
-    * for undecodable payloads (the codec-stub boundary, as in decode). */
+  /** dHash perceptual hash of an image payload (BMP/PNG/JPEG/GIF):
+    * nearest-neighbor downsample to a 9×8 luma grid, one bit per horizontal
+    * neighbor pair (set when the left pixel is brighter) — 64 bits whose
+    * Hamming distance survives re-encoding, resizing, and small edits,
+    * which is exactly what byte-level [[CsvIngest]]-style file hashing
+    * cannot see. Because the hash runs on DECODED pixels, a BMP and the
+    * PNG re-encode of the same image hash identically. Returns None for
+    * undecodable payloads (the codec-stub boundary, as in decode). */
   private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
-    decodeBmpPixels(bytes).map { case (w, h, px) =>
+    decodePixels(bytes).map { case (w, h, px) =>
       var hash = 0L; var bit = 0
       var y = 0
       while (y < 8) {
@@ -254,6 +361,31 @@ object Multimodal {
         val k = (id % patterns).toInt
         (id, encodeBmp(size, size, (x, y) =>
           ((x * (k + 3)) % 256, (y * (k + 5)) % 256, ((x + y) * (k + 7)) % 256)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Patterned synth with MIXED container formats: ids sharing id%patterns
+    * render the IDENTICAL pattern, but the container alternates BMP / PNG /
+    * JPEG by (id/patterns)%3 — so the planted near-dup groups cross the
+    * format boundary. Only a DECODED-pixel perceptual hash can see those
+    * pairs (file hashing and byte-level near-dup miss them by
+    * construction); BMP and PNG decodes of the same pattern are
+    * pixel-identical, JPEG is close (lossy). */
+  def synthesizeMixedImages(docs: DataFrame, idCol: String,
+                            size: Int = 16, patterns: Int = 40): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val k = (id % patterns).toInt
+        val fn = (x: Int, y: Int) =>
+          ((x * (k + 3)) % 256, (y * (k + 5)) % 256, ((x + y) * (k + 7)) % 256)
+        val bytes = ((id / patterns) % 3) match {
+          case 0 => encodeBmp(size, size, fn)
+          case 1 => encodePng(size, size, fn)
+          case _ => encodeJpeg(size, size, fn)
+        }
+        (id, bytes)
       }
     }.toDF(idCol, "payload")
   }

@@ -152,6 +152,65 @@ class MultimodalSpec extends SparkSpec {
     assert(grouped.contains((0L, 40L)) && grouped.contains((40L, 80L)))
   }
 
+  test("ImageIO path: PNG round-trips pixel-exact, JPEG approximately; junk stays None") {
+    val fn = (x: Int, y: Int) => ((x * 13) % 256, (y * 29) % 256, ((x + y) * 7) % 256)
+    val png = Multimodal.encodePng(16, 16, fn)
+    val Some((w, h, px)) = Multimodal.decodeImageIOPixels(png)
+    assert(w == 16 && h == 16)
+    for (x <- 0 until 16; y <- 0 until 16)
+      assert(px(y)(x) == fn(x, y), s"PNG lossless at ($x,$y)")
+    val jpg = Multimodal.encodeJpeg(16, 16, (_, _) => (100, 150, 200))
+    val Some((_, _, jp)) = Multimodal.decodeImageIOPixels(jpg)
+    val (jr, jg, jb) = jp(8)(8)
+    assert(math.abs(jr - 100) < 16 && math.abs(jg - 150) < 16 && math.abs(jb - 200) < 16,
+      s"JPEG approximate: ($jr,$jg,$jb)")
+    assert(Multimodal.decodeImageIOPixels("not an image".getBytes).isEmpty)
+  }
+
+  test("decodeImages + dHash see through the container: same pattern as BMP and PNG") {
+    val fn = (x: Int, y: Int) => ((x * 31) % 256, (y * 17) % 256, ((x * y) + 3) % 256)
+    val bmp = Multimodal.encodeBmp(12, 10, fn)
+    val png = Multimodal.encodePng(12, 10, fn)
+    assert(!java.util.Arrays.equals(bmp, png), "different bytes on disk")
+    // decodeImages: identical dims and means from either container
+    val out = Multimodal.decodeImages(
+        Seq((1L, bmp), (2L, png)).toDF("doc_id", "payload"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == out(2L), out.toString)
+    assert(out(1L)._1 == 12 && out(1L)._2 == 10)
+    // dHash: pixel-level, so the cross-format pair has Hamming distance 0
+    assert(Multimodal.dHash64(bmp) == Multimodal.dHash64(png))
+    assert(Multimodal.dHash64(bmp).nonEmpty)
+  }
+
+  test("resizeImages re-encodes ImageIO inputs as PNG and preserves nearest-neighbor sampling") {
+    val fn = (x: Int, y: Int) => (if (x < 8) 255 else 0, 0, if (y < 8) 255 else 0)
+    val png = Multimodal.encodePng(16, 16, fn)
+    val resized = Multimodal.resizeImages(
+        Seq((1L, png)).toDF("doc_id", "payload"), "doc_id", 4, 4)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val Some((w, h, px)) = Multimodal.decodeImageIOPixels(resized)
+    assert(w == 4 && h == 4)
+    assert(px(0)(0) == ((255, 0, 255)) && px(3)(3) == ((0, 0, 0)), px(0)(0).toString)
+    // undecodable payloads pass through untouched
+    val junk = "junk".getBytes
+    val kept = Multimodal.resizeImages(
+        Seq((1L, junk)).toDF("doc_id", "payload"), "doc_id", 4, 4)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(kept, junk))
+  }
+
+  test("synthesizeMixedImages: same pattern across containers → cross-format near-dup pairs") {
+    val docs = (0L until 120L).toDF("doc_id")
+    // ids 0, 40, 80 share pattern 0 as BMP, PNG, JPEG respectively
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.synthesizeMixedImages(docs, "doc_id"), "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 40L)), "BMP and PNG of one pattern are an exact perceptual pair")
+    assert(pairs.nonEmpty)
+  }
+
   test("audioEnergyProfile: silence frames counted, runs tracked, junk yields sentinel") {
     import spark.implicits._
     // 2 silent frames + 3 loud (constant 10000 → rms exactly 10000) +
