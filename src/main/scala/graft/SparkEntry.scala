@@ -1379,11 +1379,17 @@ object SparkEntry {
       Analytics.ewmaSeries(daily, "day", "n", alpha = 0.1, window = 30)
         .select(col("day"), col("n").cast("long").as("n"), col("ewma"))
     }),
-    "q200_join_overlap" -> ((s, d) =>
-      // ☆ rows-only: HLL estimates are approximate by construction; the
-      // spec pins them within 5% of exact on these tables
-      Analytics.joinKeyOverlapEstimate(Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d), "c_custkey")),
+    "q200_join_overlap" -> ((s, d) => {
+      // ★ via the coupon-exact regime (the q89 argument): ≤150 distinct
+      // users at driver SFs keeps every DataSketches HLL in coupon mode,
+      // so est_a/est_b/est_union EQUAL the exact distinct counts and the
+      // inclusion-exclusion intersection is oracle-checkable; the
+      // approximate-regime 5% envelope stays spec'd in AnalyticsSpec
+      val ev = Tables.events(s, d)
+      Analytics.joinKeyOverlapEstimate(
+        ev.filter(col("event_type") === "purchase"), "user_id",
+        ev.filter(col("event_type") === "view"), "user_id")
+    }),
     "q201_drift_report" -> ((s, d) => {
       // every-feature drift gate: purchase-event distribution vs the view
       // reference, per column
@@ -1685,13 +1691,18 @@ object SparkEntry {
     "q52_rollup" -> ((s, d) =>
       Reports.orderRollup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q61_mg_heavy_hitters" -> ((s, d) => {
-      // deterministic heavy-hitter summary per source via the Misra-Gries
-      // typed Aggregator (rows-only check: map output isn't SQL-hashable)
-      val mg = udaf(new MisraGries(10))
-      jsonized(Tables.documents(s, d)
-        .select(col("source"), explode(Curation.tokens(col("text"))).as("tok"))
-        .groupBy("source").agg(mg(col("tok")).as("mg_summary"))
-        .orderBy("source"))
+      // ★ via the exact regime (the q57 argument): k-1 = 15 counters >
+      // 5 distinct event types ⇒ no evictions ever fire, so the merged
+      // Misra-Gries summary IS the exact (type → count) table per bucket —
+      // the udaf's map-side partials, shuffle, and merge path all execute
+      // for real. Eviction/undercount semantics stay spec'd in
+      // MisraGriesSpec (the approximate regime has no SQL twin).
+      val mg = udaf(new MisraGries(16))
+      Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(10)).as("bucket"), col("event_type"))
+        .groupBy("bucket").agg(mg(col("event_type")).as("m"))
+        .select(col("bucket"), explode(col("m")).as(Seq("event_type", "cnt")))
+        .orderBy("bucket", "event_type")
     }),
     "q58_pivot" -> ((s, d) =>
       Reports.nationYearPivot(Tables.orders(s, d), Tables.customer(s, d),
@@ -1915,7 +1926,13 @@ object SparkEntry {
       Dedup.ngramJaccard(corpus, "doc_id", "text", cands, threshold = 0.5)
     }),
     "q25_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(docsWithPlantedDups(Tables.documents(s, d)), "doc_id", "text")),
+      // ★ via the md5-token signature twin (DuckDB's md5_number_upper):
+      // the banded pigeonhole join's (id_a, id_b, hamming) output equals
+      // the all-pairs SQL truth exactly — complete recall at maxHamming=3,
+      // maxBucket lifted past corpus size so the scale cap can't truncate
+      // (the cap's truncation semantics stay spec'd in DedupSpec)
+      Dedup.simhashPairsPortable(docsWithPlantedDups(Tables.documents(s, d)),
+        "doc_id", "text", maxHamming = 3, maxBucket = 1 << 20)),
     "q26_ngram_jaccard" -> ((s, d) => {
       // UNFILTERED candidates (like q24): an est_jaccard>=0.3 prefilter could
       // drop a true near-threshold pair on estimation error alone, making the
@@ -2214,6 +2231,55 @@ object SparkEntry {
     "q314_soundex_blocks" -> soundexOracleSql,
     "q24_minhash_lsh" -> jaccardTruthSql("0.5"),
     "q26_ngram_jaccard" -> jaccardTruthSql("0.3"),
+    "q25_simhash" ->
+      // all-pairs truth over md5-token simhash signatures (the engine's
+      // banded pigeonhole join must find exactly these): token hash =
+      // md5_number_upper = first 8 md5 bytes little-endian, matching
+      // Dedup.simhashMd5 bit for bit; signature kept as two 32-bit halves
+      // so bit_count(xor()) never touches the BIGINT sign bit
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' planted near duplicate tail' AS text
+        |  FROM documents WHERE doc_id < 20),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM docs),
+        |th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |    COUNT(CASE WHEN (h >> b) & 1 = 1 THEN 1 END)
+        |      - COUNT(CASE WHEN (h >> b) & 1 = 0 THEN 1 END) AS acc
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY 1, 2),
+        |sig AS (SELECT d.doc_id,
+        |    COALESCE((SELECT CAST(SUM(1::BIGINT << b) AS BIGINT) FROM bits
+        |      WHERE bits.doc_id = d.doc_id AND b < 32 AND acc > 0), 0) AS s1,
+        |    COALESCE((SELECT CAST(SUM(1::BIGINT << (b - 32)) AS BIGINT) FROM bits
+        |      WHERE bits.doc_id = d.doc_id AND b >= 32 AND acc > 0), 0) AS s2
+        |  FROM docs d)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q39_approx_stats" ->
+      // exact-regime twin: HLL coupon mode ⇒ estimate = count(distinct);
+      // GK rank error < 1/2 ⇒ the returned element is the true lower median
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS approx_users,
+        |  quantile_disc(value, 0.5) AS approx_p50_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q61_mg_heavy_hitters" ->
+      // exact-regime twin (k-1 counters > distinct types ⇒ no evictions):
+      // the Misra-Gries summary is the plain contingency table
+      """SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q200_join_overlap" ->
+      // coupon-exact regime: every estimate equals its exact distinct
+      // count, so inclusion-exclusion is checkable end to end
+      """WITH a AS (SELECT COUNT(DISTINCT user_id) AS est_a FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT COUNT(DISTINCT user_id) AS est_b FROM events WHERE event_type = 'view'),
+        |u AS (SELECT COUNT(DISTINCT user_id) AS est_union FROM events WHERE event_type IN ('purchase', 'view'))
+        |SELECT est_a, est_b, est_union,
+        |  GREATEST(0, LEAST(est_a, est_b, est_a + est_b - est_union)) AS est_intersection
+        |FROM a CROSS JOIN b CROSS JOIN u""".stripMargin,
     "q28_ann_lsh" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         | CAST(row_number() OVER (PARTITION BY a.vec_id

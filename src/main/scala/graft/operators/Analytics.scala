@@ -34,14 +34,21 @@ object Analytics {
            count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** Sketch-based variant for 100 TB scale: HLL distinct + approximate
-    * quantile — constant memory, one pass, mergeable partials. Not
-    * oracle-checked (approximate by design); asserted within error bounds
-    * vs the exact answers in AnalyticsSpec. */
+  /** Sketch-based variant for 100 TB scale: DataSketches HLL distinct +
+    * GK approximate median — constant/bounded memory, one pass, mergeable
+    * partials. BOTH are oracle-checkable in their exact regimes (which
+    * hold through the driver SFs): the HLL stays in coupon mode below
+    * ~512 distinct so its estimate EQUALS count(distinct) (the q89
+    * argument), and the GK summary's rank error eps·n < 1/2 at
+    * n ≤ accuracy/2 pins the returned element to the true lower median.
+    * The approximate regimes are asserted within error bounds in
+    * AnalyticsSpec. (approx_count_distinct — Spark's HLL++ — is dense
+    * from the start and misestimates even tiny groups; the DataSketches
+    * sketch is the one with an exact small-cardinality mode.) */
   def approxStats(events: DataFrame): DataFrame =
     events.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-           approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_p50_value"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+           approx_percentile(col("value"), lit(0.5), lit(100000)).as("approx_p50_value"))
       .orderBy("event_type")
 
   /** Semi-structured extraction: pull a typed field out of a JSON string

@@ -401,6 +401,46 @@ object Dedup {
       .withColumnRenamed("id_a", "doc_id_a").withColumnRenamed("id_b", "doc_id_b")
   }
 
+  /** [[simhash64]]'s ORACLE-PORTABLE twin: the identical ±1 bit-vote
+    * structure, but each token hashes to the first 8 md5 bytes interpreted
+    * little-endian — which is exactly DuckDB's `md5_number_upper(tok)` —
+    * so the WHOLE simhash (tokenize → hash → bit votes → sign fold) has a
+    * native SQL expression in both engines. fnv1a has no sane SQL twin
+    * (char-loop with wrapping 64-bit multiply); md5 is built into both.
+    * Ties (bit vote sum 0) resolve to 0 on both sides. */
+  private[graft] def simhashMd5(text: String,
+                                md: java.security.MessageDigest): Long = {
+    val acc = new Array[Int](64)
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      .foreach { tok =>
+        val m = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L; var i = 0
+        while (i < 8) { h |= (m(i) & 0xffL) << (8 * i); i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+    var out = 0L; var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** [[simhashPairs]] over [[simhashMd5]] signatures — same pigeonhole
+    * band join, same complete recall, but every emitted (id_a, id_b,
+    * hamming) row is checkable against an all-pairs DuckDB truth that
+    * recomputes the signatures from the raw text (q25's oracle). The
+    * fnv1a variant stays the engine default (no per-token md5 cost). */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    import df.sparkSession.implicits._
+    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, simhashMd5(Option(t).getOrElse(""), md)) }
+      }
+    hammingPairs64(sigs, maxHamming, maxBucket)
+      .withColumnRenamed("id_a", "doc_id_a").withColumnRenamed("id_b", "doc_id_b")
+  }
+
   /** The pigeonhole-banded Hamming join behind [[simhashPairs]] (and the
     * image perceptual-hash dedup): chunk each 64-bit signature into
     * `maxHamming + 1` bands, bucket on (band, chunk) — any pair within the

@@ -87,6 +87,29 @@ class DedupSpec extends SparkSpec {
       s"pair at hamming $d missing: ${pairs.mkString(",")}")
   }
 
+  test("simhashMd5: single-token signature IS the md5 token hash (pins the DuckDB md5_number_upper convention)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // one token ⇒ every bit vote is ±1 from that token alone ⇒ sig == h;
+    // DuckDB: SELECT md5_number_upper('abc') = 12704604231530709392
+    // (first 8 md5 bytes, little-endian) — the q25 oracle's exact value
+    assert(Dedup.simhashMd5("abc", md) ==
+      java.lang.Long.parseUnsignedLong("12704604231530709392"))
+    // case fold + whitespace split mirror the SQL lower + \S+ extraction
+    assert(Dedup.simhashMd5("  ABC  ", md) == Dedup.simhashMd5("abc", md))
+    assert(Dedup.simhashMd5("", md) == 0L, "no tokens → all votes 0 → sign fold 0")
+  }
+
+  test("simhashPairsPortable: identical docs pair at 0; cross-container recall like the fnv variant") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val far = "numbers 111 222 333 444 555 666 777 888 999 000 aaa bbb ccc ddd eee fff"
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPortable(df, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 10))
+    assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
   test("shingles: short text degrades to one whole-text shingle") {
     assert(Dedup.shingles("one two", 3).length == 1)
   }
