@@ -44,9 +44,33 @@ object CsvIngest {
   // ------------------------------------------------------------- detection
 
   /** Charsets tried in order; first that decodes the prefix without error
-    * wins (csv_validator.py:180-204 shape). ISO-8859-1 is the last resort —
-    * it never fails, it just maps bytes 1:1. */
+    * wins (csv_validator.py:178-204 shape). ISO-8859-1 is the last resort —
+    * it never fails, it just maps bytes 1:1.
+    *
+    * PINNED DEVIATION from the reference (documented in SURVEY §3): the
+    * reference ladder is utf-8 → latin-1 → cp1252 → iso-8859-1 →
+    * windows-1252, and since Python's latin-1 decode NEVER fails its
+    * effective behavior is "utf-8 else latin-1" — bytes 0x80–0x9F become
+    * invisible C1 CONTROL characters. Graft tries windows-1252 before the
+    * latin-1 catch-all, so those bytes decode to the glyphs real uploads
+    * mean by them (“smart quotes”, €, —, …). The two ladders agree on
+    * every byte sequence outside 0x80–0x9F; inside it graft is a strict
+    * readability improvement. [[referenceEncodingLadder]] computes the
+    * reference's answer so the divergence is testable, not folklore. */
   val CandidateCharsets: Seq[String] = Seq("UTF-8", "windows-1252", "ISO-8859-1")
+
+  /** What the REFERENCE's encoding ladder would pick for these bytes:
+    * "utf-8" when the bytes are valid UTF-8, else "latin-1" (the catch-all
+    * that cannot fail — csv_validator.py:178's second rung). Exists to pin
+    * the deviation note above with a spec, and for callers that need
+    * bug-for-bug reference compatibility. */
+  def referenceEncodingLadder(prefix: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(prefix)); "utf-8" }
+    catch { case _: java.nio.charset.CharacterCodingException => "latin-1" }
+  }
 
   def detectEncoding(prefix: Array[Byte]): String = {
     if (prefix.length >= 3 && prefix(0) == 0xEF.toByte && prefix(1) == 0xBB.toByte && prefix(2) == 0xBF.toByte)
@@ -60,7 +84,10 @@ object CsvIngest {
     }.getOrElse("ISO-8859-1")
   }
 
-  val CandidateDelimiters: Seq[Char] = Seq(',', ';', '\t', '|')
+  /** Reference ladder order: ';' FIRST (European exports), then ',', then
+    * tab (csv_validator.py:206-209). '|' is a graft EXTENSION rung tried
+    * only after all three fail — see [[detectDelimiter]]. */
+  val CandidateDelimiters: Seq[Char] = Seq(';', ',', '\t', '|')
 
   /** Delimiter occurrences outside double-quoted sections ("" escapes a
     * quote inside a quoted field, RFC 4180). */
@@ -75,19 +102,53 @@ object CsvIngest {
     n
   }
 
-  /** Pick the delimiter that splits the header into the most fields and does
-    * so CONSISTENTLY across the sampled lines (csv_validator.py:206-265
-    * plausibility idea: a candidate is implausible if rows disagree on field
-    * count). Quote-aware: delimiters inside quoted fields don't count.
-    * Falls back to ','. */
+  /** Quote-aware split (the field view Python's csv module gives the
+    * reference): quote characters toggle, delimiters inside quotes don't
+    * split, quote chars themselves are dropped from field content. */
+  private[graft] def splitQuoted(line: String, d: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var inQ = false; var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQ = !inQ
+      else if (c == d && !inQ) { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Reference-parity delimiter detection (csv_validator.py:206-265): walk
+    * the ladder ';' → ',' → tab IN ORDER over the HEADER line; a candidate
+    * wins when it yields MORE THAN ONE non-empty field and passes the
+    * cross-delimiter plausibility rule — a ';' split is implausible if any
+    * parsed field still contains ',' (and vice versa; tab fields must
+    * contain neither). First winner takes it; final fallback is ','
+    * (py:256-265).
+    *
+    * EXTENSION rung (documented deviation, strictly a superset): before
+    * falling back, try '|' with a consistent-field-count check across the
+    * sample lines — the reference has no '|' support, fails all three
+    * rungs on a pipe file, parses it as one comma column, and then REJECTS
+    * it for missing headers; graft ingests it. Every file the reference
+    * successfully parses takes the same rung here. */
   def detectDelimiter(sampleLines: Seq[String]): Char = {
     val lines = sampleLines.filter(_.nonEmpty)
     if (lines.isEmpty) return ','
-    val plausible = CandidateDelimiters.flatMap { d =>
-      val counts = lines.map(unquotedCount(_, d))
-      if (counts.head > 0 && counts.distinct.size == 1) Some((d, counts.head)) else None
+    val header = lines.head
+    val ladder = CandidateDelimiters.takeWhile(_ != '|').find { d =>
+      val fields = splitQuoted(header, d).map(_.trim).filter(_.nonEmpty)
+      fields.length > 1 && (d match {
+        case ';' => !fields.exists(_.contains(','))
+        case ',' => !fields.exists(_.contains(';'))
+        case _ => !fields.exists(f => f.contains(',') || f.contains(';'))
+      })
     }
-    if (plausible.isEmpty) ',' else plausible.maxBy(_._2)._1
+    ladder.getOrElse {
+      val counts = lines.map(unquotedCount(_, '|'))
+      if (counts.head > 0 && counts.distinct.size == 1) '|' else ','
+    }
   }
 
   // ------------------------------------------------------------ validation

@@ -43,7 +43,7 @@ class CsvIngestSpec extends SparkSpec {
     assert(detectDelimiter(Seq("a;b;c", "1;2;3", "4;5;6")) == ';')
   }
 
-  test("detectDelimiter: comma beats semicolon when counts are consistent") {
+  test("detectDelimiter: comma wins when the ';' rung yields a single field") {
     assert(detectDelimiter(Seq("a,b,c,d", "1,2,3,4")) == ',')
   }
 
@@ -51,14 +51,71 @@ class CsvIngestSpec extends SparkSpec {
     assert(detectDelimiter(Seq("a\tb", "1\t2")) == '\t')
   }
 
-  test("detectDelimiter: inconsistent candidate rejected (plausibility)") {
-    // ';' appears in the header once but 0 times in data rows → implausible;
-    // ',' is consistent
+  test("detectDelimiter: cross-delimiter plausibility rejects both, falls back to comma") {
+    // reference py:227-233 semantics: ';' split leaves ',' inside fields →
+    // implausible; ',' split leaves ';' inside a field → implausible; tab
+    // yields one field → the py:256 comma fallback fires
     assert(detectDelimiter(Seq("a,b;x,c", "1,2x,3", "4,5x,6")) == ',')
+  }
+
+  test("detectDelimiter: ';' is preferred FIRST (European exports, reference ladder order)") {
+    // both ';' and ',' split this header consistently into >1 clean fields —
+    // the reference tries ';' first and its fields contain no ',', so ';'
+    // wins even though ',' would give MORE fields (the old max-field-count
+    // rule picked ',' here; the ladder is the parity behavior)
+    assert(detectDelimiter(Seq("a;b", "1,5;2,7", "3,1;4,2")) == ';')
+  }
+
+  test("detectDelimiter: ambiguous mixed header lands on the reference's comma fallback") {
+    // 'a;b,c;d': ';' fields contain ',' and ',' fields contain ';' — every
+    // ladder rung is implausible, exactly like the reference, which then
+    // defaults to ',' (py:256-265)
+    assert(detectDelimiter(Seq("a;b,c;d")) == ',')
+  }
+
+  test("detectDelimiter: quoted fields hide their delimiters from the plausibility rule") {
+    // header a;"b,c" — the ',' lives INSIDE quotes, so the ';' split parses
+    // fields [a] [b,c]: python csv sees the ',' in the PARSED field and
+    // rejects ';'; then ',' splits into [a;"b] [c"] whose field carries ';'
+    // → rejected → comma fallback. Mirrored exactly.
+    assert(detectDelimiter(Seq("a;\"b,c\"")) == ',')
+    // but a fully quoted ';' header with benign fields takes the ';' rung
+    assert(detectDelimiter(Seq("\"name\";\"org\"", "x;y")) == ';')
+  }
+
+  test("detectDelimiter: '|' extension rung — pipe files the reference rejects still ingest") {
+    assert(detectDelimiter(Seq("a|b|c", "1|2|3")) == '|')
+    // inconsistent pipe counts across sample rows → not plausible → comma
+    assert(detectDelimiter(Seq("a|b|c", "1|2")) == ',')
   }
 
   test("detectDelimiter: empty input falls back to comma") {
     assert(detectDelimiter(Seq.empty) == ',')
+  }
+
+  // -------------------------------------------- encoding-ladder deviation
+
+  test("encoding ladders agree outside 0x80-0x9F; inside it graft pins windows-1252 glyphs") {
+    // valid UTF-8: both ladders say UTF-8
+    val utf8 = "email,nome\njoão@x.com,João\n".getBytes(StandardCharsets.UTF_8)
+    assert(detectEncoding(utf8) == "UTF-8")
+    assert(CsvIngest.referenceEncodingLadder(utf8) == "utf-8")
+    // latin-1 high bytes OUTSIDE 0x80-0x9F (é = 0xE9): reference says
+    // latin-1, graft says windows-1252 — the two charsets map every byte
+    // outside 0x80-0x9F to the SAME character, so the decoded text agrees
+    val e9 = "nome\ncaf".getBytes(StandardCharsets.UTF_8) :+ 0xE9.toByte
+    assert(CsvIngest.referenceEncodingLadder(e9) == "latin-1")
+    assert(detectEncoding(e9) == "windows-1252")
+    assert(new String(Array(0xE9.toByte), "windows-1252") ==
+      new String(Array(0xE9.toByte), "ISO-8859-1"))
+    // INSIDE 0x80-0x9F (0x93 = left smart quote): the pinned deviation —
+    // reference latin-1 yields the invisible C1 control U+0093, graft
+    // yields the glyph the upload meant
+    val smart = "x\n".getBytes(StandardCharsets.UTF_8) :+ 0x93.toByte
+    assert(CsvIngest.referenceEncodingLadder(smart) == "latin-1")
+    assert(detectEncoding(smart) == "windows-1252")
+    assert(new String(Array(0x93.toByte), "ISO-8859-1") == "\u0093", "reference: C1 control")
+    assert(new String(Array(0x93.toByte), "windows-1252") == "“", "graft: the glyph")
   }
 
   // -------------------------------------------------------------- headers
