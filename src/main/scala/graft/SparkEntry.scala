@@ -1168,6 +1168,15 @@ object SparkEntry {
         cust.filter(pmod(col("c_custkey"), lit(97)) === 0),
         cust, Tables.orders(s, d), Tables.lineitem(s, d))
     }),
+    "q325_erasure_execute" -> ((s, d) => {
+      // q234's detect→fix pair completed: EXECUTE the same cascade as
+      // child-first idempotent anti-join rewrites and prove the post-state
+      // (rows before/deleted/after + exact surviving-key checksums)
+      val cust = Tables.customer(s, d)
+      Relational.erasureExecute(
+        cust.filter(pmod(col("c_custkey"), lit(97)) === 0),
+        cust, Tables.orders(s, d), Tables.lineitem(s, d))
+    }),
     "q233_item_cf" -> ((s, d) =>
       // "users who touched k also touched k'" over the props payload;
       // one-shuffle pair explode, never an all-pairs item join
@@ -5141,6 +5150,28 @@ object SparkEntry {
         |  count(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM ho) THEN 1 END),
         |  count(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM ho) THEN 1 END)
         |FROM lineitem
+        |ORDER BY table_name""".stripMargin,
+    "q325_erasure_execute" ->
+      // DuckDB executes the SAME cascade (child-first anti-joins) and
+      // summarizes the post-state; key checksums prove the surviving SET
+      """WITH fk AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |ho AS (SELECT DISTINCT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM fk)),
+        |li_a AS (SELECT COUNT(*) AS n, CAST(SUM(l_orderkey * 8 + l_linenumber) AS BIGINT) AS ks
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ho)),
+        |ord_a AS (SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS ks
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM fk)),
+        |cust_a AS (SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS ks
+        |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM fk))
+        |SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM customer) AS rows_before,
+        |  (SELECT COUNT(*) FROM customer) - n AS rows_deleted, n AS rows_after,
+        |  COALESCE(ks, 0) AS key_sum_after FROM cust_a
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem) - n, n, COALESCE(ks, 0) FROM li_a
+        |UNION ALL
+        |SELECT 'orders', (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders) - n, n, COALESCE(ks, 0) FROM ord_a
         |ORDER BY table_name""".stripMargin,
     "q233_item_cf" ->
       // same sorted-set pair explode semantics expressed as a self-join

@@ -257,4 +257,58 @@ object Relational {
       col("l_orderkey") === col("hk"), "left"), "lineitem", col("hk").isNotNull)
     cust.unionAll(ord).unionAll(li).orderBy("table_name")
   }
+
+  /** The EXECUTE half of [[erasureAudit]]'s detect→fix pair (the house
+    * pattern: q182→q210 leakage, q171→q218 k-anonymity): the post-erasure
+    * states of every table in the cascade, in FK order CHILD FIRST —
+    * lineitem (children of affected orders), then orders (of forgotten
+    * customers), then customer. Child-before-parent means an interrupted
+    * run never leaves orphaned children, and because every step is an
+    * ANTI-JOIN REWRITE the whole cascade is idempotent: replaying it on
+    * the post-state deletes zero rows (RelationalSpec pins this).
+    * Reference analog: s3_service.py:121 `delete_file` +
+    * job_repository.py:186-284's FK-ordered delete-cascade, re-expressed
+    * as immutable-lake rewrites instead of row DELETEs.
+    *
+    * Scale: the forget batch broadcasts; the affected-order key set is
+    * bounded by the batch's fan-out and broadcasts too; each table is one
+    * anti-join scan that rewrites in place via dynamic-partition overwrite
+    * ([[graft.sources.Sinks.writeAudited]] meters the write with the
+    * `Observation` API — rows_out there must equal rows_after here). */
+  def erasureCascadeStates(forgetKeys: DataFrame, customer: DataFrame,
+                           orders: DataFrame, lineitem: DataFrame): Seq[(String, DataFrame)] = {
+    val keys = broadcast(forgetKeys.select(col("c_custkey").as("fk")).distinct())
+    val hitOrders = broadcast(orders.join(keys, col("o_custkey") === col("fk"))
+      .select(col("o_orderkey").as("hk")).distinct())
+    Seq(
+      "lineitem" -> lineitem.join(hitOrders, col("l_orderkey") === col("hk"), "left_anti"),
+      "orders" -> orders.join(keys, col("o_custkey") === col("fk"), "left_anti"),
+      "customer" -> customer.join(keys, col("c_custkey") === col("fk"), "left_anti"))
+  }
+
+  /** Erasure-cascade execution summary: per table, rows before / deleted /
+    * after plus an exact key checksum of the POST-STATE (Σ of a unique row
+    * key over surviving rows) — the oracle-checkable proof that the
+    * cascade deleted exactly the right rows and nothing else. */
+  def erasureExecute(forgetKeys: DataFrame, customer: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val states = erasureCascadeStates(forgetKeys, customer, orders, lineitem).toMap
+    def summarize(before: DataFrame, table: String, key: Column): DataFrame = {
+      val b = before.agg(count(lit(1)).as("rows_before"))
+      val a = states(table).agg(count(lit(1)).as("rows_after"),
+        sum(key).as("key_sum_after"))
+      // 1-row × 1-row combine (BNLJ by construction, allowlisted in
+      // PlanContractSpec like every other 1-row crossJoin in the repo)
+      b.crossJoin(broadcast(a)).select(lit(table).as("table_name"),
+        col("rows_before"),
+        (col("rows_before") - col("rows_after")).as("rows_deleted"),
+        col("rows_after"),
+        coalesce(col("key_sum_after"), lit(0L)).as("key_sum_after"))
+    }
+    summarize(customer, "customer", col("c_custkey"))
+      .unionAll(summarize(orders, "orders", col("o_orderkey")))
+      .unionAll(summarize(lineitem, "lineitem",
+        col("l_orderkey") * 8 + col("l_linenumber")))
+      .orderBy("table_name")
+  }
 }

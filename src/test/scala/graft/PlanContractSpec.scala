@@ -126,7 +126,10 @@ class PlanContractSpec extends SparkSpec {
           // k-group densifying grid + two 1-row frames; morans_i: the
           // 1-row global moments over the cell table
           "q318_cochran_q", "q321_seasonal_mk", "q322_jonckheere",
-          "q323_morans_i")
+          "q323_morans_i",
+          // erasure_execute: per-table 1-row (rows_before) × 1-row
+          // (post-state count + key checksum) combine frames
+          "q325_erasure_execute")
         if (allowed(name)) None else Some(name)
       } else None
     }
