@@ -308,16 +308,50 @@ object SparkEntry {
     "q109_bigram_ll" -> ((s, d) =>
       Curation.bigramLogLikelihood(Tables.documents(s, d), "doc_id", "text")),
     "q110_pagerank" -> ((s, d) => {
-      // part↔supplier co-occurrence graph, symmetrized so no node dangles
+      // part↔supplier co-occurrence graph, symmetrized so no node dangles.
+      // INTEGER node keys (2k = part, 2k+1 = supplier): every iteration's
+      // join + aggregate shuffles 8-byte longs instead of strings — about
+      // half the shuffle width on the heaviest bench query; the final
+      // projection re-labels, so the report (and its oracle) keeps names.
+      // Top-20 selection happens in integer key order on BOTH sides; the
+      // presentation re-sorts by (rank, label) identically on both sides.
       val li = Tables.lineitem(s, d).select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.pageRank(
         li.unionAll(li.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst")
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("p"), (col("node") / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+            .as("node"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node"))
     }),
     "q111_grouping_sets" -> ((s, d) =>
       Reports.statusPriorityGroupingSets(Tables.orders(s, d))),
+    "q326_pagerank_directed" -> ((s, d) => {
+      // NATURALLY directed customer→order graph — every order node dangles
+      // (out-degree 0), the shape plain pageRank can't serve: dangling
+      // mass redistributes uniformly so Σrank stays n exactly (GraphSpec
+      // pins the invariant). Integer keys (2c / 2o+1) keep custkey and
+      // orderkey id spaces disjoint; top-20 selects in integer order, the
+      // final projection re-labels and re-sorts by (rank, label) — both
+      // mirrored in the oracle.
+      val e = Tables.orders(s, d).select(
+        (col("o_custkey") * 2).as("src"), (col("o_orderkey") * 2 + 1).as("dst"))
+      Graph.pageRankDirected(e, "src", "dst")
+        .select(col("node"), col("rank").cast("decimal(18,6)").cast("double").as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), (col("node") / 2).cast("long")))
+            .otherwise(concat(lit("o"), ((col("node") - 1) / 2).cast("long")))
+            .as("node"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+    }),
     "q140_global_median" -> ((s, d) =>
       // n=200k at sf0.01 > the 100k exact threshold, so the driver run
       // exercises a real histogram refinement pass, not just the sliver
@@ -6332,8 +6366,7 @@ object SparkEntry {
       // damping step is a fixed double chain. DuckDB decimal literals: the
       // seed contribution is CAST(1.0 AS DOUBLE)/deg, not 1.0/deg (which
       // DuckDB would evaluate in decimal division — engine-specific)
-      """WITH e0 AS (SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-        |                   's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+      """WITH e0 AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
         |e AS (SELECT DISTINCT src, dst FROM
         |       (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
@@ -6342,9 +6375,38 @@ object SparkEntry {
         |       FROM e JOIN deg USING (src) GROUP BY e.dst),
         |r2 AS (SELECT e.dst AS node,
         |         0.15 + 0.85 * CAST(SUM(CAST(r1.rank / deg.deg AS DECIMAL(28,9))) AS DOUBLE) AS rank
-        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst)
-        |SELECT node, CAST(CAST(rank AS DECIMAL(18,6)) AS DOUBLE) AS rank
-        |FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |top AS (SELECT node AS nkey, CAST(CAST(rank AS DECIMAL(18,6)) AS DOUBLE) AS rank
+        |        FROM r2 ORDER BY rank DESC, node LIMIT 20)
+        |SELECT CASE WHEN nkey % 2 = 0 THEN 'p' || CAST(nkey // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((nkey - 1) // 2 AS VARCHAR) END AS node, rank
+        |FROM top ORDER BY rank DESC, node""".stripMargin,
+    "q326_pagerank_directed" ->
+      // two unrolled dangling-mass iterations: every order node dangles,
+      // its pooled DECIMAL(28,9) mass redistributes as m/n (ONE double
+      // division), contributions quantize pre-sum — the q110 recipe plus
+      // the leak fix; same 1.0−d literal chain as the engine
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, o_orderkey * 2 + 1 AS dst FROM orders),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)),
+        |m0 AS (SELECT COALESCE(SUM(CAST(1.0 AS DECIMAL(28,9))), 0) AS m FROM dang),
+        |s1 AS (SELECT e.dst, SUM(CAST(CAST(1.0 AS DOUBLE) / deg.deg AS DECIMAL(28,9))) AS s
+        |       FROM e JOIN deg USING (src) GROUP BY e.dst),
+        |r1 AS (SELECT node, 0.15 + 0.85 * (COALESCE(CAST(s AS DOUBLE), 0) + CAST(m AS DOUBLE) / n) AS rank
+        |       FROM nodes LEFT JOIN s1 ON s1.dst = nodes.node CROSS JOIN m0 CROSS JOIN nn),
+        |m1 AS (SELECT COALESCE(SUM(CAST(rank AS DECIMAL(28,9))), 0) AS m FROM r1
+        |       WHERE node IN (SELECT node FROM dang)),
+        |s2 AS (SELECT e.dst, SUM(CAST(r1.rank / deg.deg AS DECIMAL(28,9))) AS s
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT node, 0.15 + 0.85 * (COALESCE(CAST(s AS DOUBLE), 0) + CAST(m AS DOUBLE) / n) AS rank
+        |       FROM nodes LEFT JOIN s2 ON s2.dst = nodes.node CROSS JOIN m1 CROSS JOIN nn),
+        |top AS (SELECT node AS nkey, CAST(CAST(rank AS DECIMAL(18,6)) AS DOUBLE) AS rank
+        |        FROM r2 ORDER BY rank DESC, node LIMIT 20)
+        |SELECT CASE WHEN nkey % 2 = 0 THEN 'c' || CAST(nkey // 2 AS VARCHAR)
+        |            ELSE 'o' || CAST((nkey - 1) // 2 AS VARCHAR) END AS node, rank
+        |FROM top ORDER BY rank DESC, node""".stripMargin,
     "q111_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -53,6 +53,86 @@ object Graph {
       .limit(topK)
   }
 
+  /** PageRank for NATURALLY DIRECTED graphs — [[pageRank]] requires a
+    * symmetrized edge list (every node has out-degree ≥ 1); real crawl
+    * frontiers (url → url), citation graphs, and customer → order graphs
+    * have DANGLING nodes (out-degree 0) that leak rank mass every
+    * iteration without the standard fix: their pooled mass m = Σ_dangling
+    * r(u) redistributes uniformly, r'(v) = (1−d) + d·(Σ_{u→v} r(u)/deg(u)
+    * + m/n). Under the unnormalized rank₀ = 1 convention this conserves
+    * TOTAL MASS exactly: Σr' = n(1−d) + d·((Σr − m) + m) = n when Σr = n
+    * (GraphSpec pins the invariant; ranks stay comparable across graphs).
+    *
+    * Exactness: contributions and the dangling pool quantize to
+    * DECIMAL(28,9) before their order-dependent sums; m/n is ONE double
+    * division mirrored in the oracle's unrolled CTEs. m and n ride 1-row
+    * broadcast frames — the plan stays fully lazy (no constructor
+    * actions), and each iteration is still one node-keyed join + one dst
+    * aggregate; the dangling pool is a node-sized semi-join. */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 2, damping: Double = 0.85): DataFrame =
+    pageRankDirectedFrames(edges, srcCol, dstCol, iters, damping).last
+
+  /** Every iteration's full rank vector (frame 0 = uniform init) — the
+    * building block behind [[pageRankDirected]] and the convergence
+    * report. Frames after the first are localCheckpointed: each is read
+    * twice (next iteration + delta report), and the checkpoint also
+    * truncates the iterative lineage. */
+  private[graft] def pageRankDirectedFrames(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double): Seq[DataFrame] = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val index = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += ranks
+    for (_ <- 1 to iters) {
+      val contrib = index.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(28,9)").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val mFrame = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank").cast("decimal(28,9)")),
+          lit(0).cast("decimal(28,9)")).as("m"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(mFrame)).crossJoin(broadcast(nFrame))
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) *
+            (coalesce(col("s").cast("double"), lit(0.0)) +
+              col("m").cast("double") / col("n").cast("double"))).as("rank"))
+        .localCheckpoint(true)
+      frames += ranks
+    }
+    index.unpersist(false)
+    frames.result()
+  }
+
+  /** Per-iteration convergence report for [[pageRankDirected]]: L1 delta
+    * Σ|r_i − r_{i−1}| (micro-quantized exact sum) and total mass Σr_i —
+    * the "has it converged / is mass conserved" dashboard row that decides
+    * whether the fixed iteration budget was enough. */
+  def pageRankConvergence(edges: DataFrame, srcCol: String, dstCol: String,
+                          iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    val frames = pageRankDirectedFrames(edges, srcCol, dstCol, iters, damping)
+    frames.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
+      cur.join(prev.withColumnRenamed("rank", "prev"), "node")
+        .agg(
+          sum(abs(col("rank") - col("prev")).cast("decimal(28,6)")).as("l1"),
+          sum(col("rank").cast("decimal(28,6)")).as("mass"))
+        .select(lit(i + 1).as("iter"),
+          col("l1").cast("double").as("l1_delta"),
+          col("mass").cast("double").as("mass"))
+    }.reduce(_.unionAll(_)).orderBy("iter")
+  }
+
   /** Synchronous label propagation (fixed iterations, min-label tie-break):
     * parameter-free community detection — labels start as node ids and each
     * round every node adopts the most frequent label among its neighbors

@@ -260,6 +260,37 @@ class GraphSpec extends SparkSpec {
     assert(!out.contains(1L), "sources don't score themselves")
   }
 
+  test("pageRankDirected: hand chain a→b — dangling mass redistributes, total mass stays n") {
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    // n=2, node 1 dangles. iter1: m=1, r(0)=.15+.85·(0+1/2)=0.575,
+    // r(1)=.15+.85·(1+1/2)=1.425. iter2: m=r1(1)=1.425, S(1)=r1(0)=0.575,
+    // r(0)=.15+.85·(1.425/2)=0.755625, r(1)=.15+.85·(0.575+0.7125)=1.244375
+    val r = Graph.pageRankDirected(e, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(0L) - 0.755625) < 1e-12 && math.abs(r(1L) - 1.244375) < 1e-12, r.toString)
+    assert(math.abs(r.values.sum - 2.0) < 1e-12, "mass conserved")
+  }
+
+  test("pageRankDirected: mass invariant Σrank = n on an asymmetric fan graph") {
+    // 1 hub → 50 dangling leaves + a 3-chain: plain pageRank would leak
+    // the leaves' mass every iteration
+    val edges = ((1L to 50L).map(i => (0L, 100L + i)) ++ Seq((200L, 201L), (201L, 202L)))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRankDirected(edges, "src", "dst", iters = 3)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(ranks.sum - ranks.length) < 1e-9 * ranks.length,
+      s"mass ${ranks.sum} != n ${ranks.length}")
+  }
+
+  test("pageRankConvergence: exact L1 deltas and constant mass on the hand chain") {
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val rep = Graph.pageRankConvergence(e, "src", "dst")
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // iter1: |0.575−1| + |1.425−1| = 0.85; iter2: 2·0.180625 = 0.36125
+    assert(rep(1) == ((0.85, 2.0)), rep.toString)
+    assert(rep(2) == ((0.36125, 2.0)), rep.toString)
+  }
+
   test("harmonicCentrality: multi-source sums per-source shortest paths") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val out = Graph.harmonicCentrality(edges, "a", "b", Seq(1L, 3L), maxHops = 2)

@@ -129,7 +129,10 @@ class PlanContractSpec extends SparkSpec {
           "q323_morans_i",
           // erasure_execute: per-table 1-row (rows_before) × 1-row
           // (post-state count + key checksum) combine frames
-          "q325_erasure_execute")
+          "q325_erasure_execute",
+          // pagerank_directed: per-iteration 1-row dangling-mass and
+          // 1-row node-count frames broadcast over the node table
+          "q326_pagerank_directed")
         if (allowed(name)) None else Some(name)
       } else None
     }
