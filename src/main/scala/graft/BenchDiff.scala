@@ -69,6 +69,17 @@ object BenchDiff {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // same per-table warmup as Bench: without it the FIRST flagged query
+    // pays file listing + schema reads and reads 2-4x inflated, turning
+    // the adjudicator into its own false positive
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.limit(1).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
     flaggedAll.foreach { case (_, name, v, b, _) =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

@@ -352,6 +352,45 @@ object SparkEntry {
           col("rank"))
         .orderBy(col("rank").desc, col("node"))
     }),
+    "q327_diff_in_diff" -> ((s, d) =>
+      // did even-id users' event value move after mid-month NET of the
+      // common time trend: the 2×2 DiD readout, one conditional-agg scan
+      Evaluation.diffInDiff(Tables.events(s, d),
+        pmod(col("user_id"), lit(2)) === 0,
+        dayofmonth(col("ts")) > 15,
+        col("value"))),
+    "q328_sign_flip" -> ((s, d) => {
+      // is per-user purchase spend symmetric vs view spend: paired diff
+      // per user, 64 deterministic md5-bit sign vectors, exact p
+      val ev = Tables.events(s, d)
+      Evaluation.signFlipTest(
+        ev.filter(col("event_type").isin("purchase", "view"))
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", col("value"))
+              .otherwise(-col("value")).as("diff")),
+        "user_id", col("diff"))
+    }),
+    "q329_interrupted_series" -> ((s, d) =>
+      // quantify the (synthetic) mid-month break: two exact OLS fits on
+      // the daily volume, slope change + level change at the knot
+      Analytics.interruptedSeries(Tables.events(s, d), "ts", "2024-01-16")),
+    "q330_median_of_means" -> ((s, d) =>
+      // robust per-user spend mean: 9 md5 buckets, exact bucket means,
+      // exact middle — one heavy whale can poison at most one bucket
+      Analytics.medianOfMeans(Tables.events(s, d), "user_id", col("value"))),
+    "q331_script_profile" -> ((s, d) => {
+      // which script is each source actually written in — with planted
+      // Cyrillic/CJK/Hangul rows so every class column is exercised in
+      // the oracle gate, not just the spec
+      val docs = Tables.documents(s, d).select(col("source"), col("text"))
+      val planted = Tables.documents(s, d).filter(col("doc_id") < 6).select(
+        concat(lit("planted_"), element_at(array(lit("ru"), lit("zh"), lit("ko")),
+          (col("doc_id") % 3 + 1).cast("int"))).as("source"),
+        concat(col("text"), lit(" "),
+          element_at(array(lit("привет мир"), lit("你好世界"), lit("안녕하세요")),
+            (col("doc_id") % 3 + 1).cast("int"))).as("text"))
+      TextAnalysis.scriptProfile(docs.unionAll(planted), "source", "text")
+    }),
     "q140_global_median" -> ((s, d) =>
       // n=200k at sf0.01 > the 100k exact threshold, so the driver run
       // exercises a real histogram refinement pass, not just the sliver
@@ -6407,6 +6446,115 @@ object SparkEntry {
         |SELECT CASE WHEN nkey % 2 = 0 THEN 'c' || CAST(nkey // 2 AS VARCHAR)
         |            ELSE 'o' || CAST((nkey - 1) // 2 AS VARCHAR) END AS node, rank
         |FROM top ORDER BY rank DESC, node""".stripMargin,
+    "q327_diff_in_diff" ->
+      // four cell (n, Σ) pairs in one conditional aggregate; each mean is
+      // one double division; the DiD chain mirrored literally
+      """WITH g AS (SELECT
+        |  COUNT(CASE WHEN user_id % 2 = 0 AND day(ts) > 15 THEN 1 END) AS n_t1,
+        |  SUM(CASE WHEN user_id % 2 = 0 AND day(ts) > 15 THEN CAST(value AS DECIMAL(18,2)) END) AS s_t1,
+        |  COUNT(CASE WHEN user_id % 2 = 0 AND NOT day(ts) > 15 THEN 1 END) AS n_t0,
+        |  SUM(CASE WHEN user_id % 2 = 0 AND NOT day(ts) > 15 THEN CAST(value AS DECIMAL(18,2)) END) AS s_t0,
+        |  COUNT(CASE WHEN NOT user_id % 2 = 0 AND day(ts) > 15 THEN 1 END) AS n_c1,
+        |  SUM(CASE WHEN NOT user_id % 2 = 0 AND day(ts) > 15 THEN CAST(value AS DECIMAL(18,2)) END) AS s_c1,
+        |  COUNT(CASE WHEN NOT user_id % 2 = 0 AND NOT day(ts) > 15 THEN 1 END) AS n_c0,
+        |  SUM(CASE WHEN NOT user_id % 2 = 0 AND NOT day(ts) > 15 THEN CAST(value AS DECIMAL(18,2)) END) AS s_c0
+        |  FROM events)
+        |SELECT CAST(n_t1 AS BIGINT) AS n_treated_post, CAST(n_t0 AS BIGINT) AS n_treated_pre,
+        |  CAST(n_c1 AS BIGINT) AS n_control_post, CAST(n_c0 AS BIGINT) AS n_control_pre,
+        |  CAST(CAST(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_treated_post,
+        |  CAST(CAST(CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_treated_pre,
+        |  CAST(CAST(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_control_post,
+        |  CAST(CAST(CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_control_pre,
+        |  CASE WHEN n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0 THEN
+        |    CAST(CAST((CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+        |      - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS did_effect
+        |FROM g""".stripMargin,
+    "q328_sign_flip" ->
+      // the q25 md5 convention powers 64 deterministic ± vectors; exact
+      // integer cent sums, one division for p
+      """WITH units AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+        |                  ELSE -CAST(value AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        |h AS (SELECT x, md5_number_upper(id) AS h FROM units),
+        |flips AS (SELECT b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN x ELSE -x END) AS fx
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY 1),
+        |obs AS (SELECT ABS(SUM(x)) AS t_obs, COUNT(*) AS n FROM units),
+        |agg AS (SELECT COUNT(CASE WHEN ABS(fx) >= t_obs THEN 1 END) AS n_extreme
+        |  FROM flips CROSS JOIN obs)
+        |SELECT CAST(n AS BIGINT) AS n_units,
+        |  CAST(t_obs AS DOUBLE) / 100 AS observed_abs_sum,
+        |  CAST(n_extreme AS BIGINT) AS n_extreme,
+        |  CAST(CAST((CAST(n_extreme AS DOUBLE) + 1) / 65 AS DECIMAL(18,9)) AS DOUBLE) AS p_value
+        |FROM agg CROSS JOIN obs""".stripMargin,
+    "q329_interrupted_series" ->
+      // day offsets from the knot (t_knot = 0), exact integer power sums
+      // per segment, one division per slope/intercept (the q104 recipe)
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1),
+        |d2 AS (SELECT CAST(date_diff('day', DATE '2024-01-16', day) AS BIGINT) AS t, y FROM daily),
+        |seg AS (SELECT t >= 0 AS post, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+        |    SUM(CAST(t AS HUGEINT) * t) AS stt, SUM(CAST(t AS HUGEINT) * y) AS sty
+        |  FROM d2 GROUP BY 1),
+        |fits AS (SELECT post, n,
+        |    CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0
+        |      THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) END AS b,
+        |    CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0
+        |      THEN (CAST(sy AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sty AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) END AS a
+        |  FROM seg)
+        |SELECT CAST(MAX(CASE WHEN NOT post THEN n END) AS BIGINT) AS n_pre,
+        |  CAST(MAX(CASE WHEN post THEN n END) AS BIGINT) AS n_post,
+        |  CAST(CAST(MAX(CASE WHEN NOT post THEN b END) AS DECIMAL(18,9)) AS DOUBLE) AS slope_pre,
+        |  CAST(CAST(MAX(CASE WHEN post THEN b END) AS DECIMAL(18,9)) AS DOUBLE) AS slope_post,
+        |  CAST(CAST(MAX(CASE WHEN post THEN b END) - MAX(CASE WHEN NOT post THEN b END) AS DECIMAL(18,9)) AS DOUBLE) AS slope_change,
+        |  CAST(CAST(MAX(CASE WHEN post THEN a END) - MAX(CASE WHEN NOT post THEN a END) AS DECIMAL(18,9)) AS DOUBLE) AS level_change
+        |FROM fits""".stripMargin,
+    "q330_median_of_means" ->
+      // md5-bucketed (low 32 bits mod 9) exact bucket means, exact middle
+      """WITH units AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT (md5_number_upper(id) & 4294967295) % 9 AS bucket, x FROM units),
+        |pb AS (SELECT bucket, COUNT(*) AS n, SUM(x) AS s,
+        |    CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100 AS m FROM b GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS kf, SUM(n) AS nu,
+        |    CAST(SUM(s) AS DOUBLE) / SUM(n) / 100 AS gm, quantile_cont(m, 0.5) AS mom FROM pb)
+        |SELECT CAST(kf AS BIGINT) AS k_buckets, CAST(nu AS BIGINT) AS n_units,
+        |  CAST(CAST(gm AS DECIMAL(18,9)) AS DOUBLE) AS global_mean,
+        |  CAST(CAST(mom AS DECIMAL(18,9)) AS DOUBLE) AS median_of_means
+        |FROM g""".stripMargin,
+    "q331_script_profile" ->
+      // same planted multilingual corpus; per-class counts by the
+      // replace-length recipe (RE2 \x{hhhh} ranges, 'g' flag), shares are
+      // single divisions of exact integers
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'planted_' || CASE WHEN doc_id % 3 = 0 THEN 'ru' WHEN doc_id % 3 = 1 THEN 'zh' ELSE 'ko' END,
+        |    text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'привет мир' WHEN doc_id % 3 = 1 THEN '你好世界' ELSE '안녕하세요' END
+        |  FROM documents WHERE doc_id < 6),
+        |pd AS (SELECT source, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS ascii_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+        |    length(text) - length(regexp_replace(text, '[\x{00C0}-\x{00FF}]', '', 'g')) AS latin1,
+        |    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+        |    length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |    length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS hangul
+        |  FROM corpus),
+        |g AS (SELECT source, COUNT(*) AS n_docs, SUM(n) AS n_chars,
+        |    SUM(ascii_alpha) AS ascii_alpha, SUM(digit) AS digit, SUM(latin1) AS latin1,
+        |    SUM(cyrillic) AS cyrillic, SUM(cjk) AS cjk, SUM(hangul) AS hangul
+        |  FROM pd GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(ascii_alpha AS BIGINT) AS ascii_alpha, CAST(digit AS BIGINT) AS digit,
+        |  CAST(latin1 AS BIGINT) AS latin1, CAST(cyrillic AS BIGINT) AS cyrillic,
+        |  CAST(cjk AS BIGINT) AS cjk, CAST(hangul AS BIGINT) AS hangul,
+        |  CASE WHEN n_chars > 0 THEN CAST(CAST(CAST(ascii_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) ELSE 0 END AS ascii_alpha_share,
+        |  CASE WHEN n_chars > 0 THEN CAST(CAST(CAST(cyrillic AS DOUBLE) / CAST(n_chars AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) ELSE 0 END AS cyrillic_share,
+        |  CASE WHEN n_chars > 0 THEN CAST(CAST(CAST(cjk AS DOUBLE) / CAST(n_chars AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) ELSE 0 END AS cjk_share
+        |FROM g ORDER BY source""".stripMargin,
     "q111_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -2763,4 +2763,99 @@ object Analytics {
           .otherwise(lit(null).cast("double")).as("evenness"))
       .orderBy("grp")
   }
+
+  /** Interrupted time-series readout (segmented regression, the
+    * changepoint-AWARE sibling of [[changepointDetect]]: that one FINDS
+    * the break, this one QUANTIFIES a break you know about — a deploy, a
+    * policy change, an incident): two independent exact OLS fits on the
+    * daily series before/after the knot date, reporting both slopes, the
+    * slope change, and the LEVEL change at the knot (post-fit minus
+    * pre-fit, both evaluated at t_knot).
+    *
+    * FULLY EXACT: t is the day offset from the knot (so t_knot = 0 and
+    * the level change is just a_post − a_pre), y is the exact daily count;
+    * each segment's slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) and intercept
+    * = (ΣyΣt² − ΣtΣty)/(nΣt² − (Σt)²) are ONE division of exact integer
+    * sums each (the q104 recipe). One day-grain aggregate (the only
+    * row-sized shuffle) + one 2-row segment aggregate. Segments with < 2
+    * days → NULL fits. */
+  def interruptedSeries(events: DataFrame, tsCol: String,
+                        knotDate: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(datediff(col("day"), lit(knotDate).cast("date")).cast("long").as("t"),
+        col("y"))
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    val seg = daily.groupBy((col("t") >= 0).as("post")).agg(
+      count(lit(1)).as("n"), sum("t").as("st"), sum("y").as("sy"),
+      sum((c19(col("t")) * col("t")).cast("decimal(38,0)")).as("stt"),
+      sum((c19(col("t")) * col("y")).cast("decimal(38,0)")).as("sty"))
+    val nD = col("n").cast("double")
+    val den = nD * col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double")
+    val slope = (nD * col("sty").cast("double") -
+      col("st").cast("double") * col("sy").cast("double")) / den
+    val icept = (col("sy").cast("double") * col("stt").cast("double") -
+      col("st").cast("double") * col("sty").cast("double")) / den
+    val fits = seg.select(col("post"), col("n"),
+      when(col("n") >= 2 && den =!= 0d, slope).as("b"),
+      when(col("n") >= 2 && den =!= 0d, icept).as("a"))
+    val g = fits.agg(
+      max(when(!col("post"), col("n"))).as("n_pre"),
+      max(when(col("post"), col("n"))).as("n_post"),
+      max(when(!col("post"), col("b"))).as("b_pre"),
+      max(when(col("post"), col("b"))).as("b_post"),
+      max(when(!col("post"), col("a"))).as("a_pre"),
+      max(when(col("post"), col("a"))).as("a_post"))
+    g.select(
+      col("n_pre").cast("long").as("n_pre"), col("n_post").cast("long").as("n_post"),
+      col("b_pre").cast("decimal(18,9)").cast("double").as("slope_pre"),
+      col("b_post").cast("decimal(18,9)").cast("double").as("slope_post"),
+      (col("b_post") - col("b_pre")).cast("decimal(18,9)").cast("double").as("slope_change"),
+      // t_knot = 0 by construction, so the level change is a_post − a_pre
+      (col("a_post") - col("a_pre")).cast("decimal(18,9)").cast("double").as("level_change"))
+  }
+
+  /** Median-of-means (the robust-mean estimator with actual guarantees:
+    * split units into k deterministic buckets, average each, take the
+    * bucket-median — one adversarial heavy tail can poison at most 1/k of
+    * the buckets, so the estimate concentrates where the plain mean gets
+    * dragged; Lugosi–Mendelson is the modern analysis). Buckets come from
+    * the unit id's md5 hash (the q25 portable convention, low 32 bits mod
+    * k) — deterministic, layout-independent, and expressible in the
+    * oracle. Exact integer cent sums per bucket, ONE division per bucket
+    * mean, exact middle element at odd k (no interpolation). One
+    * unit-grain aggregate + a k-row fold. */
+  def medianOfMeans(df: DataFrame, idCol: String, value: Column,
+                    k: Int = 9): DataFrame = {
+    require(k >= 3 && k % 2 == 1, "k must be odd and >= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units = df.select(col(idCol).cast("string").as("id"),
+        value.cast("decimal(18,2)").as("v"))
+      .groupBy("id").agg((sum(col("v")) * 100).cast("long").as("x"))
+      .as[(String, Long)]
+    val bucketed = units.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, x) =>
+        val m = md.digest(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L; var i = 0
+        while (i < 8) { h |= (m(i) & 0xffL) << (8 * i); i += 1 }
+        ((h & 0xFFFFFFFFL) % k, x)
+      }
+    }.toDF("bucket", "x")
+    val perBucket = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .select(col("n"), col("s"),
+        (col("s").cast("double") / col("n").cast("double") / 100d).as("m"))
+    perBucket.agg(
+        count(lit(1)).as("k_filled"), sum("n").as("n_units"),
+        (sum("s").cast("double") / sum("n").cast("double") / 100d).as("gm"),
+        percentile(col("m"), lit(0.5)).as("mom"))
+      .select(col("k_filled").cast("long").as("k_buckets"),
+        col("n_units").cast("long").as("n_units"),
+        col("gm").cast("decimal(18,9)").cast("double").as("global_mean"),
+        col("mom").cast("decimal(18,9)").cast("double").as("median_of_means"))
+  }
 }

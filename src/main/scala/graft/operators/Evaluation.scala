@@ -2812,4 +2812,85 @@ object Evaluation {
           .cast("long")).as("days_at_current_rate"))
       .orderBy("segment")
   }
+
+  /** Difference-in-differences readout (the Card–Krueger 2×2): when
+    * assignment was NOT randomized but a pre-period exists, the treatment
+    * effect estimate is (T̄_post − T̄_pre) − (C̄_post − C̄_pre) — each
+    * group's own pre-period differences out its level, the control's
+    * delta differences out the common time trend. The causal sibling of
+    * [[abTest]] (randomized) and [[ipwEffect]] (reweighted).
+    *
+    * FULLY EXACT one-pass shape: the four cell (n, Σ) pairs ride ONE
+    * conditional aggregate over one scan (the q05 trick); each mean is
+    * one double division of exact decimal sums, and the DiD chain
+    * (m_tp − m_t0) − (m_cp − m_c0) is mirrored literally, quantized
+    * scale 9. Any cell empty → NULL effect (insufficient design). */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 value: Column): DataFrame = {
+    val v = value.cast("decimal(18,2)")
+    val aggs = (for ((t, p) <- Seq((true, true), (true, false), (false, true), (false, false)))
+      yield {
+        val hit = (if (t) treated else !treated) && (if (p) post else !post)
+        val k = s"${if (t) "t" else "c"}${if (p) "1" else "0"}"
+        Seq(count(when(hit, 1)).as(s"n_$k"), sum(when(hit, v)).as(s"s_$k"))
+      }).flatten
+    val g = df.agg(aggs.head, aggs.tail: _*)
+    def mean(k: String) = col(s"s_$k").cast("double") / col(s"n_$k").cast("double")
+    val ok = Seq("t1", "t0", "c1", "c0").map(k => col(s"n_$k") > 0).reduce(_ && _)
+    g.select(
+      col("n_t1").cast("long").as("n_treated_post"),
+      col("n_t0").cast("long").as("n_treated_pre"),
+      col("n_c1").cast("long").as("n_control_post"),
+      col("n_c0").cast("long").as("n_control_pre"),
+      mean("t1").cast("decimal(18,6)").cast("double").as("mean_treated_post"),
+      mean("t0").cast("decimal(18,6)").cast("double").as("mean_treated_pre"),
+      mean("c1").cast("decimal(18,6)").cast("double").as("mean_control_post"),
+      mean("c0").cast("decimal(18,6)").cast("double").as("mean_control_pre"),
+      when(ok, ((mean("t1") - mean("t0")) - (mean("c1") - mean("c0")))
+        .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("did_effect"))
+  }
+
+  /** Sign-flip randomization test (Fisher-style exact inference, no
+    * normality assumption): under H0 each unit's value is symmetric
+    * around 0, so flipping any subset of signs leaves the distribution of
+    * Σx invariant. 64 DETERMINISTIC sign vectors come from the bits of
+    * each unit's md5 key hash (the q25 portable-hash convention —
+    * bit b of md5_number_upper(id)): flip_b(u) = +1 if bit b set else −1,
+    * p = (1 + #{b : |Σ flip_b·x|} ≥ |Σx|) / 65. Deterministic, engine-
+    * exact (integer cent sums throughout, ONE division for p), and the
+    * whole test is one map-side 64× expand + a 64-key aggregate — the
+    * randomization-inference answer that runs in one pass at any scale.
+    * More sign vectors tighten p's resolution; 64 bounds p ≥ 1/65 ≈ .015,
+    * plenty for a drift gate. */
+  def signFlipTest(df: DataFrame, idCol: String, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units = df.select(col(idCol).cast("string").as("id"),
+        value.cast("decimal(18,2)").as("v"))
+      .groupBy("id")
+      .agg((sum(col("v")) * 100).cast("long").as("x")) // exact cents per unit
+      .as[(String, Long)]
+    val flips = units.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, x) =>
+        val m = md.digest(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L; var i = 0
+        while (i < 8) { h |= (m(i) & 0xffL) << (8 * i); i += 1 }
+        (0 until 64).iterator.map(b =>
+          (b, if (((h >>> b) & 1L) == 1L) x else -x, x))
+      }
+    }.toDF("b", "fx", "x")
+    val perm = flips.groupBy("b").agg(abs(sum(col("fx"))).as("t"))
+    val obs = flips.filter(col("b") === 0)
+      .agg(abs(sum(col("x"))).as("t_obs"), count(lit(1)).as("n"))
+    perm.crossJoin(broadcast(obs))
+      .agg(count(when(col("t") >= col("t_obs"), 1)).as("n_extreme"),
+        max(col("t_obs")).as("t_obs"), max(col("n")).as("n"))
+      .select(col("n").cast("long").as("n_units"),
+        (col("t_obs").cast("double") / 100d).as("observed_abs_sum"),
+        col("n_extreme").cast("long").as("n_extreme"),
+        ((col("n_extreme").cast("double") + 1d) / 65d)
+          .cast("decimal(18,9)").cast("double").as("p_value"))
+  }
 }

@@ -643,4 +643,43 @@ object TextAnalysis {
             .cast("decimal(18,9)").cast("double")).as("yule_k"))
       .orderBy("grp")
   }
+
+  /** Unicode-script profile per source — [[languageId]]'s upstream sanity
+    * check and the "is this source secretly Cyrillic / CJK / emoji soup"
+    * audit a multilingual corpus runs before trusting any stopword-based
+    * language signal. Seven explicit-codepoint-range classes (ASCII
+    * letters, digits, ASCII whitespace+punct rides in `other`, Latin-1
+    * letters, Cyrillic, CJK unified, Hangul) counted by the
+    * [[encodingAnomalies]] replace-length recipe — pure codegen'd column
+    * arithmetic in the RE2 ∩ Java common dialect (`\\x{hhhh}` ranges),
+    * ONE source-grain aggregate, shares are single divisions of exact
+    * integers. Both engines count CODEPOINTS (Spark numChars, DuckDB
+    * length), so the classes and the `other` remainder agree exactly. */
+  def scriptProfile(docs: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    def cnt(cls: String): Column = n - length(regexp_replace(t, cls, ""))
+    val perDoc = docs.select(col(sourceCol).as("source"),
+      n.cast("long").as("n"),
+      cnt("[A-Za-z]").cast("long").as("ascii_alpha"),
+      cnt("[0-9]").cast("long").as("digit"),
+      cnt("[\\x{00C0}-\\x{00FF}]").cast("long").as("latin1"),
+      cnt("[\\x{0400}-\\x{04FF}]").cast("long").as("cyrillic"),
+      cnt("[\\x{4E00}-\\x{9FFF}]").cast("long").as("cjk"),
+      cnt("[\\x{AC00}-\\x{D7AF}]").cast("long").as("hangul"))
+    val g = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+      sum("ascii_alpha").as("ascii_alpha"), sum("digit").as("digit"),
+      sum("latin1").as("latin1"), sum("cyrillic").as("cyrillic"),
+      sum("cjk").as("cjk"), sum("hangul").as("hangul"))
+    def share(c: String): Column =
+      when(col("n_chars") > 0, (col(c).cast("double") / col("n_chars").cast("double"))
+        .cast("decimal(18,9)").cast("double")).otherwise(0d).as(s"${c}_share")
+    g.select(col("source"), col("n_docs"), col("n_chars"),
+        col("ascii_alpha"), col("digit"), col("latin1"),
+        col("cyrillic"), col("cjk"), col("hangul"),
+        share("ascii_alpha"), share("cyrillic"), share("cjk"))
+      .orderBy("source")
+  }
 }

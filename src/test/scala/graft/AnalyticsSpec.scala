@@ -1290,6 +1290,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(u.forall(_.getDouble(4) == 0.0), "uniform endings ⇒ χ² 0")
   }
 
+  test("interruptedSeries: exact slopes, level change at the knot, slope change") {
+    // pre (t = −3..−1): y = 10, 12, 14 → slope 2, fit at t=0 is 16
+    // post (t = 0..2): y = 30, 31, 32 → slope 1, intercept 30
+    // level change = 30 − 16 = 14; slope change = 1 − 2 = −1
+    val days = Seq(("2024-01-13", 10), ("2024-01-14", 12), ("2024-01-15", 14),
+      ("2024-01-16", 30), ("2024-01-17", 31), ("2024-01-18", 32))
+    val rows = days.flatMap { case (d, n) =>
+      Seq.fill(n)(java.sql.Timestamp.valueOf(s"$d 12:00:00")) }
+    val r = Analytics.interruptedSeries(rows.map(Tuple1(_)).toDF("ts"),
+      "ts", "2024-01-16").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3, r.toString)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0, r.toString)
+    assert(r.getDouble(4) == -1.0 && r.getDouble(5) == 14.0, r.toString)
+  }
+
+  test("medianOfMeans: one whale drags the mean, not the median of means") {
+    val uniform = (1L to 45L).map(i => (i, 5.0)).toDF("id", "v")
+    val u = Analytics.medianOfMeans(uniform, "id", col("v")).collect()(0)
+    assert(u.getLong(0) == 9 && u.getLong(1) == 45)
+    assert(u.getDouble(2) == 5.0 && u.getDouble(3) == 5.0, u.toString)
+    val whale = ((1L to 40L).map(i => (i, 1.0)) :+ (999L, 10000.0)).toDF("id", "v")
+    val w = Analytics.medianOfMeans(whale, "id", col("v")).collect()(0)
+    assert(w.getDouble(2) > 200.0, s"global mean poisoned: $w")
+    assert(w.getDouble(3) < 5.0, s"median of means robust: $w")
+  }
+
   test("concentrationProfile: monopoly ⇒ HHI 1 / H 0; uniform ⇒ HHI 1/k, evenness 1") {
     val df = (Seq.fill(4)(("mono", "only")) ++
       Seq(("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"))).toDF("g", "c")

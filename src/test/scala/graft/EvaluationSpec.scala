@@ -1141,6 +1141,37 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0, "controlling z leaves the deterministic x-link")
   }
 
+  test("diffInDiff: planted effect 3 on top of a common trend 2 is recovered exactly") {
+    // control: 10 → 12 (trend +2); treated: 20 → 25 (trend +2, effect +3)
+    val rows =
+      Seq.fill(4)((false, false, 10.0)) ++ Seq.fill(4)((false, true, 12.0)) ++
+      Seq.fill(3)((true, false, 20.0)) ++ Seq.fill(3)((true, true, 25.0))
+    val r = Evaluation.diffInDiff(rows.toDF("t", "p", "v"),
+      col("t"), col("p"), col("v")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(3) == 4, r.toString)
+    assert(r.getDouble(4) == 25.0 && r.getDouble(7) == 10.0, r.toString)
+    assert(r.getDouble(8) == 3.0, s"DiD effect: $r")
+    // an empty cell makes the design insufficient → NULL effect
+    val noCell = rows.filterNot { case (t, p, _) => t && p }
+    assert(Evaluation.diffInDiff(noCell.toDF("t", "p", "v"),
+      col("t"), col("p"), col("v")).collect()(0).isNullAt(8))
+  }
+
+  test("signFlipTest: one unit can never reject (p = 1); strong one-sided signal rejects") {
+    val one = Seq((7L, 5.0)).toDF("id", "v")
+    val r1 = Evaluation.signFlipTest(one, "id", col("v")).collect()(0)
+    // |±x| = |x| for every vector → all 64 extreme → p = 65/65
+    assert(r1.getLong(0) == 1 && r1.getDouble(3) == 1.0, r1.toString)
+    // 30 units all +1.00: a flip vector ties only if its 30 hash bits agree
+    val strong = (1L to 30L).map(i => (i, 1.0)).toDF("id", "v")
+    val r2 = Evaluation.signFlipTest(strong, "id", col("v")).collect()(0)
+    assert(r2.getDouble(1) == 30.0, r2.toString)
+    assert(r2.getDouble(3) <= 0.1, s"strong signal must reject: $r2")
+    // deterministic and layout-independent (md5 of the id, not of layout)
+    val re = Evaluation.signFlipTest(strong.repartition(7), "id", col("v")).collect()(0)
+    assert(re == r2)
+  }
+
   test("cochranQ: a treatment observed but never successful keeps C_j = 0 (k counts it)") {
     // A succeeds in every block, B is observed everywhere but never flags:
     // k must be 2 (not 1), C_B = 0, and Q = 1·(2·9 − 9)/(2·3 − 3) = 3

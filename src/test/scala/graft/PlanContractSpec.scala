@@ -132,7 +132,10 @@ class PlanContractSpec extends SparkSpec {
           "q325_erasure_execute",
           // pagerank_directed: per-iteration 1-row dangling-mass and
           // 1-row node-count frames broadcast over the node table
-          "q326_pagerank_directed")
+          "q326_pagerank_directed",
+          // sign_flip: the 1-row observed-statistic frame over the
+          // 64-row permutation table
+          "q328_sign_flip")
         if (allowed(name)) None else Some(name)
       } else None
     }

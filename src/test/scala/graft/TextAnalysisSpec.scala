@@ -282,4 +282,25 @@ class TextAnalysisSpec extends SparkSpec {
     // all-hapax group: K = 0
     assert(out("de").getDouble(6) == 0.0)
   }
+
+  test("scriptProfile: each planted script lands in exactly its class") {
+    val docs = Seq(
+      ("ascii", "abc 123"),            // 3 ascii letters, 3 digits, 7 chars
+      ("ru", "привет"),                // 6 cyrillic
+      ("zh", "你好"),                  // 2 cjk
+      ("ko", "안녕"),                  // 2 hangul
+      ("fr", "café")                   // 3 ascii + 1 latin1
+    ).toDF("source", "text")
+    val out = TextAnalysis.scriptProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def counts(s: String) = (out(s).getLong(2), out(s).getLong(3), out(s).getLong(4),
+      out(s).getLong(5), out(s).getLong(6), out(s).getLong(7), out(s).getLong(8))
+    assert(counts("ascii") == ((7L, 3L, 3L, 0L, 0L, 0L, 0L)), out("ascii").toString)
+    assert(counts("ru") == ((6L, 0L, 0L, 0L, 6L, 0L, 0L)), out("ru").toString)
+    assert(counts("zh") == ((2L, 0L, 0L, 0L, 0L, 2L, 0L)), out("zh").toString)
+    assert(counts("ko") == ((2L, 0L, 0L, 0L, 0L, 0L, 2L)), out("ko").toString)
+    assert(counts("fr") == ((4L, 3L, 0L, 1L, 0L, 0L, 0L)), out("fr").toString)
+    assert(out("ru").getDouble(10) == 1.0, "cyrillic share")
+    assert(out("zh").getDouble(11) == 1.0, "cjk share")
+  }
 }
