@@ -352,6 +352,25 @@ object SparkEntry {
           col("rank"))
         .orderBy(col("rank").desc, col("node"))
     }),
+    "q332_clustering_agreement" -> ((s, d) =>
+      // did k-means recover the label structure: purity + chance-corrected
+      // ARI of the q81 assignments against the embeddings' labels
+      Evaluation.clusteringAgreement(
+        Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 3),
+        "vec_id", "cluster",
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")), "label")),
+    "q333_rake_keywords" -> ((s, d) =>
+      // what the corpus is ABOUT: stopword-delimited candidate phrases
+      // scored by RAKE deg/freq word weights, corpus top-30
+      Curation.rakeKeywords(Tables.documents(s, d), "doc_id", "text",
+        Curation.RakeStopwords, topK = 30)),
+    "q334_position_attribution" -> ((s, d) =>
+      // the U-shaped upgrade of q103's last-touch: 40/20/40 credit over
+      // each purchase's in-window view/click/signup touches
+      Analytics.positionAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("view", "click", "signup"), windowDays = 7)),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6446,6 +6465,84 @@ object SparkEntry {
         |SELECT CASE WHEN nkey % 2 = 0 THEN 'c' || CAST(nkey // 2 AS VARCHAR)
         |            ELSE 'o' || CAST((nkey - 1) // 2 AS VARCHAR) END AS node, rank
         |FROM top ORDER BY rank DESC, node""".stripMargin,
+    "q332_clustering_agreement" -> {
+      // the q81 unrolled-Lloyd CTE prefix recomputes the assignments;
+      // ARI from doubled exact pair counts, halving inside the double chain
+      val prefix = kmeansOracleSql.substring(0, kmeansOracleSql.lastIndexOf("SELECT CAST(cluster"))
+      prefix.stripTrailing() + ",\n" +
+        """cont AS (SELECT a.cluster AS c, e.label AS g, COUNT(*) AS nij
+          |  FROM aF a JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+          |ai AS (SELECT c, SUM(nij) AS a, MAX(nij) AS mx FROM cont GROUP BY 1),
+          |bj AS (SELECT g, SUM(nij) AS b FROM cont GROUP BY 1),
+          |t AS (SELECT
+          |  (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1)) FROM cont) AS sij2,
+          |  (SELECT SUM(nij) FROM cont) AS n,
+          |  (SELECT SUM(CAST(a AS HUGEINT) * (a - 1)) FROM ai) AS sa2,
+          |  (SELECT COUNT(*) FROM ai) AS kc,
+          |  (SELECT SUM(mx) FROM ai) AS pur,
+          |  (SELECT SUM(CAST(b AS HUGEINT) * (b - 1)) FROM bj) AS sb2,
+          |  (SELECT COUNT(*) FROM bj) AS kl)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(kc AS BIGINT) AS n_clusters,
+          |  CAST(kl AS BIGINT) AS n_labels,
+          |  CAST(CAST(CAST(pur AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS purity,
+          |  CASE WHEN (CAST(sa2 AS DOUBLE) / 2 + CAST(sb2 AS DOUBLE) / 2) / 2
+          |         - CAST(sa2 AS DOUBLE) / 2 * (CAST(sb2 AS DOUBLE) / 2) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2) <> 0
+          |    THEN CAST(CAST(
+          |      (CAST(sij2 AS DOUBLE) / 2 - CAST(sa2 AS DOUBLE) / 2 * (CAST(sb2 AS DOUBLE) / 2) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2))
+          |      / ((CAST(sa2 AS DOUBLE) / 2 + CAST(sb2 AS DOUBLE) / 2) / 2
+          |         - CAST(sa2 AS DOUBLE) / 2 * (CAST(sb2 AS DOUBLE) / 2) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2))
+          |      AS DECIMAL(18,9)) AS DOUBLE) END AS ari
+          |FROM t""".stripMargin
+    },
+    "q333_rake_keywords" ->
+      // same phrase construction via a lateral positions join + running
+      // stopword count; word scores quantized DECIMAL(18,9) pre-sum
+      """WITH t AS (SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |ptok AS (SELECT doc, r.i AS pos, toks[r.i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+        |marked AS (SELECT doc, pos, tok,
+        |    tok IN ('the','of','and','a','to','in','is','it','for','on','with','as','at','by','an','be','this','that','from','or','are','was','were','will','has','have','had','not','but','they') AS stop
+        |  FROM ptok),
+        |ph AS (SELECT doc, pos, tok,
+        |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM marked QUALIFY NOT stop),
+        |phr AS (SELECT doc, pid, COUNT(*) AS plen,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+        |  FROM ph GROUP BY 1, 2),
+        |members AS (SELECT ph.doc, ph.pid, ph.tok, phr.plen, phr.phrase
+        |  FROM ph JOIN phr USING (doc, pid)),
+        |ws AS (SELECT tok,
+        |    CAST(CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,9)) AS ws
+        |  FROM members GROUP BY 1),
+        |occ AS (SELECT m.doc, m.pid, m.phrase, SUM(ws.ws) AS s
+        |  FROM members m JOIN ws USING (tok) GROUP BY 1, 2, 3)
+        |SELECT phrase, COUNT(*) AS n_occurrences, CAST(MAX(s) AS DOUBLE) AS score
+        |FROM occ GROUP BY phrase
+        |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
+    "q334_position_attribution" ->
+      // same per-user interval join + rank window; each credit quantized
+      // DECIMAL(18,9) before the channel sum
+      """WITH conv AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tts, event_id AS tid,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (SELECT conv.u, conv.cid, touch.tts, touch.tid, touch.channel
+        |  FROM conv JOIN touch ON touch.u = conv.u
+        |    AND touch.tts < conv.cts AND touch.tts >= conv.cts - 604800),
+        |rk AS (SELECT u, cid, channel,
+        |    row_number() OVER (PARTITION BY u, cid ORDER BY tts, tid) AS r,
+        |    COUNT(*) OVER (PARTITION BY u, cid) AS k
+        |  FROM j),
+        |cr AS (SELECT channel, cid,
+        |    CAST(CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+        |         WHEN r = 1 OR r = k THEN (CASE WHEN k = 2 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END)
+        |         ELSE CAST(0.2 AS DOUBLE) / (CAST(k AS DOUBLE) - 2) END AS DECIMAL(18,9)) AS credit
+        |  FROM rk)
+        |SELECT channel, CAST(SUM(credit) AS DOUBLE) AS total_credit,
+        |  COUNT(*) AS n_touches, COUNT(DISTINCT cid) AS n_conversions
+        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
     "q327_diff_in_diff" ->
       // four cell (n, Σ) pairs in one conditional aggregate; each mean is
       // one double division; the DiD chain mirrored literally

@@ -693,6 +693,49 @@ object Analytics {
       .orderBy("touch")
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the MULTI-touch
+    * upgrade of [[lastTouchAttribution]]: each conversion's credit splits
+    * 40% to the FIRST touch, 40% to the LAST, and 20% evenly across the
+    * middles (the standard 40/20/40 U; k = 2 → 50/50, k = 1 → 100%) over
+    * the touches inside the lookback window. Last-touch over-credits the
+    * bottom of the funnel; the U-shape pays discovery AND closing.
+    *
+    * Shape: conversions × in-window touches is a per-user interval join
+    * (the [[funnelConversion]] family — bounded by the lookback, never a
+    * cross of all history); ranks come from one window over each
+    * conversion's touch set; every credit quantizes to DECIMAL(18,9)
+    * before the per-channel sum, so totals are exact and order-free.
+    * Ties on touch time break by event id (total order, engine-stable). */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+                          idCol: String, typeCol: String, conversion: String,
+                          touchTypes: Seq[String], windowDays: Int): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversion)
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("cts"),
+        col(idCol).as("cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("tts"),
+        col(idCol).as("tid"), col(typeCol).as("channel"))
+    val joined = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - lit(windowDays.toLong * 86400L))
+    val w = Window.partitionBy("u", "cid").orderBy(col("tts"), col("tid"))
+    val ranked = joined
+      .withColumn("r", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("u", "cid")))
+    val credit = when(col("k") === 1, lit(1.0d))
+      .when(col("r") === 1 || col("r") === col("k"),
+        when(col("k") === 2, lit(0.5d)).otherwise(lit(0.4d)))
+      .otherwise(lit(0.2d) / (col("k").cast("double") - 2d))
+    ranked
+      .withColumn("credit", credit.cast("decimal(18,9)"))
+      .groupBy("channel")
+      .agg(sum("credit").as("c"), count(lit(1)).as("n_touches"),
+        countDistinct(col("cid")).as("n_conversions"))
+      .select(col("channel"), col("c").cast("double").as("total_credit"),
+        col("n_touches"), col("n_conversions"))
+      .orderBy("channel")
+  }
+
   /** Per-group OLS regression (slope/intercept of y on x) from EXACT decimal
     * power sums — the same order-independence design as [[zScoreAnomalies]]:
     * Σx, Σy, Σxy, Σx² accumulate in decimal (associative, partitioning-

@@ -813,4 +813,60 @@ object Curation {
       .orderBy("canonical")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010), corpus-level: candidate
+    * phrases are maximal stopword-free token runs; each word scores
+    * deg/freq where freq counts its phrase occurrences and deg sums the
+    * lengths of the phrases it appears in (so words that travel in long
+    * multi-word phrases outrank equally frequent loners); a phrase scores
+    * the sum of its member words' scores. The unsupervised keyword pass a
+    * curation pipeline runs to label what a source is ABOUT before any
+    * model sees it — [[distinctiveTerms]] asks "what distinguishes this
+    * source", RAKE asks "what are its noun phrases".
+    *
+    * Shape: one posexplode + one running stopword count (per-doc window)
+    * makes phrase ids; word stats are one token-grain aggregate; scores
+    * quantize deg/freq to DECIMAL(18,9) before the per-phrase sum (exact,
+    * order-free). Identical phrases share a score by construction, so the
+    * corpus rollup is a plain groupBy. Top-K total order (score, phrase). */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], topK: Int = 30): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val toks = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks
+      .withColumn("stop", col("tok").isin(stopwords: _*))
+      .withColumn("pid", sum(when(col("stop"), 1).otherwise(0)).over(w))
+      .filter(!col("stop"))
+      .localCheckpoint() // reused: phrase strings, word stats, member join
+    val phrases = marked.groupBy("doc", "pid").agg(
+      count(lit(1)).as("plen"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("phrase"))
+    val members = marked.select("doc", "pid", "tok")
+      .join(phrases, Seq("doc", "pid"))
+    val wordScores = members.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("tok"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .cast("decimal(18,9)").as("ws"))
+    members.join(wordScores, "tok")
+      .groupBy("doc", "pid", "phrase").agg(sum("ws").as("s"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("s").as("s"))
+      .select(col("phrase"), col("n_occurrences"),
+        col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** The fixed stopword list [[rakeKeywords]]' driver query uses — kept as
+    * a named constant so the DuckDB oracle mirrors the exact same set. */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "for", "on", "with",
+    "as", "at", "by", "an", "be", "this", "that", "from", "or", "are",
+    "was", "were", "will", "has", "have", "had", "not", "but", "they")
 }

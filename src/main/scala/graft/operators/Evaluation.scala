@@ -2851,6 +2851,50 @@ object Evaluation {
         .otherwise(lit(null).cast("double")).as("did_effect"))
   }
 
+  /** Clustering-vs-labels agreement: purity and the Adjusted Rand Index
+    * (Hubert & Arabie 1985) — the EXTERNAL clustering evaluation that
+    * pairs with [[Similarity.silhouetteByLabel]]'s internal one: did the
+    * clusters recover the known structure, chance-corrected (plain Rand
+    * rewards trivial partitions; ARI is 0 in expectation under random
+    * labeling, 1 at perfect recovery).
+    *
+    * FULLY EXACT: everything reduces to the k×l contingency table —
+    * doubled pair counts Σn_ij(n_ij−1), Σa_i(a_i−1), Σb_j(b_j−1) are
+    * exact integer sums (halving happens inside the mirrored double
+    * chain), purity is Σ_c max_j n_ij over n (one division). One id-grain
+    * join + one contingency aggregate; all else is k·l-sized. Degenerate
+    * partitions (max index = expected index) → NULL ARI. */
+  def clusteringAgreement(clusters: DataFrame, idCol: String, clusterCol: String,
+                          labels: DataFrame, labelCol: String): DataFrame = {
+    val cont = clusters.select(col(idCol).as("id"), col(clusterCol).as("c"))
+      .join(labels.select(col(idCol).as("id"), col(labelCol).as("g")), "id")
+      .groupBy("c", "g").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // contingency reused by four margins
+    val c19 = (c: Column) => c.cast("decimal(19,0)")
+    def comb2(c: Column) = (c19(c) * (c - 1)).cast("decimal(38,0)")
+    val ai = cont.groupBy("c").agg(sum("nij").as("a"), max("nij").as("mx"))
+    val bj = cont.groupBy("g").agg(sum("nij").as("b"))
+    val t = cont.agg(sum(comb2(col("nij"))).as("sij2"), sum("nij").as("n"))
+    val ta = ai.agg(sum(comb2(col("a"))).as("sa2"), count(lit(1)).as("kc"),
+      sum("mx").as("pur"))
+    val tb = bj.agg(sum(comb2(col("b"))).as("sb2"), count(lit(1)).as("kl"))
+    val nD = col("n").cast("double")
+    val sij = col("sij2").cast("double") / 2d
+    val sa = col("sa2").cast("double") / 2d
+    val sb = col("sb2").cast("double") / 2d
+    val tot = nD * (nD - 1d) / 2d
+    val expected = sa * sb / tot
+    val maxI = (sa + sb) / 2d
+    t.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("n").cast("long").as("n"),
+        col("kc").cast("long").as("n_clusters"),
+        col("kl").cast("long").as("n_labels"),
+        (col("pur").cast("double") / nD).cast("decimal(18,9)").cast("double").as("purity"),
+        when(maxI - expected =!= 0d,
+          ((sij - expected) / (maxI - expected)).cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("ari"))
+  }
+
   /** Sign-flip randomization test (Fisher-style exact inference, no
     * normality assumption): under H0 each unit's value is symmetric
     * around 0, so flipping any subset of signs leaves the distribution of

@@ -1305,6 +1305,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(4) == -1.0 && r.getDouble(5) == 14.0, r.toString)
   }
 
+  test("positionAttribution: 40/20/40 U-shape, 50/50 at k=2, full credit at k=1") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      // user 1: view, click, view → purchase (k=3: 0.4 + 0.2 + 0.4)
+      (1L, ts(1), 101L, "view"), (1L, ts(2), 102L, "click"),
+      (1L, ts(3), 103L, "view"), (1L, ts(4), 104L, "purchase"),
+      // user 2: click, view → purchase (k=2: 0.5 each)
+      (2L, ts(1), 201L, "click"), (2L, ts(2), 202L, "view"),
+      (2L, ts(3), 203L, "purchase"),
+      // user 3: single click → purchase (k=1: 1.0)
+      (3L, ts(1), 301L, "click"), (3L, ts(2), 302L, "purchase"),
+      // user 4: touch AFTER the purchase — no credit
+      (4L, ts(5), 401L, "view"), (4L, ts(4), 402L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.positionAttribution(rows, "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("view", "click"), windowDays = 7)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // view: 0.4+0.4 (u1) + 0.5 (u2) = 1.3; click: 0.2 (u1) + 0.5 (u2) + 1.0 (u3)
+    assert(out("view") == ((1.3, 3L, 2L)), out.toString)
+    assert(out("click") == ((1.7, 3L, 3L)), out.toString)
+  }
+
   test("medianOfMeans: one whale drags the mean, not the median of means") {
     val uniform = (1L to 45L).map(i => (i, 5.0)).toDF("id", "v")
     val u = Analytics.medianOfMeans(uniform, "id", col("v")).collect()(0)

@@ -379,4 +379,21 @@ class CurationSpec extends SparkSpec {
     // path-case and scheme variants stayed singletons (not reported)
     assert(out.size == 2, out.toString)
   }
+
+  test("rakeKeywords: exact deg/freq word scores and phrase sums on a hand corpus") {
+    // phrases: "good dog" and "good dog house" — freq(good)=2, deg(good)=
+    // 2+3=5, ws(good)=2.5; same for dog; house ws=3 → scores 5.0 and 8.0
+    val docs = Seq((1L, "good dog of good dog house")).toDF("doc_id", "text")
+    val out = Curation.rakeKeywords(docs, "doc_id", "text", Seq("of"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("good dog house", 1L, 8.0), ("good dog", 1L, 5.0)), out.mkString(","))
+    // repeated identical phrases roll up, score unchanged
+    val rep = Seq((1L, "alpha beta of alpha beta")).toDF("doc_id", "text")
+    val r2 = Curation.rakeKeywords(rep, "doc_id", "text", Seq("of"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(r2.toSeq == Seq(("alpha beta", 2L, 4.0)), r2.mkString(","))
+    // all-stopword doc → no phrases
+    assert(Curation.rakeKeywords(Seq((1L, "of of of")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("of"), 10).count() == 0)
+  }
 }

@@ -1141,6 +1141,24 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0, "controlling z leaves the deterministic x-link")
   }
 
+  test("clusteringAgreement: perfect recovery ⇒ purity 1 / ARI 1; one blob ⇒ ARI exactly 0") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val labels = ids.map(i => (i, if (i <= 3) "x" else "y")).toDF("id", "lab")
+    val perfect = ids.map(i => (i, if (i <= 3) 10 else 20)).toDF("id", "cl")
+    val p = Evaluation.clusteringAgreement(perfect, "id", "cl", labels, "lab").collect()(0)
+    assert(p.getLong(0) == 6 && p.getLong(1) == 2 && p.getLong(2) == 2)
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0, p.toString)
+    // everything in ONE cluster: purity = majority share, ARI = 0 exactly
+    // (the chance-corrected score sees no information, not "half right")
+    val blob = ids.map(i => (i, 1)).toDF("id", "cl")
+    val b = Evaluation.clusteringAgreement(blob, "id", "cl", labels, "lab").collect()(0)
+    assert(b.getDouble(3) == 0.5 && b.getDouble(4) == 0.0, b.toString)
+    // anti-correlated 2×2 grid is WORSE than chance → negative ARI
+    val anti = Seq((1L, 1), (2L, 2), (3L, 1), (4L, 2), (5L, 1), (6L, 2)).toDF("id", "cl")
+    val a = Evaluation.clusteringAgreement(anti, "id", "cl", labels, "lab").collect()(0)
+    assert(a.getDouble(4) < 0.0, a.toString)
+  }
+
   test("diffInDiff: planted effect 3 on top of a common trend 2 is recovered exactly") {
     // control: 10 → 12 (trend +2); treated: 20 → 25 (trend +2, effect +3)
     val rows =

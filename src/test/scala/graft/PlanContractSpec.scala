@@ -135,7 +135,10 @@ class PlanContractSpec extends SparkSpec {
           "q326_pagerank_directed",
           // sign_flip: the 1-row observed-statistic frame over the
           // 64-row permutation table
-          "q328_sign_flip")
+          "q328_sign_flip",
+          // clustering_agreement: two 1-row margin-total frames crossed
+          // onto the 1-row contingency total
+          "q332_clustering_agreement")
         if (allowed(name)) None else Some(name)
       } else None
     }
