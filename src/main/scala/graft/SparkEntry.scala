@@ -371,6 +371,33 @@ object SparkEntry {
       Analytics.positionAttribution(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", "purchase",
         Seq("view", "click", "signup"), windowDays = 7)),
+    "q335_logrank" -> ((s, d) => {
+      // do even- and odd-id users' time-to-first-purchase curves differ:
+      // q157's censored per-user durations, split into two cohorts
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(((max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("long")).as("span_sec"),
+          count(when(col("event_type") === "purchase", lit(1))).as("purchases"))
+        .select(expr("span_sec div 86400").as("t_days"),
+          (col("purchases") > 0).as("died"),
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+            .as("cohort"))
+      Evaluation.logRankTest(perUser, "t_days", col("died"), "cohort", "even")
+    }),
+    "q336_map_at_k" -> ((s, d) =>
+      // q175's listing fixture under the AP lens: does ranking a
+      // customer's orders by price surface ALL the urgent ones early
+      Evaluation.meanAveragePrecision(Tables.orders(s, d), "o_custkey",
+        "o_orderkey", "o_totalprice",
+        col("o_orderpriority") === "1-URGENT", k = 5)),
+    "q337_shapley" -> ((s, d) =>
+      // the axiomatic end of the attribution ladder (q103 last-touch →
+      // q334 U-shape → Shapley): marginal-contribution credit over the
+      // 2³ coalition lattice of view/click/signup
+      Analytics.shapleyAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("view", "click", "signup"), windowDays = 7)),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6543,6 +6570,111 @@ object SparkEntry {
         |SELECT channel, CAST(SUM(credit) AS DOUBLE) AS total_credit,
         |  COUNT(*) AS n_touches, COUNT(DISTINCT cid) AS n_conversions
         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    "q335_logrank" ->
+      // q157's per-user CTE + cohort; E/V terms nano-quantized before the
+      // exact sums, HUGEINT products mirror the DECIMAL(38,0) ones
+      """WITH pu AS (SELECT user_id,
+        |        (CAST(floor(epoch(max(ts))) AS BIGINT) -
+        |         CAST(floor(epoch(min(ts))) AS BIGINT)) // 86400 AS t,
+        |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS died,
+        |        CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort
+        |      FROM events GROUP BY user_id),
+        |pt AS (SELECT t, COUNT(CASE WHEN died THEN 1 END) AS d,
+        |         COUNT(CASE WHEN NOT died THEN 1 END) AS c,
+        |         COUNT(CASE WHEN cohort = 'even' AND died THEN 1 END) AS d1,
+        |         COUNT(CASE WHEN cohort = 'even' AND NOT died THEN 1 END) AS c1
+        |       FROM pu GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS nn,
+        |               CAST(SUM(d1 + c1) AS BIGINT) AS nn1 FROM pt),
+        |cum AS (SELECT t, d, c, d1, c1,
+        |          SUM(d) OVER (ORDER BY t) AS cum_d, SUM(c) OVER (ORDER BY t) AS cum_c,
+        |          SUM(d1) OVER (ORDER BY t) AS cum_d1, SUM(c1) OVER (ORDER BY t) AS cum_c1
+        |        FROM pt),
+        |risk AS (SELECT t, d, d1, nn - (cum_d + cum_c - d - c) AS nr,
+        |           nn1 - (cum_d1 + cum_c1 - d1 - c1) AS nr1
+        |         FROM cum, tot WHERE d > 0),
+        |terms AS (SELECT d1,
+        |    CAST(round(CAST(CAST(d AS HUGEINT) * nr1 AS DOUBLE)
+        |      / CAST(nr AS DOUBLE) * 1e9) AS BIGINT) AS e,
+        |    CASE WHEN nr > 1 THEN CAST(round(
+        |      CAST(CAST(d AS HUGEINT) * nr1 * (nr - nr1) * (nr - d) AS DOUBLE)
+        |      / CAST(CAST(nr AS HUGEINT) * nr * (nr - 1) AS DOUBLE) * 1e9) AS BIGINT)
+        |    ELSE 0 END AS v
+        |  FROM risk),
+        |f AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(e) AS BIGINT) AS eN,
+        |             CAST(SUM(v) AS BIGINT) AS vN, COUNT(*) AS n_event_times FROM terms)
+        |SELECT CAST(nn1 AS BIGINT) AS n_a, CAST(nn - nn1 AS BIGINT) AS n_b,
+        |  CAST(n_event_times AS BIGINT) AS n_event_times, o1 AS observed_a,
+        |  CAST(CAST(CAST(eN AS DOUBLE) / 1e9 AS DECIMAL(18,9)) AS DOUBLE) AS expected_a,
+        |  CASE WHEN vN > 0 THEN CAST(CAST(
+        |    (CAST(o1 AS DOUBLE) - CAST(eN AS DOUBLE) / 1e9) / sqrt(CAST(vN AS DOUBLE) / 1e9)
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS z,
+        |  CASE WHEN vN > 0 THEN CAST(CAST(
+        |    ((CAST(o1 AS DOUBLE) - CAST(eN AS DOUBLE) / 1e9) / sqrt(CAST(vN AS DOUBLE) / 1e9))
+        |    * ((CAST(o1 AS DOUBLE) - CAST(eN AS DOUBLE) / 1e9) / sqrt(CAST(vN AS DOUBLE) / 1e9))
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS chi2
+        |FROM f, tot""".stripMargin,
+    "q336_map_at_k" ->
+      // each P@i nano-quantized before the per-query sum; AP's normalizer
+      // and both means are single mirrored double chains
+      """WITH r AS (SELECT o_custkey AS q, o_orderkey AS i, o_totalprice AS s,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS rel
+        |  FROM orders),
+        |rk AS (SELECT q, i, rel,
+        |    row_number() OVER (PARTITION BY q ORDER BY s DESC, i) AS r,
+        |    SUM(rel) OVER (PARTITION BY q ORDER BY s DESC, i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+        |  FROM r),
+        |pq AS (SELECT q, CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |    CAST(SUM(CASE WHEN r <= 5 AND rel = 1
+        |      THEN CAST(round(CAST(cr AS DOUBLE) / CAST(r AS DOUBLE) * 1e9) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS apN,
+        |    COUNT(CASE WHEN r <= 5 AND rel = 1 THEN 1 END) AS hits
+        |  FROM rk GROUP BY q HAVING SUM(rel) > 0),
+        |ap AS (SELECT q,
+        |    CAST(CAST(apN AS DOUBLE) / 1e9 / CAST(least(n_rel, 5) AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS ap,
+        |    CAST(CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS DECIMAL(18,9)) AS pk
+        |  FROM pq)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(CAST(CAST(SUM(ap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS map_at_k,
+        |  CAST(CAST(CAST(SUM(pk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS p_at_k
+        |FROM ap""".stripMargin,
+    "q337_shapley" ->
+      // journey bitmasks via SUM(DISTINCT bit); the 8-row coalition
+      // lattice, subset sums, and factorial-weighted marginals mirrored
+      // on integers; n! divided out once
+      """WITH conv AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS cts,
+        |    event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tts,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 4 END AS b
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (SELECT conv.u, conv.cid, touch.b
+        |  FROM conv JOIN touch ON touch.u = conv.u
+        |    AND touch.tts < conv.cts AND touch.tts >= conv.cts - 604800),
+        |jn AS (SELECT u, cid, SUM(DISTINCT b) AS m FROM j GROUP BY 1, 2),
+        |cnt AS (SELECT m, COUNT(*) AS cm FROM jn GROUP BY 1),
+        |coal AS (SELECT unnest(range(0, 8)) AS s),
+        |v AS (SELECT s, CAST(COALESCE(SUM(cm), 0) AS BIGINT) AS v
+        |  FROM coal LEFT JOIN cnt ON (cnt.m & coal.s) = cnt.m GROUP BY s),
+        |pairs AS (SELECT ch.j, v1.s, v1.v, v2.v AS vw
+        |  FROM v v1
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) ch
+        |  JOIN v v2 ON v2.s = v1.s + (CASE ch.j WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+        |  WHERE (v1.s & (CASE ch.j WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)) = 0),
+        |phi AS (SELECT j,
+        |    SUM((CASE bit_count(s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END) * (vw - v)) AS num,
+        |    SUM(CASE WHEN s + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) = 7
+        |        THEN vw - v ELSE 0 END) AS n_journeys
+        |  FROM pairs GROUP BY j)
+        |SELECT CASE j WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'signup' END AS channel,
+        |  CAST(CAST(CAST(num AS DOUBLE) / CAST(6 AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)
+        |    AS shapley_credit,
+        |  CAST(n_journeys AS BIGINT) AS n_journeys
+        |FROM phi ORDER BY channel""".stripMargin,
     "q327_diff_in_diff" ->
       // four cell (n, Σ) pairs in one conditional aggregate; each mean is
       // one double division; the DiD chain mirrored literally

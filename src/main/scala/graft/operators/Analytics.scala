@@ -736,6 +736,86 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Exact Shapley-value channel attribution (Shapley 1953 as applied to
+    * marketing journeys) — the axiomatic end of the attribution ladder
+    * after [[lastTouchAttribution]] (position-blind) and
+    * [[positionAttribution]] (heuristic U): with coalition value
+    * v(S) = number of conversions whose touched-channel set ⊆ S, channel
+    * c's credit is φ_c = Σ_{S ∌ c} |S|!(n−1−|S|)!/n! · (v(S∪{c}) − v(S)).
+    * Efficiency holds by construction: Σφ = v(all) = every converted
+    * journey's single unit of credit, split by marginal contribution
+    * over every arrival order instead of by position.
+    *
+    * FULLY EXACT and scale-shaped: the only row-scaled work is the same
+    * bounded per-user interval join as the U-model plus ONE journey-grain
+    * aggregate to channel-set bitmasks (sum(DISTINCT bit) ≡ OR for
+    * distinct powers of two — portable to SQL verbatim); everything after
+    * lives on ≤ 2^n rows (n ≤ 6 enforced). Subset sums ride an explode
+    * of each mask's literal superset list (projection, no nested-loop
+    * join); marginal terms are integer products k!(n−1−k)!·Δv summed
+    * exactly, with n! divided out ONCE at the end. */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+                         idCol: String, typeCol: String, conversion: String,
+                         touchTypes: Seq[String], windowDays: Int): DataFrame = {
+    require(touchTypes.nonEmpty && touchTypes.size <= 6,
+      "coalition lattice is 2^n — keep the channel list small")
+    val n = touchTypes.size
+    val full = (1L << n) - 1L
+    val fact = Array(1L, 1L, 2L, 6L, 24L, 120L, 720L)
+    val conv = events.filter(col(typeCol) === conversion)
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("cts"),
+        col(idCol).as("cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("tts"),
+        col(typeCol).as("channel"))
+    val bitOf = touchTypes.zipWithIndex.tail.foldLeft(
+      when(col("channel") === touchTypes.head, lit(1L))) {
+      case (acc, (t, j)) => acc.when(col("channel") === t, lit(1L << j))
+    }
+    val journeys = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - lit(windowDays.toLong * 86400L))
+      .select(col("u"), col("cid"), bitOf.as("b"))
+      .groupBy("u", "cid").agg(sum_distinct(col("b")).as("m"))
+    val cnt = journeys.groupBy("m").agg(count(lit(1)).as("cm")) // ≤ 2^n rows
+    // v(s) = Σ_{m ⊆ s} cnt(m): explode each mask's literal superset list
+    val v = cnt
+      .select(explode(filter(array((0L to full).map(lit): _*),
+        s => s.bitwiseAND(col("m")) === col("m"))).as("s"), col("cm"))
+      .groupBy("s").agg(sum("cm").as("v"))
+    val coal = events.sparkSession.range(0, full + 1).toDF("s")
+    val vAll = coal.join(broadcast(v), Seq("s"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    val bitJ = (0 until n).tail.foldLeft(when(col("j") === 0, lit(1L))) {
+      (acc, j) => acc.when(col("j") === j, lit(1L << j))
+    }
+    val wgt = (0 until n).tail.foldLeft(
+      when(expr("bit_count(s)") === 0, lit(fact(0) * fact(n - 1)))) {
+      (acc, p) => acc.when(expr("bit_count(s)") === p, lit(fact(p) * fact(n - 1 - p)))
+    }
+    val pairs = vAll
+      .select(col("s"), col("v"),
+        explode(array((0 until n).map(j => lit(j)): _*)).as("j"))
+      .withColumn("bj", bitJ)
+      .filter(col("s").bitwiseAND(col("bj")) === 0)
+      .withColumn("sw", col("s") + col("bj"))
+      .join(broadcast(vAll.select(col("s").as("sw"), col("v").as("vw"))), Seq("sw"))
+    val name = (0 until n).tail.foldLeft(
+      when(col("j") === 0, lit(touchTypes.head))) {
+      (acc, j) => acc.when(col("j") === j, lit(touchTypes(j)))
+    }
+    pairs
+      .groupBy("j")
+      .agg(sum(wgt * (col("vw") - col("v"))).as("num"),
+        sum(when(col("sw") === full, col("vw") - col("v"))
+          .otherwise(lit(0L))).as("n_journeys"))
+      .select(name.as("channel"),
+        (col("num").cast("double") / lit(fact(n).toDouble))
+          .cast("decimal(18,9)").cast("double").as("shapley_credit"),
+        col("n_journeys"))
+      .orderBy("channel")
+  }
+
   /** Per-group OLS regression (slope/intercept of y on x) from EXACT decimal
     * power sums — the same order-independence design as [[zScoreAnomalies]]:
     * Σx, Σy, Σxy, Σx² accumulate in decimal (associative, partitioning-

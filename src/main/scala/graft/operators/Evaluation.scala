@@ -2937,4 +2937,114 @@ object Evaluation {
         ((col("n_extreme").cast("double") + 1d) / 65d)
           .cast("decimal(18,9)").cast("double").as("p_value"))
   }
+
+  /** Two-group log-rank test (Mantel–Cox) — the SIGNIFICANCE readout the
+    * [[kaplanMeier]] / [[nelsonAalen]] curves beg for: are cohort A's and
+    * cohort B's survival curves the same, censoring handled properly?
+    * At each event time the A-group's observed events are compared with
+    * the hypergeometric expectation d·n_A/n given the pooled risk set;
+    * z = (O−E)/√V and χ² = z² (1 df). The standard cohort-vs-cohort
+    * retention/time-to-failure decision gate.
+    *
+    * Same distributed recipe as the curves: rows collapse to per-duration
+    * (d, c) margins per arm, the risk pools come from ONE
+    * [[globalCumSum]] exact prefix scan (4 counters ride together), and
+    * each expectation/variance term quantizes to integer nano-units
+    * before its exact sum — any partitioning, same statistic. The E term
+    * is an exact decimal product with ONE double division; the V term's
+    * integer numerator d·n₁·(n−n₁)·(n−d) rides DECIMAL(38,0) (no long
+    * overflow at any n) over denominator n²·(n−1), one division.
+    * All-in-one-arm data (V = 0) → NULL z/χ². */
+  def logRankTest(df: DataFrame, durationCol: String, eventCol: Column,
+                  groupCol: String, groupA: String): DataFrame = {
+    val inA = col(groupCol) === groupA
+    val perT = df
+      .select(col(durationCol).cast("long").as("t"), eventCol.as("ev"),
+        inA.as("ga"))
+      .groupBy("t")
+      .agg(count(when(col("ev"), lit(1))).as("d"),
+           count(when(!col("ev"), lit(1))).as("c"),
+           count(when(col("ga") && col("ev"), lit(1))).as("d1"),
+           count(when(col("ga") && !col("ev"), lit(1))).as("c1"))
+    val cum = globalCumSum(perT, Seq("t"), Seq("d", "c", "d1", "c1"))
+    val tot = cum.agg((sum("d") + sum("c")).as("__n"),
+      (sum("d1") + sum("c1")).as("__n1"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("nr",
+        col("__n") - (col("cum_d") + col("cum_c") - col("d") - col("c")))
+      .withColumn("nr1",
+        col("__n1") - (col("cum_d1") + col("cum_c1") - col("d1") - col("c1")))
+      .filter(col("d") > 0)
+    val d19 = col("d").cast("decimal(19,0)")
+    val eTerm = round((d19 * col("nr1")).cast("decimal(38,0)").cast("double")
+      / col("nr").cast("double") * lit(1e9d)).cast("long")
+    val vNum = (d19 * col("nr1") * (col("nr") - col("nr1")) * (col("nr") - col("d")))
+      .cast("decimal(38,0)").cast("double")
+    val vDen = (col("nr").cast("decimal(19,0)") * col("nr") * (col("nr") - 1))
+      .cast("decimal(38,0)").cast("double")
+    val vTerm = when(col("nr") > 1, round(vNum / vDen * lit(1e9d)).cast("long"))
+      .otherwise(lit(0L))
+    val folded = risk
+      .agg(sum("d1").as("o1"), sum(eTerm).as("eN"), sum(vTerm).as("vN"),
+        count(lit(1)).as("n_event_times"))
+      .crossJoin(broadcast(tot))
+    val zChain = (col("o1").cast("double") - col("eN").cast("double") / 1e9d) /
+      sqrt(col("vN").cast("double") / 1e9d)
+    folded.select(
+      col("__n1").cast("long").as("n_a"),
+      (col("__n") - col("__n1")).cast("long").as("n_b"),
+      col("n_event_times"),
+      col("o1").cast("long").as("observed_a"),
+      (col("eN").cast("double") / 1e9d).cast("decimal(18,9)").cast("double")
+        .as("expected_a"),
+      when(col("vN") > 0, zChain.cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("z"),
+      when(col("vN") > 0, (zChain * zChain).cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
+  /** Mean average precision at k (MAP@k) + mean precision@k — the
+    * order-sensitive retrieval scorecard next to [[rankingMetrics]]'
+    * nDCG: AP rewards putting EVERY relevant item early (the area under
+    * the precision-recall hops), nDCG rewards graded position discounts.
+    * AP@k = Σ_{relevant hit at rank i ≤ k} P@i, normalized by
+    * min(R, k) (R = the query's total relevant count, so a query can
+    * reach 1.0 whenever its relevant set is reachable inside k).
+    * Queries with no relevant items are excluded from both means
+    * (standard; they have no defined AP).
+    *
+    * One window per query (score desc, item asc — total tie order);
+    * each P@i = hits/i quantizes to integer nano-units so the per-query
+    * sum is exact at any partitioning; AP's normalizing division and the
+    * final means are one mirrored double chain each, quantized to 9 dp. */
+  def meanAveragePrecision(df: DataFrame, queryCol: String, itemCol: String,
+                           scoreCol: String, relevant: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy("q").orderBy(col("s").desc, col("i"))
+    val ranked = df
+      .select(col(queryCol).as("q"), col(itemCol).as("i"), col(scoreCol).as("s"),
+        relevant.cast("int").as("rel"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("cr", sum("rel").over(w)) // running relevant count incl. self
+    val perQ = ranked.groupBy("q").agg(
+        sum("rel").as("n_rel"),
+        sum(when(col("r") <= k && col("rel") === 1,
+            round(col("cr").cast("double") / col("r").cast("double") * lit(1e9d))
+              .cast("long"))
+          .otherwise(lit(0L))).as("apN"),
+        count(when(col("r") <= k && col("rel") === 1, lit(1))).as("hits"))
+      .filter(col("n_rel") > 0)
+      .withColumn("ap",
+        (col("apN").cast("double") / 1e9d /
+          least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .cast("decimal(18,9)"))
+      .withColumn("pk",
+        (col("hits").cast("double") / lit(k.toDouble)).cast("decimal(18,9)"))
+    perQ.agg(count(lit(1)).as("nq"), sum("ap").as("sap"), sum("pk").as("spk"))
+      .select(col("nq").cast("long").as("n_queries"),
+        (col("sap").cast("double") / col("nq").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("map_at_k"),
+        (col("spk").cast("double") / col("nq").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("p_at_k"))
+  }
 }
