@@ -533,6 +533,27 @@ object ScaleCheck {
     time("jonckheere")(d => SparkEntry.queries("q322_jonckheere")(spark, d))
     time("morans_i")(d => SparkEntry.queries("q323_morans_i")(spark, d))
     time("getis_ord")(d => SparkEntry.queries("q324_getis_ord")(spark, d))
+    time("seq_patterns")(d => SparkEntry.queries("q338_seq_patterns")(spark, d))
+    time("loo_influence")(d => SparkEntry.queries("q339_loo_influence")(spark, d))
+    time("weibull")(d => SparkEntry.queries("q340_weibull")(spark, d))
+    time("reciprocal_match")(d => SparkEntry.queries("q341_reciprocal_match")(spark, d))
+    time("periodogram")(d => SparkEntry.queries("q342_periodogram")(spark, d))
+    // NOTE dbscan on replicated embeddings: vec_id offsets keep ids unique
+    // but coordinates replicate EXACTLY, so density (and the neighbor
+    // count per point) multiplies by the factor — expect superlinear pair
+    // counts; the generated-offset variant below shifts x by k·10 per copy
+    // to keep density constant (the honest scale read for spatial ops)
+    time("domain_logodds")(d => SparkEntry.queries("q344_domain_logodds")(spark, d))
+    time("rake_weights")(d => SparkEntry.queries("q345_rake_weights")(spark, d))
+    time("truncation_fidelity")(d => SparkEntry.queries("q346_truncation_fidelity")(spark, d))
+    time("dbscan (density-const)") { d =>
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+      val pts = base.select(col("vec_id"),
+        (element_at(col("embedding"), 1) +
+          (col("vec_id") / lit(10000000L)).cast("long").cast("float") * lit(10f)).as("x"),
+        element_at(col("embedding"), 2).as("y"))
+      Similarity.dbscanClusters(pts, "vec_id", col("x"), col("y"), eps = 0.04, minPts = 5)
+    }
 
     spark.stop()
   }

@@ -398,6 +398,85 @@ object SparkEntry {
       Analytics.shapleyAttribution(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", "purchase",
         Seq("view", "click", "signup"), windowDays = 7)),
+    "q338_seq_patterns" -> ((s, d) =>
+      // which ordered journeys (≤3 steps, noise-tolerant subsequences)
+      // does ≥5% of the user base take — the GSP mining readout
+      Analytics.sequentialPatterns(Tables.events(s, d), "user_id", "ts",
+        "event_type", minSupport = 0.05)),
+    "q339_loo_influence" -> ((s, d) =>
+      // which document source moves the corpus-mean doc length most when
+      // included: exact leave-one-out training-data valuation
+      Analytics.sourceInfluence(Tables.documents(s, d), "source", col("n_chars"))),
+    "q340_weibull" -> ((s, d) => {
+      // parametric time-to-first-purchase: Weibull shape/scale per
+      // even/odd cohort from each converting user's first-event→first-
+      // purchase latency (q335's curves, now extrapolatable)
+      val pu = Tables.events(s, d).groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase", col("ts"))).as("fp"),
+          min(col("ts")).as("fe"))
+        .filter(col("fp").isNotNull)
+        .select(when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+          .as("cohort"),
+          (col("fp").cast("long") - col("fe").cast("long")).as("dur_sec"))
+      Evaluation.weibullFit(pu, "cohort", col("dur_sec"))
+    }),
+    "q341_reciprocal_match" -> ((s, d) => {
+      // q60's fuzzy candidates resolved to a one-to-one assignment:
+      // mutual-argmax on negated edit distance, partner-id tie order
+      val names = Tables.part(s, d).groupBy("p_name")
+        .agg(min("p_partkey").as("p_partkey"))
+      val pairs = Dedup.fuzzyPairs(names, "p_partkey", "p_name", maxDist = 2)
+      Dedup.reciprocalBestMatch(pairs, "id_a", "id_b", lit(0) - col("dist"))
+    }),
+    "q342_periodogram" -> ((s, d) =>
+      // which cycle dominates daily event volume: spectral power at
+      // k = 1..14 over the stream's calendar span
+      Analytics.periodogram(Tables.events(s, d), "ts", maxK = 14)),
+    "q343_dbscan" -> ((s, d) =>
+      // density clusters on the embedding's leading 2-D projection —
+      // clustering without k; grid-bounded pairs, star CC, border attach
+      Similarity.dbscanClusters(Tables.embeddings(s, d), "vec_id",
+        element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+        eps = 0.04, minPts = 5)),
+    "q344_domain_logodds" -> ((s, d) =>
+      // DSIR data selection: score every doc by target-vs-background
+      // unigram log-odds, target = the src0 "wiki-like" corpus slice
+      Curation.domainLogOdds(Tables.documents(s, d), "doc_id", "text",
+        col("source") === "src0")),
+    "q345_rake_weights" -> ((s, d) => {
+      // IPF-rake the doc_id%7 sample back onto the full corpus's
+      // source × lang margins — 3 alternating passes, fixed-point exact
+      val docs = Tables.documents(s, d)
+      Analytics.rakeWeights(docs.filter(col("doc_id") % 7 === 0), docs,
+        "source", "lang", iters = 3)
+    }),
+    "q346_truncation_fidelity" -> ((s, d) =>
+      // Matryoshka rollout A/B: does 8-dim-prefix retrieval keep the
+      // full-vector top-1 for the probe queries (ids only, q27 contract)
+      Similarity.truncationFidelity(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), dims = 8)),
+    "q347_mahalanobis" -> ((s, d) => {
+      // whale-or-weird customers: unremarkable per axis, far off the
+      // (orders, spend) correlation ridge — top-20 d², χ²₂ fence flag
+      val per = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("spend"))
+      Analytics.mahalanobisOutliers(per, "o_custkey",
+        col("n_orders"), col("spend"), topK = 20)
+    }),
+    "q348_rate_ratio" -> ((s, d) => {
+      // do even-id users purchase at a higher DAILY rate: exposure-
+      // adjusted count-metric A/B (person-time, not per-head means)
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(countDistinct(to_date(col("ts"))).as("days"),
+          count(when(col("event_type") === "purchase", lit(1))).as("purch"))
+      Evaluation.rateRatioTest(per, col("user_id") % 2 === 0,
+        col("days"), col("purch"))
+    }),
+    "q349_mixed_script" -> ((s, d) =>
+      // homoglyph / script-mixing poisoning audit over every document
+      TextAnalysis.mixedScriptAudit(Tables.documents(s, d), "doc_id", "text")),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6570,6 +6649,318 @@ object SparkEntry {
         |SELECT channel, CAST(SUM(credit) AS DOUBLE) AS total_credit,
         |  COUNT(*) AS n_touches, COUNT(DISTINCT cid) AS n_conversions
         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    "q347_mahalanobis" ->
+      // per-customer CTE + exact power sums; covariance/inverse chain
+      // mirrored double-for-double, d² quantized at 6 dp, (d² desc, id)
+      """WITH per AS (SELECT o_custkey,
+        |        CAST(COUNT(*) AS DECIMAL(18,2)) AS x,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |      FROM orders GROUP BY o_custkey),
+        |st AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(x) AS DECIMAL(28,2)) AS sx, CAST(SUM(y) AS DECIMAL(28,2)) AS sy,
+        |        CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxx,
+        |        CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy,
+        |        CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxy
+        |      FROM per),
+        |cv AS (SELECT n,
+        |        CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS mx,
+        |        CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS my,
+        |        CAST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS DECIMAL(38,4)) AS cxx,
+        |        CAST((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS DECIMAL(38,4)) AS cyy,
+        |        CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS DECIMAL(38,4)) AS cxy
+        |      FROM st),
+        |dt AS (SELECT n, mx, my, cxx, cyy, cxy,
+        |        CAST(CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE) -
+        |             CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) AS DECIMAL(38,4)) AS det
+        |      FROM cv),
+        |sc AS (SELECT o_custkey, x, y,
+        |        CAST((dx * (CAST(cyy AS DOUBLE) * dx - CAST(cxy AS DOUBLE) * dy) +
+        |              dy * (CAST(cxx AS DOUBLE) * dy - CAST(cxy AS DOUBLE) * dx))
+        |             / CAST(det AS DOUBLE) AS DECIMAL(18,6)) AS md2
+        |       FROM (SELECT per.o_custkey, per.x, per.y,
+        |               CAST(per.x AS DOUBLE) - CAST(mx AS DOUBLE) AS dx,
+        |               CAST(per.y AS DOUBLE) - CAST(my AS DOUBLE) AS dy,
+        |               cxx, cyy, cxy, det, n
+        |             FROM per, dt WHERE n >= 3 AND CAST(det AS DOUBLE) > 0) q)
+        |SELECT o_custkey, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+        |  CAST(md2 AS DOUBLE) AS md2,
+        |  CASE WHEN CAST(md2 AS DOUBLE) > 5.991 THEN 1 ELSE 0 END AS beyond_chi2_95
+        |FROM sc ORDER BY md2 DESC, o_custkey LIMIT 20""".stripMargin,
+    "q348_rate_ratio" ->
+      // unit-grain exposures/events folded in ONE conditional aggregate;
+      // rates and the conditional-binomial z mirrored double-for-double
+      """WITH per AS (SELECT user_id,
+        |        COUNT(DISTINCT CAST(ts AS DATE)) AS days,
+        |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purch
+        |      FROM events GROUP BY user_id),
+        |agg AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(days AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS ta,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(days AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS tb,
+        |    COALESCE(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN purch END) AS BIGINT), 0) AS ka,
+        |    COALESCE(CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN purch END) AS BIGINT), 0) AS kb
+        |  FROM per)
+        |SELECT ka AS events_a, kb AS events_b,
+        |  CAST(ta AS DOUBLE) AS exposure_a, CAST(tb AS DOUBLE) AS exposure_b,
+        |  CASE WHEN ta IS NOT NULL AND CAST(ta AS DOUBLE) > 0 THEN
+        |    CAST(CAST(CAST(ka AS DOUBLE) / CAST(ta AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rate_a,
+        |  CASE WHEN tb IS NOT NULL AND CAST(tb AS DOUBLE) > 0 THEN
+        |    CAST(CAST(CAST(kb AS DOUBLE) / CAST(tb AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) END AS rate_b,
+        |  CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND CAST(tb AS DOUBLE) > 0
+        |        AND CAST(kb AS DOUBLE) > 0 AND CAST(ta AS DOUBLE) > 0 THEN
+        |    CAST(CAST((CAST(ka AS DOUBLE) / CAST(ta AS DOUBLE)) / (CAST(kb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS rate_ratio,
+        |  CASE WHEN ta IS NOT NULL AND tb IS NOT NULL
+        |        AND (CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE)) > 0 THEN
+        |    CAST(CAST((CAST(ka AS DOUBLE) - (CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE)) * (CAST(ta AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+        |      / sqrt((CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE)) * (CAST(ta AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+        |        * (1 - (CAST(ta AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS z
+        |FROM agg""".stripMargin,
+    "q349_mixed_script" ->
+      // replace-length counting in the RE2 ∩ Java dialect ('g' flag on
+      // the DuckDB side); counts exact integers, nothing quantized
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS greek,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS cjk,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{0430}\x{0435}\x{043E}\x{0440}\x{0441}\x{0445}\x{0443}\x{0410}\x{0415}\x{041E}\x{0420}\x{0421}\x{0425}]', '', 'g')) AS BIGINT) AS confusable_cyr,
+        |  (CASE WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) > 0 THEN 1 ELSE 0 END) AS n_scripts,
+        |  CASE WHEN (CASE WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) > 0 THEN 1 ELSE 0 END) >= 2
+        |   THEN 1 ELSE 0 END AS mixed_flag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q344_domain_logodds" ->
+      // one token explode feeds both LM counts (conditional agg) and the
+      // scoring join; ln-odds terms decimal-quantized pre-sum
+      """WITH dt AS (SELECT doc_id, source = 'src0' AS is_t,
+        |        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |m AS (SELECT tok, COUNT(CASE WHEN is_t THEN 1 END) AS ct,
+        |        COUNT(CASE WHEN NOT is_t THEN 1 END) AS cb FROM dt GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cb) AS BIGINT) AS nb,
+        |        COUNT(*) AS v FROM m),
+        |sc AS (SELECT doc_id,
+        |        CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) -
+        |             ln(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)) AS DECIMAL(28,9)) AS lo
+        |       FROM dt JOIN m USING (tok), tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(CAST(CAST(SUM(lo) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS log_odds
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q345_rake_weights" ->
+      // 3 unrolled IPF passes; every factor DECIMAL(18,9), every cell
+      // weight DECIMAL(18,6) — both engines walk identical fixed points
+      """WITH cells AS (SELECT source AS a, lang AS b, COUNT(*) AS n_sample
+        |        FROM documents WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+        |ta AS (SELECT source AS a, COUNT(*) AS ta FROM documents GROUP BY 1),
+        |tb AS (SELECT lang AS b, COUNT(*) AS tb FROM documents GROUP BY 1),
+        |w0 AS (SELECT a, b, n_sample, ta, tb, CAST(n_sample AS DECIMAL(18,6)) AS w
+        |       FROM cells JOIN ta USING (a) JOIN tb USING (b)),
+        |r1 AS (SELECT a, SUM(w) AS rs FROM w0 GROUP BY a),
+        |w1a AS (SELECT w0.a, b, n_sample, ta, tb,
+        |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(ta AS DOUBLE) / CAST(rs AS DOUBLE)
+        |           AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,6)) AS w
+        |        FROM w0 JOIN r1 ON w0.a = r1.a),
+        |c1 AS (SELECT b, SUM(w) AS cs FROM w1a GROUP BY b),
+        |w1b AS (SELECT a, w1a.b, n_sample, ta, tb,
+        |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(tb AS DOUBLE) / CAST(cs AS DOUBLE)
+        |           AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,6)) AS w
+        |        FROM w1a JOIN c1 ON w1a.b = c1.b),
+        |r2 AS (SELECT a, SUM(w) AS rs FROM w1b GROUP BY a),
+        |w2a AS (SELECT w1b.a, b, n_sample, ta, tb,
+        |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(ta AS DOUBLE) / CAST(rs AS DOUBLE)
+        |           AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,6)) AS w
+        |        FROM w1b JOIN r2 ON w1b.a = r2.a),
+        |c2 AS (SELECT b, SUM(w) AS cs FROM w2a GROUP BY b),
+        |w2b AS (SELECT a, w2a.b, n_sample, ta, tb,
+        |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(tb AS DOUBLE) / CAST(cs AS DOUBLE)
+        |           AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,6)) AS w
+        |        FROM w2a JOIN c2 ON w2a.b = c2.b),
+        |r3 AS (SELECT a, SUM(w) AS rs FROM w2b GROUP BY a),
+        |w3a AS (SELECT w2b.a, b, n_sample, ta, tb,
+        |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(ta AS DOUBLE) / CAST(rs AS DOUBLE)
+        |           AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,6)) AS w
+        |        FROM w2b JOIN r3 ON w2b.a = r3.a),
+        |c3 AS (SELECT b, SUM(w) AS cs FROM w3a GROUP BY b),
+        |w3b AS (SELECT a, w3a.b, n_sample, ta, tb,
+        |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(tb AS DOUBLE) / CAST(cs AS DOUBLE)
+        |           AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,6)) AS w
+        |        FROM w3a JOIN c3 ON w3a.b = c3.b)
+        |SELECT a AS source, b AS lang, n_sample, CAST(w AS DOUBLE) AS cell_weight,
+        |  CAST(CAST(CAST(w AS DOUBLE) / CAST(n_sample AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+        |    AS weight_per_row
+        |FROM w3b ORDER BY source, lang""".stripMargin,
+    "q346_truncation_fidelity" ->
+      // ids-only rank compare (the q27 contract — no float crosses
+      // engines); truncation is a list slice on both sides
+      """WITH f AS (SELECT a.vec_id AS query_id, b.vec_id AS full_top1
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) = 1),
+        |t AS (SELECT a.vec_id AS query_id, b.vec_id AS trunc_top1
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.embedding[1:8], b.embedding[1:8]) DESC, b.vec_id) = 1)
+        |SELECT f.query_id, full_top1, trunc_top1,
+        |  CASE WHEN full_top1 = trunc_top1 THEN 1 ELSE 0 END AS agree
+        |FROM f JOIN t ON f.query_id = t.query_id ORDER BY f.query_id""".stripMargin,
+    "q338_seq_patterns" ->
+      // per-(user,type) min/max frame + one raw-event pass for length 3;
+      // the support cut compares identical 9-dp decimals on both engines
+      """WITH ev AS (SELECT user_id AS u, ts AS t, event_type AS s FROM events),
+        |ut AS (SELECT u, s, min(t) AS tmin, max(t) AS tmax FROM ev GROUP BY u, s),
+        |nu AS (SELECT count(DISTINCT u) AS n FROM ev),
+        |p1 AS (SELECT 1 AS len, s AS pattern, count(*) AS n_users FROM ut GROUP BY s),
+        |p2 AS (SELECT 2 AS len, a.s || '>' || b.s AS pattern, count(*) AS n_users
+        |       FROM ut a JOIN ut b ON a.u = b.u AND a.tmin < b.tmax
+        |       GROUP BY a.s, b.s),
+        |p3 AS (SELECT 3 AS len, sa || '>' || sb || '>' || sc AS pattern,
+        |         count(*) AS n_users FROM (
+        |         SELECT DISTINCT a.u, a.s AS sa, m.s AS sb, c.s AS sc
+        |         FROM ut a JOIN ev m ON a.u = m.u AND a.tmin < m.t
+        |           JOIN ut c ON m.u = c.u AND m.t < c.tmax) q3
+        |       GROUP BY sa, sb, sc),
+        |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |SELECT len, pattern, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(CAST(CAST(n_users AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS support
+        |FROM allp, nu
+        |WHERE CAST(CAST(n_users AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9))
+        |      >= CAST(0.05 AS DECIMAL(18,9))
+        |ORDER BY len, pattern""".stripMargin,
+    "q339_loo_influence" ->
+      // exact decimal sums per source; Δ = mean(all) − mean(all ∖ g) as a
+      // mirrored double chain, lone-source guard → NULL
+      """WITH per AS (SELECT source AS g,
+        |        CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sg,
+        |        COUNT(*) AS ng
+        |      FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(sg) AS DECIMAL(38,6)) AS s, CAST(SUM(ng) AS BIGINT) AS n FROM per)
+        |SELECT g AS source, CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(CAST(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS group_mean,
+        |  CASE WHEN n > ng THEN CAST(CAST(
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    (CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS loo_delta
+        |FROM per, tot ORDER BY source""".stripMargin,
+    "q340_weibull" ->
+      // median-rank regression in integer nano units: ln terms rounded to
+      // 1e9 longs, all OLS folds HUGEINT (scale-0 — rounding impossible),
+      // shape one double division, λ's exp chain mirrored verbatim
+      """WITH pu AS (SELECT user_id,
+        |    CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT)
+        |      - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_sec,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort
+        |  FROM events GROUP BY user_id
+        |  HAVING min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL),
+        |base AS (SELECT cohort AS g, CAST(dur_sec AS DOUBLE) AS t FROM pu
+        |         WHERE CAST(dur_sec AS DOUBLE) > 0),
+        |r AS (SELECT g, t, row_number() OVER (PARTITION BY g ORDER BY t) AS i,
+        |        count(*) OVER (PARTITION BY g) AS n FROM base),
+        |q AS (SELECT g, n, CAST(round(ln(t) * 1e9) AS BIGINT) AS x,
+        |    CAST(round(ln(-1 * ln(1 - (CAST(i AS DOUBLE) - 0.3) / (CAST(n AS DOUBLE) + 0.4))) * 1e9) AS BIGINT) AS y
+        |  FROM r),
+        |agg AS (SELECT g, CAST(max(n) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM q GROUP BY g),
+        |fit AS (SELECT g, n, sx, sy,
+        |    CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+        |      THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    END AS shape
+        |  FROM agg)
+        |SELECT g AS cohort, CAST(n AS BIGINT) AS n_failures,
+        |  CAST(CAST(shape AS DECIMAL(18,9)) AS DOUBLE) AS shape,
+        |  CASE WHEN shape IS NOT NULL AND shape <> 0 THEN
+        |    CAST(CAST(exp(-1 * ((CAST(sy AS DOUBLE) / 1e9 - shape * (CAST(sx AS DOUBLE) / 1e9))
+        |      / CAST(n AS DOUBLE)) / shape) AS DECIMAL(18,9)) AS DOUBLE)
+        |  END AS scale
+        |FROM fit ORDER BY cohort""".stripMargin,
+    "q341_reciprocal_match" ->
+      // q60's candidate CTE, symmetrized; per-node argmax via QUALIFY with
+      // the same (score desc, partner) total order; mutual pairs survive
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS s_a, b.p_name AS s_b
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM names a JOIN names b
+        |    ON substring(a.p_name, greatest(length(a.p_name) - 3, 1), 4)
+        |       = substring(b.p_name, greatest(length(b.p_name) - 3, 1), 4)
+        |   AND a.p_partkey < b.p_partkey),
+        |pairs AS (SELECT id_a, id_b, CAST(0 - levenshtein(s_a, s_b) AS DECIMAL(18,9)) AS score
+        |          FROM cand WHERE levenshtein(s_a, s_b) <= 2),
+        |sym AS (SELECT id_a AS a, id_b AS b, score FROM pairs
+        |        UNION ALL SELECT id_b, id_a, score FROM pairs),
+        |best AS (SELECT a, b, score FROM sym
+        |         QUALIFY row_number() OVER (PARTITION BY a ORDER BY score DESC, b) = 1)
+        |SELECT x.a AS id_a, x.b AS id_b, CAST(x.score AS DOUBLE) AS score
+        |FROM best x JOIN best y ON x.b = y.a AND y.b = x.a AND x.a < y.a
+        |ORDER BY id_a""".stripMargin,
+    "q342_periodogram" ->
+      // day-grain counts × a 14-frequency grid; trig terms micro-quantized
+      // before exact integer sums (libm cos/sin has no cross-engine bit
+      // guarantee; the 1e6 rounding absorbs sub-ulp differences)
+      """WITH day AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1),
+        |b AS (SELECT min(d) AS d0,
+        |        CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS n FROM day),
+        |ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(1, 14) AS t(k)),
+        |wk AS (SELECT day.x, CAST(date_diff('day', b.d0, day.d) AS BIGINT) AS t, b.n, ks.k
+        |       FROM day, b, ks),
+        |terms AS (SELECT k, n,
+        |    CAST(round(CAST(x AS DOUBLE) * cos(2 * pi() * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS ct,
+        |    CAST(round(CAST(x AS DOUBLE) * sin(2 * pi() * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS st
+        |  FROM wk),
+        |f AS (SELECT k, CAST(SUM(ct) AS BIGINT) AS cN, CAST(SUM(st) AS BIGINT) AS sN,
+        |        max(n) AS n FROM terms GROUP BY k)
+        |SELECT k,
+        |  CAST(CAST(CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS period_days,
+        |  CAST(CAST(((CAST(cN AS DOUBLE) / 1e6) * (CAST(cN AS DOUBLE) / 1e6) +
+        |             (CAST(sN AS DOUBLE) / 1e6) * (CAST(sN AS DOUBLE) / 1e6))
+        |    / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS power
+        |FROM f ORDER BY k""".stripMargin,
+    "q343_dbscan" ->
+      // all-pairs eps-graph at oracle scale (the engine's grid join is a
+      // lossless candidate filter); min-label recursive CC mirrors the
+      // alternating-star min-id contract; border takes min core cluster
+      """WITH RECURSIVE pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+        |        CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |nbr AS (SELECT a.id AS id_a, b.id AS id_b FROM pts a JOIN pts b
+        |        ON a.id <> b.id
+        |       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |           <= CAST(0.04 AS DOUBLE) * CAST(0.04 AS DOUBLE)),
+        |core AS (SELECT id_a AS id FROM nbr GROUP BY id_a HAVING count(*) + 1 >= 5),
+        |ce AS (SELECT n.id_a, n.id_b FROM nbr n JOIN core c1 ON n.id_a = c1.id
+        |       JOIN core c2 ON n.id_b = c2.id WHERE n.id_a < n.id_b),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM ce UNION SELECT id_b, id_a FROM ce),
+        |r(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lab FROM e JOIN r ON e.dst = r.node),
+        |cc AS (SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node),
+        |colab AS (SELECT c.id, COALESCE(cc.cluster_id, c.id) AS cluster_id
+        |          FROM core c LEFT JOIN cc ON cc.node = c.id),
+        |bord AS (SELECT n.id_a AS id, MIN(cl.cluster_id) AS cluster_id
+        |         FROM nbr n JOIN colab cl ON n.id_b = cl.id
+        |         WHERE n.id_a NOT IN (SELECT id FROM core)
+        |         GROUP BY n.id_a)
+        |SELECT p.id, CASE WHEN co.id IS NOT NULL THEN 'core'
+        |                  WHEN bo.id IS NOT NULL THEN 'border'
+        |                  ELSE 'noise' END AS role,
+        |  COALESCE(co.cluster_id, bo.cluster_id) AS cluster_id
+        |FROM pts p LEFT JOIN colab co ON p.id = co.id LEFT JOIN bord bo ON p.id = bo.id
+        |ORDER BY p.id""".stripMargin,
     "q335_logrank" ->
       // q157's per-user CTE + cohort; E/V terms nano-quantized before the
       // exact sums, HUGEINT products mirror the DECIMAL(38,0) ones

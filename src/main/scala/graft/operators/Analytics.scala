@@ -2981,4 +2981,251 @@ object Analytics {
         col("gm").cast("decimal(18,9)").cast("double").as("global_mean"),
         col("mom").cast("decimal(18,9)").cast("double").as("median_of_means"))
   }
+
+  /** Frequent sequential patterns up to length 3 (GSP/PrefixSpan-style
+    * "customers who A then B then C" mining over an event log) — the
+    * ordered upgrade of [[associationRules]]' unordered co-occurrence and
+    * the exhaustive complement of [[topPaths]]' literal path strings:
+    * pattern support counts EVERY user with SOME occurrence order a<b<c,
+    * regardless of interleaved noise events.
+    *
+    * Bounded-state shape, no per-user sequence materialization: a length-2
+    * pattern a→b holds for a user iff min_ts(a) < max_ts(b), and a
+    * length-3 pattern a→b→c holds iff SOME b-occurrence lies strictly
+    * between min_ts(a) and max_ts(c) — so support needs only the per
+    * (user, type) min/max frame (one aggregate over events) plus, for
+    * length 3, one pass of the raw events bounded by |types|² fan-out
+    * (the funnel-family contract: alphabet small, never all-history
+    * pairing). Support fraction is ONE double division quantized to 9 dp;
+    * the min-support cut compares quantized decimals so both engines keep
+    * identical rows. The 1-row user-count frame rides a broadcast
+    * (plan-contract allowlisted). Repeat patterns (a→a, a→a→a) fall out
+    * of the same predicates via distinct occurrence times. */
+  def sequentialPatterns(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, minSupport: Double): DataFrame = {
+    // the timestamp rides raw (µs precision) — truncating to seconds would
+    // merge distinct occurrence times and change strict-order predicates
+    val ev = events.select(col(userCol).as("u"),
+      col(tsCol).as("t"), col(typeCol).as("s"))
+    val utype = ev.groupBy("u", "s").agg(min("t").as("tmin"), max("t").as("tmax"))
+    val nu = ev.select("u").distinct().agg(count(lit(1)).as("__nu"))
+    val p1 = utype.groupBy("s").agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("len"), col("s").as("pattern"), col("n_users"))
+    val a = utype.select(col("u"), col("s").as("sa"), col("tmin").as("ta"))
+    val b2 = utype.select(col("u"), col("s").as("sb"), col("tmax").as("tb"))
+    val p2 = a.join(b2, "u").filter(col("ta") < col("tb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_users"))
+      .select(lit(2).as("len"),
+        concat_ws(">", col("sa"), col("sb")).as("pattern"), col("n_users"))
+    val mid = ev.select(col("u"), col("s").as("sb"), col("t").as("tm"))
+    val c3 = utype.select(col("u"), col("s").as("sc"), col("tmax").as("tc"))
+    val p3 = a.join(mid, "u").filter(col("ta") < col("tm"))
+      .join(c3, "u").filter(col("tm") < col("tc"))
+      .select("u", "sa", "sb", "sc").distinct()
+      .groupBy("sa", "sb", "sc").agg(count(lit(1)).as("n_users"))
+      .select(lit(3).as("len"),
+        concat_ws(">", col("sa"), col("sb"), col("sc")).as("pattern"),
+        col("n_users"))
+    p1.unionByName(p2).unionByName(p3)
+      .crossJoin(broadcast(nu))
+      .withColumn("support",
+        (col("n_users").cast("double") / col("__nu").cast("double"))
+          .cast("decimal(18,9)"))
+      .filter(col("support") >= lit(minSupport).cast("decimal(18,9)"))
+      .select(col("len"), col("pattern"), col("n_users"),
+        col("support").cast("double").as("support"))
+      .orderBy("len", "pattern")
+  }
+
+  /** Leave-one-out source influence on the corpus mean — training-data
+    * valuation at the source grain: for each source g, how much does
+    * INCLUDING g move the global mean of a metric (quality score, doc
+    * length, toxicity)? Δ_g = mean(all) − mean(all ∖ g), computed exactly
+    * from the same (Σ, n) pair per source — no second pass, no resampling;
+    * the exact end of the ladder whose stochastic ends are [[cuped]] /
+    * [[poissonBootstrapCI]]. A positive Δ means the source pulls the
+    * corpus average up; rank by |Δ| to find the sources worth re-weighting
+    * in [[mixBySource]].
+    *
+    * ONE group-grain aggregate (map-side combinable) + a 1-row broadcast
+    * total (plan-contract allowlisted); exact decimal sums, one double
+    * division per mean, mirrored subtraction chain, 9 dp quantization.
+    * A lone source (nothing left when excluded) → NULL delta. */
+  def sourceInfluence(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("decimal(18,6)")
+    val per = df.select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("g").agg(sum("v").as("sg"), count(lit(1)).as("ng"))
+    val tot = per.agg(sum("sg").cast("decimal(38,6)").as("__s"),
+      sum("ng").as("__n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol),
+        col("ng").cast("long").as("n_rows"),
+        (col("sg").cast("double") / col("ng").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("group_mean"),
+        when(col("__n") > col("ng"),
+          ((col("__s").cast("double") / col("__n").cast("double")) -
+            ((col("__s") - col("sg")).cast("double") /
+              (col("__n") - col("ng")).cast("double")))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("loo_delta"))
+      .orderBy(groupCol)
+  }
+
+  /** Discrete-Fourier periodogram over a daily count series — "does this
+    * metric have a weekly/monthly cycle, and which dominates": spectral
+    * power P(k) = (C_k² + S_k²)/n at integer frequencies k = 1..maxK,
+    * C/S the cos/sin projections of the series over its calendar span.
+    * The frequency-domain companion of [[acf]]'s lag domain and
+    * [[seasonalDecompose]]'s fixed known period — this one FINDS the
+    * period.
+    *
+    * Scale shape: the series collapses to day grain first (one
+    * aggregate), so the k-expansion (explode of a literal k-list —
+    * projection, not a join) touches days × maxK rows, never raw events.
+    * n is the calendar SPAN; absent days are zero counts, and because
+    * Σ_{t=0}^{n−1} cos(2πkt/n) = 0 for 1 ≤ k < n, mean-centering changes
+    * nothing at non-zero frequencies — C_k is simply Σ_present x_t·cosθ_t
+    * with missing days contributing 0, exactly the full-grid centered
+    * projection. Day indexes and the angle chain 2π·k·t/n are exact
+    * integer-derived doubles (identical in both engines); cos/sin are
+    * libm calls with no cross-engine bit guarantee, so each term
+    * quantizes to MICRO units before its exact long sum — a sub-ulp trig
+    * difference cannot survive the rounding. The 1-row bounds frame rides
+    * a broadcast (plan-contract allowlisted). */
+  def periodogram(df: DataFrame, tsCol: String, maxK: Int): DataFrame = {
+    require(maxK >= 1 && maxK <= 64, "keep the frequency list literal-sized")
+    val day = df.select(to_date(col(tsCol)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val bounds = day.agg(min("d").as("__d0"),
+      (datediff(max("d"), min("d")) + 1).cast("long").as("__n"))
+    val ks = explode(array((1 to maxK).map(lit): _*)).as("k")
+    val withK = day.crossJoin(broadcast(bounds))
+      .withColumn("t", datediff(col("d"), col("__d0")).cast("long"))
+      .select(col("x"), col("t"), col("__n"), ks)
+    val ang = lit(2d * math.Pi) * col("k").cast("double") *
+      col("t").cast("double") / col("__n").cast("double")
+    val cTerm = round(col("x").cast("double") * cos(ang) * lit(1e6d)).cast("long")
+    val sTerm = round(col("x").cast("double") * sin(ang) * lit(1e6d)).cast("long")
+    withK
+      .groupBy("k")
+      .agg(sum(cTerm).as("cN"), sum(sTerm).as("sN"), max("__n").as("n"))
+      .select(col("k"),
+        (col("n").cast("double") / col("k").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("period_days"),
+        (((col("cN").cast("double") / 1e6d) * (col("cN").cast("double") / 1e6d) +
+          (col("sN").cast("double") / 1e6d) * (col("sN").cast("double") / 1e6d)) /
+          col("n").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("power"))
+      .orderBy("k")
+  }
+
+  /** Survey raking / iterative proportional fitting (Deming & Stephan
+    * 1940): re-weight a biased sample so its weighted marginals match the
+    * population's on TWO categorical dimensions at once — the
+    * post-stratification that per-dimension weighting can't do (fixing
+    * dimension A's margins un-fixes B's; IPF alternates until both
+    * settle). The distributed-data version of every survey shop's
+    * `rake()`, and the mix-correction step upstream of [[mixBySource]].
+    *
+    * Scale shape: the ONLY row-scaled work is one cell aggregate per
+    * input (sample cells, population A-margin, population B-margin);
+    * the fixed `iters` alternating scalings then live entirely on the
+    * |A|×|B| cell table (tiny, margin joins map-side). Exactness: every
+    * scaling factor is one double division quantized to DECIMAL(18,9),
+    * every updated cell weight one double product quantized to
+    * DECIMAL(18,6) — both engines walk identical fixed-point states, so
+    * the unrolled-iteration oracle matches bit-for-bit. Cells the sample
+    * never saw get no weight (the standard IPF blind spot — check
+    * `weight_per_row` for explosions, the classic sign the sample
+    * missed a stratum). */
+  def rakeWeights(sample: DataFrame, population: DataFrame,
+                  aCol: String, bCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "IPF settles in a few passes; keep the plan bounded")
+    val cells = sample.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_sample"))
+    val ta = population.groupBy(col(aCol).as("a")).agg(count(lit(1)).as("ta"))
+    val tb = population.groupBy(col(bCol).as("b")).agg(count(lit(1)).as("tb"))
+    var w = cells.join(ta, "a").join(tb, "b")
+      .select(col("a"), col("b"), col("n_sample"), col("ta"), col("tb"),
+        col("n_sample").cast("decimal(18,6)").as("w"))
+    for (_ <- 1 to iters) {
+      val ra = w.groupBy(col("a").as("__a")).agg(sum("w").as("rs"))
+      w = w.join(ra, col("a") === col("__a")).drop("__a")
+        .withColumn("fa",
+          (col("ta").cast("double") / col("rs").cast("double")).cast("decimal(18,9)"))
+        .select(col("a"), col("b"), col("n_sample"), col("ta"), col("tb"),
+          (col("w").cast("double") * col("fa").cast("double"))
+            .cast("decimal(18,6)").as("w"))
+      val rb = w.groupBy(col("b").as("__b")).agg(sum("w").as("cs"))
+      w = w.join(rb, col("b") === col("__b")).drop("__b")
+        .withColumn("fb",
+          (col("tb").cast("double") / col("cs").cast("double")).cast("decimal(18,9)"))
+        .select(col("a"), col("b"), col("n_sample"), col("ta"), col("tb"),
+          (col("w").cast("double") * col("fb").cast("double"))
+            .cast("decimal(18,6)").as("w"))
+        // each pass references w TWICE (margin agg + scale join) — without
+        // truncation the base scans re-execute 2^iters times; the frame is
+        // cell-sized, so an eager localCheckpoint per pass is ~free
+        .localCheckpoint(true)
+    }
+    w.select(col("a").as(aCol), col("b").as(bCol), col("n_sample"),
+        col("w").cast("double").as("cell_weight"),
+        (col("w").cast("double") / col("n_sample").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("weight_per_row"))
+      .orderBy(aCol, bCol)
+  }
+
+  /** Mahalanobis outlier scoring on a 2-D metric pair — the MULTIVARIATE
+    * step after [[zScoreAnomalies]]/[[madByGroup]]'s per-column views: a
+    * point can be unremarkable on every axis yet far off the correlation
+    * ridge (high spend with too-few orders); d² = Δᵀ Σ⁻¹ Δ measures that,
+    * and d² > 5.991 is the χ²₂ 95% fence. Closed-form 2×2 inverse — no
+    * iteration, no linear-algebra library.
+    *
+    * Two passes, both single aggregates: exact decimal power sums →
+    * mean/covariance (each ONE double division, quantized 9 dp — the
+    * [[regressionByGroup]] recipe), then a map-side d² per row from the
+    * mirrored inverse chain quantized to 6 dp. The 1-row stats frame
+    * rides a broadcast (plan-contract allowlisted); output is the top-K
+    * by (d² desc, id) total order — bounded, never row-scaled.
+    * Degenerate covariance (det ≤ 0 after quantization) → empty. */
+  def mahalanobisOutliers(df: DataFrame, idCol: String, xCol: Column,
+                          yCol: Column, topK: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      xCol.cast("decimal(18,2)").as("x"), yCol.cast("decimal(18,2)").as("y"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum("x").cast("decimal(28,2)").as("sx"), sum("y").cast("decimal(28,2)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,4)")).cast("decimal(38,4)").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,4)")).cast("decimal(38,4)").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,4)")).cast("decimal(38,4)").as("sxy"))
+    val nD = col("__n").cast("double")
+    def cov(sab: Column, sa: Column, sb: Column): Column =
+      ((sab.cast("double") - sa.cast("double") * sb.cast("double") / nD) /
+        (nD - 1d)).cast("decimal(38,4)")
+    val scored = base.crossJoin(broadcast(stats))
+      .filter(col("__n") >= 3)
+      .withColumn("mx", (col("sx").cast("double") / nD).cast("decimal(18,9)"))
+      .withColumn("my", (col("sy").cast("double") / nD).cast("decimal(18,9)"))
+      .withColumn("cxx", cov(col("sxx"), col("sx"), col("sx")))
+      .withColumn("cyy", cov(col("syy"), col("sy"), col("sy")))
+      .withColumn("cxy", cov(col("sxy"), col("sx"), col("sy")))
+      .withColumn("det", (col("cxx").cast("double") * col("cyy").cast("double") -
+        col("cxy").cast("double") * col("cxy").cast("double")).cast("decimal(38,4)"))
+      .filter(col("det").cast("double") > 0d)
+      .withColumn("dx", col("x").cast("double") - col("mx").cast("double"))
+      .withColumn("dy", col("y").cast("double") - col("my").cast("double"))
+      .withColumn("md2",
+        ((col("dx") * (col("cyy").cast("double") * col("dx") -
+            col("cxy").cast("double") * col("dy")) +
+          col("dy") * (col("cxx").cast("double") * col("dy") -
+            col("cxy").cast("double") * col("dx"))) / col("det").cast("double"))
+          .cast("decimal(18,6)"))
+    scored
+      .orderBy(col("md2").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("x").cast("double").as("x"),
+        col("y").cast("double").as("y"), col("md2").cast("double").as("md2"),
+        when(col("md2").cast("double") > 5.991d, lit(1)).otherwise(lit(0))
+          .as("beyond_chi2_95"))
+  }
 }

@@ -869,4 +869,47 @@ object Curation {
     "the", "of", "and", "a", "to", "in", "is", "it", "for", "on", "with",
     "as", "at", "by", "an", "be", "this", "that", "from", "or", "are",
     "was", "were", "will", "has", "have", "had", "not", "but", "they")
+
+  /** DSIR/CCNet-style domain log-odds scoring — data selection for a
+    * target domain (Xie et al. 2023 "Data Selection for Language Models
+    * via Importance Resampling"; Wenzek et al. 2019 CCNet): train two
+    * add-one-smoothed unigram LMs — target (the rows matching
+    * `targetFilter`, e.g. the wiki-like source) and background (the
+    * rest) — and score EVERY document by its per-token mean
+    * ln p_target(t) − ln p_background(t). Positive = reads like the
+    * target domain; rank by score to pick the next training tranche.
+    * The two-class upgrade of [[unigramLogLikelihood]]'s one-corpus
+    * perplexity proxy.
+    *
+    * One token explode feeds BOTH model counts (a single conditional
+    * aggregate — the q05 trick) and the scoring join; smoothing is
+    * add-one over the JOINT vocabulary so every observed token has both
+    * probabilities (the scoring join stays inner). Each ln-odds term
+    * quantizes to DECIMAL(28,9) before its exact per-doc sum (order-free
+    * at any partitioning); ONE double division per doc. The 1-row
+    * totals frame rides a broadcast (plan-contract allowlisted). */
+  def domainLogOdds(docs: DataFrame, idCol: String, textCol: String,
+                    targetFilter: Column): DataFrame = {
+    val dt = docs.select(col(idCol), targetFilter.as("is_t"),
+      explode(tokens(col(textCol))).as("tok"))
+    val m = dt.groupBy("tok").agg(
+      count(when(col("is_t"), lit(1))).as("ct"),
+      count(when(!col("is_t"), lit(1))).as("cb"))
+    val totals = m.agg(sum("ct").as("__nt"), sum("cb").as("__nb"),
+      count(lit(1)).as("__v"))
+    dt.join(m, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (log((col("ct") + lit(1)).cast("double") /
+            (col("__nt") + col("__v")).cast("double")) -
+          log((col("cb") + lit(1)).cast("double") /
+            (col("__nb") + col("__v")).cast("double")))
+          .cast("decimal(28,9)").as("lo"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("lo").as("s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("s").cast("double") / col("n_tokens"))
+          .cast("decimal(18,6)").cast("double").as("log_odds"))
+      .orderBy(idCol)
+  }
 }

@@ -1040,4 +1040,39 @@ object Dedup {
         min("name").as("sample_name"))
       .filter(col("n_records") >= minBlock)
       .orderBy("code")
+
+  /** Reciprocal-best-match one-to-one linkage: from a scored candidate
+    * pair table, keep (a, b) iff b is a's highest-scoring candidate AND a
+    * is b's — the mutual-argmax matching that turns [[fuzzyPairs]] /
+    * [[linkageScore]] candidates into an assignment without the
+    * quadratic/serial Hungarian pass. Greedy-stable: every kept pair is a
+    * local optimum for both sides (the standard record-linkage /
+    * bipartite "reciprocal best hit" rule, cf. ortholog detection in
+    * comparative genomics).
+    *
+    * Input is an UNDIRECTED canonical pair list (id_a < id_b, one row per
+    * pair — the [[fuzzyPairs]] contract); both orientations are restored
+    * map-side so each node sees its full candidate set. One row_number
+    * window on the symmetrized table + one pair-grain self-join of the
+    * per-node winners — both shuffle only candidate pairs, never the full
+    * tables. Rank ties break by the partner id so the argmax is total and
+    * engine-stable (feed quantized scores: a sub-ulp cross-engine score
+    * difference would otherwise pick different partners). Higher score =
+    * better; pass a negated distance for edit-distance candidates. */
+  def reciprocalBestMatch(pairs: DataFrame, aCol: String, bCol: String,
+                          scoreCol: Column): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"),
+      scoreCol.cast("decimal(18,9)").as("score"))
+    val sym = p.unionAll(p.select(col("b").as("a"), col("a").as("b"), col("score")))
+    val w = Window.partitionBy("a").orderBy(col("score").desc, col("b"))
+    val best = sym.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).select(col("a"), col("b"), col("score"))
+    best.alias("x")
+      .join(best.alias("y"),
+        col("x.b") === col("y.a") && col("y.b") === col("x.a") &&
+          col("x.a") < col("y.a"))
+      .select(col("x.a").as(aCol), col("x.b").as(bCol),
+        col("x.score").cast("double").as("score"))
+      .orderBy(aCol)
+  }
 }

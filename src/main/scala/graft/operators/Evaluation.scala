@@ -3047,4 +3047,104 @@ object Evaluation {
         (col("spk").cast("double") / col("nq").cast("double"))
           .cast("decimal(18,9)").cast("double").as("p_at_k"))
   }
+
+  /** Weibull failure-time fit via median-rank regression (the reliability
+    * engineer's closed-form estimator — Abernethy's "New Weibull
+    * Handbook" recipe): sort the uncensored durations per group, assign
+    * median ranks F_i = (i − 0.3)/(n + 0.4) (Bernard's approximation),
+    * and OLS-fit y = ln(−ln(1 − F)) on x = ln(t); the slope IS the shape
+    * k (k < 1 infant mortality, k ≈ 1 memoryless, k > 1 wear-out) and the
+    * scale is λ = exp(−intercept/k). The parametric companion of
+    * [[kaplanMeier]]'s nonparametric curve — this one extrapolates.
+    *
+    * One window rank per group + one aggregate. Exactness: ln is libm
+    * (no cross-engine bit guarantee), so x and y quantize to integer
+    * NANO units first; every OLS sum and the n·Σxy − ΣxΣy folds then
+    * live at decimal scale 0 (pure integers — rounding is impossible,
+    * and the ≤1e32 magnitudes sit well inside decimal128 / HUGEINT), and
+    * shape is ONE double division with the 1e9 scaling cancelling.
+    * λ's exp chain is mirrored verbatim then quantized. Duration ties
+    * take consecutive ranks but contribute identical x, so the sums are
+    * tie-order invariant. n < 2 or zero x-variance (all durations equal)
+    * → NULL fit. Durations ≤ 0 are excluded (not a failure time). */
+  def weibullFit(df: DataFrame, groupCol: String, durationCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+        durationCol.cast("double").as("t"))
+      .filter(col("t") > 0d)
+    val wr = Window.partitionBy("g").orderBy("t")
+    val wn = Window.partitionBy("g")
+    val fq = (col("i").cast("double") - lit(0.3d)) /
+      (col("n").cast("double") + lit(0.4d))
+    val ranked = base
+      .withColumn("i", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("g"), col("n"),
+        round(log(col("t")) * lit(1e9d)).cast("long").cast("decimal(19,0)").as("x"),
+        round(log(lit(-1d) * log(lit(1d) - fq)) * lit(1e9d))
+          .cast("long").cast("decimal(19,0)").as("y"))
+    val agg = ranked.groupBy("g").agg(
+      max("n").cast("decimal(19,0)").as("n"),
+      sum(col("x")).cast("decimal(29,0)").as("sx"),
+      sum(col("y")).cast("decimal(29,0)").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("decimal(38,0)").cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("decimal(38,0)").cast("double")
+    val nD = col("n").cast("double")
+    val interceptD = (col("sy").cast("double") / 1e9d -
+      col("shape") * (col("sx").cast("double") / 1e9d)) / nD
+    agg
+      .withColumn("shape", when(col("n") >= 2 && den =!= 0d, num / den))
+      .select(col("g").as(groupCol), col("n").cast("long").as("n_failures"),
+        col("shape").cast("decimal(18,9)").cast("double").as("shape"),
+        when(col("shape").isNotNull && col("shape") =!= 0d,
+          exp(lit(-1d) * interceptD / col("shape")))
+          .cast("decimal(18,9)").cast("double").as("scale"))
+      .orderBy(groupCol)
+  }
+
+  /** Two-cohort event-rate comparison (epidemiology's rate-ratio test,
+    * the COUNT-metric A/B next to [[abTest]]'s means and
+    * [[shareTestPValues]]' proportions): cohort rates λ = K/T over
+    * exposure T (user-days, sessions, requests), their ratio, and the
+    * conditional test z — given K = K_a + K_b total events, under H₀
+    * K_a ~ Binomial(K, T_a/(T_a+T_b)), so z = (K_a − K·p₀)/√(K·p₀(1−p₀))
+    * (the standard person-time approximation; exposure-adjusted, so a
+    * bigger cohort doesn't fake a lift).
+    *
+    * ONE conditional aggregate over the unit grain (the q05 trick: all
+    * four sums in a single pass, map-side combinable); exact decimal
+    * exposure/event sums, each rate ONE double division, the z chain
+    * mirrored verbatim and quantized 9 dp. Empty cohort or K = 0 → NULL
+    * ratio/z. */
+  def rateRatioTest(df: DataFrame, inA: Column, exposureCol: Column,
+                    eventsCol: Column): DataFrame = {
+    val e = exposureCol.cast("decimal(18,6)")
+    val k = eventsCol.cast("long")
+    val agg = df.select(inA.as("ga"), e.as("t"), k.as("k")).agg(
+      sum(when(col("ga"), col("t"))).cast("decimal(38,6)").as("ta"),
+      sum(when(!col("ga"), col("t"))).cast("decimal(38,6)").as("tb"),
+      coalesce(sum(when(col("ga"), col("k"))), lit(0L)).as("ka"),
+      coalesce(sum(when(!col("ga"), col("k"))), lit(0L)).as("kb"))
+    val taD = col("ta").cast("double"); val tbD = col("tb").cast("double")
+    val kaD = col("ka").cast("double"); val kbD = col("kb").cast("double")
+    val kTot = kaD + kbD
+    val p0 = taD / (taD + tbD)
+    val rateA = kaD / taD
+    val rateB = kbD / tbD
+    val z = (kaD - kTot * p0) / sqrt(kTot * p0 * (lit(1d) - p0))
+    agg.select(
+      col("ka").as("events_a"), col("kb").as("events_b"),
+      col("ta").cast("double").as("exposure_a"), col("tb").cast("double").as("exposure_b"),
+      when(col("ta").isNotNull && taD > 0d,
+        rateA.cast("decimal(18,9)").cast("double")).as("rate_a"),
+      when(col("tb").isNotNull && tbD > 0d,
+        rateB.cast("decimal(18,9)").cast("double")).as("rate_b"),
+      when(col("ta").isNotNull && col("tb").isNotNull && tbD > 0d && kbD > 0d && taD > 0d,
+        (rateA / rateB).cast("decimal(18,9)").cast("double")).as("rate_ratio"),
+      when(col("ta").isNotNull && col("tb").isNotNull && (kaD + kbD) > 0d,
+        z.cast("decimal(18,9)").cast("double")).as("z"))
+  }
 }

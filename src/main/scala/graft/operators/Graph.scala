@@ -112,6 +112,9 @@ object Graph {
       frames += ranks
     }
     index.unpersist(false)
+    // frames past 0 are localCheckpointed; frame 0 stays recomputable, so
+    // releasing the node cache here leaks nothing across long sessions.
+    nodes.unpersist(false)
     frames.result()
   }
 

@@ -1076,4 +1076,100 @@ object Similarity {
     corpus.unpersist(false)
     out
   }
+
+  /** DBSCAN density clustering on a 2-D projection (Ester et al., KDD'96)
+    * — clustering WITHOUT choosing k, the shape-agnostic companion of
+    * [[kmeansAssign]]: a point with ≥ minPts neighbors (self included)
+    * within eps is CORE; core points within eps of each other chain into
+    * one cluster; a non-core point within eps of a core is a BORDER
+    * member of that core's cluster; everything else is NOISE.
+    *
+    * Scale shape: the eps-neighbor graph comes from a cell-grid self-join
+    * (cell side = eps, 3×3 neighborhood probe — the [[RangeJoin
+    * .gridProximityJoin]] pattern inlined for double coordinates), so
+    * candidate pairs are density-bounded, never all-pairs; cluster ids
+    * are the min core id per component via the alternating-star CC
+    * (O(log² n) rounds, everything node-hashed — [[Dedup
+    * .connectedComponentsStar]]); border assignment is one more
+    * pair-table aggregate (min cluster over core neighbors —
+    * deterministic). Distances compare as mirrored double d² ≤ eps²
+    * (IEEE products of exactly-cast floats — identical in both engines;
+    * no sqrt, no epsilon fuzz). Output: (id, role core|border|noise,
+    * cluster_id NULL for noise), totally ordered by id. */
+  def dbscanClusters(points: DataFrame, idCol: String, xCol: Column,
+                     yCol: Column, eps: Double, minPts: Int): DataFrame = {
+    val pts = points.select(col(idCol).as("id"),
+      xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+    val home = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") / lit(eps)).cast("long").as("cx"),
+      floor(col("y") / lit(eps)).cast("long").as("cy"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probe = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), explode(offsets).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (floor(col("xa") / lit(eps)).cast("long") + col("o.dx")).as("cx"),
+        (floor(col("ya") / lit(eps)).cast("long") + col("o.dy")).as("cy"))
+    // directed neighbor pairs (both orientations fall out of the probe fan)
+    val nbr = probe.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <=
+        lit(eps) * lit(eps))
+      .select("id_a", "id_b")
+    val core = nbr.groupBy("id_a").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") + 1 >= minPts).select(col("id_a").as("id"))
+    val coreEdges = nbr
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponentsStar(coreEdges, "id_a", "id_b")
+    // isolated core (dense neighborhood of pure border points) roots itself
+    val coreLab = core
+      .join(cc.select(col("node").as("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderLab = nbr
+      .join(coreLab.select(col("id").as("id_b"), col("cluster_id")), "id_b")
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .groupBy(col("id_a").as("id")).agg(min("cluster_id").as("cluster_id"))
+    pts.select("id")
+      .join(coreLab.select(col("id"), col("cluster_id").as("core_cl")), Seq("id"), "left")
+      .join(borderLab.select(col("id"), col("cluster_id").as("bord_cl")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("bord_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cl"), col("bord_cl")).as("cluster_id"))
+      .orderBy("id")
+  }
+
+  /** Matryoshka/truncation fidelity audit (Kusupati et al. 2022 MRL —
+    * "can we serve the first `dims` dimensions and keep retrieval?"):
+    * for each query, the exact top-1 cosine neighbor under the FULL
+    * vectors vs under the `dims`-prefix truncation, plus the agreement
+    * flag — the retrieval-grade A/B that decides an embedding-compression
+    * rollout, next to [[quantizationProfile]]'s PQ distortion read.
+    *
+    * Both sides reuse the [[bruteForceTopK]] scan (bounded per-partition
+    * heaps, queries broadcast — two corpus scans total); the truncation
+    * is a map-side `slice`. Ranks tie-break by neighbor id on equal
+    * cosine (engine-stable), and the output carries IDS ONLY — the same
+    * rank-not-value contract the q27 oracle uses, so no float ever
+    * crosses engines. */
+  def truncationFidelity(embeddings: DataFrame, idCol: String, vecCol: String,
+                         queryIds: Seq[Long], dims: Int): DataFrame = {
+    require(dims >= 1, "need at least one kept dimension")
+    val full = bruteForceTopK(embeddings, idCol, vecCol, queryIds, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("full_top1"))
+    val trunc = bruteForceTopK(
+      embeddings.withColumn(vecCol, slice(col(vecCol), 1, dims)),
+      idCol, vecCol, queryIds, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("trunc_top1"))
+    full.join(trunc, "query_id")
+      .select(col("query_id"), col("full_top1"), col("trunc_top1"),
+        when(col("full_top1") === col("trunc_top1"), lit(1)).otherwise(lit(0))
+          .as("agree"))
+      .orderBy("query_id")
+  }
 }

@@ -682,4 +682,37 @@ object TextAnalysis {
         share("ascii_alpha"), share("cyrillic"), share("cjk"))
       .orderBy("source")
   }
+
+  /** Per-document mixed-script / homoglyph audit — the data-poisoning
+    * defense next to [[scriptProfile]]'s per-source census: a "latin"
+    * document carrying Cyrillic or Greek lookalikes (а е о р с х,
+    * ο α ε...) is the classic spoofing/SEO-cloaking signature, and
+    * CJK-in-latin (or the reverse) flags mislabeled or template-injected
+    * docs. Counts per script class, a confusable-Cyrillic count
+    * (the Unicode-TR39-style lookalike subset), the number of distinct
+    * script classes present, and the mixed flag.
+    *
+    * Pure codegen'd replace-length counting (the q146/q331 recipe) in
+    * the RE2 ∩ Java character-class dialect — one projection, no
+    * explode, no UDF; shares are left to the caller (counts are exact
+    * integers, nothing to quantize). Doc-grain output with total id
+    * order. */
+  def mixedScriptAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column = length(t) - length(regexp_replace(t, cls, ""))
+    val latin = cnt("[A-Za-z]").cast("long")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]").cast("long")
+    val greek = cnt("[\\x{0370}-\\x{03FF}]").cast("long")
+    val cjk = cnt("[\\x{4E00}-\\x{9FFF}]").cast("long")
+    val confus = cnt("[\\x{0430}\\x{0435}\\x{043E}\\x{0440}\\x{0441}\\x{0445}\\x{0443}" +
+      "\\x{0410}\\x{0415}\\x{041E}\\x{0420}\\x{0421}\\x{0425}]").cast("long")
+    docs.select(col(idCol),
+        latin.as("latin"), cyr.as("cyrillic"), greek.as("greek"), cjk.as("cjk"),
+        confus.as("confusable_cyr"))
+      .withColumn("n_scripts",
+        (col("latin") > 0).cast("int") + (col("cyrillic") > 0).cast("int") +
+          (col("greek") > 0).cast("int") + (col("cjk") > 0).cast("int"))
+      .withColumn("mixed_flag", (col("n_scripts") >= 2).cast("int"))
+      .orderBy(idCol)
+  }
 }

@@ -104,13 +104,20 @@ object CsvIngest {
 
   /** Quote-aware split (the field view Python's csv module gives the
     * reference): quote characters toggle, delimiters inside quotes don't
-    * split, quote chars themselves are dropped from field content. */
+    * split, quote chars themselves are dropped from field content, and an
+    * RFC 4180 doubled quote inside a quoted section ("") is a literal '"'
+    * — matching csv.DictReader, so the cross-delimiter plausibility check
+    * sees the same field content the reference parser would. */
   private[graft] def splitQuoted(line: String, d: Char): Seq[String] = {
     val out = Seq.newBuilder[String]; val cur = new StringBuilder
     var inQ = false; var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (c == '"') inQ = !inQ
+      if (c == '"') {
+        if (inQ && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur += '"'; i += 1
+        } else inQ = !inQ
+      }
       else if (c == d && !inQ) { out += cur.toString; cur.clear() }
       else cur += c
       i += 1

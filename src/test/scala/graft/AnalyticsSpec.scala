@@ -1350,4 +1350,106 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(u.getDouble(4) - math.log(4.0)) < 1e-9, "shannon")
     assert(u.getDouble(5) == 1.0, "evenness")
   }
+
+  test("shapleyAttribution: 2-channel hand lattice is exact; efficiency holds") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      // journey 1 touches {view}; journey 2 touches {view, click}
+      (1L, ts(1), 101L, "view"), (1L, ts(2), 102L, "purchase"),
+      (2L, ts(1), 201L, "view"), (2L, ts(2), 202L, "click"),
+      (2L, ts(3), 203L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.shapleyAttribution(rows, "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("view", "click"), windowDays = 7)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // v(∅)=0 v({v})=1 v({c})=0 v({v,c})=2 -> φ_view = 1.5, φ_click = 0.5
+    assert(out("view") == ((1.5, 2L)), out.toString)
+    assert(out("click") == ((0.5, 1L)), out.toString)
+  }
+
+  test("shapleyAttribution: a never-touched channel is a null player (0 credit, others unchanged)") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      (1L, ts(1), 101L, "view"), (1L, ts(2), 102L, "purchase"),
+      (2L, ts(1), 201L, "view"), (2L, ts(2), 202L, "click"),
+      (2L, ts(3), 203L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.shapleyAttribution(rows, "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("view", "click", "signup"), windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("signup") == 0.0, out.toString)
+    assert(out("view") == 1.5 && out("click") == 0.5, out.toString)
+    assert(out.values.sum == 2.0, "efficiency: credit sums to converted journeys")
+  }
+
+  test("sequentialPatterns: ordered subsequences only; repeats via distinct times") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "b"), (2L, 2L, "a"),
+      (3L, 1L, "a"), (3L, 2L, "a"), (3L, 3L, "a"))
+      .toDF("u", "t", "s")
+    val out = Analytics.sequentialPatterns(rows, "u", "t", "s", minSupport = 0.3)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("a") == 3 && out("b") == 2 && out("c") == 1, out.toString)
+    assert(out("a>b") == 1, "only u1 has a before b")
+    assert(out("b>a") == 1, "only u2 has b before a")
+    assert(out("a>b>c") == 1, "u1's full journey")
+    assert(out("a>a") == 1 && out("a>a>a") == 1, "u3's repeats need distinct times")
+    assert(!out.contains("c>a"), "no user ever has c before a")
+    assert(!out.contains("b>c>a"), out.toString)
+  }
+
+  test("sequentialPatterns: support fraction and the min-support cut are exact") {
+    val rows = Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"), (4L, 1L, "b"))
+      .toDF("u", "t", "s")
+    val out = Analytics.sequentialPatterns(rows, "u", "t", "s", minSupport = 0.5)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == Set(("a", 2L, 0.5), ("b", 2L, 0.5)), out.toSeq.toString)
+    val strict = Analytics.sequentialPatterns(rows, "u", "t", "s", minSupport = 0.6)
+    assert(strict.count() == 0, "0.5 < 0.6 — everything cut")
+  }
+
+  test("sourceInfluence: exact leave-one-out deltas; lone source -> NULL") {
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 10L)).toDF("src", "v")
+    val out = Analytics.sourceInfluence(df, "src", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getDouble(2) == 2.0 && out("g2").getDouble(2) == 10.0)
+    assert(out("g2").getDouble(3) == 2.0, "4 - 2: g2 pulls the mean up by 2")
+    assert(out("g1").getDouble(3) == -6.0, "4 - 10: g1 pulls it down by 6")
+    val lone = Analytics.sourceInfluence(df.filter(col("src") === "g1"), "src", col("v"))
+      .collect()(0)
+    assert(lone.isNullAt(3), "nothing left when the only source is excluded")
+  }
+
+  test("periodogram: a planted cosine peaks at k=1; a constant series is silent") {
+    def day(i: Int, n: Int) = Seq.fill(n)(java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+    // counts 6,5,4,3,2,3,4,5 = 4 + 2cos(2πt/8): all power at k=1
+    val counts = Seq(6, 5, 4, 3, 2, 3, 4, 5)
+    val wave = counts.zipWithIndex.flatMap { case (c, i) => day(i, c) }
+      .map(Tuple1(_)).toDF("ts")
+    val pw = Analytics.periodogram(wave, "ts", maxK = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(pw(1)._1 == 8.0, "period n/k")
+    // integer counts leak a little into k=3; the fundamental still dominates:
+    // C₁ = 4 + 2√2 ≈ 6.828 ⇒ P(1) ≈ 5.828, P(2) = 0 exactly, P(3) ≈ 0.172
+    assert(pw(1)._2 > 5.0 && pw(1)._2 < 6.5, s"P(1): ${pw(1)}")
+    assert(pw(2)._2 == 0.0, pw.toString)
+    assert(pw(1)._2 > 10.0 * pw(3)._2, s"fundamental dominates: $pw")
+    val flat = (0 until 8).flatMap(day(_, 5)).map(Tuple1(_)).toDF("ts")
+    val fp = Analytics.periodogram(flat, "ts", maxK = 3).collect().map(_.getDouble(2))
+    assert(fp.forall(_ == 0.0), s"constant series has no spectral power: ${fp.toSeq}")
+  }
+
+  test("rakeWeights: hand 2x2 IPF converges in one pass; weighted margins hit targets") {
+    val pop = (Seq.fill(6)(("a1", "b1")) ++ Seq.fill(4)(("a1", "b2")) ++
+      Seq.fill(6)(("a2", "b1")) ++ Seq.fill(4)(("a2", "b2"))).toDF("sa", "sb")
+    val sample = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("sa", "sb")
+    val out = Analytics.rakeWeights(sample, pop, "sa", "sb", iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // row pass: w=5 each; col pass: b1 x 12/10, b2 x 8/10 -> 6/4/6/4; then fixed
+    assert(out(("a1", "b1")) == 6.0 && out(("a2", "b1")) == 6.0, out.toString)
+    assert(out(("a1", "b2")) == 4.0 && out(("a2", "b2")) == 4.0, out.toString)
+    assert(out.values.sum == 20.0, "weights total the population")
+  }
 }

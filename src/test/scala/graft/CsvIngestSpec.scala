@@ -217,4 +217,10 @@ class CsvIngestSpec extends SparkSpec {
     val dup = out.find(_.getAs[Long]("n_uploads") == 2).get
     assert(dup.getAs[scala.collection.Seq[String]]("paths").length == 2)
   }
+
+  test("splitQuoted: RFC 4180 doubled quote is a literal quote, as csv.DictReader sees it") {
+    assert(splitQuoted("\"a\"\"b\"", ',') == Seq("a\"b"))
+    assert(splitQuoted("\"a,\"\"b\"\",c\",d", ',') == Seq("a,\"b\",c", "d"))
+    assert(splitQuoted("x,\"y\"\"\",z", ',') == Seq("x", "y\"", "z"))
+  }
 }

@@ -396,4 +396,16 @@ class CurationSpec extends SparkSpec {
     assert(Curation.rakeKeywords(Seq((1L, "of of of")).toDF("doc_id", "text"),
       "doc_id", "text", Seq("of"), 10).count() == 0)
   }
+
+  test("domainLogOdds: symmetric hand corpus — target token up, background token down") {
+    // m: alpha(1,0) beta(0,1) common(1,1); nt=nb=2, v=3
+    // doc1 = (ln(2/5)-ln(1/5) + 0)/2 = ln2/2; doc2 = -ln2/2 by symmetry
+    val docs = Seq((1L, "alpha common", "t"), (2L, "beta common", "b"))
+      .toDF("doc_id", "text", "src")
+    val out = Curation.domainLogOdds(docs, "doc_id", "text", col("src") === "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 2 && out(2L)._1 == 2)
+    assert(out(1L)._2 == 0.346574, s"ln2/2 at 6 dp: ${out(1L)}")
+    assert(out(2L)._2 == -0.346574, s"antisymmetric: ${out(2L)}")
+  }
 }

@@ -474,4 +474,16 @@ class DedupSpec extends SparkSpec {
     assert(out.contains("P236") && out("P236") == 2, out.toString) // both P?ster forms
     assert(out.contains("L000") && out("L000") == 2, out.toString)
   }
+
+  test("reciprocalBestMatch: only mutual argmax pairs survive; ties break by partner id") {
+    val pairs = Seq((1L, 2L, 5), (1L, 3L, 9), (2L, 3L, 7)).toDF("id_a", "id_b", "s")
+    val out = Dedup.reciprocalBestMatch(pairs, "id_a", "id_b", col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1's best is 3 (9), 3's best is 1 (9) -> match; 2's best is 3 but 3 prefers 1
+    assert(out.toSeq == Seq((1L, 3L, 9.0)), out.toSeq.toString)
+    val tied = Seq((1L, 2L, 5), (1L, 3L, 5)).toDF("id_a", "id_b", "s")
+    val t = Dedup.reciprocalBestMatch(tied, "id_a", "id_b", col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(t.toSeq == Seq((1L, 2L)), "equal scores pick the smaller partner id")
+  }
 }

@@ -1223,4 +1223,82 @@ class EvaluationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(4)).toMap
     assert(out == Map("a" -> 1, "b" -> 0, "c" -> 0), out.toString)
   }
+
+  test("logRankTest: mirrored cohorts (with censoring) give chi2 = 0 exactly") {
+    // both arms: deaths at t=1,2 plus a censored unit at t=1 → O = E at
+    // every event time by symmetry, V > 0 at t=1, so z and chi2 are 0.0.
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 1L, false),
+      ("b", 1L, true), ("b", 2L, true), ("b", 1L, false)
+    ).toDF("cohort", "t", "died")
+    val r = Evaluation.logRankTest(df, "t", col("died"), "cohort", "a").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3, r.toString)
+    assert(r.getLong(3) == 2, "observed_a")
+    assert(r.getDouble(4) == 2.0, "expected_a = 2*3/6 + 2*1/2")
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0, r.toString)
+  }
+
+  test("logRankTest: early deaths in arm A push O above E (hand risk table)") {
+    // A dies at t=1,2; B dies at t=3,4. E = 1*2/4 + 1*1/3 = 5/6 (nano-exact).
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, true),
+      ("b", 3L, true), ("b", 4L, true)
+    ).toDF("cohort", "t", "died")
+    val r = Evaluation.logRankTest(df, "t", col("died"), "cohort", "a").collect()(0)
+    assert(r.getLong(2) == 4, "n_event_times")
+    assert(r.getLong(3) == 2, "observed_a")
+    assert(r.getDouble(4) == 0.833333333, "expected_a quantized at 9 dp")
+    assert(r.getDouble(5) > 0 && r.getDouble(6) > 0, r.toString)
+  }
+
+  test("logRankTest: all data in one arm has V = 0 and NULL z/chi2") {
+    val df = Seq(("a", 1L, true), ("a", 2L, true)).toDF("cohort", "t", "died")
+    val r = Evaluation.logRankTest(df, "t", col("died"), "cohort", "a").collect()(0)
+    assert(r.isNullAt(5) && r.isNullAt(6), r.toString)
+  }
+
+  test("meanAveragePrecision: hand AP terms, k cutoff, no-relevant query dropped") {
+    // qA: both relevant items lead the ranking -> AP = 1; P@5 = 2/5.
+    // qB: only relevant item at rank 6 > k -> AP = 0 but the query counts.
+    // qC: no relevant item -> excluded from both means.
+    val df = (Seq(
+      ("qA", "i1", 9.0, true), ("qA", "i2", 8.0, true),
+      ("qA", "i3", 7.0, false), ("qA", "i4", 6.0, false)) ++
+      (1 to 6).map(i => ("qB", s"j$i", 10.0 - i, i == 6)) ++
+      Seq(("qC", "k1", 1.0, false), ("qC", "k2", 2.0, false)))
+      .toDF("q", "item", "score", "rel")
+    val r = Evaluation.meanAveragePrecision(df, "q", "item", "score",
+      col("rel"), k = 5).collect()(0)
+    assert(r.getLong(0) == 2, "n_queries excludes qC")
+    assert(r.getDouble(1) == 0.5, "map = (1 + 0)/2")
+    assert(r.getDouble(2) == 0.2, "p@k = (2/5 + 0)/2")
+  }
+
+  test("weibullFit: wear-out data fits shape > 1, infant-mortality < 1; degenerate -> NULL") {
+    val wearOut = Seq.tabulate(20)(i => ("w", 90.0 + i)).toDF("g", "t")
+    val w = Evaluation.weibullFit(wearOut, "g", col("t")).collect()(0)
+    assert(w.getLong(1) == 20)
+    assert(w.getDouble(2) > 1.0, s"tight cluster near a max = wear-out: $w")
+    val infant = Seq(1.0, 1.5, 2.0, 3.0, 50.0, 500.0, 5000.0).map(("i", _)).toDF("g", "t")
+    val inf = Evaluation.weibullFit(infant, "g", col("t")).collect()(0)
+    assert(inf.getDouble(2) < 1.0, s"heavy right tail = infant mortality: $inf")
+    val const = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("g", "t")
+    val c = Evaluation.weibullFit(const, "g", col("t")).collect()(0)
+    assert(c.isNullAt(2) && c.isNullAt(3), "zero x-variance has no fit")
+    val single = Seq(("s", 7.0)).toDF("g", "t")
+    val sg = Evaluation.weibullFit(single, "g", col("t")).collect()(0)
+    assert(sg.isNullAt(2), "n = 1 has no fit")
+  }
+
+  test("weibullFit: scale is equivariant and shape invariant under t -> 10t") {
+    val base = Seq(2.0, 3.0, 5.0, 8.0, 13.0, 21.0).map(("g", _)).toDF("g", "t")
+    val f1 = Evaluation.weibullFit(base, "g", col("t")).collect()(0)
+    val f10 = Evaluation.weibullFit(base.withColumn("t", col("t") * 10), "g", col("t"))
+      .collect()(0)
+    assert(math.abs(f1.getDouble(2) - f10.getDouble(2)) < 1e-6,
+      s"shape: ${f1.getDouble(2)} vs ${f10.getDouble(2)}")
+    assert(math.abs(f10.getDouble(3) / f1.getDouble(3) - 10.0) < 1e-4,
+      s"scale x10: ${f1.getDouble(3)} vs ${f10.getDouble(3)}")
+    assert(f1.getDouble(3) > 2.0 && f1.getDouble(3) < 21.0, "scale lands inside the data range")
+  }
 }

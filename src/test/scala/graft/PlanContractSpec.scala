@@ -138,7 +138,19 @@ class PlanContractSpec extends SparkSpec {
           "q328_sign_flip",
           // clustering_agreement: two 1-row margin-total frames crossed
           // onto the 1-row contingency total
-          "q332_clustering_agreement")
+          "q332_clustering_agreement",
+          // logrank: the 1-row observed/expected totals frame broadcast
+          // over the event-time table (same 1-row-broadcast house shape)
+          "q335_logrank",
+          // seq_patterns: the 1-row user-count frame over the pattern
+          // table; loo_influence: the 1-row corpus-total frame over the
+          // source table; periodogram: the 1-row span-bounds frame over
+          // the day table (all the 1-row-broadcast house shape)
+          "q338_seq_patterns", "q339_loo_influence", "q342_periodogram",
+          // domain_logodds: the 1-row LM-totals frame over the token table
+          "q344_domain_logodds",
+          // mahalanobis: the 1-row moments frame over the unit table
+          "q347_mahalanobis")
         if (allowed(name)) None else Some(name)
       } else None
     }

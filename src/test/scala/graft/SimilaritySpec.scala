@@ -470,4 +470,44 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq
     assert(out == Seq(0L, 2L, 4L), out.mkString(","))
   }
+
+  test("dbscanClusters: two blobs, one border, one noise — hand geometry") {
+    val pts = Seq(
+      (1L, 0.00, 0.00), (2L, 0.01, 0.00), (3L, 0.00, 0.01), (4L, 0.01, 0.01),
+      (11L, 1.00, 1.00), (12L, 1.01, 1.00), (13L, 1.00, 1.01), (14L, 1.01, 1.01),
+      (21L, 0.055, 0.00), // reaches 2 and 4 only -> 3 incl. self < minPts -> border
+      (99L, 5.0, 5.0))
+      .toDF("id", "x", "y")
+    val out = Similarity.dbscanClusters(pts, "id", col("x"), col("y"),
+      eps = 0.05, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    for (i <- Seq(1L, 2L, 3L, 4L)) assert(out(i) == (("core", 1L)), s"$i: ${out(i)}")
+    for (i <- Seq(11L, 12L, 13L, 14L)) assert(out(i) == (("core", 11L)), s"$i: ${out(i)}")
+    assert(out(21L) == (("border", 1L)), out(21L).toString)
+    assert(out(99L) == (("noise", -1L)), out(99L).toString)
+  }
+
+  test("dbscanClusters: grid-cell boundaries never lose an eps-pair (cross-cell blob)") {
+    // points straddle the cell boundary at multiples of eps
+    val pts = Seq((1L, 0.099, 0.0), (2L, 0.101, 0.0), (3L, 0.103, 0.0)).toDF("id", "x", "y")
+    val out = Similarity.dbscanClusters(pts, "id", col("x"), col("y"),
+      eps = 0.1, minPts = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(_ == "core"), s"all three see each other across cells: $out")
+  }
+
+  test("truncationFidelity: prefix truncation flips one query's neighbor, keeps the other") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // query A
+      (1L, Array(1f, 0f, 0f, 10f)),  // full: far from A (long tail dim); trunc: identical to A
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)))   // query B: nearest is 2 under both views
+      .toDF("vec_id", "embedding")
+    val out = Similarity.truncationFidelity(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 3L), dims = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(0L) == ((2L, 1L, 0)), s"truncation flips A's top-1: ${out(0L)}")
+    assert(out(3L) == ((2L, 2L, 1)), s"B agrees: ${out(3L)}")
+  }
 }
