@@ -543,6 +543,9 @@ object ScaleCheck {
     // count per point) multiplies by the factor — expect superlinear pair
     // counts; the generated-offset variant below shifts x by k·10 per copy
     // to keep density constant (the honest scale read for spatial ops)
+    time("mahalanobis")(d => SparkEntry.queries("q347_mahalanobis")(spark, d))
+    time("rate_ratio")(d => SparkEntry.queries("q348_rate_ratio")(spark, d))
+    time("mixed_script")(d => SparkEntry.queries("q349_mixed_script")(spark, d))
     time("domain_logodds")(d => SparkEntry.queries("q344_domain_logodds")(spark, d))
     time("rake_weights")(d => SparkEntry.queries("q345_rake_weights")(spark, d))
     time("truncation_fidelity")(d => SparkEntry.queries("q346_truncation_fidelity")(spark, d))

@@ -1452,4 +1452,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("a1", "b2")) == 4.0 && out(("a2", "b2")) == 4.0, out.toString)
     assert(out.values.sum == 20.0, "weights total the population")
   }
+
+  test("mahalanobisOutliers: off-ridge point tops the ranking; collinear data is degenerate") {
+    val pts = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0), (4L, 4.0, 4.0),
+      (5L, 5.0, 5.0), (6L, 6.0, 6.0), (7L, 4.0, 1.0)).toDF("id", "x", "y")
+    val out = Analytics.mahalanobisOutliers(pts, "id", col("x"), col("y"), topK = 7)
+      .collect()
+    assert(out.head.getLong(0) == 7L, s"the off-ridge point ranks first: ${out.head}")
+    assert(out.head.getDouble(3) > out(1).getDouble(3), "strictly larger d2")
+    val line = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0)).toDF("id", "x", "y")
+    assert(Analytics.mahalanobisOutliers(line, "id", col("x"), col("y"), 5).count() == 0,
+      "singular covariance (perfectly collinear) yields no scores")
+  }
 }

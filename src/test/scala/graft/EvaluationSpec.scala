@@ -1301,4 +1301,19 @@ class EvaluationSpec extends SparkSpec {
       s"scale x10: ${f1.getDouble(3)} vs ${f10.getDouble(3)}")
     assert(f1.getDouble(3) > 2.0 && f1.getDouble(3) < 21.0, "scale lands inside the data range")
   }
+
+  test("rateRatioTest: exposure-adjusted rates, exact ratio and conditional z") {
+    val units = Seq((true, 10L, 5L), (true, 10L, 5L), (false, 20L, 5L))
+      .toDF("ga", "days", "purch")
+    val r = Evaluation.rateRatioTest(units, col("ga"), col("days"), col("purch"))
+      .collect()(0)
+    assert(r.getLong(0) == 10 && r.getLong(1) == 5)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.25, r.toString)
+    assert(r.getDouble(6) == 2.0, "rate ratio")
+    // K=15, p0=.5: z = 2.5/sqrt(3.75), quantized at 9 dp
+    assert(r.getDouble(7) == 1.290994449, r.toString)
+    val oneArm = Evaluation.rateRatioTest(units.filter(col("ga")), col("ga"),
+      col("days"), col("purch")).collect()(0)
+    assert(oneArm.isNullAt(6) && oneArm.isNullAt(7), "empty cohort -> NULLs")
+  }
 }

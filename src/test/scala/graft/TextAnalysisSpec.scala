@@ -303,4 +303,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("ru").getDouble(10) == 1.0, "cyrillic share")
     assert(out("zh").getDouble(11) == 1.0, "cjk share")
   }
+
+  test("mixedScriptAudit: homoglyph spoof flags, single-script docs stay clean") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "p\u0430yp\u0430l login"),       // Cyrillic а twice inside latin
+      (3L, "\u4E2D\u6587 with text"),       // CJK + latin
+      (4L, "\u03B1\u03B2\u03B3"))          // pure Greek
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mixedScriptAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5), r.getInt(6), r.getInt(7)))).toMap
+    assert(out(1L) == ((10L, 0L, 0L, 1, 0)), out(1L).toString)
+    assert(out(2L)._2 == 2 && out(2L)._3 == 2 && out(2L)._5 == 1,
+      s"confusable Cyrillic inside latin flags: ${out(2L)}")
+    assert(out(3L)._5 == 1, s"cjk+latin mixes: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, 1, 0)), s"pure Greek is single-script: ${out(4L)}")
+  }
 }
