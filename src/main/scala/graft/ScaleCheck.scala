@@ -543,6 +543,9 @@ object ScaleCheck {
     // count per point) multiplies by the factor — expect superlinear pair
     // counts; the generated-offset variant below shifts x by k·10 per copy
     // to keep density constant (the honest scale read for spatial ops)
+    time("count_min")(d => SparkEntry.queries("q350_count_min")(spark, d))
+    time("rdd_jump")(d => SparkEntry.queries("q351_rdd")(spark, d))
+    time("wald_iv")(d => SparkEntry.queries("q352_wald_iv")(spark, d))
     time("mahalanobis")(d => SparkEntry.queries("q347_mahalanobis")(spark, d))
     time("rate_ratio")(d => SparkEntry.queries("q348_rate_ratio")(spark, d))
     time("mixed_script")(d => SparkEntry.queries("q349_mixed_script")(spark, d))

@@ -477,6 +477,32 @@ object SparkEntry {
     "q349_mixed_script" -> ((s, d) =>
       // homoglyph / script-mixing poisoning audit over every document
       TextAnalysis.mixedScriptAudit(Tables.documents(s, d), "doc_id", "text")),
+    "q350_count_min" -> ((s, d) =>
+      // mergeable point-query sketch: per-customer order counts probed
+      // against a 4×64 CMS — estimate ≥ exact, collisions visible
+      Analytics.countMinEstimates(Tables.orders(s, d), "o_custkey",
+        probes = Seq("1", "7", "19", "42", "100", "250", "500", "1000"))),
+    "q351_rdd" -> ((s, d) => {
+      // does crossing the acctbal ≥ 0 credit threshold jump order
+      // volume: sharp RDD, local-linear both sides, bandwidth 5000
+      val spend = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val c = Tables.customer(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_acctbal"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      Evaluation.regressionDiscontinuity(c, col("c_acctbal"), col("n_orders"),
+        cutoff = 0.0, bandwidth = 5000.0)
+    }),
+    "q352_wald_iv" -> ((s, d) => {
+      // encouragement read: even-id "instrument", views as treatment,
+      // purchase spend as outcome — LATE = ITT / first stage
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(count(when(col("event_type") === "view", lit(1))).as("n_views"),
+          coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+            lit(0d)).as("spend"))
+      Evaluation.waldIvEstimate(per, col("user_id") % 2 === 0,
+        col("n_views"), col("spend"))
+    }),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6649,6 +6675,95 @@ object SparkEntry {
         |SELECT channel, CAST(SUM(credit) AS DOUBLE) AS total_credit,
         |  COUNT(*) AS n_touches, COUNT(DISTINCT cid) AS n_conversions
         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    "q350_count_min" ->
+      // q287's portable md5-hex hash places keys in identical counters;
+      // cells = one depth-fan aggregate, probe estimate = min over rows
+      """WITH ks AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |rs AS (SELECT CAST(r AS INT) AS r FROM generate_series(0, 3) AS t(r)),
+        |cells AS (SELECT r,
+        |    CAST('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':' || k), 1, 8) AS BIGINT) % 64 AS c,
+        |    COUNT(*) AS n
+        |  FROM ks, rs GROUP BY 1, 2),
+        |pv AS (SELECT p AS probe FROM (VALUES ('1'), ('7'), ('19'), ('42'),
+        |          ('100'), ('250'), ('500'), ('1000')) AS v(p)),
+        |pr AS (SELECT probe, r,
+        |    CAST('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':' || probe), 1, 8) AS BIGINT) % 64 AS c
+        |  FROM pv, rs),
+        |est AS (SELECT probe, MIN(COALESCE(n, 0)) AS cms_estimate
+        |  FROM pr LEFT JOIN cells USING (r, c) GROUP BY probe),
+        |ex AS (SELECT k AS probe, COUNT(*) AS exact FROM ks
+        |       WHERE k IN ('1', '7', '19', '42', '100', '250', '500', '1000')
+        |       GROUP BY k)
+        |SELECT probe, CAST(COALESCE(exact, 0) AS BIGINT) AS exact,
+        |  CAST(cms_estimate AS BIGINT) AS cms_estimate
+        |FROM est LEFT JOIN ex USING (probe) ORDER BY probe""".stripMargin,
+    "q351_rdd" ->
+      // both sides' OLS folds in integer micro/cent units (scale-0 —
+      // rounding impossible); slopes re-scaled by the exact 1e4 factor
+      """WITH per AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |c AS (SELECT c_acctbal, COALESCE(n_orders, 0) AS n_orders
+        |      FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+        |b AS (SELECT CAST(c_acctbal AS DOUBLE) - 0.0 >= 0 AS rt,
+        |        CAST(round((CAST(c_acctbal AS DOUBLE) - 0.0) * 1e6) AS BIGINT) AS x,
+        |        CAST(CAST(CAST(n_orders AS DECIMAL(18,2)) * 100 AS DECIMAL(28,0)) AS BIGINT) AS y
+        |      FROM c WHERE abs(CAST(c_acctbal AS DOUBLE) - 0.0) <= 5000.0),
+        |agg AS (SELECT
+        |    CAST(COUNT(CASE WHEN NOT rt THEN 1 END) AS HUGEINT) AS nl,
+        |    CAST(COUNT(CASE WHEN rt THEN 1 END) AS HUGEINT) AS nr,
+        |    CAST(SUM(CASE WHEN NOT rt THEN CAST(x AS HUGEINT) END) AS HUGEINT) AS sxl,
+        |    CAST(SUM(CASE WHEN NOT rt THEN CAST(y AS HUGEINT) END) AS HUGEINT) AS syl,
+        |    CAST(SUM(CASE WHEN NOT rt THEN CAST(x AS HUGEINT) * y END) AS HUGEINT) AS sxyl,
+        |    CAST(SUM(CASE WHEN NOT rt THEN CAST(x AS HUGEINT) * x END) AS HUGEINT) AS sxxl,
+        |    CAST(SUM(CASE WHEN rt THEN CAST(x AS HUGEINT) END) AS HUGEINT) AS sxr,
+        |    CAST(SUM(CASE WHEN rt THEN CAST(y AS HUGEINT) END) AS HUGEINT) AS syr,
+        |    CAST(SUM(CASE WHEN rt THEN CAST(x AS HUGEINT) * y END) AS HUGEINT) AS sxyr,
+        |    CAST(SUM(CASE WHEN rt THEN CAST(x AS HUGEINT) * x END) AS HUGEINT) AS sxxr
+        |  FROM b),
+        |fit AS (SELECT nl, nr,
+        |    CASE WHEN nl >= 2 AND CAST(nl * sxxl - sxl * sxl AS DOUBLE) <> 0
+        |      THEN CAST(nl * sxyl - sxl * syl AS DOUBLE) / CAST(nl * sxxl - sxl * sxl AS DOUBLE) * 1e4
+        |    END AS sl,
+        |    CASE WHEN nr >= 2 AND CAST(nr * sxxr - sxr * sxr AS DOUBLE) <> 0
+        |      THEN CAST(nr * sxyr - sxr * syr AS DOUBLE) / CAST(nr * sxxr - sxr * sxr AS DOUBLE) * 1e4
+        |    END AS sr,
+        |    sxl, syl, sxr, syr FROM agg),
+        |ic AS (SELECT nl, nr, sl, sr,
+        |    (CAST(syl AS DOUBLE) / 100 - sl * (CAST(sxl AS DOUBLE) / 1e6)) / CAST(nl AS DOUBLE) AS il,
+        |    (CAST(syr AS DOUBLE) / 100 - sr * (CAST(sxr AS DOUBLE) / 1e6)) / CAST(nr AS DOUBLE) AS ir
+        |  FROM fit)
+        |SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+        |  CAST(CAST(sl AS DECIMAL(18,6)) AS DOUBLE) AS slope_left,
+        |  CAST(CAST(sr AS DECIMAL(18,6)) AS DOUBLE) AS slope_right,
+        |  CAST(CAST(il AS DECIMAL(18,6)) AS DOUBLE) AS intercept_left,
+        |  CAST(CAST(ir AS DECIMAL(18,6)) AS DOUBLE) AS intercept_right,
+        |  CAST(CAST(ir - il AS DECIMAL(18,6)) AS DOUBLE) AS jump
+        |FROM ic""".stripMargin,
+    "q352_wald_iv" ->
+      // ITT and first stage quantized at 9 dp before the single ratio
+      """WITH per AS (SELECT user_id,
+        |        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        |        COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0) AS spend
+        |      FROM events GROUP BY user_id),
+        |agg AS (SELECT
+        |    COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n1,
+        |    COUNT(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(n_views AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS sx1,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(n_views AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS sx0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(spend AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS sy1,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(spend AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS sy0
+        |  FROM per),
+        |q AS (SELECT n1, n0,
+        |    CAST(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |         CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS DECIMAL(18,9)) AS fs,
+        |    CAST(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |         CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS DECIMAL(18,9)) AS itt
+        |  FROM agg WHERE n1 > 0 AND n0 > 0)
+        |SELECT CAST(n1 AS BIGINT) AS n_encouraged, CAST(n0 AS BIGINT) AS n_control,
+        |  CAST(fs AS DOUBLE) AS first_stage, CAST(itt AS DOUBLE) AS itt,
+        |  CASE WHEN CAST(fs AS DOUBLE) <> 0 THEN
+        |    CAST(CAST(CAST(itt AS DOUBLE) / CAST(fs AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)
+        |  END AS late
+        |FROM q""".stripMargin,
     "q347_mahalanobis" ->
       // per-customer CTE + exact power sums; covariance/inverse chain
       // mirrored double-for-double, d² quantized at 6 dp, (d² desc, id)

@@ -3228,4 +3228,46 @@ object Analytics {
         when(col("md2").cast("double") > 5.991d, lit(1)).otherwise(lit(0))
           .as("beyond_chi2_95"))
   }
+
+  /** Count-Min sketch build + probe estimates (Cormode & Muthukrishnan
+    * 2005) — the POINT-QUERY sketch beside [[heavyHitters]]' Misra–Gries
+    * top-k and [[hllSketchByGroup]]'s distinct counts: d hash rows × w
+    * counters, each key incrementing one counter per row; a probe's
+    * estimate is the MIN over its d counters — never an underestimate,
+    * over by at most the collision mass (≈ N/w per row, amortized down
+    * by the min). Constant memory at any cardinality; counters merge by
+    * cell-wise addition across batches/partitions (the aggregate below
+    * IS that merge).
+    *
+    * ONE depth-×-fan aggregate over the keys (map-side combinable; the
+    * cell table is ≤ d·w rows), probes join the cell table broadcast-
+    * small. Hashing is the portable md5-hex convention (q287's fold
+    * recipe) so the oracle places every key in the same counter; the
+    * output pairs each probe's exact count with its estimate. */
+  def countMinEstimates(df: DataFrame, keyCol: String, probes: Seq[String],
+                        width: Int = 64, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 8, "literal-sized sketch only")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def cellOf(key: Column, r: Column): Column =
+      pmod(conv(substring(md5(concat(lit("cms"), r.cast("string"), lit(":"), key)),
+        1, 8), 16, 10).cast("long"), lit(width.toLong))
+    val rs = explode(array((0 until depth).map(lit): _*)).as("r")
+    val cells = df.select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), rs)
+      .select(col("r"), cellOf(col("k"), col("r")).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+    val pr = probes.toDF("probe")
+      .select(col("probe"), rs)
+      .select(col("probe"), col("r"), cellOf(col("probe"), col("r")).as("c"))
+    val est = pr.join(cells, Seq("r", "c"), "left")
+      .groupBy("probe").agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+    val exact = df.select(col(keyCol).cast("string").as("probe"))
+      .filter(col("probe").isin(probes: _*))
+      .groupBy("probe").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("probe"), "left")
+      .select(col("probe"), coalesce(col("exact"), lit(0L)).as("exact"),
+        col("cms_estimate"))
+      .orderBy("probe")
+  }
 }

@@ -3147,4 +3147,101 @@ object Evaluation {
       when(col("ta").isNotNull && col("tb").isNotNull && (kaD + kbD) > 0d,
         z.cast("decimal(18,9)").cast("double")).as("z"))
   }
+
+  /** Sharp regression-discontinuity readout (Thistlethwaite & Campbell
+    * 1960; Imbens & Lemieux 2008): units just below vs just above a
+    * policy cutoff on a RUNNING variable are comparable, so the jump in
+    * the outcome's local-linear fit AT the cutoff is a causal effect —
+    * the non-time sibling of [[Analytics.interruptedSeries]] (which cuts
+    * on the clock) and the fourth rung of the causal ladder after
+    * abTest / ipwEffect / diffInDiff. Local: only rows within
+    * `bandwidth` of the cutoff enter; separate OLS per side; jump =
+    * intercept_right − intercept_left at the centered origin.
+    *
+    * ONE conditional aggregate computes both sides' power sums in a
+    * single pass (the q05 trick). Exactness: centered running values
+    * quantize to integer MICRO units and outcomes to cents; every OLS
+    * fold then lives at decimal scale 0 (rounding impossible — the
+    * [[weibullFit]] recipe), each slope is ONE double division re-scaled
+    * by the exact 1e4 unit factor, and the intercept/jump chains are
+    * mirrored verbatim then quantized 6 dp. A side with n < 2 or zero
+    * variance → NULL fit (and NULL jump). */
+  def regressionDiscontinuity(df: DataFrame, runningCol: Column, outcomeCol: Column,
+                              cutoff: Double, bandwidth: Double): DataFrame = {
+    val xd = runningCol.cast("double") - lit(cutoff)
+    val base = df.select(xd.as("xd"), outcomeCol.cast("decimal(18,2)").as("y"))
+      .filter(abs(col("xd")) <= lit(bandwidth))
+      .select((col("xd") >= 0d).as("rt"),
+        round(col("xd") * lit(1e6d)).cast("long").cast("decimal(19,0)").as("x"),
+        (col("y") * 100).cast("decimal(28,0)").cast("decimal(19,0)").as("y"))
+    def side(rt: Boolean, c: Column) = sum(when(col("rt") === rt, c))
+    val agg = base.agg(
+      count(when(!col("rt"), lit(1))).cast("decimal(19,0)").as("nl"),
+      count(when(col("rt"), lit(1))).cast("decimal(19,0)").as("nr"),
+      side(false, col("x")).cast("decimal(29,0)").as("sxl"),
+      side(false, col("y")).cast("decimal(29,0)").as("syl"),
+      side(false, (col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxyl"),
+      side(false, (col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxxl"),
+      side(true, col("x")).cast("decimal(29,0)").as("sxr"),
+      side(true, col("y")).cast("decimal(29,0)").as("syr"),
+      side(true, (col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxyr"),
+      side(true, (col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxxr"))
+    def fit(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column) = {
+      val den = (n * sxx - sx * sx).cast("decimal(38,0)").cast("double")
+      val num = (n * sxy - sx * sy).cast("decimal(38,0)").cast("double")
+      // x in micro units, y in cents: slope_real = (num/den) · 1e6/1e2
+      val slope = when(n >= 2 && den =!= 0d, num / den * lit(1e4d))
+      val icept = (sy.cast("double") / 100d - slope * (sx.cast("double") / 1e6d)) /
+        n.cast("double")
+      (slope, icept)
+    }
+    val (sl, il) = fit(col("nl"), col("sxl"), col("syl"), col("sxyl"), col("sxxl"))
+    val (sr, ir) = fit(col("nr"), col("sxr"), col("syr"), col("sxyr"), col("sxxr"))
+    agg.select(
+      col("nl").cast("long").as("n_left"), col("nr").cast("long").as("n_right"),
+      sl.cast("decimal(18,6)").cast("double").as("slope_left"),
+      sr.cast("decimal(18,6)").cast("double").as("slope_right"),
+      il.cast("decimal(18,6)").cast("double").as("intercept_left"),
+      ir.cast("decimal(18,6)").cast("double").as("intercept_right"),
+      (ir - il).cast("decimal(18,6)").cast("double").as("jump"))
+  }
+
+  /** Wald instrumental-variable estimate (the encouragement-design
+    * reader — Angrist & Imbens' LATE under a binary instrument): when
+    * treatment is self-selected but an INSTRUMENT z shifts it without
+    * touching the outcome otherwise, LATE = (ȳ_{z=1} − ȳ_{z=0}) /
+    * (x̄_{z=1} − x̄_{z=0}) — intention-to-treat over first stage. The
+    * fifth causal rung after abTest / ipwEffect / diffInDiff /
+    * regressionDiscontinuity.
+    *
+    * ONE conditional aggregate (q05 trick): exact decimal sums per
+    * instrument arm, each mean ONE double division; ITT and first stage
+    * quantize to 9 dp BEFORE the final ratio so both engines divide
+    * identical numbers. Weak instrument (first stage quantizes to 0) or
+    * an empty arm → NULL estimate. */
+  def waldIvEstimate(df: DataFrame, instrument: Column, treatmentCol: Column,
+                     outcomeCol: Column): DataFrame = {
+    val x = treatmentCol.cast("decimal(18,6)")
+    val y = outcomeCol.cast("decimal(18,2)")
+    val agg = df.select(instrument.as("z"), x.as("x"), y.as("y")).agg(
+      count(when(col("z"), lit(1))).as("n1"),
+      count(when(!col("z"), lit(1))).as("n0"),
+      sum(when(col("z"), col("x"))).cast("decimal(38,6)").as("sx1"),
+      sum(when(!col("z"), col("x"))).cast("decimal(38,6)").as("sx0"),
+      sum(when(col("z"), col("y"))).cast("decimal(38,2)").as("sy1"),
+      sum(when(!col("z"), col("y"))).cast("decimal(38,2)").as("sy0"))
+    val itt = (col("sy1").cast("double") / col("n1").cast("double") -
+      col("sy0").cast("double") / col("n0").cast("double")).cast("decimal(18,9)")
+    val fs = (col("sx1").cast("double") / col("n1").cast("double") -
+      col("sx0").cast("double") / col("n0").cast("double")).cast("decimal(18,9)")
+    agg
+      .filter(col("n1") > 0 && col("n0") > 0)
+      .select(col("n1").cast("long").as("n_encouraged"),
+        col("n0").cast("long").as("n_control"),
+        fs.cast("double").as("first_stage"),
+        itt.cast("double").as("itt"),
+        when(fs.cast("double") =!= 0d,
+          (itt.cast("double") / fs.cast("double"))
+            .cast("decimal(18,9)").cast("double")).as("late"))
+  }
 }

@@ -1464,4 +1464,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.mahalanobisOutliers(line, "id", col("x"), col("y"), 5).count() == 0,
       "singular covariance (perfectly collinear) yields no scores")
   }
+
+  test("countMinEstimates: never underestimates; wide sketch is exact, narrow collides") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ (1 to 40).map(i => s"k$i"))
+      .map(Tuple1(_)).toDF("key")
+    val wide = Analytics.countMinEstimates(df, "key", Seq("a", "b", "zzz"),
+      width = 4096, depth = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(wide("a") == ((5L, 5L)) && wide("b") == ((3L, 3L)), wide.toString)
+    assert(wide("zzz") == ((0L, 0L)), "absent key, no collisions at width 4096")
+    val narrow = Analytics.countMinEstimates(df, "key", Seq("a", "b", "zzz"),
+      width = 8, depth = 2).collect()
+    narrow.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS never underestimates: $r"))
+  }
 }

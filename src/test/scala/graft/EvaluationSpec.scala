@@ -1316,4 +1316,33 @@ class EvaluationSpec extends SparkSpec {
       col("days"), col("purch")).collect()(0)
     assert(oneArm.isNullAt(6) && oneArm.isNullAt(7), "empty cohort -> NULLs")
   }
+
+  test("regressionDiscontinuity: planted jump of 7 over slope 2 recovered exactly") {
+    val rows = (Seq((-3.0, -6.0), (-2.0, -4.0), (-1.0, -2.0)) ++       // y = 2x
+      Seq((0.0, 7.0), (1.0, 9.0), (2.0, 11.0), (3.0, 13.0)) ++         // y = 2x + 7
+      Seq((100.0, 1000.0)))                                            // outside bandwidth
+      .toDF("run", "out")
+    val r = Evaluation.regressionDiscontinuity(rows, col("run"), col("out"),
+      cutoff = 0.0, bandwidth = 10.0).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4, r.toString)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0, "slopes")
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 7.0, "intercepts")
+    assert(r.getDouble(6) == 7.0, "jump")
+    val lone = Seq((-1.0, 5.0), (1.0, 6.0), (2.0, 7.0)).toDF("run", "out")
+    val lr = Evaluation.regressionDiscontinuity(lone, col("run"), col("out"), 0.0, 10.0)
+      .collect()(0)
+    assert(lr.isNullAt(2) && lr.isNullAt(6), "single left point has no fit, no jump")
+  }
+
+  test("waldIvEstimate: LATE = ITT / first stage exactly; weak instrument -> NULL") {
+    val units = Seq((true, 2.0, 10.0), (true, 2.0, 10.0),
+      (false, 1.0, 6.0), (false, 1.0, 6.0)).toDF("z", "x", "y")
+    val r = Evaluation.waldIvEstimate(units, col("z"), col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 4.0, r.toString)
+    assert(r.getDouble(4) == 4.0, "late")
+    val weak = Seq((true, 1.0, 10.0), (false, 1.0, 6.0)).toDF("z", "x", "y")
+    val w = Evaluation.waldIvEstimate(weak, col("z"), col("x"), col("y")).collect()(0)
+    assert(w.isNullAt(4), "zero first stage cannot identify the effect")
+  }
 }
