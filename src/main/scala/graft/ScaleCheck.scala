@@ -543,6 +543,8 @@ object ScaleCheck {
     // count per point) multiplies by the factor — expect superlinear pair
     // counts; the generated-offset variant below shifts x by k·10 per copy
     // to keep density constant (the honest scale read for spatial ops)
+    time("percentile_ci")(d => SparkEntry.queries("q354_percentile_ci")(spark, d))
+    time("ridge2")(d => SparkEntry.queries("q355_ridge2")(spark, d))
     time("count_min")(d => SparkEntry.queries("q350_count_min")(spark, d))
     time("rdd_jump")(d => SparkEntry.queries("q351_rdd")(spark, d))
     time("wald_iv")(d => SparkEntry.queries("q352_wald_iv")(spark, d))

@@ -503,6 +503,18 @@ object SparkEntry {
       Evaluation.waldIvEstimate(per, col("user_id") % 2 === 0,
         col("n_views"), col("spend"))
     }),
+    "q353_lsh_calibration" -> ((s, d) =>
+      // will 0.7-similar docs survive 32×4 banding: the S-curve planner,
+      // data-free, repeated-squaring chains (no libm pow)
+      Dedup.lshCalibration(s, bands = 32, rowsPerBand = 4, threshold = 0.5)),
+    "q354_percentile_ci" -> ((s, d) =>
+      // the median price WITH its distribution-free error bar
+      Analytics.percentileCI(Tables.lineitem(s, d), col("l_extendedprice"), p = 0.5)),
+    "q355_ridge2" -> ((s, d) =>
+      // price on (quantity, discount) with an L2 penalty — the
+      // regularized rung above plain per-group OLS
+      Analytics.ridgeRegression2(Tables.lineitem(s, d), col("l_quantity"),
+        col("l_discount"), col("l_extendedprice"), lambda = 10.0)),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6675,6 +6687,73 @@ object SparkEntry {
         |SELECT channel, CAST(SUM(credit) AS DOUBLE) AS total_credit,
         |  COUNT(*) AS n_touches, COUNT(DISTINCT cid) AS n_conversions
         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    "q353_lsh_calibration" ->
+      // identical repeated-squaring product chains both sides — no pow
+      """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),
+        |a AS (SELECT s, (s * s) * (s * s) AS s4 FROM g),
+        |b AS (SELECT s, 1 - s4 AS u FROM a),
+        |c1 AS (SELECT s, u * u AS u2 FROM b),
+        |c2 AS (SELECT s, u2 * u2 AS u4 FROM c1),
+        |c3 AS (SELECT s, u4 * u4 AS u8 FROM c2),
+        |c4 AS (SELECT s, u8 * u8 AS u16 FROM c3),
+        |c5 AS (SELECT s, u16 * u16 AS u32 FROM c4),
+        |p AS (SELECT s, CAST(CAST(1 - u32 AS DECIMAL(18,9)) AS DOUBLE) AS p_candidate FROM c5)
+        |SELECT s, p_candidate,
+        |  CASE WHEN p_candidate >= 0.5 THEN 1 ELSE 0 END AS candidate_at_threshold
+        |FROM p ORDER BY s""".stripMargin,
+    "q354_percentile_ci" ->
+      // order-statistic CI ranks from the 1-row count frame; rank
+      // arithmetic on exact integer-derived doubles, floor/ceil mirrored
+      """WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |nn AS (SELECT COUNT(*) AS n FROM v),
+        |k AS (SELECT n,
+        |    greatest(1, CAST(floor(CAST(n AS DOUBLE) * 0.5
+        |      - 1.959963985 * sqrt(CAST(n AS DOUBLE) * 0.5 * (1 - 0.5))) AS BIGINT)) AS rk_lo,
+        |    least(n, greatest(1, CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT))) AS rk_pt,
+        |    least(n, CAST(ceil(CAST(n AS DOUBLE) * 0.5
+        |      + 1.959963985 * sqrt(CAST(n AS DOUBLE) * 0.5 * (1 - 0.5))) + 1 AS BIGINT)) AS rk_hi
+        |  FROM nn)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(0.5 AS DOUBLE) AS p,
+        |  CAST(MIN(CASE WHEN rk = rk_lo THEN v END) AS DOUBLE) AS ci_lo,
+        |  CAST(MIN(CASE WHEN rk = rk_pt THEN v END) AS DOUBLE) AS point,
+        |  CAST(MIN(CASE WHEN rk = rk_hi THEN v END) AS DOUBLE) AS ci_hi
+        |FROM r, k WHERE rk IN (rk_lo, rk_pt, rk_hi) GROUP BY n""".stripMargin,
+    "q355_ridge2" ->
+      // exact power sums; centered scatter + 2x2 inverse + beta/intercept
+      // chains mirrored double-for-double, 9 dp
+      """WITH b AS (SELECT CAST(l_quantity AS DECIMAL(18,4)) AS x1,
+        |        CAST(l_discount AS DECIMAL(18,4)) AS x2,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem),
+        |agg AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x1) AS DECIMAL(38,4)) AS s1, CAST(SUM(x2) AS DECIMAL(38,4)) AS s2,
+        |    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s11,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s22,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s12,
+        |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s1y,
+        |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s2y
+        |  FROM b),
+        |ch AS (SELECT n,
+        |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) + 10.0 AS a11,
+        |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) + 10.0 AS a22,
+        |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a12,
+        |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+        |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+        |    s1, s2, sy FROM agg),
+        |f AS (SELECT n, s1, s2, sy, a11, a22, a12, c1y, c2y,
+        |    a11 * a22 - a12 * a12 AS det FROM ch),
+        |f2 AS (SELECT n, s1, s2, sy, det,
+        |    (a22 * c1y - a12 * c2y) / det AS b1,
+        |    (a11 * c2y - a12 * c1y) / det AS b2 FROM f)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(10.0 AS DOUBLE) AS lambda,
+        |  CASE WHEN n >= 3 AND det <> 0 THEN CAST(CAST(b1 AS DECIMAL(18,9)) AS DOUBLE) END AS beta1,
+        |  CASE WHEN n >= 3 AND det <> 0 THEN CAST(CAST(b2 AS DECIMAL(18,9)) AS DOUBLE) END AS beta2,
+        |  CASE WHEN n >= 3 AND det <> 0 THEN CAST(CAST(
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - b1 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - b2 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) END AS intercept
+        |FROM f2""".stripMargin,
     "q350_count_min" ->
       // q287's portable md5-hex hash places keys in identical counters;
       // cells = one depth-fan aggregate, probe estimate = min over rows

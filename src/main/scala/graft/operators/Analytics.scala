@@ -3270,4 +3270,87 @@ object Analytics {
         col("cms_estimate"))
       .orderBy("probe")
   }
+
+  /** Distribution-free percentile confidence interval (order-statistic
+    * bounds, normal-approximate ranks — Conover's nonparametric recipe):
+    * the p-quantile's point estimate plus a CI that needs NO
+    * distributional assumption, just the values at ranks
+    * ⌊np − z√(np(1−p))⌋ and ⌈np + z√(np(1−p))⌉ + 1 — the error bar every
+    * median dashboard should carry and almost none does.
+    *
+    * Ranks come from [[globalRowNumber]] (two distributed passes, no
+    * single-partition window); the three target ranks derive from the
+    * 1-row count frame (broadcast, plan-contract allowlisted) with the
+    * rank arithmetic on exact integer-derived doubles mirrored verbatim
+    * (floor/ceil agree bit-for-bit). Tied values make the rank→value map
+    * ambiguous per row but the VALUE at a rank is the sorted multiset's
+    * — deterministic on any engine. n < 2 → the point estimate with NULL
+    * bounds clamps to the data range. */
+  def percentileCI(df: DataFrame, valueCol: Column, p: Double,
+                   z: Double = 1.959963985): DataFrame = {
+    require(p > 0d && p < 1d, "interior percentile only")
+    val ranked = globalRowNumber(
+      df.select(valueCol.cast("decimal(18,2)").as("v")), Seq("v"), "rk")
+    val nFrame = ranked.agg(count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
+    val pn = nD * lit(p)
+    val sd = lit(z) * sqrt(nD * lit(p) * (lit(1d) - lit(p)))
+    val withRanks = ranked.crossJoin(broadcast(nFrame))
+      .withColumn("rk_lo", greatest(lit(1L), floor(pn - sd).cast("long")))
+      .withColumn("rk_pt", least(col("__n"), greatest(lit(1L), ceil(pn).cast("long"))))
+      .withColumn("rk_hi", least(col("__n"), (ceil(pn + sd) + 1d).cast("long")))
+    withRanks
+      .filter(col("rk") === col("rk_lo") || col("rk") === col("rk_pt") ||
+        col("rk") === col("rk_hi"))
+      .agg(max("__n").as("n"),
+        min(when(col("rk") === col("rk_lo"), col("v"))).cast("double").as("ci_lo"),
+        min(when(col("rk") === col("rk_pt"), col("v"))).cast("double").as("point"),
+        min(when(col("rk") === col("rk_hi"), col("v"))).cast("double").as("ci_hi"))
+      .select(col("n").cast("long").as("n"), lit(p).as("p"),
+        col("ci_lo"), col("point"), col("ci_hi"))
+  }
+
+  /** Closed-form ridge regression on two features (Hoerl–Kennard 1970,
+    * the 2-feature exact case): β = (XᵀX_c + λI)⁻¹ Xᵀ_c y over CENTERED
+    * features (intercept recovered from the means), via the same 2×2
+    * inverse as [[mahalanobisOutliers]]. λ > 0 keeps collinear feature
+    * pairs estimable where plain OLS's determinant dies — the regularized
+    * rung above [[regressionByGroup]].
+    *
+    * ONE aggregate of exact decimal power sums; centered scatter terms,
+    * the inverse, and the β/intercept chains are mirrored double-for-
+    * double and quantized 9 dp. det ≤ 0 after λ (impossible for λ > 0
+    * unless degenerate input) → NULL. */
+  def ridgeRegression2(df: DataFrame, x1Col: Column, x2Col: Column,
+                       yCol: Column, lambda: Double): DataFrame = {
+    require(lambda >= 0d, "negative ridge penalty")
+    val x1 = x1Col.cast("decimal(18,4)"); val x2 = x2Col.cast("decimal(18,4)")
+    val y = yCol.cast("decimal(18,2)")
+    val agg = df.select(x1.as("x1"), x2.as("x2"), y.as("y")).agg(
+      count(lit(1)).as("n"),
+      sum("x1").cast("decimal(38,4)").as("s1"), sum("x2").cast("decimal(38,4)").as("s2"),
+      sum("y").cast("decimal(38,2)").as("sy"),
+      sum((col("x1") * col("x1")).cast("decimal(38,8)")).cast("decimal(38,8)").as("s11"),
+      sum((col("x2") * col("x2")).cast("decimal(38,8)")).cast("decimal(38,8)").as("s22"),
+      sum((col("x1") * col("x2")).cast("decimal(38,8)")).cast("decimal(38,8)").as("s12"),
+      sum((col("x1") * col("y")).cast("decimal(38,6)")).cast("decimal(38,6)").as("s1y"),
+      sum((col("x2") * col("y")).cast("decimal(38,6)")).cast("decimal(38,6)").as("s2y"))
+    val nD = col("n").cast("double")
+    def c(sab: Column, sa: Column, sb: Column): Column =
+      sab.cast("double") - sa.cast("double") * sb.cast("double") / nD
+    val a11 = c(col("s11"), col("s1"), col("s1")) + lit(lambda)
+    val a22 = c(col("s22"), col("s2"), col("s2")) + lit(lambda)
+    val a12 = c(col("s12"), col("s1"), col("s2"))
+    val c1y = c(col("s1y"), col("s1"), col("sy"))
+    val c2y = c(col("s2y"), col("s2"), col("sy"))
+    val det = a11 * a22 - a12 * a12
+    val b1 = (a22 * c1y - a12 * c2y) / det
+    val b2 = (a11 * c2y - a12 * c1y) / det
+    val icept = col("sy").cast("double") / nD - b1 * (col("s1").cast("double") / nD) -
+      b2 * (col("s2").cast("double") / nD)
+    agg.select(col("n").cast("long").as("n"), lit(lambda).as("lambda"),
+      when(col("n") >= 3 && det =!= 0d, b1.cast("decimal(18,9)").cast("double")).as("beta1"),
+      when(col("n") >= 3 && det =!= 0d, b2.cast("decimal(18,9)").cast("double")).as("beta2"),
+      when(col("n") >= 3 && det =!= 0d, icept.cast("decimal(18,9)").cast("double")).as("intercept"))
+  }
 }

@@ -1075,4 +1075,35 @@ object Dedup {
         col("x.score").cast("double").as("score"))
       .orderBy(aCol)
   }
+
+  /** MinHash-LSH calibration curve — the PLANNER for [[minhashLsh]]'s
+    * banding knobs: with b bands of r rows, a pair at Jaccard s becomes a
+    * candidate with P = 1 − (1 − s^r)^b; this emits that S-curve on a
+    * 5%-step similarity grid plus the candidate flag at the operating
+    * threshold, so "will 0.7-similar docs survive 32×4 banding" is a
+    * table lookup instead of a rerun. Data-free (the grid is a literal
+    * explode — projection, no scan).
+    *
+    * b and r are required powers of two so BOTH engines evaluate the
+    * powers as the same explicit repeated-squaring product chain — no
+    * libm pow anywhere, the curve is bit-exact before its 9 dp
+    * quantization. */
+  def lshCalibration(spark: org.apache.spark.sql.SparkSession,
+                     bands: Int = 32, rowsPerBand: Int = 4,
+                     threshold: Double = 0.5): DataFrame = {
+    def pow2(k: Int): Boolean = k >= 1 && (k & (k - 1)) == 0
+    require(pow2(bands) && pow2(rowsPerBand),
+      "powers of two keep the repeated-squaring chain identical in both engines")
+    def square(c: Column, times: Int): Column =
+      (1 to times).foldLeft(c)((acc, _) => acc * acc)
+    val grid = spark.range(1, 20).toDF("k")
+    val sCol = col("k").cast("double") / lit(20d)
+    val sr = square(sCol, Integer.numberOfTrailingZeros(rowsPerBand))
+    val p = lit(1d) - square(lit(1d) - sr, Integer.numberOfTrailingZeros(bands))
+    grid.select(sCol.as("s"),
+        p.cast("decimal(18,9)").cast("double").as("p_candidate"))
+      .withColumn("candidate_at_threshold",
+        (col("p_candidate") >= lit(threshold)).cast("int"))
+      .orderBy("s")
+  }
 }

@@ -1478,4 +1478,26 @@ class AnalyticsSpec extends SparkSpec {
     narrow.foreach(r => assert(r.getLong(2) >= r.getLong(1),
       s"CMS never underestimates: $r"))
   }
+
+  test("percentileCI: ranks 40/50/61 on 1..100 at the median, hand-exact") {
+    val df = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val r = Analytics.percentileCI(df, col("v"), p = 0.5).collect()(0)
+    // pn = 50, sd = 1.96·√25 ≈ 9.7998: lo = ⌊40.2⌋ = 40, pt = 50, hi = ⌈59.8⌉+1 = 61
+    assert(r.getLong(0) == 100)
+    assert(r.getDouble(2) == 40.0 && r.getDouble(3) == 50.0 && r.getDouble(4) == 61.0,
+      r.toString)
+  }
+
+  test("ridgeRegression2: exact plane at lambda 0; positive lambda shrinks") {
+    val df = Seq((0.0, 0.0, 5.0), (1.0, 0.0, 7.0), (0.0, 1.0, 8.0), (1.0, 1.0, 10.0))
+      .toDF("x1", "x2", "y")
+    val r0 = Analytics.ridgeRegression2(df, col("x1"), col("x2"), col("y"), 0.0)
+      .collect()(0)
+    assert(r0.getDouble(2) == 2.0 && r0.getDouble(3) == 3.0 && r0.getDouble(4) == 5.0,
+      r0.toString)
+    val r1 = Analytics.ridgeRegression2(df, col("x1"), col("x2"), col("y"), 1.0)
+      .collect()(0)
+    assert(r1.getDouble(2) == 1.0 && r1.getDouble(3) == 1.5, s"a11 doubles: $r1")
+    assert(r1.getDouble(2) < r0.getDouble(2), "shrinkage")
+  }
 }

@@ -486,4 +486,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(t.toSeq == Seq((1L, 2L)), "equal scores pick the smaller partner id")
   }
+
+  test("lshCalibration: S-curve matches the closed form, monotone, flag consistent") {
+    val out = Dedup.lshCalibration(spark, bands = 32, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
+    assert(out.length == 19)
+    // mirror the repeated-squaring chain at s = 0.5
+    val s = 0.5; val t1 = s * s; val s4 = t1 * t1
+    var u = 1d - s4; for (_ <- 1 to 5) u = u * u
+    val expected = BigDecimal(1d - u).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val at05 = out.find(_._1 == 0.5).get
+    assert(at05._2 == expected, s"closed form at 0.5: $at05 vs $expected")
+    assert(out.sliding(2).forall(w => w(0)._2 <= w(1)._2), "monotone in s")
+    assert(out.forall(r => r._3 == (if (r._2 >= 0.5) 1 else 0)), "flag consistent")
+    assert(out.head._2 < 0.01 && out.last._2 > 0.999, s"endpoints: ${out.head} ${out.last}")
+  }
 }

@@ -150,7 +150,9 @@ class PlanContractSpec extends SparkSpec {
           // domain_logodds: the 1-row LM-totals frame over the token table
           "q344_domain_logodds",
           // mahalanobis: the 1-row moments frame over the unit table
-          "q347_mahalanobis")
+          "q347_mahalanobis",
+          // percentile_ci: the 1-row count frame over the ranked values
+          "q354_percentile_ci")
         if (allowed(name)) None else Some(name)
       } else None
     }
