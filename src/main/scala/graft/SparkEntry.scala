@@ -515,6 +515,25 @@ object SparkEntry {
       // regularized rung above plain per-group OLS
       Analytics.ridgeRegression2(Tables.lineitem(s, d), col("l_quantity"),
         col("l_discount"), col("l_extendedprice"), lambda = 10.0)),
+    "q356_kll_quantiles" -> ((s, d) =>
+      // ☆ mergeable quantile pipeline: per-partition KLL sketches → one
+      // merge → estimates with the sketch's proven rank-error bound
+      // (KLL compaction flips coins — error-bounded, not replay-exact,
+      // so spec-verified rather than SQL-oracled)
+      graft.functions.Sketches.kllMergeQuantiles(
+        graft.functions.Sketches.kllPartitionSketches(
+          Tables.events(s, d).select(col("value")), "value"),
+        probs = Seq(0.1, 0.5, 0.9, 0.99))),
+    "q357_theta_setops" -> ((s, d) => {
+      // ☆ how many users both viewed AND purchased: theta-sketch set
+      // algebra over the two populations (deterministic hash-order
+      // thresholding; exact below sketch capacity — spec-verified, no
+      // SQL twin for the estimation regime)
+      val ev = Tables.events(s, d)
+      graft.functions.Sketches.thetaSetOps(
+        ev.filter(col("event_type") === "view").select(col("user_id")), "user_id",
+        ev.filter(col("event_type") === "purchase").select(col("user_id")), "user_id")
+    }),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
