@@ -543,6 +543,7 @@ object ScaleCheck {
     // count per point) multiplies by the factor — expect superlinear pair
     // counts; the generated-offset variant below shifts x by k·10 per copy
     // to keep density constant (the honest scale read for spatial ops)
+    time("funnel_timing")(d => SparkEntry.queries("q358_funnel_timing")(spark, d))
     time("kll_quantiles")(d => SparkEntry.queries("q356_kll_quantiles")(spark, d))
     time("theta_setops")(d => SparkEntry.queries("q357_theta_setops")(spark, d))
     time("percentile_ci")(d => SparkEntry.queries("q354_percentile_ci")(spark, d))

@@ -534,6 +534,11 @@ object SparkEntry {
         ev.filter(col("event_type") === "view").select(col("user_id")), "user_id",
         ev.filter(col("event_type") === "purchase").select(col("user_id")), "user_id")
     }),
+    "q358_funnel_timing" -> ((s, d) =>
+      // where does the view→click→purchase funnel actually LOSE time:
+      // per-step converters + exact median/p90 inter-step seconds
+      Analytics.funnelStepTiming(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), windowDays = 7)),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6706,6 +6711,30 @@ object SparkEntry {
         |SELECT channel, CAST(SUM(credit) AS DOUBLE) AS total_credit,
         |  COUNT(*) AS n_touches, COUNT(DISTINCT cid) AS n_conversions
         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    "q358_funnel_timing" ->
+      // greedy first-occurrence chain unrolled per tier; latencies are
+      // floor-epoch integer seconds; q35's quantile_cont decimal recipe
+      """WITH t1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id AS u, min(e.ts) AS t2, min(t1.t1) AS t1
+        |       FROM events e JOIN t1 ON e.user_id = t1.u
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |         AND e.ts <= t1.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |t3 AS (SELECT e.user_id AS u, min(e.ts) AS t3, min(t2.t2) AS t2
+        |       FROM events e JOIN t2 ON e.user_id = t2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |         AND e.ts <= t2.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |lat AS (SELECT 1 AS step_idx, 'view>click' AS step,
+        |          CAST(floor(epoch(t2)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) AS lat
+        |        FROM t2
+        |        UNION ALL
+        |        SELECT 2, 'click>purchase',
+        |          CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t2)) AS BIGINT)
+        |        FROM t3)
+        |SELECT step_idx, step, COUNT(*) AS n_converted,
+        |  CAST(CAST(quantile_cont(lat, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50_sec,
+        |  CAST(CAST(quantile_cont(lat, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90_sec
+        |FROM lat GROUP BY 1, 2 ORDER BY step_idx""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

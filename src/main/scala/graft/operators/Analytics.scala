@@ -3353,4 +3353,49 @@ object Analytics {
       when(col("n") >= 3 && det =!= 0d, b2.cast("decimal(18,9)").cast("double")).as("beta2"),
       when(col("n") >= 3 && det =!= 0d, icept.cast("decimal(18,9)").cast("double")).as("intercept"))
   }
+
+  /** Per-step funnel latency profile — the TIMING companion of
+    * [[windowFunnel]]'s depth counts: for each adjacent step pair in the
+    * greedy first-occurrence chain (same semantics — min ts per tier,
+    * deadline fixed at step-1's window), how many users converted and the
+    * exact median / p90 seconds between the steps. "Checkout is fine but
+    * signup→first-view takes a day" is this table's one-glance read.
+    *
+    * Each tier is one filtered aggregate + an equi-join on the user (the
+    * windowFunnel shape — bounded by the step list, never all-history);
+    * latencies are exact integer seconds, and the percentiles quantize
+    * to DECIMAL(18,4) (the q35/q43 interpolated-percentile portability
+    * recipe). Steps with no converters drop out (no row). */
+  def funnelStepTiming(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String],
+                       windowDays: Int = 7): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    val u = col(userCol).as("u")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .select(u, col(tsCol).as("ts"))
+      .groupBy("u").agg(min("ts").as("t_cur"))
+      .withColumn("deadline", col("t_cur") + expr(s"INTERVAL $windowDays DAYS"))
+    val pairs = Seq.newBuilder[DataFrame]
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val next = events.filter(col(typeCol) === step)
+        .select(u, col(tsCol).as("ts"))
+        .join(cur, "u")
+        .filter(col("ts") > col("t_cur") && col("ts") <= col("deadline"))
+        .groupBy("u").agg(min("ts").as("t_next"), min("t_cur").as("t_prev"),
+          min("deadline").as("deadline"))
+      pairs += next.select(
+        lit(i + 1).as("step_idx"),
+        lit(s"${steps(i)}>$step").as("step"),
+        (col("t_next").cast("long") - col("t_prev").cast("long")).as("lat"))
+      cur = next.select(col("u"), col("t_next").as("t_cur"), col("deadline"))
+    }
+    pairs.result().reduce(_ unionAll _)
+      .groupBy("step_idx", "step")
+      .agg(count(lit(1)).as("n_converted"),
+        percentile(col("lat"), lit(0.5)).cast("decimal(18,4)").cast("double")
+          .as("p50_sec"),
+        percentile(col("lat"), lit(0.9)).cast("decimal(18,4)").cast("double")
+          .as("p90_sec"))
+      .orderBy("step_idx")
+  }
 }

@@ -1500,4 +1500,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getDouble(2) == 1.0 && r1.getDouble(3) == 1.5, s"a11 doubles: $r1")
     assert(r1.getDouble(2) < r0.getDouble(2), "shrinkage")
   }
+
+  test("funnelStepTiming: greedy chain latencies, window cutoff, exact percentiles") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      // u1 converts a>b in 60s, b>c in 120s
+      (1L, ts(0), "a"), (1L, ts(1), "b"), (1L, ts(3), "c"),
+      // u2 converts a>b in 180s, never c
+      (2L, ts(0), "a"), (2L, ts(3), "b"),
+      // u3: b BEFORE a — not a conversion
+      (3L, ts(1), "b"), (3L, ts(2), "a"),
+      // u4: b far outside the window
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (4L, java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnelStepTiming(rows, "user_id", "ts", "event_type",
+      Seq("a", "b", "c"), windowDays = 7)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a>b") == ((2L, 120.0, 168.0)), s"median of 60/180, p90 interpolated: ${out("a>b")}")
+    assert(out("b>c") == ((1L, 120.0, 120.0)), out("b>c").toString)
+  }
 }
