@@ -557,6 +557,18 @@ object ScaleCheck {
     time("domain_logodds")(d => SparkEntry.queries("q344_domain_logodds")(spark, d))
     time("rake_weights")(d => SparkEntry.queries("q345_rake_weights")(spark, d))
     time("truncation_fidelity")(d => SparkEntry.queries("q346_truncation_fidelity")(spark, d))
+    time("recursive_ldiv")(d => SparkEntry.queries("q359_recursive_ldiv")(spark, d))
+    time("assortativity")(d => SparkEntry.queries("q360_assortativity")(spark, d))
+    // hl_shift / rbo / drawdown: date-grain or top-D bounded — pair count
+    // and prefix depth are SF-invariant, only the pre-aggregate scans grow
+    time("hl_shift")(d => SparkEntry.queries("q361_hl_shift")(spark, d))
+    time("drawdown")(d => SparkEntry.queries("q362_drawdown")(spark, d))
+    time("rbo")(d => SparkEntry.queries("q363_rbo")(spark, d))
+    time("holm")(d => SparkEntry.queries("q364_holm")(spark, d))
+    time("kneser_ney")(d => SparkEntry.queries("q365_kneser_ney")(spark, d))
+    time("c4_rules")(d => SparkEntry.queries("q366_c4_rules")(spark, d))
+    time("compaction_plan")(d => SparkEntry.queries("q367_compaction_plan")(spark, d))
+    time("vocab_turnover")(d => SparkEntry.queries("q368_vocab_turnover")(spark, d))
     time("dbscan (density-const)") { d =>
       val base = spark.read.parquet(s"$d/embeddings.parquet")
       val pts = base.select(col("vec_id"),

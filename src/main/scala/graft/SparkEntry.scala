@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Cols, MisraGries}
 import graft.operators._
-import graft.sources.CsvIngest
+import graft.sources.{CsvIngest, Sinks}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
@@ -539,6 +539,75 @@ object SparkEntry {
       // per-step converters + exact median/p90 inter-step seconds
       Analytics.funnelStepTiming(Tables.events(s, d), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"), windowDays = 7)),
+    "q359_recursive_ldiv" -> ((s, d) =>
+      // the skew-aware diversity gate q171's distinct-l misses: does the
+      // TOP account-balance band dominate its (segment, nation) class
+      Privacy.recursiveLDiversity(
+        Tables.customer(s, d).withColumn("bal_band",
+          floor(col("c_acctbal") / lit(1000d)).cast("long")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_band", l = 3, c = 2.0)),
+    "q360_assortativity" -> ((s, d) =>
+      // do hub parts co-purchase with other hubs (r>0) or with the long
+      // tail (r<0) on the repeat (wt≥2) graph — the one-number answer to
+      // whether a node-hash shuffle of this graph is skew-safe
+      Graph.degreeAssortativity(
+        partCooccurrenceEdges(s, d).groupBy("pa", "pb")
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2), "pa", "pb")),
+    "q361_hl_shift" -> ((s, d) => {
+      // HOW MUCH is a returned day's revenue shifted vs an accepted day's
+      // (robust median-of-pairwise-diffs in cents, not the whale-wrecked
+      // mean); daily pre-aggregate per the operator's scale contract
+      val li = Tables.lineitem(s, d)
+      def daily(f: String) = li.filter(col("l_returnflag") === f)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100d)).cast("long"))
+          .as("cents"))
+      Analytics.hodgesLehmannShift(daily("A"), daily("R"), "cents")
+    }),
+    "q362_drawdown" -> ((s, d) =>
+      // the worst sustained net-revenue fall each return class ever
+      // lived through, when it bottomed, and whether it recovered
+      Analytics.maxDrawdown(Tables.lineitem(s, d), "l_returnflag",
+        to_date(col("l_shipdate")),
+        round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * lit(100d)).cast("long"))),
+    "q363_rbo" -> ((s, d) => {
+      // did the top-40 revenue parts list actually CHANGE 1996→1997 —
+      // top-weighted rank-biased overlap, not set Jaccard
+      val li = Tables.lineitem(s, d)
+      def yearly(y: Int) = li.filter(year(col("l_shipdate")) === y)
+        .groupBy(col("l_partkey").as("item"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * lit(100d)).cast("long")).as("rev"))
+      Evaluation.rankBiasedOverlap(yearly(1996), yearly(1997),
+        "item", "rev", BigDecimal("0.9"), depth = 40)
+    }),
+    "q364_holm" -> ((s, d) =>
+      // the same 25 nation-share tests as q256, under FAMILY-WISE error
+      // control (one false launch is unacceptable) instead of FDR
+      Evaluation.holmBonferroni(
+        Evaluation.shareTestPValues(Tables.customer(s, d), "c_nationkey"),
+        "key", "p", 0.05)),
+    "q365_kneser_ney" -> ((s, d) =>
+      // the corpus's top-30 bigrams with continuation-count smoothed
+      // probabilities — the "francisco only follows san" LM correction
+      Curation.kneserNeyBigrams(Tables.documents(s, d), "doc_id", "text",
+        topK = 30)),
+    "q366_c4_rules" -> ((s, d) =>
+      // C4's line-shape web-cleaning recipe beside q230's gopher stats:
+      // terminal-punctuation lines, stub lines, placeholder/code tells
+      Curation.c4Rules(Tables.documents(s, d), "doc_id", "text")),
+    "q367_compaction_plan" -> ((s, d) =>
+      // nightly table-service plan: pack each source's small "files"
+      // (docs as a stand-in manifest) into 2000-byte rewrite bins
+      Sinks.compactionPlan(
+        Tables.documents(s, d).select(col("source"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("f"), col("n_chars")),
+        "source", "f", col("n_chars"), targetBytes = 2000L)),
+    "q368_vocab_turnover" -> ((s, d) =>
+      // token-type churn between adjacent sources: what a vocab rebuild
+      // would actually see change snapshot-over-snapshot
+      TextAnalysis.vocabularyTurnover(Tables.documents(s, d), "source", "text")),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -6735,6 +6804,229 @@ object SparkEntry {
         |  CAST(CAST(quantile_cont(lat, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50_sec,
         |  CAST(CAST(quantile_cont(lat, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90_sec
         |FROM lat GROUP BY 1, 2 ORDER BY step_idx""".stripMargin,
+    "q359_recursive_ldiv" ->
+      // sensitive frequencies ranked desc (tie: value asc); the c·tail
+      // product is exact DECIMAL(18,6) — nothing representation-sensitive
+      """WITH cells AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS s,
+        |    COUNT(*) AS r
+        |  FROM customer GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+        |         ORDER BY r DESC, s) AS rk FROM cells)
+        |SELECT c_mktsegment, c_nationkey,
+        |  CAST(SUM(r) AS BIGINT) AS class_size,
+        |  COUNT(*) AS m_distinct,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN r END) AS BIGINT) AS r1,
+        |  CAST(COALESCE(SUM(CASE WHEN rk >= 3 THEN r END), 0) AS BIGINT) AS tail_from_l,
+        |  CAST(CAST(MAX(CASE WHEN rk = 1 THEN r END) AS DECIMAL(18,6)) >=
+        |    CAST(2.0 AS DECIMAL(18,6)) *
+        |    CAST(COALESCE(SUM(CASE WHEN rk >= 3 THEN r END), 0) AS DECIMAL(18,6))
+        |    AS INT) AS cl_violation
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q360_assortativity" ->
+      // q299's repeat-graph CTE; five scale-0 power sums, one double
+      // chain num/(sqrt·sqrt) — sqrt is the one portable libm call
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |ew AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e0 AS (SELECT a, b FROM ew WHERE wt >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS n, COUNT(*) AS deg FROM e GROUP BY 1),
+        |dp AS (SELECT d1.deg AS da, d2.deg AS db
+        |       FROM e JOIN deg d1 ON e.a = d1.n JOIN deg d2 ON e.b = d2.n),
+        |f AS (SELECT COUNT(*) AS ne,
+        |    CAST(SUM(CAST(da AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(db AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(CAST(da AS DECIMAL(19,0)) * CAST(da AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(CAST(db AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(CAST(da AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM dp),
+        |g AS (SELECT ne, sx,
+        |    CAST(CAST(ne AS DECIMAL(38,0)) * sxy - CAST(sx * sy AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS num,
+        |    CAST(CAST(ne AS DECIMAL(38,0)) * sxx - CAST(sx * sx AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS vx,
+        |    CAST(CAST(ne AS DECIMAL(38,0)) * syy - CAST(sy * sy AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS vy
+        |  FROM f)
+        |SELECT CAST(ne / 2 AS BIGINT) AS n_edges,
+        |  CAST(CAST(CAST(sx AS DOUBLE) / CAST(ne AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS mean_end_degree,
+        |  CAST(CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+        |      CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+        |    END AS DECIMAL(18,9)) AS DOUBLE) AS assortativity
+        |FROM g""".stripMargin,
+    "q361_hl_shift" ->
+      // integer-cent daily sums; median of pairwise diffs interpolates
+      // at fraction 0 or exactly 1/2 — always representable, 4 dp
+      """WITH a AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS va
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        |b AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS vb
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |d AS (SELECT a.va - b.vb AS d FROM a, b)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(CAST(quantile_cont(d, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS hl_shift
+        |FROM d""".stripMargin,
+    "q362_drawdown" ->
+      // cum then peak-of-cum (two window layers, same partitioning);
+      // all money math exact DECIMAL in integer cents
+      """WITH daily AS (SELECT l_returnflag AS g, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dv
+        |  FROM lineitem GROUP BY 1, 2),
+        |c1 AS (SELECT g, d, CAST(SUM(dv) OVER (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum
+        |  FROM daily),
+        |c2 AS (SELECT g, d, cum, CAST(MAX(cum) OVER (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS peak
+        |  FROM c1),
+        |c3 AS (SELECT g, d, cum, peak, CAST(peak - cum AS DECIMAL(38,2)) AS dd FROM c2),
+        |m AS (SELECT g AS gg, MAX(dd) AS max_dd FROM c3 GROUP BY 1),
+        |tr AS (SELECT gg, MIN(d) AS trough_d
+        |       FROM m JOIN c3 ON c3.g = m.gg AND c3.dd = m.max_dd GROUP BY 1)
+        |SELECT g AS l_returnflag, COUNT(*) AS n_points,
+        |  CAST(CAST(MAX(dd) AS DECIMAL(18,2)) AS DOUBLE) AS max_drawdown,
+        |  CAST(MAX(trough_d) AS VARCHAR) AS trough_date,
+        |  CAST(CAST(MAX(CASE WHEN d = trough_d THEN peak END) AS DECIMAL(18,2)) AS DOUBLE) AS peak_at_trough,
+        |  CAST(MAX(CASE WHEN d >= trough_d THEN cum END) >=
+        |       MAX(CASE WHEN d = trough_d THEN peak END) AS INT) AS recovered
+        |FROM c3 JOIN tr ON c3.g = tr.gg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q363_rbo" ->
+      // weights are the SAME pre-quantized (1-p)p^(d-1) DECIMAL(18,12)
+      // literals the Spark side computes in exact BigDecimal; agreement
+      // in integer nano-units (the MAP@k recipe)
+      """WITH ya AS (SELECT l_partkey AS item,
+        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev
+        |  FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1996 GROUP BY 1),
+        |yb AS (SELECT l_partkey AS item,
+        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev
+        |  FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1997 GROUP BY 1),
+        |ra AS (SELECT item, row_number() OVER (ORDER BY rev DESC, item) AS ra
+        |       FROM ya QUALIFY ra <= 40),
+        |rb AS (SELECT item, row_number() OVER (ORDER BY rev DESC, item) AS rb
+        |       FROM yb QUALIFY rb <= 40),
+        |pairs AS (SELECT GREATEST(ra.ra, rb.rb) AS mr FROM ra JOIN rb USING (item)),
+        |w AS (SELECT d, CAST(wt AS DECIMAL(18,12)) AS wt FROM (VALUES
+        |  (1,0.100000000000),(2,0.090000000000),(3,0.081000000000),(4,0.072900000000),
+        |  (5,0.065610000000),(6,0.059049000000),(7,0.053144100000),(8,0.047829690000),
+        |  (9,0.043046721000),(10,0.038742048900),(11,0.034867844010),(12,0.031381059609),
+        |  (13,0.028242953648),(14,0.025418658283),(15,0.022876792455),(16,0.020589113209),
+        |  (17,0.018530201889),(18,0.016677181700),(19,0.015009463530),(20,0.013508517177),
+        |  (21,0.012157665459),(22,0.010941898913),(23,0.009847709022),(24,0.008862938120),
+        |  (25,0.007976644308),(26,0.007178979877),(27,0.006461081889),(28,0.005814973700),
+        |  (29,0.005233476330),(30,0.004710128697),(31,0.004239115828),(32,0.003815204245),
+        |  (33,0.003433683820),(34,0.003090315438),(35,0.002781283894),(36,0.002503155505),
+        |  (37,0.002252839954),(38,0.002027555959),(39,0.001824800363),(40,0.001642320327)
+        |  ) AS t(d, wt)),
+        |ov AS (SELECT d, wt, COUNT(*) AS ov FROM pairs JOIN w ON mr <= d GROUP BY 1, 2),
+        |f AS (SELECT MAX(CASE WHEN d = 40 THEN ov END) AS n_common,
+        |    SUM(CAST(wt * CAST(CAST(round(CAST(ov AS DOUBLE) / CAST(d AS DOUBLE) * 1e9)
+        |      AS BIGINT) AS DECIMAL(20,0)) AS DECIMAL(38,12))) AS s2
+        |  FROM ov)
+        |SELECT CAST(40 AS INT) AS depth,
+        |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+        |  COALESCE(CAST(CAST(CAST(s2 AS DOUBLE) / 1e9 AS DECIMAL(18,9)) AS DOUBLE), 0.0) AS rbo,
+        |  CAST(0.014780882941 AS DOUBLE) AS tail_bound
+        |FROM f""".stripMargin,
+    "q364_holm" ->
+      // q256's Chernoff p-values, then the Holm step-down lattice in
+      // exact nano integers: running MAX of (m-i+1)·p, exact rejection
+      """WITH counts AS (SELECT c_nationkey AS key, count(*) AS n_k FROM customer GROUP BY 1),
+        |tot AS (SELECT SUM(n_k) AS n_total, COUNT(*) AS m FROM counts),
+        |pv AS (SELECT key, CAST(exp(
+        |    ((CAST(n_k AS DOUBLE) - CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(n_k AS DOUBLE) - CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE))
+        |      / ((CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE)) * (1 - 1 / CAST(m AS DOUBLE)))) * -0.5)
+        |    AS DECIMAL(18,9)) AS p, m
+        |  FROM counts CROSS JOIN tot),
+        |b AS (SELECT key, p, m, row_number() OVER (ORDER BY p, key) AS rnk FROM pv),
+        |h AS (SELECT key, p, rnk,
+        |    max(least(1000000000, CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) * (m - rnk + 1)))
+        |      OVER (ORDER BY p, key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj_nano
+        |  FROM b),
+        |istar AS (SELECT COALESCE(MIN(CASE WHEN CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT)
+        |    * (m - rnk + 1) > 50000000 THEN rnk END), MAX(rnk) + 1) AS i_star FROM b)
+        |SELECT key, CAST(p AS DOUBLE) AS p, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(adj_nano AS DOUBLE) / 1e9 AS p_adj,
+        |  CASE WHEN rnk < i_star THEN 1 ELSE 0 END AS rejected
+        |FROM h CROSS JOIN istar ORDER BY rnk""".stripMargin,
+    "q365_kneser_ney" ->
+      // same q109 bigram expansion; all four count tables re-aggregate
+      // the TYPE table; one mirrored left-assoc double chain, 9 dp
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |dt AS (SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)
+        |       WHERE len(toks) >= 2),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM dt GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1f FROM big GROUP BY 1),
+        |n1b AS (SELECT w2, COUNT(*) AS n1b FROM big GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS bt FROM big)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
+        |  CAST(CAST((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+        |    + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * (CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS p_kn,
+        |  CAST(CAST(CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS p_continuation
+        |FROM big JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN bt
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
+    "q366_c4_rules" ->
+      // trimmed non-blank line population; RE2∩Java regex predicates;
+      // exact-integer ratios double-divided once, 4 dp
+      """WITH base AS (SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> length(l) > 0) AS lines
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(CAST(CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS DOUBLE)
+        |        / CAST(len(lines) AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) END AS terminal_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(CAST(CAST(len(list_filter(lines, l -> NOT regexp_matches(l, '(\S+\s+){2}'))) AS DOUBLE)
+        |        / CAST(len(lines) AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) END AS stub_frac,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace,
+        |    contains(lower(text), 'javascript') AS has_js_warning
+        |  FROM base)
+        |SELECT doc_id, n_lines, n_sentences, terminal_frac, stub_frac,
+        |  has_lorem, has_brace, has_js_warning,
+        |  (COALESCE(terminal_frac, 0) >= 0.5 AND n_sentences >= 3
+        |    AND NOT has_lorem AND NOT has_brace AND NOT has_js_warning) AS passes
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q367_compaction_plan" ->
+      // streaming split: a file starts bin floor(bytes_before/target);
+      // one running-sum window per partition, all exact integers
+      """WITH m AS (SELECT source AS part, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS file,
+        |    n_chars AS bytes FROM documents),
+        |c AS (SELECT part, file, bytes, SUM(bytes) OVER (PARTITION BY part ORDER BY file
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m),
+        |b AS (SELECT part, file, bytes, (cum - bytes) // 2000 AS bin FROM c)
+        |SELECT part, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+        |  MIN(file) AS first_file, MAX(file) AS last_file,
+        |  (CAST(SUM(bytes) AS BIGINT) < 2000) AS undersized
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q368_vocab_turnover" ->
+      // distinct (slice, token) types once; adjacent pairs by slice
+      // rank; shared via the i ↔ i+1 token join; one division, 9 dp
+      """WITH st AS (SELECT DISTINCT source AS slice, tok FROM
+        |    (SELECT source, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+        |     FROM documents)),
+        |idx AS (SELECT slice, row_number() OVER (ORDER BY slice) AS i
+        |        FROM (SELECT DISTINCT slice FROM st)),
+        |sti AS (SELECT i, slice, tok FROM st JOIN idx USING (slice)),
+        |tot AS (SELECT i, slice, COUNT(*) AS n_types FROM sti GROUP BY 1, 2),
+        |sh AS (SELECT a.i AS ip, COUNT(*) AS n_shared
+        |       FROM sti a JOIN sti b ON a.tok = b.tok AND b.i = a.i + 1 GROUP BY 1)
+        |SELECT p.slice AS prev_slice, n.slice AS next_slice,
+        |  CAST(p.n_types AS BIGINT) AS n_prev, CAST(n.n_types AS BIGINT) AS n_next,
+        |  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(n.n_types - COALESCE(s.n_shared, 0) AS BIGINT) AS n_new,
+        |  CAST(p.n_types - COALESCE(s.n_shared, 0) AS BIGINT) AS n_churned,
+        |  CAST(CAST(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+        |    / CAST(p.n_types + n.n_types - COALESCE(s.n_shared, 0) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS jaccard
+        |FROM tot p JOIN tot n ON n.i = p.i + 1 LEFT JOIN sh s ON s.ip = p.i
+        |ORDER BY prev_slice""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

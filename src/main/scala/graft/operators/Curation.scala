@@ -279,6 +279,49 @@ object Curation {
     out
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §2.7) — the standard n-gram smoothing, and the
+    * CONTINUATION-count upgrade of [[bigramLogLikelihood]]'s add-one:
+    * backing off to how many DISTINCT contexts a word follows rather
+    * than its raw frequency ("francisco" is frequent but only ever
+    * follows "san" — KN correctly refuses to predict it elsewhere).
+    *   P(w₂|w₁) = (c₁₂ − D)/c₁ + (D·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/B
+    * with the fixed literature discount D = 0.75 and B = distinct
+    * bigram types. Reports the top-K bigrams by count with their
+    * smoothed probability and the backoff split.
+    *
+    * One bigram-count aggregate (map-side combinable), from which ALL
+    * four count tables derive by re-aggregating the (w1,w2,c) TYPE
+    * table (vocabulary-sized, not corpus-sized — localCheckpointed,
+    * four consumers); B is the house 1-row broadcast frame
+    * (plan-contract allowlisted). Exactness: every count is an exact
+    * integer; c₁₂ − 0.75 is exact in binary (0.75 = 3/4), and the
+    * probability is ONE mirrored left-assoc double chain
+    * (c₁₂−D)/c₁ + (D·N1f/c₁)·(N1b/B), quantized to 9 dp. Top-K via
+    * TakeOrderedAndProject (count desc, w1, w2 — total order). */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+                       topK: Int = 30): DataFrame = {
+    val big = ngramRows(docs, Seq(idCol), textCol, 2, "bg")
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // four consumers of the type table
+    val c1 = big.groupBy("w1").agg(sum("c12").cast("long").as("c1"),
+      count(lit(1)).as("n1f")) // token count + distinct-successor types
+    val n1b = big.groupBy("w2").agg(count(lit(1)).as("n1b")) // distinct-predecessor types
+    val bTot = big.agg(count(lit(1)).as("__b"))
+    val d = (c: String) => col(c).cast("double")
+    val p = (d("c12") - lit(0.75d)) / d("c1") +
+      (lit(0.75d) * d("n1f") / d("c1")) * (d("n1b") / d("__b"))
+    big.join(c1, Seq("w1")).join(n1b, Seq("w2"))
+      .crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+        col("c1"),
+        p.cast("decimal(18,9)").cast("double").as("p_kn"),
+        (d("n1b") / d("__b")).cast("decimal(18,9)").cast("double").as("p_continuation"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(topK)
+  }
+
   /** Per-document token entropy H = −Σ (c/n)·ln(c/n): the vocabulary-
     * concentration quality signal (near-zero ⇒ one token repeated — spam;
     * high ⇒ diverse vocabulary). One (doc, token) count aggregate, then
@@ -719,6 +762,48 @@ object Curation {
       .withColumn("passes",
         col("ok_word_count") && col("ok_mean_word_len") &&
           col("ok_alpha") && col("ok_stopwords"))
+      .orderBy(idCol)
+  }
+
+  /** C4-style line-shape filters (Raffel et al. 2020, §2.2) — the
+    * STRUCTURAL companion of [[gopherRules]]' token statistics: C4
+    * judges documents by their LINES (terminal punctuation, stub lines)
+    * and by tell-tale substrings (lorem-ipsum placeholder text, code
+    * braces, javascript-warning boilerplate). Together the two cover
+    * the published web-corpus cleaning recipe.
+    *
+    * One scan-stage projection per document — line array built once,
+    * every flag derives from codegen'd higher-order array functions and
+    * substring predicates; no shuffle at all until the caller filters.
+    * All fractions are exact-integer ratios double-divided once and
+    * quantized 4 dp. Lines are trimmed before testing; BLANK lines are
+    * excluded from the line population (a paragraph gap is formatting,
+    * not content). Documents with no non-blank lines fail `passes`. */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String,
+              minSentences: Int = 3): DataFrame = {
+    val lines0 = transform(split(col(textCol), "\n"), l => trim(l))
+    val lines = filter(lines0, l => length(l) > 0)
+    val nLines = size(lines)
+    val nTerminal = size(filter(lines, l => l.rlike("[.!?\"]$")))
+    // a line is a stub if it has fewer than 3 whitespace-separated words
+    val nStub = size(filter(lines, l => !l.rlike("(\\S+\\s+){2}")))
+    val lower0 = lower(col(textCol))
+    val nSentences = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.!?]", ""))
+    docs.select(col(idCol),
+        nLines.cast("long").as("n_lines"),
+        nSentences.cast("long").as("n_sentences"),
+        when(nLines > 0, (nTerminal.cast("double") / nLines.cast("double"))
+          .cast("decimal(18,4)").cast("double")).as("terminal_frac"),
+        when(nLines > 0, (nStub.cast("double") / nLines.cast("double"))
+          .cast("decimal(18,4)").cast("double")).as("stub_frac"),
+        lower0.contains("lorem ipsum").as("has_lorem"),
+        col(textCol).contains("{").as("has_brace"),
+        lower0.contains("javascript").as("has_js_warning"))
+      .withColumn("passes",
+        (coalesce(col("terminal_frac"), lit(0d)) >= 0.5d) &&
+          col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace") && !col("has_js_warning"))
       .orderBy(idCol)
   }
 

@@ -1527,6 +1527,47 @@ object Evaluation {
       .orderBy("rnk")
   }
 
+  /** Holm–Bonferroni step-DOWN adjustment (Holm 1979) — the
+    * FAMILY-WISE-ERROR companion of [[benjaminiHochberg]]'s FDR
+    * control: when even ONE false positive is unacceptable (a launch /
+    * no-launch gate, a safety metric), Holm controls P(any false
+    * rejection) ≤ α and uniformly dominates plain Bonferroni
+    * ((m−i+1) ≤ m at every rank).
+    * adj_(i) = max_{j≤i} min((m−j+1)·p_(j), 1); reject every rank
+    * before the first i with p_(i) > α/(m−i+1).
+    *
+    * Same shape and exactness lattice as BH: rank by (p, key) — total
+    * order given producer-quantized scale-9 p — then a running MAX
+    * (step-down) instead of BH's reverse running min. Single-partition
+    * windows over M HYPOTHESES (segments, not data). Everything stays
+    * in exact nano-unit integers: (m−i+1)·p_nano is an integer product
+    * and the rejection test p_nano·(m−i+1) > α_nano is exact — no
+    * division anywhere, so not even BH's floor-div caveat applies. */
+  def holmBonferroni(pvals: DataFrame, keyCol: String, pCol: String,
+                     alpha: Double = 0.05): DataFrame = {
+    val m = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wUp = Window.orderBy(col(pCol), col(keyCol))
+    val wCum = Window.orderBy(col(pCol), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pvals
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rnk", row_number().over(wUp))
+      .withColumn("a_raw",
+        least(lit(1000000000L),
+          expr(s"CAST(round(CAST($pCol AS DOUBLE) * 1e9) AS BIGINT) * (m - rnk + 1)")))
+      .withColumn("adj_nano", max("a_raw").over(wCum))
+      .withColumn("bad_rnk",
+        when(expr(s"CAST(round(CAST($pCol AS DOUBLE) * 1e9) AS BIGINT) * (m - rnk + 1) > " +
+          s"${math.round(alpha * 1e9)}"), col("rnk")))
+      .withColumn("i_star", coalesce(min("bad_rnk").over(m), col("m") + lit(1L)))
+      .select(col(keyCol), col(pCol).cast("double").as("p"),
+        col("rnk").cast("long").as("rnk"),
+        (col("adj_nano").cast("double") / 1e9d).as("p_adj"),
+        (col("rnk") < col("i_star")).cast("int").as("rejected"))
+      .orderBy("rnk")
+  }
+
   /** Mann–Kendall trend test per series group (Mann 1945; Kendall 1975) —
     * "is this metric monotonically drifting", the distribution-free
     * companion of [[Analytics.theilSen]] (same S statistic family; Theil–Sen
@@ -3243,5 +3284,70 @@ object Evaluation {
         when(fs.cast("double") =!= 0d,
           (itt.cast("double") / fs.cast("double"))
             .cast("decimal(18,9)").cast("double")).as("late"))
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * rankings of the same universe — "did my top-sellers list actually
+    * change?" with the property the set-based Jaccard and the
+    * whole-list Kendall both lack: TOP-WEIGHTED (a swap at rank 1
+    * matters, a swap at rank 40 barely does) and defined for
+    * non-conjoint lists (an item present in only one list just never
+    * enters the overlap). Truncated form: RBO@D = Σ_{d=1..D}
+    * (1−p)·p^(d−1) · |A₁..d ∩ B₁..d| / d; the tail weight p^D is
+    * reported so the caller sees the bound width (RBO_min = rbo,
+    * RBO_max = rbo + p^D).
+    *
+    * Both sides rank by score desc, item asc (total tie order), keep
+    * their top D; an item in both prefixes enters the overlap at depth
+    * max(rank_a, rank_b) — so ONE item-keyed join + one join against
+    * the D-row literal depth table (bounded fan-out ≤ D per item)
+    * computes every prefix-intersection size without self-joins.
+    * Exactness: the weights (1−p)·p^(d−1) are PRE-QUANTIZED
+    * DECIMAL(18,12) literals computed in exact BigDecimal on the
+    * driver (no cross-engine pow); each agreement A_d = ov/d rounds to
+    * integer nano-units before the exact decimal weight·agreement
+    * product — the sum is order-free, ONE final double division. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, itemCol: String,
+                        scoreCol: String, p: BigDecimal, depth: Int): DataFrame = {
+    require(depth >= 1 && p > 0 && p < 1, "need depth >= 1, 0 < p < 1")
+    val spark = a.sparkSession
+    import spark.implicits._
+    // top-D via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no global sort); the rank window then runs over ≤ D rows,
+    // so its single partition is bounded by the declared depth, not data
+    def top(df: DataFrame, out: String): DataFrame = {
+      val w = Window.orderBy(col(scoreCol).desc, col("item"))
+      df.select(col(itemCol).as("item"), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col("item")).limit(depth)
+        .withColumn(out, row_number().over(w))
+        .select(col("item"), col(out))
+    }
+    // weights w_d = (1-p) p^(d-1), exact BigDecimal then quantized once
+    val one = BigDecimal(1)
+    val weights = (1 to depth).scanLeft(one - p)((w, _) => w * p).init
+      .zipWithIndex
+      .map { case (w, i) =>
+        (i + 1, w.setScale(12, BigDecimal.RoundingMode.HALF_UP)) }
+    val wdf = weights.toDF("d", "w")
+      .select(col("d"), col("w").cast("decimal(18,12)").as("w"))
+    val tailP = (1 to depth).foldLeft(one)((acc, _) => acc * p)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val joined = top(a, "ra").join(top(b, "rb"), "item")
+      .select(greatest(col("ra"), col("rb")).as("mr"))
+    // agreement A_d = ov/d as integer NANO units (the MAP@k recipe — no
+    // double→decimal cast exposure); w·A_d is then an exact decimal product
+    joined.join(broadcast(wdf), col("mr") <= col("d"))
+      .groupBy("d", "w").agg(count(lit(1)).as("ov"))
+      .agg(
+        max(when(col("d") === depth, col("ov"))).as("n_common"),
+        sum((col("w") *
+          round(col("ov").cast("double") / col("d").cast("double") * lit(1e9d))
+            .cast("long").cast("decimal(20,0)")).cast("decimal(38,12)")).as("s"))
+      .select(
+        lit(depth).cast("int").as("depth"),
+        coalesce(col("n_common"), lit(0L)).cast("long").as("n_common"),
+        coalesce((col("s").cast("double") / lit(1e9d))
+          .cast("decimal(18,9)").cast("double"), lit(0d)).as("rbo"),
+        lit(tailP.toDouble).as("tail_bound"))
   }
 }

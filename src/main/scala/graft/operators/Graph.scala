@@ -637,4 +637,59 @@ object Graph {
         col("h").cast("double").as("harmonic"))
       .orderBy("node")
   }
+
+  /** Degree assortativity coefficient (Newman 2002, "Assortative mixing
+    * in networks"): the Pearson correlation of the degrees at the two
+    * ends of each undirected edge — r > 0 means hubs link to hubs
+    * (social-network shape), r < 0 means hubs link to leaves
+    * (hub-and-spoke / dependency shape). One number that says which
+    * partitioning strategy a graph workload needs: disassortative
+    * graphs are the ones whose hub edges skew a node-hash shuffle.
+    *
+    * Each undirected edge contributes BOTH orientations (the standard
+    * symmetric estimator, making Σx = Σy by construction). One degree
+    * aggregate + one node-keyed join per endpoint + one scalar fold.
+    * Exactness: degrees are exact integers; all five power sums fold at
+    * decimal scale 0 (products ≤ deg²·|E| ≪ 10³⁸ — rounding impossible);
+    * the n·Σxy − ΣxΣy numerator and the two variance terms stay exact
+    * DECIMAL(38,0), and r is ONE mirrored double chain
+    * num / (sqrt(vx)·sqrt(vy)) (sqrt is IEEE correctly-rounded — the
+    * only portable libm function), quantized to 9 dp. Degenerate
+    * variance (regular graph) → NULL. Self-loops dropped; parallel
+    * edges collapse (distinct canonical pairs). */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // referenced three times (degrees + both endpoint joins)
+    val deg = e.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    val dpairs = e
+      .join(deg.select(col("n"), col("deg").as("da")), e("a") === col("n")).drop("n")
+      .join(deg.select(col("n"), col("deg").as("db")), e("b") === col("n")).drop("n")
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val folded = dpairs.agg(
+      count(lit(1)).as("ne"),
+      sum(d0(col("da"))).as("sx"), sum(d0(col("db"))).as("sy"),
+      sum((d0(col("da")) * d0(col("da"))).cast("decimal(38,0)")).as("sxx"),
+      sum((d0(col("db")) * d0(col("db"))).cast("decimal(38,0)")).as("syy"),
+      sum((d0(col("da")) * d0(col("db"))).cast("decimal(38,0)")).as("sxy"))
+    val n38 = col("ne").cast("decimal(38,0)")
+    val num = (n38 * col("sxy") - (col("sx") * col("sy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val vx = (n38 * col("sxx") - (col("sx") * col("sx")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val vy = (n38 * col("syy") - (col("sy") * col("sy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    folded.select(
+      (col("ne") / 2).cast("long").as("n_edges"),
+      // the degree of an average EDGE END (the "your friends have more
+      // friends" mean Σdeg²/Σdeg, not the node-average degree)
+      (col("sx").cast("double") / col("ne").cast("double"))
+        .cast("decimal(18,9)").cast("double").as("mean_end_degree"),
+      when(vx > 0 && vy > 0,
+        (num.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .cast("decimal(18,9)").cast("double"))
+        .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
 }

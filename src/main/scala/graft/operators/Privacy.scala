@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy gates run before a curated dataset leaves the pipeline — the
@@ -188,6 +189,50 @@ object Privacy {
           (lit(2d) * col("n_g").cast("double") * col("nTot").cast("double")))
           .cast("decimal(18,9)").cast("double").as("t_distance")): _*)
       .withColumn("t_violation", (col("t_distance") > threshold).cast("int"))
+      .orderBy(quasiCols.map(col): _*)
+  }
+
+  /** Recursive (c,l)-diversity audit (Machanavajjhala et al. 2007, §4.2) —
+    * the skew-aware member of the diversity family: [[kAnonymityAudit]]'s
+    * distinct-l passes a class where one sensitive value covers 99% of
+    * rows and the other l−1 appear once each (the probabilistic
+    * homogeneity attack survives); recursive (c,l) additionally requires
+    * the MOST COMMON value to not dominate — with per-class sensitive
+    * frequencies sorted r₁ ≥ r₂ ≥ … ≥ r_m, the class passes iff
+    * r₁ < c·(r_l + r_{l+1} + … + r_m). Distinct-l is the c→∞ limit;
+    * small c is the strong gate.
+    *
+    * Two hash aggregates (rows → (class, value) cells → classes) plus one
+    * cell-sized window for the frequency ranks; the cell table is bounded
+    * by classes × sensitive cardinality, so at 100 TB everything after
+    * the first partial-aggregated shuffle is metadata-sized. All counts
+    * are exact integers; the c·tail product is an exact DECIMAL(18,6)
+    * literal multiply — nothing representation-sensitive. Classes with
+    * m < l fail by definition (the tail sum from rank l is empty ⇒ 0).
+    * Frequency ties rank by sensitive value asc — r₁ and the tail-from-l
+    * sum are both tie-order invariant (equal counts commute). */
+  def recursiveLDiversity(df: DataFrame, quasiCols: Seq[String],
+                          sensitiveCol: String, l: Int, c: Double): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2 && c > 0, "need quasiCols, l >= 2, c > 0")
+    val cells = df.groupBy(
+        quasiCols.map(col) :+ col(sensitiveCol).cast("string").as("s"): _*)
+      .agg(count(lit(1)).as("r"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("r").desc, col("s"))
+    cells.withColumn("rk", row_number().over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("r").as("class_size"),
+        count(lit(1)).as("m_distinct"),
+        max(when(col("rk") === 1, col("r"))).as("r1"),
+        coalesce(sum(when(col("rk") >= l, col("r"))), lit(0L)).as("tail_from_l"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("class_size").cast("long").as("class_size"),
+        col("m_distinct").cast("long").as("m_distinct"),
+        col("r1").cast("long").as("r1"),
+        col("tail_from_l").cast("long").as("tail_from_l"),
+        (col("r1").cast("decimal(18,6)") >=
+          lit(c).cast("decimal(18,6)") * col("tail_from_l").cast("decimal(18,6)"))
+          .cast("int").as("cl_violation")): _*)
       .orderBy(quasiCols.map(col): _*)
   }
 }

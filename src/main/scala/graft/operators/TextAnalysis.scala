@@ -715,4 +715,50 @@ object TextAnalysis {
       .withColumn("mixed_flag", (col("n_scripts") >= 2).cast("int"))
       .orderBy(idCol)
   }
+
+  /** Vocabulary turnover between ADJACENT corpus slices (snapshots,
+    * crawls, sources ordered by name): per consecutive pair, how many
+    * token types are new, how many churned away, and the type-level
+    * Jaccard — the vocabulary-drift companion of [[Evaluation]]'s
+    * distribution-drift family (PSI/KS watch VALUE distributions; this
+    * watches the TYPE SET a tokenizer/vocab build actually sees).
+    *
+    * One distinct (slice, token) aggregate over the corpus (map-side
+    * combinable — the only row-sized shuffle), then one token-keyed
+    * self-join between slice i and i+1 per pair plus slice-sized count
+    * aggregates. The slice index comes from a window over the DISTINCT
+    * slice list (dim-sized single partition — slices are snapshots, not
+    * data). All counts exact; jaccard is one double division, 9 dp. */
+  def vocabularyTurnover(docs: DataFrame, sliceCol: String,
+                         textCol: String): DataFrame = {
+    val st = docs
+      .select(col(sliceCol).cast("string").as("slice"),
+        explode(array_distinct(Curation.tokens(col(textCol)))).as("tok"))
+      .distinct()
+      .localCheckpoint() // three consumers: index join, both pair sides
+    val idx = st.select(col("slice")).distinct()
+      .withColumn("i", row_number().over(Window.orderBy("slice")))
+      .localCheckpoint() // dim-sized
+    val sti = st.join(idx, Seq("slice"))
+    val totals = sti.groupBy("i", "slice").agg(count(lit(1)).as("n_types"))
+    val shared = sti.select(col("i").as("ip"), col("tok"))
+      .join(sti.select((col("i") - 1).as("ip"), col("tok")), Seq("ip", "tok"))
+      .groupBy("ip").agg(count(lit(1)).as("n_shared"))
+    val prev = totals.select(col("i").as("ip"), col("slice").as("prev_slice"),
+      col("n_types").as("n_prev"))
+    val next = totals.select((col("i") - 1).as("ip"), col("slice").as("next_slice"),
+      col("n_types").as("n_next"))
+    prev.join(next, Seq("ip"))
+      .join(shared, Seq("ip"), "left").na.fill(0L, Seq("n_shared"))
+      .select(col("prev_slice"), col("next_slice"),
+        col("n_prev").cast("long").as("n_prev"),
+        col("n_next").cast("long").as("n_next"),
+        col("n_shared").cast("long").as("n_shared"),
+        (col("n_next") - col("n_shared")).cast("long").as("n_new"),
+        (col("n_prev") - col("n_shared")).cast("long").as("n_churned"),
+        (col("n_shared").cast("double") /
+          (col("n_prev") + col("n_next") - col("n_shared")).cast("double"))
+          .cast("decimal(18,9)").cast("double").as("jaccard"))
+      .orderBy("prev_slice")
+  }
 }

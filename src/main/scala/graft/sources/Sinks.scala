@@ -80,4 +80,47 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
     obs.get
   }
+
+  /** Small-file compaction PLAN — the metadata step before [[compact]]'s
+    * physical rewrite: given a file manifest (partition, file, bytes),
+    * assign files to target-sized rewrite bins and report each bin's
+    * fill. `compact`'s fixed filesPerPartition is the blunt tool; this
+    * is the size-aware plan a table service computes nightly ("this
+    * partition's 412 4-MB files become 13 128-MB files; that one is
+    * already one 130-MB file — skip it"). The small-files problem IS
+    * the 100 TB problem: every downstream scan pays per-file open cost.
+    *
+    * Deterministic streaming split, not best-fit bin packing: files
+    * order by name within a partition (listing order — rewrites stay
+    * sequential byte ranges) and a file starts bin
+    * ⌊bytes_before / target⌋. One window pass per partition (running
+    * sum, O(1) state) + one hash aggregate; all arithmetic exact
+    * integers. A bin can overshoot by at most one file; a single file
+    * larger than the target gets its own flagged bin row via the same
+    * formula. Emits every bin with n_files/bytes plus `undersized`
+    * (the tail bin) — callers skip partitions whose ONLY bin is a
+    * single already-right-sized file. */
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+                     sizeCol: org.apache.spark.sql.Column,
+                     targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = Window.partitionBy("part").orderBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .select(col(partCol).as("part"), col(fileCol).as("file"),
+        sizeCol.cast("long").as("bytes"))
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div ${targetBytes}"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes_total"),
+        min("file").as("first_file"), max("file").as("last_file"))
+      .select(col("part"), col("bin").cast("long").as("bin"),
+        col("n_files").cast("long").as("n_files"),
+        col("bytes_total").cast("long").as("bytes_total"),
+        col("first_file"), col("last_file"),
+        (col("bytes_total") < targetBytes).as("undersized"))
+      .orderBy("part", "bin")
+  }
 }

@@ -10,6 +10,49 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("hodgesLehmannShift: exact median of the pairwise-difference multiset") {
+    val a = Seq(10L, 20L).toDF("cents")
+    val b = Seq(1L, 2L).toDF("cents")
+    val r = graft.operators.Analytics.hodgesLehmannShift(a, b, "cents").collect()(0)
+    // diffs {9,8,19,18} sorted (8,9,18,19) → median (9+18)/2 = 13.5
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 13.5, r.toString)
+    // one-sided constant shift recovers exactly
+    val c = Seq(11L, 21L).toDF("cents")
+    val s = graft.operators.Analytics.hodgesLehmannShift(c, a, "cents").collect()(0)
+    assert(s.getDouble(1) == 1.0, s.toString)
+  }
+
+  test("maxDrawdown: hand curve peak/trough/recovery, monotone series has zero drawdown") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val df = Seq(
+      ("G", d("2024-01-01"), 10L), ("G", d("2024-01-02"), -4L),
+      ("G", d("2024-01-03"), 2L), ("G", d("2024-01-04"), -8L),
+      ("G", d("2024-01-05"), 15L),
+      ("M", d("2024-01-01"), 5L), ("M", d("2024-01-02"), 5L)
+    ).toDF("g", "day", "v")
+    val out = graft.operators.Analytics.maxDrawdown(df, "g", col("day"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3),
+          r.getDouble(4), r.getInt(5))).toMap
+    // cum 10,6,8,0,15; peak 10,10,10,10,15; dd 0,4,2,10,0 → max 10 at day 4,
+    // peak then 10, later cum 15 ≥ 10 → recovered
+    assert(out("G") == ((5L, 10.0, "2024-01-04", 10.0, 1)), out.toString)
+    // monotone: dd always 0, trough = first day, trivially recovered
+    assert(out("M") == ((2L, 0.0, "2024-01-01", 5.0, 1)), out.toString)
+  }
+
+  test("maxDrawdown: unrecovered trough and earliest-tie trough date") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val df = Seq(
+      ("U", d("2024-01-01"), 10L), ("U", d("2024-01-02"), -6L),
+      ("U", d("2024-01-03"), 0L), // dd 6 repeats: trough must be Jan 2
+      ("U", d("2024-01-04"), 2L)  // cum 6 < peak 10 → never recovered
+    ).toDF("g", "day", "v")
+    val r = graft.operators.Analytics.maxDrawdown(df, "g", col("day"), col("v")).collect()(0)
+    assert(r.getDouble(2) == 6.0 && r.getString(3) == "2024-01-02"
+      && r.getInt(5) == 0, r.toString)
+  }
+
   test("percentiles: interpolated median on a known group") {
     val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
                  ("B", 5.0)).toDF("l_returnflag", "l_quantity")

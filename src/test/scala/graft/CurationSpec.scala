@@ -408,4 +408,53 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 == 0.346574, s"ln2/2 at 6 dp: ${out(1L)}")
     assert(out(2L)._2 == -0.346574, s"antisymmetric: ${out(2L)}")
   }
+
+  test("kneserNeyBigrams: hand corpus — discount, backoff split, and ordering exact") {
+    // bigram types: (a,b)×2, (c,b)×1, (a,d)×1 → B=3; c(a)=3 with 2
+    // successor types; N1+(·b)=2, N1+(·d)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "a d"))
+      .toDF("doc_id", "text")
+    val out = Curation.kneserNeyBigrams(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    def q(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // P(b|a) = (2−.75)/3 + (.75·2/3)·(2/3); P(b|c) = .25 + .75·(2/3); P(d|a) low
+    assert(out(("a", "b")) == ((2L, 3L,
+      q((2d - 0.75) / 3d + (0.75 * 2d / 3d) * (2d / 3d)), q(2d / 3d))), out.toString)
+    assert(out(("c", "b"))._3 == q((1d - 0.75) / 1d + (0.75 * 1d / 1d) * (2d / 3d)))
+    assert(out(("a", "d"))._3 == q((1d - 0.75) / 3d + (0.75 * 2d / 3d) * (1d / 3d)))
+    // frequent-but-fixed-context words get LOW continuation probability:
+    // that is the whole Kneser–Ney point (P_cont uses types, not counts)
+    assert(out(("a", "d"))._4 < out(("a", "b"))._4)
+  }
+
+  test("kneserNeyBigrams: topK truncates on (count desc, w1, w2) total order") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "a d"))
+      .toDF("doc_id", "text")
+    val top = Curation.kneserNeyBigrams(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top.toSeq == Seq(("a", "b"), ("a", "d")), top.mkString(","))
+  }
+
+  test("c4Rules: terminal/stub line shapes, placeholder and code tells, empty doc") {
+    val docs = Seq(
+      (1L, "This is fine.\nIt has sentences!\nIs it good?"),
+      (2L, "lorem ipsum dolor sit amet. yes indeed it works fine. more here.\nok"),
+      (3L, "function f() { return 1; }"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Rules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 3L && d1.getLong(2) == 3L &&
+      d1.getDouble(3) == 1.0 && d1.getDouble(4) == 0.0 && d1.getBoolean(8), d1.toString)
+    val d2 = out(2L)
+    assert(d2.getBoolean(5) && !d2.getBoolean(8), "lorem ipsum fails")
+    assert(d2.getDouble(3) == 0.5 && d2.getDouble(4) == 0.5, d2.toString) // 'ok' line
+    val d3 = out(3L)
+    assert(d3.getBoolean(6) && !d3.getBoolean(8), "code brace fails")
+    val d4 = out(4L)
+    assert(d4.getLong(1) == 0L && d4.isNullAt(3) && !d4.getBoolean(8),
+      s"empty doc: no lines, null fracs, fails: $d4")
+  }
 }

@@ -1345,4 +1345,64 @@ class EvaluationSpec extends SparkSpec {
     val w = Evaluation.waldIvEstimate(weak, col("z"), col("x"), col("y")).collect()(0)
     assert(w.isNullAt(4), "zero first stage cannot identify the effect")
   }
+
+  test("holmBonferroni: step-down adjusted p (running max of (m−i+1)p), exact rejection front") {
+    val pv = Seq(("A", 0.010), ("B", 0.011), ("C", 0.020), ("D", 0.500))
+      .toDF("key", "p")
+    val out = Evaluation.holmBonferroni(pv, "key", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // raw: .04, .033, .04, .5 → cummax: .04, .04, .04, .5
+    assert(out("A") == ((1L, 0.04, 1)), out.toString)
+    assert(out("B") == ((2L, 0.04, 1)), "monotonized UP past the raw .033")
+    assert(out("C") == ((3L, 0.04, 1)), out.toString)
+    // D: p=.5 > α/1 → first failure at rank 4, ranks 1-3 reject, 4 doesn't
+    assert(out("D") == ((4L, 0.5, 0)), out.toString)
+  }
+
+  test("holmBonferroni: last-rank multiplier is 1 (Bonferroni dominance), clamp, all-pass") {
+    // Holm beats Bonferroni exactly here: rank 2 of 2 multiplies by
+    // (m−i+1)=1, so p=0.9 stays 0.9 where Bonferroni would say 1.8→1
+    val pv = Seq(("A", 0.001), ("B", 0.9)).toDF("key", "p")
+    val out = Evaluation.holmBonferroni(pv, "key", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getInt(4))).toMap
+    assert(out("A") == ((0.002, 1)) && out("B") == ((0.9, 0)), out.toString)
+    // clamp: three near-1 p-values → (m−1+1)·0.9 = 2.7 clamps to 1
+    val cl = Seq(("A", 0.9), ("B", 0.91), ("C", 0.92)).toDF("key", "p")
+    val co = Evaluation.holmBonferroni(cl, "key", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(co.values.forall(_ == 1.0), s"all clamp at 1: $co")
+    val all = Seq(("A", 0.001), ("B", 0.002)).toDF("key", "p")
+    val ao = Evaluation.holmBonferroni(all, "key", "p", alpha = 0.05)
+      .collect().map(_.getInt(4))
+    assert(ao.forall(_ == 1), "no failure rank → every hypothesis rejected")
+  }
+
+  test("rankBiasedOverlap: identical lists hit 1−p^D, disjoint lists 0, swap discounts top-heavily") {
+    val a = Seq(("x", 3.0), ("y", 2.0), ("z", 1.0)).toDF("item", "score")
+    val idem = Evaluation.rankBiasedOverlap(a, a, "item", "score",
+      BigDecimal("0.5"), depth = 3).collect()(0)
+    // A_d = 1 at every depth → Σ(1−p)p^(d−1) = 1 − p³ = 0.875
+    assert(idem.getInt(0) == 3 && idem.getLong(1) == 3L && idem.getDouble(2) == 0.875
+      && idem.getDouble(3) == 0.125, idem.toString)
+    val b = Seq(("u", 3.0), ("v", 2.0), ("w", 1.0)).toDF("item", "score")
+    val disj = Evaluation.rankBiasedOverlap(a, b, "item", "score",
+      BigDecimal("0.5"), depth = 3).collect()(0)
+    assert(disj.getLong(1) == 0L && disj.getDouble(2) == 0.0, disj.toString)
+    // [x,y] vs [y,x] at D=2: overlap only completes at depth 2 → rbo = w₂·1 = 0.25
+    val p = Seq(("x", 2.0), ("y", 1.0)).toDF("item", "score")
+    val q = Seq(("y", 2.0), ("x", 1.0)).toDF("item", "score")
+    val swap = Evaluation.rankBiasedOverlap(p, q, "item", "score",
+      BigDecimal("0.5"), depth = 2).collect()(0)
+    assert(swap.getLong(1) == 2L && swap.getDouble(2) == 0.25, swap.toString)
+  }
+
+  test("rankBiasedOverlap: items outside the top-D prefix never enter the overlap") {
+    // shared item 'z' sits at rank 3 on side a but D=2 truncates it out
+    val a = Seq(("x", 3.0), ("y", 2.0), ("z", 1.0)).toDF("item", "score")
+    val b = Seq(("z", 3.0), ("q", 2.0)).toDF("item", "score")
+    val r = Evaluation.rankBiasedOverlap(a, b, "item", "score",
+      BigDecimal("0.5"), depth = 2).collect()(0)
+    assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0, r.toString)
+  }
 }

@@ -299,4 +299,23 @@ class GraphSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2.0)))
     assert(out(1L) == ((1L, 0.5)) && out(3L) == ((1L, 0.5)))
   }
+
+  test("degreeAssortativity: star is perfectly disassortative (-1), regular graph is NULL") {
+    // star 1-{2,3,4}: every edge joins deg 3 to deg 1 → r = −1 exactly;
+    // end-degree mean Σdeg²/Σdeg = 12/6 = 2 (> node-average 1.5: the
+    // friendship paradox shows up in the hand numbers)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(star, "a", "b").collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0 && r.getDouble(2) == -1.0, r.toString)
+    // triangle: all degrees 2 → zero variance → undefined, NULL not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val t = Graph.degreeAssortativity(tri, "a", "b").collect()(0)
+    assert(t.getLong(0) == 3L && t.isNullAt(2), t.toString)
+  }
+
+  test("degreeAssortativity: self-loops dropped, parallel/reversed duplicates collapse") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(messy, "a", "b").collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(2) == -1.0, r.toString) // same star
+  }
 }

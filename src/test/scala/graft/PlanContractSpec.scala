@@ -152,7 +152,22 @@ class PlanContractSpec extends SparkSpec {
           // mahalanobis: the 1-row moments frame over the unit table
           "q347_mahalanobis",
           // percentile_ci: the 1-row count frame over the ranked values
-          "q354_percentile_ci")
+          "q354_percentile_ci",
+          // hl_shift: the pairwise-difference lattice is the ESTIMATOR
+          // (two bounded pre-aggregated daily series per the operator's
+          // scale contract — broadcast cross, never row-sized), plus the
+          // 1-row count frame of the percentile_ci shape
+          "q361_hl_shift",
+          // rbo: the mr ≤ d range join against the DEPTH-row (≤40)
+          // broadcast literal weight table — fan-out bounded by the
+          // declared depth, inputs already truncated to top-D
+          "q363_rbo",
+          // kneser_ney: the 1-row distinct-bigram-total frame broadcast
+          // over the type table (house 1-row-broadcast shape)
+          "q365_kneser_ney",
+          // holm: q256's shared p-value producer crosses the 1-row
+          // (n_total, m) totals frame over the 25-nation count table
+          "q364_holm")
         if (allowed(name)) None else Some(name)
       } else None
     }

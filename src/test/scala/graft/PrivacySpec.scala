@@ -120,4 +120,31 @@ class PrivacySpec extends SparkSpec {
     val d = t2.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(d("D") == 0.0, d.toString)
   }
+
+  test("recursiveLDiversity: dominated class flagged, balanced passes, m<l fails by definition") {
+    // X: counts (a=5,b=1,c=1) — distinct-l=3 PASSES l=3 but r1=5 ≥ 2·(tail r3=1) → (c,l) violation
+    // Y: counts (2,2,2) balanced — r1=2 < 2·(tail=2) → passes
+    // Z: only 2 distinct values — tail from rank 3 is empty (0), r1 ≥ 0 → violation
+    val rows =
+      Seq.fill(5)(("X", "a")) ++ Seq(("X", "b"), ("X", "c")) ++
+      Seq(("Y", "a"), ("Y", "a"), ("Y", "b"), ("Y", "b"), ("Y", "c"), ("Y", "c")) ++
+      Seq(("Z", "a"), ("Z", "a"), ("Z", "a"), ("Z", "b"), ("Z", "b"), ("Z", "b"))
+    val df = rows.toDF("q", "s")
+    val out = Privacy.recursiveLDiversity(df, Seq("q"), "s", l = 3, c = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out("X") == ((7L, 3L, 5L, 1L, 1)), out.toString)
+    assert(out("Y") == ((6L, 3L, 2L, 2L, 0)), out.toString)
+    assert(out("Z") == ((6L, 2L, 3L, 0L, 1)), out.toString)
+  }
+
+  test("recursiveLDiversity: strictness grows as c shrinks; frequency ties rank by value") {
+    // counts (3,3): r1 is the tie ranked first (value asc) = 3; tail(l=2) = 3
+    // c=2 → 3 < 6 passes; c=0.5 → 3 ≥ 1.5 violates
+    val df = (Seq.fill(3)(("G", "b")) ++ Seq.fill(3)(("G", "a"))).toDF("q", "s")
+    val loose = Privacy.recursiveLDiversity(df, Seq("q"), "s", l = 2, c = 2.0).collect()(0)
+    val tight = Privacy.recursiveLDiversity(df, Seq("q"), "s", l = 2, c = 0.5).collect()(0)
+    assert(loose.getInt(5) == 0 && tight.getInt(5) == 1)
+    assert(loose.getLong(3) == 3L && loose.getLong(4) == 3L)
+  }
 }

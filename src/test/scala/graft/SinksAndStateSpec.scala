@@ -163,4 +163,24 @@ class SinksAndStateSpec extends SparkSpec {
     // and the write itself landed everything
     assert(spark.read.parquet(out).count() == 4L)
   }
+
+  test("compactionPlan: streaming split bins by bytes-before, overshoot and lone-big-file cases") {
+    import spark.implicits._
+    val manifest = Seq(
+      ("P", "f1", 900L), ("P", "f2", 900L), ("P", "f3", 900L), ("P", "f4", 500L),
+      ("Q", "g1", 2500L)
+    ).toDF("part", "file", "sz")
+    val out = graft.sources.Sinks
+      .compactionPlan(manifest, "part", "file", col("sz"), targetBytes = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), r.getBoolean(6))).toMap
+    // bytes-before: 0,900,1800,2700 → bins 0,0,1,2; bin 0 overshoots by
+    // at most one file (1800), later bins can run small — that's the
+    // deterministic one-pass split contract
+    assert(out(("P", 0L)) == ((2L, 1800L, "f1", "f2", false)), out.toString)
+    assert(out(("P", 1L)) == ((1L, 900L, "f3", "f3", true)), out.toString)
+    assert(out(("P", 2L)) == ((1L, 500L, "f4", "f4", true)), out.toString)
+    // a single over-target file is its own bin, not undersized
+    assert(out(("Q", 0L)) == ((1L, 2500L, "g1", "g1", false)), out.toString)
+  }
 }

@@ -320,4 +320,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._5 == 1, s"cjk+latin mixes: ${out(3L)}")
     assert(out(4L) == ((0L, 0L, 0L, 1, 0)), s"pure Greek is single-script: ${out(4L)}")
   }
+
+  test("vocabularyTurnover: adjacent-slice type churn and Jaccard exact") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a"),      // slice types {a,b,c}
+      ("s2", "b c d"),                   // {b,c,d}
+      ("s3", "x")                        // {x}
+    ).toDF("source", "text")
+    val out = TextAnalysis.vocabularyTurnover(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7))).toMap
+    // s1→s2: shared {b,c}, new {d}, churned {a}, J = 2/4
+    assert(out(("s1", "s2")) == ((3L, 3L, 2L, 1L, 1L, 0.5)), out.toString)
+    // s2→s3: disjoint
+    assert(out(("s2", "s3")) == ((3L, 1L, 0L, 1L, 3L, 0.0)), out.toString)
+    assert(out.size == 2, "exactly n_slices - 1 pairs")
+  }
 }
