@@ -577,6 +577,21 @@ object ScaleCheck {
         element_at(col("embedding"), 2).as("y"))
       Similarity.dbscanClusters(pts, "vec_id", col("x"), col("y"), eps = 0.04, minPts = 5)
     }
+    time("lof (density-const)") { d =>
+      // same replica-shift as dbscan: stacked copies would multiply
+      // spatial density (pairs ×replicas²), which no real 20× corpus does
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+      val pts = base.select(col("vec_id"),
+        (element_at(col("embedding"), 1) +
+          (col("vec_id") / lit(10000000L)).cast("long").cast("float") * lit(10f)).as("x"),
+        element_at(col("embedding"), 2).as("y"))
+      Similarity.localOutlierFactor(pts, "vec_id", col("x"), col("y"),
+        radius = 0.1, k = 5, topN = 20)
+    }
+    time("interarrival")(d => SparkEntry.queries("q370_interarrival")(spark, d))
+    time("curve_locality")(d => SparkEntry.queries("q371_curve_locality")(spark, d))
+    time("yuen")(d => SparkEntry.queries("q372_yuen")(spark, d))
+    time("qte")(d => SparkEntry.queries("q373_qte")(spark, d))
 
     spark.stop()
   }

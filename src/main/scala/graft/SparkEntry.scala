@@ -608,6 +608,45 @@ object SparkEntry {
       // token-type churn between adjacent sources: what a vocab rebuild
       // would actually see change snapshot-over-snapshot
       TextAnalysis.vocabularyTurnover(Tables.documents(s, d), "source", "text")),
+    "q369_lof" -> ((s, d) =>
+      // density-RELATIVE outliers in the embedding plane: a point 2×
+      // sparser than its own neighborhood scores ~2 even where a global
+      // z-score or DBSCAN's fixed eps sees nothing
+      Similarity.localOutlierFactor(Tables.embeddings(s, d), "vec_id",
+        element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+        radius = 0.1, k = 5, topN = 20)),
+    "q370_interarrival" -> ((s, d) =>
+      // is each event stream memoryless (median/mean→ln2, CV→1) or
+      // bursty — the M/M/1-assumption check for capacity planning
+      Analytics.interarrivalDiagnostics(Tables.events(s, d),
+        "event_type", "user_id", "ts", "event_id")),
+    "q371_curve_locality" -> ((s, d) =>
+      // layout decision, measured: avg |Δx|+|Δy| between consecutive
+      // cells under Hilbert vs Morton/z-order on a 32×32 key grid
+      Analytics.curveLocality(
+        Tables.customer(s, d).select(
+          pmod(conv(substring(md5(concat(lit("cx:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(32L)).as("x"),
+          pmod(conv(substring(md5(concat(lit("cy:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(32L)).as("y")),
+        col("x"), col("y"), bits = 5)),
+    "q372_yuen" -> ((s, d) => {
+      // robust daily-revenue comparison A vs R: 20%-trimmed means +
+      // winsorized variances — whale-immune where Welch's t is not
+      val daily = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag").as("f"), to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100d)).cast("long")).as("cents"))
+      Evaluation.yuenTrimmedTest(daily, col("f") === "A", col("cents"), trim = 0.2)
+    }),
+    "q373_qte" -> ((s, d) =>
+      // the decile ladder the A/B mean hides: even- vs odd-id users'
+      // event-value quantile differences at p=.1….9, exact interpolation
+      Analytics.quantileTreatmentEffect(Tables.events(s, d),
+        pmod(col("user_id"), lit(2)) === 0,
+        round(col("value") * lit(100d)))),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -7027,6 +7066,174 @@ object SparkEntry {
         |    AS DECIMAL(18,9)) AS DOUBLE) AS jaccard
         |FROM tot p JOIN tot n ON n.i = p.i + 1 LEFT JOIN sh s ON s.ip = p.i
         |ORDER BY prev_slice""".stripMargin,
+    "q369_lof" ->
+      // DBSCAN's eps-grid pair recipe; dist = sqrt chain (IEEE-portable);
+      // reach/lrd quantized DECIMAL(18,9) pre-sum; full neighborhoods only
+      """WITH pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |home AS (SELECT id AS id_b, x AS xb, y AS yb,
+        |    CAST(floor(x / 0.1) AS BIGINT) AS cx, CAST(floor(y / 0.1) AS BIGINT) AS cy FROM pts),
+        |probe AS (SELECT id AS id_a, x AS xa, y AS ya,
+        |    CAST(floor(x / 0.1) AS BIGINT) + dx AS cx, CAST(floor(y / 0.1) AS BIGINT) + dy AS cy
+        |  FROM pts, (VALUES (-1), (0), (1)) dxs(dx), (VALUES (-1), (0), (1)) dys(dy)),
+        |pr AS (SELECT id_a, id_b,
+        |    sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) AS dist
+        |  FROM probe JOIN home USING (cx, cy) WHERE id_a <> id_b),
+        |p2 AS (SELECT * FROM pr WHERE dist <= 0.1),
+        |knn AS (SELECT id_a, id_b, dist,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rk
+        |  FROM p2 QUALIFY rk <= 5),
+        |kd AS (SELECT id_a, MAX(dist) AS kdist FROM knn GROUP BY 1 HAVING COUNT(*) = 5),
+        |reach AS (SELECT k.id_a, CAST(greatest(kd.kdist, k.dist) AS DECIMAL(18,9)) AS reach
+        |          FROM knn k JOIN kd ON kd.id_a = k.id_b),
+        |lrd AS (SELECT id_a, CAST(5.0 / CAST(SUM(reach) AS DOUBLE) AS DECIMAL(18,9)) AS lrd
+        |        FROM reach GROUP BY 1 HAVING COUNT(*) = 5),
+        |num AS (SELECT k.id_a, SUM(l.lrd) AS slrd FROM knn k JOIN lrd l ON l.id_a = k.id_b
+        |        GROUP BY 1 HAVING COUNT(*) = 5)
+        |SELECT n.id_a AS vec_id,
+        |  CAST(CAST(kd.kdist AS DECIMAL(18,9)) AS DOUBLE) AS k_dist,
+        |  CAST(l.lrd AS DOUBLE) AS lrd,
+        |  CAST(CAST((CAST(n.slrd AS DOUBLE) / 5.0) / CAST(l.lrd AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS lof
+        |FROM num n JOIN lrd l USING (id_a) JOIN kd USING (id_a)
+        |ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin,
+    "q370_interarrival" ->
+      // per-(type,user) lag gaps in exact integer micros; scale-0 power
+      // sums; median via quantile_cont (.0/.5 on integers); ln2 literal
+      """WITH e AS (SELECT event_type AS et, user_id AS u, epoch_us(ts) AS ts_us,
+        |    event_id AS tb FROM events),
+        |g0 AS (SELECT et, ts_us - lag(ts_us) OVER (PARTITION BY et, u ORDER BY ts_us, tb) AS g FROM e),
+        |g AS (SELECT et, g FROM g0 WHERE g IS NOT NULL),
+        |a AS (SELECT et, COUNT(*) AS n,
+        |    CAST(SUM(CAST(g AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg,
+        |    CAST(SUM(CAST(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sgg,
+        |    quantile_cont(g, 0.5) AS med
+        |  FROM g GROUP BY 1)
+        |SELECT et AS event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(CAST(round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS mean_us,
+        |  CAST(CAST(med AS DECIMAL(18,4)) AS DOUBLE) AS median_us,
+        |  CAST(CAST(med / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) - 0.6931471805599453
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS memoryless_gap,
+        |  CASE WHEN n > 1 AND sg > 0 THEN
+        |    CAST(CAST(sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |      / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END AS cv
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q371_curve_locality" ->
+      // the same level-materialized Hilbert walk as chained CTEs
+      // (s = 16,8,4,2,1), Morton by bit sum; exact integer bit math
+      """WITH pts AS (SELECT
+        |    CAST('0x' || substring(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS x,
+        |    CAST('0x' || substring(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS y
+        |  FROM customer),
+        |cells AS (SELECT DISTINCT x, y FROM pts WHERE x >= 0 AND x < 32 AND y >= 0 AND y < 32),
+        |z AS (SELECT x, y,
+        |    ((x // 1) % 2) * 1 + ((y // 1) % 2) * 2 + ((x // 2) % 2) * 4 + ((y // 2) % 2) * 8
+        |    + ((x // 4) % 2) * 16 + ((y // 4) % 2) * 32 + ((x // 8) % 2) * 64 + ((y // 8) % 2) * 128
+        |    + ((x // 16) % 2) * 256 + ((y // 16) % 2) * 512 AS zi,
+        |    x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM cells),
+        |l4 AS (SELECT x, y, zi, hd + 256 * xor(3 * rx, ry) AS hd,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hy ELSE hy END) ELSE hx END AS hx,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hx ELSE hx END) ELSE hy END AS hy
+        |  FROM (SELECT *, CASE WHEN (hx & 16) > 0 THEN 1 ELSE 0 END AS rx,
+        |          CASE WHEN (hy & 16) > 0 THEN 1 ELSE 0 END AS ry FROM z)),
+        |l3 AS (SELECT x, y, zi, hd + 64 * xor(3 * rx, ry) AS hd,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hy ELSE hy END) ELSE hx END AS hx,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hx ELSE hx END) ELSE hy END AS hy
+        |  FROM (SELECT *, CASE WHEN (hx & 8) > 0 THEN 1 ELSE 0 END AS rx,
+        |          CASE WHEN (hy & 8) > 0 THEN 1 ELSE 0 END AS ry FROM l4)),
+        |l2 AS (SELECT x, y, zi, hd + 16 * xor(3 * rx, ry) AS hd,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hy ELSE hy END) ELSE hx END AS hx,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hx ELSE hx END) ELSE hy END AS hy
+        |  FROM (SELECT *, CASE WHEN (hx & 4) > 0 THEN 1 ELSE 0 END AS rx,
+        |          CASE WHEN (hy & 4) > 0 THEN 1 ELSE 0 END AS ry FROM l3)),
+        |l1 AS (SELECT x, y, zi, hd + 4 * xor(3 * rx, ry) AS hd,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hy ELSE hy END) ELSE hx END AS hx,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - hx ELSE hx END) ELSE hy END AS hy
+        |  FROM (SELECT *, CASE WHEN (hx & 2) > 0 THEN 1 ELSE 0 END AS rx,
+        |          CASE WHEN (hy & 2) > 0 THEN 1 ELSE 0 END AS ry FROM l2)),
+        |l0 AS (SELECT x, y, zi, hd + 1 * xor(3 * rx, ry) AS hd
+        |  FROM (SELECT *, CASE WHEN (hx & 1) > 0 THEN 1 ELSE 0 END AS rx,
+        |          CASE WHEN (hy & 1) > 0 THEN 1 ELSE 0 END AS ry FROM l1)),
+        |j AS (SELECT 'hilbert' AS curve, x, y,
+        |        lag(x) OVER (ORDER BY hd) AS px, lag(y) OVER (ORDER BY hd) AS py FROM l0
+        |      UNION ALL
+        |      SELECT 'zorder', x, y,
+        |        lag(x) OVER (ORDER BY zi), lag(y) OVER (ORDER BY zi) FROM l0)
+        |SELECT curve, COUNT(*) + 1 AS n_cells,
+        |  CAST(SUM(abs(x - px) + abs(y - py)) AS BIGINT) AS total_jump,
+        |  CAST(MAX(abs(x - px) + abs(y - py)) AS BIGINT) AS max_jump,
+        |  CAST(CAST(CAST(SUM(abs(x - px) + abs(y - py)) AS DOUBLE)
+        |    / (CAST(COUNT(*) + 1 AS DOUBLE) - 1) AS DECIMAL(18,9)) AS DOUBLE) AS avg_jump
+        |FROM j WHERE px IS NOT NULL GROUP BY 1 ORDER BY curve""".stripMargin,
+    "q372_yuen" ->
+      // rank/winsorize in exact integers; swvar/d/t/df mirrored double
+      // chains; h = n − 2·floor(0.2n)
+      """WITH daily AS (SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS day,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+        |base AS (SELECT CASE WHEN f = 'A' THEN 1 ELSE 0 END AS t, cents AS v FROM daily),
+        |r AS (SELECT t, v, row_number() OVER (PARTITION BY t ORDER BY v) AS rk,
+        |        COUNT(*) OVER (PARTITION BY t) AS n FROM base),
+        |r2 AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS g FROM r),
+        |b AS (SELECT t AS tb, MIN(CASE WHEN rk > g THEN v END) AS lo,
+        |        MAX(CASE WHEN rk <= n - g THEN v END) AS hi FROM r2 GROUP BY 1),
+        |pg AS (SELECT t, MAX(n) AS n, MAX(g) AS g,
+        |    CAST(SUM(CASE WHEN rk > g AND rk <= n - g THEN CAST(v AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS tsum,
+        |    CAST(SUM(CAST(least(greatest(v, lo), hi) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS wsum,
+        |    CAST(SUM(CAST(CAST(least(greatest(v, lo), hi) AS DECIMAL(19,0))
+        |      * CAST(least(greatest(v, lo), hi) AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS wsq
+        |  FROM r2 JOIN b ON b.tb = r2.t GROUP BY 1),
+        |s AS (SELECT t, n, g, n - 2 * g AS h, tsum, wsum, wsq,
+        |    (CAST(wsq AS DOUBLE) - CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1) AS swvar FROM pg),
+        |sd AS (SELECT t, n, h,
+        |    CAST(tsum AS DOUBLE) / CAST(h AS DOUBLE) AS tm,
+        |    CASE WHEN h >= 2 THEN swvar * (CAST(n AS DOUBLE) - 1)
+        |      / (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1)) END AS d FROM s)
+        |SELECT st.n AS n_treated, sc.n AS n_control,
+        |  CAST(st.h AS BIGINT) AS h_treated, CAST(sc.h AS BIGINT) AS h_control,
+        |  CAST(CAST(round(st.tm * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS tmean_treated,
+        |  CAST(CAST(round(sc.tm * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS tmean_control,
+        |  CASE WHEN st.d IS NOT NULL AND sc.d IS NOT NULL THEN
+        |    CAST(CAST((st.tm - sc.tm) / sqrt(st.d + sc.d) AS DECIMAL(18,9)) AS DOUBLE) END AS t_stat,
+        |  CASE WHEN st.d IS NOT NULL AND sc.d IS NOT NULL THEN
+        |    CAST(CAST(((st.d + sc.d) * (st.d + sc.d))
+        |      / (st.d * st.d / (CAST(st.h AS DOUBLE) - 1) + sc.d * sc.d / (CAST(sc.h AS DOUBLE) - 1))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS df
+        |FROM (SELECT * FROM sd WHERE t = 1) st CROSS JOIN (SELECT * FROM sd WHERE t = 0) sc""".stripMargin,
+    "q373_qte" ->
+      // nine exact interpolated quantiles per arm in ONE conditional
+      // aggregate; cent units; 4 dp quantization before the difference
+      """WITH base AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT COUNT(CASE WHEN t = 1 THEN 1 END) AS n_treated,
+        |    COUNT(CASE WHEN t = 0 THEN 1 END) AS n_control,
+        |    [CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.1) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.2) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.3) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.4) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.5) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.6) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.7) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.8) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 1 THEN v END, 0.9) AS DECIMAL(18,4))] AS qt,
+        |    [CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.1) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.2) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.3) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.4) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.5) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.6) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.7) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.8) AS DECIMAL(18,4)),
+        |     CAST(quantile_cont(CASE WHEN t = 0 THEN v END, 0.9) AS DECIMAL(18,4))] AS qc
+        |  FROM base),
+        |p AS (SELECT CAST(p AS DOUBLE) AS p, i FROM (VALUES (0.1, 1), (0.2, 2), (0.3, 3),
+        |      (0.4, 4), (0.5, 5), (0.6, 6), (0.7, 7), (0.8, 8), (0.9, 9)) t(p, i))
+        |SELECT p, CAST(n_treated AS BIGINT) AS n_treated, CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(qt[i] AS DOUBLE) AS q_treated, CAST(qc[i] AS DOUBLE) AS q_control,
+        |  CAST(qt[i] - qc[i] AS DOUBLE) AS qte
+        |FROM a CROSS JOIN p ORDER BY p""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

@@ -3440,6 +3440,169 @@ object Analytics {
       .select(col("n_pairs").cast("long").as("n_pairs"), col("hl_shift"))
   }
 
+  /** Inter-arrival exponentiality diagnostics per event type — "is this
+    * arrival process memoryless (Poisson)": if gaps are exponential the
+    * median/mean ratio is ln 2 ≈ 0.693 and the coefficient of variation
+    * is 1; ratio ≪ ln 2 or CV ≫ 1 means BURSTY traffic (retry storms,
+    * batch jobs behind a 'user' stream) — the capacity-planning readout
+    * that decides whether P99 queueing math may assume M/M/1. No exp()
+    * anywhere: the test works through the ratio against the ln 2
+    * LITERAL, so nothing libm-unportable crosses engines.
+    *
+    * Gaps are computed WITHIN each (type, user) stream — one lag window
+    * per user-stream partition (scales like sessionize; a global
+    * per-type lag would funnel the type into one partition), then one
+    * hash aggregate per type. Gaps in exact integer micros; mean/CV
+    * from scale-0 decimal power sums (squares ≤ 10²⁷ ≪ 10³⁸); median
+    * interpolates .0/.5 on integers; each readout is one mirrored
+    * double chain quantized 9 dp. */
+  def interarrivalDiagnostics(events: DataFrame, typeCol: String,
+                              userCol: String, tsCol: String,
+                              idCol: String): DataFrame = {
+    // idCol tie-breaks equal timestamps — a REAL column, engine-stable
+    // (monotonically_increasing_id would order differently per run)
+    val w = Window.partitionBy("et", "u").orderBy(col("ts_us"), col("__tb"))
+    val gaps = events
+      .select(col(typeCol).as("et"), col(userCol).as("u"),
+        (unix_micros(col(tsCol))).as("ts_us"), col(idCol).as("__tb"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("et"), (col("ts_us") - col("prev")).as("g"))
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    gaps.groupBy("et")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(d0(col("g"))).cast("decimal(38,0)").as("sg"),
+        sum((d0(col("g")) * d0(col("g"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sgg"),
+        percentile(col("g"), lit(0.5)).as("med"))
+      .select(col("et").as(typeCol),
+        col("n_gaps").cast("long").as("n_gaps"),
+        // NOT a decimal(18,4) cast: micros means are ~1e11, and 4 dp at
+        // that magnitude is 16 significant digits — past the double→
+        // decimal exactness boundary (the twap rule). round(x·1e4)/1e4
+        // in integer fixed-point is the correctly-rounded rational in
+        // both engines. The median stays a decimal cast: its value is
+        // an exact X.0/X.5 (short mantissa), which casts exactly.
+        (round(col("sg").cast("double") / col("n_gaps").cast("double") * lit(1e4d))
+          .cast("long").cast("double") / lit(1e4d)).as("mean_us"),
+        col("med").cast("decimal(18,4)").cast("double").as("median_us"),
+        // median/mean − ln2: 0 under a memoryless exponential process
+        (col("med") / (col("sg").cast("double") / col("n_gaps").cast("double"))
+          - lit(0.6931471805599453d))
+          .cast("decimal(18,9)").cast("double").as("memoryless_gap"),
+        // CV = sample sd / mean: 1 under exponential, ≫1 bursty
+        when(col("n_gaps") > 1 && col("sg") > 0,
+          (sqrt((col("sgg").cast("double")
+              - col("sg").cast("double") * col("sg").cast("double")
+                / col("n_gaps").cast("double"))
+            / (col("n_gaps").cast("double") - 1d))
+            / (col("sg").cast("double") / col("n_gaps").cast("double")))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("cv"))
+      .orderBy(typeCol)
+  }
+
+  /** Space-filling-curve locality audit: index every occupied grid cell
+    * under BOTH the Hilbert curve (Hilbert 1891; the standard xy2d bit
+    * walk) and the [[zorderKey]] Morton interleave, then measure the
+    * average spatial jump |Δx|+|Δy| between CONSECUTIVE cells in each
+    * curve order — the number that decides a table's layout clustering:
+    * smaller jumps ⇒ adjacent files cover adjacent key ranges ⇒ range
+    * predicates prune contiguous file runs. Hilbert's jump is provably
+    * 1 on a full grid; Morton pays the bit-boundary teleports.
+    *
+    * The curve walk is LEVEL-MATERIALIZED: one projection per bit level
+    * carrying (x', y', d) — expression size stays linear (an inline
+    * fold quintuples the tree per level: 5⁸ nodes by bits=8), and the
+    * oracle mirrors the same levels as chained CTEs. All arithmetic is
+    * exact integer bit math. The jump windows are single-partition over
+    * the DISTINCT CELL table — bounded by 4^bits, a layout-metadata
+    * size, not data. */
+  def curveLocality(points: DataFrame, xCol: Column, yCol: Column,
+                    bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 12, "cell grid must stay metadata-sized")
+    val n = 1L << bits
+    val cells0 = points
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x") >= 0 && col("x") < n && col("y") >= 0 && col("y") < n)
+      .distinct()
+    // Morton/z: interleave bits (x even positions, y odd)
+    val z = (0 until bits).map { i =>
+      (shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    var df = cells0.withColumn("zi", z)
+      .withColumn("hx", col("x")).withColumn("hy", col("y"))
+      .withColumn("hd", lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      df = df
+        .withColumn("rx", when(col("hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("ry", when(col("hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("hd", col("hd") + lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+        .withColumn("nx",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(n - 1) - col("hy")).otherwise(col("hy")))
+            .otherwise(col("hx")))
+        .withColumn("ny",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(n - 1) - col("hx")).otherwise(col("hx")))
+            .otherwise(col("hy")))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+    }
+    val idx = df.select(col("x"), col("y"), col("zi"), col("hd")).localCheckpoint()
+    def jumps(ord: String, curve: String): DataFrame = {
+      val w = Window.orderBy(ord)
+      idx.withColumn("px", lag("x", 1).over(w)).withColumn("py", lag("y", 1).over(w))
+        .filter(col("px").isNotNull)
+        .agg((count(lit(1)) + 1).as("n_cells"),
+          sum(abs(col("x") - col("px")) + abs(col("y") - col("py"))).as("total_jump"),
+          max(abs(col("x") - col("px")) + abs(col("y") - col("py"))).as("max_jump"))
+        .select(lit(curve).as("curve"), col("n_cells").cast("long").as("n_cells"),
+          col("total_jump").cast("long").as("total_jump"),
+          col("max_jump").cast("long").as("max_jump"),
+          (col("total_jump").cast("double") / (col("n_cells").cast("double") - 1d))
+            .cast("decimal(18,9)").cast("double").as("avg_jump"))
+    }
+    jumps("hd", "hilbert").unionAll(jumps("zi", "zorder")).orderBy("curve")
+  }
+
+  /** Quantile treatment effects (Koenker–Bassett framing, the decile
+    * ladder): at p = .1 … .9, the difference between the two groups'
+    * exact interpolated quantiles — the DISTRIBUTIONAL readout the
+    * [[Evaluation]] abTest mean hides ("the median user moved +2%, the
+    * p90 whale −15%"). One ordered-set aggregate per group (both in a
+    * single conditional-agg pass), quantiles over exact integer units;
+    * every interpolation is the funnel-timing percentile recipe
+    * (mirrored lo + g·(hi−lo)), quantized 4 dp before the subtraction
+    * so the effect column is a difference of exact decimals. */
+  def quantileTreatmentEffect(df: DataFrame, treatedCond: Column,
+                              unitCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(treatedCond.cast("int").as("t"),
+      unitCol.cast("long").as("v")).filter(col("v").isNotNull)
+      .localCheckpoint() // nine percentile probes ride one cached frame
+    val ps = (1 to 9).map(_ / 10.0)
+    val agg = base.agg(
+      count(when(col("t") === 1, lit(1))).as("n_treated"),
+      count(when(col("t") === 0, lit(1))).as("n_control"),
+      array(ps.map(p => percentile(when(col("t") === 1, col("v")), lit(p))
+        .cast("decimal(18,4)")): _*).as("qt"),
+      array(ps.map(p => percentile(when(col("t") === 0, col("v")), lit(p))
+        .cast("decimal(18,4)")): _*).as("qc"))
+    val pdf = ps.zipWithIndex.map { case (p, i) => (p, i + 1) }.toDF("p", "__i")
+    agg.crossJoin(broadcast(pdf))
+      .select(col("p"),
+        col("n_treated").cast("long").as("n_treated"),
+        col("n_control").cast("long").as("n_control"),
+        element_at(col("qt"), col("__i")).cast("double").as("q_treated"),
+        element_at(col("qc"), col("__i")).cast("double").as("q_control"),
+        (element_at(col("qt"), col("__i")) - element_at(col("qc"), col("__i")))
+          .cast("double").as("qte"))
+      .orderBy("p")
+  }
+
   /** Maximum drawdown per series — the risk lens on any cumulative
     * metric (equity curve, cumulative net revenue, SLO error budget):
     * the deepest peak-to-trough fall of the running total, plus when it

@@ -3350,4 +3350,80 @@ object Evaluation {
           .cast("decimal(18,9)").cast("double"), lit(0d)).as("rbo"),
         lit(tailP.toDouble).as("tail_bound"))
   }
+
+  /** Yuen's trimmed-mean two-sample test (Yuen 1974) — the robust rung
+    * between [[abTest]]'s whale-wreckable Welch t and Mann–Whitney's
+    * location-free ranks: compare 20%-TRIMMED means with WINSORIZED
+    * variances, so a single outlier moves nothing, yet the statistic
+    * still answers "how different are the typical levels" in the
+    * metric's own units. t = (tm₁−tm₂)/√(d₁+d₂) with
+    * dᵢ = s²_{w,i}(nᵢ−1)/(hᵢ(hᵢ−1)), hᵢ = nᵢ − 2⌊γnᵢ⌋, and
+    * Welch–Satterthwaite df over the same dᵢ.
+    *
+    * SCALE CONTRACT (the [[Analytics.hodgesLehmannShift]] /
+    * mannKendall one): inputs are pre-aggregated bounded series, so the
+    * two per-group rank windows are dim-sized. Exactness: integer-unit
+    * values; trimmed/winsorized sums are exact scale-0 decimals (the
+    * winsorized replacement values are themselves order statistics =
+    * integers); every readout is one mirrored double chain, 9 dp.
+    * A group with h < 2 → NULL t/df. Rank ties take (value, rank-stable
+    * id) order but identical values make identical contributions, so
+    * the sums are tie-order invariant. */
+  def yuenTrimmedTest(df: DataFrame, treatedCond: Column, unitCol: Column,
+                      trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, "trim fraction in (0, 0.5)")
+    val base = df.select(treatedCond.cast("int").as("t"),
+      unitCol.cast("long").as("v")).filter(col("v").isNotNull)
+    val wr = Window.partitionBy("t").orderBy("v")
+    val wn = Window.partitionBy("t")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val ranked = base
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("g", floor(col("n").cast("double") * lit(trim)).cast("long"))
+    // winsorized value: clamp below rank g+1's value, above rank n−g's
+    val bounds = ranked.groupBy("t")
+      .agg(min(when(col("rk") > col("g"), col("v"))).as("lo"),
+        max(when(col("rk") <= col("n") - col("g"), col("v"))).as("hi"))
+    val perGroup = ranked.join(bounds, "t")
+      .withColumn("wv", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy("t")
+      .agg(max("n").as("n"), max("g").as("g"),
+        sum(when(col("rk") > col("g") && col("rk") <= col("n") - col("g"),
+          d19(col("v")))).cast("decimal(38,0)").as("tsum"),
+        sum(d19(col("wv"))).cast("decimal(38,0)").as("wsum"),
+        sum((d19(col("wv")) * d19(col("wv"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("wsq"))
+      .withColumn("h", col("n") - lit(2L) * col("g"))
+    def side(t: Int, suffix: String): DataFrame = {
+      val nD = col("n").cast("double"); val hD = col("h").cast("double")
+      val swvar = (col("wsq").cast("double")
+        - col("wsum").cast("double") * col("wsum").cast("double") / nD) / (nD - 1d)
+      perGroup.filter(col("t") === t).select(
+        col("n").as(s"n$suffix"), col("h").as(s"h$suffix"),
+        (col("tsum").cast("double") / hD).as(s"tm$suffix"),
+        when(col("h") >= 2, swvar * (nD - 1d) / (hD * (hD - 1d)))
+          .otherwise(lit(null).cast("double")).as(s"d$suffix"))
+    }
+    side(1, "_t").crossJoin(broadcast(side(0, "_c")))
+      .select(
+        col("n_t").cast("long").as("n_treated"),
+        col("n_c").cast("long").as("n_control"),
+        col("h_t").cast("long").as("h_treated"),
+        col("h_c").cast("long").as("h_control"),
+        // money-magnitude means: round(x·1e4)/1e4 fixed-point, NOT a
+        // decimal(18,9) cast — 20× daily cents overflow 1e9 (ScaleCheck)
+        (round(col("tm_t") * lit(1e4d)).cast("long").cast("double") / lit(1e4d))
+          .as("tmean_treated"),
+        (round(col("tm_c") * lit(1e4d)).cast("long").cast("double") / lit(1e4d))
+          .as("tmean_control"),
+        when(col("d_t").isNotNull && col("d_c").isNotNull,
+          ((col("tm_t") - col("tm_c")) / sqrt(col("d_t") + col("d_c")))
+            .cast("decimal(18,9)").cast("double")).as("t_stat"),
+        when(col("d_t").isNotNull && col("d_c").isNotNull,
+          (((col("d_t") + col("d_c")) * (col("d_t") + col("d_c")))
+            / (col("d_t") * col("d_t") / (col("h_t").cast("double") - 1d)
+              + col("d_c") * col("d_c") / (col("h_c").cast("double") - 1d)))
+            .cast("decimal(18,9)").cast("double")).as("df"))
+  }
 }

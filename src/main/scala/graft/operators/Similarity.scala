@@ -1172,4 +1172,79 @@ object Similarity {
           .as("agree"))
       .orderBy("query_id")
   }
+
+  /** Local Outlier Factor (Breunig et al. 2000) — the DENSITY-RELATIVE
+    * outlier score [[dbscanClusters]]' binary noise flag can't give: a
+    * point 2× sparser than ITS OWN neighborhood scores ~2 even inside a
+    * dense region where a global z-score ([[Analytics]] anomalies) or a
+    * fixed eps (DBSCAN) sees nothing. LOF(p) = mean lrd(o∈kNN(p)) /
+    * lrd(p), lrd = k / Σ reach, reach(p,o) = max(kdist(o), d(p,o)).
+    *
+    * Same eps-grid 3×3 cell probe as DBSCAN for the candidate pairs
+    * (each pair found exactly once — the home side sits in one cell),
+    * then one rank window per point for the kNN and three kNN-edge-sized
+    * joins/aggregates (k·n rows, never n²). RADIUS CONTRACT: every
+    * point's k nearest must lie within `radius` — points with truncated
+    * neighborhoods (or whose neighbors have them) are dropped, so size
+    * radius to the data's sparse tail; the interesting outliers must
+    * stay INSIDE it to be scored.
+    *
+    * Exactness: distances are sqrt(dx²+dy²) mirrored double chains
+    * (sqrt is IEEE-correctly-rounded — portable); reach and lrd terms
+    * quantize DECIMAL(18,9) before every order-free sum; kNN rank
+    * tie-breaks (dist, id). Top-N by (lof desc, id) via TakeOrdered. */
+  def localOutlierFactor(points: DataFrame, idCol: String, xCol: Column,
+                         yCol: Column, radius: Double, k: Int,
+                         topN: Int = 20): DataFrame = {
+    require(k >= 1 && radius > 0 && topN >= 1, "need k, radius, topN positive")
+    val pts = points.select(col(idCol).as("id"),
+      xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+    val home = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") / lit(radius)).cast("long").as("cx"),
+      floor(col("y") / lit(radius)).cast("long").as("cy"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probe = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), explode(offsets).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (floor(col("xa") / lit(radius)).cast("long") + col("o.dx")).as("cx"),
+        (floor(col("ya") / lit(radius)).cast("long") + col("o.dy")).as("cy"))
+    val pairs = probe.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("dist",
+        sqrt((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))))
+      .filter(col("dist") <= lit(radius))
+      .select("id_a", "id_b", "dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("dist"), col("id_b"))
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .localCheckpoint() // three consumers: kdist, reach edges, lof numerator
+    val kd = knn.groupBy("id_a").agg(count(lit(1)).as("nk"), max("dist").as("kdist"))
+      .filter(col("nk") === k) // full neighborhoods only (radius contract)
+      .localCheckpoint()       // two consumers: reach join + final kdist column
+    val reach = knn
+      .join(kd.select(col("id_a").as("id_b"), col("kdist").as("kd_o")), "id_b")
+      .select(col("id_a"),
+        greatest(col("kd_o"), col("dist")).cast("decimal(18,9)").as("reach"))
+    val lrd = reach.groupBy("id_a")
+      .agg(count(lit(1)).as("nr"), sum("reach").as("sr"))
+      .filter(col("nr") === k) // every neighbor's own neighborhood was full too
+      .select(col("id_a"),
+        (lit(k.toDouble) / col("sr").cast("double")).cast("decimal(18,9)").as("lrd"))
+      .localCheckpoint() // two consumers: neighbor lrds + own lrd
+    val lof = knn
+      .join(lrd.select(col("id_a").as("id_b"), col("lrd").as("lrd_o")), "id_b")
+      .groupBy("id_a").agg(count(lit(1)).as("nl"), sum("lrd_o").as("slrd"))
+      .filter(col("nl") === k)
+      .join(lrd, "id_a")
+      .join(kd.select(col("id_a"), col("kdist")), "id_a")
+      .select(col("id_a").as(idCol),
+        col("kdist").cast("decimal(18,9)").cast("double").as("k_dist"),
+        col("lrd").cast("double").as("lrd"),
+        ((col("slrd").cast("double") / lit(k.toDouble)) / col("lrd").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("lof"))
+    lof.orderBy(col("lof").desc, col(idCol)).limit(topN)
+  }
 }

@@ -41,6 +41,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("M") == ((2L, 0.0, "2024-01-01", 5.0, 1)), out.toString)
   }
 
+  test("interarrivalDiagnostics: per-user gaps, exponentiality readouts on a hand stream") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "click"),
+      (2L, ts("2024-01-01 00:00:01"), 7L, "click"),
+      (3L, ts("2024-01-01 00:00:02"), 7L, "click"),
+      (4L, ts("2024-01-01 00:00:04"), 7L, "click"),
+      (5L, ts("2024-01-01 09:00:00"), 8L, "click"), // single event: no gap
+      (6L, ts("2024-01-01 00:00:00"), 7L, "view")   // other type untouched
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Analytics
+      .interarrivalDiagnostics(df, "event_type", "user_id", "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))).toMap
+    // gaps (µs): 1e6, 1e6, 2e6 → mean 4e6/3, median 1e6, cv of (1,1,2)
+    val (n, mean) = (3L, 4e6 / 3)
+    assert(out("click")._1 == n)
+    assert(out("click")._2 == math.round(mean * 1e4).toDouble / 1e4)
+    assert(out("click")._3 == 1e6)
+    val sd = math.sqrt((6e12 - 16e12 / 3) / 2)
+    assert(math.abs(out("click")._4 - sd / mean) < 1e-6, s"cv: ${out("click")}")
+    assert(out.size == 1, "single-event streams (user 8, the view row) yield no gaps")
+  }
+
+  test("curveLocality: full 4x4 grid — Hilbert walks unit steps, Morton pays teleports") {
+    val cells = (for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong)).toDF("x", "y")
+    val out = graft.operators.Analytics.curveLocality(cells, col("x"), col("y"), bits = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("hilbert") == ((16L, 15L, 1L, 1.0)), s"unit steps: ${out("hilbert")}")
+    // Morton jumps: eight 1s, six 2s, one 4 (the z=7→8 quadrant teleport)
+    assert(out("zorder") == ((16L, 24L, 4L, 1.6)),
+      s"bit-boundary teleports: ${out("zorder")}")
+  }
+
+  test("quantileTreatmentEffect: constant shift recovered at every decile") {
+    val rows = (1 to 100).map(v => (1, v.toLong)) ++ (1 to 100).map(v => (0, v.toLong + 10))
+    val df = rows.toDF("t", "v")
+    val out = graft.operators.Analytics
+      .quantileTreatmentEffect(df, col("t") === 1, col("v"))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5)))
+    assert(out.length == 9)
+    assert(out.forall(_._2._1 == 100L) && out.forall(_._2._2 == 100L))
+    assert(out.forall(_._2._4 == -10.0), s"uniform shift at every decile: ${out.mkString(",")}")
+    val p50 = out.find(_._1 == 0.5).get._2._3
+    assert(p50 == 50.5, s"median of 1..100 interpolates to 50.5: $p50")
+  }
+
   test("maxDrawdown: unrecovered trough and earliest-tie trough date") {
     val d = (s: String) => java.sql.Date.valueOf(s)
     val df = Seq(

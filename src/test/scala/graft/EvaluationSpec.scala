@@ -1378,6 +1378,26 @@ class EvaluationSpec extends SparkSpec {
     assert(ao.forall(_ == 1), "no failure rank → every hypothesis rejected")
   }
 
+  test("yuenTrimmedTest: hand 1..10 vs 11..20 — trim/winsorize lattice and Welch df exact") {
+    // n=10, g=2, h=6 per side: trimmed ranks 3..8 → tm 5.5 / 15.5;
+    // winsorized values clamp to [3,8] / [13,18] → swvar 42.5/9 each
+    val rows = (1 to 10).map(v => (1, v.toLong)) ++ (11 to 20).map(v => (0, v.toLong))
+    val df = rows.toDF("t", "v")
+    val r = Evaluation.yuenTrimmedTest(df, col("t") === 1, col("v"), trim = 0.2).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(2) == 6L, r.toString)
+    assert(r.getDouble(4) == 5.5 && r.getDouble(5) == 15.5, r.toString)
+    val d = (42.5 / 9) * 9 / (6 * 5d)
+    assert(math.abs(r.getDouble(6) - (-10d / math.sqrt(2 * d))) < 1e-6, s"t: $r")
+    assert(math.abs(r.getDouble(7) - 10.0) < 1e-6, s"symmetric d's → df = 10: $r")
+  }
+
+  test("yuenTrimmedTest: degenerate side (h < 2) yields NULL statistic, not a crash") {
+    val rows = Seq((1, 5L)) ++ (1 to 10).map(v => (0, v.toLong))
+    val r = Evaluation.yuenTrimmedTest(rows.toDF("t", "v"), col("t") === 1, col("v"))
+      .collect()(0)
+    assert(r.isNullAt(6) && r.isNullAt(7), s"single-point side: $r")
+  }
+
   test("rankBiasedOverlap: identical lists hit 1−p^D, disjoint lists 0, swap discounts top-heavily") {
     val a = Seq(("x", 3.0), ("y", 2.0), ("z", 1.0)).toDF("item", "score")
     val idem = Evaluation.rankBiasedOverlap(a, a, "item", "score",

@@ -167,7 +167,11 @@ class PlanContractSpec extends SparkSpec {
           "q365_kneser_ney",
           // holm: q256's shared p-value producer crosses the 1-row
           // (n_total, m) totals frame over the 25-nation count table
-          "q364_holm")
+          "q364_holm",
+          // yuen: the 1-row treated side crossed onto the 1-row control
+          // side; qte: the 1-row quantile-array aggregate crossed onto
+          // the 9-row literal decile table — both bounded by contract
+          "q372_yuen", "q373_qte")
         if (allowed(name)) None else Some(name)
       } else None
     }

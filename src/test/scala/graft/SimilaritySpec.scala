@@ -510,4 +510,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) == ((2L, 1L, 0)), s"truncation flips A's top-1: ${out(0L)}")
     assert(out(3L) == ((2L, 2L, 1)), s"B agrees: ${out(3L)}")
   }
+
+  test("localOutlierFactor: density-relative scores — sparse satellite high, interior ~1, isolated dropped") {
+    import spark.implicits._
+    // line cluster A(0,0) B(.01,0) C(.02,0); D sits 2-5× sparser at .06;
+    // E is beyond the radius from everything → no kNN → dropped
+    val pts = Seq(
+      (1L, 0.00, 0.0), (2L, 0.01, 0.0), (3L, 0.02, 0.0),
+      (4L, 0.06, 0.0), (5L, 1.0, 1.0)
+    ).toDF("id", "x", "y")
+    val out = Similarity.localOutlierFactor(pts, "id", col("x"), col("y"),
+      radius = 0.1, k = 2, topN = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(out.size == 4 && !out.contains(5L), s"isolated point dropped: $out")
+    // hand lattice: lrd_B=50, lrd_A=lrd_C≈66.67, lrd_D≈22.22 →
+    // LOF_D = ((66.67+50)/2)/22.22 ≈ 2.625, interior ≈ 0.875-1.33
+    assert(math.abs(out(4L)._2 - 2.625) < 0.01, s"satellite flagged: ${out(4L)}")
+    assert(out(4L)._2 == out.values.map(_._2).max, "satellite is the top outlier")
+    assert(math.abs(out(1L)._2 - 0.875) < 0.01 && math.abs(out(2L)._2 - 4.0 / 3) < 0.01,
+      s"interior near 1: $out")
+    assert(math.abs(out(4L)._1 - 0.05) < 1e-9, s"k-dist of D is its 2nd neighbor: ${out(4L)}")
+  }
 }
