@@ -589,6 +589,14 @@ object ScaleCheck {
         radius = 0.1, k = 5, topN = 20)
     }
     time("interarrival")(d => SparkEntry.queries("q370_interarrival")(spark, d))
+    time("rmst")(d => SparkEntry.queries("q374_rmst")(spark, d))
+    time("spiegelhalter")(d => SparkEntry.queries("q375_spiegelhalter")(spark, d))
+    // generated ring graph (the adamic_adar pattern): the replicated
+    // co-occurrence graph inflates pair WEIGHTS superlinearly (dims 1×),
+    // which no real 20× corpus does — measured 8.2× on the fact graph
+    time("rich_club")(d => Graph.richClub(ringGraph(d), "a", "b", Seq(2, 4)))
+    time("xmr")(d => SparkEntry.queries("q377_xmr")(spark, d))
+    time("group_sequential")(d => SparkEntry.queries("q378_group_sequential")(spark, d))
     time("curve_locality")(d => SparkEntry.queries("q371_curve_locality")(spark, d))
     time("yuen")(d => SparkEntry.queries("q372_yuen")(spark, d))
     time("qte")(d => SparkEntry.queries("q373_qte")(spark, d))

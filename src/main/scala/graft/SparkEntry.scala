@@ -647,6 +647,44 @@ object SparkEntry {
       Analytics.quantileTreatmentEffect(Tables.events(s, d),
         pmod(col("user_id"), lit(2)) === 0,
         round(col("value") * lit(100d)))),
+    "q374_rmst" -> ((s, d) => {
+      // expected purchase-free days within the first 120 — the area
+      // under q157's KM curve, meaningful even when the median never
+      // arrives; same censored per-user durations
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(((max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("long")).as("span_sec"),
+          count(when(col("event_type") === "purchase", lit(1))).as("purchases"))
+        .select(expr("span_sec div 86400").as("t_days"),
+          (col("purchases") > 0).as("died"))
+      Evaluation.restrictedMeanSurvival(perUser, "t_days", col("died"), tau = 120L)
+    }),
+    "q375_spiegelhalter" -> ((s, d) =>
+      // is q213's synthetic score SYSTEMATICALLY mis-scaled, bin-free:
+      // same (p, y) pairing, Brier-luck significance instead of buckets
+      Evaluation.spiegelhalterZ(Tables.orders(s, d),
+        (col("o_orderkey") % 1000) / lit(1000.0),
+        col("o_orderstatus") === "F")),
+    "q376_rich_club" -> ((s, d) =>
+      // do the hub parts co-purchase with EACH OTHER: φ(k) over the
+      // repeat graph — the curve view of q360's single r
+      Graph.richClub(
+        partCooccurrenceEdges(s, d).groupBy("pa", "pb")
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2),
+        "pa", "pb", ks = Seq(4, 8, 16, 32))),
+    "q377_xmr" -> ((s, d) =>
+      // Shewhart natural process limits on daily event volumes: which
+      // streams ran beyond mean ± 2.66·mR̄, without distribution bets
+      Analytics.xmrChart(Tables.events(s, d), "event_type",
+        to_date(col("ts")))),
+    "q378_group_sequential" -> ((s, d) =>
+      // five pre-registered peeks at the even-vs-odd-user value metric
+      // under O'Brien–Fleming spending (Jennison–Turnbull K=5 table)
+      Evaluation.groupSequential(Tables.events(s, d),
+        pmod(col("user_id"), lit(2)) === 0,
+        round(col("value") * lit(100d)), "ts",
+        bounds = Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310))),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -7234,6 +7272,143 @@ object SparkEntry {
         |  CAST(qt[i] AS DOUBLE) AS q_treated, CAST(qc[i] AS DOUBLE) AS q_control,
         |  CAST(qt[i] - qc[i] AS DOUBLE) AS qte
         |FROM a CROSS JOIN p ORDER BY p""".stripMargin,
+    "q374_rmst" ->
+      // q157's KM lattice verbatim, then exact decimal rectangles
+      // S(t)·(min(t',τ)−min(t,τ)) plus the leading min(t₁,τ) strip
+      """WITH pu AS (SELECT user_id,
+        |        (CAST(floor(epoch(max(ts))) AS BIGINT) -
+        |         CAST(floor(epoch(min(ts))) AS BIGINT)) // 86400 AS t,
+        |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS died
+        |      FROM events GROUP BY user_id),
+        |pt AS (SELECT t, COUNT(CASE WHEN died THEN 1 END) AS d,
+        |              COUNT(CASE WHEN NOT died THEN 1 END) AS c
+        |       FROM pu GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS nn FROM pt),
+        |cum AS (SELECT t, d, c, SUM(d) OVER (ORDER BY t) AS cum_d,
+        |               SUM(c) OVER (ORDER BY t) AS cum_c FROM pt),
+        |risk AS (SELECT t, d, nn - (cum_d + cum_c - d - c) AS n_risk
+        |         FROM cum, tot WHERE d > 0),
+        |lnq AS (SELECT t, n_risk, d,
+        |          CASE WHEN d < n_risk THEN CAST(round(ln(CAST(1 AS DOUBLE) -
+        |            CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+        |          ELSE 0 END AS q
+        |        FROM risk),
+        |s AS (SELECT t, n_risk, d, SUM(q) OVER (ORDER BY t) AS cq FROM lnq),
+        |km AS (SELECT t, CASE WHEN d < n_risk
+        |         THEN CAST(CAST(exp(CAST(cq AS DOUBLE) / 1e9) AS DECIMAL(18,9)) AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS survival FROM s),
+        |st AS (SELECT t, survival, lead(t) OVER (ORDER BY t) AS lead_t FROM km),
+        |terms AS (SELECT t, CAST(CAST(survival AS DECIMAL(18,9)) *
+        |    CAST(least(coalesce(lead_t, 120), 120) - least(t, 120) AS DECIMAL(19,0))
+        |    AS DECIMAL(38,9)) AS term FROM st)
+        |SELECT CAST(120 AS BIGINT) AS tau, COUNT(*) AS n_event_times,
+        |  CAST(CAST(CAST(coalesce(least(MIN(t), 120), 120) AS DECIMAL(19,0))
+        |    + CAST(coalesce(SUM(term), CAST(0 AS DECIMAL(38,9))) AS DECIMAL(18,9))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS rmst
+        |FROM terms""".stripMargin,
+    "q375_spiegelhalter" ->
+      // q213's (p, y) pairing; each term a short mirrored double chain
+      // in integer nano units pre-sum; one division by one sqrt
+      """WITH f AS (SELECT CAST(o_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS p,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |  FROM orders),
+        |g AS (SELECT p, y FROM f WHERE p >= 0 AND p <= 1),
+        |a AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(round((y - p) * (1 - 2 * p) * 1e9) AS BIGINT)) AS sn,
+        |    SUM(CAST(round((1 - 2 * p) * (1 - 2 * p) * p * (1 - p) * 1e9) AS BIGINT)) AS sd,
+        |    SUM(CAST(round((y - p) * (y - p) * 1e9) AS BIGINT)) AS sb
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(round(CAST(sb AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS brier,
+        |  CASE WHEN sd > 0 THEN
+        |    CAST(CAST(round(CAST(sn AS DOUBLE) / 1e9 / sqrt(CAST(sd AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        |  END AS z
+        |FROM a""".stripMargin,
+    "q376_rich_club" ->
+      // q299's repeat-graph CTE; mindeg-annotated edges fanned by the
+      // 4-row threshold frame; exact counts, one division per k
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |ew AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e0 AS (SELECT a, b FROM ew WHERE wt >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS n, COUNT(*) AS deg FROM e GROUP BY 1),
+        |ann AS (SELECT least(d1.deg, d2.deg) AS mindeg
+        |        FROM e0 JOIN deg d1 ON e0.a = d1.n JOIN deg d2 ON e0.b = d2.n),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (4), (8), (16), (32)) t(k)),
+        |ek AS (SELECT k, COUNT(CASE WHEN mindeg > k THEN 1 END) AS e_k
+        |       FROM ann CROSS JOIN ks GROUP BY 1),
+        |nk AS (SELECT k, COUNT(CASE WHEN deg > k THEN 1 END) AS n_k
+        |       FROM deg CROSS JOIN ks GROUP BY 1)
+        |SELECT k, CAST(n_k AS BIGINT) AS n_nodes, CAST(e_k AS BIGINT) AS n_edges,
+        |  CASE WHEN n_k >= 2 THEN
+        |    CAST(CAST((2 * CAST(e_k AS DOUBLE)) / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1))
+        |      AS DECIMAL(18,9)) AS DOUBLE) END AS phi
+        |FROM nk JOIN ek USING (k) ORDER BY k""".stripMargin,
+    "q377_xmr" ->
+      // lag moving ranges per series; every level in round(x·1e4)/1e4
+      // fixed-point; exceedances by double compare against the limits
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |mr AS (SELECT g, abs(x - pv) AS mr FROM
+        |    (SELECT g, x, lag(x) OVER (PARTITION BY g ORDER BY d) AS pv FROM daily)
+        |  WHERE pv IS NOT NULL),
+        |lim0 AS (SELECT dd.g, dd.n_days,
+        |    CAST(CAST(round(CAST(dd.sx AS DOUBLE) / CAST(dd.n_days AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS center,
+        |    CAST(CAST(round(CAST(m.smr AS DOUBLE) / CAST(m.nmr AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS mr_bar
+        |  FROM (SELECT g, COUNT(*) AS n_days, SUM(x) AS sx FROM daily GROUP BY 1) dd
+        |  JOIN (SELECT g, COUNT(*) AS nmr, SUM(mr) AS smr FROM mr GROUP BY 1) m USING (g)),
+        |lim AS (SELECT *,
+        |    CAST(CAST(round((center + 2.66 * mr_bar) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS unpl,
+        |    CAST(CAST(round((center - 2.66 * mr_bar) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS lnpl
+        |  FROM lim0)
+        |SELECT g AS event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+        |  MAX(center) AS center, MAX(mr_bar) AS mr_bar, MAX(unpl) AS unpl, MAX(lnpl) AS lnpl,
+        |  COUNT(CASE WHEN CAST(x AS DOUBLE) > unpl OR CAST(x AS DOUBLE) < lnpl THEN 1 END) AS n_beyond
+        |FROM daily JOIN lim USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q378_group_sequential" ->
+      // exact integer look cuts off the 1-row span frame; densified K×2
+      // grid; cumulative scale-0 power sums; mirrored Welch chain; OBF
+      // boundary literals (Jennison–Turnbull K=5, two-sided α=.05)
+      """WITH base AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS ts_us
+        |  FROM events WHERE value IS NOT NULL),
+        |span AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM base),
+        |pl0 AS (SELECT least(5, 1 + ((ts_us - mn) * 5) // (mx - mn + 1)) AS look, t,
+        |    COUNT(*) AS n, CAST(SUM(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv,
+        |    CAST(SUM(CAST(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS svv
+        |  FROM base CROSS JOIN span GROUP BY 1, 2),
+        |grid AS (SELECT l.look, tt.t FROM (VALUES (1), (2), (3), (4), (5)) l(look),
+        |         (VALUES (0), (1)) tt(t)),
+        |pl AS (SELECT g.look, g.t, COALESCE(p.n, 0) AS n,
+        |    COALESCE(p.sv, CAST(0 AS DECIMAL(38,0))) AS sv,
+        |    COALESCE(p.svv, CAST(0 AS DECIMAL(38,0))) AS svv
+        |  FROM grid g LEFT JOIN pl0 p ON p.look = g.look AND p.t = g.t),
+        |cum AS (SELECT look, t, SUM(n) OVER w AS cn,
+        |    CAST(SUM(sv) OVER w AS DECIMAL(38,0)) AS csv,
+        |    CAST(SUM(svv) OVER w AS DECIMAL(38,0)) AS csvv FROM pl
+        |  WINDOW w AS (PARTITION BY t ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |bt AS (SELECT CAST(look AS BIGINT) AS look, CAST(bound AS DOUBLE) AS bound FROM (VALUES
+        |    (1, 4.8769), (2, 3.3569), (3, 2.6803), (4, 2.2898), (5, 2.0310)) b(look, bound)),
+        |j AS (SELECT tt.look, tt.cn AS n_t, tt.csv AS sv_t, tt.csvv AS svv_t,
+        |        cc.cn AS n_c, cc.csv AS sv_c, cc.csvv AS svv_c
+        |      FROM (SELECT * FROM cum WHERE t = 1) tt
+        |      FULL JOIN (SELECT * FROM cum WHERE t = 0) cc USING (look)),
+        |zt AS (SELECT look, n_t, n_c, bound,
+        |    CASE WHEN n_t > 1 AND n_c > 1 AND
+        |      sqrt(((CAST(svv_t AS DOUBLE) - CAST(sv_t AS DOUBLE) * CAST(sv_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1)) / CAST(n_t AS DOUBLE)
+        |         + ((CAST(svv_c AS DOUBLE) - CAST(sv_c AS DOUBLE) * CAST(sv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1)) / CAST(n_c AS DOUBLE)) > 0
+        |    THEN CAST(CAST(round(
+        |      (CAST(sv_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / sqrt(((CAST(svv_t AS DOUBLE) - CAST(sv_t AS DOUBLE) * CAST(sv_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1)) / CAST(n_t AS DOUBLE)
+        |           + ((CAST(svv_c AS DOUBLE) - CAST(sv_c AS DOUBLE) * CAST(sv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1)) / CAST(n_c AS DOUBLE))
+        |      * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS z
+        |  FROM j JOIN bt USING (look))
+        |SELECT CAST(look AS BIGINT) AS look, CAST(COALESCE(n_t, 0) AS BIGINT) AS n_treated,
+        |  CAST(COALESCE(n_c, 0) AS BIGINT) AS n_control, z, bound,
+        |  CASE WHEN z IS NOT NULL THEN (CASE WHEN abs(z) > bound THEN 1 ELSE 0 END)
+        |    ELSE 0 END AS crossed
+        |FROM zt ORDER BY look""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

@@ -3567,6 +3567,50 @@ object Analytics {
     jumps("hd", "hilbert").unionAll(jumps("zi", "zorder")).orderBy("curve")
   }
 
+  /** XmR individuals control chart (Shewhart 1931; Wheeler's
+    * "Understanding Variation" recipe): natural process limits
+    * mean ± 2.66·mean(moving range) per series, plus how many days run
+    * beyond them — the SPC lens that separates routine variation from
+    * signal without assuming any distribution, where [[Evaluation]]'s
+    * CUSUM detects sustained shifts and Grubbs single spikes. 2.66 is
+    * the d₂-derived constant for n=2 subgroups (3/1.128).
+    *
+    * One date-grain pre-aggregate, one lag window per series (O(1)
+    * state), one limits aggregate, then ONE series-keyed join back to
+    * count exceedances — day-grain tables throughout. Counts exact;
+    * center/mr_bar/limits in round(x·1e4)/1e4 fixed-point (counts at
+    * 100 TB reach 1e10/day — decimal casts of such doubles ulp-flip;
+    * ·1e4 keeps everything < 2^53). */
+  def xmrChart(df: DataFrame, groupCol: String, dateCol: Column): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), dateCol.as("d"))
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+      .localCheckpoint() // limits pass + exceedance pass
+    val wl = Window.partitionBy("g").orderBy("d")
+    val mr = daily.withColumn("pv", lag("x", 1).over(wl))
+      .filter(col("pv").isNotNull)
+      .select(col("g"), abs(col("x") - col("pv")).as("mr"))
+    val fx = (c: Column) =>
+      round(c * lit(1e4d)).cast("long").cast("double") / lit(1e4d)
+    val limits = daily.groupBy("g")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"))
+      .join(mr.groupBy("g").agg(count(lit(1)).as("nmr"), sum("mr").as("smr")), "g")
+      .select(col("g"), col("n_days"),
+        fx(col("sx").cast("double") / col("n_days").cast("double")).as("center"),
+        fx(col("smr").cast("double") / col("nmr").cast("double")).as("mr_bar"))
+      .withColumn("unpl", fx(col("center") + lit(2.66d) * col("mr_bar")))
+      .withColumn("lnpl", fx(col("center") - lit(2.66d) * col("mr_bar")))
+    daily.join(limits, "g")
+      .groupBy("g")
+      .agg(max("n_days").as("n_days"), max("center").as("center"),
+        max("mr_bar").as("mr_bar"), max("unpl").as("unpl"), max("lnpl").as("lnpl"),
+        count(when(col("x").cast("double") > col("unpl")
+          || col("x").cast("double") < col("lnpl"), lit(1))).as("n_beyond"))
+      .select(col("g").as(groupCol), col("n_days").cast("long").as("n_days"),
+        col("center"), col("mr_bar"), col("unpl"), col("lnpl"),
+        col("n_beyond").cast("long").as("n_beyond"))
+      .orderBy(groupCol)
+  }
+
   /** Quantile treatment effects (Koenker–Bassett framing, the decile
     * ladder): at p = .1 … .9, the difference between the two groups'
     * exact interpolated quantiles — the DISTRIBUTIONAL readout the

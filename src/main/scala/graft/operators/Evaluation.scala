@@ -3426,4 +3426,160 @@ object Evaluation {
               + col("d_c") * col("d_c") / (col("h_c").cast("double") - 1d)))
             .cast("decimal(18,9)").cast("double")).as("df"))
   }
+
+  /** Restricted mean survival time (Royston & Parmar 2013's preferred
+    * effect measure; Irwin 1949): the area under the [[kaplanMeier]]
+    * curve up to a horizon τ — "expected event-free time within the
+    * first τ days", the estimand that stays meaningful when hazards
+    * cross and the median is never reached (where logRank's single
+    * number misleads and the KM median is undefined).
+    *
+    * Rides the KM output directly: one lead window over the
+    * duration-grain event table (bounded like [[logRankTest]]'s), each
+    * rectangle S(tᵢ)·(min(tᵢ₊₁,τ) − min(tᵢ,τ)) an EXACT decimal product
+    * (the 9 dp survival is re-cast to decimal losslessly; widths are
+    * integer day counts), plus the leading min(t₁,τ)·1.0 strip. An
+    * empty event table means S ≡ 1 ⇒ RMST = τ. Inherits KM's 1-row
+    * total frame (plan-contract allowlisted). */
+  def restrictedMeanSurvival(df: DataFrame, durationCol: String,
+                             eventCol: Column, tau: Long): DataFrame = {
+    require(tau > 0, "horizon must be positive")
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val w = Window.orderBy("t")
+    val stepped = km
+      .withColumn("lead_t", lead("t", 1).over(w))
+      .withColumn("a", least(col("t"), lit(tau)))
+      .withColumn("b", least(coalesce(col("lead_t"), lit(tau)), lit(tau)))
+      .withColumn("term",
+        (col("survival").cast("decimal(18,9)") *
+          (col("b") - col("a")).cast("decimal(19,0)")).cast("decimal(38,9)"))
+    stepped
+      .agg(count(lit(1)).as("n_event_times"), min("t").as("t1"),
+        sum("term").as("area"))
+      .select(lit(tau).as("tau"),
+        col("n_event_times").cast("long").as("n_event_times"),
+        // area narrows (38,9)→(18,9) BEFORE the add: a (19,0)+(38,9)
+        // add needs precision 39 and Catalyst silently drops the scale
+        // to 8 (the documented decimal-cap gotcha); rmst ≤ τ so (18,9)
+        // holds the exact value
+        (coalesce(least(col("t1"), lit(tau)), lit(tau)).cast("decimal(19,0)")
+          + coalesce(col("area"), lit(0).cast("decimal(38,9)")).cast("decimal(18,9)"))
+          .cast("decimal(18,9)").cast("double").as("rmst"))
+  }
+
+  /** Spiegelhalter's calibration Z (Spiegelhalter 1986) — the
+    * SIGNIFICANCE companion of [[brierDecomposition]]'s diagnostic
+    * split: is the Brier score worse than a PERFECTLY CALIBRATED
+    * forecaster of the same sharpness would produce by luck?
+    * Z = Σ(y−p)(1−2p) / √(Σ(1−2p)²p(1−p)); |Z| > 2 says the scores are
+    * systematically mis-scaled (not merely imprecise), bin-free — no
+    * arbitrary bucket grid like the reliability curve needs.
+    *
+    * ONE scan-stage aggregate: each numerator/denominator term is a
+    * short mirrored double chain rounded to integer NANO units pre-sum
+    * (order-free exact long sums; round() is half-away in both
+    * engines, where a decimal cast of a full-mantissa double ulp-flips
+    * — measured here), then Z is one division by the one portable libm
+    * sqrt. Degenerate denominator (all p ∈ {0,1}) → NULL. Rows with p
+    * outside [0,1] are rejected by contract. */
+  def spiegelhalterZ(df: DataFrame, pCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(pCol.cast("double").as("p"),
+        yCol.cast("int").cast("double").as("y"))
+      .filter(col("p") >= 0d && col("p") <= 1d)
+    // integer nano-unit terms, NOT decimal casts of full-mantissa
+    // doubles (DuckDB's double→decimal cast ulp-flips; round() is
+    // half-away in both engines — measured on this very query)
+    val q9 = (c: Column) => round(c * lit(1e9d)).cast("long")
+    val numT = q9((col("y") - col("p")) * (lit(1d) - lit(2d) * col("p")))
+    val denT = q9((lit(1d) - lit(2d) * col("p")) * (lit(1d) - lit(2d) * col("p"))
+      * col("p") * (lit(1d) - col("p")))
+    val brierT = q9((col("y") - col("p")) * (col("y") - col("p")))
+    base.agg(count(lit(1)).as("n"), sum(numT).as("sn"), sum(denT).as("sd"),
+        sum(brierT).as("sb"))
+      .select(col("n").cast("long").as("n"),
+        (round(col("sb").cast("double") / lit(1e9d) / col("n").cast("double")
+          * lit(1e9d)).cast("long").cast("double") / lit(1e9d)).as("brier"),
+        when(col("sd") > 0,
+          round(col("sn").cast("double") / lit(1e9d)
+              / sqrt(col("sd").cast("double") / lit(1e9d))
+            * lit(1e9d)).cast("long").cast("double") / lit(1e9d))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Group-sequential A/B monitor with O'Brien–Fleming boundaries
+    * (Pocock 1977 framing; OBF 1979; Jennison & Turnbull 2000 table):
+    * K interim looks at evenly spaced time cuts, each testing the
+    * CUMULATIVE Welch z against a spending boundary that is strict
+    * early (|z|>4.88 at look 1) and near-nominal at the end (2.03 at
+    * look 5) — the pre-registered way to peek K times while holding
+    * family α, where naive repeated [[abTest]] peeking inflates it
+    * ~3×. `bounds` IS the spending schedule (literal, K entries).
+    *
+    * Look assignment is exact integer math off the 1-row (min,max)
+    * timestamp frame (allowlisted): look = min(K, 1+⌊(ts−mn)·K/(mx−mn+1)⌋).
+    * One per-(look, arm) partial aggregate (map-side combined), K·2
+    * rows, then a K-row running-sum window (metadata-sized) and one
+    * mirrored Welch chain per look, 9 dp. Degenerate looks (an arm
+    * missing or single-row) → NULL z, never a crash. */
+  def groupSequential(events: DataFrame, treatedCond: Column,
+                      unitCol: Column, tsCol: String,
+                      bounds: Seq[Double]): DataFrame = {
+    val kLooks = bounds.length
+    require(kLooks >= 2, "need at least two looks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select(treatedCond.cast("int").as("t"),
+      unitCol.cast("long").as("v"), unix_micros(col(tsCol)).as("ts_us"))
+      .filter(col("v").isNotNull)
+    val span = base.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val perLook0 = base.crossJoin(broadcast(span))
+      .withColumn("look",
+        least(lit(kLooks.toLong),
+          expr(s"1 + ((ts_us - mn) * $kLooks) div (mx - mn + 1)")))
+      .groupBy("look", "t")
+      .agg(count(lit(1)).as("n"), sum(d0(col("v"))).cast("decimal(38,0)").as("sv"),
+        sum((d0(col("v")) * d0(col("v"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("svv"))
+    // densify the K×2 grid: an empty (look, arm) bucket must still CARRY
+    // the cumulative state forward, not drop the look for that arm
+    val grid = (1 to kLooks).flatMap(l => Seq((l.toLong, 0), (l.toLong, 1)))
+      .toDF("look", "t")
+    val perLook = grid.join(perLook0, Seq("look", "t"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("sv", coalesce(col("sv"), lit(0).cast("decimal(38,0)")))
+      .withColumn("svv", coalesce(col("svv"), lit(0).cast("decimal(38,0)")))
+    val wCum = Window.partitionBy("t").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLook
+      .withColumn("cn", sum("n").over(wCum))
+      .withColumn("csv", sum("sv").over(wCum).cast("decimal(38,0)"))
+      .withColumn("csvv", sum("svv").over(wCum).cast("decimal(38,0)"))
+    def arm(t: Int, sfx: String): DataFrame =
+      cum.filter(col("t") === t).select(col("look"),
+        col("cn").as(s"n$sfx"), col("csv").as(s"sv$sfx"), col("csvv").as(s"svv$sfx"))
+    val bdf = bounds.zipWithIndex.map { case (b, i) => (i + 1L, b) }
+      .toDF("look", "bound")
+    def mv(n: Column, sv: Column, svv: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val m = sv.cast("double") / nD
+      val v = (svv.cast("double") - sv.cast("double") * sv.cast("double") / nD) /
+        (nD - 1d)
+      (m, v)
+    }
+    val joined = arm(1, "_t").join(arm(0, "_c"), Seq("look"), "full")
+      .join(broadcast(bdf), Seq("look"))
+    val (mt, vt) = mv(col("n_t"), col("sv_t"), col("svv_t"))
+    val (mc, vc) = mv(col("n_c"), col("sv_c"), col("svv_c"))
+    val se = sqrt(vt / col("n_t").cast("double") + vc / col("n_c").cast("double"))
+    val z = when(col("n_t") > 1 && col("n_c") > 1 && se > 0d,
+      round((mt - mc) / se * lit(1e9d)).cast("long").cast("double") / lit(1e9d))
+    joined.select(col("look").cast("long").as("look"),
+        coalesce(col("n_t"), lit(0L)).cast("long").as("n_treated"),
+        coalesce(col("n_c"), lit(0L)).cast("long").as("n_control"),
+        z.as("z"), col("bound"),
+        when(z.isNotNull, (abs(z) > col("bound")).cast("int"))
+          .otherwise(lit(0)).as("crossed"))
+      .orderBy("look")
+  }
 }

@@ -692,4 +692,49 @@ object Graph {
           .cast("decimal(18,9)").cast("double"))
         .otherwise(lit(null).cast("double")).as("assortativity"))
   }
+
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004; Colizza 2006
+    * framing): φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) — how densely the
+    * nodes with degree > k link to EACH OTHER, per threshold. φ rising
+    * with k means the hubs form a club (one hot shuffle partition knows
+    * about the others — co-partitioning the club pays); the per-k curve
+    * is the distribution view of [[degreeAssortativity]]'s single r.
+    *
+    * One degree aggregate + the same two endpoint joins (edge-sized),
+    * then ONE pass each over the annotated edge/node tables fanned by
+    * the |ks|-row literal threshold frame (broadcast; bounded fan-out).
+    * All counts exact integers, φ one double division, 9 dp. N ≤ 1 →
+    * NULL φ (no possible pairs). */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+               ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one degree threshold")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // degree source + annotated-edge source
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = e.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // node fan + two edge joins
+    val ann = und
+      .join(deg.select(col("n"), col("deg").as("da")), und("a") === col("n")).drop("n")
+      .join(deg.select(col("n"), col("deg").as("db")), und("b") === col("n")).drop("n")
+      .select(least(col("da"), col("db")).as("mindeg"))
+    val kdf = ks.sorted.map(_.toLong).toDF("k")
+    val ek = ann.crossJoin(broadcast(kdf)).groupBy("k")
+      .agg(count(when(col("mindeg") > col("k"), lit(1))).as("e_k"))
+    val nk = deg.crossJoin(broadcast(kdf)).groupBy("k")
+      .agg(count(when(col("deg") > col("k"), lit(1))).as("n_k"))
+    nk.join(ek, Seq("k"))
+      .select(col("k").cast("long").as("k"),
+        col("n_k").cast("long").as("n_nodes"),
+        col("e_k").cast("long").as("n_edges"),
+        when(col("n_k") >= 2,
+          ((lit(2d) * col("e_k").cast("double")) /
+            (col("n_k").cast("double") * (col("n_k").cast("double") - 1d)))
+            .cast("decimal(18,9)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("phi"))
+      .orderBy("k")
+  }
 }

@@ -75,6 +75,22 @@ class AnalyticsSpec extends SparkSpec {
       s"bit-boundary teleports: ${out("zorder")}")
   }
 
+  test("xmrChart: Shewhart limits from moving ranges; a spike beyond 2.66·mR̄ is counted") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    // series 'a': seven 5-count days then a 50-burst
+    val rows = (1 to 7).flatMap(i => Seq.fill(5)(("a", d(f"2024-01-0$i")))) ++
+      Seq.fill(50)(("a", d("2024-01-08")))
+    val out = graft.operators.Analytics.xmrChart(rows.toDF("g", "day"), "g", col("day"))
+      .collect()(0)
+    def fx(x: Double) = math.round(x * 1e4).toDouble / 1e4
+    val center = fx(85d / 8); val mrbar = fx(45d / 7)
+    assert(out.getLong(1) == 8L && out.getDouble(2) == center
+      && out.getDouble(3) == mrbar, out.toString)
+    assert(out.getDouble(4) == fx(center + 2.66 * mrbar)
+      && out.getDouble(5) == fx(center - 2.66 * mrbar), out.toString)
+    assert(out.getLong(6) == 1L, s"only the 50-burst runs beyond: $out")
+  }
+
   test("quantileTreatmentEffect: constant shift recovered at every decile") {
     val rows = (1 to 100).map(v => (1, v.toLong)) ++ (1 to 100).map(v => (0, v.toLong + 10))
     val df = rows.toDF("t", "v")

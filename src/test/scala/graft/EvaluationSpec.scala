@@ -1398,6 +1398,81 @@ class EvaluationSpec extends SparkSpec {
     assert(r.isNullAt(6) && r.isNullAt(7), s"single-point side: $r")
   }
 
+  test("restrictedMeanSurvival: rectangle lattice exact on a hand KM curve; horizon clamps") {
+    // deaths at t=2 (S→2/3) and t=5 (S→1/3), censored at t=10; τ=8:
+    // 2·1 + 3·0.666666667 + 3·0.333333333 = 5.000000000 exactly
+    val df = Seq((2L, true), (5L, true), (10L, false)).toDF("t_days", "died")
+    val r = Evaluation.restrictedMeanSurvival(df, "t_days", col("died"), tau = 8L)
+      .collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L && r.getDouble(2) == 5.0, r.toString)
+    // horizon before the first event: everyone survives it → RMST = τ
+    val early = Evaluation.restrictedMeanSurvival(df, "t_days", col("died"), tau = 1L)
+      .collect()(0)
+    assert(early.getDouble(2) == 1.0, early.toString)
+    // fully censored cohort: S ≡ 1 → RMST = τ
+    val cens = Seq((3L, false), (9L, false)).toDF("t_days", "died")
+    val c = Evaluation.restrictedMeanSurvival(cens, "t_days", col("died"), tau = 50L)
+      .collect()(0)
+    assert(c.getLong(1) == 0L && c.getDouble(2) == 50.0, c.toString)
+  }
+
+  test("spiegelhalterZ: calibrated scores land at 0, systematic under-forecast blows up, flat-p NULL") {
+    // p=.25 with exactly 1-in-4 hits: numerator terms cancel to 0
+    val cal = Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)).toDF("p", "y")
+    val c = Evaluation.spiegelhalterZ(cal, col("p"), col("y")).collect()(0)
+    assert(c.getLong(0) == 4L && c.getDouble(2) == 0.0, c.toString)
+    assert(c.getDouble(1) == 0.1875, s"brier (.5625+3·.0625)/4: $c")
+    // p=.1 but everything happens: z = 3.6/√0.288 via the same chain
+    val bad = Seq.fill(5)((0.1, 1)).toDF("p", "y")
+    val b = Evaluation.spiegelhalterZ(bad, col("p"), col("y")).collect()(0)
+    val expZ = math.round(3.6 / math.sqrt(0.288) * 1e9).toDouble / 1e9
+    assert(b.getDouble(2) == expZ, s"$b vs $expZ")
+    // p ∈ {0,1} everywhere: zero-variance forecaster → NULL z
+    val det = Seq((1.0, 1), (0.0, 0)).toDF("p", "y")
+    assert(Evaluation.spiegelhalterZ(det, col("p"), col("y")).collect()(0).isNullAt(2))
+  }
+
+  test("groupSequential: cumulative Welch z per look, densified grid, boundary crossing") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    // look 1 (early ts): treated 20,21,20 vs control 10,10,10;
+    // look 2 (late ts): +21 treated, +10 control
+    val rows = Seq(
+      (ts(0), 1, 20L), (ts(1), 1, 21L), (ts(2), 1, 20L),
+      (ts(0), 0, 10L), (ts(1), 0, 10L), (ts(2), 0, 10L),
+      (ts(80), 1, 21L), (ts(90), 0, 10L)
+    ).toDF("ts", "t", "v")
+    val out = Evaluation.groupSequential(rows, col("t") === 1, col("v"), "ts",
+      bounds = Seq(100.0, 1.0)).collect()
+    assert(out.length == 2)
+    val l1 = out(0); val l2 = out(1)
+    assert(l1.getLong(1) == 3L && l1.getLong(2) == 3L)
+    // control variance is 0 at both looks; z = (mt − 10)/√(vt/nt)
+    def z(vals: Seq[Long]): Double = {
+      val n = vals.length.toDouble; val sv = vals.sum.toDouble
+      val svv = vals.map(v => v.toDouble * v).sum
+      val m = sv / n; val vr = (svv - sv * sv / n) / (n - 1)
+      math.round((m - 10d) / math.sqrt(vr / n) * 1e9).toDouble / 1e9
+    }
+    assert(l1.getDouble(3) == z(Seq(20L, 21L, 20L)), s"look1: $l1")
+    assert(l1.getInt(5) == 0, "bound 100 not crossed")
+    assert(l2.getDouble(3) == z(Seq(20L, 21L, 20L, 21L)), s"look2: $l2")
+    assert(l2.getInt(5) == 1, "bound 1 crossed on the cumulative read")
+  }
+
+  test("groupSequential: degenerate looks (zero-variance or missing arm) yield NULL z, crossed 0") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val rows = Seq( // look 1: both arms constant → se = 0 → NULL
+      (ts(0), 1, 5L), (ts(1), 1, 5L), (ts(2), 0, 5L), (ts(3), 0, 5L),
+      (ts(80), 1, 7L), (ts(81), 1, 9L)) // look 2: control never arrives again
+      .toDF("ts", "t", "v")
+    val out = Evaluation.groupSequential(rows, col("t") === 1, col("v"), "ts",
+      bounds = Seq(2.0, 2.0)).collect()
+    assert(out(0).isNullAt(3) && out(0).getInt(5) == 0, s"zero variance: ${out(0)}")
+    // look 2 still reads: cumulative control carries forward through the
+    // densified grid even though no new control rows arrived
+    assert(!out(1).isNullAt(3) && out(1).getLong(2) == 2L, s"carry-forward: ${out(1)}")
+  }
+
   test("rankBiasedOverlap: identical lists hit 1−p^D, disjoint lists 0, swap discounts top-heavily") {
     val a = Seq(("x", 3.0), ("y", 2.0), ("z", 1.0)).toDF("item", "score")
     val idem = Evaluation.rankBiasedOverlap(a, a, "item", "score",

@@ -313,6 +313,26 @@ class GraphSpec extends SparkSpec {
     assert(t.getLong(0) == 3L && t.isNullAt(2), t.toString)
   }
 
+  test("richClub: K4 core scores phi=1 at every threshold below it, star degenerates to NULL") {
+    // K4 on 1-4 (core degs 3; nodes 1,2 get pendants → deg 4)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 2L)).toDF("a", "b")
+    val out = Graph.richClub(e, "a", "b", ks = Seq(1, 3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // k=1: the 4 core nodes, all 6 K4 edges → 12/(4·3) = 1
+    assert(out(1L) == ((4L, 6L, 1.0)), out.toString)
+    // k=3: only nodes 1,2 (deg 4) and their one mutual edge → 2/(2·1) = 1
+    assert(out(3L) == ((2L, 1L, 1.0)), out.toString)
+    // star: one hub, zero club — N≤1 → NULL phi, 0.4 at k=0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val so = Graph.richClub(star, "a", "b", ks = Seq(0, 1))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(so(0L) == ((5L, 4L, 0.4)), so.toString)
+    assert(so(1L)._1 == 1L && so(1L)._3 == null, s"single hub is no club: $so")
+  }
+
   test("degreeAssortativity: self-loops dropped, parallel/reversed duplicates collapse") {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L), (1L, 4L)).toDF("a", "b")
     val r = Graph.degreeAssortativity(messy, "a", "b").collect()(0)

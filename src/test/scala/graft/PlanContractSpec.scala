@@ -171,7 +171,11 @@ class PlanContractSpec extends SparkSpec {
           // yuen: the 1-row treated side crossed onto the 1-row control
           // side; qte: the 1-row quantile-array aggregate crossed onto
           // the 9-row literal decile table — both bounded by contract
-          "q372_yuen", "q373_qte")
+          "q372_yuen", "q373_qte",
+          // rmst: inherits kaplanMeier's 1-row total frame; rich_club:
+          // the 4-row literal threshold frame fanned over edges/nodes;
+          // group_sequential: the 1-row (min,max) span frame
+          "q374_rmst", "q376_rich_club", "q378_group_sequential")
         if (allowed(name)) None else Some(name)
       } else None
     }
