@@ -596,6 +596,11 @@ object ScaleCheck {
     // which no real 20× corpus does — measured 8.2× on the fact graph
     time("rich_club")(d => Graph.richClub(ringGraph(d), "a", "b", Seq(2, 4)))
     time("xmr")(d => SparkEntry.queries("q377_xmr")(spark, d))
+    time("half_life")(d => SparkEntry.queries("q379_half_life")(spark, d))
+    time("dow_envelope")(d => SparkEntry.queries("q380_dow_envelope")(spark, d))
+    time("token_burstiness")(d => SparkEntry.queries("q381_token_burstiness")(spark, d))
+    time("strat_ate")(d => SparkEntry.queries("q382_strat_ate")(spark, d))
+    time("qini")(d => SparkEntry.queries("q383_qini")(spark, d))
     time("group_sequential")(d => SparkEntry.queries("q378_group_sequential")(spark, d))
     time("curve_locality")(d => SparkEntry.queries("q371_curve_locality")(spark, d))
     time("yuen")(d => SparkEntry.queries("q372_yuen")(spark, d))

@@ -685,6 +685,36 @@ object SparkEntry {
         pmod(col("user_id"), lit(2)) === 0,
         round(col("value") * lit(100d)), "ts",
         bounds = Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310))),
+    "q379_half_life" -> ((s, d) =>
+      // how fast does each event stream's daily volume decay: log-linear
+      // slope and the −ln2/slope half-life retention dashboards chase
+      Analytics.activityHalfLife(Tables.events(s, d), "event_type",
+        to_date(col("ts")))),
+    "q380_dow_envelope" -> ((s, d) =>
+      // is the freshest Tuesday normal FOR A TUESDAY: per-(stream,
+      // weekday) p10/p90 envelope + latest-day position
+      Analytics.dowEnvelope(Tables.events(s, d), "event_type",
+        to_date(col("ts")))),
+    "q381_token_burstiness" -> ((s, d) =>
+      // which frequent tokens are bursty content words vs evenly
+      // sprinkled function words: Fano factor of per-doc counts
+      TextAnalysis.tokenBurstiness(Tables.documents(s, d), "doc_id", "text",
+        topM = 30)),
+    "q382_strat_ate" -> ((s, d) =>
+      // priority-stratified treated-vs-control price effect: Cochran
+      // subclassification with population weights + the __ALL__ combine
+      Evaluation.stratifiedAte(Tables.orders(s, d), "o_orderpriority",
+        pmod(col("o_orderkey"), lit(2)) === 0,
+        round(col("o_totalprice") * lit(100d)))),
+    "q383_qini" -> ((s, d) => {
+      // WHO should get the treatment: uplift by view-count decile —
+      // Qini above the diagonal means the score targets real uplift
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "view", lit(1))).as("views"),
+          count(when(col("event_type") === "purchase", lit(1))).as("purch"))
+      Evaluation.qiniCurve(users, "user_id",
+        pmod(col("user_id"), lit(2)) === 0, col("purch") > 0, col("views"))
+    }),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -7409,6 +7439,126 @@ object SparkEntry {
         |  CASE WHEN z IS NOT NULL THEN (CASE WHEN abs(z) > bound THEN 1 ELSE 0 END)
         |    ELSE 0 END AS crossed
         |FROM zt ORDER BY look""".stripMargin,
+    "q379_half_life" ->
+      // weibull's nano-ln OLS recipe on days-since-epoch (slope is
+      // shift-invariant — no min-date frame); one rounded division
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (SELECT g, CAST(d - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(round(ln(CAST(x AS DOUBLE)) * 1e9) AS BIGINT) AS y FROM daily),
+        |f AS (SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        |  FROM pts GROUP BY 1),
+        |g2 AS (SELECT g, n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx * sy AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS num,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx * sx AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS den
+        |  FROM f),
+        |g3 AS (SELECT g, n, CASE WHEN n >= 2 AND den > 0
+        |    THEN CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT) END AS slope_nano
+        |  FROM g2)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(slope_nano AS DOUBLE) / 1e9 AS slope_ln_per_day,
+        |  CASE WHEN slope_nano < 0 THEN
+        |    CAST(CAST(round(-0.6931471805599453 / (CAST(slope_nano AS DOUBLE) / 1e9) * 1e4) AS BIGINT) AS DOUBLE) / 1e4
+        |  END AS half_life_days
+        |FROM g3 ORDER BY event_type""".stripMargin,
+    "q380_dow_envelope" ->
+      // weekday by integer epoch math (engine dayofweek anchors differ);
+      // quantile_cont at 4 dp; latest value via max_by on the unique date
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT g, d, x, CAST((d - DATE '1970-01-05') % 7 AS INT) AS dow FROM daily),
+        |a AS (SELECT g, dow, COUNT(*) AS n_days,
+        |    CAST(CAST(quantile_cont(x, 0.1) AS DECIMAL(18,4)) AS DOUBLE) AS p10,
+        |    CAST(CAST(quantile_cont(x, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+        |    CAST(CAST(quantile_cont(x, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+        |    CAST(max_by(x, d) AS BIGINT) AS last_value
+        |  FROM dw GROUP BY 1, 2)
+        |SELECT g AS event_type, dow, n_days, p10, p50, p90, last_value,
+        |  CAST(CAST(last_value AS DOUBLE) > p90 OR CAST(last_value AS DOUBLE) < p10 AS INT) AS beyond
+        |FROM a ORDER BY event_type, dow""".stripMargin,
+    "q381_token_burstiness" ->
+      // Fano = ((Σc² − total²/N)/(N−1)) / (total/N) over exact integer
+      // power sums; zeros count via the 1-row corpus-size frame
+      """WITH c AS (SELECT doc, tok, COUNT(*) AS c FROM
+        |    (SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |     FROM documents) GROUP BY 1, 2),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |pt AS (SELECT tok, COUNT(*) AS df_t,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS total,
+        |    CAST(SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+        |  FROM c GROUP BY 1)
+        |SELECT tok, CAST(df_t AS BIGINT) AS n_docs_with, CAST(total AS BIGINT) AS total_count,
+        |  CAST(CAST(round(CAST(total AS DOUBLE) / CAST(nd AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS mean_per_doc,
+        |  CASE WHEN nd > 1 THEN
+        |    CAST(CAST(round(((CAST(sq AS DOUBLE) - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / CAST(nd AS DOUBLE))
+        |      / (CAST(nd AS DOUBLE) - 1)) / (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        |  END AS fano
+        |FROM pt CROSS JOIN nd ORDER BY total_count DESC, tok LIMIT 30""".stripMargin,
+    "q382_strat_ate" ->
+      // Cochran subclassification: estimable strata weight n_s/N_est;
+      // money chains in round(x·1e4)/1e4; weighted terms pre-rounded
+      """WITH base AS (SELECT o_orderpriority AS s,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |st AS (SELECT s, COUNT(CASE WHEN t = 1 THEN 1 END) AS n_t,
+        |    COUNT(CASE WHEN t = 0 THEN 1 END) AS n_c,
+        |    SUM(CASE WHEN t = 1 THEN v END) AS sv_t,
+        |    SUM(CASE WHEN t = 0 THEN v END) AS sv_c FROM base GROUP BY 1),
+        |w AS (SELECT *, SUM(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t + n_c END) OVER () AS nEst FROM st),
+        |det AS (SELECT s AS stratum, CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      CAST(CAST(round(CAST(sv_t AS DOUBLE) / CAST(n_t AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS mean_treated,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      CAST(CAST(round(CAST(sv_c AS DOUBLE) / CAST(n_c AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS mean_control,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      CAST(CAST(round((CAST(sv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |        - CAST(sv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS effect,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      CAST(CAST(round(CAST(n_t + n_c AS DOUBLE) / CAST(nEst AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS weight,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      CAST(round(CAST(n_t + n_c AS DOUBLE) / CAST(nEst AS DOUBLE)
+        |        * (CAST(sv_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1e4) AS BIGINT) END AS wterm
+        |  FROM w),
+        |allr AS (SELECT '__ALL__' AS stratum, CAST(SUM(n_treated) AS BIGINT) AS n_treated,
+        |    CAST(SUM(n_control) AS BIGINT) AS n_control,
+        |    CAST(NULL AS DOUBLE) AS mean_treated, CAST(NULL AS DOUBLE) AS mean_control,
+        |    CAST(SUM(wterm) AS DOUBLE) / 1e4 AS effect, CAST(1.0 AS DOUBLE) AS weight FROM det)
+        |SELECT stratum, n_treated, n_control, mean_treated, mean_control, effect, weight FROM
+        |  (SELECT stratum, n_treated, n_control, mean_treated, mean_control, effect, weight FROM det
+        |   UNION ALL SELECT * FROM allr)
+        |ORDER BY stratum""".stripMargin,
+    "q383_qini" ->
+      // global ranks by (score desc, id); deciles by exact integer math
+      // off the count frame; 10-row cumulative window; fixed-point reads
+      """WITH users AS (SELECT user_id AS id,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 THEN 1 ELSE 0 END AS y,
+        |    -CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS negscore
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT *, row_number() OVER (ORDER BY negscore, id) AS rk,
+        |        COUNT(*) OVER () AS n FROM users),
+        |pd AS (SELECT least(9, ((rk - 1) * 10) // n) AS dec,
+        |    COUNT(CASE WHEN t = 1 THEN 1 END) AS n_t, COUNT(CASE WHEN t = 0 THEN 1 END) AS n_c,
+        |    COUNT(CASE WHEN t = 1 AND y = 1 THEN 1 END) AS y_t,
+        |    COUNT(CASE WHEN t = 0 AND y = 1 THEN 1 END) AS y_c
+        |  FROM r GROUP BY 1),
+        |cm AS (SELECT dec, SUM(n_t) OVER w AS cn_t, SUM(n_c) OVER w AS cn_c,
+        |    SUM(y_t) OVER w AS cy_t, SUM(y_c) OVER w AS cy_c FROM pd
+        |  WINDOW w AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(dec AS INT) AS decile,
+        |  CAST(cn_t AS BIGINT) AS cum_n_treated, CAST(cn_c AS BIGINT) AS cum_n_control,
+        |  CAST(cy_t AS BIGINT) AS cum_y_treated, CAST(cy_c AS BIGINT) AS cum_y_control,
+        |  CASE WHEN cn_c > 0 AND cn_t > 0 THEN
+        |    CAST(CAST(round((CAST(cy_t AS DOUBLE) - CAST(cy_c AS DOUBLE)
+        |      * (CAST(cn_t AS DOUBLE) / CAST(cn_c AS DOUBLE))) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS qini,
+        |  CASE WHEN cn_c > 0 AND cn_t > 0 THEN
+        |    CAST(CAST(round((CAST(cy_t AS DOUBLE) / CAST(cn_t AS DOUBLE)
+        |      - CAST(cy_c AS DOUBLE) / CAST(cn_c AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS uplift
+        |FROM cm ORDER BY decile""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

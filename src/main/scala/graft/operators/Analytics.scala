@@ -3567,6 +3567,91 @@ object Analytics {
     jumps("hd", "hilbert").unionAll(jumps("zi", "zorder")).orderBy("curve")
   }
 
+  /** Activity decay half-life per series (the log-linear survival-of-
+    * engagement fit): regress ln(daily volume) on the day index and
+    * report the half-life −ln2/slope — "this cohort's usage halves
+    * every N days", the single number retention dashboards chase, and
+    * the parametric summary beside [[Evaluation]]'s EWMA/Holt smoothers
+    * (those FORECAST; this one characterizes the decay).
+    *
+    * One date-grain aggregate then ONE scalar fold per series: ln is
+    * libm (no cross-engine bit contract) so y quantizes to integer
+    * NANO units first (the weibullFit recipe); every OLS sum folds at
+    * decimal scale 0 — rounding impossible — and the slope is ONE
+    * integer-rounded division (nano ln-units per day). Day index =
+    * days since epoch: slope is shift-invariant, so no min-date frame
+    * is needed at all. Growing or flat series (slope ≥ 0) and
+    * single-day series → NULL half-life. */
+  def activityHalfLife(df: DataFrame, groupCol: String,
+                       dateCol: Column): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), dateCol.as("d"))
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+      .select(col("g"),
+        datediff(col("d"), lit("1970-01-01").cast("date"))
+          .cast("long").as("t"),
+        round(log(col("x").cast("double")) * lit(1e9d)).cast("long").as("y"))
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val folded = daily.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(d0(col("t"))).cast("decimal(38,0)").as("sx"),
+      sum(d0(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum((d0(col("t")) * d0(col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sxy"),
+      sum((d0(col("t")) * d0(col("t"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sxx"))
+    val n38 = col("n").cast("decimal(38,0)")
+    val num = (n38 * col("sxy") - (col("sx") * col("sy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val den = (n38 * col("sxx") - (col("sx") * col("sx")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val slopeNano = round(num.cast("double") / den.cast("double")).cast("long")
+    folded
+      .withColumn("slope_nano",
+        when(col("n") >= 2 && den > 0, slopeNano))
+      .select(col("g").as(groupCol),
+        col("n").cast("long").as("n_days"),
+        (col("slope_nano").cast("double") / lit(1e9d)).as("slope_ln_per_day"),
+        when(col("slope_nano") < 0L,
+          round(lit(-0.6931471805599453d)
+              / (col("slope_nano").cast("double") / lit(1e9d)) * lit(1e4d))
+            .cast("long").cast("double") / lit(1e4d))
+          .otherwise(lit(null).cast("double")).as("half_life_days"))
+      .orderBy(groupCol)
+  }
+
+  /** Day-of-week percentile envelope + freshest-value position ("is
+    * today's volume normal FOR A TUESDAY"): per (series, weekday), the
+    * p10/p50/p90 band of daily volumes and whether the latest observed
+    * day of that weekday runs outside the band — the calendar-aware
+    * upgrade of [[xmrChart]]'s flat limits (weekly seasonality would
+    * light XmR up every weekend).
+    *
+    * Weekday from pure integer date math ((days since a known Monday)
+    * mod 7 — Spark's dayofweek and DuckDB's disagree on anchoring, the
+    * epoch arithmetic cannot). One date-grain aggregate + one
+    * (series, dow) percentile aggregate; latest value via max_by on
+    * the unique date key (deterministic); exact integer counts, the
+    * funnel-timing interpolated-percentile recipe at 4 dp. */
+  def dowEnvelope(df: DataFrame, groupCol: String, dateCol: Column): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), dateCol.as("d"))
+      .groupBy("g", "d").agg(count(lit(1)).as("x"))
+      .withColumn("dow",
+        pmod(datediff(col("d"), lit("1970-01-05").cast("date")), lit(7))
+          .cast("int"))
+    daily.groupBy("g", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        percentile(col("x"), lit(0.1)).cast("decimal(18,4)").cast("double").as("p10"),
+        percentile(col("x"), lit(0.5)).cast("decimal(18,4)").cast("double").as("p50"),
+        percentile(col("x"), lit(0.9)).cast("decimal(18,4)").cast("double").as("p90"),
+        max_by(col("x"), col("d")).cast("long").as("last_value"))
+      .select(col("g").as(groupCol), col("dow"),
+        col("n_days").cast("long").as("n_days"),
+        col("p10"), col("p50"), col("p90"), col("last_value"),
+        (col("last_value").cast("double") > col("p90")
+          || col("last_value").cast("double") < col("p10")).cast("int").as("beyond"))
+      .orderBy(col(groupCol), col("dow"))
+  }
+
   /** XmR individuals control chart (Shewhart 1931; Wheeler's
     * "Understanding Variation" recipe): natural process limits
     * mean ± 2.66·mean(moving range) per series, plus how many days run

@@ -3286,6 +3286,126 @@ object Evaluation {
             .cast("decimal(18,9)").cast("double")).as("late"))
   }
 
+  /** Stratified average treatment effect (Cochran 1968 subclassification
+    * — the transparent middle rung between the raw [[abTest]] diff and
+    * [[ipwEffect]]'s reweighting): within-stratum treated−control mean
+    * differences combined with population-share weights n_s/N, so a
+    * confounder captured by the strata stops polluting the comparison.
+    * Strata missing an arm get a NULL effect and are EXCLUDED from the
+    * combined row (weights renormalize over estimable strata — the
+    * standard trimming, reported via the weight column so nothing is
+    * silent). Output: one row per stratum plus the '__ALL__' combine.
+    *
+    * One conditional aggregate to (stratum, arm sums); the strata table
+    * is dim-sized so the N window is metadata-sized. Arm sums exact
+    * integer cents; means and effects in round(x·1e4)/1e4 fixed-point
+    * (money magnitudes — the xmr/yuen recipe); each weighted term
+    * rounds to 1e4 units pre-sum so the combine is order-free. */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatedCond: Column,
+                    unitCol: Column): DataFrame = {
+    val base = df.select(col(stratumCol).cast("string").as("s"),
+      treatedCond.cast("int").as("t"), unitCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val strata = base.groupBy("s").agg(
+        count(when(col("t") === 1, lit(1))).as("n_t"),
+        count(when(col("t") === 0, lit(1))).as("n_c"),
+        sum(when(col("t") === 1, col("v"))).as("sv_t"),
+        sum(when(col("t") === 0, col("v"))).as("sv_c"))
+      .localCheckpoint() // per-stratum rows + the combine
+    val fx = (c: Column) =>
+      round(c * lit(1e4d)).cast("long").cast("double") / lit(1e4d)
+    val est = col("n_t") > 0 && col("n_c") > 0
+    val diff = col("sv_t").cast("double") / col("n_t").cast("double") -
+      col("sv_c").cast("double") / col("n_c").cast("double")
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = strata
+      .withColumn("nEst",
+        sum(when(est, col("n_t") + col("n_c"))).over(wAll))
+      .select(col("s").as("stratum"),
+        col("n_t").cast("long").as("n_treated"),
+        col("n_c").cast("long").as("n_control"),
+        when(est, fx(col("sv_t").cast("double") / col("n_t").cast("double")))
+          .as("mean_treated"),
+        when(est, fx(col("sv_c").cast("double") / col("n_c").cast("double")))
+          .as("mean_control"),
+        when(est, fx(diff)).as("effect"),
+        when(est, round((col("n_t") + col("n_c")).cast("double") /
+            col("nEst").cast("double") * lit(1e9d))
+          .cast("long").cast("double") / lit(1e9d)).as("weight"),
+        when(est, round(((col("n_t") + col("n_c")).cast("double") /
+            col("nEst").cast("double")) * diff * lit(1e4d)).cast("long"))
+          .as("wterm"))
+      .localCheckpoint() // listed twice: detail rows + the combine fold
+    val all = rows.agg(
+        sum("n_treated").as("n_treated"), sum("n_control").as("n_control"),
+        sum("wterm").as("ate4"))
+      .select(lit("__ALL__").as("stratum"),
+        col("n_treated").cast("long").as("n_treated"),
+        col("n_control").cast("long").as("n_control"),
+        lit(null).cast("double").as("mean_treated"),
+        lit(null).cast("double").as("mean_control"),
+        (col("ate4").cast("double") / lit(1e4d)).as("effect"),
+        lit(1.0d).as("weight"))
+    rows.drop("wterm").unionAll(all).orderBy("stratum")
+  }
+
+  /** Qini / uplift-by-decile curve (Radcliffe 2007) — the evaluation
+    * for TARGETING: rank the population by a model score, and at each
+    * decile ask how many extra conversions the treated group shows over
+    * the control's rate scaled to the treated volume,
+    * Q(k) = Yt(k) − Yc(k)·Nt(k)/Nc(k). A score that concentrates
+    * REAL uplift bends the curve above the random-targeting diagonal;
+    * ranking by raw response instead of uplift is the classic trap this
+    * readout exposes. Completes the causal ladder after
+    * [[stratifiedAte]]: not "what is the effect" but "WHO should get
+    * the treatment".
+    *
+    * Ranks via the two-pass distributed [[Analytics.globalRowNumber]]
+    * (score desc, id tiebreak — total order), deciles by exact integer
+    * arithmetic off the 1-row count frame (allowlisted); per-decile
+    * conditional counts then 10-row cumulative windows
+    * (metadata-sized). Qini/uplift are mirrored double chains in 1e4 /
+    * nano fixed-point. Deciles with an empty cumulative control → NULL. */
+  def qiniCurve(df: DataFrame, idCol: String, treatedCond: Column,
+                outcomeCond: Column, scoreCol: Column): DataFrame = {
+    val base = df.select(col(idCol).as("id"), treatedCond.cast("int").as("t"),
+      outcomeCond.cast("int").as("y"),
+      (-scoreCol.cast("double")).as("negscore"))
+    val ranked = Analytics.globalRowNumber(base, Seq("negscore", "id"), "rk")
+    val nFrame = ranked.agg(count(lit(1)).as("__n"))
+    val perDec = ranked.crossJoin(broadcast(nFrame))
+      .withColumn("dec", expr("least(9, ((rk - 1) * 10) div __n)"))
+      .groupBy("dec")
+      .agg(count(when(col("t") === 1, lit(1))).as("n_t"),
+        count(when(col("t") === 0, lit(1))).as("n_c"),
+        count(when(col("t") === 1 && col("y") === 1, lit(1))).as("y_t"),
+        count(when(col("t") === 0 && col("y") === 1, lit(1))).as("y_c"))
+    val wCum = Window.orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDec
+      .withColumn("cn_t", sum("n_t").over(wCum))
+      .withColumn("cn_c", sum("n_c").over(wCum))
+      .withColumn("cy_t", sum("y_t").over(wCum))
+      .withColumn("cy_c", sum("y_c").over(wCum))
+    val qini = col("cy_t").cast("double") - col("cy_c").cast("double") *
+      (col("cn_t").cast("double") / col("cn_c").cast("double"))
+    val uplift = col("cy_t").cast("double") / col("cn_t").cast("double") -
+      col("cy_c").cast("double") / col("cn_c").cast("double")
+    cum.select(col("dec").cast("int").as("decile"),
+        col("cn_t").cast("long").as("cum_n_treated"),
+        col("cn_c").cast("long").as("cum_n_control"),
+        col("cy_t").cast("long").as("cum_y_treated"),
+        col("cy_c").cast("long").as("cum_y_control"),
+        when(col("cn_c") > 0 && col("cn_t") > 0,
+          round(qini * lit(1e4d)).cast("long").cast("double") / lit(1e4d))
+          .as("qini"),
+        when(col("cn_c") > 0 && col("cn_t") > 0,
+          round(uplift * lit(1e9d)).cast("long").cast("double") / lit(1e9d))
+          .as("uplift"))
+      .orderBy("decile")
+  }
+
   /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
     * rankings of the same universe — "did my top-sellers list actually
     * change?" with the property the set-based Jaccard and the

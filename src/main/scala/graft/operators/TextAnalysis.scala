@@ -761,4 +761,46 @@ object TextAnalysis {
           .cast("decimal(18,9)").cast("double").as("jaccard"))
       .orderBy("prev_slice")
   }
+
+  /** Token burstiness (Church & Gale 1995): the Fano factor
+    * var/mean of a token's PER-DOCUMENT count across the whole corpus
+    * — ~1 for Poisson "function words" sprinkled evenly, ≫1 for bursty
+    * content words that pile into the few documents that are ABOUT
+    * them. The adaptation signal behind cache language models and a
+    * quality split TF-IDF alone misses (same total count, opposite
+    * dispersion). Zeros count: absence from other documents is the
+    * burst; the corpus size N comes from the 1-row frame.
+    *
+    * One (doc, token) count aggregate (the tokenEntropy shuffle), one
+    * token re-aggregate of exact integer power sums (scale-0 decimals
+    * — c² ≪ 10³⁸), top-M by total via TakeOrderedAndProject, and the
+    * Fano/mean chains are mirrored doubles in nano fixed-point. */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                      topM: Int = 30): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc"), explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val perTok = counts.groupBy("tok")
+      .agg(count(lit(1)).as("df_t"),
+        sum(d0(col("c"))).cast("decimal(38,0)").as("total"),
+        sum((d0(col("c")) * d0(col("c"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sq"))
+    val nD = col("__nd").cast("double")
+    val mean = col("total").cast("double") / nD
+    val fano = ((col("sq").cast("double")
+      - col("total").cast("double") * col("total").cast("double") / nD)
+      / (nD - 1d)) / mean
+    perTok.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        col("df_t").cast("long").as("n_docs_with"),
+        col("total").cast("long").as("total_count"),
+        (round(mean * lit(1e9d)).cast("long").cast("double") / lit(1e9d))
+          .as("mean_per_doc"),
+        when(col("__nd") > 1,
+          round(fano * lit(1e9d)).cast("long").cast("double") / lit(1e9d))
+          .otherwise(lit(null).cast("double")).as("fano"))
+      .orderBy(col("total_count").desc, col("tok")).limit(topM)
+  }
 }

@@ -75,6 +75,41 @@ class AnalyticsSpec extends SparkSpec {
       s"bit-boundary teleports: ${out("zorder")}")
   }
 
+  test("activityHalfLife: exact halving series fits half-life 1 day; flat/growing/single NULL") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val rows =
+      Seq.fill(8)(("h", d("2024-01-01"))) ++ Seq.fill(4)(("h", d("2024-01-02"))) ++
+      Seq.fill(2)(("h", d("2024-01-03"))) ++ Seq.fill(1)(("h", d("2024-01-04"))) ++
+      Seq.fill(3)(("f", d("2024-01-01"))) ++ Seq.fill(3)(("f", d("2024-01-02"))) ++
+      Seq.fill(1)(("g", d("2024-01-01"))) ++ Seq.fill(2)(("g", d("2024-01-02"))) ++
+      Seq.fill(5)(("s", d("2024-01-01")))
+    val out = graft.operators.Analytics
+      .activityHalfLife(rows.toDF("g", "day"), "g", col("day"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out("h")._2 == -0.693147181 && out("h")._3 == 1.0, s"halving: ${out("h")}")
+    assert(out("f")._3 == null, s"flat series has no half-life: ${out("f")}")
+    assert(out("g")._3 == null, s"growing series: ${out("g")}")
+    assert(out("s")._2 == null && out("s")._3 == null, s"single day: ${out("s")}")
+  }
+
+  test("dowEnvelope: per-weekday band, latest value position; epoch-anchored weekday") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    // five Mondays with rising volume 10..50 (latest breaks p90), one Tuesday
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+    val rows = mondays.zipWithIndex.flatMap { case (day, i) =>
+      Seq.fill((i + 1) * 10)(("a", d(day))) } ++ Seq.fill(7)(("a", d("2024-01-02")))
+    val out = graft.operators.Analytics
+      .dowEnvelope(rows.toDF("g", "day"), "g", col("day"))
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getInt(7))).toMap
+    // 2024-01-01 is a Monday = dow 0 under the 1970-01-05 anchor
+    assert(out(0) == ((5L, 14.0, 30.0, 46.0, 50L, 1)), s"mondays: ${out(0)}")
+    assert(out(1) == ((1L, 7.0, 7.0, 7.0, 7L, 0)), s"tuesday: ${out(1)}")
+  }
+
   test("xmrChart: Shewhart limits from moving ranges; a spike beyond 2.66·mR̄ is counted") {
     val d = (s: String) => java.sql.Date.valueOf(s)
     // series 'a': seven 5-count days then a 50-burst

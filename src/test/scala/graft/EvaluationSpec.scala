@@ -1473,6 +1473,39 @@ class EvaluationSpec extends SparkSpec {
     assert(!out(1).isNullAt(3) && out(1).getLong(2) == 2L, s"carry-forward: ${out(1)}")
   }
 
+  test("stratifiedAte: within-stratum diffs, renormalized weights, one-armed stratum excluded") {
+    val rows = Seq(
+      ("A", 1, 10L), ("A", 1, 20L), ("A", 0, 10L),          // diff 5
+      ("B", 1, 100L), ("B", 0, 50L), ("B", 0, 50L),         // diff 50
+      ("C", 1, 7L)                                          // control-less
+    ).toDF("s", "t", "v")
+    val out = Evaluation.stratifiedAte(rows, "s", col("t") === 1, col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(5) == 5.0 && out("A").getDouble(6) == 0.5, out("A").toString)
+    assert(out("B").getDouble(5) == 50.0 && out("B").getDouble(6) == 0.5, out("B").toString)
+    assert(out("C").isNullAt(5) && out("C").isNullAt(6), "one-armed stratum reports NULL")
+    val all = out("__ALL__")
+    assert(all.getLong(1) == 4L && all.getLong(2) == 3L)
+    assert(all.getDouble(5) == 27.5 && all.getDouble(6) == 1.0,
+      s"ATE = .5·5 + .5·50 over estimable strata only: $all")
+  }
+
+  test("qiniCurve: cumulative targeting value by decile; empty-arm prefix NULL") {
+    // 10 users, score = 11−id (so rank k = id); treated evens convert
+    // at ids 2,4,6; only control 9 converts
+    val users = (1L to 10L).map(id =>
+      (id, id % 2 == 0, Set(2L, 4L, 6L).contains(id) || id == 9L, 11L - id))
+      .toDF("id", "tr", "conv", "score")
+    val out = Evaluation.qiniCurve(users, "id", col("tr"), col("conv"), col("score"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).isNullAt(5), "no treated exposure yet → undefined")
+    assert(out(1).getDouble(5) == 1.0 && out(1).getDouble(6) == 1.0, out(1).toString)
+    assert(out(3).getDouble(5) == 2.0, s"two uplift conversions banked: ${out(3)}")
+    val last = out(9)
+    assert(last.getLong(1) == 5L && last.getLong(2) == 5L)
+    assert(last.getDouble(5) == 2.0 && last.getDouble(6) == 0.4, last.toString)
+  }
+
   test("rankBiasedOverlap: identical lists hit 1−p^D, disjoint lists 0, swap discounts top-heavily") {
     val a = Seq(("x", 3.0), ("y", 2.0), ("z", 1.0)).toDF("item", "score")
     val idem = Evaluation.rankBiasedOverlap(a, a, "item", "score",

@@ -175,7 +175,10 @@ class PlanContractSpec extends SparkSpec {
           // rmst: inherits kaplanMeier's 1-row total frame; rich_club:
           // the 4-row literal threshold frame fanned over edges/nodes;
           // group_sequential: the 1-row (min,max) span frame
-          "q374_rmst", "q376_rich_club", "q378_group_sequential")
+          "q374_rmst", "q376_rich_club", "q378_group_sequential",
+          // token_burstiness: the 1-row corpus-size frame over the
+          // token table; qini: the 1-row count frame (rank → decile)
+          "q381_token_burstiness", "q383_qini")
         if (allowed(name)) None else Some(name)
       } else None
     }

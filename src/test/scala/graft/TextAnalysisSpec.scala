@@ -337,4 +337,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s2", "s3")) == ((3L, 1L, 0L, 1L, 3L, 0.0)), out.toString)
     assert(out.size == 2, "exactly n_slices - 1 pairs")
   }
+
+  test("tokenBurstiness: bursty content word ≫ evenly sprinkled word; zeros count") {
+    // 4 docs: 'a' piles 4× into one doc (Fano 4), 'b' appears once in
+    // three docs (Fano 1/3) — same-ish totals, opposite dispersion
+    val docs = Seq((1L, "a a a a"), (2L, "b"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, "doc_id", "text", topM = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq("a", "b"), "total-count order")
+    val m = out.toMap
+    assert(m("a") == ((1L, 4L, 1.0, 4.0)), s"burst: ${m("a")}")
+    assert(m("b")._4 == math.round(1.0 / 3 * 1e9).toDouble / 1e9, s"even: ${m("b")}")
+    assert(m("a")._4 > m("b")._4, "burstiness separates the pair TF alone cannot")
+  }
 }
