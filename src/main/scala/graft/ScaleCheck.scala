@@ -601,6 +601,11 @@ object ScaleCheck {
     time("token_burstiness")(d => SparkEntry.queries("q381_token_burstiness")(spark, d))
     time("strat_ate")(d => SparkEntry.queries("q382_strat_ate")(spark, d))
     time("qini")(d => SparkEntry.queries("q383_qini")(spark, d))
+    time("by_fdr")(d => SparkEntry.queries("q384_by_fdr")(spark, d))
+    time("scd2")(d => SparkEntry.queries("q385_scd2")(spark, d))
+    time("deming")(d => SparkEntry.queries("q386_deming")(spark, d))
+    time("abc")(d => SparkEntry.queries("q387_abc")(spark, d))
+    time("seasonal_strength")(d => SparkEntry.queries("q388_seasonal_strength")(spark, d))
     time("group_sequential")(d => SparkEntry.queries("q378_group_sequential")(spark, d))
     time("curve_locality")(d => SparkEntry.queries("q371_curve_locality")(spark, d))
     time("yuen")(d => SparkEntry.queries("q372_yuen")(spark, d))

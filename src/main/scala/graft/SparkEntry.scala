@@ -715,6 +715,31 @@ object SparkEntry {
       Evaluation.qiniCurve(users, "user_id",
         pmod(col("user_id"), lit(2)) === 0, col("purch") > 0, col("views"))
     }),
+    "q384_by_fdr" -> ((s, d) =>
+      // the dependence-robust member of the q256/q364 trio: same 25
+      // tests, valid under ARBITRARY p-value correlation
+      Evaluation.benjaminiYekutieli(
+        Evaluation.shareTestPValues(Tables.customer(s, d), "c_nationkey"),
+        "key", "p", 0.05)),
+    "q385_scd2" -> ((s, d) =>
+      // each user's event-type state as versioned validity intervals —
+      // the SCD2 build q114's latest-row compaction cannot give
+      Analytics.scd2History(Tables.events(s, d), "user_id", "ts",
+        "event_id", col("event_type"))),
+    "q386_deming" -> ((s, d) =>
+      // quantity and price are BOTH noisy measurements: the orthogonal
+      // line OLS attenuates; exact integer units in, closed form out
+      Analytics.demingRegression(Tables.lineitem(s, d),
+        col("l_quantity"), round(col("l_extendedprice") * lit(100d)))),
+    "q387_abc" -> ((s, d) =>
+      // which slice of parts carries 80/95% of revenue: the inventory
+      // ABC split with exact integer class boundaries
+      Analytics.abcClasses(Tables.lineitem(s, d), "l_partkey",
+        round(col("l_extendedprice") * lit(100d)))),
+    "q388_seasonal_strength" -> ((s, d) =>
+      // is the event series structure or noise: Wang–Hyndman F_T/F_S
+      // over q232's exact micro-unit decomposition
+      Analytics.seasonalStrength(Tables.events(s, d), "ts")),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -7559,6 +7584,124 @@ object SparkEntry {
         |    CAST(CAST(round((CAST(cy_t AS DOUBLE) / CAST(cn_t AS DOUBLE)
         |      - CAST(cy_c AS DOUBLE) / CAST(cn_c AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS uplift
         |FROM cm ORDER BY decile""".stripMargin,
+    "q384_by_fdr" ->
+      // q256's p-values; c(m) = Σ(1e9 // i) exact integers; display q a
+      // mirrored nano chain, rejection the exact decimal product test
+      """WITH counts AS (SELECT c_nationkey AS key, count(*) AS n_k FROM customer GROUP BY 1),
+        |tot AS (SELECT SUM(n_k) AS n_total, COUNT(*) AS m FROM counts),
+        |pv AS (SELECT key, CAST(exp(
+        |    ((CAST(n_k AS DOUBLE) - CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(n_k AS DOUBLE) - CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE))
+        |      / ((CAST(n_total AS DOUBLE) / CAST(m AS DOUBLE)) * (1 - 1 / CAST(m AS DOUBLE)))) * -0.5)
+        |    AS DECIMAL(18,9)) AS p, m
+        |  FROM counts CROSS JOIN tot),
+        |b AS (SELECT key, p, m, row_number() OVER (ORDER BY p, key) AS rnk FROM pv),
+        |b2 AS (SELECT *, CAST(round(CAST(p AS DOUBLE) * 1e9) AS BIGINT) AS pn,
+        |        SUM(1000000000 // rnk) OVER () AS cn FROM b),
+        |q AS (SELECT key, p, rnk,
+        |    min(least(1000000000, CAST(round(CAST(pn AS DOUBLE) / 1e9 * m * (CAST(cn AS DOUBLE) / 1e9) / rnk * 1e9) AS BIGINT)))
+        |      OVER (ORDER BY p DESC, key DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qn
+        |  FROM b2),
+        |istar AS (SELECT COALESCE(MAX(CASE WHEN CAST(pn AS DECIMAL(38,0)) * m * cn <=
+        |    CAST(50000000 AS DECIMAL(38,0)) * rnk * 1000000000 THEN rnk END), 0) AS i_star FROM b2)
+        |SELECT key, CAST(p AS DOUBLE) AS p, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(qn AS DOUBLE) / 1e9 AS q,
+        |  CASE WHEN rnk <= i_star THEN 1 ELSE 0 END AS rejected
+        |FROM q CROSS JOIN istar ORDER BY rnk""".stripMargin,
+    "q385_scd2" ->
+      // collapse unchanged re-offers, then lead/row_number per key;
+      // timestamps leave as exact integer micros
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS ts_us, event_id AS sq,
+        |    CAST(event_type AS VARCHAR) AS v FROM events),
+        |f AS (SELECT * FROM (SELECT k, ts_us, sq, v,
+        |        lag(v) OVER (PARTITION BY k ORDER BY ts_us, sq) AS pv FROM e)
+        |      WHERE pv IS NULL OR pv <> v),
+        |g AS (SELECT k, v, ts_us,
+        |        lead(ts_us) OVER (PARTITION BY k ORDER BY ts_us, sq) AS eff_to,
+        |        row_number() OVER (PARTITION BY k ORDER BY ts_us, sq) AS version FROM f)
+        |SELECT k AS user_id, v AS value, CAST(version AS INT) AS version,
+        |  ts_us AS eff_from_us, eff_to AS eff_to_us,
+        |  CAST(eff_to IS NULL AS INT) AS is_current
+        |FROM g ORDER BY user_id, version""".stripMargin,
+    "q386_deming" ->
+      // centered moments from exact scale-0 sums; β and intercept one
+      // mirrored chain each (sqrt only); nano / 1e4 fixed-point
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        |a AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM b),
+        |m AS (SELECT n,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS myy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mxy,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+        |  FROM a),
+        |s AS (SELECT n, mxy, mx, my,
+        |    (myy - mxx + sqrt((myy - mxx) * (myy - mxx) + 4 * mxy * mxy)) / (2 * mxy) AS beta
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 AND mxy <> 0 THEN
+        |    CAST(CAST(round(beta * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS slope,
+        |  CASE WHEN n >= 2 AND mxy <> 0 THEN
+        |    CAST(CAST(round((my - beta * mx) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS intercept
+        |FROM s""".stripMargin,
+    "q387_abc" ->
+      // rank desc by value, exact integer class boundaries
+      // (cum·5 ≤ g·4, cum·20 ≤ g·19); share in nano fixed-point
+      """WITH pk AS (SELECT l_partkey AS k,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS units FROM lineitem GROUP BY 1),
+        |c AS (SELECT k, units, SUM(units) OVER (ORDER BY -units, k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_units FROM pk),
+        |g AS (SELECT MAX(cum_units) AS g FROM c),
+        |cl AS (SELECT CASE WHEN cum_units * 5 <= g * 4 THEN 'A'
+        |         WHEN cum_units * 20 <= g * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        |       units, g FROM c CROSS JOIN g)
+        |SELECT abc_class, COUNT(*) AS n_keys, CAST(SUM(units) AS BIGINT) AS units_total,
+        |  CAST(CAST(round(CAST(SUM(units) AS DOUBLE) / CAST(MAX(g) AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS value_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q388_seasonal_strength" ->
+      // q232's exact micro decomposition, then Wang–Hyndman strengths
+      // from scale-0 integer power sums; nano fixed-point, clamped at 0
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT day, n,
+        |        CASE WHEN count(*) OVER w = 7
+        |          THEN CAST(round(sum(n) OVER w * 1000000.0 / 7.0) AS BIGINT) END AS trend_micro,
+        |        CAST(datediff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7 AS BIGINT) AS dow
+        |      FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, n, dow, trend_micro, n * 1000000 - trend_micro AS detr_micro FROM t),
+        |dm AS (SELECT dow, CAST(round(CAST(sum(detr_micro) AS DOUBLE) / count(*)) AS BIGINT) AS raw_micro
+        |       FROM t2 WHERE detr_micro IS NOT NULL GROUP BY dow),
+        |cc AS (SELECT CAST(round(CAST(sum(raw_micro) AS DOUBLE) / count(*)) AS BIGINT) AS c_micro FROM dm),
+        |seas AS (SELECT dow, raw_micro - c_micro AS seas_micro FROM dm CROSS JOIN cc),
+        |comp AS (SELECT n * 1000000 - trend_micro - seas_micro AS r,
+        |    seas_micro + (n * 1000000 - trend_micro - seas_micro) AS sr,
+        |    trend_micro + (n * 1000000 - trend_micro - seas_micro) AS tr
+        |  FROM t2 JOIN seas USING (dow) WHERE trend_micro IS NOT NULL),
+        |f AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(r AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_r,
+        |    CAST(SUM(CAST(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_r,
+        |    CAST(SUM(CAST(sr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_sr,
+        |    CAST(SUM(CAST(CAST(sr AS DECIMAL(19,0)) * CAST(sr AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_sr,
+        |    CAST(SUM(CAST(tr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_tr,
+        |    CAST(SUM(CAST(CAST(tr AS DECIMAL(19,0)) * CAST(tr AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_tr
+        |  FROM comp),
+        |v AS (SELECT n,
+        |    CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE) AS vr,
+        |    CAST(ss_sr AS DOUBLE) - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE) AS vsr,
+        |    CAST(ss_tr AS DOUBLE) - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE) AS vtr
+        |  FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN n >= 2 AND vtr > 0 THEN
+        |    CAST(CAST(round(greatest(0, 1 - vr / vtr) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS strength_trend,
+        |  CASE WHEN n >= 2 AND vsr > 0 THEN
+        |    CAST(CAST(round(greatest(0, 1 - vr / vsr) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS strength_seasonal
+        |FROM v""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

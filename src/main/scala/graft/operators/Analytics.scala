@@ -3567,6 +3567,157 @@ object Analytics {
     jumps("hd", "hilbert").unionAll(jumps("zi", "zorder")).orderBy("curve")
   }
 
+  /** SCD type-2 history build (Kimball's slowly-changing-dimension
+    * workhorse): reduce a changelog to VERSIONED VALIDITY INTERVALS —
+    * one row per (key, value-run) with effective_from/to and a current
+    * flag — where [[cdcCompact]] keeps only the latest row. Consecutive
+    * duplicates collapse (an unchanged re-offer is not a new version:
+    * the idempotent-replay property a CDC feed needs).
+    *
+    * One key-partitioned window pass (lag to drop unchanged rows, lead
+    * for the closing timestamp, row_number for the version) — shuffles
+    * once on the key, O(1) frame state. Ties on the timestamp order by
+    * the caller's unique `seqCol` (a REAL column — engine-stable).
+    * Timestamps leave as exact integer micros (the dtype boundary). */
+  def scd2History(changelog: DataFrame, keyCol: String, tsCol: String,
+                  seqCol: String, valueCol: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("ts_us"), col("sq"))
+    val rows = changelog.select(col(keyCol).as("k"),
+        unix_micros(col(tsCol)).as("ts_us"), col(seqCol).as("sq"),
+        valueCol.cast("string").as("v"))
+      .withColumn("pv", lag("v", 1).over(w))
+      .filter(col("pv").isNull || col("pv") =!= col("v"))
+    val w2 = Window.partitionBy("k").orderBy(col("ts_us"), col("sq"))
+    rows
+      .withColumn("eff_to", lead("ts_us", 1).over(w2))
+      .withColumn("version", row_number().over(w2))
+      .select(col("k").as(keyCol), col("v").as("value"),
+        col("version").cast("int").as("version"),
+        col("ts_us").as("eff_from_us"),
+        col("eff_to").as("eff_to_us"),
+        col("eff_to").isNull.cast("int").as("is_current"))
+      .orderBy(col(keyCol), col("version"))
+  }
+
+  /** Deming / orthogonal regression (Deming 1943; Adcock 1878 — the
+    * errors-in-BOTH-variables line): OLS attenuates the slope when x is
+    * noisy too (two instruments measuring the same thing, price vs
+    * cost); with equal error variances the orthogonal fit
+    * β = (m_yy − m_xx + √((m_yy−m_xx)² + 4m_xy²)) / (2m_xy) is the
+    * closed form — the method-comparison regression.
+    *
+    * ONE aggregate of exact scale-0 integer power sums (caller supplies
+    * integer units); centered moments, β and the intercept are one
+    * mirrored double chain each (the only libm is sqrt), in nano / 1e4
+    * fixed-point. m_xy = 0 (no covariance) → NULL. */
+  def demingRegression(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(d0(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(d0(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum((d0(col("x")) * d0(col("x"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sxx"),
+      sum((d0(col("y")) * d0(col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("syy"),
+      sum((d0(col("x")) * d0(col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sxy"))
+    val nD = col("n").cast("double")
+    val mxx = col("sxx").cast("double") - col("sx").cast("double") *
+      col("sx").cast("double") / nD
+    val myy = col("syy").cast("double") - col("sy").cast("double") *
+      col("sy").cast("double") / nD
+    val mxy = col("sxy").cast("double") - col("sx").cast("double") *
+      col("sy").cast("double") / nD
+    val beta = (myy - mxx + sqrt((myy - mxx) * (myy - mxx)
+      + lit(4d) * mxy * mxy)) / (lit(2d) * mxy)
+    val alpha = col("sy").cast("double") / nD - beta *
+      (col("sx").cast("double") / nD)
+    agg.select(col("n").cast("long").as("n"),
+      when(col("n") >= 2 && mxy =!= 0d,
+        round(beta * lit(1e9d)).cast("long").cast("double") / lit(1e9d))
+        .as("slope"),
+      when(col("n") >= 2 && mxy =!= 0d,
+        round(alpha * lit(1e4d)).cast("long").cast("double") / lit(1e4d))
+        .as("intercept"))
+  }
+
+  /** ABC / Pareto-class analysis (the inventory-management 80/15/5
+    * split): rank keys by descending value, class A = the head covering
+    * the first 80% of cumulative value, B to 95%, C the tail — "which
+    * 20% of parts are 80% of revenue", the allocation table beside
+    * [[paretoFrontier]]'s multi-objective skyline and
+    * [[concentrationProfile]]'s indices. Class boundaries are tested as EXACT
+    * integer cross-products (cum·5 ≤ grand·4, cum·20 ≤ grand·19) — no
+    * share division ever decides a class.
+    *
+    * One key aggregate, the two-pass distributed [[Evaluation.globalCumSum]] over
+    * (value desc, key) — no single-partition window over the key table
+    * — and one 3-row class rollup against the 1-row grand-total frame
+    * (allowlisted). Ties on value order by key (total order). */
+  def abcClasses(df: DataFrame, keyCol: String, unitCol: Column): DataFrame = {
+    val perKey = df.select(col(keyCol).as("k"), unitCol.cast("long").as("v"))
+      .groupBy("k").agg(sum("v").as("units"))
+      .select(col("k"), col("units"), (-col("units")).as("neg"))
+    val cum = Evaluation.globalCumSum(perKey, Seq("neg", "k"), Seq("units"))
+    val grand = cum.agg(max("cum_units").as("g"), count(lit(1)).as("n_keys"))
+    cum.crossJoin(broadcast(grand))
+      .withColumn("cls",
+        when(col("cum_units") * 5 <= col("g") * 4, lit("A"))
+          .when(col("cum_units") * 20 <= col("g") * 19, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_keys"), sum("units").as("units"),
+        max("g").as("g"))
+      .select(col("cls").as("abc_class"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("units").cast("long").as("units_total"),
+        (round(col("units").cast("double") / col("g").cast("double") * lit(1e9d))
+          .cast("long").cast("double") / lit(1e9d)).as("value_share"))
+      .orderBy("abc_class")
+  }
+
+  /** Strength of trend / seasonality (Wang, Smith & Hyndman 2006; the
+    * feature the forecasting literature calls F_T, F_S): from
+    * [[seasonalDecompose]]'s components, F = max(0, 1 − Var(R)/Var(C+R))
+    * for C = trend or seasonal — "how much of this series is structure
+    * vs noise", the one-number screen that says whether a seasonal
+    * model is worth fitting at all.
+    *
+    * Consumes the decomposition's EXACT micro-unit components (the
+    * doubles recover integers via round(x·1e6) losslessly), folds
+    * scale-0 integer power sums, and each strength is one mirrored
+    * double chain in nano fixed-point, clamped at 0. */
+  def seasonalStrength(events: DataFrame, tsCol: String): DataFrame = {
+    val dec = seasonalDecompose(events, tsCol)
+      .filter(col("trend").isNotNull)
+      .select(round(col("residual") * lit(1e6d)).cast("long").as("r"),
+        (round(col("seasonal") * lit(1e6d)).cast("long")
+          + round(col("residual") * lit(1e6d)).cast("long")).as("sr"),
+        (round(col("trend") * lit(1e6d)).cast("long")
+          + round(col("residual") * lit(1e6d)).cast("long")).as("tr"))
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    def sums(c: String) = Seq(
+      sum(d0(col(c))).cast("decimal(38,0)").as(s"s_$c"),
+      sum((d0(col(c)) * d0(col(c))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as(s"ss_$c"))
+    val agg = dec.agg(count(lit(1)).as("n"),
+      (sums("r") ++ sums("sr") ++ sums("tr")): _*)
+    val nD = col("n").cast("double")
+    def varOf(c: String): Column =
+      col(s"ss_$c").cast("double") - col(s"s_$c").cast("double") *
+        col(s"s_$c").cast("double") / nD
+    def strength(c: String): Column =
+      when(col("n") >= 2 && varOf(c) > 0d,
+        round(greatest(lit(0d), lit(1d) - varOf("r") / varOf(c)) * lit(1e9d))
+          .cast("long").cast("double") / lit(1e9d))
+        .otherwise(lit(null).cast("double"))
+    agg.select(col("n").cast("long").as("n_days"),
+      strength("tr").as("strength_trend"),
+      strength("sr").as("strength_seasonal"))
+  }
+
   /** Activity decay half-life per series (the log-linear survival-of-
     * engagement fit): regress ln(daily volume) on the day index and
     * report the half-life −ln2/slope — "this cohort's usage halves

@@ -1568,6 +1568,49 @@ object Evaluation {
       .orderBy("rnk")
   }
 
+  /** Benjamini–Yekutieli FDR adjustment (Benjamini & Yekutieli 2001) —
+    * completes the multiple-testing trio beside [[benjaminiHochberg]]
+    * (independence/PRDS) and [[holmBonferroni]] (FWER): BH's guarantee
+    * can fail under ARBITRARY dependence between the tests (overlapping
+    * segments, correlated metrics); BY pays the harmonic factor
+    * c(m) = Σ 1/i to stay valid no matter how the p-values correlate.
+    * q_(i) = min_{j≥i} p_(j)·m·c(m)/j, clamped to 1.
+    *
+    * Same single-partition M-hypotheses lattice as BH. c(m) in exact
+    * integer nano units as Σ (10⁹ div i) over the rank rows themselves
+    * (floor-div — identical both engines, no libm); the displayed q is
+    * a mirrored double chain in nano fixed-point, but the REJECTION is
+    * the exact integer product test p_nano·m·c_nano ≤ α_nano·rnk·10⁹
+    * (decimal(38,0) both sides — no floor bias, no rounding at all). */
+  def benjaminiYekutieli(pvals: DataFrame, keyCol: String, pCol: String,
+                         alpha: Double = 0.05): DataFrame = {
+    val m = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wUp = Window.orderBy(col(pCol), col(keyCol))
+    val wDown = Window.orderBy(col(pCol).desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aNano = math.round(alpha * 1e9)
+    pvals
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rnk", row_number().over(wUp))
+      .withColumn("pn", expr(s"CAST(round(CAST($pCol AS DOUBLE) * 1e9) AS BIGINT)"))
+      .withColumn("cn", sum(expr("1000000000 div rnk")).over(m))
+      .withColumn("q_raw",
+        least(lit(1000000000L),
+          expr("CAST(round(CAST(pn AS DOUBLE) / 1e9 * m * (CAST(cn AS DOUBLE) / 1e9)" +
+            " / rnk * 1e9) AS BIGINT)")))
+      .withColumn("q_nano", min("q_raw").over(wDown))
+      .withColumn("ok_rnk",
+        when(expr("CAST(pn AS DECIMAL(38,0)) * m * cn <= " +
+          s"CAST($aNano AS DECIMAL(38,0)) * rnk * 1000000000"), col("rnk")))
+      .withColumn("i_star", coalesce(max("ok_rnk").over(m), lit(0L)))
+      .select(col(keyCol), col(pCol).cast("double").as("p"),
+        col("rnk").cast("long").as("rnk"),
+        (col("q_nano").cast("double") / 1e9d).as("q"),
+        (col("rnk") <= col("i_star")).cast("int").as("rejected"))
+      .orderBy("rnk")
+  }
+
   /** Mann–Kendall trend test per series group (Mann 1945; Kendall 1975) —
     * "is this metric monotonically drifting", the distribution-free
     * companion of [[Analytics.theilSen]] (same S statistic family; Theil–Sen

@@ -75,6 +75,77 @@ class AnalyticsSpec extends SparkSpec {
       s"bit-boundary teleports: ${out("zorder")}")
   }
 
+  test("scd2History: unchanged re-offers collapse, versions interval-chain, current flagged") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view"),
+      (2L, ts("2024-01-02 00:00:00"), 7L, "view"),  // unchanged → collapses
+      (3L, ts("2024-01-03 00:00:00"), 7L, "click"),
+      (4L, ts("2024-01-04 00:00:00"), 7L, "view"),  // back again = NEW version
+      (5L, ts("2024-01-01 00:00:00"), 8L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Analytics
+      .scd2History(rows, "user_id", "ts", "event_id", col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getString(1), r.getLong(3), if (r.isNullAt(4)) null else r.getLong(4),
+          r.getInt(5))).toMap
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(out((7L, 1)) == (("view", us("2024-01-01 00:00:00"),
+      us("2024-01-03 00:00:00"), 0)), out.toString)
+    assert(out((7L, 2)) == (("click", us("2024-01-03 00:00:00"),
+      us("2024-01-04 00:00:00"), 0)), out.toString)
+    assert(out((7L, 3)) == (("view", us("2024-01-04 00:00:00"), null, 1)),
+      "reverting opens a NEW version, never reopens the old one")
+    assert(out((8L, 1))._4 == 1 && out.size == 4, out.toString)
+  }
+
+  test("demingRegression: exact line recovered; noisy-x slope steeper than OLS") {
+    val line = Seq((1L, 5L), (2L, 7L), (3L, 9L)).toDF("x", "y") // y = 2x + 3
+    val r = graft.operators.Analytics.demingRegression(line, col("x"), col("y"))
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0, r.toString)
+    // mxx=2, myy=8, mxy=2 → β = (6+√52)/4 ≈ 3.3028 — ABOVE the OLS 1.0
+    // (orthogonal fits don't attenuate when x carries noise too)
+    val noisy = Seq((0L, 0L), (1L, 4L), (2L, 2L)).toDF("x", "y")
+    val n = graft.operators.Analytics.demingRegression(noisy, col("x"), col("y"))
+      .collect()(0)
+    val beta = (6d + math.sqrt(52d)) / 4d
+    assert(n.getDouble(1) == math.round(beta * 1e9).toDouble / 1e9, n.toString)
+    // zero covariance → undefined orientation → NULL
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(graft.operators.Analytics.demingRegression(flat, col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("abcClasses: exact integer 80/95 boundaries split the classic head/middle/tail") {
+    val rows = Seq(("p1", 80L), ("p2", 10L), ("p2", 5L), ("p3", 5L)).toDF("k", "v")
+    val out = graft.operators.Analytics.abcClasses(rows, "k", col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") == ((1L, 80L, 0.8)), out.toString)
+    assert(out("B") == ((1L, 15L, 0.15)), out.toString)
+    assert(out("C") == ((1L, 5L, 0.05)), out.toString)
+  }
+
+  test("seasonalStrength: pure weekly pattern → F_S = 1 (flat trend NULL); pure ramp → F_T = 1") {
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def rowsFor(f: java.time.LocalDate => Int, g: String) =
+      (0 until 28).flatMap { i =>
+        val day = d0.plusDays(i)
+        Seq.fill(f(day))((g, java.sql.Timestamp.valueOf(day.atStartOfDay)))
+      }
+    val weekly = rowsFor(day => 10 + (if (day.toEpochDay % 7 == 0) 5 else 0), "w")
+      .toDF("g", "ts")
+    val w = graft.operators.Analytics.seasonalStrength(weekly, "ts").collect()(0)
+    assert(w.getDouble(2) == 1.0, s"pure weekly: F_S = 1 exactly: $w")
+    assert(w.isNullAt(1), s"flat 7-day-MA trend has zero variance: $w")
+    val ramp = (0 until 21).flatMap { i =>
+      Seq.fill(i + 1)(("r", java.sql.Timestamp.valueOf(d0.plusDays(i).atStartOfDay)))
+    }.toDF("g", "ts")
+    val r = graft.operators.Analytics.seasonalStrength(ramp, "ts").collect()(0)
+    assert(r.getDouble(1) == 1.0, s"pure ramp: F_T = 1 exactly: $r")
+    assert(r.isNullAt(2), s"zero seasonal variance: $r")
+  }
+
   test("activityHalfLife: exact halving series fits half-life 1 day; flat/growing/single NULL") {
     val d = (s: String) => java.sql.Date.valueOf(s)
     val rows =

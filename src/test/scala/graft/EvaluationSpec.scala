@@ -1473,6 +1473,23 @@ class EvaluationSpec extends SparkSpec {
     assert(!out(1).isNullAt(3) && out(1).getLong(2) == 2L, s"carry-forward: ${out(1)}")
   }
 
+  test("benjaminiYekutieli: harmonic-penalized q monotone, exact integer rejection front") {
+    val pv = Seq(("A", 0.002), ("B", 0.010), ("C", 0.020), ("D", 0.500))
+      .toDF("key", "p")
+    val out = Evaluation.benjaminiYekutieli(pv, "key", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getInt(4))).toMap
+    // c(4) = Σ(1e9 div i) = 2083333333 nano; q_i = p·m·c/i then reverse cummin
+    val cn = (1 to 4).map(1000000000L / _).sum
+    def q(p: Double, rnk: Int): Long = math.min(1000000000L,
+      math.round(math.round(p * 1e9).toDouble / 1e9 * 4 * (cn.toDouble / 1e9) / rnk * 1e9))
+    assert(out("A")._1 == q(0.002, 1).toDouble / 1e9, out.toString)
+    assert(out("B")._1 == q(0.010, 2).toDouble / 1e9, out.toString)
+    assert(out("D")._1 == 1.0, "clamp at 1")
+    // exact front: pn·m·cn ≤ αn·i·1e9 holds for ranks 1,2 only
+    assert(out("A")._2 == 1 && out("B")._2 == 1 && out("C")._2 == 0 && out("D")._2 == 0,
+      s"BY is stricter than BH exactly here: $out")
+  }
+
   test("stratifiedAte: within-stratum diffs, renormalized weights, one-armed stratum excluded") {
     val rows = Seq(
       ("A", 1, 10L), ("A", 1, 20L), ("A", 0, 10L),          // diff 5

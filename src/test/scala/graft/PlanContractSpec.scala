@@ -178,7 +178,11 @@ class PlanContractSpec extends SparkSpec {
           "q374_rmst", "q376_rich_club", "q378_group_sequential",
           // token_burstiness: the 1-row corpus-size frame over the
           // token table; qini: the 1-row count frame (rank → decile)
-          "q381_token_burstiness", "q383_qini")
+          "q381_token_burstiness", "q383_qini",
+          // by_fdr: q256's 1-row totals frame; abc: the 1-row grand-
+          // total frame; seasonal_strength: q232's 1-row seasonal-center
+          // frame inside the decomposition it consumes
+          "q384_by_fdr", "q387_abc", "q388_seasonal_strength")
         if (allowed(name)) None else Some(name)
       } else None
     }
