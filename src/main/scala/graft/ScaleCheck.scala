@@ -606,6 +606,10 @@ object ScaleCheck {
     time("deming")(d => SparkEntry.queries("q386_deming")(spark, d))
     time("abc")(d => SparkEntry.queries("q387_abc")(spark, d))
     time("seasonal_strength")(d => SparkEntry.queries("q388_seasonal_strength")(spark, d))
+    time("bland_altman")(d => SparkEntry.queries("q389_bland_altman")(spark, d))
+    time("chao1")(d => SparkEntry.queries("q390_chao1")(spark, d))
+    time("wilson")(d => SparkEntry.queries("q391_wilson")(spark, d))
+    time("ratio_metric")(d => SparkEntry.queries("q392_ratio_metric")(spark, d))
     time("group_sequential")(d => SparkEntry.queries("q378_group_sequential")(spark, d))
     time("curve_locality")(d => SparkEntry.queries("q371_curve_locality")(spark, d))
     time("yuen")(d => SparkEntry.queries("q372_yuen")(spark, d))

@@ -740,6 +740,37 @@ object SparkEntry {
       // is the event series structure or noise: Wang–Hyndman F_T/F_S
       // over q232's exact micro-unit decomposition
       Analytics.seasonalStrength(Tables.events(s, d), "ts")),
+    "q389_bland_altman" -> ((s, d) => {
+      // do the order header total and the line-item sum AGREE as two
+      // measurements of the same order — bias + limits of agreement
+      val lineSums = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * lit(100d)).cast("long"))
+          .as("line_cents"))
+      val pairs = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * lit(100d)).cast("long").as("hdr_cents"))
+        .join(lineSums, col("o_orderkey") === col("l_orderkey"))
+      Evaluation.blandAltman(pairs, col("hdr_cents"), col("line_cents"))
+    }),
+    "q390_chao1" -> ((s, d) =>
+      // how much vocabulary has this corpus NOT seen: Chao1 richness
+      // bound + Good–Turing unseen mass from the frequency spectrum
+      TextAnalysis.vocabularyRichness(Tables.documents(s, d), "text")),
+    "q391_wilson" -> ((s, d) =>
+      // fill-rate per priority WITH honest error bars — Wilson, not the
+      // Wald interval that collapses at the extremes
+      Evaluation.wilsonIntervals(Tables.orders(s, d), "o_orderpriority",
+        col("o_orderstatus") === "F")),
+    "q392_ratio_metric" -> ((s, d) => {
+      // revenue-per-view as a RATIO metric: unit = user, denominator =
+      // views — the delta-method z a row-level t-test gets wrong
+      val units = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+            round(col("value") * lit(100d)).cast("long"))), lit(0L)).as("x"),
+          count(when(col("event_type") === "view", lit(1))).as("y"))
+      Evaluation.ratioMetricDelta(units,
+        pmod(col("user_id"), lit(2)) === 0, col("x"), col("y"))
+    }),
     "q327_diff_in_diff" -> ((s, d) =>
       // did even-id users' event value move after mid-month NET of the
       // common time trend: the 2×2 DiD readout, one conditional-agg scan
@@ -7702,6 +7733,107 @@ object SparkEntry {
         |  CASE WHEN n >= 2 AND vsr > 0 THEN
         |    CAST(CAST(round(greatest(0, 1 - vr / vsr) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS strength_seasonal
         |FROM v""".stripMargin,
+    "q389_bland_altman" ->
+      // integer-cent diffs; bias/limits round(x·1e4) fixed-point; the
+      // exceedance pass crosses the 1-row stats frame back over pairs
+      """WITH ls AS (SELECT l_orderkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_cents
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) - line_cents AS dd
+        |      FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(dd AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sd1,
+        |    CAST(SUM(CAST(CAST(dd AS DECIMAL(19,0)) * CAST(dd AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd2
+        |  FROM p),
+        |lm AS (SELECT n,
+        |    CAST(CAST(round(CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS bias,
+        |    CASE WHEN n >= 2 THEN CAST(CAST(round(sqrt((CAST(sd2 AS DOUBLE)
+        |      - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS sd_diff,
+        |    CASE WHEN n >= 2 THEN CAST(CAST(round((CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 1.959963985 * sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS loa_lo,
+        |    CASE WHEN n >= 2 THEN CAST(CAST(round((CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 1.959963985 * sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 END AS loa_hi
+        |  FROM st)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, bias, sd_diff, loa_lo, loa_hi,
+        |  COUNT(CASE WHEN CAST(dd AS DOUBLE) < loa_lo OR CAST(dd AS DOUBLE) > loa_hi THEN 1 END) AS n_outside
+        |FROM p CROSS JOIN lm GROUP BY n, bias, sd_diff, loa_lo, loa_hi""".stripMargin,
+    "q390_chao1" ->
+      // frequency-spectrum fold: Chao1 = D + f1(f1-1)/(2(f2+1)) and
+      // Good–Turing unseen mass f1/N; exact counts, fixed-point reads
+      """WITH c AS (SELECT tok, COUNT(*) AS c FROM
+        |    (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        |  COUNT(CASE WHEN c = 1 THEN 1 END) AS f1, COUNT(CASE WHEN c = 2 THEN 1 END) AS f2,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    CAST(CAST(round((CAST(COUNT(*) AS DOUBLE)
+        |      + CAST(COUNT(CASE WHEN c = 1 THEN 1 END) * (COUNT(CASE WHEN c = 1 THEN 1 END) - 1) AS DOUBLE)
+        |        / (2 * (CAST(COUNT(CASE WHEN c = 2 THEN 1 END) AS DOUBLE) + 1))) * 1e4) AS BIGINT) AS DOUBLE) / 1e4
+        |  END AS chao1,
+        |  CASE WHEN COALESCE(SUM(c), 0) > 0 THEN
+        |    CAST(CAST(round(CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        |  END AS gt_unseen_mass
+        |FROM c""".stripMargin,
+    "q391_wilson" ->
+      // z² as the same literal product both sides; center/half mirrored
+      // double chains, nano fixed-point, clamped to [0,1]
+      """WITH a AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, COUNT(*) AS n,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS k FROM orders GROUP BY 1)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS rate,
+        |  CAST(CAST(round(greatest(0, (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.959963985 * 1.959963985) / (2 * CAST(n AS DOUBLE))) / (1 + (1.959963985 * 1.959963985) / CAST(n AS DOUBLE))
+        |    - 1.959963985 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        + (1.959963985 * 1.959963985) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1 + (1.959963985 * 1.959963985) / CAST(n AS DOUBLE))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS ci_lo,
+        |  CAST(CAST(round(least(1, (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.959963985 * 1.959963985) / (2 * CAST(n AS DOUBLE))) / (1 + (1.959963985 * 1.959963985) / CAST(n AS DOUBLE))
+        |    + 1.959963985 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        + (1.959963985 * 1.959963985) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1 + (1.959963985 * 1.959963985) / CAST(n AS DOUBLE))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS ci_hi
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+    "q392_ratio_metric" ->
+      // per-user units, five power sums per arm in one pass, the
+      // delta-method Var(R) chain mirrored double-for-double
+      """WITH u AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, x, y FROM u),
+        |pa AS (SELECT t, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM b GROUP BY 1),
+        |j AS (SELECT tt.n AS n_t, tt.sx AS sx_t, tt.sy AS sy_t, tt.sxx AS sxx_t, tt.syy AS syy_t, tt.sxy AS sxy_t,
+        |        cc.n AS n_c, cc.sx AS sx_c, cc.sy AS sy_c, cc.sxx AS sxx_c, cc.syy AS syy_c, cc.sxy AS sxy_c
+        |      FROM (SELECT * FROM pa WHERE t = 1) tt CROSS JOIN (SELECT * FROM pa WHERE t = 0) cc),
+        |r AS (SELECT n_t, n_c, sy_t, sy_c,
+        |    CAST(sx_t AS DOUBLE) / CAST(sy_t AS DOUBLE) AS rt,
+        |    CAST(sx_c AS DOUBLE) / CAST(sy_c AS DOUBLE) AS rc,
+        |    ((CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1)
+        |      + (CAST(sx_t AS DOUBLE) / CAST(sy_t AS DOUBLE)) * (CAST(sx_t AS DOUBLE) / CAST(sy_t AS DOUBLE))
+        |        * ((CAST(syy_t AS DOUBLE) - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1))
+        |      - 2 * (CAST(sx_t AS DOUBLE) / CAST(sy_t AS DOUBLE))
+        |        * ((CAST(sxy_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1)))
+        |      / (CAST(n_t AS DOUBLE) * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)) * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE))) AS vrt,
+        |    ((CAST(sxx_c AS DOUBLE) - CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1)
+        |      + (CAST(sx_c AS DOUBLE) / CAST(sy_c AS DOUBLE)) * (CAST(sx_c AS DOUBLE) / CAST(sy_c AS DOUBLE))
+        |        * ((CAST(syy_c AS DOUBLE) - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1))
+        |      - 2 * (CAST(sx_c AS DOUBLE) / CAST(sy_c AS DOUBLE))
+        |        * ((CAST(sxy_c AS DOUBLE) - CAST(sx_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1)))
+        |      / (CAST(n_c AS DOUBLE) * (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))) AS vrc
+        |  FROM j)
+        |SELECT CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
+        |  CASE WHEN sy_t > 0 THEN CAST(CAST(round(rt * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS ratio_treated,
+        |  CASE WHEN sy_c > 0 THEN CAST(CAST(round(rc * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS ratio_control,
+        |  CASE WHEN n_t > 1 AND sy_t > 0 AND n_c > 1 AND sy_c > 0 THEN
+        |    CAST(CAST(round((rt - rc) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS diff,
+        |  CASE WHEN n_t > 1 AND sy_t > 0 AND n_c > 1 AND sy_c > 0 AND (vrt + vrc) > 0 THEN
+        |    CAST(CAST(round((rt - rc) / sqrt(vrt + vrc) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 END AS z
+        |FROM r""".stripMargin,
     "q353_lsh_calibration" ->
       // identical repeated-squaring product chains both sides — no pow
       """WITH g AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM generate_series(1, 19) AS t(k)),

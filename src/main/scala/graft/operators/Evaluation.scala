@@ -3329,6 +3329,137 @@ object Evaluation {
             .cast("decimal(18,9)").cast("double")).as("late"))
   }
 
+  /** Bland–Altman agreement analysis (Bland & Altman 1986 — the Lancet
+    * method-comparison standard, the DIAGNOSTIC companion of
+    * [[Analytics.demingRegression]]'s fitted line): for paired
+    * measurements of the same quantity, the bias (mean difference), the
+    * 95% limits of agreement bias ± 1.96·sd(diff), and how many pairs
+    * fall outside — "do the two systems agree well enough to swap",
+    * which correlation famously cannot answer.
+    *
+    * ONE aggregate of exact integer power sums over the differences,
+    * then one broadcast of the 1-row stats frame back over the pairs to
+    * count exceedances (allowlisted). Bias/limits in round(x·1e4)
+    * fixed-point (money magnitudes); the outside test compares exact
+    * integer diffs against the rounded limits — deterministic both
+    * engines. n < 2 → NULL limits. */
+  def blandAltman(pairs: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = pairs.select((xCol.cast("long") - yCol.cast("long")).as("dd"))
+      .filter(col("dd").isNotNull)
+      .localCheckpoint() // two consumers: the moments fold + the exceedance pass
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(d0(col("dd"))).cast("decimal(38,0)").as("sd1"),
+      sum((d0(col("dd")) * d0(col("dd"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sd2"))
+    val nD = col("n").cast("double")
+    val mean = col("sd1").cast("double") / nD
+    val sd = sqrt((col("sd2").cast("double")
+      - col("sd1").cast("double") * col("sd1").cast("double") / nD) / (nD - 1d))
+    val fx = (c: Column) =>
+      round(c * lit(1e4d)).cast("long").cast("double") / lit(1e4d)
+    val lims = stats.select(col("n"),
+      fx(mean).as("bias"),
+      when(col("n") >= 2, fx(sd)).as("sd_diff"),
+      when(col("n") >= 2, fx(mean - lit(1.959963985d) * sd)).as("loa_lo"),
+      when(col("n") >= 2, fx(mean + lit(1.959963985d) * sd)).as("loa_hi"))
+    base.crossJoin(broadcast(lims))
+      .groupBy("n", "bias", "sd_diff", "loa_lo", "loa_hi")
+      .agg(count(when(col("dd").cast("double") < col("loa_lo")
+        || col("dd").cast("double") > col("loa_hi"), lit(1))).as("n_outside"))
+      .select(col("n").cast("long").as("n_pairs"), col("bias"), col("sd_diff"),
+        col("loa_lo"), col("loa_hi"), col("n_outside").cast("long").as("n_outside"))
+  }
+
+  /** Wilson score intervals per group (Wilson 1927 — the proportion CI
+    * that behaves at the extremes where the naive Wald p̂ ± z√(p̂q̂/n)
+    * collapses to zero width at p̂ ∈ {0,1} and escapes [0,1]): the
+    * honest error bar for every rate a dashboard shows.
+    * center = (p̂ + z²/2n)/(1 + z²/n),
+    * half = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+    *
+    * ONE conditional hash aggregate per group (map-side combined);
+    * exact integer counts, rate and bounds one mirrored double chain
+    * each in nano fixed-point, clamped to [0,1]. */
+  def wilsonIntervals(df: DataFrame, groupCol: String, successCond: Column,
+                      z: Double = 1.959963985): DataFrame = {
+    val agg = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), count(when(successCond, lit(1))).as("k"))
+    val nD = col("n").cast("double"); val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1d) + z2 / nD
+    val center = (p + z2 / (lit(2d) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1d) - p) / nD
+      + z2 / (lit(4d) * nD * nD)) / denom
+    val fx = (c: Column) =>
+      round(c * lit(1e9d)).cast("long").cast("double") / lit(1e9d)
+    agg.select(col("g").as(groupCol),
+        col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        fx(p).as("rate"),
+        fx(greatest(lit(0d), center - half)).as("ci_lo"),
+        fx(least(lit(1d), center + half)).as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** Ratio-metric A/B comparison by the delta method (Fieller/Deming
+    * lineage; the modern experimentation-platform standard for
+    * "revenue per session"-shaped metrics, where the UNIT of analysis
+    * (user) differs from the denominator (sessions) and a naive
+    * row-level t-test is simply wrong): per arm, R = ΣX/ΣY with
+    * Var(R) ≈ (Var(X) + R²Var(Y) − 2R·Cov(X,Y)) / (n·Ȳ²), then one z
+    * for the difference.
+    *
+    * Caller supplies ONE ROW PER RANDOMIZATION UNIT (pre-aggregate!).
+    * One conditional aggregate computes both arms' five power sums in a
+    * single pass; the two 1-row arm frames cross (allowlisted); every
+    * readout is a mirrored double chain in nano fixed-point. Degenerate
+    * arms (n < 2 or ΣY = 0 or zero variance) → NULL z, never a crash. */
+  def ratioMetricDelta(units: DataFrame, treatedCond: Column,
+                       numCol: Column, denCol: Column): DataFrame = {
+    val base = units.select(treatedCond.cast("int").as("t"),
+      numCol.cast("long").as("x"), denCol.cast("long").as("y"))
+    val d0 = (c: Column) => c.cast("decimal(19,0)")
+    val perArm = base.groupBy("t").agg(count(lit(1)).as("n"),
+      sum(d0(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(d0(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum((d0(col("x")) * d0(col("x"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sxx"),
+      sum((d0(col("y")) * d0(col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("syy"),
+      sum((d0(col("x")) * d0(col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sxy"))
+    def arm(t: Int, sfx: String): DataFrame = perArm.filter(col("t") === t)
+      .select(col("n").as(s"n$sfx"), col("sx").as(s"sx$sfx"),
+        col("sy").as(s"sy$sfx"), col("sxx").as(s"sxx$sfx"),
+        col("syy").as(s"syy$sfx"), col("sxy").as(s"sxy$sfx"))
+    val j = arm(1, "_t").crossJoin(broadcast(arm(0, "_c")))
+    def rv(s: String): (Column, Column, Column) = {
+      val nD = col(s"n$s").cast("double")
+      val r = col(s"sx$s").cast("double") / col(s"sy$s").cast("double")
+      val vx = (col(s"sxx$s").cast("double") - col(s"sx$s").cast("double")
+        * col(s"sx$s").cast("double") / nD) / (nD - 1d)
+      val vy = (col(s"syy$s").cast("double") - col(s"sy$s").cast("double")
+        * col(s"sy$s").cast("double") / nD) / (nD - 1d)
+      val cxy = (col(s"sxy$s").cast("double") - col(s"sx$s").cast("double")
+        * col(s"sy$s").cast("double") / nD) / (nD - 1d)
+      val yBar = col(s"sy$s").cast("double") / nD
+      val vr = (vx + r * r * vy - lit(2d) * r * cxy) / (nD * yBar * yBar)
+      (r, vr, nD)
+    }
+    val (rt, vrt, _) = rv("_t"); val (rc, vrc, _) = rv("_c")
+    val fx = (c: Column) =>
+      round(c * lit(1e9d)).cast("long").cast("double") / lit(1e9d)
+    val okT = col("n_t") > 1 && col("sy_t") > 0
+    val okC = col("n_c") > 1 && col("sy_c") > 0
+    j.select(col("n_t").cast("long").as("n_treated"),
+      col("n_c").cast("long").as("n_control"),
+      when(col("sy_t") > 0, fx(rt)).as("ratio_treated"),
+      when(col("sy_c") > 0, fx(rc)).as("ratio_control"),
+      when(okT && okC, fx(rt - rc)).as("diff"),
+      when(okT && okC && (vrt + vrc) > 0d,
+        fx((rt - rc) / sqrt(vrt + vrc))).as("z"))
+  }
+
   /** Stratified average treatment effect (Cochran 1968 subclassification
     * — the transparent middle rung between the raw [[abTest]] diff and
     * [[ipwEffect]]'s reweighting): within-stratum treated−control mean

@@ -762,6 +762,40 @@ object TextAnalysis {
       .orderBy("prev_slice")
   }
 
+  /** Vocabulary richness estimation (Chao 1984's Chao1 + Good 1953's
+    * coverage): from the token frequency spectrum's singletons f₁ and
+    * doubletons f₂, the bias-corrected Chao1 lower bound on TRUE
+    * vocabulary size D + f₁(f₁−1)/(2(f₂+1)) and the Good–Turing unseen
+    * probability mass f₁/N — "how much vocabulary has this corpus NOT
+    * seen yet", the sampling-completeness answer beside [[Curation]]'s
+    * Heaps-law growth fit (Heaps extrapolates the curve; Chao1 bounds
+    * its ceiling from one sample).
+    *
+    * One token-count aggregate then ONE scalar fold over the frequency
+    * spectrum — all counts exact integers, the two estimates one
+    * mirrored double chain each (1e4 / nano fixed-point). Empty corpus
+    * → zeros/NULLs, never a division error. */
+  def vocabularyRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("d"),
+        coalesce(sum("c"), lit(0L)).as("n"),
+        count(when(col("c") === 1, lit(1))).as("f1"),
+        count(when(col("c") === 2, lit(1))).as("f2"))
+      .select(col("n").cast("long").as("n_tokens"),
+        col("d").cast("long").as("n_distinct"),
+        col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"),
+        when(col("d") > 0,
+          round((col("d").cast("double")
+              + (col("f1") * (col("f1") - 1)).cast("double")
+                / (lit(2d) * (col("f2").cast("double") + 1d))) * lit(1e4d))
+            .cast("long").cast("double") / lit(1e4d)).as("chao1"),
+        when(col("n") > 0,
+          round(col("f1").cast("double") / col("n").cast("double") * lit(1e9d))
+            .cast("long").cast("double") / lit(1e9d)).as("gt_unseen_mass"))
+  }
+
   /** Token burstiness (Church & Gale 1995): the Fano factor
     * var/mean of a token's PER-DOCUMENT count across the whole corpus
     * — ~1 for Poisson "function words" sprinkled evenly, ≫1 for bursty

@@ -1473,6 +1473,54 @@ class EvaluationSpec extends SparkSpec {
     assert(!out(1).isNullAt(3) && out(1).getLong(2) == 2L, s"carry-forward: ${out(1)}")
   }
 
+  test("blandAltman: bias/limits from the diff moments; exceedance counted against rounded limits") {
+    // 20 zero-diffs + one 50: mean 50/21, sd = √(2500/21) → the 50 breaks loa_hi
+    val rows = (Seq.fill(20)((100L, 100L)) :+ ((150L, 100L))).toDF("x", "y")
+    val r = Evaluation.blandAltman(rows, col("x"), col("y")).collect()(0)
+    def fx(v: Double) = math.round(v * 1e4).toDouble / 1e4
+    val n = 21d; val mean = 50d / n
+    val sd = math.sqrt((2500d - 50d * 50d / n) / (n - 1))
+    assert(r.getLong(0) == 21L && r.getDouble(1) == fx(mean), r.toString)
+    assert(r.getDouble(2) == fx(sd) && r.getDouble(4) == fx(mean + 1.959963985 * sd))
+    assert(r.getLong(5) == 1L, s"exactly the 50-diff runs outside: $r")
+    // perfect agreement: zero bias, zero sd, nothing outside
+    val same = Seq((5L, 5L), (7L, 7L), (9L, 9L)).toDF("x", "y")
+    val s = Evaluation.blandAltman(same, col("x"), col("y")).collect()(0)
+    assert(s.getDouble(1) == 0.0 && s.getDouble(2) == 0.0 && s.getLong(5) == 0L, s.toString)
+  }
+
+  test("wilsonIntervals: known chain at p=.5, clamps at the extremes where Wald collapses") {
+    val rows = (Seq.fill(50)(("m", true)) ++ Seq.fill(50)(("m", false)) ++
+      Seq.fill(10)(("z", false)) ++ Seq.fill(10)(("o", true))).toDF("g", "s")
+    val out = Evaluation.wilsonIntervals(rows, "g", col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def fx(v: Double) = math.round(v * 1e9).toDouble / 1e9
+    val z = 1.959963985; val z2 = z * z; val n = 100d; val p = 0.5
+    val den = 1d + z2 / n
+    val c = (p + z2 / (2 * n)) / den
+    val h = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
+    assert(out("m") == ((100L, 0.5, fx(c - h), fx(c + h))), out.toString)
+    // k=0: Wald gives width 0 at p̂=0; Wilson stays informative and ≥ 0
+    assert(out("z")._2 == 0.0 && out("z")._3 == 0.0 && out("z")._4 > 0.1, out.toString)
+    assert(out("o")._4 == 1.0 && out("o")._3 < 0.9, "k=n clamps at 1, lower bound < 1")
+  }
+
+  test("ratioMetricDelta: hand arms — ratios, delta-method variance, z exact; degenerate NULL") {
+    val units = Seq((1, 10L, 2L), (1, 20L, 2L), (0, 10L, 2L), (0, 10L, 2L))
+      .toDF("t", "x", "y")
+    val r = Evaluation.ratioMetricDelta(units, col("t") === 1, col("x"), col("y"))
+      .collect()(0)
+    // R_t = 30/4, R_c = 5; vr_t = vx/(n·ȳ²) = 50/8 = 6.25, vr_c = 0 →
+    // z = 2.5/2.5 = 1
+    assert(r.getDouble(2) == 7.5 && r.getDouble(3) == 5.0, r.toString)
+    assert(r.getDouble(4) == 2.5 && r.getDouble(5) == 1.0, r.toString)
+    val tiny = Seq((1, 10L, 2L), (0, 10L, 2L), (0, 12L, 2L)).toDF("t", "x", "y")
+    val t = Evaluation.ratioMetricDelta(tiny, col("t") === 1, col("x"), col("y"))
+      .collect()(0)
+    assert(t.isNullAt(5), s"single-unit arm cannot estimate variance: $t")
+  }
+
   test("benjaminiYekutieli: harmonic-penalized q monotone, exact integer rejection front") {
     val pv = Seq(("A", 0.002), ("B", 0.010), ("C", 0.020), ("D", 0.500))
       .toDF("key", "p")

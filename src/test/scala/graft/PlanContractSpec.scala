@@ -182,7 +182,10 @@ class PlanContractSpec extends SparkSpec {
           // by_fdr: q256's 1-row totals frame; abc: the 1-row grand-
           // total frame; seasonal_strength: q232's 1-row seasonal-center
           // frame inside the decomposition it consumes
-          "q384_by_fdr", "q387_abc", "q388_seasonal_strength")
+          "q384_by_fdr", "q387_abc", "q388_seasonal_strength",
+          // bland_altman: the 1-row limits frame crossed back over the
+          // pair diffs; ratio_metric: the 1-row arm frames crossed
+          "q389_bland_altman", "q392_ratio_metric")
         if (allowed(name)) None else Some(name)
       } else None
     }

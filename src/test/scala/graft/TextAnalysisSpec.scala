@@ -338,6 +338,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 2, "exactly n_slices - 1 pairs")
   }
 
+  test("vocabularyRichness: Chao1 from the frequency spectrum; Good–Turing unseen mass") {
+    // counts a:1 b:2 c:2 d:1 → D=4, N=6, f1=2, f2=2 →
+    // chao1 = 4 + 2·1/(2·3) = 4.3333; unseen = 2/6
+    val docs = Seq((1L, "a b b c c"), (2L, "d")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabularyRichness(docs, "text").collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L
+      && r.getLong(2) == 2L && r.getLong(3) == 2L, r.toString)
+    assert(r.getDouble(4) == 4.3333, r.toString)
+    assert(r.getDouble(5) == math.round(2d / 6 * 1e9).toDouble / 1e9, r.toString)
+    // saturated corpus (no singletons): chao1 = D, unseen mass 0
+    val sat = Seq((1L, "x x y y"), (2L, "x y")).toDF("doc_id", "text")
+    val s = TextAnalysis.vocabularyRichness(sat, "text").collect()(0)
+    assert(s.getDouble(4) == 2.0 && s.getDouble(5) == 0.0, s.toString)
+  }
+
   test("tokenBurstiness: bursty content word ≫ evenly sprinkled word; zeros count") {
     // 4 docs: 'a' piles 4× into one doc (Fano 4), 'b' appears once in
     // three docs (Fano 1/3) — same-ish totals, opposite dispersion
