@@ -60,6 +60,21 @@ object SparkEntry {
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
   }
 
+  /** [[partCooccurrenceEdges]] with the market-basket support floor (pair
+    * co-occurs in ≥2 orders) — the q238 noise floor, now shared by every
+    * ITERATIVE consumer (q231 eigencentrality, q240 PPR): the raw
+    * co-occurrence graph is near-complete (avg degree ~120 at sf0.1 ⇒
+    * 1.2M pairs) and densifies superlinearly with scale, so per-iteration
+    * join fanout on the raw graph grows without bound while 1-off
+    * co-purchases carry no centrality signal. The floor keeps the kept-pair
+    * count roughly CONSTANT across sf0.01→sf0.1 (3.4k→3.6k measured) —
+    * the iterative cost is decoupled from corpus size. The raw-graph
+    * variants stay covered by GraphSpec's hand cases. */
+  private def supportedCooccurrenceEdges(s: SparkSession, d: String): DataFrame =
+    partCooccurrenceEdges(s, d)
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+
   /** Second boundary rule: nested types never leave the engine either. The
     * driver's harness sorts result rows with pandas, which cannot hash
     * array/map cells (`TypeError: unhashable type`) — so array columns are
@@ -1622,8 +1637,10 @@ object SparkEntry {
           max("doc_id").as("max_id"))),
     "q240_ppr" -> ((s, d) => {
       // random walk with restart to parts {1,2}: "related to THESE parts";
-      // symmetrized like q110 so no node dangles
-      val e = partCooccurrenceEdges(s, d)
+      // symmetrized like q110 so no node dangles. Support-floored edges
+      // (w≥2): the raw near-complete graph made this the slowest query in
+      // the suite and its iterative fanout grows with corpus density
+      val e = supportedCooccurrenceEdges(s, d)
       Graph.personalizedPageRank(
         e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb"))),
         "pa", "pb", Seq(1L, 2L))
@@ -1681,9 +1698,11 @@ object SparkEntry {
       // micro-unit quantization keeps the decomposition engine-exact
       Analytics.seasonalDecompose(Tables.events(s, d), "ts")),
     "q231_eigencentrality" -> ((s, d) =>
-      // power iteration on the part co-occurrence graph (= HITS on the
-      // symmetrized adjacency); max-normalized, 3 unrolled rounds
-      Graph.eigenCentrality(partCooccurrenceEdges(s, d), "pa", "pb")),
+      // power iteration on the SUPPORT-FLOORED part co-occurrence graph
+      // (= HITS on the symmetrized adjacency); max-normalized, 3 unrolled
+      // rounds. w≥2 floor per q238: iterative fanout on the raw
+      // near-complete graph densifies with scale
+      Graph.eigenCentrality(supportedCooccurrenceEdges(s, d), "pa", "pb")),
     "q230_gopher_rules" -> ((s, d) =>
       // published-quality-filter audit: per-rule flags + composed verdict
       Curation.gopherRules(Tables.documents(s, d), "doc_id", "text")),
@@ -5537,9 +5556,12 @@ object SparkEntry {
         |FROM range(1000, 9000000)""".stripMargin,
     "q240_ppr" ->
       // q110's decimal-contribution recipe with the restart mass split
-      // over seeds {1,2}; r0 = teleport distribution (0.5 each)
+      // over seeds {1,2}; r0 = teleport distribution (0.5 each).
+      // w≥2 support floor mirrors the engine (q238's noise floor)
       """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |ew AS (SELECT x.p AS a, y.p AS b, count(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e0 AS (SELECT a, b FROM ew WHERE wt >= 2),
         |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
         |deg AS (SELECT a AS src, count(*) AS deg FROM e GROUP BY 1),
         |r0 AS (SELECT DISTINCT a AS node,
@@ -5705,7 +5727,9 @@ object SparkEntry {
       // DECIMAL(28,9) before the sum (q110 recipe), max-normalized per
       // round (no sqrt — L2 would be order-dependent)
       """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |ew AS (SELECT x.p AS a, y.p AS b, count(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e0 AS (SELECT a, b FROM ew WHERE wt >= 2),
         |e AS (SELECT DISTINCT a, b FROM e0 UNION SELECT DISTINCT b, a FROM e0),
         |r1 AS (SELECT e.b AS node, CAST(SUM(CAST(1.0 AS DECIMAL(28,9))) AS DOUBLE) AS raw
         |       FROM e GROUP BY e.b),

@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * join of the (src, dst, deg) edge index against the current rank vector
   * (both shuffle on the node key and AQE reuses the co-partitioning) and
   * ONE aggregate on dst. The edge index is deduped + degree-annotated once
-  * and persisted; ranks are node-sized, never edge-sized. localCheckpoint
-  * per iteration truncates the growing lineage (the classic iterative-Spark
-  * OOM). Iterations are FIXED, so the whole thing is deterministic and —
+  * and EAGERLY localCheckpointed (it is referenced once per iteration with
+  * no intervening action, so a lazy persist would never serve a job); ranks
+  * are node-sized, never edge-sized. Iterations are FIXED, so the whole thing is deterministic and —
   * with contributions cast to DECIMAL(28,9) before the order-dependent
   * sum (the [[Curation.unigramLogLikelihood]] recipe) — reproducible
   * bit-exactly in the DuckDB oracle with unrolled CTEs.
@@ -29,8 +29,13 @@ object Graph {
                topK: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val index = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER checkpoint, not persist: the final plan references the edge
+    // index once per iteration (and callers may union/mirror the result,
+    // doubling references again) — a lazy persist would need an action to
+    // fire before the references, and there is none inside this builder.
+    // The eager materialization runs the groupBy-collect_set edge-build
+    // exactly ONCE; every reference afterwards reads node-local blocks.
+    val index = e.join(deg, "src").localCheckpoint(true)
     var ranks = index.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
@@ -40,13 +45,13 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg((lit(1.0 - damping) + lit(damping) * sum(col("c")).cast("double"))
           .as("rank"))
-      // checkpoint every 3rd round: each checkpoint is a blocking node-sized
-      // materialization, so doing it EVERY round costs more than the
-      // shallow lineage it trims — the cadence only needs to outpace
-      // Catalyst's analysis blowup on deep iterative plans
+      // lineage valve for DEEP runs only: every 3rd round eagerly
+      // materialize the node-sized rank vector so Catalyst never analyzes
+      // an unboundedly nested plan. At the default 2-3 rounds the plan is
+      // shallow, the valve never fires, and the whole rank chain stays ONE
+      // lazy job over the checkpointed index.
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
-    index.unpersist(false)
     ranks
       .select(col("node"), col("rank").cast("decimal(18,6)").cast("double").as("rank"))
       .orderBy(col("rank").desc, col("node"))
@@ -446,8 +451,10 @@ object Graph {
     require(seeds.nonEmpty, "need at least one seed")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val index = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint for the same reason as [[pageRank]]: the plan
+    // references the index once per iteration with no action in between,
+    // so a lazy persist would never serve — this runs the edge-build once
+    val index = e.join(deg, "src").localCheckpoint(true)
     val restart = 1.0 - damping
     val p0 = restart / seeds.size
     def resetOf(node: Column): Column =
@@ -462,9 +469,9 @@ object Graph {
         .agg((lit(damping) * sum(col("c")).cast("double")).as("walked"))
         .select(col("node"),
           (resetOf(col("node")) + col("walked")).as("rank"))
+      // deep-run lineage valve, inert at the default 2 rounds (see pageRank)
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
-    index.unpersist(false)
     ranks
       .select(col("node"), col("rank").cast("decimal(18,6)").cast("double").as("rank"))
       .orderBy(col("rank").desc, col("node"))
