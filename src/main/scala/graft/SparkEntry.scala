@@ -7467,7 +7467,7 @@ object SparkEntry {
         |    CAST(CAST(round(CAST(dd.sx AS DOUBLE) / CAST(dd.n_days AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS center,
         |    CAST(CAST(round(CAST(m.smr AS DOUBLE) / CAST(m.nmr AS DOUBLE) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS mr_bar
         |  FROM (SELECT g, COUNT(*) AS n_days, SUM(x) AS sx FROM daily GROUP BY 1) dd
-        |  JOIN (SELECT g, COUNT(*) AS nmr, SUM(mr) AS smr FROM mr GROUP BY 1) m USING (g)),
+        |  LEFT JOIN (SELECT g, COUNT(*) AS nmr, SUM(mr) AS smr FROM mr GROUP BY 1) m USING (g)),
         |lim AS (SELECT *,
         |    CAST(CAST(round((center + 2.66 * mr_bar) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS unpl,
         |    CAST(CAST(round((center - 2.66 * mr_bar) * 1e4) AS BIGINT) AS DOUBLE) / 1e4 AS lnpl
@@ -8123,8 +8123,10 @@ object SparkEntry {
         |        FROM documents WHERE doc_id % 7 = 0 GROUP BY 1, 2),
         |ta AS (SELECT source AS a, COUNT(*) AS ta FROM documents GROUP BY 1),
         |tb AS (SELECT lang AS b, COUNT(*) AS tb FROM documents GROUP BY 1),
-        |w0 AS (SELECT a, b, n_sample, ta, tb, CAST(n_sample AS DECIMAL(18,6)) AS w
-        |       FROM cells JOIN ta USING (a) JOIN tb USING (b)),
+        |w0 AS (SELECT a, b, n_sample, ta, tb,
+        |         CASE WHEN ta IS NOT NULL AND tb IS NOT NULL
+        |              THEN CAST(n_sample AS DECIMAL(18,6)) END AS w
+        |       FROM cells LEFT JOIN ta USING (a) LEFT JOIN tb USING (b)),
         |r1 AS (SELECT a, SUM(w) AS rs FROM w0 GROUP BY a),
         |w1a AS (SELECT w0.a, b, n_sample, ta, tb,
         |         CAST(CAST(w AS DOUBLE) * CAST(CAST(CAST(ta AS DOUBLE) / CAST(rs AS DOUBLE)
@@ -8280,7 +8282,7 @@ object SparkEntry {
         |        CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS n FROM day),
         |ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(1, 14) AS t(k)),
         |wk AS (SELECT day.x, CAST(date_diff('day', b.d0, day.d) AS BIGINT) AS t, b.n, ks.k
-        |       FROM day, b, ks),
+        |       FROM day, b, ks WHERE ks.k < b.n),
         |terms AS (SELECT k, n,
         |    CAST(round(CAST(x AS DOUBLE) * cos(2 * pi() * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
         |      / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS ct,

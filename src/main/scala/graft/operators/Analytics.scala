@@ -3102,6 +3102,11 @@ object Analytics {
     val withK = day.crossJoin(broadcast(bounds))
       .withColumn("t", datediff(col("d"), col("__d0")).cast("long"))
       .select(col("x"), col("t"), col("__n"), ks)
+      // alias guard: the angle grid (and the centering-free identity
+      // Σcos(2πkt/n)=0) only holds for 1 ≤ k < n — at k ≥ n the angles
+      // wrap to multiples of 2π and the "power" collapses to the spurious
+      // (Σx)²/n peak. Aliased frequencies emit NO row rather than a lie.
+      .filter(col("k") < col("__n"))
     val ang = lit(2d * math.Pi) * col("k").cast("double") *
       col("t").cast("double") / col("__n").cast("double")
     val cTerm = round(col("x").cast("double") * cos(ang) * lit(1e6d)).cast("long")
@@ -3137,7 +3142,10 @@ object Analytics {
     * the unrolled-iteration oracle matches bit-for-bit. Cells the sample
     * never saw get no weight (the standard IPF blind spot — check
     * `weight_per_row` for explosions, the classic sign the sample
-    * missed a stratum). */
+    * missed a stratum); conversely, sample cells whose category is
+    * ABSENT from a population margin surface with NULL cell_weight
+    * (left-joined margins) and are excluded from the fit, so callers
+    * can detect out-of-frame sample categories instead of losing them. */
   def rakeWeights(sample: DataFrame, population: DataFrame,
                   aCol: String, bCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, "IPF settles in a few passes; keep the plan bounded")
@@ -3145,9 +3153,15 @@ object Analytics {
       .agg(count(lit(1)).as("n_sample"))
     val ta = population.groupBy(col(aCol).as("a")).agg(count(lit(1)).as("ta"))
     val tb = population.groupBy(col(bCol).as("b")).agg(count(lit(1)).as("tb"))
-    var w = cells.join(ta, "a").join(tb, "b")
+    // LEFT joins: a sample cell whose category is ABSENT from a population
+    // margin has no rakeable target — it must surface in the output with a
+    // NULL cell_weight (NULL margin ⇒ NULL factor ⇒ NULL weight, and the
+    // margin sums skip NULLs so it never pollutes the fit), not silently
+    // vanish while the remaining weights renormalize over it
+    var w = cells.join(ta, Seq("a"), "left").join(tb, Seq("b"), "left")
       .select(col("a"), col("b"), col("n_sample"), col("ta"), col("tb"),
-        col("n_sample").cast("decimal(18,6)").as("w"))
+        when(col("ta").isNotNull && col("tb").isNotNull,
+          col("n_sample").cast("decimal(18,6)")).as("w"))
     for (_ <- 1 to iters) {
       val ra = w.groupBy(col("a").as("__a")).agg(sum("w").as("rs"))
       w = w.join(ra, col("a") === col("__a")).drop("__a")
@@ -3816,7 +3830,9 @@ object Analytics {
     * count exceedances — day-grain tables throughout. Counts exact;
     * center/mr_bar/limits in round(x·1e4)/1e4 fixed-point (counts at
     * 100 TB reach 1e10/day — decimal casts of such doubles ulp-flip;
-    * ·1e4 keeps everything < 2^53). */
+    * ·1e4 keeps everything < 2^53). A series observed on a SINGLE day
+    * has no moving ranges: it still gets its row (center = the one
+    * value, NULL mr_bar/unpl/lnpl, n_beyond 0). */
   def xmrChart(df: DataFrame, groupCol: String, dateCol: Column): DataFrame = {
     val daily = df.select(col(groupCol).as("g"), dateCol.as("d"))
       .groupBy("g", "d").agg(count(lit(1)).as("x"))
@@ -3827,9 +3843,13 @@ object Analytics {
       .select(col("g"), abs(col("x") - col("pv")).as("mr"))
     val fx = (c: Column) =>
       round(c * lit(1e4d)).cast("long").cast("double") / lit(1e4d)
+    // LEFT join: a series observed on a single day has no moving-range
+    // rows — it must still appear in the output (NULL mr_bar/limits,
+    // n_beyond 0), not silently vanish from the per-series report
     val limits = daily.groupBy("g")
       .agg(count(lit(1)).as("n_days"), sum("x").as("sx"))
-      .join(mr.groupBy("g").agg(count(lit(1)).as("nmr"), sum("mr").as("smr")), "g")
+      .join(mr.groupBy("g").agg(count(lit(1)).as("nmr"), sum("mr").as("smr")),
+        Seq("g"), "left")
       .select(col("g"), col("n_days"),
         fx(col("sx").cast("double") / col("n_days").cast("double")).as("center"),
         fx(col("smr").cast("double") / col("nmr").cast("double")).as("mr_bar"))

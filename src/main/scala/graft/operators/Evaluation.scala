@@ -3410,29 +3410,33 @@ object Evaluation {
     * for the difference.
     *
     * Caller supplies ONE ROW PER RANDOMIZATION UNIT (pre-aggregate!).
-    * One conditional aggregate computes both arms' five power sums in a
-    * single pass; the two 1-row arm frames cross (allowlisted); every
-    * readout is a mirrored double chain in nano fixed-point. Degenerate
-    * arms (n < 2 or ΣY = 0 or zero variance) → NULL z, never a crash. */
+    * One GLOBAL conditional aggregate computes both arms' five power sums
+    * in a single pass — a global aggregate yields exactly one row even
+    * over zero input rows, so a missing arm degrades to n=0 + NULL sums
+    * and the guarded readouts below, one output row with NULL statistics
+    * and never an empty frame (and there is no per-arm crossJoin to
+    * allowlist). Every readout is a mirrored double chain in nano
+    * fixed-point. Degenerate arms (n < 2 or ΣY = 0 or zero variance)
+    * → NULL z, never a crash. */
   def ratioMetricDelta(units: DataFrame, treatedCond: Column,
                        numCol: Column, denCol: Column): DataFrame = {
     val base = units.select(treatedCond.cast("int").as("t"),
       numCol.cast("long").as("x"), denCol.cast("long").as("y"))
     val d0 = (c: Column) => c.cast("decimal(19,0)")
-    val perArm = base.groupBy("t").agg(count(lit(1)).as("n"),
-      sum(d0(col("x"))).cast("decimal(38,0)").as("sx"),
-      sum(d0(col("y"))).cast("decimal(38,0)").as("sy"),
-      sum((d0(col("x")) * d0(col("x"))).cast("decimal(38,0)"))
-        .cast("decimal(38,0)").as("sxx"),
-      sum((d0(col("y")) * d0(col("y"))).cast("decimal(38,0)"))
-        .cast("decimal(38,0)").as("syy"),
-      sum((d0(col("x")) * d0(col("y"))).cast("decimal(38,0)"))
-        .cast("decimal(38,0)").as("sxy"))
-    def arm(t: Int, sfx: String): DataFrame = perArm.filter(col("t") === t)
-      .select(col("n").as(s"n$sfx"), col("sx").as(s"sx$sfx"),
-        col("sy").as(s"sy$sfx"), col("sxx").as(s"sxx$sfx"),
-        col("syy").as(s"syy$sfx"), col("sxy").as(s"sxy$sfx"))
-    val j = arm(1, "_t").crossJoin(broadcast(arm(0, "_c")))
+    def armAgg(t: Int, sfx: String): Seq[Column] = {
+      val in = col("t") === t
+      Seq(count(when(in, lit(1))).as(s"n$sfx"),
+        sum(when(in, d0(col("x")))).cast("decimal(38,0)").as(s"sx$sfx"),
+        sum(when(in, d0(col("y")))).cast("decimal(38,0)").as(s"sy$sfx"),
+        sum(when(in, (d0(col("x")) * d0(col("x"))).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as(s"sxx$sfx"),
+        sum(when(in, (d0(col("y")) * d0(col("y"))).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as(s"syy$sfx"),
+        sum(when(in, (d0(col("x")) * d0(col("y"))).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as(s"sxy$sfx"))
+    }
+    val aggs = armAgg(1, "_t") ++ armAgg(0, "_c")
+    val j = base.agg(aggs.head, aggs.tail: _*)
     def rv(s: String): (Column, Column, Column) = {
       val nD = col(s"n$s").cast("double")
       val r = col(s"sx$s").cast("double") / col(s"sy$s").cast("double")
@@ -3660,7 +3664,9 @@ object Evaluation {
     * values; trimmed/winsorized sums are exact scale-0 decimals (the
     * winsorized replacement values are themselves order statistics =
     * integers); every readout is one mirrored double chain, 9 dp.
-    * A group with h < 2 → NULL t/df. Rank ties take (value, rank-stable
+    * A group with h < 2 → NULL t/df; an EMPTY arm still yields the one
+    * output row (arms densify onto a 1-row literal), with n/h of 0 and
+    * NULL means/statistics. Rank ties take (value, rank-stable
     * id) order but identical values make identical contributions, so
     * the sums are tie-order invariant. */
   def yuenTrimmedTest(df: DataFrame, treatedCond: Column, unitCol: Column,
@@ -3699,12 +3705,19 @@ object Evaluation {
         when(col("h") >= 2, swvar * (nD - 1d) / (hD * (hD - 1d)))
           .otherwise(lit(null).cast("double")).as(s"d$suffix"))
     }
-    side(1, "_t").crossJoin(broadcast(side(0, "_c")))
+    // densify both arms onto a 1-row literal (the groupSequential grid
+    // pattern): an EMPTY arm must still yield one output row with NULL
+    // statistics — a bare crossJoin of the two arm frames would return
+    // an empty frame instead, contradicting the degenerate-arm contract
+    val one = df.sparkSession.range(1).select(lit(1).as("__k"))
+    def densified(d: DataFrame): DataFrame =
+      one.join(d.withColumn("__k", lit(1)), Seq("__k"), "left").drop("__k")
+    densified(side(1, "_t")).crossJoin(broadcast(densified(side(0, "_c"))))
       .select(
-        col("n_t").cast("long").as("n_treated"),
-        col("n_c").cast("long").as("n_control"),
-        col("h_t").cast("long").as("h_treated"),
-        col("h_c").cast("long").as("h_control"),
+        coalesce(col("n_t"), lit(0L)).cast("long").as("n_treated"),
+        coalesce(col("n_c"), lit(0L)).cast("long").as("n_control"),
+        coalesce(col("h_t"), lit(0L)).cast("long").as("h_treated"),
+        coalesce(col("h_c"), lit(0L)).cast("long").as("h_control"),
         // money-magnitude means: round(x·1e4)/1e4 fixed-point, NOT a
         // decimal(18,9) cast — 20× daily cents overflow 1e9 (ScaleCheck)
         (round(col("tm_t") * lit(1e4d)).cast("long").cast("double") / lit(1e4d))

@@ -197,6 +197,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getLong(6) == 1L, s"only the 50-burst runs beyond: $out")
   }
 
+  test("xmrChart: a single-day series keeps its row — NULL limits, zero exceedances") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val rows = Seq.fill(3)(("solo", d("2024-02-01"))) ++
+      Seq(("ab", d("2024-02-01")), ("ab", d("2024-02-02")))
+    val out = graft.operators.Analytics.xmrChart(rows.toDF("g", "day"), "g", col("day"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val solo = out("solo")
+    assert(solo.getLong(1) == 1L && solo.getDouble(2) == 3.0, solo.toString)
+    assert(solo.isNullAt(3) && solo.isNullAt(4) && solo.isNullAt(5),
+      s"no moving range exists, limits are NULL not fabricated: $solo")
+    assert(solo.getLong(6) == 0L, "nothing can run beyond NULL limits")
+    assert(out.contains("ab"), "multi-day series unaffected")
+  }
+
   test("quantileTreatmentEffect: constant shift recovered at every decile") {
     val rows = (1 to 100).map(v => (1, v.toLong)) ++ (1 to 100).map(v => (0, v.toLong + 10))
     val df = rows.toDF("t", "v")
@@ -1653,6 +1667,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(fp.forall(_ == 0.0), s"constant series has no spectral power: ${fp.toSeq}")
   }
 
+  test("periodogram: frequencies at or above the day span are aliased and emit no row") {
+    def day(i: Int, n: Int) = Seq.fill(n)(java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+    // 3-day span: only k = 1, 2 sit below n; k >= 3 wraps to multiples of 2π
+    // (power would collapse to the spurious (Σx)²/n peak)
+    val df = Seq(day(0, 4), day(1, 2), day(2, 3)).flatten.map(Tuple1(_)).toDF("ts")
+    val ks = Analytics.periodogram(df, "ts", maxK = 5).collect().map(_.getInt(0)).toSeq
+    assert(ks == Seq(1, 2), s"aliased k >= n must be dropped: $ks")
+  }
+
   test("rakeWeights: hand 2x2 IPF converges in one pass; weighted margins hit targets") {
     val pop = (Seq.fill(6)(("a1", "b1")) ++ Seq.fill(4)(("a1", "b2")) ++
       Seq.fill(6)(("a2", "b1")) ++ Seq.fill(4)(("a2", "b2"))).toDF("sa", "sb")
@@ -1664,6 +1687,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("a1", "b1")) == 6.0 && out(("a2", "b1")) == 6.0, out.toString)
     assert(out(("a1", "b2")) == 4.0 && out(("a2", "b2")) == 4.0, out.toString)
     assert(out.values.sum == 20.0, "weights total the population")
+  }
+
+  test("rakeWeights: sample category outside the population frame surfaces with NULL weight") {
+    val pop = (Seq.fill(6)(("a1", "b1")) ++ Seq.fill(4)(("a1", "b2"))).toDF("sa", "sb")
+    val sample = Seq(("a1", "b1"), ("a1", "b2"), ("zz", "b1")).toDF("sa", "sb")
+    val out = Analytics.rakeWeights(sample, pop, "sa", "sb", iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ghost = out(("zz", "b1"))
+    assert(ghost.isNullAt(3) && ghost.isNullAt(4),
+      s"unrakeable cell reported with NULL weights, not dropped: $ghost")
+    // and the fit runs over matched cells only: both margins recovered exactly
+    assert(out(("a1", "b1")).getDouble(3) == 6.0
+      && out(("a1", "b2")).getDouble(3) == 4.0, out.toString)
   }
 
   test("mahalanobisOutliers: off-ridge point tops the ranking; collinear data is degenerate") {

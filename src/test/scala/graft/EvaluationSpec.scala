@@ -1521,6 +1521,19 @@ class EvaluationSpec extends SparkSpec {
     assert(t.isNullAt(5), s"single-unit arm cannot estimate variance: $t")
   }
 
+  test("ratioMetricDelta / yuenTrimmedTest: a MISSING arm still yields one row of NULL statistics") {
+    val only = Seq((1, 10L, 2L), (1, 12L, 3L)).toDF("t", "x", "y")
+    val r = Evaluation.ratioMetricDelta(only, col("t") === 1, col("x"), col("y")).collect()
+    assert(r.length == 1, "one output row, never an empty frame")
+    assert(r(0).getLong(0) == 2L && r(0).getLong(1) == 0L, r(0).toString)
+    assert(!r(0).isNullAt(2) && r(0).isNullAt(3) && r(0).isNullAt(4)
+      && r(0).isNullAt(5), r(0).toString)
+    val y = Evaluation.yuenTrimmedTest(Seq((1, 5L), (1, 6L), (1, 7L)).toDF("t", "v"),
+      col("t") === 1, col("v")).collect()
+    assert(y.length == 1 && y(0).getLong(1) == 0L && y(0).isNullAt(5)
+      && y(0).isNullAt(6), y(0).toString)
+  }
+
   test("benjaminiYekutieli: harmonic-penalized q monotone, exact integer rejection front") {
     val pv = Seq(("A", 0.002), ("B", 0.010), ("C", 0.020), ("D", 0.500))
       .toDF("key", "p")
