@@ -210,21 +210,35 @@ object Analytics {
     * [valid_from, valid_to) interval; consecutive repeats collapse first so
     * intervals describe CHANGES, and the latest interval stays open
     * (valid_to null). Two windows over the same (key, ts) shuffle —
-    * Spark reuses the sort. */
+    * Spark reuses the sort.
+    *
+    * [[scd2History]] is the SAME operator's Kimball-shaped readout
+    * (integer-micros bounds, explicit seq tiebreak, version + is_current
+    * columns) — both ride [[scd2Collapse]]; SURVEY §2 counts the pair as
+    * one capability. */
   def scd2(changes: DataFrame, keyCol: String, valueCol: String,
-           tsCol: String): DataFrame = {
-    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(valueCol))
-    val changed = changes
-      .select(col(keyCol), col(valueCol), col(tsCol))
-      .withColumn("__prev", lag(col(valueCol), 1).over(byKey))
-      .where(col("__prev").isNull || col("__prev") =!= col(valueCol))
-      .drop("__prev")
-    changed
-      .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(
-        Window.partitionBy(keyCol).orderBy(col(tsCol), col(valueCol))))
-      .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"))
+           tsCol: String): DataFrame =
+    scd2Collapse(changes.select(col(keyCol), col(valueCol), col(tsCol)),
+        keyCol, valueCol, Seq(tsCol, valueCol))
+      .select(col(keyCol), col(valueCol),
+        col(tsCol).as("valid_from"), col("__to").as("valid_to"))
       .orderBy(keyCol, "valid_from")
+
+  /** Shared run-collapse core behind [[scd2]] and [[scd2History]]: per
+    * `key` under the total order `ord`, drop rows whose `value` repeats
+    * the previous row's, then attach the next SURVIVING row's leading
+    * order column as the closing bound (`__to`, NULL on the open run)
+    * and the run index (`__version`). One key-partitioned window pass —
+    * shuffles once on the key, O(1) frame state, sort reused across the
+    * lag/lead/row_number. */
+  private def scd2Collapse(rows: DataFrame, key: String, value: String,
+                           ord: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord.map(col): _*)
+    rows.withColumn("__pv", lag(col(value), 1).over(w))
+      .filter(col("__pv").isNull || col("__pv") =!= col(value))
+      .drop("__pv")
+      .withColumn("__to", lead(col(ord.head), 1).over(w))
+      .withColumn("__version", row_number().over(w))
   }
 
   /** Fixed-width histogram: bin = floor((v - lo) / width), counts per bin.
@@ -3581,35 +3595,25 @@ object Analytics {
     jumps("hd", "hilbert").unionAll(jumps("zi", "zorder")).orderBy("curve")
   }
 
-  /** SCD type-2 history build (Kimball's slowly-changing-dimension
-    * workhorse): reduce a changelog to VERSIONED VALIDITY INTERVALS —
-    * one row per (key, value-run) with effective_from/to and a current
-    * flag — where [[cdcCompact]] keeps only the latest row. Consecutive
-    * duplicates collapse (an unchanged re-offer is not a new version:
-    * the idempotent-replay property a CDC feed needs).
-    *
-    * One key-partitioned window pass (lag to drop unchanged rows, lead
-    * for the closing timestamp, row_number for the version) — shuffles
-    * once on the key, O(1) frame state. Ties on the timestamp order by
-    * the caller's unique `seqCol` (a REAL column — engine-stable).
-    * Timestamps leave as exact integer micros (the dtype boundary). */
+  /** The Kimball-shaped readout of [[scd2]]'s operator — NOT a separate
+    * capability (same [[scd2Collapse]] core, SURVEY §2 counts the pair
+    * as one row): versioned validity intervals with integer-micros
+    * bounds (the dtype boundary), an explicit unique `seqCol` tiebreak
+    * on timestamp ties (engine-stable), a version counter, and the
+    * is_current flag — where [[cdcCompact]] keeps only the latest row.
+    * Consecutive duplicates collapse (an unchanged re-offer is not a
+    * new version: the idempotent-replay property a CDC feed needs). */
   def scd2History(changelog: DataFrame, keyCol: String, tsCol: String,
                   seqCol: String, valueCol: Column): DataFrame = {
-    val w = Window.partitionBy("k").orderBy(col("ts_us"), col("sq"))
     val rows = changelog.select(col(keyCol).as("k"),
-        unix_micros(col(tsCol)).as("ts_us"), col(seqCol).as("sq"),
-        valueCol.cast("string").as("v"))
-      .withColumn("pv", lag("v", 1).over(w))
-      .filter(col("pv").isNull || col("pv") =!= col("v"))
-    val w2 = Window.partitionBy("k").orderBy(col("ts_us"), col("sq"))
-    rows
-      .withColumn("eff_to", lead("ts_us", 1).over(w2))
-      .withColumn("version", row_number().over(w2))
+      unix_micros(col(tsCol)).as("ts_us"), col(seqCol).as("sq"),
+      valueCol.cast("string").as("v"))
+    scd2Collapse(rows, "k", "v", Seq("ts_us", "sq"))
       .select(col("k").as(keyCol), col("v").as("value"),
-        col("version").cast("int").as("version"),
+        col("__version").cast("int").as("version"),
         col("ts_us").as("eff_from_us"),
-        col("eff_to").as("eff_to_us"),
-        col("eff_to").isNull.cast("int").as("is_current"))
+        col("__to").as("eff_to_us"),
+        col("__to").isNull.cast("int").as("is_current"))
       .orderBy(col(keyCol), col("version"))
   }
 

@@ -458,14 +458,13 @@ object TextAnalysis {
     * One token-keyed count aggregate → a frequency-of-frequencies
     * collapse (tiny); f₁, f₂, S, N are exact integers and both estimates
     * are single mirrored double chains, scale 6. f₂ = 0 → Chao1's
-    * bias-corrected fallback S + f₁(f₁−1)/2. */
+    * bias-corrected fallback S + f₁(f₁−1)/2.
+    *
+    * [[vocabularyRichness]] is the SAME operator's other published
+    * readout (the always-bias-corrected small-sample Chao1 form) — both
+    * ride [[freqSpectrum]]; SURVEY §2 counts them as one capability. */
   def vocabCoverage(docs: DataFrame, textCol: String): DataFrame = {
-    val counts = docs
-      .select(explode(Curation.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val g = counts.agg(count(lit(1)).as("s"), sum("c").as("n"),
-      sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
-      sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+    val g = freqSpectrum(docs, textCol)
     val f1 = col("f1").cast("double"); val f2 = col("f2").cast("double")
     val sd = col("s").cast("double")
     g.select(col("n").cast("long").as("n_tokens"), col("s").cast("long").as("n_types"),
@@ -473,9 +472,20 @@ object TextAnalysis {
       when(col("f2") > 0, (sd + f1 * f1 / (lit(2d) * f2)))
         .otherwise(sd + f1 * (f1 - 1d) / 2d)
         .cast("decimal(18,6)").cast("double").as("chao1_richness"),
-      (f1 / col("n").cast("double"))
-        .cast("decimal(18,9)").cast("double").as("unseen_mass"))
+      when(col("n") > 0, (f1 / col("n").cast("double"))
+        .cast("decimal(18,9)").cast("double")).as("unseen_mass"))
   }
+
+  /** Shared frequency-of-frequencies core behind [[vocabCoverage]] and
+    * [[vocabularyRichness]]: one token-keyed count aggregate collapsed to
+    * the four exact integer spectrum scalars (types s, tokens n,
+    * singletons f1, doubletons f2). Empty corpus → one all-zero row. */
+  private def freqSpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Curation.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("s"), coalesce(sum("c"), lit(0L)).as("n"),
+        count(when(col("c") === 1, lit(1))).as("f1"),
+        count(when(col("c") === 2, lit(1))).as("f2"))
 
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 24, w: Int = 8, maxDocs: Int = 20,
@@ -762,39 +772,25 @@ object TextAnalysis {
       .orderBy("prev_slice")
   }
 
-  /** Vocabulary richness estimation (Chao 1984's Chao1 + Good 1953's
-    * coverage): from the token frequency spectrum's singletons f₁ and
-    * doubletons f₂, the bias-corrected Chao1 lower bound on TRUE
-    * vocabulary size D + f₁(f₁−1)/(2(f₂+1)) and the Good–Turing unseen
-    * probability mass f₁/N — "how much vocabulary has this corpus NOT
-    * seen yet", the sampling-completeness answer beside [[Curation]]'s
-    * Heaps-law growth fit (Heaps extrapolates the curve; Chao1 bounds
-    * its ceiling from one sample).
-    *
-    * One token-count aggregate then ONE scalar fold over the frequency
-    * spectrum — all counts exact integers, the two estimates one
-    * mirrored double chain each (1e4 / nano fixed-point). Empty corpus
-    * → zeros/NULLs, never a division error. */
-  def vocabularyRichness(docs: DataFrame, textCol: String): DataFrame = {
-    val counts = docs
-      .select(explode(Curation.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    counts.agg(count(lit(1)).as("d"),
-        coalesce(sum("c"), lit(0L)).as("n"),
-        count(when(col("c") === 1, lit(1))).as("f1"),
-        count(when(col("c") === 2, lit(1))).as("f2"))
+  /** The BIAS-CORRECTED readout of [[vocabCoverage]]'s operator — NOT a
+    * separate capability (same [[freqSpectrum]] core, SURVEY §2 counts
+    * the pair as one row): Chao 1984's small-sample form
+    * D + f₁(f₁−1)/(2(f₂+1)), finite even at f₂ = 0, plus the same
+    * Good–Turing unseen mass f₁/N, in round-trip 1e4 / nano fixed-point
+    * instead of decimal casts. Empty corpus → zeros/NULLs. */
+  def vocabularyRichness(docs: DataFrame, textCol: String): DataFrame =
+    freqSpectrum(docs, textCol)
       .select(col("n").cast("long").as("n_tokens"),
-        col("d").cast("long").as("n_distinct"),
+        col("s").cast("long").as("n_distinct"),
         col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"),
-        when(col("d") > 0,
-          round((col("d").cast("double")
+        when(col("s") > 0,
+          round((col("s").cast("double")
               + (col("f1") * (col("f1") - 1)).cast("double")
                 / (lit(2d) * (col("f2").cast("double") + 1d))) * lit(1e4d))
             .cast("long").cast("double") / lit(1e4d)).as("chao1"),
         when(col("n") > 0,
           round(col("f1").cast("double") / col("n").cast("double") * lit(1e9d))
             .cast("long").cast("double") / lit(1e9d)).as("gt_unseen_mass"))
-  }
 
   /** Token burstiness (Church & Gale 1995): the Fano factor
     * var/mean of a token's PER-DOCUMENT count across the whole corpus
