@@ -67,6 +67,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long-session hygiene (the round-6 "VM steal" mislabel, diagnosed):
+      // even with the UI off, AppStatusListener + SQLAppStatusListener feed
+      // an InMemoryStore that retains up to 1000 jobs / 1000 stages /
+      // 100k tasks / 1000 SQL executions WITH their full per-node metric
+      // maps — at 390+ deep plans that is driver-heap-scale garbage that
+      // inflates every late query (GC pressure, codegen cache eviction).
+      // Cap the retained state at diagnostic-useful sizes.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "30")
+      // ContextCleaner reclaims shuffle files / broadcasts / checkpointed
+      // RDD blocks only when the driver GC collects their weak refs; the
+      // default periodic-GC interval (30 min) never fires inside a bench
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -89,10 +104,17 @@ object Bench {
     val spin0 = spinMs()
     val (steal0, jif0) = stealSample()
 
+    var ranSinceGc = 0
+    val heapSamples = Seq.newBuilder[(Int, Long)]
+    var ranTotal = 0
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // isolated SQL state per query (fresh analyzer/optimizer session
+      // caches, no temp-object carryover) over the shared SparkContext —
+      // the deployment shape is one pipeline per session
+      val ss = spark.newSession()
       val t0 = System.nanoTime()
       val r = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(ss, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -107,6 +129,17 @@ object Bench {
       // work, not its predecessors' garbage.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // explicit GC cadence: unpersisted/checkpointed blocks, shuffle state
+      // and broadcasts are only RELEASED when ContextCleaner sees their
+      // weak refs collected — without this the round-6 run degraded 2-5×
+      // past ~300 queries (q41 7.4 s in-run vs 2.2 s isolated, steal ~0%)
+      ranSinceGc += 1; ranTotal += 1
+      if (ranSinceGc >= 25) {
+        System.gc()
+        val rt = Runtime.getRuntime
+        heapSamples += ranTotal -> ((rt.totalMemory - rt.freeMemory) >> 20)
+        ranSinceGc = 0
+      }
       r
     }
 
@@ -193,8 +226,12 @@ object Bench {
     val firstMap = firstPass.filter(p => flagged(p._1))
       .map { case (k, v) => "\"" + short(k) + "\":" + trim(num(v, 3)) }
       .mkString("{", ",", "}")
+    // post-GC driver heap (MiB) every 25 queries — flat ≈ the long-session
+    // leak is closed; a ramp here is the degradation smoking gun
+    val heapMap = heapSamples.result()
+      .map { case (i, mb) => "\"" + i + "\":" + mb }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (mk(3).dropRight(1) + s""","first":$firstMap}""").getBytes("UTF-8"))
+      (mk(3).dropRight(1) + s""","first":$firstMap,"heap_mb":$heapMap}""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)

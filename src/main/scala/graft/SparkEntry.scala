@@ -1733,10 +1733,14 @@ object SparkEntry {
       Graph.bfsDistances(partCooccurrenceEdges(s, d), "pa", "pb",
         Seq(1L, 2L), maxHops = 2)),
     "q223_pca" -> ((s, d) =>
-      // two-pass distributed PCA (O(d²) moments shuffle, driver eigensolve,
-      // map-side projection); ☆ rows-only — no SQL eigensolve twin; spec
-      // pins component recovery and sign canonicalization
-      Similarity.pcaProject(Tables.embeddings(s, d), "vec_id", "embedding", 4)),
+      // ★ oracle-checked PCA: exact fixed-point moments + unrolled
+      // quantized power iteration/deflation (3 steps × 2 components) —
+      // every intermediate an exact integer or correctly-rounded rational,
+      // so the unrolled-CTE oracle matches hash-exactly. The breeze
+      // eigensolve variant (pcaProject) stays spec-pinned as the
+      // exact-eigen path of the same capability
+      Similarity.pcaPowerProject(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 2, iters = 3)),
     "q222_bpe_subwords" -> ((s, d) => {
       // token-cost estimate under the freshly trained merge table (☆):
       // per-doc subword counts with reference greedy semantics
@@ -5889,6 +5893,64 @@ object SparkEntry {
         |  covxy / varx AS theta,
         |  (covxy / varx) * (covxy / varx) * varx / vary AS var_reduction
         |FROM j ORDER BY arm""".stripMargin,
+    "q223_pca" ->
+      // unrolled quantized power-iteration PCA (2 components × 3 steps):
+      // exact BIGINT fixed-point moments (terms rounded pre-sum), 1e12
+      // covariance quantization, pivot-normalized vectors at 1e6, every
+      // double chain mirrored left-assoc against Similarity.pcaPowerProject
+      """WITH n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        |e AS MATERIALIZED (SELECT vec_id AS id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+        |      FROM embeddings, generate_series(0, 63) t(i)),
+        |sx AS MATERIALIZED (SELECT i, SUM(CAST(round(x * 1e9) AS BIGINT)) AS s FROM e GROUP BY i),
+        |sp AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(CAST(round(a.x * b.x * 1e9) AS BIGINT)) AS s
+        |       FROM e a JOIN e b ON a.id = b.id AND a.i <= b.i GROUP BY 1, 2),
+        |mu AS MATERIALIZED (SELECT i, CAST(s AS DOUBLE) / 1e9 / (SELECT n FROM n) AS mu FROM sx),
+        |c1t AS MATERIALIZED (SELECT sp.i, sp.j,
+        |    CAST(round((CAST(sp.s AS DOUBLE) / 1e9 / (SELECT n FROM n) - ma.mu * mb.mu) * 1e12) AS BIGINT) AS cq
+        |  FROM sp JOIN mu ma ON ma.i = sp.i JOIN mu mb ON mb.i = sp.j),
+        |c1 AS MATERIALIZED (SELECT i, j, cq FROM c1t UNION ALL SELECT j AS i, i AS j, cq FROM c1t WHERE i <> j),
+        |v10 AS MATERIALIZED (SELECT t.i AS i, CAST(1000000 AS BIGINT) AS vq FROM generate_series(0, 63) t(i)),
+        |w11 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c1 c JOIN v10 v ON v.i = c.j GROUP BY 1),
+        |p11 AS MATERIALIZED (SELECT w FROM w11 ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        |v11 AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT CAST(w AS DOUBLE) FROM p11) * 1e6) AS BIGINT) AS vq FROM w11),
+        |w12 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c1 c JOIN v11 v ON v.i = c.j GROUP BY 1),
+        |p12 AS MATERIALIZED (SELECT w FROM w12 ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        |v12 AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT CAST(w AS DOUBLE) FROM p12) * 1e6) AS BIGINT) AS vq FROM w12),
+        |w13 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c1 c JOIN v12 v ON v.i = c.j GROUP BY 1),
+        |p13 AS MATERIALIZED (SELECT w FROM w13 ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        |v13 AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT CAST(w AS DOUBLE) FROM p13) * 1e6) AS BIGINT) AS vq FROM w13),
+        |wl1 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c1 c JOIN v13 v ON v.i = c.j GROUP BY 1),
+        |pv1 AS MATERIALIZED (SELECT i FROM v13 ORDER BY abs(vq) DESC, i ASC LIMIT 1),
+        |l1 AS MATERIALIZED (SELECT CAST(w AS DOUBLE) / 1e9 AS lam FROM wl1 WHERE i = (SELECT i FROM pv1)),
+        |vtv1 AS MATERIALIZED (SELECT CAST(SUM(vq * vq) AS DOUBLE) AS vtv FROM v13),
+        |c2 AS MATERIALIZED (SELECT c.i, c.j, CAST(round((CAST(c.cq AS DOUBLE) / 1e12
+        |    - (SELECT lam FROM l1) * CAST(va.vq AS DOUBLE) * CAST(vb.vq AS DOUBLE) / (SELECT vtv FROM vtv1)) * 1e12) AS BIGINT) AS cq
+        |  FROM c1 c JOIN v13 va ON va.i = c.i JOIN v13 vb ON vb.i = c.j),
+        |v20 AS MATERIALIZED (SELECT t.i AS i, CAST(1000000 AS BIGINT) AS vq FROM generate_series(0, 63) t(i)),
+        |w21 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c2 c JOIN v20 v ON v.i = c.j GROUP BY 1),
+        |p21 AS MATERIALIZED (SELECT w FROM w21 ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        |v21 AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT CAST(w AS DOUBLE) FROM p21) * 1e6) AS BIGINT) AS vq FROM w21),
+        |w22 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c2 c JOIN v21 v ON v.i = c.j GROUP BY 1),
+        |p22 AS MATERIALIZED (SELECT w FROM w22 ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        |v22 AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT CAST(w AS DOUBLE) FROM p22) * 1e6) AS BIGINT) AS vq FROM w22),
+        |w23 AS MATERIALIZED (SELECT c.i AS i, SUM(CAST(round(CAST(c.cq AS DOUBLE) / 1e12 * CAST(v.vq AS DOUBLE) * 1e3) AS BIGINT)) AS w
+        |        FROM c2 c JOIN v22 v ON v.i = c.j GROUP BY 1),
+        |p23 AS MATERIALIZED (SELECT w FROM w23 ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        |v23 AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT CAST(w AS DOUBLE) FROM p23) * 1e6) AS BIGINT) AS vq FROM w23),
+        |t1 AS MATERIALIZED (SELECT e.id, SUM(CAST(round((e.x - mu.mu) * CAST(v13.vq AS DOUBLE)) AS BIGINT)) AS p
+        |       FROM e JOIN mu ON mu.i = e.i JOIN v13 ON v13.i = e.i GROUP BY 1),
+        |t2 AS MATERIALIZED (SELECT e.id, SUM(CAST(round((e.x - mu.mu) * CAST(v23.vq AS DOUBLE)) AS BIGINT)) AS p
+        |       FROM e JOIN mu ON mu.i = e.i JOIN v23 ON v23.i = e.i GROUP BY 1)
+        |SELECT t1.id AS vec_id,
+        |  CAST(t1.p AS DOUBLE) / 1e6 AS pc1,
+        |  CAST(t2.p AS DOUBLE) / 1e6 AS pc2
+        |FROM t1 JOIN t2 ON t1.id = t2.id ORDER BY vec_id""".stripMargin,
     "q224_bfs_distance" ->
       // recursive CTE: every (node, d) walk row ≤ maxHops, then MIN(d) —
       // identical min-dist semantics to the synchronous frontier rounds

@@ -19,13 +19,18 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    var ran = 0
     args.tail.foreach { n =>
+      val ss = spark.newSession() // per-query SQL state, like Bench
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(n)(ss, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[timeq] $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      // same per-query hygiene as Bench: drop pinned blocks between runs
+      // same per-query hygiene as Bench: drop pinned blocks between runs,
+      // and GC so ContextCleaner actually releases shuffle/broadcast state
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      ran += 1
+      if (ran % 10 == 0) System.gc()
     }
     spark.stop()
   }

@@ -834,6 +834,109 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Oracle-expressible PCA (the q223 path): top-k components by UNROLLED
+    * quantized power iteration + Hotelling deflation instead of
+    * [[pcaProject]]'s driver eigensolve — the SAME capability (one SURVEY
+    * §2 row), traded exact-eigen for a fixed-step computation every engine
+    * can replay bit-for-bit in SQL CTEs:
+    *
+    *   pass 1 (distributed): exact fixed-point moments — per-dim sums of
+    *     round(x·1e9) and upper-triangular pair sums of round(x_i·x_j·1e9)
+    *     as BIGINTs. The pair explode emits d(d+1)/2 terms per row into a
+    *     hash aggregate whose KEY SPACE is d² (bounded), so map-side
+    *     combine caps the shuffle at partitions×d² rows — never row-scaled;
+    *   driver (d²-bounded metadata fold, the partition-sketch contract):
+    *     covariance entries quantized to 1e12 fixed-point, then `iters`
+    *     power-iteration matvecs per component with every term rounded
+    *     HALF_UP (java.math.BigDecimal — bit-identical to Spark's and
+    *     DuckDB's round()) and each vector renormalized by its pivot (the
+    *     max-|entry|, ties to the smallest index — sign canonicalization
+    *     for free: the pivot entry is +1), λ read at the pivot after one
+    *     more matvec, Hotelling deflation C − λ·vvᵀ/(vᵀv) re-quantized;
+    *   pass 2 (map-side): project each vector on the literal components,
+    *     per-term round((x_i−μ_i)·vq_i) into exact integer sums.
+    *
+    * Every intermediate is an exact integer or a correctly-rounded
+    * rational (BIGINT / power of ten), so the unrolled SQL oracle matches
+    * hash-exactly. `iters` fixed ⇒ the output is an APPROXIMATION of the
+    * eigenbasis (documented; [[pcaProject]] is the exact-eigen variant) —
+    * for variance-dominant components 3 steps is plenty, and agreement is
+    * exact by construction regardless. */
+  def pcaPowerProject(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 2, iters: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 8 && iters >= 1 && iters <= 6,
+      "fixed unrollable step counts only")
+    val spark = embeddings.sparkSession
+    val d = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val nRows = embeddings.count().toDouble
+    val ex = embeddings.select(col(idCol).cast("long").as("id"),
+      posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("i", "x")))
+    val sx = ex.groupBy("i")
+      .agg(sum(round(col("x") * lit(1e9d)).cast("long")).cast("decimal(38,0)").as("s"))
+      .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1)).toLong).toMap
+    // the d(d+1)/2 pair terms come from nested TRANSFORM lambdas (runtime
+    // loops over a sequence — a literal array of 2080 struct expressions
+    // would blow the janino method-size/heap limits at d=64)
+    val sp = embeddings.select(explode(flatten(
+        transform(sequence(lit(0), lit(d - 1)), i =>
+          transform(sequence(i, lit(d - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              round(element_at(col(vecCol), i + lit(1)).cast("double") *
+                element_at(col(vecCol), j + lit(1)).cast("double") * lit(1e9d))
+                .cast("long").as("t")))))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.t")).cast("decimal(38,0)").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)).toLong).toMap
+    // HALF_UP away from zero — the exact semantic of Spark round(double)
+    // and DuckDB round(): exact binary expansion, then decimal rounding
+    def rnd(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val mu = Array.tabulate(d)(i => sx(i).toDouble / 1e9 / nRows)
+    // covariance, 1e12 fixed-point; full matrix mirrored from the triangle
+    var cq = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      rnd((sp((a, b)).toDouble / 1e9 / nRows - mu(i) * mu(j)) * 1e12)
+    }
+    def pivotOf(v: Array[Long]): Int =
+      v.indices.maxBy(i => (math.abs(v(i)), -i))
+    def matvec(c: Array[Array[Long]], vq: Array[Long]): Array[Long] =
+      Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += rnd(c(i)(j).toDouble / 1e12 * vq(j).toDouble * 1e3); j += 1 }
+        acc
+      }
+    val comps = Array.newBuilder[Array[Long]]
+    for (_ <- 1 to k) {
+      var vq = Array.fill(d)(1000000L) // scale 1e6
+      for (_ <- 1 to iters) {
+        val w = matvec(cq, vq)
+        val m = pivotOf(w)
+        vq = w.map(wi => rnd(wi.toDouble / w(m).toDouble * 1e6))
+      }
+      comps += vq
+      val w = matvec(cq, vq)
+      val lam = w(pivotOf(vq)).toDouble / 1e9
+      val vtv = vq.map(v => v * v).sum.toDouble // ≤ d·1e12 — exact double
+      cq = Array.tabulate(d, d)((i, j) =>
+        rnd((cq(i)(j).toDouble / 1e12 - lam * vq(i).toDouble * vq(j).toDouble / vtv) * 1e12))
+    }
+    val cs = comps.result()
+    val muLit = array(mu.map(lit): _*)
+    val pcs = cs.zipWithIndex.map { case (vq, c) =>
+      val vLit = array(vq.map(v => lit(v.toDouble)): _*)
+      // P/1e6: exact integer < 2^53 over a power of ten — the correctly-
+      // rounded rational in both engines; a decimal cast here would risk
+      // the >9-sig-digit ulp flip instead
+      (sum(round((col("x") - element_at(muLit, col("i") + 1)) *
+        element_at(vLit, col("i") + 1)).cast("long")).cast("double") / lit(1e6d))
+        .as(s"pc${c + 1}")
+    }
+    ex.groupBy("id").agg(pcs.head, pcs.tail: _*)
+      .select(col("id").as(idCol) +: cs.indices.map(c => col(s"pc${c + 1}")): _*)
+      .orderBy(idCol)
+  }
+
   /** Item-item collaborative filtering on implicit feedback (the
     * co-occurrence half of Sarwar et al. 2001 / Amazon's item-to-item):
     * sim(i,j) = |U_i ∩ U_j| / √(|U_i|·|U_j|) — cosine over binary user

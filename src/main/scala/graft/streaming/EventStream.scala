@@ -215,12 +215,19 @@ object EventStream {
     * Scale: the store holds ONE 32-char hash per accepted doc (not the
     * text); the anti-join is a hash join on the fingerprint. At 100 TB the
     * store is ~3 orders of magnitude smaller than the corpus — broadcast
-    * or shuffle-join territory, never a scan of accepted content. Crash
-    * replay re-offers a batch, and the anti-join drops rows whose
-    * fingerprints already landed — at-least-once delivery + idempotent
-    * accept = exactly-once contents. */
+    * or shuffle-join territory, never a scan of accepted content.
+    *
+    * Exactly-once under crash replay: BOTH writes are dynamic-partition
+    * OVERWRITES keyed by batch id, so a replayed micro-batch rewrites its
+    * own partitions instead of appending beside them — the worst-case
+    * crash (accepted landed, store didn't, checkpoint uncommitted)
+    * converges on restart. `failAtBatch` is the spec's failure-injection
+    * hook: it throws at exactly that point of the named batch.
+    * (A plain append sink would double-accept on that interleaving — the
+    * round-6 review asked for this to be PROVEN, not asserted.) */
   def runDedupGate(spark: SparkSession, srcDir: String, checkpointDir: String,
-                   storeDir: String, acceptedDir: String): StreamingQuery = {
+                   storeDir: String, acceptedDir: String,
+                   failAtBatch: Option[Long] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING")
@@ -228,20 +235,26 @@ object EventStream {
       .option("maxFilesPerTrigger", "2")
       .parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val fresh = batch
           .withColumn("fingerprint", graft.functions.Cols.fingerprint(col("text")))
           .dropDuplicates("fingerprint")
-        val store = try s.read.parquet(storeDir)
+        val store = try s.read.parquet(storeDir).select("fingerprint")
           catch { case _: Exception => s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType.fromDDL("fingerprint STRING")) }
         val accepted = fresh.join(store, Seq("fingerprint"), "left_anti")
           .localCheckpoint() // pin BEFORE the store grows: the anti-join must see the pre-append store
-        accepted.select("doc_id", "text", "fingerprint")
-          .write.mode("append").parquet(acceptedDir)
-        accepted.select("fingerprint").write.mode("append").parquet(storeDir)
+        graft.sources.Sinks.overwritePartitions(
+          accepted.select(col("doc_id"), col("text"), col("fingerprint"),
+            lit(batchId).as("_batch_id")), acceptedDir, Seq("_batch_id"))
+        // the nastiest crash point: output landed, store/checkpoint didn't
+        if (failAtBatch.contains(batchId))
+          throw new RuntimeException(s"injected crash after accept of batch $batchId")
+        graft.sources.Sinks.overwritePartitions(
+          accepted.select(col("fingerprint"), lit(batchId).as("_batch_id")),
+          storeDir, Seq("_batch_id"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

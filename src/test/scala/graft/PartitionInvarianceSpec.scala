@@ -1,0 +1,47 @@
+package graft
+
+/** Partitioning-invariance sweep (the round-5/6 ordered evidence): shuffle
+  * parallelism is an EXECUTION detail and must never leak into results.
+  * The heaviest queries (by isolated sf0.1 ranking, spanning the iterative
+  * graph family, LSH, hash aggregation, k-means, density clustering and
+  * window attribution) run at shuffle.partitions ∈ {8, 64, 512} on sf0.001
+  * and every row must match BIT-EXACTLY across the three settings — doubles
+  * compared by raw IEEE bits, which is the whole point: every operator
+  * quantizes its order-dependent folds before emitting, so parallelism
+  * cannot flip an ulp. A failure here is a missing quantization, the class
+  * of bug that only shows up when a 1000-executor cluster re-partitions.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private val heavy = Seq(
+    "q110_pagerank", "q231_eigencentrality", "q240_ppr", "q238_link_jaccard",
+    "q326_pagerank_directed", "q24_minhash_lsh", "q41_pricing_summary",
+    "q81_kmeans", "q343_dbscan", "q337_shapley")
+
+  /** Collected rows in a canonical sorted text form; doubles/floats by raw
+    * bits so an ulp difference cannot hide behind decimal rendering. */
+  private def canon(name: String, parts: Int): Seq[String] = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    SparkEntry.queries(name)(ss, sfDir).collect().map(_.toSeq.map {
+      case null => "<null>"
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
+      case f: java.lang.Float => java.lang.Float.floatToIntBits(f).toString
+      case a: Array[Byte] => a.map("%02x".format(_)).mkString
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+  }
+
+  heavy.foreach { name =>
+    test(s"$name: bit-identical results at shuffle.partitions 8 / 64 / 512") {
+      val r8 = canon(name, 8)
+      val r64 = canon(name, 64)
+      val r512 = canon(name, 512)
+      assert(r8.nonEmpty, "non-trivial result")
+      assert(r8 == r64,
+        s"8 vs 64 diverge: only8=${r8.diff(r64).take(3)} only64=${r64.diff(r8).take(3)}")
+      assert(r8 == r512,
+        s"8 vs 512 diverge: only8=${r8.diff(r512).take(3)} only512=${r512.diff(r8).take(3)}")
+    }
+  }
+}

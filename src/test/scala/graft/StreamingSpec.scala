@@ -97,6 +97,79 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(acc).where(col("doc_id") === 5L).count() == 1)
   }
 
+  test("dedup gate: mid-stream crash + restart from checkpoint is exactly-once") {
+    val base = Files.createTempDirectory("graft_gate_crash").toString
+    val src = base + "/src"; val store = base + "/store"; val acc = base + "/accepted"
+    val ck = base + "/ck"
+    // four files, maxFilesPerTrigger=2 → two micro-batches; doc 4 ≡ doc 1
+    Seq((1L, "alpha doc")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    Seq((2L, "beta doc")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    Seq((3L, "gamma doc")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    Seq((4L, "ALPHA   doc")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    // run 1 crashes at the WORST point of batch 1: accepted written, store
+    // and checkpoint commit not — the interleaving a plain append sink
+    // turns into duplicates
+    val q1 = EventStream.runDedupGate(spark, src, ck, store, acc, failAtBatch = Some(1L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    // restart from the SAME checkpoint, no failpoint: batch 1 replays and
+    // its partition is overwritten, not appended beside
+    val q2 = EventStream.runDedupGate(spark, src, ck, store, acc)
+    q2.awaitTermination(120000)
+    val all = spark.read.parquet(acc)
+    assert(all.count() == 3, s"exactly-once contents: ${all.collect().mkString(",")}")
+    assert(all.select("fingerprint").distinct().count() == 3)
+    assert(all.groupBy("fingerprint").count().agg(max("count")).head().getLong(0) == 1L,
+      "no fingerprint accepted twice across crash + replay")
+    // third run, same checkpoint, NO new input: nothing reprocesses
+    val q3 = EventStream.runDedupGate(spark, src, ck, store, acc)
+    q3.awaitTermination(120000)
+    assert(spark.read.parquet(acc).count() == 3, "idle restart changes nothing")
+  }
+
+  test("drift monitor: windowed state survives a checkpoint restart; closed windows emit once") {
+    val base = Files.createTempDirectory("graft_drift_restart").toString
+    val src = base + "/src"; val ck = base + "/ck"; val out = base + "/out"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(EventStream.EventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = EventStream.distributionSnapshot(stream, "value", 0.0, 100.0, 10)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: the 10:00 window's events + a 13:30 event that advances the
+    // watermark (2 h) to 11:30, closing ONLY the 10:00 window
+    Seq((1L, ts("2024-01-01 10:05:00"), 7L, "click", 5.0, "{}"),
+        (2L, ts("2024-01-01 10:15:00"), 7L, "click", 55.0, "{}"),
+        (3L, ts("2024-01-01 11:10:00"), 8L, "click", 25.0, "{}"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mtime: the 13:30 file MUST form batch 2
+    Seq((4L, ts("2024-01-01 13:30:00"), 8L, "click", 75.0, "{}"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    def emitted() = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSeq.sorted
+    val afterRun1 = emitted()
+    assert(afterRun1 == Seq(("2024-01-01 10:00:00.0", 0L, 1L), ("2024-01-01 10:00:00.0", 5L, 1L)),
+      s"only the closed 10:00 window emits: $afterRun1")
+    // run 2 (RESTART, same checkpoint): one 16:00 event moves the watermark
+    // to 14:00, closing the 11:00 and 13:00 windows — the 11:00 snapshot's
+    // count comes entirely from run-1 data, provable state carry-over
+    Seq((5L, ts("2024-01-01 16:00:00"), 9L, "click", 95.0, "{}"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val afterRun2 = emitted()
+    assert(afterRun2 == Seq(
+      ("2024-01-01 10:00:00.0", 0L, 1L), ("2024-01-01 10:00:00.0", 5L, 1L),
+      ("2024-01-01 11:00:00.0", 2L, 1L), ("2024-01-01 13:00:00.0", 7L, 1L)),
+      s"restart merged checkpointed state, each window exactly once: $afterRun2")
+  }
+
   test("file stream hourly agg matches batch, dedupes redelivered events") {
     val src = Files.createTempDirectory("graft_stream_src").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
