@@ -868,25 +868,31 @@ object Similarity {
       "fixed unrollable step counts only")
     val spark = embeddings.sparkSession
     val d = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val nRows = embeddings.count().toDouble
     val ex = embeddings.select(col(idCol).cast("long").as("id"),
       posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("i", "x")))
-    val sx = ex.groupBy("i")
-      .agg(sum(round(col("x") * lit(1e9d)).cast("long")).cast("decimal(38,0)").as("s"))
-      .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1)).toLong).toMap
-    // the d(d+1)/2 pair terms come from nested TRANSFORM lambdas (runtime
-    // loops over a sequence — a literal array of 2080 struct expressions
-    // would blow the janino method-size/heap limits at d=64)
-    val sp = embeddings.select(explode(flatten(
-        transform(sequence(lit(0), lit(d - 1)), i =>
+    // ONE moments job: the d(d+1)/2 pair terms, the d linear terms (tagged
+    // j = -1) and the row count (tagged (-1,-1), t = 1) all ride the same
+    // explode → hash aggregate. Nested TRANSFORM lambdas, not a literal
+    // array of 2080 struct expressions — that blows janino's method-size/
+    // heap limits at d=64. Key space is d²-bounded, so map-side combine
+    // caps the shuffle at partitions×d² rows regardless of corpus size.
+    val allMoments = embeddings.select(explode(flatten(concat(
+        array(array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("t")))),
+        transform(sequence(lit(0), lit(d - 1)), i => concat(
+          array(struct(i.as("i"), lit(-1).as("j"),
+            round(element_at(col(vecCol), i + lit(1)).cast("double") * lit(1e9d))
+              .cast("long").as("t"))),
           transform(sequence(i, lit(d - 1)), j =>
             struct(i.as("i"), j.as("j"),
               round(element_at(col(vecCol), i + lit(1)).cast("double") *
                 element_at(col(vecCol), j + lit(1)).cast("double") * lit(1e9d))
-                .cast("long").as("t")))))).as("e"))
+                .cast("long").as("t")))))))).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.t")).cast("decimal(38,0)").as("s"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)).toLong).toMap
+    val nRows = allMoments((-1, -1)).toDouble
+    val sx = (0 until d).map(i => i -> allMoments((i, -1))).toMap
+    val sp = allMoments
     // HALF_UP away from zero — the exact semantic of Spark round(double)
     // and DuckDB round(): exact binary expansion, then decimal rounding
     def rnd(x: Double): Long = new java.math.BigDecimal(x)
