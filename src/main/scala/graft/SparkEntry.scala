@@ -8242,7 +8242,9 @@ object SparkEntry {
     "q338_seq_patterns" ->
       // per-(user,type) min/max frame + one raw-event pass for length 3;
       // the support cut compares identical 9-dp decimals on both engines
-      """WITH ev AS (SELECT user_id AS u, ts AS t, event_type AS s FROM events),
+      """WITH ev0 AS (SELECT user_id AS u, ts AS t, event_type AS s FROM events),
+        |keep AS (SELECT u FROM ev0 GROUP BY u HAVING count(*) <= 1000),
+        |ev AS (SELECT ev0.* FROM ev0 JOIN keep USING (u)),
         |ut AS (SELECT u, s, min(t) AS tmin, max(t) AS tmax FROM ev GROUP BY u, s),
         |nu AS (SELECT count(DISTINCT u) AS n FROM ev),
         |p1 AS (SELECT 1 AS len, s AS pattern, count(*) AS n_users FROM ut GROUP BY s),

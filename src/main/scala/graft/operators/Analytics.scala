@@ -3016,11 +3016,22 @@ object Analytics {
     * (plan-contract allowlisted). Repeat patterns (a→a, a→a→a) fall out
     * of the same predicates via distinct occurrence times. */
   def sequentialPatterns(events: DataFrame, userCol: String, tsCol: String,
-                         typeCol: String, minSupport: Double): DataFrame = {
+                         typeCol: String, minSupport: Double,
+                         maxUserEvents: Int = 1000): DataFrame = {
     // the timestamp rides raw (µs precision) — truncating to seconds would
     // merge distinct occurrence times and change strict-order predicates
-    val ev = events.select(col(userCol).as("u"),
+    val ev0 = events.select(col(userCol).as("u"),
       col(tsCol).as("t"), col(typeCol).as("s"))
+    // hot-actor cap (the associationRules activity-cap contract): the
+    // length-3 stage fans each user's raw history out by up to |types|²,
+    // so one bot-grade actor with millions of events would dominate the
+    // join. Actors above the cap are excluded from the mine ENTIRELY —
+    // numerator and denominator — so support still reads "share of capped
+    // actors"; at the default the cap is inert on organic users and the
+    // oracle applies the identical cut.
+    val keep = ev0.groupBy("u").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxUserEvents).select("u")
+    val ev = ev0.join(keep, "u")
     val utype = ev.groupBy("u", "s").agg(min("t").as("tmin"), max("t").as("tmax"))
     val nu = ev.select("u").distinct().agg(count(lit(1)).as("__nu"))
     val p1 = utype.groupBy("s").agg(count(lit(1)).as("n_users"))

@@ -1636,6 +1636,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(strict.count() == 0, "0.5 < 0.6 — everything cut")
   }
 
+  test("sequentialPatterns: a bot-grade actor above the activity cap leaves the mine entirely") {
+    val organic = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"), (2L, 2L, "b"))
+    val bot = (1 to 50).map(i => (9L, i.toLong, if (i % 2 == 0) "a" else "z"))
+    val out = Analytics.sequentialPatterns((organic ++ bot).toDF("u", "t", "s"),
+        "u", "t", "s", minSupport = 0.3, maxUserEvents = 10)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // denominator = 2 capped actors, not 3; no z-pattern survives at all
+    assert(out("a") == ((2L, 1.0)) && out("a>b") == ((2L, 1.0)), out.toString)
+    assert(!out.keys.exists(_.contains("z")), s"the bot's alphabet is gone: $out")
+  }
+
   test("sourceInfluence: exact leave-one-out deltas; lone source -> NULL") {
     val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 10L)).toDF("src", "v")
     val out = Analytics.sourceInfluence(df, "src", col("v"))
