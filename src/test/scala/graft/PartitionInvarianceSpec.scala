@@ -44,4 +44,28 @@ class PartitionInvarianceSpec extends SparkSpec {
         s"8 vs 512 diverge: only8=${r8.diff(r512).take(3)} only512=${r512.diff(r8).take(3)}")
     }
   }
+
+  /** Second tier at sf0.01: sf0.001 leaves most of 512 partitions empty,
+    * so a representative subset re-runs on 10× the rows, where every
+    * setting actually carries data through the shuffles. */
+  private def canonAt(dir: String, name: String, parts: Int): Seq[String] = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    SparkEntry.queries(name)(ss, dir).collect().map(_.toSeq.map {
+      case null => "<null>"
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
+      case f: java.lang.Float => java.lang.Float.floatToIntBits(f).toString
+      case a: Array[Byte] => a.map("%02x".format(_)).mkString
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+  }
+
+  Seq("q110_pagerank", "q24_minhash_lsh", "q41_pricing_summary").foreach { name =>
+    test(s"$name at sf0.01: bit-identical at shuffle.partitions 8 / 64 / 512") {
+      val dir = "/root/testdata/sf0.01"
+      val r8 = canonAt(dir, name, 8)
+      assert(r8.nonEmpty && r8 == canonAt(dir, name, 64)
+        && r8 == canonAt(dir, name, 512), s"$name diverges at sf0.01")
+    }
+  }
 }
