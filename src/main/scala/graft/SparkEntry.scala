@@ -2047,8 +2047,12 @@ object SparkEntry {
     "q146_encoding" -> ((s, d) =>
       TextAnalysis.encodingAnomalies(Tables.documents(s, d), "doc_id", "text")),
     "q139_label_prop" -> ((s, d) =>
-      // same part co-occurrence graph as q133; 2 synchronous rounds
-      Graph.labelPropagation(partCooccurrenceEdges(s, d), "pa", "pb")),
+      // SUPPORT-FLOORED co-occurrence graph (w≥2, the q231/q240/q238
+      // criterion: label propagation is ITERATIVE, so per-round join
+      // fanout grows with raw-graph density at scale); 2 synchronous
+      // rounds. One-shot structural consumers (q133 triangles, q224 BFS,
+      // q300 harmonic) keep the raw graph — see SURVEY §8
+      Graph.labelPropagation(supportedCooccurrenceEdges(s, d), "pa", "pb")),
     "q138_doc_cosine" -> ((s, d) =>
       // finds the corpus's planted near-dups from bigram count vectors —
       // natural pairs top out near 0.27, planted ones sit ≥0.99, so the
@@ -6787,8 +6791,9 @@ object SparkEntry {
       // the two synchronous rounds unrolled; same (count desc, label asc)
       // modal rank both engines
       """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
-        |      FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |ew AS (SELECT x.p AS a, y.p AS b, count(*) AS wt
+        |       FROM li x JOIN li y ON x.k = y.k AND x.p < y.p GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM ew WHERE wt >= 2),
         |n AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM n),
         |i1 AS (SELECT n.a AS node, l.lbl FROM n JOIN l0 l ON l.node = n.b
