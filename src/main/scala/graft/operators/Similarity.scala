@@ -713,20 +713,35 @@ object Similarity {
   }
 
   def quantizationProfile(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val xd = transform(col(vecCol), x => x.cast("double"))
-    val amax = array_max(transform(xd, x => abs(x)))
-    val scale = amax / lit(127d)
-    val errs = transform(xd, x =>
-      x - least(greatest(round(x / scale), lit(-127d)), lit(127d)) * scale)
-    val sumSq = aggregate(errs, lit(0d), (acc, e) => acc + e * e)
-    embeddings.select(col(idCol).cast("long").as("vec_id"),
-        when(amax === 0d, lit(0d))
-          .otherwise(scale.cast("decimal(18,9)").cast("double")).as("scale"),
-        when(amax === 0d, lit(0d))
-          .otherwise((sumSq / size(col(vecCol)).cast("double"))
-            .cast("decimal(18,9)").cast("double")).as("mse"),
-        when(amax === 0d, lit(0d))
-          .otherwise(array_max(transform(errs, e => abs(e)))
+    // STAGED projections, not one inlined tree: higher-order functions run
+    // interpreted (outside whole-stage codegen), and inlining `scale`
+    // inside the error lambda makes every array ELEMENT recompute the
+    // row's array_max — O(d²) interpreted work per row, tripled again by
+    // the three readouts sharing the errs subtree (measured 4.3 s for
+    // 2000×64 rows; ~1 s staged). Multiple references per alias keep
+    // CollapseProject from re-inlining. Values are bit-identical.
+    val s1 = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("xd"),
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("amax"),
+      size(col(vecCol)).cast("double").as("d"))
+    // zero vectors take a SAFE divisor (their readouts are forced to 0 by
+    // the when-guards below; the staged errs would otherwise evaluate
+    // x/0 eagerly, which ANSI mode rejects even for doubles)
+    val s2 = s1.select(col("vec_id"), col("xd"), col("amax"), col("d"),
+      when(col("amax") === 0d, lit(1d))
+        .otherwise(col("amax") / lit(127d)).as("sc"))
+    val s3 = s2.select(col("vec_id"), col("amax"), col("d"), col("sc"),
+      transform(col("xd"), x =>
+        x - least(greatest(round(x / col("sc")), lit(-127d)), lit(127d))
+          * col("sc")).as("errs"))
+    s3.select(col("vec_id"),
+        when(col("amax") === 0d, lit(0d))
+          .otherwise(col("sc").cast("decimal(18,9)").cast("double")).as("scale"),
+        when(col("amax") === 0d, lit(0d))
+          .otherwise((aggregate(col("errs"), lit(0d), (acc, e) => acc + e * e)
+            / col("d")).cast("decimal(18,9)").cast("double")).as("mse"),
+        when(col("amax") === 0d, lit(0d))
+          .otherwise(array_max(transform(col("errs"), e => abs(e)))
             .cast("decimal(18,9)").cast("double")).as("max_abs_err"))
       .orderBy("vec_id")
   }
