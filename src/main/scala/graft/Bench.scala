@@ -126,9 +126,15 @@ object Bench {
       // inflates every late-alphabet query (q22 measured 20 s inside a full
       // run vs 3 s isolated before this). A real deployment runs one
       // pipeline per session — the bench should charge each query its own
-      // work, not its predecessors' garbage.
+      // work, not its predecessors' garbage. Locally-CHECKPOINTED RDDs are
+      // excluded: their blocks are the ONLY copy (no lineage to recompute),
+      // so a blanket unpersist would break any later reference and spams
+      // "cannot be recomputed" WARNs into the tail window — ContextCleaner
+      // frees them on the GC cadence below once their refs die.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
       // explicit GC cadence: unpersisted/checkpointed blocks, shuffle state
       // and broadcasts are only RELEASED when ContextCleaner sees their
       // weak refs collected — without this the round-6 run degraded 2-5×
@@ -236,5 +242,11 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)
     spark.stop()
+    // print the metric line AGAIN after stop(): anything stop() or shutdown
+    // hooks emit lands between the two copies, so the LAST stdout line is
+    // always the complete JSON — the driver's `parsed` field populates
+    // instead of regex-mining the tail (r7 artifact had parsed: null)
+    println(line)
+    System.out.flush()
   }
 }

@@ -42,7 +42,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) {
+    // Materialization guard keyed on a sentinel written AFTER the last
+    // table: a prior run that crashed mid-materialization (e.g. after
+    // lineitem but before the dims) must re-materialize, not silently use
+    // a partial bigDir and fail on missing tables / stale ratios.
+    val sentinel = new java.io.File(s"$bigDir/_GRAFT_MATERIALIZED")
+    if (!sentinel.exists()) {
       val t0 = System.nanoTime()
       def replicate(name: String, keyCols: Map[String, Long]): Unit = {
         val df = if (name == "events") Tables.events(spark, src) else Tables.load(spark, src, name)
@@ -59,6 +64,7 @@ object ScaleBench {
       Seq("customer", "nation", "region", "part", "supplier").foreach { n =>
         Tables.load(spark, src, n).write.mode("overwrite").parquet(s"$bigDir/$n.parquet")
       }
+      java.nio.file.Files.write(sentinel.toPath, Array.emptyByteArray)
       println(f"[sf1] ${factor}x materialization done in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         s"(lineitem rows: ${spark.read.parquet(s"$bigDir/lineitem.parquet").count()})")
     }
@@ -70,7 +76,9 @@ object ScaleBench {
       SparkEntry.queries(name)(ss, dir).write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed) // only copy — ContextCleaner frees on GC
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       s
     }

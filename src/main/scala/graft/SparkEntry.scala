@@ -531,19 +531,32 @@ object SparkEntry {
       Analytics.ridgeRegression2(Tables.lineitem(s, d), col("l_quantity"),
         col("l_discount"), col("l_extendedprice"), lambda = 10.0)),
     "q356_kll_quantiles" -> ((s, d) =>
-      // ☆ mergeable quantile pipeline: per-partition KLL sketches → one
-      // merge → estimates with the sketch's proven rank-error bound
-      // (KLL compaction flips coins — error-bounded, not replay-exact,
-      // so spec-verified rather than SQL-oracled)
+      // mergeable quantile pipeline: per-partition KLL sketches → one
+      // merge → estimates with the sketch's proven rank-error bound.
+      // ★-checkable via the exact regime (the q89 HLL coupon-mode
+      // argument): at k=65535 every driver SF keeps n ≤ k, so no
+      // compaction ever fires (no coin flips), the sketch retains EVERY
+      // item, and each INCLUSIVE quantile is exactly the ceil(p·n)-th
+      // order statistic — an exact-percentile DuckDB oracle. The
+      // approximate regime (n ≫ k, e.g. the sf1 bench at k=200) keeps
+      // its rank-error envelope, asserted in SketchesSpec. rank_error is
+      // a pure function of k (engine-internal constant) and stays
+      // spec-verified; the registered projection carries the data-derived
+      // columns.
       graft.functions.Sketches.kllMergeQuantiles(
         graft.functions.Sketches.kllPartitionSketches(
-          Tables.events(s, d).select(col("value")), "value"),
-        probs = Seq(0.1, 0.5, 0.9, 0.99))),
+          Tables.events(s, d).select(col("value")), "value", k = 65535),
+        probs = Seq(0.1, 0.5, 0.9, 0.99), k = 65535)
+        .drop("rank_error").orderBy("p")),
     "q357_theta_setops" -> ((s, d) => {
-      // ☆ how many users both viewed AND purchased: theta-sketch set
-      // algebra over the two populations (deterministic hash-order
-      // thresholding; exact below sketch capacity — spec-verified, no
-      // SQL twin for the estimation regime)
+      // how many users both viewed AND purchased: theta-sketch set
+      // algebra over the two populations. ★-checkable via the exact
+      // regime: theta sampling starts only past the nominal-entries
+      // capacity (4096), and the driver SFs top out at 1500 distinct
+      // users, so every sketch keeps theta = 1 and the set-op estimates
+      // EQUAL the exact COUNT DISTINCT / intersect / union / diff — the
+      // DuckDB oracle; the estimation-regime error envelope is asserted
+      // in SketchesSpec at 60k distincts.
       val ev = Tables.events(s, d)
       graft.functions.Sketches.thetaSetOps(
         ev.filter(col("event_type") === "view").select(col("user_id")), "user_id",
@@ -2841,6 +2854,31 @@ object SparkEntry {
     "q89_hll_merge" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q356_kll_quantiles" ->
+      // exact-regime twin (the q89 coupon-mode argument): at k=65535 the
+      // sketch never compacts at driver SFs (n ≤ k ⇒ every item retained,
+      // no coin flips), so each INCLUSIVE quantile is exactly the
+      // ceil(p·n)-th order statistic — pure integer rank math both sides
+      // ((num·n + 99) // 100 = ceil(num·n/100)), value picked not computed
+      """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS cnt FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+        |p AS (SELECT CAST(col0 AS DOUBLE) AS p, col1 AS num
+        |      FROM (VALUES (0.1, 10), (0.5, 50), (0.9, 90), (0.99, 99)) t(col0, col1))
+        |SELECT p.p AS p, r.x AS estimate, n.cnt AS n
+        |FROM p CROSS JOIN n JOIN r ON r.rk = (p.num * n.cnt + 99) // 100
+        |ORDER BY p""".stripMargin,
+    "q357_theta_setops" ->
+      // exact-regime twin: below the 4096-entry nominal capacity theta
+      // keeps every hash (theta = 1), so each set-op estimate EQUALS the
+      // exact distinct cardinality (whole-number doubles both sides)
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT CAST((SELECT COUNT(*) FROM a) AS DOUBLE) AS est_a,
+        |  CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS est_b,
+        |  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS DOUBLE) AS est_intersection,
+        |  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS DOUBLE) AS est_union,
+        |  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS DOUBLE) AS est_a_not_b""".stripMargin,
     "q90_global_seq" ->
       """SELECT doc_id, source, CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS seq
         |FROM documents ORDER BY seq""".stripMargin,

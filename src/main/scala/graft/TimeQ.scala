@@ -28,7 +28,9 @@ object TimeQ {
       // same per-query hygiene as Bench: drop pinned blocks between runs,
       // and GC so ContextCleaner actually releases shuffle/broadcast state
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed) // only copy — ContextCleaner frees on GC
+        .foreach(_.unpersist(blocking = false))
       ran += 1
       if (ran % 10 == 0) System.gc()
     }

@@ -31,7 +31,9 @@ object Verify {
       // per-query hygiene (same as Bench): without it, persisted blocks
       // from 250+ operators accumulate for the whole dump
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed) // only copy — ContextCleaner frees on GC
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -882,7 +882,14 @@ object Similarity {
     require(k >= 1 && k <= 8 && iters >= 1 && iters <= 6,
       "fixed unrollable step counts only")
     val spark = embeddings.sparkSession
-    val d = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // degenerate -> empty, never a crash (the ratioMetricDelta contract):
+    // an empty frame has no dimensionality to extract, so return the empty
+    // projection with the right schema instead of throwing at head()
+    val dRow = embeddings.select(size(col(vecCol)).as("d")).take(1)
+    if (dRow.isEmpty)
+      return embeddings.select(
+        col(idCol) +: (1 to k).map(c => lit(null).cast("double").as(s"pc$c")): _*)
+    val d = dRow.head.getInt(0)
     val ex = embeddings.select(col(idCol).cast("long").as("id"),
       posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("i", "x")))
     // ONE moments job: the d(d+1)/2 pair terms, the d linear terms (tagged
@@ -930,17 +937,25 @@ object Similarity {
     val comps = Array.newBuilder[Array[Long]]
     for (_ <- 1 to k) {
       var vq = Array.fill(d)(1000000L) // scale 1e6
-      for (_ <- 1 to iters) {
+      var degenerate = false
+      for (_ <- 1 to iters if !degenerate) {
         val w = matvec(cq, vq)
         val m = pivotOf(w)
-        vq = w.map(wi => rnd(wi.toDouble / w(m).toDouble * 1e6))
+        // zero-variance residual: the pivot matvec value is 0, so the
+        // renormalization wi/w(m) would be NaN -> BigDecimal(NaN) throws.
+        // Degrade to the all-zero component (projections read 0.0) —
+        // degenerate -> harmless output, never a crash
+        if (w(m) == 0L) { degenerate = true; vq = Array.fill(d)(0L) }
+        else vq = w.map(wi => rnd(wi.toDouble / w(m).toDouble * 1e6))
       }
       comps += vq
-      val w = matvec(cq, vq)
-      val lam = w(pivotOf(vq)).toDouble / 1e9
-      val vtv = vq.map(v => v * v).sum.toDouble // ≤ d·1e12 — exact double
-      cq = Array.tabulate(d, d)((i, j) =>
-        rnd((cq(i)(j).toDouble / 1e12 - lam * vq(i).toDouble * vq(j).toDouble / vtv) * 1e12))
+      if (!degenerate) {
+        val w = matvec(cq, vq)
+        val lam = w(pivotOf(vq)).toDouble / 1e9
+        val vtv = vq.map(v => v * v).sum.toDouble // ≤ d·1e12 — exact double
+        cq = Array.tabulate(d, d)((i, j) =>
+          rnd((cq(i)(j).toDouble / 1e12 - lam * vq(i).toDouble * vq(j).toDouble / vtv) * 1e12))
+      }
     }
     val cs = comps.result()
     val muLit = array(mu.map(lit): _*)

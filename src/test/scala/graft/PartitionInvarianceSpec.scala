@@ -20,17 +20,8 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   /** Collected rows in a canonical sorted text form; doubles/floats by raw
     * bits so an ulp difference cannot hide behind decimal rendering. */
-  private def canon(name: String, parts: Int): Seq[String] = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    SparkEntry.queries(name)(ss, sfDir).collect().map(_.toSeq.map {
-      case null => "<null>"
-      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
-      case f: java.lang.Float => java.lang.Float.floatToIntBits(f).toString
-      case a: Array[Byte] => a.map("%02x".format(_)).mkString
-      case x => x.toString
-    }.mkString("|")).sorted.toSeq
-  }
+  private def canon(name: String, parts: Int): Seq[String] =
+    canonAt(sfDir, name, parts)
 
   heavy.foreach { name =>
     test(s"$name: bit-identical results at shuffle.partitions 8 / 64 / 512") {
@@ -45,7 +36,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     }
   }
 
-  /** Second tier at sf0.01: sf0.001 leaves most of 512 partitions empty,
+  /** The one canonicalization implementation (canon = canonAt(sfDir, …)).
+    * Second tier at sf0.01: sf0.001 leaves most of 512 partitions empty,
     * so a representative subset re-runs on 10× the rows, where every
     * setting actually carries data through the shuffles. */
   private def canonAt(dir: String, name: String, parts: Int): Seq[String] = {

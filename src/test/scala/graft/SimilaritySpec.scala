@@ -381,6 +381,24 @@ class SimilaritySpec extends SparkSpec {
     assert(p.toSeq == q.toSeq)
   }
 
+  test("pcaPowerProject: degenerate inputs degrade, never crash (the " +
+    "ratioMetricDelta contract)") {
+    // empty frame: no dimensionality to extract -> empty result, right schema
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = Similarity.pcaPowerProject(empty, "vec_id", "embedding", k = 2)
+    assert(e.columns.toSeq == Seq("vec_id", "pc1", "pc2") && e.count() == 0)
+    // zero-variance corpus: the pivot matvec value is 0 -> all-zero
+    // components, projections read 0.0 (previously NumberFormatException)
+    val const = (1L to 5L).map(i => (i, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val c = Similarity.pcaPowerProject(const, "vec_id", "embedding", k = 2).collect()
+    assert(c.length == 5 && c.forall(r => r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0))
+    // k larger than the intrinsic rank: trailing components degenerate to
+    // zero while the leading one still projects (1-d data, k=3)
+    val line = (-5 to 5).map(t => (t + 5L, Array(t.toFloat, 2f * t))).toDF("vec_id", "embedding")
+    val l = Similarity.pcaPowerProject(line, "vec_id", "embedding", k = 3).collect()
+    assert(l.exists(r => math.abs(r.getDouble(1)) > 1.0), "pc1 carries the line")
+  }
+
   test("itemItemCF: cosine from co-occurrence counts, support floor, each pair once") {
     // items: 10 with 4 users, 20 with 3, shared by {1,2,3}; 30 only user 1;
     // duplicate (1,10) events must not inflate counts

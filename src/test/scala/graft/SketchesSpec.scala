@@ -32,6 +32,54 @@ class SketchesSpec extends SparkSpec {
     assert(out.isNullAt(1) && out.getLong(2) == 0, out.toString)
   }
 
+  test("kll exact regime (the q356 oracle argument): n <= k retains every " +
+    "item and each inclusive quantile is the ceil(p*n)-th order statistic") {
+    // adversarial values (duplicates, negatives, non-uniform spacing) so the
+    // order-statistic identity is tested, not just value==rank luck
+    val vals = ((1 to 500).map(i => (i % 37).toDouble - 5.0) ++
+      Seq.fill(100)(0.25) ++ (1 to 400).map(i => i * 1.75)).toList
+    val df = scala.util.Random.shuffle(vals).toDF("v").repartition(8)
+    val n = vals.length
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val out = Sketches.kllMergeQuantiles(
+      Sketches.kllPartitionSketches(df, "v", k = 65535), probs, k = 65535)
+      .orderBy("p").collect()
+    val sorted = vals.sorted
+    probs.zip(out).foreach { case (p, r) =>
+      val want = sorted(math.ceil(p * n).toInt - 1) // 1-indexed order stat
+      assert(r.getDouble(1) == want,
+        s"q($p): sketch ${r.getDouble(1)} != exact order statistic $want")
+      assert(r.getLong(2) == n)
+    }
+  }
+
+  test("kll approximate regime: n >> k stays inside the rank-error envelope") {
+    val n = 300000
+    val df = spark.range(1, n + 1).select(col("id").cast("double").as("v"))
+      .repartition(16)
+    val out = Sketches.kllMergeQuantiles(
+      Sketches.kllPartitionSketches(df, "v", k = 200), Seq(0.5), k = 200)
+      .collect()(0)
+    val err = out.getDouble(3)
+    // values are 1..n so value distance IS rank distance; 3x the bound
+    // gives headroom over the 99% confidence the bound is stated at
+    assert(math.abs(out.getDouble(1) - 0.5 * n) <= 3 * err * n,
+      s"median ${out.getDouble(1)} vs ${0.5 * n} (err $err)")
+  }
+
+  test("theta estimation regime: 60k distincts within the k=4096 RSE envelope") {
+    val a = spark.range(1, 60001).select(col("id")).repartition(8)
+    val b = spark.range(30001, 90001).select(col("id")).repartition(8)
+    val r = Sketches.thetaSetOps(a, "id", b, "id").collect()(0)
+    // RSE ~ 1/sqrt(k) = 1.56% at k=4096; 5 sigma = ~8%
+    def close(est: Double, truth: Double): Boolean =
+      math.abs(est - truth) <= 0.08 * truth
+    assert(close(r.getDouble(0), 60000) && close(r.getDouble(1), 60000), r.toString)
+    assert(close(r.getDouble(2), 30000), s"intersection ${r.getDouble(2)}")
+    assert(close(r.getDouble(3), 90000), s"union ${r.getDouble(3)}")
+    assert(close(r.getDouble(4), 30000), s"a-not-b ${r.getDouble(4)}")
+  }
+
   test("theta: set algebra is exact below sketch capacity") {
     val a = (1 to 1000).toDF("id").repartition(4)
     val b = (500 to 1500).toDF("id").repartition(4)

@@ -55,17 +55,40 @@ def main():
         dtypes_g = [str(t) for t in got.dtypes]
         dtypes_w = [str(t) for t in want.dtypes]
         inorder = got.reset_index(drop=True).equals(want.reset_index(drop=True))
+        dtype_only = False
         if not inorder:
             g2 = got.sort_values(list(got.columns)).reset_index(drop=True)
             w2 = want.sort_values(list(want.columns)).reset_index(drop=True)
             unordered = g2.equals(w2)
+            if not unordered and dtypes_g != dtypes_w:
+                # DataFrame.equals is False on ANY dtype mismatch even when
+                # values coincide — coerce mismatched columns to a common
+                # dtype (numeric→float64, else string) and retry, so a pure
+                # dtype skew is labeled as such instead of "value mismatch"
+                gc, wc = g2.copy(), w2.copy()
+                for c in gc.columns:
+                    if str(gc[c].dtype) != str(wc[c].dtype):
+                        if pd.api.types.is_numeric_dtype(gc[c]) and \
+                           pd.api.types.is_numeric_dtype(wc[c]):
+                            gc[c] = gc[c].astype("float64")
+                            wc[c] = wc[c].astype("float64")
+                        else:
+                            gc[c] = gc[c].map(lambda v: None if v is None else str(v))
+                            wc[c] = wc[c].map(lambda v: None if v is None else str(v))
+                dtype_only = gc.equals(wc)
         else:
             unordered = True
-        status = "PASS" if inorder else ("PASS-unordered" if unordered else "FAIL")
+        # dtype-only skew is NOT a pass: the driver's schema_match would
+        # flag it — but it is labeled distinctly from a value mismatch
+        status = ("PASS" if inorder else
+                  "PASS-unordered" if unordered else
+                  "DTYPE-SKEW" if dtype_only else "FAIL")
         extra = "" if dtypes_g == dtypes_w else f" [dtypes spark={dtypes_g} duck={dtypes_w}]"
         if status.startswith("PASS"):
             n_pass += 1
             print(f"{status} {name} ({len(got)} rows){extra}")
+        elif status == "DTYPE-SKEW":
+            print(f"DTYPE-SKEW {name}: values match after coercion{extra}")
         else:
             print(f"FAIL {name}: value mismatch{extra}")
             merged = got.compare(want) if dtypes_g == dtypes_w else None
