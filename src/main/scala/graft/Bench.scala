@@ -157,7 +157,12 @@ object Bench {
     // entries flip on integer-jitter, not contention) re-measures ONCE after
     // the sweep; min(first, rerun) is the honest engine number because a
     // genuine plan regression reproduces while a steal spike doesn't.
-    val base = baselineTable()
+    // SPARK_GRAFT_NO_RERUN=1 disables the outlier re-run: at non-sf0.1
+    // scale factors (the sf1 full pass) every query is legitimately above
+    // its sf0.1 baseline row, and re-running the whole tail would double
+    // the run for no signal
+    val base = if (sys.env.contains("SPARK_GRAFT_NO_RERUN")) Map.empty[String, Double]
+               else baselineTable()
     val flagged = firstPass.filter { case (name, v) =>
       v > 1.0 && base.get(short(name)).exists(b => v > 2.0 * b)
     }.map(_._1).toSet

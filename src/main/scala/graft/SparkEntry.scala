@@ -2523,18 +2523,34 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.95)
         .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")),
     "q34_multimodal" -> ((s, d) => {
+      // multimodal decode verified END-TO-END (★, round 8): BMP + PNG
+      // payloads (the lossless containers — both real codecs: pure-JVM BMP
+      // parse + ImageIO PNG) synthesized per doc, resized 8×8 → 4×4
+      // nearest-neighbor, decoded back; WAV synthesized and header-parsed.
+      // Every projected column is a pure function of doc_id, so the DuckDB
+      // oracle RECOMPUTES the expected decode outputs from the synthesis
+      // formulas — dims, sampled-pixel channel means (exact /16 rationals),
+      // and the WAV header fields must round-trip bit-exactly through the
+      // actual encode → resize → decode chain. JPEG (lossy) stays exercised
+      // by q195 + MultimodalSpec; the stub byte-histogram features and the
+      // sine amplitude stats (libm) stay ☆ spec-verified.
       val docs = Tables.documents(s, d)
       val media = Multimodal.attachBinary(docs, "doc_id", "text")
-      val stubFeats = Multimodal.decodeStub(media, "doc_id")
-      // mixed BMP/PNG/JPEG payloads: resize + decode exercise the real
-      // ImageIO codecs, not just the pure-JVM BMP parser
+      val metaCols = media.select(col("doc_id"),
+        col("meta.kind").as("meta_kind"),
+        col("meta.width").as("meta_w"), col("meta.height").as("meta_h"))
+      val frames = Multimodal.frameSample(media, "doc_id", 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_video_frames"))
       val imgFeats = Multimodal.decodeImages(
         Multimodal.resizeImages(
-          Multimodal.synthesizeMixedImages(docs, "doc_id", size = 8), "doc_id", 4, 4), "doc_id")
+          Multimodal.synthesizeMixedImages(docs, "doc_id", size = 8, formats = 2),
+          "doc_id", 4, 4), "doc_id")
       val audioFeats = Multimodal.decodeAudio(
         Multimodal.synthesizeAudio(docs, "doc_id"), "doc_id")
-      jsonized(stubFeats.join(imgFeats, "doc_id").join(audioFeats, "doc_id")
-        .orderBy("doc_id"))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"))
+      metaCols.join(imgFeats, "doc_id").join(audioFeats, "doc_id")
+        .join(frames, Seq("doc_id"), "left").orderBy("doc_id")
     })
   )
 
@@ -2854,6 +2870,32 @@ object SparkEntry {
     "q89_hll_merge" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_multimodal" ->
+      // the decode chain's expected outputs RECOMPUTED from the synthesis
+      // formulas (every payload is a pure function of doc_id): pattern
+      // channel means over the 4×4 nearest-neighbor sample grid of the 8×8
+      // image (sampled pixels (2x,2y), sums /16 — exact dyadic rationals),
+      // constant dims / WAV header fields, attachBinary meta arithmetic,
+      // and 4 frame samples for video-kind rows
+      """WITH grid AS (SELECT a.x AS x, b.y AS y
+        |  FROM (SELECT unnest([0,2,4,6]) AS x) a
+        |  CROSS JOIN (SELECT unnest([0,2,4,6]) AS y) b),
+        |k AS (SELECT doc_id, doc_id % 40 AS k FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(SUM((x * (k + 3)) % 256) AS DOUBLE) / 16 AS mean_r,
+        |    CAST(SUM((y * (k + 5)) % 256) AS DOUBLE) / 16 AS mean_g,
+        |    CAST(SUM(((x + y) * (k + 7)) % 256) AS DOUBLE) / 16 AS mean_b
+        |  FROM k CROSS JOIN grid GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS meta_kind,
+        |  CAST(m.doc_id % 640 + 16 AS INTEGER) AS meta_w,
+        |  CAST(m.doc_id % 480 + 16 AS INTEGER) AS meta_h,
+        |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  mean_r, mean_g, mean_b,
+        |  CAST(8000 AS INTEGER) AS sample_rate, CAST(800 AS INTEGER) AS n_samples,
+        |  CAST(100 AS BIGINT) AS duration_ms,
+        |  CASE WHEN m.doc_id % 3 = 2 THEN CAST(4 AS BIGINT) END AS n_video_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q356_kll_quantiles" ->
       // exact-regime twin (the q89 coupon-mode argument): at k=65535 the
       // sketch never compacts at driver SFs (n ≤ k ⇒ every item retained,

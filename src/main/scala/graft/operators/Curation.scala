@@ -682,6 +682,107 @@ object Curation {
       .toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Batched BPE training — [[bpeTrain]]'s scale path. The sequential
+    * trainer drives ONE Spark job per merge (32k-merge vocab = 32k job
+    * waves); this variant learns a PROVABLY-IDENTICAL merge list by
+    * accepting, per round, the maximal safe PREFIX of the pair ranking —
+    * the SentencePiece-style batching trick with the heuristics replaced
+    * by sound bounds, so batched ≡ sequential exactly (CurationSpec pins
+    * it on known-answer and random corpora):
+    *
+    *  - prefix only: candidates are scanned in the sequential selection
+    *    order (count desc, pair asc) and the batch CUTS at the first
+    *    unsafe candidate — skipping would reorder selections;
+    *  - symbol-disjoint: a candidate sharing a symbol with an accepted
+    *    merge (or its output) may have had its count changed — cut;
+    *  - fresh output: an accepted merge whose concatenated output string
+    *    already names an existing symbol could increment EXISTING pairs
+    *    (not just create new ones), voiding the bounds — cut after it;
+    *  - new-pair bound: a merge (a,b,c) can only create pairs touching
+    *    its output symbol, each bounded by min(c, max(maxL(a), maxR(b)))
+    *    where maxL(s)/maxR(s) are the largest current counts of any pair
+    *    with s on the right/left — a later candidate is safe only if its
+    *    count is STRICTLY above every accepted bound (ties could lose the
+    *    lexicographic tie-break to an unseen new pair — cut).
+    *
+    * Each round costs one vocab-sized segmentation job (eagerly
+    * checkpointed, read three times: top-K + the two bound aggregates) —
+    * early rounds batch thin (top pairs share common chars), later rounds
+    * fat, so a real tokenizer build needs ~hundreds of waves, not 32k.
+    * Round state (the checkpointed pair table) is released by
+    * ContextCleaner once the round's references die. */
+  def bpeTrainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+                      batchK: Int = 128): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val mergeOutputs = scala.collection.mutable.HashSet.empty[String]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val rank = merges.zipWithIndex
+        .map { case ((a, b, _), r) => (a, b) -> r }.toMap
+      val bc = spark.sparkContext.broadcast(rank)
+      val pc = wc.mapPartitions { it =>
+          val r = bc.value
+          it.flatMap { case (w, c) =>
+            val syms = segmentGreedy(w, r)
+            (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
+          }
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (a, b, n) }
+        .toDF("a", "b", "c")
+        .localCheckpoint(true)
+      val top = pc.orderBy(desc("c"), asc("a"), asc("b")).limit(batchK)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // new-pair bounds for every symbol a top-K candidate could commit:
+        // maxL(s) = largest count of a pair with s on the RIGHT, maxR(s)
+        // with s on the LEFT — computed over the FULL pair table
+        val needL = top.map(_._1).distinct.toSeq
+        val needR = top.map(_._2).distinct.toSeq
+        val maxL = pc.filter(col("b").isin(needL: _*))
+          .groupBy("b").agg(max("c")).as[(String, Long)].collect().toMap
+        val maxR = pc.filter(col("a").isin(needR: _*))
+          .groupBy("a").agg(max("c")).as[(String, Long)].collect().toMap
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var newBound = Long.MinValue
+        var cut = false
+        val it = top.iterator
+        while (!cut && it.hasNext && merges.size < nMerges) {
+          val (a, b, c) = it.next()
+          val out = a + b
+          if (used.isEmpty) {
+            // the top-1 candidate IS the sequential choice — always taken
+            merges += ((a, b, c))
+            val fresh = !mergeOutputs.contains(out)
+            mergeOutputs += out
+            used += a; used += b; used += out
+            newBound = math.min(c, math.max(maxL.getOrElse(a, 0L), maxR.getOrElse(b, 0L)))
+            if (!fresh) cut = true // output collides with an existing symbol
+          } else if (!used(a) && !used(b) && !used(out) &&
+            !mergeOutputs.contains(out) && c > newBound) {
+            merges += ((a, b, c))
+            mergeOutputs += out
+            used += a; used += b; used += out
+            newBound = math.max(newBound,
+              math.min(c, math.max(maxL.getOrElse(a, 0L), maxR.getOrElse(b, 0L))))
+          } else cut = true
+        }
+      }
+    }
+    wc.unpersist(false)
+    merges.zipWithIndex
+      .map { case ((a, b, n), r) => (r + 1, a, b, n) }.toSeq
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** BPE encode (apply a trained merge table): per-document subword count
     * and compression ratio — the "what will this corpus cost in tokens"
     * estimator run before committing a training mix, with the REAL

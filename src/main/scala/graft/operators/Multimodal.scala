@@ -373,14 +373,18 @@ object Multimodal {
     * construction); BMP and PNG decodes of the same pattern are
     * pixel-identical, JPEG is close (lossy). */
   def synthesizeMixedImages(docs: DataFrame, idCol: String,
-                            size: Int = 16, patterns: Int = 40): DataFrame = {
+                            size: Int = 16, patterns: Int = 40,
+                            formats: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
         val k = (id % patterns).toInt
         val fn = (x: Int, y: Int) =>
           ((x * (k + 3)) % 256, (y * (k + 5)) % 256, ((x + y) * (k + 7)) % 256)
-        val bytes = ((id / patterns) % 3) match {
+        // formats = 2 keeps the container mix to the LOSSLESS pair
+        // (BMP/PNG) — decoded pixels then equal the pattern formula
+        // exactly, which is what lets q34 carry a value-exact oracle
+        val bytes = ((id / patterns) % formats) match {
           case 0 => encodeBmp(size, size, fn)
           case 1 => encodePng(size, size, fn)
           case _ => encodeJpeg(size, size, fn)

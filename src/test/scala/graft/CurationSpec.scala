@@ -313,6 +313,62 @@ class CurationSpec extends SparkSpec {
     assert(enc(2L) == ((1L, 3L)))
   }
 
+  test("bpeTrainBatched ≡ bpeTrain: identical merge lists on the known-answer " +
+    "corpus, an interacting corpus, and real text") {
+    // the known-answer corpus (every round interacts: ab feeds abab/abc) —
+    // batching must degrade to prefix-of-1 and still match exactly
+    val ka = Seq((1L, "abab abab abab abc"), (2L, "abc")).toDF("doc_id", "text")
+    val seqKa = Curation.bpeTrain(ka, "text", 3).orderBy("rank").collect().map(_.toSeq)
+    val batKa = Curation.bpeTrainBatched(ka, "text", 3).orderBy("rank").collect().map(_.toSeq)
+    assert(seqKa.toSeq == batKa.toSeq, s"known-answer diverged: ${batKa.toSeq}")
+    // adversarial interaction: same-symbol runs, shared chars, output
+    // collisions across rounds (ab + c vs a + bc tie shapes)
+    val adv = Seq((1L, "aaaa aab abb bba bab abc bca cab aaaa aab"),
+      (2L, "abc abc bba aab aaaa")).toDF("doc_id", "text")
+    val seqAdv = Curation.bpeTrain(adv, "text", 8).orderBy("rank").collect().map(_.toSeq)
+    val batAdv = Curation.bpeTrainBatched(adv, "text", 8).orderBy("rank").collect().map(_.toSeq)
+    assert(seqAdv.toSeq == batAdv.toSeq, s"adversarial diverged: ${batAdv.toSeq}")
+    // real text: documents sf0.001, 10 merges
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val seqD = Curation.bpeTrain(docs, "text", 10).orderBy("rank").collect().map(_.toSeq)
+    val batD = Curation.bpeTrainBatched(docs, "text", 10).orderBy("rank").collect().map(_.toSeq)
+    assert(seqD.toSeq == batD.toSeq, s"sf0.001 diverged: ${batD.toSeq}")
+  }
+
+  test("bpeTrainBatched: disjoint-symbol merges land in ONE round (fewer job waves)") {
+    // 13 disjoint two-letter words: no candidate shares a symbol and no
+    // pair has anything on its output's flanks, so the new-pair bounds are
+    // 0 and the whole table is learnable in a single wave
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx", "yz")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - i * 5)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(300) } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get
+    }
+    var bat: Seq[Seq[Any]] = null
+    var sq: Seq[Seq[Any]] = null
+    val batJobs = countJobs {
+      bat = Curation.bpeTrainBatched(df, "text", 13).orderBy("rank").collect().map(_.toSeq).toSeq
+    }
+    val seqJobs = countJobs {
+      sq = Curation.bpeTrain(df, "text", 13).orderBy("rank").collect().map(_.toSeq).toSeq
+    }
+    assert(bat == sq, s"disjoint corpus diverged: $bat vs $sq")
+    assert(bat.length == 13)
+    assert(batJobs < seqJobs / 2,
+      s"batched should use far fewer job waves: $batJobs vs sequential $seqJobs")
+  }
+
   test("gopherRules: each rule trips independently and the verdict composes") {
     import spark.implicits._
     val good = (("the and that " * 20) + "solid words here padding out " * 3).trim
