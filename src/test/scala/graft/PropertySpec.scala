@@ -122,6 +122,150 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ----- round-8 ingest-ladder fuzz (the r7 verdict's §8 order) -----
+
+  /** RFC 4180 serialization: quote when the cell contains the delimiter,
+    * a quote, or CR/LF; '"' escapes as '""'. */
+  private def rfcSerialize(cells: Seq[String], d: Char): String =
+    cells.map { c =>
+      if (c.exists(ch => ch == d || ch == '"' || ch == '\n' || ch == '\r'))
+        "\"" + c.replace("\"", "\"\"") + "\""
+      else c
+    }.mkString(d.toString)
+
+  test("splitQuoted: RFC 4180 round-trip of arbitrary cells (quotes, embedded " +
+    "delimiters, empties) under every ladder delimiter") {
+    val cellChar = Gen.frequency(8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(',', ';', '|', '"', ' ', '\t'))
+    val cell = Gen.choose(0, 10).flatMap(n => Gen.stringOfN(n, cellChar))
+    val gen = for {
+      d <- Gen.oneOf(',', ';', '\t', '|')
+      n <- Gen.choose(1, 8)
+      cells <- Gen.listOfN(n, cell)
+    } yield (d, cells)
+    check(Prop.forAll(gen) { case (d, cells) =>
+      CsvIngest.splitQuoted(rfcSerialize(cells, d), d) == cells
+    })
+  }
+
+  test("detectDelimiter: identifier headers + arbitrarily quoted data recover " +
+    "the true delimiter across the whole ladder") {
+    val headerCell = Gen.choose(1, 10).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('_'))))
+    // data cells may contain ANY delimiter — serialization quotes them, and
+    // both unquotedCount and splitQuoted must see through the quoting
+    val dataCell = Gen.choose(0, 8).flatMap(n => Gen.stringOfN(n,
+      Gen.frequency(6 -> Gen.alphaNumChar, 3 -> Gen.oneOf(',', ';', '|', '"', ' '))))
+    val gen = for {
+      d <- Gen.oneOf(',', ';', '\t', '|')
+      nCols <- Gen.choose(2, 6)
+      headers <- Gen.listOfN(nCols, headerCell)
+      nRows <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, dataCell))
+    } yield (d, rfcSerialize(headers, d) +: rows.map(rfcSerialize(_, d)))
+    check(Prop.forAll(gen) { case (d, lines) =>
+      CsvIngest.detectDelimiter(lines) == d
+    })
+  }
+
+  test("encoding ladder parity: graft agrees with referenceEncodingLadder on " +
+    "random ASCII/UTF-8/cp1252/undefined-byte mixes; divergence confined to 0x80-0x9F") {
+    val asciiSeg = Gen.choose(1, 20)
+      .flatMap(n => Gen.stringOfN(n, Gen.choose(' ', '~'))).map(_.getBytes("UTF-8").toSeq)
+    val utf8Seg = Gen.oneOf("é", "ü", "€", "中", "—", "“q”")
+      .map(_.getBytes("UTF-8").toSeq)
+    // high bytes DEFINED in cp1252 (smart quotes, €, –, …) vs the five
+    // cp1252 HOLES (0x81 0x8D 0x8F 0x90 0x9D -> ISO-8859-1 catch-all)
+    val cp1252Seg = Gen.oneOf(0x80, 0x85, 0x91, 0x92, 0x93, 0x94, 0x96, 0x97)
+      .map(b => Seq(b.toByte))
+    val holeSeg = Gen.oneOf(0x81, 0x8D, 0x8F, 0x90, 0x9D).map(b => Seq(b.toByte))
+    val content = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(6 -> asciiSeg, 2 -> utf8Seg, 2 -> cp1252Seg, 1 -> holeSeg)))
+      .map(_.flatten.toArray)
+    check(Prop.forAll(content) { bytes =>
+      val ref = CsvIngest.referenceEncodingLadder(bytes)
+      val got = CsvIngest.detectEncoding(bytes)
+      // rung parity: both ladders agree on WHEN the bytes are UTF-8
+      val parity = (ref == "utf-8") == (got == "UTF-8")
+      // the pinned §3 deviation: when the reference falls to latin-1, graft's
+      // pick (windows-1252 or ISO-8859-1 — both single-byte) decodes every
+      // byte OUTSIDE 0x80-0x9F to the identical character
+      val confined = ref == "utf-8" || {
+        val g = new String(bytes, got)
+        val l = new String(bytes, "ISO-8859-1")
+        g.length == bytes.length && bytes.indices.forall { i =>
+          val b = bytes(i) & 0xff
+          (b >= 0x80 && b <= 0x9F) || g.charAt(i) == l.charAt(i)
+        }
+      }
+      parity && confined
+    })
+  }
+
+  test("encoding: a UTF-8 BOM is trusted unconditionally (pinned in SURVEY §3)") {
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    assert(CsvIngest.detectEncoding(bom ++ "plain".getBytes("UTF-8")) == "UTF-8")
+    // even over an invalid-UTF-8 tail: the mark wins (the reference would
+    // re-validate and fall to latin-1 — documented divergence)
+    assert(CsvIngest.detectEncoding(bom ++ Array(0xE9.toByte)) == "UTF-8")
+    assert(CsvIngest.referenceEncodingLadder(bom ++ Array(0xE9.toByte)) == "latin-1")
+  }
+
+  test("normalizeHeader: every known variation maps to its canonical column " +
+    "under random casing and surrounding whitespace") {
+    val entries = CsvIngest.HeaderVariations.toSeq
+      .flatMap { case (canon, vs) => vs.map(v => (canon, v)) }
+    val gen = for {
+      (canon, v) <- Gen.oneOf(entries)
+      pre <- Gen.choose(0, 3).flatMap(n => Gen.stringOfN(n, Gen.oneOf(' ', '\t')))
+      post <- Gen.choose(0, 3).flatMap(n => Gen.stringOfN(n, Gen.oneOf(' ', '\t')))
+      flags <- Gen.listOfN(v.length, Gen.oneOf(true, false))
+    } yield (canon, pre + v.zip(flags).map { case (c, f) =>
+      if (f) c.toUpper else c.toLower }.mkString + post)
+    check(Prop.forAll(gen) { case (canon, raw) =>
+      CsvIngest.normalizeHeader(raw) == canon
+    })
+  }
+
+  test("sniff end-to-end: detected (encoding, delimiter) matches the file's " +
+    "actual (encoding, delimiter) for 200+ generated uploads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz")
+    dir.toFile.deleteOnExit()
+    val idCell = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val gen = for {
+      d <- Gen.oneOf(',', ';', '\t', '|')
+      // enc class: 0 = pure ASCII (UTF-8 rung), 1 = multibyte UTF-8,
+      // 2 = cp1252 high bytes, 3 = a cp1252 hole byte (ISO-8859-1 rung)
+      encCase <- Gen.choose(0, 3)
+      nCols <- Gen.choose(2, 5)
+      headers <- Gen.listOfN(nCols, idCell)
+      nRows <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, idCell))
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (d, encCase, headers, rows, seed)
+    check(Prop.forAll(gen) { case (d, encCase, headers, rows0, seed) =>
+      // plant the encoding marker in the first data cell
+      val (marker, charset, wantEnc) = encCase match {
+        case 0 => ("", "UTF-8", "UTF-8")
+        case 1 => ("é€中", "UTF-8", "UTF-8")
+        case 2 => ("café — “ok”", "windows-1252", "windows-1252")
+        // U+0081 encodes to the 0x81 cp1252 HOLE byte under ISO-8859-1 —
+        // planted inside a cell so line structure stays intact
+        case _ => ("\u0081", "ISO-8859-1", "ISO-8859-1")
+      }
+      val rows = rows0.zipWithIndex.map { case (r, i) =>
+        if (i == 0) (marker + r.head) +: r.tail else r
+      }
+      val text = (headers.mkString(d.toString) +:
+        rows.map(_.mkString(d.toString))).mkString("\n") + "\n"
+      val bytes = text.getBytes(java.nio.charset.Charset.forName(charset))
+      val f = dir.resolve(s"u$seed.csv")
+      java.nio.file.Files.write(f, bytes)
+      val s = CsvIngest.sniff(f.toString)
+      s.encoding == wantEnc && s.delimiter == d
+    })
+  }
+
   test("BMP round-trip: arbitrary dims and colors decode exactly") {
     val gen = for {
       w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
