@@ -79,7 +79,15 @@ object OrganicBench {
       "eigencentrality" -> ((ss, n) =>
         Graph.eigenCentrality(supportedEdges(ss, n), "pa", "pb")),
       "label_prop" -> ((ss, n) =>
-        Graph.labelPropagation(supportedEdges(ss, n), "pa", "pb")))
+        Graph.labelPropagation(supportedEdges(ss, n), "pa", "pb")),
+      // the one-shot link-prediction consumers of the same w>=2 graph
+      // (q238 / q299): their sf1-replication ratios read 30x / 24x because
+      // the floor admits ALL 1.2M raw pairs there (every weight x10) —
+      // organic growth holds the kept-edge set ~constant instead
+      "neighbor_jaccard" -> ((ss, n) =>
+        Graph.neighborJaccard(supportedEdges(ss, n), "pa", "pb", minCommon = 1)),
+      "adamic_adar" -> ((ss, n) =>
+        Graph.adamicAdar(supportedEdges(ss, n), "pa", "pb")))
 
     def timeOnce(fn: (SparkSession, Long) => DataFrame, n: Long): Double = {
       val ss = spark.newSession()

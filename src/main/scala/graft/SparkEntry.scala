@@ -3083,17 +3083,19 @@ object SparkEntry {
         |  COUNT(*) AS n_conversions
         |FROM s WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q104_regression" ->
-      // exact decimal power sums (18,s) keep every product ≤ precision 37;
-      // ONE double division yields the slope, quantized DECIMAL(18,6)
+      // SCALE-0 centi-unit integer fold (round-8 overflow fix, mirrored
+      // from the operator): every term an exact HUGEINT, the 10^4
+      // quantization factor cancels between num and den, ONE double
+      // division yields the slope, quantized DECIMAL(18,6)
       """WITH d AS (SELECT o_orderpriority,
-        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,2)) AS x,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |    CAST(round(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 100) AS HUGEINT) AS x,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS HUGEINT) AS y
         |  FROM orders),
-        |g AS (SELECT o_orderpriority, COUNT(*) AS n,
-        |    CAST(SUM(x) AS DECIMAL(24,2)) AS sx, CAST(SUM(y) AS DECIMAL(24,2)) AS sy,
-        |    CAST(SUM(x * y) AS DECIMAL(24,4)) AS sxy, CAST(SUM(x * x) AS DECIMAL(24,4)) AS sxx
+        |g AS (SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
         |  FROM d GROUP BY 1)
-        |SELECT o_orderpriority, n,
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
         |  CAST(CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS DOUBLE) AS slope
@@ -7382,7 +7384,7 @@ object SparkEntry {
         |reach AS (SELECT k.id_a, CAST(greatest(kd.kdist, k.dist) AS DECIMAL(18,9)) AS reach
         |          FROM knn k JOIN kd ON kd.id_a = k.id_b),
         |lrd AS (SELECT id_a, CAST(5.0 / CAST(SUM(reach) AS DOUBLE) AS DECIMAL(18,9)) AS lrd
-        |        FROM reach GROUP BY 1 HAVING COUNT(*) = 5),
+        |        FROM reach GROUP BY 1 HAVING COUNT(*) = 5 AND SUM(reach) > 0),
         |num AS (SELECT k.id_a, SUM(l.lrd) AS slrd FROM knn k JOIN lrd l ON l.id_a = k.id_b
         |        GROUP BY 1 HAVING COUNT(*) = 5)
         |SELECT n.id_a AS vec_id,

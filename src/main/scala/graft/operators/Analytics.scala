@@ -830,31 +830,35 @@ object Analytics {
       .orderBy("channel")
   }
 
-  /** Per-group OLS regression (slope/intercept of y on x) from EXACT decimal
-    * power sums — the same order-independence design as [[zScoreAnomalies]]:
-    * Σx, Σy, Σxy, Σx² accumulate in decimal (associative, partitioning-
-    * invariant), the slope is ONE double division of exactly-computed
-    * decimal numerator/denominator, and the intercept reuses that double in
-    * a fixed IEEE chain. One shuffle on the group key, nothing else. */
+  /** Per-group OLS regression (slope of y on x) from EXACT integer power
+    * sums — the same order-independence design as [[zScoreAnomalies]], in
+    * SCALE-0 centi-units (the round-8 fix: the previous (18,4) decimal sums
+    * overflowed their 14 integer digits on the sf1 full pass — day×price
+    * products summed past 7.8e14). x̂ = round(100x), ŷ = round(100y) are
+    * exact integers; Σx̂, Σŷ, Σx̂ŷ, Σx̂² accumulate in scale-0 decimals
+    * (associative, partitioning-invariant), and the 10⁴ quantization factor
+    * cancels between numerator and denominator, so the slope is unchanged.
+    * Declared precisions keep every product at ≤ 38 total digits (Spark
+    * silently reduces SCALE past 38 — at scale 0 that is harmless while
+    * values fit): safe to ~1e9 rows/group at price-scale magnitudes; beyond
+    * that, pre-aggregate or accept a double fold. One shuffle on the group
+    * key, nothing else. */
   def regressionByGroup(df: DataFrame, groupCol: String, xCol: Column,
                         yCol: Column): DataFrame = {
-    val x = xCol.cast("decimal(18,2)")
-    val y = yCol.cast("decimal(18,2)")
-    // sums stay at (18,s): products of two (18,s) operands keep the result
-    // precision ≤ 37 — within both engines' decimal128; wider sums would
-    // silently promote the products past precision 38 (double in DuckDB,
-    // precision-loss in Spark) and break cross-engine exactness
+    val xi = round(xCol.cast("double") * lit(100d)).cast("decimal(19,0)")
+    val yi = round(yCol.cast("double") * lit(100d)).cast("decimal(19,0)")
     df.groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("decimal(18,2)").as("sx"),
-        sum(y).cast("decimal(18,2)").as("sy"),
-        sum(x * y).cast("decimal(18,4)").as("sxy"),
-        sum(x * x).cast("decimal(18,4)").as("sxx"))
+        sum(xi).cast("decimal(19,0)").as("sx"),
+        sum(yi).cast("decimal(19,0)").as("sy"),
+        sum(xi * yi).cast("decimal(28,0)").as("sxy"),
+        sum(xi * xi).cast("decimal(28,0)").as("sxx"))
       .select(col(groupCol), col("n"), {
         // zero denominator (single point / zero x-variance) → NULL slope:
         // ANSI mode makes a bare division throw DIVIDE_BY_ZERO
-        val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val nD = col("n").cast("decimal(10,0)")
+        val den = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+        val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
         when(den =!= 0.0, num / den).as("slope")
       })
       .withColumn("slope", col("slope").cast("decimal(18,6)").cast("double"))

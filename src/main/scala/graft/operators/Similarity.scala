@@ -1370,6 +1370,13 @@ object Similarity {
     val lrd = reach.groupBy("id_a")
       .agg(count(lit(1)).as("nr"), sum("reach").as("sr"))
       .filter(col("nr") === k) // every neighbor's own neighborhood was full too
+      // zero reach-sum = the whole neighborhood sits at the IDENTICAL
+      // coordinates (k+ exact duplicates): local density is undefined at
+      // zero volume (Breunig §4's duplicate caveat), so such points drop
+      // out of scoring like partial neighborhoods do — degenerate -> not
+      // scoreable, never an ANSI DIVIDE_BY_ZERO (hit live on the sf1 full
+      // pass, where replication plants 10 copies of every point)
+      .filter(col("sr") > lit(0))
       .select(col("id_a"),
         (lit(k.toDouble) / col("sr").cast("double")).cast("decimal(18,9)").as("lrd"))
       .localCheckpoint() // two consumers: neighbor lrds + own lrd

@@ -496,6 +496,12 @@ class AnalyticsSpec extends SparkSpec {
     val s = slopes(df)
     assert(s("g") == 3.0 && s("h") == -2.0, s.toString)
     assert(slopes(df.repartition(13)) == s) // decimal sums: layout-independent
+    // magnitude case (the sf1 overflow fix): x,y ~ 1e7 over 10 rows pushes
+    // sum(x·y) to ~1e15·10^4 in centi-units — past the 14 integer digits
+    // the previous decimal(18,4) sums allowed; the scale-0 fold must stay
+    // exact (y = 2x ⇒ slope exactly 2)
+    val big = (1 to 10).map(i => ("b", i * 1.0e7, 2.0e7 * i)).toDF("k", "x", "y")
+    assert(slopes(big) == Map("b" -> 2.0), slopes(big).toString)
   }
 
   test("associationRules: exact support/confidence/lift on a known basket set") {

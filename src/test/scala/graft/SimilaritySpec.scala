@@ -549,4 +549,21 @@ class SimilaritySpec extends SparkSpec {
       s"interior near 1: $out")
     assert(math.abs(out(4L)._1 - 0.05) < 1e-9, s"k-dist of D is its 2nd neighbor: ${out(4L)}")
   }
+
+  test("localOutlierFactor: exact-duplicate stacks drop out of scoring " +
+    "instead of dividing by zero (the sf1 replication failure)") {
+    import spark.implicits._
+    // a stack of 4 IDENTICAL points (every kNN distance 0 ⇒ reach-sum 0 ⇒
+    // density undefined) next to a normal 4-point line that must still score
+    val pts = (Seq.fill(4)((0.5, 0.5)).zipWithIndex.map { case ((x, y), i) => (i + 1L, x, y) } ++
+      Seq((10L, 0.00, 0.0), (11L, 0.01, 0.0), (12L, 0.02, 0.0), (13L, 0.03, 0.0)))
+      .toDF("id", "x", "y")
+    val out = Similarity.localOutlierFactor(pts, "id", col("x"), col("y"),
+      radius = 0.1, k = 2, topN = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.intersect(Set(1L, 2L, 3L, 4L)).isEmpty,
+      s"zero-volume stack is not scoreable: $out")
+    assert(out.intersect(Set(10L, 11L, 12L, 13L)).nonEmpty,
+      s"the normal cluster still scores: $out")
+  }
 }
