@@ -266,6 +266,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("validateFile: verdicts match the file's actual defect class for " +
+    "200+ generated uploads (extension/empty/no-data/missing-header/ok)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vfuzz")
+    dir.toFile.deleteOnExit()
+    val idCell = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val gen = for {
+      defect <- Gen.choose(0, 4)
+      d <- Gen.oneOf(',', ';', '\t')
+      nCols <- Gen.choose(1, 4)
+      extra <- Gen.listOfN(nCols, idCell)
+      nRows <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(nCols + 1, idCell))
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (defect, d, extra, rows, seed)
+    check(Prop.forAll(gen) { case (defect, d, extra, rows, seed) =>
+      import graft.sources.CsvIngest._
+      // canonical header set: an accepted email variation + extra columns
+      val headers = "E-Mail" +: extra.map(_ + "_c")
+      val body = (headers.mkString(d.toString) +:
+        rows.map(_.mkString(d.toString))).mkString("\n") + "\n"
+      val (name, content) = defect match {
+        case 0 => (s"u$seed.txt", body)                        // wrong extension
+        case 1 => (s"u$seed.csv", "")                          // empty
+        case 2 => (s"u$seed.csv", headers.mkString(d.toString) + "\n") // header only
+        case 3 => (s"u$seed.csv",                              // email column absent
+          (("notmail" +: extra.map(_ + "_c")).mkString(d.toString) +:
+            rows.map(_.mkString(d.toString))).mkString("\n") + "\n")
+        case _ => (s"u$seed.csv", body)                        // valid
+      }
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+      val got = validateFile(f.toString)
+      defect match {
+        case 0 => got == Left(NotCsv)
+        case 1 => got == Left(EmptyFile)
+        case 2 => got == Left(NoDataRows)
+        case 3 => got.isLeft && got.swap.exists(_.isInstanceOf[MissingRequiredHeader])
+        case _ => got.isRight
+      }
+    })
+  }
+
   test("BMP round-trip: arbitrary dims and colors decode exactly") {
     val gen = for {
       w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
