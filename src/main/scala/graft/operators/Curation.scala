@@ -705,12 +705,18 @@ object Curation {
     *    count is STRICTLY above every accepted bound (ties could lose the
     *    lexicographic tie-break to an unseen new pair — cut).
     *
-    * Each round costs one vocab-sized segmentation job (eagerly
-    * checkpointed, read three times: top-K + the two bound aggregates) —
-    * early rounds batch thin (top pairs share common chars), later rounds
-    * fat, so a real tokenizer build needs ~hundreds of waves, not 32k.
-    * Round state (the checkpointed pair table) is released by
-    * ContextCleaner once the round's references die. */
+    * The bounds come from the collected top-K itself at ZERO extra cost:
+    * any pair outside the collect has count ≤ the K-th collected count,
+    * so maxL(s) ≤ max(max over top-K pairs ending in s, c_K) — sound, and
+    * tight exactly where batching matters (low tail counts). Each round
+    * is therefore ONE vocab-sized segmentation job + one K-row collect —
+    * never MORE jobs than the sequential trainer, ≥1 merge guaranteed per
+    * round. On concentrated early-natural-language frontiers the bound
+    * correctly cuts batches at 1 (sequential BPE genuinely can pick a
+    * just-created pair next — e.g. (t,h) then (th,e) — so larger batches
+    * there would be WRONG, not just risky); symbol-diverse frontiers
+    * (vocab tails, multi-domain corpora, the mid-training regime) batch
+    * fat, which is where the 32k-merge wave count collapses. */
   def bpeTrainBatched(docs: DataFrame, textCol: String, nMerges: Int,
                       batchK: Int = 128): DataFrame = {
     val spark = docs.sparkSession
@@ -727,7 +733,7 @@ object Curation {
       val rank = merges.zipWithIndex
         .map { case ((a, b, _), r) => (a, b) -> r }.toMap
       val bc = spark.sparkContext.broadcast(rank)
-      val pc = wc.mapPartitions { it =>
+      val top = wc.mapPartitions { it =>
           val r = bc.value
           it.flatMap { case (w, c) =>
             val syms = segmentGreedy(w, r)
@@ -737,20 +743,20 @@ object Curation {
         .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
         .map { case ((a, b), n) => (a, b, n) }
         .toDF("a", "b", "c")
-        .localCheckpoint(true)
-      val top = pc.orderBy(desc("c"), asc("a"), asc("b")).limit(batchK)
+        .orderBy(desc("c"), asc("a"), asc("b")).limit(batchK)
         .as[(String, String, Long)].collect()
       if (top.isEmpty) exhausted = true
       else {
-        // new-pair bounds for every symbol a top-K candidate could commit:
-        // maxL(s) = largest count of a pair with s on the RIGHT, maxR(s)
-        // with s on the LEFT — computed over the FULL pair table
-        val needL = top.map(_._1).distinct.toSeq
-        val needR = top.map(_._2).distinct.toSeq
-        val maxL = pc.filter(col("b").isin(needL: _*))
-          .groupBy("b").agg(max("c")).as[(String, Long)].collect().toMap
-        val maxR = pc.filter(col("a").isin(needR: _*))
-          .groupBy("a").agg(max("c")).as[(String, Long)].collect().toMap
+        // sound new-pair bounds from the collect alone: a pair OUTSIDE the
+        // top-K has count ≤ cK (with < batchK rows collected, the collect
+        // is exhaustive and cK = 0), so
+        //   maxL(s) ≤ max(top-K pairs ending in s, cK)
+        //   maxR(s) ≤ max(top-K pairs starting with s, cK)
+        val cK = if (top.length < batchK) 0L else top.last._3
+        val maxLk = top.groupBy(_._2).map { case (s, ps) => s -> ps.map(_._3).max }
+        val maxRk = top.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._3).max }
+        def bound(a: String, b: String, c: Long): Long = math.min(c,
+          math.max(math.max(maxLk.getOrElse(a, 0L), maxRk.getOrElse(b, 0L)), cK))
         val used = scala.collection.mutable.HashSet.empty[String]
         var newBound = Long.MinValue
         var cut = false
@@ -764,15 +770,14 @@ object Curation {
             val fresh = !mergeOutputs.contains(out)
             mergeOutputs += out
             used += a; used += b; used += out
-            newBound = math.min(c, math.max(maxL.getOrElse(a, 0L), maxR.getOrElse(b, 0L)))
+            newBound = bound(a, b, c)
             if (!fresh) cut = true // output collides with an existing symbol
           } else if (!used(a) && !used(b) && !used(out) &&
             !mergeOutputs.contains(out) && c > newBound) {
             merges += ((a, b, c))
             mergeOutputs += out
             used += a; used += b; used += out
-            newBound = math.max(newBound,
-              math.min(c, math.max(maxL.getOrElse(a, 0L), maxR.getOrElse(b, 0L))))
+            newBound = math.max(newBound, bound(a, b, c))
           } else cut = true
         }
       }

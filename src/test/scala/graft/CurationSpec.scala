@@ -369,6 +369,42 @@ class CurationSpec extends SparkSpec {
       s"batched should use far fewer job waves: $batJobs vs sequential $seqJobs")
   }
 
+  test("bpeTrainBatched on real text: identical 30-merge list at never " +
+    "more job waves than sequential") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01").limit(400)
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(300) } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get
+    }
+    var bat: Seq[Seq[Any]] = null
+    var sq: Seq[Seq[Any]] = null
+    val batJobs = countJobs {
+      bat = Curation.bpeTrainBatched(docs, "text", 30).orderBy("rank")
+        .collect().map(_.toSeq).toSeq
+    }
+    val seqJobs = countJobs {
+      sq = Curation.bpeTrain(docs, "text", 30).orderBy("rank")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(bat == sq, s"real-text 30-merge diverged")
+    assert(bat.length == 30)
+    // the top-K-derived bounds cost ZERO extra jobs, so even when a
+    // concentrated early-training frontier forces 1-merge rounds (where
+    // bigger batches would be WRONG — sequential BPE can pick a
+    // just-created pair next), batched never exceeds sequential's wave
+    // count; symbol-diverse frontiers then batch fat (the disjoint-corpus
+    // case above proves the collapse)
+    assert(batJobs <= seqJobs,
+      s"batched must never cost more waves than sequential: $batJobs vs $seqJobs")
+  }
+
   test("gopherRules: each rule trips independently and the verdict composes") {
     import spark.implicits._
     val good = (("the and that " * 20) + "solid words here padding out " * 3).trim
