@@ -16,7 +16,15 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val heavy = Seq(
     "q110_pagerank", "q231_eigencentrality", "q240_ppr", "q238_link_jaccard",
     "q326_pagerank_directed", "q24_minhash_lsh", "q41_pricing_summary",
-    "q81_kmeans", "q343_dbscan", "q337_shapley")
+    "q81_kmeans", "q343_dbscan", "q337_shapley",
+    // the round-8 reshaped queries: the exact-regime sketch oracles
+    // (q356 retains EVERY item below first compaction, so the merged
+    // quantiles cannot depend on how items split across partition
+    // sketches; q357's theta unions are hash-set algebra), the
+    // exact-synthesis multimodal chain, the scale-0 integer OLS fold,
+    // and the guarded LOF grid pipeline
+    "q34_multimodal", "q104_regression", "q356_kll_quantiles",
+    "q357_theta_setops", "q369_lof")
 
   /** Collected rows in a canonical sorted text form; doubles/floats by raw
     * bits so an ulp difference cannot hide behind decimal rendering. */
