@@ -87,6 +87,15 @@ object Bench {
 
     // JVM/codegen warmup so the first measured query doesn't pay startup
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // Rig-throughput sentinel (round-9 item 3): the SAME noop aggregate,
+    // re-run once WARM and timed. Unlike the single-thread spin loop (which
+    // reads core contention only), this exercises the scheduler + codegen +
+    // task-launch path the real queries use, so round-over-round totals are
+    // normalizable: total_r9/total_r8 ≈ rig_ms_r9/rig_ms_r8 means the rig
+    // moved, not the engine. Recorded as `rig_ms` in the metric line.
+    val rigT0 = System.nanoTime()
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val rigMs = (System.nanoTime() - rigT0) / 1e6
     // file-index/footer warmup per table: listing + schema are catalog work,
     // not query work — the first measured query shouldn't pay them either
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -206,7 +215,7 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // environment integrity block (~70 B): spin-loop ms before/after the
     // sweep + /proc/stat steal share — the contention adjudicators
-    val env = s""""spin0_ms":${trim(num(spin0, 0))},"spin1_ms":${trim(num(spin1, 0))},"steal_pct":${trim(num(stealPct, 1))},"reruns":${reruns.size}"""
+    val env = s""""spin0_ms":${trim(num(spin0, 0))},"spin1_ms":${trim(num(spin1, 0))},"rig_ms":${trim(num(rigMs, 0))},"steal_pct":${trim(num(stealPct, 1))},"reruns":${reruns.size}"""
     def mk(dp: Int, dropQ: Boolean = false): String =
       s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},$env,"sf":"$sfName","queries":${qline(dp, dropQ)}}"""
     // final rungs for 300+ queries: the per-query map keeps only entries
@@ -244,13 +253,22 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       (mk(3).dropRight(1) + s""","first":$firstMap,"heap_mb":$heapMap}""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Sidecar metric file (round-9 item 2): the driver's stdout-tail parser
+    // loses to sbt by design — sbt prints its own "[success] ..." line LAST,
+    // after every JVM byte, so no stdout ordering trick can make the final
+    // line be the metric JSON. The sidecar is the robust channel: the exact
+    // metric line, alone, in a file next to the artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_metric.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)
     spark.stop()
     // print the metric line AGAIN after stop(): anything stop() or shutdown
-    // hooks emit lands between the two copies, so the LAST stdout line is
-    // always the complete JSON — the driver's `parsed` field populates
-    // instead of regex-mining the tail (r7 artifact had parsed: null)
+    // hooks emit lands between the two copies; a greppable unique prefix
+    // precedes the final bare copy so tail parsers have two shots —
+    // `grep GRAFT_BENCH_METRIC` or take the last {…} line
+    println("GRAFT_BENCH_METRIC " + line)
     println(line)
     System.out.flush()
   }

@@ -69,6 +69,18 @@ object MemBench {
     println("|---|---|---|---|---|---|")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    // OOM anywhere in the cause chain poisons the JVM (heap fragmentation,
+    // killed executor threads, half-freed memory-manager state) — rows
+    // timed after one are not evidence, so the run ABORTS on it (exit 2)
+    // rather than printing measurements a reader could take as clean.
+    def isOom(e: Throwable): Boolean = {
+      var t = e
+      while (t != null) {
+        if (t.isInstanceOf[OutOfMemoryError]) return true
+        t = if (t.getCause eq t) null else t.getCause
+      }
+      false
+    }
     var failures = 0
     names.foreach { n =>
       val ss = spark.newSession()
@@ -79,6 +91,14 @@ object MemBench {
         "ok"
       } catch { case e: Throwable =>
         failures += 1
+        if (isOom(e)) {
+          println(s"| $n | FAILED OutOfMemoryError: ${String.valueOf(e.getMessage).take(70)} | | | | |")
+          println(s"[membench] ABORT: OutOfMemoryError on $n — post-OOM JVM state is " +
+            "unreliable, remaining queries NOT measured (re-run with a higher " +
+            "-Xmx or finer SPARK_GRAFT_PARTS)")
+          System.out.flush()
+          System.exit(2)
+        }
         s"FAILED ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(70)}"
       }
       val wall = (System.nanoTime() - t0) / 1e9

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // mark the oracle path: queries whose ★ oracle is only valid in an
+    // exact regime (q356's n ≤ k KLL order-statistic twin) check this to
+    // fail LOUDLY on an out-of-regime verify run instead of flaking on a
+    // nondeterministic value mismatch; bench/scale runs never set it
+    System.setProperty("graft.verify", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -46,12 +46,22 @@ object Sketches {
     * normalized rank-error bound. Accepts the output of
     * [[kllPartitionSketches]] from ANY number of batches. */
   def kllMergeQuantiles(sketches: DataFrame, probs: Seq[Double],
-                        k: Int = 200): DataFrame = {
+                        k: Int = 200, exactOracleGuard: Boolean = false): DataFrame = {
     val spark = sketches.sparkSession
     import spark.implicits._
     val parts = sketches.select(col("sketch")).as[Array[Byte]].collect()
     val merged = KllDoublesSketch.newHeapInstance(k)
     parts.foreach(b => merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    // Exact-regime guard: the order-statistic oracle (q356) is valid ONLY
+    // while n ≤ k — no compaction, no coin flips, every item retained. Past
+    // that the sketch is honestly approximate and an exact oracle compare
+    // would fail nondeterministically; a caller on the oracle path asks for
+    // a LOUD failure instead (sf0.1 events already has 100k > k=65535).
+    if (exactOracleGuard && merged.getN > k)
+      throw new IllegalStateException(
+        s"KLL exact-regime oracle requires n <= k=$k (no compaction); merged n=${merged.getN}. " +
+        "Run the oracle verify at sf<=0.01; larger SFs are the approximate regime " +
+        "(rank-error envelope asserted in SketchesSpec), not oracle-checkable.")
     val err = merged.getNormalizedRankError(false)
     val rows = probs.map { p =>
       Row(p, if (merged.isEmpty) null else java.lang.Double.valueOf(merged.getQuantile(p)),

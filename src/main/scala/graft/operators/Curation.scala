@@ -674,6 +674,11 @@ object Curation {
         .map { case ((a, b), n) => (a, b, n) }
         .orderBy(desc("_3"), asc("_1"), asc("_2"))
         .limit(1).collect()
+      // the round's broadcast is dead once the collect returns; without an
+      // explicit destroy, an nMerges-round training keeps nMerges live
+      // broadcasts (each a growing rank map) until a periodic driver GC —
+      // real memory pressure on the 32k-merge scale path
+      bc.destroy()
       if (top.isEmpty) exhausted = true else merges += top.head
     }
     wc.unpersist(false)
@@ -745,6 +750,7 @@ object Curation {
         .toDF("a", "b", "c")
         .orderBy(desc("c"), asc("a"), asc("b")).limit(batchK)
         .as[(String, String, Long)].collect()
+      bc.destroy() // dead after the collect — see bpeTrain; this is the scale path
       if (top.isEmpty) exhausted = true
       else {
         // sound new-pair bounds from the collect alone: a pair OUTSIDE the
