@@ -1677,8 +1677,16 @@ object SparkEntry {
           .select("pa", "pb"),
         "pa", "pb", minCommon = 1)),
     "q237_compression" -> ((s, d) =>
-      // ☆ DEFLATE ratio quality signal (no SQL twin; spec-pinned)
-      TextAnalysis.compressionRatio(Tables.documents(s, d), "doc_id", "text")),
+      // ★ DEFLATE ratio quality signal (round 9): runs the REAL deflate
+      // loop over the pattern corpus (text a pure function of doc_id, 64
+      // patterns spanning repetitive → near-random), so the oracle is a
+      // JVM-precomputed constant table of expected byte counts — same
+      // zlib, same level, same process as the executors. Real-text
+      // behavior stays spec-pinned in TextAnalysisSpec.
+      TextAnalysis.compressionRatio(
+        TextAnalysis.synthCompressionDocs(
+          Tables.documents(s, d).select("doc_id"), "doc_id"),
+        "doc_id", "text")),
     "q236_readability" -> ((s, d) =>
       // Flesch ease + FK grade per document, scan-speed projection
       TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")),
@@ -1963,11 +1971,17 @@ object SparkEntry {
       Analytics.topPaths(Tables.events(s, d), "user_id", "ts", "event_id",
         "event_type", firstN = 6, k = 20)),
     "q195_image_neardups" -> ((s, d) =>
-      // ☆ rows-only: encode→decode→dHash→banded Hamming join can't be
-      // expressed in SQL; DedupSpec/MultimodalSpec carry the evidence.
-      // ids sharing id%40 render identical patterns in MIXED containers
-      // (BMP/PNG/JPEG via ImageIO) → planted dup groups that CROSS the
-      // format boundary — only decoded-pixel hashing can see them
+      // ★ pair set (round 9): every payload is a pure function of doc_id
+      // (pattern doc_id%40, container (doc_id/40)%3), so the 120 possible
+      // (pattern, format) dHashes are precomputed once in the JVM and the
+      // expected pair list is a constant-table join the oracle recomputes;
+      // recall is EXACT by the pigeonhole band guarantee (≤2 differing
+      // bits cannot touch all 3 chunks) and the bucket cap cannot bind
+      // below 1000 docs per chunk value. The pixel hashes themselves stay
+      // ☆ spec-verified (MultimodalSpec planted groups). Ids sharing
+      // id%40 render identical patterns in MIXED containers (BMP/PNG/JPEG
+      // via ImageIO) → planted dup groups that CROSS the format boundary —
+      // only decoded-pixel hashing can see them.
       Multimodal.imageNearDupPairs(
         Multimodal.synthesizeMixedImages(
           Tables.documents(s, d).select("doc_id"), "doc_id"),
@@ -2786,7 +2800,64 @@ object SparkEntry {
       |FROM aF GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** q237 constant-table oracle (the q34 exact-synthesis trick): the 64
+    * pattern texts are pure functions of doc_id % 64, and DEFLATE at a
+    * fixed level is deterministic, so the expected byte counts are computed
+    * ONCE here — in the same JVM/zlib the executors use — and pinned as a
+    * VALUES table DuckDB merely joins and echoes. The ratio constant
+    * mirrors the engine's exact chain: long/long double division, then a
+    * decimal(18,6) HALF_UP quantize, then back to double. */
+  private def compressionOracleSql: String = {
+    val rows = (0 until 64).map { k =>
+      val in = operators.TextAnalysis.compressionPatternText(k).getBytes("UTF-8")
+      val out = operators.TextAnalysis.deflatedLength(in)
+      val ratio = new java.math.BigDecimal(out.toDouble / in.length.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+      s"($k, ${in.length}, $out, $ratio)"
+    }.mkString(", ")
+    s"""WITH exp(k, n_bytes, n_deflated, ratio) AS (VALUES $rows)
+       |SELECT d.doc_id, CAST(e.n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(e.n_deflated AS BIGINT) AS n_deflated,
+       |  CAST(e.ratio AS DOUBLE) AS ratio
+       |FROM documents d JOIN exp e ON d.doc_id % 64 = e.k
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q195 constant-table oracle: a doc's dHash is a pure function of its
+    * (pattern, format) combo — pattern = doc_id % 40, container =
+    * (doc_id / 40) % 3 — so the 120 combo hashes are computed ONCE here
+    * through the REAL encode→decode→dHash chain (same codecs as the
+    * executors), the admissible combo pairs (Hamming ≤ 2) become a VALUES
+    * table, and the expected pair list is a documents⨝documents join DuckDB
+    * recomputes. Recall is exact: the banded join's pigeonhole guarantee
+    * (3 chunks, ≤2 differing bits ⇒ ≥1 intact chunk) plus a bucket cap
+    * that cannot bind below 1000 docs per chunk value. Both orientations
+    * of each combo pair are emitted so the a.doc_id < b.doc_id join needs
+    * no orientation logic. */
+  private def imageNearDupOracleSql: String = {
+    val combos = for (f <- 0 until 3; k <- 0 until 40) yield {
+      val h = operators.Multimodal.dHash64(
+        operators.Multimodal.mixedImageBytes(k + 40L * f)).getOrElse(
+        throw new IllegalStateException(s"synthesized image (k=$k,f=$f) failed to decode"))
+      (k, f, h)
+    }
+    val adm = for {
+      (k1, f1, h1) <- combos
+      (k2, f2, h2) <- combos
+      d = java.lang.Long.bitCount(h1 ^ h2)
+      if d <= 2
+    } yield s"($k1,$f1,$k2,$f2,$d)"
+    s"""WITH adm(k1, f1, k2, f2, ham) AS (VALUES ${adm.mkString(",")}),
+       |d AS (SELECT doc_id, doc_id % 40 AS k, (doc_id // 40) % 3 AS f FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(adm.ham AS INTEGER) AS hamming
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |JOIN adm ON adm.k1 = a.k AND adm.f1 = a.f AND adm.k2 = b.k AND adm.f2 = b.f
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q237_compression" -> compressionOracleSql,
+    "q195_image_neardups" -> imageNearDupOracleSql,
     "q81_kmeans" -> kmeansOracleSql,
     "q310_pq" -> pqOracleSql,
     "q314_soundex_blocks" -> soundexOracleSql,

@@ -377,21 +377,26 @@ object Multimodal {
                             formats: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      it.map { id =>
-        val k = (id % patterns).toInt
-        val fn = (x: Int, y: Int) =>
-          ((x * (k + 3)) % 256, (y * (k + 5)) % 256, ((x + y) * (k + 7)) % 256)
-        // formats = 2 keeps the container mix to the LOSSLESS pair
-        // (BMP/PNG) — decoded pixels then equal the pattern formula
-        // exactly, which is what lets q34 carry a value-exact oracle
-        val bytes = ((id / patterns) % formats) match {
-          case 0 => encodeBmp(size, size, fn)
-          case 1 => encodePng(size, size, fn)
-          case _ => encodeJpeg(size, size, fn)
-        }
-        (id, bytes)
-      }
+      it.map(id => (id, mixedImageBytes(id, size, patterns, formats)))
     }.toDF(idCol, "payload")
+  }
+
+  /** The per-id synthesis behind [[synthesizeMixedImages]], factored out so
+    * the q195 oracle precompute encodes the EXACT same payloads the
+    * executors do (pattern k = id % patterns, container by
+    * (id/patterns) % formats). formats = 2 keeps the container mix to the
+    * LOSSLESS pair (BMP/PNG) — decoded pixels then equal the pattern
+    * formula exactly, which is what lets q34 carry a value-exact oracle. */
+  private[graft] def mixedImageBytes(id: Long, size: Int = 16,
+                                     patterns: Int = 40, formats: Int = 3): Array[Byte] = {
+    val k = (id % patterns).toInt
+    val fn = (x: Int, y: Int) =>
+      ((x * (k + 3)) % 256, (y * (k + 5)) % 256, ((x + y) * (k + 7)) % 256)
+    ((id / patterns) % formats) match {
+      case 0 => encodeBmp(size, size, fn)
+      case 1 => encodePng(size, size, fn)
+      case _ => encodeJpeg(size, size, fn)
+    }
   }
 
   // ------------------------------------------------------------- audio

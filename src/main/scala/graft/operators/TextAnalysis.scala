@@ -363,9 +363,12 @@ object TextAnalysis {
   /** Deflate compression ratio per document — the "does this text carry
     * information or repetition" signal the Gopher/Dolma pipelines use to
     * drop boilerplate and generated spam (highly compressible ⇒ repetitive;
-    * ratio ≈ 1 ⇒ high-entropy noise). ☆ operator: DEFLATE has no SQL twin,
-    * so the contract is the spec (known repetitive vs incompressible
-    * inputs) and the driver's rows-only check.
+    * ratio ≈ 1 ⇒ high-entropy noise). DEFLATE has no SQL twin, but at a
+    * fixed level it IS deterministic — so the registered query (q237) runs
+    * over [[synthCompressionDocs]]' pattern corpus and is ★ oracle-checked
+    * against byte counts precomputed once in the JVM and pinned as a DuckDB
+    * constant table (the q34 exact-synthesis trick); real-text behavior
+    * stays spec-pinned (known repetitive vs incompressible inputs).
     *
     * Typed mapPartitions with ONE Deflater reused per partition (the
     * object's native window allocation dominates per-doc cost at small doc
@@ -396,6 +399,56 @@ object TextAnalysis {
           (col("n_deflated").cast("double") / col("n_bytes").cast("double"))
             .cast("decimal(18,6)").cast("double")))
       .orderBy(idCol)
+  }
+
+  /** Deterministic ASCII pattern text for the ★ compression oracle: pattern
+    * `k` interleaves 8-char repetitive runs (a/b/c cycle) with 8-char
+    * xorshift-seeded pseudo-random runs at a k-dependent mix (k%8 of every
+    * 8 blocks random), over a k-dependent length — so the 64 patterns span
+    * the quality-signal range from highly repetitive (low ratio) to
+    * near-random (ratio → 1). Pure function of k, ASCII-only (UTF-8 bytes =
+    * chars), shared verbatim by the Spark synthesis and the JVM-side oracle
+    * precompute. */
+  private[graft] def compressionPatternText(k: Int): String = {
+    val n = 160 + 23 * k
+    val sb = new java.lang.StringBuilder(n)
+    var x = 0x9E3779B97F4A7C15L ^ (k.toLong * 0x100000001B3L)
+    var i = 0
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      val c =
+        if ((i >> 3) % 8 < (k % 8)) ('a' + java.lang.Long.remainderUnsigned(x, 26).toInt).toChar
+        else ('a' + i % 3).toChar
+      sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Synthesize the compression-oracle corpus: one [[compressionPatternText]]
+    * per row, keyed by id % patterns — every text a pure function of the id,
+    * so expected DEFLATE byte counts are precomputable constants while the
+    * per-row deflate work still scales with the corpus. */
+  def synthCompressionDocs(docs: DataFrame, idCol: String,
+                           patterns: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => (id, compressionPatternText(math.floorMod(id, patterns).toInt)))
+    }.toDF(idCol, "text")
+  }
+
+  /** DEFLATE output size at `level` — the oracle-side precompute twin of
+    * [[compressionRatio]]'s per-row loop (same JVM zlib, same level, fresh
+    * Deflater ≡ reset Deflater for size purposes). */
+  private[graft] def deflatedLength(in: Array[Byte], level: Int = 6): Long = {
+    val defl = new java.util.zip.Deflater(level)
+    try {
+      defl.setInput(in); defl.finish()
+      val buf = new Array[Byte](1 << 16)
+      var out = 0L
+      while (!defl.finished()) out += defl.deflate(buf)
+      out
+    } finally defl.end()
   }
 
   /** Winnowing fingerprint overlap (the MOSS local-fingerprinting scheme,

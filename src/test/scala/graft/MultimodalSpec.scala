@@ -211,6 +211,40 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("q195 oracle precompute: combo-hash admissibility reproduces the engine pair set exactly") {
+    // the ★ oracle's premise, asserted end-to-end: a doc's dHash depends
+    // only on its (pattern, format) combo, lossless containers hash
+    // identically, JPEG stays within the band, and the engine's banded
+    // join emits EXACTLY the pairs the 120 precomputed combo hashes admit
+    val hash = (for (f <- 0 until 3; k <- 0 until 40) yield
+      (k, f) -> Multimodal.dHash64(Multimodal.mixedImageBytes(k + 40L * f)).get).toMap
+    (0 until 40).foreach { k =>
+      assert(hash((k, 0)) == hash((k, 1)), s"pattern $k: BMP vs PNG dHash must be equal")
+    }
+    // JPEG is lossy: a fair share of patterns survives the band (16/40
+    // measured) while others legitimately drift past it (pattern 5
+    // measures 5 bits) — the oracle doesn't assume either way, it admits
+    // exactly what the real hashes admit; this floor only guards against
+    // a degenerate synthesis where NO cross-format group would exist
+    val jpegInBand = (0 until 40).count(k =>
+      java.lang.Long.bitCount(hash((k, 0)) ^ hash((k, 2))) <= 2)
+    assert(jpegInBand >= 8, s"only $jpegInBand/40 JPEG hashes in-band — synthesis degenerate?")
+    val n = 120L
+    def combo(id: Long) = ((id % 40).toInt, ((id / 40) % 3).toInt)
+    val expected = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      d = java.lang.Long.bitCount(hash(combo(a)) ^ hash(combo(b)))
+      if d <= 2
+    } yield (a, b, d)).toSet
+    val got = Multimodal.imageNearDupPairs(
+        Multimodal.synthesizeMixedImages((0L until n).toDF("doc_id"), "doc_id"),
+        "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"engine ${got.size} pairs vs admissible ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("audioEnergyProfile: silence frames counted, runs tracked, junk yields sentinel") {
     import spark.implicits._
     // 2 silent frames + 3 loud (constant 10000 → rms exactly 10000) +

@@ -194,6 +194,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p == TextAnalysis.compressionRatio(df, "doc_id", "text").collect().map(_.toSeq).toSeq)
   }
 
+  test("compression pattern corpus: Spark deflate == JVM precompute; patterns span the signal range") {
+    // the q237 ★ contract: the engine's per-partition reused-Deflater loop
+    // must produce byte counts EQUAL to the fresh-Deflater oracle
+    // precompute, for every pattern (same zlib, same level)
+    val ids = (0L until 128L) // two full pattern cycles
+    val out = TextAnalysis.compressionRatio(
+      TextAnalysis.synthCompressionDocs(ids.toDF("doc_id"), "doc_id"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { id =>
+      val txt = TextAnalysis.compressionPatternText((id % 64).toInt)
+      val in = txt.getBytes("UTF-8")
+      assert(out(id) == ((in.length.toLong, TextAnalysis.deflatedLength(in))),
+        s"doc $id: ${out(id)} vs precompute")
+    }
+    // directional hand case: the all-repetitive pattern (k=0 cycles a/b/c)
+    // compresses far better than the all-random one (k=63 is 7/8 xorshift)
+    def ratio(k: Int): Double = {
+      val in = TextAnalysis.compressionPatternText(k).getBytes("UTF-8")
+      TextAnalysis.deflatedLength(in).toDouble / in.length
+    }
+    assert(ratio(0) < 0.15, s"repetitive pattern ratio ${ratio(0)}")
+    assert(ratio(63) > 0.5, s"random pattern ratio ${ratio(63)}")
+    // the mix level is k % 8 (0 = all repetitive … 7 = 7/8 random), so the
+    // ratio is monotone in the MIX LEVEL, not in raw k
+    assert(ratio(0) < ratio(4) && ratio(4) < ratio(7),
+      s"mix ratio must order the signal: ${ratio(0)} / ${ratio(4)} / ${ratio(7)}")
+  }
+
   test("winnowPairs: shared substring ≥ w+k-1 guarantees a shared fingerprint; disjoint docs never pair") {
     import spark.implicits._
     // k=4, w=2 ⇒ any shared substring of length ≥ 5 must yield ≥1 shared
