@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Organic-growth datapoint for the DEDUP family (the round-8 verdict's
+  * item 7 — the one OrganicBench gap): q126's sf1 decade-up wall read 63×,
+  * adjudicated as a REPLICATION artifact because the key-offset sf1 corpus
+  * repeats every sf0.1 text ten times — true output (near-dup pairs) grew
+  * 902×, so the measurement is output-bound, not operator-bound. This main
+  * grounds that adjudication the way OrganicBench grounded q240: grow the
+  * corpus ORGANICALLY (new texts, not replicas) and show candidates, kept
+  * pairs and wall all scale ~linearly.
+  *
+  * Corpus: doc ids from the `synthdocs` DataSourceV2 (pure function of row
+  * id — no files); each doc's text is 8–16 fresh words drawn by xxhash64
+  * from a fixed 100k-word vocabulary (token-3-gram shingle space ≈ 10^15,
+  * so cross-doc shingle collisions are negligible — texts are unique the
+  * way organic web text is). Near-duplication enters at a constant RATE,
+  * as it does in a real crawl: every 50th doc re-uses its neighbor's words
+  * plus a 3-word tail (token-level Jaccard (w−2)/(w+1) ∈ [0.67, 0.82] at
+  * w ∈ [8,16] — all above the 0.5 threshold both chains verify at). The
+  * tail words are themselves per-doc draws, NOT a shared literal — a
+  * constant tail would hand every dup doc one common shingle and re-create
+  * the quadratic cross-dup candidate term this bench exists to rule out.
+  * So at 10× docs the TRUE pair count grows 10×, unlike replication's 100×.
+  *
+  * The two operator chains are reproduced verbatim from SparkEntry:
+  *   q24  = minhashCandidates (128 hashes, 32 bands) → ngramJaccard ≥ 0.5
+  *   q126 = setSimilarityJoin (prefix filtering) ≥ 0.5
+  * Each is timed at 1× and 10×, twice each (min taken — first pass pays
+  * codegen); LSH candidate and kept-pair counts at both scales quantify
+  * the growth directly.
+  *
+  * Usage: runMain graft.OrganicDedupBench [docs1x]  (default 20000)
+  */
+object OrganicDedupBench {
+  /** Unique-text corpus with constant-rate planted near-dups (see header). */
+  private[graft] def corpus(ss: SparkSession, n: Long): DataFrame = {
+    val docs = ss.read.format("synthdocs")
+      .option("rows", n).option("partitions", 32).load()
+      .select(col("doc_id"))
+    val isDup = col("doc_id") % 50 === 1
+    val base = when(isDup, col("doc_id") - 1).otherwise(col("doc_id"))
+    val nWords = lit(8) + pmod(base, lit(9))
+    val words = transform(sequence(lit(1), nWords),
+      (k: Column) => concat(lit("w"), pmod(xxhash64(base, k), lit(100000L))))
+    val tail = transform(sequence(lit(1), lit(3)),
+      (k: Column) => concat(lit("t"), pmod(xxhash64(col("doc_id"), k), lit(100000L))))
+    docs.select(col("doc_id"),
+      when(isDup, array_join(concat(words, tail), " "))
+        .otherwise(array_join(words, " ")).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docs1x = args.headOption.map(_.toLong).getOrElse(20000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    // the two chains, operator composition verbatim from SparkEntry
+    val ops: Seq[(String, (SparkSession, Long) => DataFrame)] = Seq(
+      "q24_minhash_lsh_chain" -> ((ss, n) => {
+        val c = corpus(ss, n)
+        Dedup.ngramJaccard(c, "doc_id", "text",
+          Dedup.minhashCandidates(c, "doc_id", "text"), threshold = 0.5)
+      }),
+      "q126_setsim_join" -> ((ss, n) =>
+        Dedup.setSimilarityJoin(corpus(ss, n), "doc_id", "text", threshold = 0.5)))
+
+    def timeOnce(fn: (SparkSession, Long) => DataFrame, n: Long): Double = {
+      val ss = spark.newSession()
+      val t0 = System.nanoTime()
+      fn(ss, n).write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      s
+    }
+
+    // growth accounting: LSH candidates and kept pairs at both scales
+    Seq(docs1x, docs1x * 10).foreach { n =>
+      val ss = spark.newSession()
+      val c = corpus(ss, n)
+      val cands = Dedup.minhashCandidates(c, "doc_id", "text").count()
+      val kept24 = Dedup.ngramJaccard(c, "doc_id", "text",
+        Dedup.minhashCandidates(c, "doc_id", "text"), threshold = 0.5).count()
+      val kept126 = Dedup.setSimilarityJoin(c, "doc_id", "text", threshold = 0.5).count()
+      println(s"[organic-dedup] docs $n: lsh_candidates $cands, " +
+        s"q24 pairs>=0.5 $kept24, q126 pairs>=0.5 $kept126 " +
+        s"(planted ${n / 50})")
+    }
+    println("| chain | 1x s | 10x s | ratio |")
+    println("|---|---|---|---|")
+    ops.foreach { case (name, fn) =>
+      val s1 = math.min(timeOnce(fn, docs1x), timeOnce(fn, docs1x))
+      val s10 = math.min(timeOnce(fn, docs1x * 10), timeOnce(fn, docs1x * 10))
+      println(f"| $name | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
+    }
+    spark.stop()
+  }
+}
