@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Organic-growth datapoint for the DEDUP family (the round-8 verdict's
   * item 7 — the one OrganicBench gap): q126's sf1 decade-up wall read 63×,
@@ -108,6 +108,76 @@ object OrganicDedupBench {
       val s1 = math.min(timeOnce(fn, docs1x), timeOnce(fn, docs1x))
       val s10 = math.min(timeOnce(fn, docs1x * 10), timeOnce(fn, docs1x * 10))
       println(f"| $name | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
+    }
+    spark.stop()
+  }
+}
+
+/** Organic-growth datapoint for q369 (LOF): the sf1 key-offset replication
+  * stacks 10 IDENTICAL copies of every embedding point, which (a) grows
+  * in-cell pair enumeration ~×100 and (b) makes the workload semantically
+  * degenerate — every k=5 neighborhood is a zero-distance duplicate stack,
+  * so the Breunig duplicate rule drops ALL points and the sf1 answer is
+  * empty-by-construction. This main grows a 2-D point set ORGANICALLY
+  * (fresh uniform points, no stacks) and measures the operator under the
+  * regime a real deployment runs it in: the `radius` knob tracks density
+  * (r ∝ 1/√n keeps expected neighborhood occupancy n·π·r² constant — LOF
+  * only needs k neighbors inside the radius, so the knob is free), where
+  * grid cells ×10 and per-cell occupancy stays flat ⇒ pair work ×10,
+  * wall ~linear. A fixed-radius 10× row is printed too, quantifying the
+  * quadratic DENSITY term (occupancy ×10 ⇒ in-cell pairs ×100) that the
+  * knob exists to absorb — the same cost sf1 replication pays with no
+  * knob able to absorb it (stacks are at distance 0 for ANY radius).
+  *
+  * Usage: runMain graft.OrganicLofBench [points1x]  (default 20000)
+  */
+object OrganicLofBench {
+  private def points(ss: SparkSession, n: Long): DataFrame =
+    ss.read.format("synthdocs")
+      .option("rows", n).option("partitions", 32).load()
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(1000000L)).cast("double") / 1e6).as("x"),
+        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1000000L)).cast("double") / 1e6).as("y"))
+
+  def main(args: Array[String]): Unit = {
+    val n1 = args.headOption.map(_.toLong).getOrElse(20000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    val r1 = 0.02 // n1·π·r² ≈ 25 expected neighbors ≥ k=5 at the default n1
+    def run(n: Long, r: Double): Double = {
+      val ss = spark.newSession()
+      val t0 = System.nanoTime()
+      Similarity.localOutlierFactor(points(ss, n), "doc_id",
+          col("x"), col("y"), radius = r, k = 5, topN = 20)
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      s
+    }
+    val rows = Seq(
+      ("1x", n1, r1),
+      ("10x r/sqrt(10) (occupancy-constant)", n1 * 10, r1 / math.sqrt(10)),
+      ("10x fixed r (densified)", n1 * 10, r1))
+    println("| scale | n | radius | s | vs 1x |")
+    println("|---|---|---|---|---|")
+    val base = math.min(run(n1, r1), run(n1, r1))
+    println(f"| 1x | $n1 | $r1%.4f | $base%.2f | 1.0 |")
+    rows.drop(1).foreach { case (label, n, r) =>
+      val s = math.min(run(n, r), run(n, r))
+      println(f"| $label | $n | $r%.4f | $s%.2f | ${s / base}%.1f |")
     }
     spark.stop()
   }
