@@ -148,8 +148,13 @@ object Bench {
       // and broadcasts are only RELEASED when ContextCleaner sees their
       // weak refs collected — without this the round-6 run degraded 2-5×
       // past ~300 queries (q41 7.4 s in-run vs 2.2 s isolated, steal ~0%)
+      // … and pay a HEAVY query's debt immediately, between timers: a >5 s
+      // query leaves shuffle/broadcast state whose ContextCleaner release
+      // otherwise lands inside its successor's measured window (q134 read
+      // 2.7 s in-suite directly after q133 — both passes, since the rerun
+      // list is also sorted — vs 1.2 s isolated). ~10 extra GCs per suite.
       ranSinceGc += 1; ranTotal += 1
-      if (ranSinceGc >= 25) {
+      if (ranSinceGc >= 25 || r >= 5.0) {
         System.gc()
         val rt = Runtime.getRuntime
         heapSamples += ranTotal -> ((rt.totalMemory - rt.freeMemory) >> 20)
