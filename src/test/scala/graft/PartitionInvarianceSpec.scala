@@ -24,7 +24,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // exact-synthesis multimodal chain, the scale-0 integer OLS fold,
     // and the guarded LOF grid pipeline
     "q34_multimodal", "q104_regression", "q356_kll_quantiles",
-    "q357_theta_setops", "q369_lof")
+    "q357_theta_setops", "q369_lof",
+    // the round-9 reshaped-oracle queries: q195's ★ pair set must be a
+    // pure function of content (band join output independent of layout);
+    // q237's DEFLATE byte counts are per-row scalar work but its corpus
+    // synthesis + join must not leak partitioning either
+    "q195_image_neardups", "q237_compression")
 
   /** Collected rows in a canonical sorted text form; doubles/floats by raw
     * bits so an ulp difference cannot hide behind decimal rendering. */
