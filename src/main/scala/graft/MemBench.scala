@@ -75,9 +75,11 @@ object MemBench {
     // rather than printing measurements a reader could take as clean.
     def isOom(e: Throwable): Boolean = {
       var t = e
-      while (t != null) {
+      var hops = 0 // hop limit: cause CYCLES of length >= 2 exist in the
+      while (t != null && hops < 64) { // wild (deserialized remote causes)
         if (t.isInstanceOf[OutOfMemoryError]) return true
         t = if (t.getCause eq t) null else t.getCause
+        hops += 1
       }
       false
     }

@@ -94,9 +94,9 @@ object OrganicDedupBench {
     Seq(docs1x, docs1x * 10).foreach { n =>
       val ss = spark.newSession()
       val c = corpus(ss, n)
-      val cands = Dedup.minhashCandidates(c, "doc_id", "text").count()
-      val kept24 = Dedup.ngramJaccard(c, "doc_id", "text",
-        Dedup.minhashCandidates(c, "doc_id", "text"), threshold = 0.5).count()
+      val candDf = Dedup.minhashCandidates(c, "doc_id", "text") // materialized — count + rerank reuse it
+      val cands = candDf.count()
+      val kept24 = Dedup.ngramJaccard(c, "doc_id", "text", candDf, threshold = 0.5).count()
       val kept126 = Dedup.setSimilarityJoin(c, "doc_id", "text", threshold = 0.5).count()
       println(s"[organic-dedup] docs $n: lsh_candidates $cands, " +
         s"q24 pairs>=0.5 $kept24, q126 pairs>=0.5 $kept126 " +

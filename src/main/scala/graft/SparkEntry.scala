@@ -1976,8 +1976,12 @@ object SparkEntry {
       // (pattern, format) dHashes are precomputed once in the JVM and the
       // expected pair list is a constant-table join the oracle recomputes;
       // recall is EXACT by the pigeonhole band guarantee (≤2 differing
-      // bits cannot touch all 3 chunks) and the bucket cap cannot bind
-      // below 1000 docs per chunk value. The pixel hashes themselves stay
+      // bits cannot touch all 3 chunks) WITH the bucket cap lifted past
+      // corpus size (q25's rule): 27 of the 120 combo dHashes share band-0
+      // chunk value 0, so the default 1000-doc cap binds from ~4.4k docs
+      // (at sf0.1's 5000 docs it silently dropped 312 true pairs — the
+      // cap's truncation semantics stay spec'd in DedupSpec, scale use
+      // keeps the cap + exact-dedup-first). The pixel hashes themselves stay
       // ☆ spec-verified (MultimodalSpec planted groups). Ids sharing
       // id%40 render identical patterns in MIXED containers (BMP/PNG/JPEG
       // via ImageIO) → planted dup groups that CROSS the format boundary —
@@ -1985,7 +1989,7 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.synthesizeMixedImages(
           Tables.documents(s, d).select("doc_id"), "doc_id"),
-        "doc_id", maxHamming = 2)),
+        "doc_id", maxHamming = 2, maxBucket = 1 << 20)),
     "q193_scd2_lookup" -> ((s, d) => {
       // enrich each order with the status version valid one day later —
       // the "as the entity WAS at event time" warehouse join
@@ -2811,7 +2815,11 @@ object SparkEntry {
     val rows = (0 until 64).map { k =>
       val in = operators.TextAnalysis.compressionPatternText(k).getBytes("UTF-8")
       val out = operators.TextAnalysis.deflatedLength(in)
-      val ratio = new java.math.BigDecimal(out.toDouble / in.length.toDouble)
+      // valueOf (Double.toString shortest repr), NOT new BigDecimal(double)
+      // (exact binary expansion): Spark's cast(decimal(18,6)) quantizes the
+      // shortest repr, and the two constructions diverge on 7th-decimal
+      // ties — the oracle must round the SAME representation the engine does
+      val ratio = java.math.BigDecimal.valueOf(out.toDouble / in.length.toDouble)
         .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
       s"($k, ${in.length}, $out, $ratio)"
     }.mkString(", ")

@@ -678,7 +678,7 @@ object Curation {
       // explicit destroy, an nMerges-round training keeps nMerges live
       // broadcasts (each a growing rank map) until a periodic driver GC —
       // real memory pressure on the 32k-merge scale path
-      bc.destroy()
+      bc.destroy() // public destroy() delegates to destroy(blocking = false) — no per-round RPC wait
       if (top.isEmpty) exhausted = true else merges += top.head
     }
     wc.unpersist(false)
@@ -750,7 +750,7 @@ object Curation {
         .toDF("a", "b", "c")
         .orderBy(desc("c"), asc("a"), asc("b")).limit(batchK)
         .as[(String, String, Long)].collect()
-      bc.destroy() // dead after the collect — see bpeTrain; this is the scale path
+      bc.destroy() // dead after the collect — see bpeTrain; non-blocking (see note there)
       if (top.isEmpty) exhausted = true
       else {
         // sound new-pair bounds from the collect alone: a pair OUTSIDE the
