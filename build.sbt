@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench parser takes the LAST stdout line; sbt's
+// "[success] Total time: ..." banner prints after every forked-JVM byte,
+// so it was always the final line and the metric JSON never parsed
+// (BENCH_r07-r09 `parsed: null`). Suppressing the banner — and routing the
+// forked JVM's stdout straight through instead of via sbt's "[info] "-
+// prefixing logger — makes the bare metric line the literal last line.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by sbt's command engine, not a task — the
+// lintUnused pass can't see that and would warn on every launch
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

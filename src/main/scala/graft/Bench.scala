@@ -129,6 +129,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0 // sentinel: a failure must be visible in the JSON, not read as a fast success
       }
+      // elapsed wall time independent of the failure sentinel: a FAILED
+      // heavy query leaves the same shuffle/broadcast debt as a passing
+      // one, so the between-timers GC below must trigger on time spent,
+      // not on the (-1.0-masked) result value
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // Fresh-session hygiene between queries: operators that persist or
       // localCheckpoint leave blocks pinned after their result is consumed;
       // over 250+ queries the leak compounds into memory pressure that
@@ -154,7 +159,7 @@ object Bench {
       // 2.7 s in-suite directly after q133 — both passes, since the rerun
       // list is also sorted — vs 1.2 s isolated). ~10 extra GCs per suite.
       ranSinceGc += 1; ranTotal += 1
-      if (ranSinceGc >= 25 || r >= 5.0) {
+      if (ranSinceGc >= 25 || elapsed >= 5.0) {
         System.gc()
         val rt = Runtime.getRuntime
         heapSamples += ranTotal -> ((rt.totalMemory - rt.freeMemory) >> 20)

@@ -61,16 +61,25 @@ object CapAudit {
         s"lifted_minus_capped=$b " + (if (a == 0 && b == 0) "EXACT" else "CAP BINDS"))
     }
 
-    // 1. LSH band-bucket occupancy (same banding contract as the candidates)
-    val occ = Dedup.minhashBandIndex(docs, "doc_id", "text")
+    // 1. LSH band-bucket occupancy — parameters passed EXPLICITLY from the
+    // one shared constant set (Dedup.Lsh*) the registered q24/q26 queries'
+    // defaults also resolve to, so a drift in either function's defaults
+    // can never make the audit measure a different banding than the
+    // queries run (round-9 advisory)
+    val occ = Dedup.minhashBandIndex(docs, "doc_id", "text",
+        Dedup.LshNumHashes, Dedup.LshBands, Dedup.LshShingleK, Dedup.LshSeed)
       .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)
-    println(s"[capaudit] q24/q26 LSH max band-bucket occupancy: $occ (cap 1000)")
+    println(s"[capaudit] q24/q26 LSH max band-bucket occupancy: $occ (cap ${Dedup.LshMaxBucket})")
 
     // 2. end-to-end output diffs, default cap vs lifted
     diffBothWays("q24/q26 minhashCandidates",
-      Dedup.minhashCandidates(docs, "doc_id", "text"),
-      Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 1 << 20))
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.LshNumHashes, Dedup.LshBands, Dedup.LshShingleK, Dedup.LshSeed,
+        Dedup.LshMaxBucket),
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.LshNumHashes, Dedup.LshBands, Dedup.LshShingleK, Dedup.LshSeed,
+        maxBucket = 1 << 20))
     diffBothWays("q30 nearDupCosine ids",
       Similarity.nearDupCosine(embeds, "vec_id", "embedding", threshold = 0.95)
         .select("vec_id_a", "vec_id_b"),

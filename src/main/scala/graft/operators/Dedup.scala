@@ -17,6 +17,18 @@ import graft.functions.Cols
   */
 object Dedup {
 
+  /** The ONE set of MinHash-LSH banding parameters shared by every default:
+    * [[minhashCandidates]], [[minhashLsh]], [[minhashBandIndex]], and the
+    * CapAudit occupancy check all read these constants, so an audit can
+    * never silently measure a different banding than the registered
+    * queries run (round-9 advisory: the audit previously relied on two
+    * functions' literal defaults agreeing by coincidence). */
+  val LshNumHashes: Int = 128
+  val LshBands: Int = 32
+  val LshShingleK: Int = 3
+  val LshSeed: Long = 42L
+  val LshMaxBucket: Int = 1000
+
   /** Exact dedup by content hash, keep-first (lowest id). One shuffle. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
@@ -126,8 +138,8 @@ object Dedup {
 
   /** (id, signature) dataset — the compute-heavy, shuffle-free stage. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 128, shingleK: Int = 3,
-                        seed: Long = 42L): Dataset[(Long, Array[Long])] = {
+                        numHashes: Int = LshNumHashes, shingleK: Int = LshShingleK,
+                        seed: Long = LshSeed): Dataset[(Long, Array[Long])] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
@@ -146,8 +158,8 @@ object Dedup {
     * against itself; at 100 TB the shuffle volume is bands×8B per doc, not
     * bands×signature. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
-                 seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+                 numHashes: Int = LshNumHashes, bands: Int = LshBands, shingleK: Int = LshShingleK,
+                 seed: Long = LshSeed, maxBucket: Int = LshMaxBucket): DataFrame = {
     import df.sparkSession.implicits._
     val (pairs, sigs) = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
       shingleK, seed, maxBucket)
@@ -172,8 +184,8 @@ object Dedup {
     * signature joins + similarity map that [[minhashLsh]] runs on top of the
     * identical banding. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
-                        seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+                        numHashes: Int = LshNumHashes, bands: Int = LshBands, shingleK: Int = LshShingleK,
+                        seed: Long = LshSeed, maxBucket: Int = LshMaxBucket): DataFrame = {
     val (pairs, sigs) = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
       shingleK, seed, maxBucket)
     materializeAndRelease(pairs, sigs)
@@ -229,8 +241,8 @@ object Dedup {
     * the corpus. At 100 TB this is the difference between an O(batch)
     * ingest step and an O(corpus) one. */
   def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
-                       seed: Long = 42L): DataFrame = {
+                       numHashes: Int = LshNumHashes, bands: Int = LshBands, shingleK: Int = LshShingleK,
+                       seed: Long = LshSeed): DataFrame = {
     import df.sparkSession.implicits._
     val rows = numHashes / bands
     minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
@@ -249,8 +261,8 @@ object Dedup {
     * band bucket. */
   def minhashCandidatesAgainstIndex(newDocs: DataFrame, idCol: String,
                                     textCol: String, index: DataFrame,
-                                    numHashes: Int = 128, bands: Int = 32,
-                                    shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+                                    numHashes: Int = LshNumHashes, bands: Int = LshBands,
+                                    shingleK: Int = LshShingleK, seed: Long = LshSeed): DataFrame = {
     val probe = minhashBandIndex(newDocs, idCol, textCol, numHashes, bands,
       shingleK, seed)
     probe.select(col("band"), col("band_hash"), col("sid").as("doc_id_b"))
@@ -303,7 +315,7 @@ object Dedup {
     * once and the expensive shingling touches candidate rows only — at 100 TB
     * the candidate set is orders of magnitude smaller than the corpus. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   candidates: DataFrame, shingleK: Int = 3,
+                   candidates: DataFrame, shingleK: Int = LshShingleK,
                    threshold: Double = 0.5): DataFrame = {
     import df.sparkSession.implicits._
     val cands = candidates.persist() // tiny; referenced 2× (id set + pair join)
@@ -341,7 +353,7 @@ object Dedup {
     * ratio keeps J above the LSH floor; for full subset-style recall feed
     * candidates from rare-shingle prefix blocking instead. */
   def containmentRerank(df: DataFrame, idCol: String, textCol: String,
-                        candidates: DataFrame, shingleK: Int = 3,
+                        candidates: DataFrame, shingleK: Int = LshShingleK,
                         threshold: Double = 0.8): DataFrame = {
     import df.sparkSession.implicits._
     val cands = candidates.persist()
