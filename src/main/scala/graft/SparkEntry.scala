@@ -1093,8 +1093,9 @@ object SparkEntry {
       Curation.bpePairCounts(Tables.documents(s, d), "text", 20)),
     "q221_bpe_train" -> ((s, d) =>
       // full tokenizer training: 8 merge rounds, each a vocab-sized job +
-      // 1-row argmax collect (☆ rows-only: the greedy re-segmentation per
-      // round has no SQL twin; round 1 ≡ q220 which IS oracle-checked)
+      // 1-row argmax collect. ★ since round 10: an independent sequential
+      // textbook BPE trains on the same corpus at oracle-dump time and its
+      // merge table is pinned as a DuckDB constant (bpeTrainOracleSql)
       Curation.bpeTrain(Tables.documents(s, d), "text", 8)),
     "q252_isotonic" -> ((s, d) =>
       // monotone calibration map P(F | order value) via the minimax
@@ -1767,8 +1768,10 @@ object SparkEntry {
       Similarity.pcaPowerProject(Tables.embeddings(s, d), "vec_id",
         "embedding", k = 2, iters = 3)),
     "q222_bpe_subwords" -> ((s, d) => {
-      // token-cost estimate under the freshly trained merge table (☆):
-      // per-doc subword counts with reference greedy semantics
+      // token-cost estimate under the freshly trained merge table. ★ since
+      // round 10: the independent reference tokenizer's word → subword-count
+      // map is pinned; DuckDB recomputes the per-doc sums itself
+      // (bpeSubwordsOracleSql); per-doc subword counts, greedy semantics
       val merges = Curation.bpeTrain(Tables.documents(s, d), "text", 8)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -2863,9 +2866,143 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q221/q222 constant-table oracles (round 10: `no_oracle` → 0). The BPE
+    * training loop is deterministic — ties break (count desc, pair asc) by
+    * contract — so its outputs are pure functions of the corpus; what kept
+    * the pair ☆ for nine rounds is only that the greedy re-segmentation
+    * has no SQL twin. The q237/q34 trick closes it: an INDEPENDENT
+    * sequential textbook BPE (below — list-of-symbols merges applied in
+    * rank order per Sennrich et al. 2016's reference learn_bpe/apply_bpe,
+    * sharing NO code with Curation's distributed trainer) trains on the
+    * same corpus at oracle-dump time, and DuckDB gets:
+    *   - q221: the learned merge table pinned as a VALUES constant;
+    *   - q222: a word → subword-count VALUES table (the trained tokenizer,
+    *     which IS a pure per-word function) — DuckDB then RE-COMPUTES the
+    *     per-doc tokenize/join/sum itself; only the final
+    *     decimal(18,4)-quantized ratio is pinned per distinct
+    *     (n_subwords, n_chars) sum pair, because Spark quantizes the
+    *     double's shortest decimal repr (BigDecimal.valueOf) and no DuckDB
+    *     expression is contractually bit-identical on repr-vs-binary ties.
+    * Independence is what makes this an oracle rather than a mirror: word
+    * counting, pair counting, tie-breaking, and merge application are all
+    * re-derived here from the paper's sequential algorithm in a different
+    * code shape (immutable lists + rank-order merge application vs the
+    * engine's per-round distributed re-segmentation under a rank map).
+    * Corpus: the verify run's SF dir (graft.sfDir system property, set by
+    * [[Verify]]) read through the already-active session. */
+  private[graft] def bpeSequentialReference(texts: Iterable[String], nMerges: Int)
+      : (List[(String, String, Long)], Map[String, Int]) = {
+    val tokRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+    val wordCount = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach { t =>
+      val m = tokRe.matcher(Option(t).getOrElse("").toLowerCase(java.util.Locale.ROOT))
+      while (m.find()) {
+        val w = m.group()
+        wordCount.update(w, wordCount.getOrElse(w, 0L) + 1L)
+      }
+    }
+    // trainable vocabulary: words of ≥2 chars, each as a symbol list
+    var segs: List[(List[String], Long)] = wordCount.iterator
+      .filter(_._1.length >= 2)
+      .map { case (w, c) => (w.map(_.toString).toList, c) }.toList
+    def mergeOnce(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeOnce(rest, a, b)
+      case x :: rest => x :: mergeOnce(rest, a, b)
+      case Nil => Nil
+    }
+    var merges = List.empty[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          pairCount.update(p, pairCount.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCount.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = pairCount.minBy { case ((x, y), c) => (-c, x, y) }
+        merges = (a, b, n) :: merges
+        segs = segs.map { case (syms, c) => (mergeOnce(syms, a, b), c) }
+      }
+      round += 1
+    }
+    // the trained tokenizer as a pure word → n_subwords map: the final
+    // training segmentation IS rank-order application of the merge list
+    // (merges never re-create a pair of two pre-existing symbols, so each
+    // rule's occurrences are exhausted exactly once, in rank order — the
+    // same order segmentGreedy's lowest-rank-first loop visits them)
+    val ns = segs.map { case (syms, _) => (syms.mkString, syms.length) }.toMap
+    (merges.reverse, wordCount.keysIterator
+      .map(w => w -> (if (w.length >= 2) ns(w) else 1)).toMap)
+  }
+
+  /** The verify corpus + the trained reference tokenizer, computed once —
+    * q221 and q222's oracle SQL both derive from it. */
+  private lazy val bpeOracleParts: (List[(String, String, Long)], Map[String, Int], Seq[(Long, Long, String)]) = {
+    val sfDir = sys.props.getOrElse("graft.sfDir",
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    val (merges, wordNs) = bpeSequentialReference(texts, nMerges = 8)
+    // distinct doc-level (n_subwords, n_chars) sums → the engine's exact
+    // ratio chain: long/long double division, decimal(18,4) HALF_UP
+    // quantize of the shortest repr, back to double (the q237 rule)
+    val tokRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+    val ratios = texts.map { t =>
+      val m = tokRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
+      var nSub = 0L; var nChars = 0L
+      while (m.find()) { nSub += wordNs(m.group()); nChars += m.group().length }
+      (nSub, nChars)
+    }.distinct.filter(_._1 > 0).map { case (nSub, nChars) =>
+      (nSub, nChars, java.math.BigDecimal.valueOf(nChars.toDouble / nSub.toDouble)
+        .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString)
+    }
+    (merges, wordNs, ratios)
+  }
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def bpeTrainOracleSql: String = {
+    val rows = bpeOracleParts._1.zipWithIndex.map { case ((a, b, n), i) =>
+      s"(${i + 1}, ${sq(a)}, ${sq(b)}, $n)"
+    }.mkString(", ")
+    s"""SELECT CAST("rank" AS INTEGER) AS "rank", left_sym, right_sym,
+       |  CAST(pair_count AS BIGINT) AS pair_count
+       |FROM (VALUES $rows) AS t("rank", left_sym, right_sym, pair_count)
+       |ORDER BY "rank"""".stripMargin
+  }
+
+  private def bpeSubwordsOracleSql: String = {
+    val (_, wordNs, ratios) = bpeOracleParts
+    val segRows = wordNs.toSeq.sorted.map { case (w, n) => s"(${sq(w)}, $n)" }
+      .mkString(", ")
+    val ratRows = ratios.sorted.map { case (ns, nc, r) => s"($ns, $nc, $r)" }
+      .mkString(", ")
+    s"""WITH seg(w, ns) AS (VALUES $segRows),
+       |rat(ns, nc, ratio) AS (VALUES $ratRows),
+       |toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |         FROM documents),
+       |agg AS (SELECT t.doc_id, CAST(SUM(s.ns) AS BIGINT) AS ns,
+       |          CAST(SUM(length(t.w)) AS BIGINT) AS nc
+       |        FROM toks t JOIN seg s ON s.w = t.w GROUP BY t.doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(a.ns, 0) AS n_subwords,
+       |  COALESCE(a.nc, 0) AS n_chars_alnum,
+       |  CAST(r.ratio AS DOUBLE) AS chars_per_subword
+       |FROM documents d
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |LEFT JOIN rat r ON r.ns = a.ns AND r.nc = a.nc
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q237_compression" -> compressionOracleSql,
     "q195_image_neardups" -> imageNearDupOracleSql,
+    "q221_bpe_train" -> bpeTrainOracleSql,
+    "q222_bpe_subwords" -> bpeSubwordsOracleSql,
     "q81_kmeans" -> kmeansOracleSql,
     "q310_pq" -> pqOracleSql,
     "q314_soundex_blocks" -> soundexOracleSql,

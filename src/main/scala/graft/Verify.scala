@@ -11,6 +11,10 @@ object Verify {
     // fail LOUDLY on an out-of-regime verify run instead of flaking on a
     // nondeterministic value mismatch; bench/scale runs never set it
     System.setProperty("graft.verify", "1")
+    // the q221/q222 BPE oracle reads the documents corpus itself (its
+    // constant tables are corpus-trained) — tell oracleSql which SF dir
+    // this verify run is comparing at
+    System.setProperty("graft.sfDir", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -335,6 +335,38 @@ class CurationSpec extends SparkSpec {
     assert(seqD.toSeq == batD.toSeq, s"sf0.001 diverged: ${batD.toSeq}")
   }
 
+  test("oracle-harness sequential BPE ≡ engine trainer + encoder (the q221/" +
+    "q222 constant-table oracle's independence check)") {
+    // SparkEntry.bpeSequentialReference is the INDEPENDENT textbook
+    // implementation that pins the q221/q222 DuckDB constants — this test
+    // is the cross-implementation equivalence that makes a divergence in
+    // EITHER implementation a loud verify failure, on the same three
+    // corpora the batched-trainer equivalence is pinned on
+    def check(rows: Seq[(Long, String)], nMerges: Int): Unit = {
+      val df = rows.toDF("doc_id", "text")
+      val engine = Curation.bpeTrain(df, "text", nMerges).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val (refMerges, refNs) =
+        SparkEntry.bpeSequentialReference(rows.map(_._2), nMerges)
+      assert(engine == refMerges, s"merge lists diverged: $refMerges vs $engine")
+      val enc = Curation.bpeEncode(df, "doc_id", "text",
+          refMerges.map(m => (m._1, m._2)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tokRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+      rows.foreach { case (id, t) =>
+        val m = tokRe.matcher(t.toLowerCase); var n = 0L
+        while (m.find()) n += refNs(m.group())
+        assert(enc(id) == n, s"doc $id subword count: ref $n vs engine ${enc(id)}")
+      }
+    }
+    check(Seq((1L, "abab abab abab abc"), (2L, "abc")), 3)
+    check(Seq((1L, "aaaa aab abb bba bab abc bca cab aaaa aab"),
+      (2L, "abc abc bba aab aaaa")), 8)
+    check(Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq, 10)
+  }
+
   test("bpeTrainBatched: disjoint-symbol merges land in ONE round (fewer job waves)") {
     // 13 disjoint two-letter words: no candidate shares a symbol and no
     // pair has anything on its output's flanks, so the new-pair bounds are
