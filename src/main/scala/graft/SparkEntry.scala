@@ -1984,15 +1984,18 @@ object SparkEntry {
       // chunk value 0, so the default 1000-doc cap binds from ~4.4k docs
       // (at sf0.1's 5000 docs it silently dropped 312 true pairs — the
       // cap's truncation semantics stay spec'd in DedupSpec, scale use
-      // keeps the cap + exact-dedup-first). The pixel hashes themselves stay
+      // keeps the cap + exact-dedup-first). Round 10: the lift is no longer
+      // a manual literal — imageNearDupPairsExact DERIVES the cap from a
+      // corpus count and fails loudly past its regime bound, so an SF bump
+      // can never silently re-bind it. The pixel hashes themselves stay
       // ☆ spec-verified (MultimodalSpec planted groups). Ids sharing
       // id%40 render identical patterns in MIXED containers (BMP/PNG/JPEG
       // via ImageIO) → planted dup groups that CROSS the format boundary —
       // only decoded-pixel hashing can see them.
-      Multimodal.imageNearDupPairs(
+      Multimodal.imageNearDupPairsExact(
         Multimodal.synthesizeMixedImages(
           Tables.documents(s, d).select("doc_id"), "doc_id"),
-        "doc_id", maxHamming = 2, maxBucket = 1 << 20)),
+        "doc_id", maxHamming = 2)),
     "q193_scd2_lookup" -> ((s, d) => {
       // enrich each order with the status version valid one day later —
       // the "as the entity WAS at event time" warehouse join

@@ -348,6 +348,32 @@ object Multimodal {
     Dedup.hammingPairs64(sigs, maxHamming, maxBucket)
   }
 
+  /** [[imageNearDupPairs]] in its EXACT-recall regime: the hot-bucket cap is
+    * DERIVED from the corpus count, so it can never bind — and the regime
+    * itself is guarded loudly. The round-9 q195 episode is the defect class
+    * this closes: a manually lifted cap (1 << 20) was exact at every tested
+    * SF but would silently re-bind (drop true pairs below the oracle's
+    * truth) the moment a corpus outgrew the literal. Counting the corpus
+    * costs one cheap scan; `regimeCap` bounds the regime instead — beyond
+    * it a single band bucket could hold the whole corpus (the dHash space
+    * is small against web-scale counts), so in-memory bucket pairing is no
+    * longer the right plan and the caller must move to the capped +
+    * exact-dedup-first scale path. That boundary now FAILS with
+    * instructions instead of truncating recall. */
+  def imageNearDupPairsExact(media: DataFrame, idCol: String,
+                             maxHamming: Int = 3,
+                             regimeCap: Int = 1 << 26): DataFrame = {
+    val n = media.count()
+    require(n <= regimeCap,
+      s"imageNearDupPairsExact: corpus has $n payloads, beyond the exact-recall " +
+      s"regime bound $regimeCap — a single (band, chunk) bucket could exceed " +
+      "executor memory. Run exact/file-hash dedup first and use " +
+      "imageNearDupPairs with an explicit maxBucket (capped, documented " +
+      "truncation semantics) at this scale.")
+    imageNearDupPairs(media, idCol, maxHamming,
+      maxBucket = math.max(n.toInt, 1024))
+  }
+
   /** Synthesize per-doc PATTERNED BMPs (gradients keyed by id % patterns):
     * unlike [[synthesizeImages]]'s flat colors (degenerate for dHash —
     * every flat image hashes to 0), these give each pattern key a distinct

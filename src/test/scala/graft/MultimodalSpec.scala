@@ -245,6 +245,27 @@ class MultimodalSpec extends SparkSpec {
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("imageNearDupPairsExact: corpus-derived cap reproduces the lifted-cap " +
+    "pair set; out-of-regime corpus fails loudly, never truncates") {
+    // the q195 registration path (round 10): the cap is a corpus count, not
+    // a literal — equality with an explicitly-lifted run is the exactness
+    // claim, and the regime bound must REFUSE rather than silently drop
+    // true pairs the way the round-9 1000-cap did at sf0.1
+    val media = Multimodal.synthesizeMixedImages((0L until 240L).toDF("doc_id"), "doc_id")
+    val exact = Multimodal.imageNearDupPairsExact(media, "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lifted = Multimodal.imageNearDupPairs(media, "doc_id", maxHamming = 2,
+        maxBucket = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == lifted, s"derived-cap output diverged: ${exact.size} vs ${lifted.size}")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairsExact(media, "doc_id", maxHamming = 2,
+        regimeCap = 100)
+    }
+    assert(e.getMessage.contains("beyond the exact-recall regime") &&
+      e.getMessage.contains("maxBucket"), e.getMessage)
+  }
+
   test("audioEnergyProfile: silence frames counted, runs tracked, junk yields sentinel") {
     import spark.implicits._
     // 2 silent frames + 3 loud (constant 10000 → rms exactly 10000) +

@@ -209,6 +209,20 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q150_topn_ties").contains("WindowGroupLimit")) // rank(), not just row_number
   }
 
+  test("round-9 reshapes: q195/q237 prune the documents scan to doc_id only") {
+    // both queries synthesize their payloads as pure functions of doc_id —
+    // if column pruning regressed, the wide `text` column would ride the
+    // scan for nothing (a full-corpus read at 100 TB). Allowlist note: the
+    // q195 registration intentionally runs the UNCAPPED exact-recall
+    // regime via imageNearDupPairsExact (corpus-derived bucket cap + loud
+    // regime guard — see SparkEntry's q195 comment); the 1000-doc default
+    // cap stays the documented scale path.
+    val p195 = plan("q195_image_neardups")
+    assert(p195.contains("ReadSchema: struct<doc_id:bigint>"), p195)
+    val p237 = plan("q237_compression")
+    assert(p237.contains("ReadSchema: struct<doc_id:bigint>"), p237)
+  }
+
   test("vocabulary top-k plans TakeOrderedAndProject, not a global sort") {
     assert(plan("q48_vocab_topk").contains("TakeOrderedAndProject"))
   }
