@@ -4,7 +4,32 @@ package graft
   * shuffle, a filter that stops pushing down, a join that degrades to a
   * nested loop) are invisible to correctness tests and fatal at 100 TB.
   * This spec pins the plan shapes for every registered query. */
-class PlanContractSpec extends SparkSpec {
+class PlanContractSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // Constructing all 392 registered queries executes their driver-loop
+  // sub-jobs, and the operators with DOCUMENTED contract-small single-
+  // partition windows (global sequence numbers, percentile-CI ranks, …)
+  // each log WindowExec's "moving all data to a single partition" WARN —
+  // ~170 lines of noise per run that buries real warnings. The machine-
+  // checked plan contracts in this suite are the actual regression guard,
+  // so the logger is quieted HERE ONLY and restored after, keeping an
+  // unexpected single-partition window visible in every other suite's log.
+  private val windowExecLogger = "org.apache.spark.sql.execution.window.WindowExec"
+  private var savedLevel: org.apache.logging.log4j.Level = _
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // force session creation FIRST: Spark (re)initializes log4j when the
+    // first SparkContext comes up, which would wipe a level set before it
+    spark.sparkContext
+    savedLevel = org.apache.logging.log4j.LogManager.getLogger(windowExecLogger).getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      windowExecLogger, org.apache.logging.log4j.Level.ERROR)
+  }
+  override def afterAll(): Unit = {
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      windowExecLogger, savedLevel)
+    super.afterAll()
+  }
 
   private val d = "/root/testdata/sf0.001"
 
