@@ -56,7 +56,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // scope the oracle dump to the selected queries: under SPARK_GRAFT_ONLY
+    // iteration the corpus-trained precomputes (q221/q222 collect the
+    // corpus text and train the reference BPE) are skipped for queries
+    // this run never compares — the driver leaves ONLY unset and still
+    // gets every entry
+    val json = SparkEntry
+      .oracleSqlFiltered(k => only.forall(f => f.exists(k.startsWith)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

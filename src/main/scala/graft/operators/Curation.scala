@@ -814,7 +814,12 @@ object Curation {
       .mapPartitions { it =>
         val r = bc.value
         it.map { case (id, text) =>
-          val m = tokRe.matcher(if (text == null) "" else text.toLowerCase)
+          // Locale.ROOT: this line is load-bearing for the q222 oracle
+          // contract — a tr_TR default locale would dot-strip 'I' here
+          // while Spark's lower() and the oracle's reference chain stay
+          // locale-independent
+          val m = tokRe.matcher(if (text == null) ""
+            else text.toLowerCase(java.util.Locale.ROOT))
           var nSub = 0L
           var nChars = 0L
           val memo = scala.collection.mutable.HashMap.empty[String, Int]

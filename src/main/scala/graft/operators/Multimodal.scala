@@ -353,17 +353,32 @@ object Multimodal {
     * itself is guarded loudly. The round-9 q195 episode is the defect class
     * this closes: a manually lifted cap (1 << 20) was exact at every tested
     * SF but would silently re-bind (drop true pairs below the oracle's
-    * truth) the moment a corpus outgrew the literal. Counting the corpus
-    * costs one cheap scan; `regimeCap` bounds the regime instead — beyond
-    * it a single band bucket could hold the whole corpus (the dHash space
-    * is small against web-scale counts), so in-memory bucket pairing is no
-    * longer the right plan and the caller must move to the capped +
-    * exact-dedup-first scale path. That boundary now FAILS with
-    * instructions instead of truncating recall. */
+    * truth) the moment a corpus outgrew the literal.
+    *
+    * Honest cost statement (round-10 review): exactness means every
+    * (band, chunk) bucket is enumerated in full, so the regime's worst
+    * case is Σ bucket² — on a degenerate corpus where all N payloads share
+    * a chunk value that is one O(N²) task. That is intrinsic to exact
+    * recall, not a removable inefficiency: on the pattern-space corpora
+    * this mode exists for (oracle-checkable planted-dup groups, tiny
+    * distinct-hash spaces) the heavy buckets ARE true dup groups, so the
+    * enumeration is output-bound. `regimeCap` bounds the worst-case
+    * single-bucket array (count beyond it ⇒ the sort/take materialization
+    * alone is no longer executor-safe) and the failure message routes
+    * web-scale corpora to the capped + exact-dedup-first path, whose
+    * truncation semantics are spec'd.
+    *
+    * `corpusCount` (≥ the true payload count) skips the internal count —
+    * callers whose media is a 1:1 synthesis of an id column should count
+    * the CHEAP pre-synthesis side instead (the q195 registration does:
+    * counting `media` here would re-run every ImageIO encode, doubling
+    * the query's image work). Any upper bound preserves exactness — the
+    * cap only ever needs to be ≥ corpus size. */
   def imageNearDupPairsExact(media: DataFrame, idCol: String,
                              maxHamming: Int = 3,
-                             regimeCap: Int = 1 << 26): DataFrame = {
-    val n = media.count()
+                             regimeCap: Int = 1 << 22,
+                             corpusCount: Long = -1L): DataFrame = {
+    val n = if (corpusCount >= 0) corpusCount else media.count()
     require(n <= regimeCap,
       s"imageNearDupPairsExact: corpus has $n payloads, beyond the exact-recall " +
       s"regime bound $regimeCap — a single (band, chunk) bucket could exceed " +

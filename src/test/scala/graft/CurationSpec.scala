@@ -354,7 +354,7 @@ class CurationSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val tokRe = java.util.regex.Pattern.compile("[a-z0-9]+")
       rows.foreach { case (id, t) =>
-        val m = tokRe.matcher(t.toLowerCase); var n = 0L
+        val m = tokRe.matcher(t.toLowerCase(java.util.Locale.ROOT)); var n = 0L
         while (m.find()) n += refNs(m.group())
         assert(enc(id) == n, s"doc $id subword count: ref $n vs engine ${enc(id)}")
       }
