@@ -86,6 +86,19 @@ object CapAudit {
       Similarity.nearDupCosine(embeds, "vec_id", "embedding", threshold = 0.95,
           maxBucket = 1 << 20)
         .select("vec_id_a", "vec_id_b"))
+
+    // 3. q195's corpus-DERIVED cap (round 10): the registered exact-recall
+    // path vs an explicitly lifted run — this is the one audited path
+    // whose default cap DOES bind at sf0.1 (27/120 combo dHashes share a
+    // band-0 chunk), so the diff proves the derivation keeps it exact
+    // where the 1000-doc default provably would not
+    val ids = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val media = graft.operators.Multimodal.synthesizeMixedImages(ids, "doc_id")
+    diffBothWays("q195 imageNearDupPairsExact (derived cap)",
+      graft.operators.Multimodal.imageNearDupPairsExact(media, "doc_id",
+        maxHamming = 2, corpusCount = ids.count()),
+      graft.operators.Multimodal.imageNearDupPairs(media, "doc_id",
+        maxHamming = 2, maxBucket = 1 << 20))
     spark.stop()
   }
 }

@@ -29,7 +29,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // pure function of content (band join output independent of layout);
     // q237's DEFLATE byte counts are per-row scalar work but its corpus
     // synthesis + join must not leak partitioning either
-    "q195_image_neardups", "q237_compression")
+    "q195_image_neardups", "q237_compression",
+    // the round-10 newly-★ BPE pair: every training round collects a
+    // (count desc, pair asc) argmax over a distributed pair aggregate —
+    // the tie-break is total, so the learned merge list (and therefore
+    // every q222 subword count) must not depend on how the word table
+    // splits across partitions
+    "q221_bpe_train", "q222_bpe_subwords")
 
   /** Collected rows in a canonical sorted text form; doubles/floats by raw
     * bits so an ulp difference cannot hide behind decimal rendering. */

@@ -122,6 +122,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BPE oracle trainer: rank-order merge application ≡ the engine's " +
+    "lowest-rank-first greedy on arbitrary small-alphabet corpora") {
+    // the q221/q222 oracle's one theoretical lemma, fuzzed: the sequential
+    // reference trainer segments by applying merges in rank order, the
+    // engine's segmentGreedy repeatedly merges the lowest-rank pair
+    // present — equivalent because a merge can never create a pair of two
+    // PRE-EXISTING symbols, so each rule's occurrences are exhausted
+    // exactly once in rank order. Tiny alphabets maximize same-symbol
+    // runs, output collisions and tie-break pressure — the regimes where
+    // a wrong lemma would actually diverge.
+    val smallWord = Gen.choose(1, 10)
+      .flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val corpusGen = for {
+      nDocs <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(1, 25).flatMap(w => Gen.listOfN(w, smallWord)).map(_.mkString(" ")))
+      nMerges <- Gen.choose(1, 12)
+    } yield (texts, nMerges)
+    check(Prop.forAll(corpusGen) { case (texts, nMerges) =>
+      val (merges, wordNs) = SparkEntry.bpeSequentialReference(texts, nMerges)
+      val rank = merges.zipWithIndex.map { case ((a, b, _), r) => (a, b) -> r }.toMap
+      wordNs.forall { case (w, ns) =>
+        graft.operators.Curation.segmentGreedy(w, rank).length == ns
+      }
+    })
+  }
+
   // ----- round-8 ingest-ladder fuzz (the r7 verdict's §8 order) -----
 
   /** RFC 4180 serialization: quote when the cell contains the delimiter,
