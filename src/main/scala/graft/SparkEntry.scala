@@ -2979,22 +2979,45 @@ object SparkEntry {
 
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private def bpeTrainOracleSql: String = {
-    val rows = bpeOracleParts._1.zipWithIndex.map { case ((a, b, n), i) =>
+  /** Degenerate-corpus guard for the VALUES constants below: an empty row
+    * list would render `(VALUES )` — a cryptic DuckDB syntax error instead
+    * of an honest empty table. A corpus with no trainable words (or no
+    * tokens at all) is out of any current SF's regime, but the oracle must
+    * DEGRADE to empty tables that still join/echo correctly, matching the
+    * engine's own empty outputs, not break the whole verify dump. */
+  private def valuesOrEmpty(rows: Seq[String], emptyShape: String): String =
+    if (rows.isEmpty) emptyShape else rows.mkString(", ")
+
+  private def bpeTrainOracleSql: String = bpeTrainSqlFor(bpeOracleParts._1)
+
+  private[graft] def bpeTrainSqlFor(merges: List[(String, String, Long)]): String = {
+    val rows = merges.zipWithIndex.map { case ((a, b, n), i) =>
       s"(${i + 1}, ${sq(a)}, ${sq(b)}, $n)"
-    }.mkString(", ")
+    }
+    if (rows.isEmpty)
+      // zero learnable merges: echo the engine's empty (rank, l, r, c) frame
+      return """SELECT CAST(NULL AS INTEGER) AS "rank", CAST(NULL AS VARCHAR) AS left_sym,
+               |  CAST(NULL AS VARCHAR) AS right_sym, CAST(NULL AS BIGINT) AS pair_count
+               |WHERE 1 = 0""".stripMargin
     s"""SELECT CAST("rank" AS INTEGER) AS "rank", left_sym, right_sym,
        |  CAST(pair_count AS BIGINT) AS pair_count
-       |FROM (VALUES $rows) AS t("rank", left_sym, right_sym, pair_count)
+       |FROM (VALUES ${rows.mkString(", ")}) AS t("rank", left_sym, right_sym, pair_count)
        |ORDER BY "rank"""".stripMargin
   }
 
   private def bpeSubwordsOracleSql: String = {
     val (_, wordNs, ratios) = bpeOracleParts
-    val segRows = wordNs.toSeq.sorted.map { case (w, n) => s"(${sq(w)}, $n)" }
-      .mkString(", ")
-    val ratRows = ratios.sorted.map { case (ns, nc, r) => s"($ns, $nc, $r)" }
-      .mkString(", ")
+    bpeSubwordsSqlFor(wordNs, ratios)
+  }
+
+  private[graft] def bpeSubwordsSqlFor(wordNs: Map[String, Int],
+                                       ratios: Seq[(Long, Long, String)]): String = {
+    val segRows = valuesOrEmpty(
+      wordNs.toSeq.sorted.map { case (w, n) => s"(${sq(w)}, $n)" },
+      "('', 0)") // never matches a [a-z0-9]+ token — an effectively empty map
+    val ratRows = valuesOrEmpty(
+      ratios.sorted.map { case (ns, nc, r) => s"($ns, $nc, $r)" },
+      "(-1, -1, 0.0)") // ns is never -1 — an effectively empty map
     s"""WITH seg(w, ns) AS (VALUES $segRows),
        |rat(ns, nc, ratio) AS (VALUES $ratRows),
        |toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

@@ -367,6 +367,23 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq, 10)
   }
 
+  test("BPE oracle SQL builders: degenerate corpora render empty-table SQL, " +
+    "never a broken VALUES list") {
+    // a corpus with no trainable words must degrade to honest empty/inert
+    // constants (matching the engine's own empty outputs), not render
+    // `(VALUES )` and break the whole oracle dump with a syntax error
+    val emptyTrain = SparkEntry.bpeTrainSqlFor(Nil)
+    assert(emptyTrain.contains("WHERE 1 = 0") && !emptyTrain.contains("VALUES"),
+      emptyTrain)
+    val emptySub = SparkEntry.bpeSubwordsSqlFor(Map.empty, Nil)
+    assert(emptySub.contains("('', 0)") && emptySub.contains("(-1, -1, 0.0)"),
+      emptySub)
+    // the reference trainer itself: 1-char-only corpus learns zero merges
+    // but still maps every word to 1 subword
+    val (m, ns) = SparkEntry.bpeSequentialReference(Seq("a b a", "c"), 5)
+    assert(m.isEmpty && ns == Map("a" -> 1, "b" -> 1, "c" -> 1))
+  }
+
   test("bpeTrainBatched: disjoint-symbol merges land in ONE round (fewer job waves)") {
     // 13 disjoint two-letter words: no candidate shares a symbol and no
     // pair has anything on its output's flanks, so the new-pair bounds are
