@@ -2897,11 +2897,13 @@ object SparkEntry {
     * code shape (immutable lists + rank-order merge application vs the
     * engine's per-round distributed re-segmentation under a rank map).
     * Corpus: the verify run's SF dir (graft.sfDir system property, set by
-    * [[Verify]]) read through the already-active session. */
-  /** The ONE trained-merge count shared by the q221/q222 registrations and
-    * their oracle precompute — a drift between registration and oracle
-    * literals would otherwise surface only as a confusing downstream verify
-    * mismatch (the Dedup.Lsh* rule, applied here too). */
+    * [[Verify]]) read through the already-active session.
+    *
+    * `BpeMerges` is the ONE trained-merge count shared by the q221/q222
+    * registrations and this oracle precompute — a drift between
+    * registration and oracle literals would otherwise surface only as a
+    * confusing downstream verify mismatch (the Dedup.Lsh* rule, applied
+    * here too). */
   private[graft] val BpeMerges = 8
 
   private[graft] def bpeSequentialReference(texts: Iterable[String], nMerges: Int)
