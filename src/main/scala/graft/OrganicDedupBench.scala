@@ -63,6 +63,14 @@ object OrganicDedupBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "120s")
+      // the 1000× leg (20M docs) persists tens of GB of signatures in ONE
+      // JVM; a single full-GC pause on a large heap can exceed the default
+      // 120 s heartbeat window and the HeartbeatReceiver then kills the
+      // local "executor" mid-measurement (observed: 130.8 s pause). A real
+      // cluster spreads this heap across executors; locally we ride the
+      // pause out and let the wall clock charge it honestly.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
