@@ -128,10 +128,15 @@ object OrganicDedupBench {
       // the 100× leg is the LSH chain's decade extension; setsim's organic
       // scaling is established at 10× and its all-growth cost is prefix-
       // filter-bound — one timed pass there keeps the bench under a minute
-      val c100 = if (name.startsWith("q24"))
-        f"${math.min(timeOnce(fn, docs1x * 100), timeOnce(fn, docs1x * 100))}%.2f" else "-"
-      val r100 = if (name.startsWith("q24") && c100 != "-")
-        f"${c100.toDouble / s1}%.1f" else "-"
+      // keep the raw double and format both columns from it — a
+      // format-then-parse round trip is locale-fragile (comma-decimal
+      // defaults make .toDouble throw) and would compute the ratio from
+      // the rounded string instead of the measured value
+      val t100 = if (name.startsWith("q24"))
+        Some(math.min(timeOnce(fn, docs1x * 100), timeOnce(fn, docs1x * 100)))
+      else None
+      val c100 = t100.map(t => f"$t%.2f").getOrElse("-")
+      val r100 = t100.map(t => f"${t / s1}%.1f").getOrElse("-")
       println(f"| $name | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f | $c100 | $r100 |")
     }
     spark.stop()

@@ -2921,10 +2921,21 @@ object SparkEntry {
     var segs: List[(List[String], Long)] = wordCount.iterator
       .filter(_._1.length >= 2)
       .map { case (w, c) => (w.map(_.toString).toList, c) }.toList
-    def mergeOnce(s: List[String], a: String, b: String): List[String] = s match {
-      case x :: y :: rest if x == a && y == b => (a + b) :: mergeOnce(rest, a, b)
-      case x :: rest => x :: mergeOnce(rest, a, b)
-      case Nil => Nil
+    // iterative (not recursive) left-to-right pass: a per-symbol recursion
+    // would put word length on the JVM stack, and one pathological unbroken
+    // [a-z0-9]+ run of ~10k+ chars is enough to StackOverflow the oracle
+    // precompute — mirror segmentGreedy's while-loop shape instead
+    def mergeOnce(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = s
+      while (rest.nonEmpty) {
+        rest match {
+          case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+          case x :: tail => out += x; rest = tail
+          case Nil => ()
+        }
+      }
+      out.toList
     }
     var merges = List.empty[(String, String, Long)]
     var round = 0
@@ -2939,6 +2950,18 @@ object SparkEntry {
       if (pairCount.isEmpty) exhausted = true
       else {
         val ((a, b), n) = pairCount.minBy { case ((x, y), c) => (-c, x, y) }
+        // the rank-order-application lemma (scaladoc on `ns` below) holds
+        // only while no merge OUTPUT collides with a symbol string that
+        // already exists (e.g. (a,bc) and (ab,c) both yielding "abc") —
+        // the exact hazard bpeTrainBatched's fresh-output cut guards. A
+        // collision would otherwise surface only as a confusing downstream
+        // verify mismatch, so make it loudly diagnosable at the source.
+        val existing = segs.iterator.flatMap(_._1).toSet
+        if (existing.contains(a + b))
+          System.err.println(s"[bpe-oracle] WARNING: merge output '${a + b}' " +
+            s"(round $round) collides with an existing symbol — the " +
+            "rank-order-application lemma may not hold; q221/q222 verify " +
+            "mismatches on this corpus trace here")
         merges = (a, b, n) :: merges
         segs = segs.map { case (syms, c) => (mergeOnce(syms, a, b), c) }
       }
@@ -2957,8 +2980,15 @@ object SparkEntry {
   /** The verify corpus + the trained reference tokenizer, computed once —
     * q221 and q222's oracle SQL both derive from it. */
   private lazy val bpeOracleParts: (List[(String, String, Long)], Map[String, Int], Seq[(Long, Long, String)]) = {
-    val sfDir = sys.props.getOrElse("graft.sfDir",
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    // fail fast rather than fall back: Verify always sets graft.sfDir
+    // before the oracle dump, and a silent default would pin q221/q222
+    // VALUES constants trained on the WRONG corpus — surfacing only as an
+    // unexplained verify mismatch far downstream
+    val sfDir = sys.props.getOrElse("graft.sfDir", sys.error(
+      "graft.sfDir is unset: bpeOracleParts trains q221/q222 oracle " +
+        "constants on the verify corpus and must not guess the SF dir — " +
+        "set -Dgraft.sfDir=<sf dir> (Verify.main does this) before " +
+        "touching oracleSql"))
     val spark = org.apache.spark.sql.SparkSession.active
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect().map(r => Option(r.getString(0)).getOrElse("")).toSeq
