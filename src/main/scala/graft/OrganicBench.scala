@@ -118,3 +118,139 @@ object OrganicBench {
     spark.stop()
   }
 }
+
+/** Organic-growth datapoint for the RAW-graph one-shot family (the
+  * round-10 verdict's item 4): q133 triangles (and q300 harmonic) consume
+  * [[SparkEntry]]'s UNFLOORED part co-occurrence graph, so OrganicBench's
+  * w≥2 evidence doesn't cover them — their sf1 story rested on key-offset
+  * replication plus the degree-orientation bound. This main grows the raw
+  * basket graph ORGANICALLY (the OrganicBench corpus shape verbatim:
+  * synthdocs baskets of 7 xxhash64 items from a universe that scales with
+  * the corpus, U = baskets/7.5 — TPC-H's own sf-growth shape) and records
+  * the quantities the orientation bound is ABOUT:
+  *   - edges m (distinct undirected), nodes n;
+  *   - wedges W = Σ_u C(outdeg(u), 2) under the operator's own (deg, id)
+  *     low→high orientation — the exact pre-Bloom closing-join input size
+  *     (Suri–Vassilvitskii / Schank's bound: Σ min-deg, NOT Σ deg² — under
+  *     organic growth per-item degree is ~constant, so W should scale ~m,
+  *     not quadratically);
+  *   - total triangles (closed wedges) and wall for the verbatim q133
+  *     chain (Graph.triangleCounts), 1× and 10×, min of 2.
+  *
+  * Usage: runMain graft.OrganicTriangleBench [baskets1x]  (default 150000
+  * — the sf0.1 orders count, so 1× matches q133's real workload scale).
+  */
+object OrganicTriangleBench {
+  private val ItemsPerBasket = 7
+
+  /** OrganicBench's basket recipe WITHOUT the support floor — the raw
+    * pair-explode shape partCooccurrenceEdges feeds q133 (dup pairs kept;
+    * triangleCounts distincts internally, exactly as in production). */
+  private def rawEdges(ss: SparkSession, baskets: Long): DataFrame = {
+    val universe = math.max(100L, baskets * 2 / 15) // baskets / 7.5
+    val docs = ss.read.format("synthdocs")
+      .option("rows", baskets).option("partitions", 32).load()
+    docs.select(col("doc_id"),
+        explode(sequence(lit(1), lit(ItemsPerBasket))).as("j"))
+      .select(col("doc_id").as("k"),
+        pmod(xxhash64(col("doc_id"), col("j")), lit(universe)).as("item"))
+      .groupBy("k")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+      .select(col("pa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
+  }
+
+  /** (nodes, edges, wedges) under the operator's own orientation. */
+  private def graphShape(ss: SparkSession, baskets: Long): (Long, Long, Long) = {
+    val und = rawEdges(ss, baskets).select(
+        least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = und.count()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val nNodes = deg.count()
+    val ranked = und
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+    val aIsLo = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val wedges = ranked
+      .select(when(aIsLo, col("a")).otherwise(col("b")).as("lo"))
+      .groupBy("lo").agg(count(lit(1)).as("od"))
+      // integer arithmetic throughout: `/ 2` would promote to double and
+      // lose exactness on large wedge counts — od·(od−1) is always even
+      .select(sum(col("od") * (col("od") - 1)).as("w2"))
+      .collect()(0).getLong(0) / 2
+    und.unpersist(false)
+    (nNodes, m, wedges)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baskets1x = args.headOption.map(_.toLong).getOrElse(150000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      // same single-JVM-pause insurance as OrganicDedupBench's 1000× leg:
+      // a full GC on a tens-of-GB heap can outlast the default heartbeat
+      // window, and the HeartbeatReceiver then kills the local "executor"
+      // mid-measurement; ride the pause out and charge it to the wall
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      // triangleCounts sizes its wedge-pruning Bloom sketch at ~10
+      // bits/edge, clamped by this conf (default 2^26 ≈ 6.7M edges); its
+      // scaladoc says to raise the clamp past that — the 10× leg's raw
+      // graph carries ~31M edges, where the default clamp's degraded fpp
+      // floods the closing join. 2^30 bits = 128 MB, covering ~107M
+      // edges; the 1× leg requests ~31M bits either way (no change).
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 30).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    def timeOnce(n: Long): Double = {
+      val ss = spark.newSession()
+      val t0 = System.nanoTime()
+      Graph.triangleCounts(rawEdges(ss, n), "pa", "pb")
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      s
+    }
+    def triangleTotal(n: Long): Long = {
+      val ss = spark.newSession()
+      val t = Graph.triangleCounts(rawEdges(ss, n), "pa", "pb")
+        .select(sum(col("triangles")).as("t")).collect()(0).getLong(0)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      t / 3 // each triangle counted once per corner
+    }
+
+    Seq(baskets1x, baskets1x * 10).foreach { n =>
+      val (nodes, m, w) = graphShape(spark.newSession(), n)
+      val tri = triangleTotal(n)
+      println(s"[organic-tri] baskets $n universe ${n * 2 / 15}: " +
+        s"nodes $nodes, edges $m, oriented_wedges $w, triangles $tri " +
+        f"(wedges/edge ${w.toDouble / math.max(1, m)}%.1f)")
+    }
+    println("| chain | 1x s | 10x s | ratio |")
+    println("|---|---|---|---|")
+    val s1 = math.min(timeOnce(baskets1x), timeOnce(baskets1x))
+    val s10 = math.min(timeOnce(baskets1x * 10), timeOnce(baskets1x * 10))
+    println(f"| q133_triangles | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
+    spark.stop()
+  }
+}

@@ -56,6 +56,13 @@ object OrganicDedupBench {
 
   def main(args: Array[String]): Unit = {
     val docs1x = args.headOption.map(_.toLong).getOrElse(20000L)
+    // optional 2nd arg: comma-separated growth multipliers (default the
+    // recorded 1,10,100 ladder). "20000 1,1000" runs ONLY the 1000× leg
+    // (plus the 1× anchor for its ratio) — the decade rows below it are
+    // already §8 evidence and re-timing them inside a 20M-doc JVM would
+    // just re-measure heap pressure, not growth.
+    val mults: Seq[Long] = args.drop(1).headOption
+      .map(_.split(',').toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L, 100L))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,7 +109,7 @@ object OrganicDedupBench {
     // 1×/10×/100× (the round-9 order extends the organic evidence a full
     // second decade; synthdocs streams content as a pure function of
     // doc_id, so the 100× corpus needs no files), q126 at 1×/10×
-    Seq(1L, 10L, 100L).foreach { m =>
+    mults.foreach { m =>
       val n = docs1x * m
       val ss = spark.newSession()
       val c = corpus(ss, n)
@@ -120,24 +127,31 @@ object OrganicDedupBench {
         s"q24 pairs>=0.5 $kept24, q126 pairs>=0.5 $kept126 " +
         s"(planted ${n / 50})")
     }
-    println("| chain | 1x s | 10x s | 10x/1x | 100x s | 100x/1x |")
-    println("|---|---|---|---|---|---|")
+    // timing table, multiplier-driven: every chain anchors at 1×; the LSH
+    // chain times every requested decade (its organic story is the point);
+    // setsim times only ≤10× (its organic scaling is established at 10×
+    // and its all-growth cost is prefix-filter-bound). ≥100× legs run
+    // ONCE, not min-of-2 — at 2M+ docs a pass is minutes and a second
+    // pass measures page-cache luck, not the operator.
+    val header = mults.tail.flatMap(m => Seq(s"${m}x s", s"${m}x/1x"))
+    println(("| chain | 1x s" +: header).mkString("", " | ", " |"))
+    println("|---" * (2 + header.size) + "|")
     ops.foreach { case (name, fn) =>
       val s1 = math.min(timeOnce(fn, docs1x), timeOnce(fn, docs1x))
-      val s10 = math.min(timeOnce(fn, docs1x * 10), timeOnce(fn, docs1x * 10))
-      // the 100× leg is the LSH chain's decade extension; setsim's organic
-      // scaling is established at 10× and its all-growth cost is prefix-
-      // filter-bound — one timed pass there keeps the bench under a minute
-      // keep the raw double and format both columns from it — a
-      // format-then-parse round trip is locale-fragile (comma-decimal
-      // defaults make .toDouble throw) and would compute the ratio from
-      // the rounded string instead of the measured value
-      val t100 = if (name.startsWith("q24"))
-        Some(math.min(timeOnce(fn, docs1x * 100), timeOnce(fn, docs1x * 100)))
-      else None
-      val c100 = t100.map(t => f"$t%.2f").getOrElse("-")
-      val r100 = t100.map(t => f"${t / s1}%.1f").getOrElse("-")
-      println(f"| $name | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f | $c100 | $r100 |")
+      val cells = mults.tail.flatMap { m =>
+        // keep the raw double and format both columns from it — a
+        // format-then-parse round trip is locale-fragile (comma-decimal
+        // defaults make .toDouble throw) and would compute the ratio
+        // from the rounded string instead of the measured value
+        val t: Option[Double] =
+          if (name.startsWith("q24") && m >= 100) Some(timeOnce(fn, docs1x * m))
+          else if (name.startsWith("q24") || m <= 10)
+            Some(math.min(timeOnce(fn, docs1x * m), timeOnce(fn, docs1x * m)))
+          else None
+        Seq(t.map(v => f"$v%.2f").getOrElse("-"),
+            t.map(v => f"${v / s1}%.1f").getOrElse("-"))
+      }
+      println((f"| $name | $s1%.2f" +: cells).mkString("", " | ", " |"))
     }
     spark.stop()
   }

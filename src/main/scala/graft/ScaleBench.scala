@@ -87,7 +87,12 @@ object ScaleBench {
     names.foreach { n =>
       try {
         val s1 = math.min(timeOnce(n, src), timeOnce(n, src))
-        val s10 = math.min(timeOnce(n, bigDir), timeOnce(n, bigDir))
+        // min-of-2 pays codegen on pass 1; past 100 s the first pass IS
+        // steady-state (codegen is milliseconds against minutes) and a
+        // second pass of a 300 s monster doubles the sweep for no signal
+        val first10 = timeOnce(n, bigDir)
+        val s10 = if (first10 >= 100.0) first10
+                  else math.min(first10, timeOnce(n, bigDir))
         println(f"| $n | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
       } catch { case e: Throwable =>
         println(s"| $n | FAILED ${e.getMessage.take(80)} | | |")
