@@ -58,6 +58,19 @@ object Bench {
     } finally src.close()
   } catch { case _: Throwable => Map.empty }
 
+  /** Rows the rescue re-run must re-measure: >2× their baseline pin at ANY
+    * duration (round 11 dropped the old >1 s floor — it excluded exactly
+    * the sub-second jitter class the gate exists for). Failures (the -1.0
+    * sentinel) are never flagged: a failure must stay visible in the JSON,
+    * not be given a second chance to mask itself as a slow success. Rows
+    * without a pin (new queries before their baseline lands) can't be
+    * adjudicated and are left alone. Pure — the suite pins this contract. */
+  private[graft] def rescueFlagged(firstPass: Seq[(String, Double)],
+                                   base: Map[String, Double]): Set[String] =
+    firstPass.filter { case (name, v) =>
+      v >= 0 && base.get(name.takeWhile(_ != '_')).exists(b => v > 2.0 * b)
+    }.map(_._1).toSet
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -197,9 +210,7 @@ object Bench {
     // the run for no signal
     val base = if (sys.env.contains("SPARK_GRAFT_NO_RERUN")) Map.empty[String, Double]
                else baselineTable()
-    val flagged = firstPass.filter { case (name, v) =>
-      v >= 0 && base.get(short(name)).exists(b => v > 2.0 * b)
-    }.map(_._1).toSet
+    val flagged = rescueFlagged(firstPass, base)
     val reruns = queries.filter(q => flagged(q._1)).map { case (name, fn) =>
       name -> runOne(name, fn)
     }.toMap

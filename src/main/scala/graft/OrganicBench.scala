@@ -242,7 +242,9 @@ object OrganicTriangleBench {
     Seq(baskets1x, baskets1x * 10).foreach { n =>
       val (nodes, m, w) = graphShape(spark.newSession(), n)
       val tri = triangleTotal(n)
-      println(s"[organic-tri] baskets $n universe ${n * 2 / 15}: " +
+      // same floor as rawEdges' universe — the bare n*2/15 would misreport
+      // the corpus shape for tiny basket counts (<750)
+      println(s"[organic-tri] baskets $n universe ${math.max(100L, n * 2 / 15)}: " +
         s"nodes $nodes, edges $m, oriented_wedges $w, triangles $tri " +
         f"(wedges/edge ${w.toDouble / math.max(1, m)}%.1f)")
     }

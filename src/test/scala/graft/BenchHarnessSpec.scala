@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness is the measurement instrument every per-round
+  * performance gate reads through — its two pure pieces deserve the same
+  * contract pinning as any operator: the BENCH_BASELINE.md parse (whose
+  * "later tables override earlier pins" behavior is what makes a re-pin a
+  * one-append edit) and the rescue-rerun flag predicate (whose round-11
+  * all-duration change is what keeps sub-second jitter out of hand
+  * adjudication). No SparkSession needed. */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  private def withTempTable(content: String)(f: String => Unit): Unit = {
+    val p = java.nio.file.Files.createTempFile("bench_baseline_spec", ".md")
+    try {
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      f(p.toString)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
+  test("baselineTable: parses qNN rows, collapses full names to the qNN " +
+      "prefix, ignores prose and non-pin lines") {
+    withTempTable(
+      """# BENCH baseline — prose with an em-dash — and a | pipe
+        || query | sec |
+        ||---|---|
+        || q01 | 1.25 |
+        || q41_pricing_summary | 2.5 |
+        || q113 | 3.44 |
+        |not a row: q99 9.9
+        || not_a_query | 7.7 |
+        |""".stripMargin) { path =>
+      val t = Bench.baselineTable(path)
+      assert(t === Map("q01" -> 1.25, "q41" -> 2.5, "q113" -> 3.44))
+    }
+  }
+
+  test("baselineTable: a LATER re-pin table overrides the original pin — " +
+      "the one-append re-pin contract") {
+    withTempTable(
+      """| q113 | 3.44 |
+        || q15 | 1.18 |
+        |
+        |**Round 11 re-pin** (method note…)
+        |
+        || q113 | 4.35 |
+        |""".stripMargin) { path =>
+      val t = Bench.baselineTable(path)
+      assert(t("q113") === 4.35) // the re-pin, not the stale original
+      assert(t("q15") === 1.18)  // untouched pins survive
+    }
+  }
+
+  test("baselineTable: missing file degrades to an empty map (rerun gate " +
+      "off), never throws") {
+    assert(Bench.baselineTable("/nonexistent/BENCH_BASELINE.md") === Map.empty)
+  }
+
+  test("rescueFlagged: >2x pin flags at EVERY duration — including the " +
+      "sub-second class the round-10 floor excluded") {
+    val base = Map("q47" -> 0.38, "q113" -> 4.35, "q133" -> 8.83)
+    val firstPass = Seq(
+      "q47_pii_redact" -> 0.80,      // 2.1x of a sub-second pin → flagged
+      "q113_golden_record" -> 4.50,  // 1.03x → not flagged
+      "q133_triangles" -> 18.0)      // 2.04x of a heavy pin → flagged
+    assert(Bench.rescueFlagged(firstPass, base) ===
+      Set("q47_pii_redact", "q133_triangles"))
+  }
+
+  test("rescueFlagged: failures (the -1 sentinel) are never flagged — a " +
+      "failure must stay visible, not retry into a slow success") {
+    val base = Map("q01" -> 0.10)
+    assert(Bench.rescueFlagged(Seq("q01_jobs_by_user" -> -1.0), base).isEmpty)
+  }
+
+  test("rescueFlagged: rows without a pin are left alone; exactly 2.0x is " +
+      "NOT flagged (the gate is strictly greater)") {
+    val base = Map("q01" -> 1.0)
+    val fp = Seq("q01_jobs_by_user" -> 2.0, "q999_new_query" -> 100.0)
+    assert(Bench.rescueFlagged(fp, base).isEmpty)
+  }
+}
