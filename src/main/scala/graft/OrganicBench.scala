@@ -146,7 +146,7 @@ object OrganicTriangleBench {
   /** OrganicBench's basket recipe WITHOUT the support floor — the raw
     * pair-explode shape partCooccurrenceEdges feeds q133 (dup pairs kept;
     * triangleCounts distincts internally, exactly as in production). */
-  private def rawEdges(ss: SparkSession, baskets: Long): DataFrame = {
+  private[graft] def rawEdges(ss: SparkSession, baskets: Long): DataFrame = {
     val universe = math.max(100L, baskets * 2 / 15) // baskets / 7.5
     val docs = ss.read.format("synthdocs")
       .option("rows", baskets).option("partitions", 32).load()
@@ -253,6 +253,88 @@ object OrganicTriangleBench {
     val s1 = math.min(timeOnce(baskets1x), timeOnce(baskets1x))
     val s10 = math.min(timeOnce(baskets1x * 10), timeOnce(baskets1x * 10))
     println(f"| q133_triangles | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
+    spark.stop()
+  }
+}
+
+/** Organic-growth datapoint for the MS-BFS family (q300 harmonic
+  * centrality; q224 bounded BFS shares the hop shape): the last raw-graph
+  * consumer whose scale story rested on sf1 key-offset replication.
+  * [[Graph.harmonicCentrality]]'s cost model is per hop ONE join of the
+  * symmetrized adjacency (2m rows) against the bit-mask frontier plus a
+  * bit_or aggregate — Σ_hop |adjacency rows incident to the frontier|
+  * ≤ 2m·maxHops, i.e. LINEAR in edges regardless of how the frontier
+  * saturates (on a small-world graph it is node-sized by hop 2). Under
+  * organic growth (the [[OrganicTriangleBench]] basket recipe verbatim:
+  * 7-item baskets, universe = baskets/7.5) edges grow ~10× for 10×
+  * baskets, so wall should read ~linear-in-m — the 100 TB feasibility
+  * claim this bench measures. Reach accounting (Σ n_reached over the
+  * 6-source / 3-hop run) is reported alongside so the two scales'
+  * workloads are comparable as WORK, not just wall.
+  *
+  * Usage: runMain graft.OrganicHarmonicBench [baskets1x] (default 150000
+  * — the sf0.1 orders count, so 1× matches q300's real workload scale).
+  */
+object OrganicHarmonicBench {
+  def main(args: Array[String]): Unit = {
+    val baskets1x = args.headOption.map(_.toLong).getOrElse(150000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      // same single-JVM-pause insurance as the other organic rigs
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    val sources = Seq(1L, 2L, 3L, 4L, 5L, 6L) // q300's pinned sample
+    def harmonic(ss: SparkSession, n: Long) =
+      Graph.harmonicCentrality(
+        OrganicTriangleBench.rawEdges(ss, n), "pa", "pb", sources, maxHops = 3)
+
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def timeOnce(n: Long): Double = {
+      val ss = spark.newSession()
+      val t0 = System.nanoTime()
+      harmonic(ss, n).write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      hygiene(); s
+    }
+
+    Seq(baskets1x, baskets1x * 10).foreach { n =>
+      val ss = spark.newSession()
+      val und = OrganicTriangleBench.rawEdges(ss, n).select(
+          least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = und.count()
+      val nodes = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .distinct().count()
+      und.unpersist(false)
+      val reach = harmonic(ss, n)
+        .agg(sum(col("n_reached")).as("r"), count(lit(1)).as("k"))
+        .collect()(0)
+      hygiene()
+      println(s"[organic-bfs] baskets $n: nodes $nodes, edges $m, " +
+        s"reached_nodes ${reach.getLong(1)}, src_node_pairs ${reach.getLong(0)} " +
+        s"(sources ${sources.size}, hops 3)")
+    }
+    println("| chain | 1x s | 10x s | ratio |")
+    println("|---|---|---|---|")
+    val s1 = math.min(timeOnce(baskets1x), timeOnce(baskets1x))
+    val s10 = math.min(timeOnce(baskets1x * 10), timeOnce(baskets1x * 10))
+    println(f"| q300_harmonic | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
     spark.stop()
   }
 }
