@@ -35,7 +35,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the tie-break is total, so the learned merge list (and therefore
     // every q222 subword count) must not depend on how the word table
     // splits across partitions
-    "q221_bpe_train", "q222_bpe_subwords")
+    "q221_bpe_train", "q222_bpe_subwords",
+    // the round-11 organic-evidence pair: q133's Bloom sketch is an
+    // OR-merged aggregate (commutative — and only ever a PRUNE: the exact
+    // closing join settles membership, so even fpp differences across
+    // layouts cannot change the output); q300's MS-BFS state is bit_or
+    // masks + popcount·quantized-term sums — both must be pure functions
+    // of the graph, never of how its edges split across partitions
+    "q133_triangles", "q300_harmonic")
 
   /** Collected rows in a canonical sorted text form; doubles/floats by raw
     * bits so an ulp difference cannot hide behind decimal rendering. */
