@@ -278,6 +278,13 @@ object OrganicTriangleBench {
 object OrganicHarmonicBench {
   def main(args: Array[String]): Unit = {
     val baskets1x = args.headOption.map(_.toLong).getOrElse(150000L)
+    // optional 2nd arg: comma-separated growth multipliers (default the
+    // recorded 1,10 ladder). "150000 1,100" runs the second-decade leg
+    // with its 1× anchor; ≥100× legs time ONCE, not min-of-2 (a
+    // minutes-long pass's second run measures page-cache luck, not the
+    // operator — the OrganicDedupBench rule).
+    val mults: Seq[Long] = args.drop(1).headOption
+      .map(_.split(',').toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -312,13 +319,14 @@ object OrganicHarmonicBench {
       hygiene(); s
     }
 
-    Seq(baskets1x, baskets1x * 10).foreach { n =>
+    mults.foreach { m =>
+      val n = baskets1x * m
       val ss = spark.newSession()
       val und = OrganicTriangleBench.rawEdges(ss, n).select(
           least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = und.count()
+      val edges = und.count()
       val nodes = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
         .distinct().count()
       und.unpersist(false)
@@ -326,15 +334,20 @@ object OrganicHarmonicBench {
         .agg(sum(col("n_reached")).as("r"), count(lit(1)).as("k"))
         .collect()(0)
       hygiene()
-      println(s"[organic-bfs] baskets $n: nodes $nodes, edges $m, " +
+      println(s"[organic-bfs] baskets $n: nodes $nodes, edges $edges, " +
         s"reached_nodes ${reach.getLong(1)}, src_node_pairs ${reach.getLong(0)} " +
         s"(sources ${sources.size}, hops 3)")
     }
-    println("| chain | 1x s | 10x s | ratio |")
-    println("|---|---|---|---|")
+    val header = mults.tail.flatMap(m => Seq(s"${m}x s", s"${m}x/1x"))
+    println(("| chain | 1x s" +: header).mkString("", " | ", " |"))
+    println("|---" * (2 + header.size) + "|")
     val s1 = math.min(timeOnce(baskets1x), timeOnce(baskets1x))
-    val s10 = math.min(timeOnce(baskets1x * 10), timeOnce(baskets1x * 10))
-    println(f"| q300_harmonic | $s1%.2f | $s10%.2f | ${s10 / s1}%.1f |")
+    val cells = mults.tail.flatMap { m =>
+      val t = if (m >= 100) timeOnce(baskets1x * m)
+              else math.min(timeOnce(baskets1x * m), timeOnce(baskets1x * m))
+      Seq(f"$t%.2f", f"${t / s1}%.1f")
+    }
+    println((f"| q300_harmonic | $s1%.2f" +: cells).mkString("", " | ", " |"))
     spark.stop()
   }
 }
