@@ -42,6 +42,68 @@ object Bench {
     ms
   }
 
+  // 64 MiB of longs, allocated once — sized well past L3 so every sweep
+  // below reads DRAM, not cache
+  private lazy val memProbe = new Array[Long](8 << 20)
+
+  /** Wall-time of a fixed memory-BANDWIDTH sweep: 4 passes over the 64 MiB
+    * probe array at cache-line stride (one long per 64 B line → every load
+    * pulls a fresh line; ~256 MiB of DRAM traffic total). The register-only
+    * [[spinMs]] and /proc/stat steal are blind to the round-11 q133
+    * signature — a co-tenant saturating memory bandwidth inflates
+    * cache-miss-bound queries (per-wedge Bloom probes once the sketch
+    * leaves L3) while steal reads ~0% and the xorshift spin is flat. This
+    * probe reads exactly that axis: its ratio vs the pass-global samples
+    * adjudicates "bandwidth-contended window" from the artifact alone. */
+  private def memSpinMs(): Double = {
+    var s = 0L; var pass = 0
+    val t0 = System.nanoTime()
+    while (pass < 4) {
+      var i = 0
+      while (i < memProbe.length) { s += memProbe(i); i += 8 }
+      pass += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (s == 42L) System.err.println("") // defeat dead-code elimination
+    ms
+  }
+
+  /** The qNN display/pin key of a registered query name — the prefix before
+    * the first underscore ("q41_pricing_summary" → "q41"). ONE definition:
+    * the baseline parse, the rescue-flag predicate, and the metric line all
+    * key through here, so the naming rule cannot desynchronize the pin
+    * lookup from the report keys (round-12 advisory). */
+  private[graft] def shortName(q: String): String = q.takeWhile(_ != '_')
+
+  // metric-line number formatting, hoisted so the rescue-record formatter
+  // below is pure and spec-pinnable. Locale.ROOT: the f-interpolator uses
+  // the JVM default locale, and a comma-decimal locale would turn a metric
+  // line into invalid JSON.
+  private[graft] def num(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+  private[graft] def trim(s: String): String =
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+
+  /** Per-row rig evidence captured around ONE rescue-rerun window: the
+    * first-pass and rerun seconds plus the worst of the before/after
+    * contention probes (xorshift spin, memory-bandwidth sweep) and the
+    * /proc/stat steal share across the rerun itself. */
+  private[graft] final case class RescueRig(first: Double, rerun: Double,
+    spinMs: Double, mspinMs: Double, stealPct: Double)
+
+  /** The `rescues` JSON object for bench_full.json — every flagged row
+    * carries its own adjudication numbers, so a driver-pass outlier that
+    * survives its rerun self-adjudicates (environment vs plan) without a
+    * hand TimeQ session. Pure — the suite pins the format. */
+  private[graft] def rescueJson(rescues: Seq[(String, RescueRig)]): String =
+    rescues.map { case (name, r) =>
+      "\"" + shortName(name) + "\":{\"first\":" + trim(num(r.first, 3)) +
+        ",\"rerun\":" + trim(num(r.rerun, 3)) +
+        ",\"spin_ms\":" + trim(num(r.spinMs, 0)) +
+        ",\"mspin_ms\":" + trim(num(r.mspinMs, 0)) +
+        ",\"steal_pct\":" + trim(num(r.stealPct, 1)) + "}"
+    }.mkString("{", ",", "}")
+
   /** qNN-prefix → baseline seconds from BENCH_BASELINE.md's table rows
     * (`| qNN_name | 1.23 ... |`); empty map if the file is absent. */
   private[graft] def baselineTable(path: String = "BENCH_BASELINE.md"): Map[String, Double] = try {
@@ -53,7 +115,7 @@ object Bench {
       val row = """^\|\s*(q[0-9][0-9a-z_]*)\s*\|\s*([0-9]+(?:\.[0-9]+)?)""".r
       src.getLines().flatMap { l =>
         row.findFirstMatchIn(l).map(m =>
-          m.group(1).takeWhile(_ != '_') -> m.group(2).toDouble)
+          shortName(m.group(1)) -> m.group(2).toDouble)
       }.toMap
     } finally src.close()
   } catch { case _: Throwable => Map.empty }
@@ -68,7 +130,7 @@ object Bench {
   private[graft] def rescueFlagged(firstPass: Seq[(String, Double)],
                                    base: Map[String, Double]): Set[String] =
     firstPass.filter { case (name, v) =>
-      v >= 0 && base.get(name.takeWhile(_ != '_')).exists(b => v > 2.0 * b)
+      v >= 0 && base.get(shortName(name)).exists(b => v > 2.0 * b)
     }.map(_._1).toSet
 
   def main(args: Array[String]): Unit = {
@@ -123,7 +185,9 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    memSpinMs() // discard: first call pays 64 MiB allocation + page faults
     val spin0 = spinMs()
+    val mspin0 = memSpinMs()
     val (steal0, jif0) = stealSample()
 
     var ranSinceGc = 0
@@ -195,7 +259,8 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = queries.map { case (name, fn) => name -> runOne(name, fn) }
-    def short(name: String): String = name.takeWhile(_ != '_')
+    val firstByName = firstPass.toMap
+    def short(name: String): String = shortName(name)
 
     // Outlier re-run: ANY row >2× its baseline pin re-measures ONCE after
     // the sweep — at every duration. The old >1 s floor excluded exactly
@@ -211,15 +276,32 @@ object Bench {
     val base = if (sys.env.contains("SPARK_GRAFT_NO_RERUN")) Map.empty[String, Double]
                else baselineTable()
     val flagged = rescueFlagged(firstPass, base)
-    val reruns = queries.filter(q => flagged(q._1)).map { case (name, fn) =>
-      name -> runOne(name, fn)
-    }.toMap
+    // Each rescue rerun is bracketed by its OWN contention probes (round-12
+    // item 1): xorshift spin + memory-bandwidth sweep before AND after the
+    // window (worst kept — a co-tenant arriving or leaving mid-window shows
+    // on at least one side), and the steal share across the rerun itself.
+    // A row that stays >2× pin after its rerun then carries the numbers
+    // that adjudicate it — spin/mspin near the pass-global samples and
+    // steal ~0 says plan, any of them inflated says environment — without
+    // a hand isolated-TimeQ session (the r11 q133 driver-pass gap).
+    val rescueRecords = queries.filter(q => flagged(q._1)).map { case (name, fn) =>
+      val spinB = spinMs(); val mspinB = memSpinMs()
+      val (stB, jB) = stealSample()
+      val r = runOne(name, fn)
+      val (stA, jA) = stealSample()
+      val spinA = spinMs(); val mspinA = memSpinMs()
+      val stealW = if (jA > jB) 100.0 * (stA - stB) / (jA - jB) else 0.0
+      name -> RescueRig(firstByName.getOrElse(name, -1.0), r,
+        math.max(spinB, spinA), math.max(mspinB, mspinA), stealW)
+    }
+    val reruns = rescueRecords.map { case (name, rec) => name -> rec.rerun }.toMap
     val results = firstPass.map { case (name, v) =>
       val r = reruns.get(name).filter(_ >= 0).map(math.min(v, _)).getOrElse(v)
       name -> r
     }
 
     val spin1 = spinMs()
+    val mspin1 = memSpinMs()
     val (steal1, jif1) = stealSample()
     val stealPct =
       if (jif1 > jif0) 100.0 * (steal1 - steal0) / (jif1 - jif0) else 0.0
@@ -228,17 +310,12 @@ object Bench {
     // line was ~2.7 KB so its head (21 queries + the total) fell off the
     // window. Keys are therefore the qNN prefix, values ms-precision, and the
     // line is printed LAST with logs silenced — whole line ≈1.2 KB.
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-    // comma-decimal locale would turn the one metric line into invalid JSON
-    def num(v: Double, dp: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // The whole line MUST stay under the driver's ~2 KB tail window or its
     // HEAD (the total) is clipped and the JSON turns invalid — round 1 lost
     // the bench to exactly this. At 169 queries, plain 2-dp is ~2.05 KB, so:
     // trim trailing zeros ("2.50"→"2.5", "1.00"→"1"), shorten sf to its
     // basename, and if still over 1900 B degrade per-query values to 1 dp.
-    def trim(s: String): String =
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    // (num/trim live at object level so rescueJson shares them.)
     // dropQ strips the "q" key prefix (~1 B/query — worth ~180 B at 180+
     // queries) as the last step before sub-second precision would go
     def qline(dp: Int, dropQ: Boolean): String = results
@@ -251,7 +328,7 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // environment integrity block (~70 B): spin-loop ms before/after the
     // sweep + /proc/stat steal share — the contention adjudicators
-    val env = s""""spin0_ms":${trim(num(spin0, 0))},"spin1_ms":${trim(num(spin1, 0))},"rig_ms":${trim(num(rigMs, 0))},"steal_pct":${trim(num(stealPct, 1))},"reruns":${reruns.size}"""
+    val env = s""""spin0_ms":${trim(num(spin0, 0))},"spin1_ms":${trim(num(spin1, 0))},"mspin0_ms":${trim(num(mspin0, 0))},"mspin1_ms":${trim(num(mspin1, 0))},"rig_ms":${trim(num(rigMs, 0))},"steal_pct":${trim(num(stealPct, 1))},"reruns":${reruns.size}"""
     def mk(dp: Int, dropQ: Boolean = false): String =
       s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},$env,"sf":"$sfName","queries":${qline(dp, dropQ)}}"""
     // final rungs for 300+ queries: the per-query map keeps only entries
@@ -286,16 +363,15 @@ object Bench {
     // leak is closed; a ramp here is the degradation smoking gun
     val heapMap = heapSamples.result()
       .map { case (i, mb) => "\"" + i + "\":" + mb }.mkString("{", ",", "}")
+    // `rescues` (round-12 item 1) carries each flagged row's per-window rig
+    // evidence; `first` stays alongside as the flat pre-rerun map BenchDiff
+    // reads. (The bench_metric.json sidecar retired this round: the driver
+    // artifact's `parsed` field has been populated three rounds running —
+    // the r10 keep-until condition — so the stdout-tail metric line plus
+    // this full sidecar are the two remaining channels.)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (mk(3).dropRight(1) + s""","first":$firstMap,"heap_mb":$heapMap}""").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    // Sidecar metric file (round-9 item 2): the driver's stdout-tail parser
-    // loses to sbt by design — sbt prints its own "[success] ..." line LAST,
-    // after every JVM byte, so no stdout ordering trick can make the final
-    // line be the metric JSON. The sidecar is the robust channel: the exact
-    // metric line, alone, in a file next to the artifact.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_metric.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (mk(3).dropRight(1) +
+        s""","first":$firstMap,"rescues":${rescueJson(rescueRecords)},"heap_mb":$heapMap}""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF") // keep stop() chatter out of the tail window
     println(line)

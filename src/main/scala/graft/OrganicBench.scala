@@ -275,6 +275,146 @@ object OrganicTriangleBench {
   * Usage: runMain graft.OrganicHarmonicBench [baskets1x] (default 150000
   * — the sf0.1 orders count, so 1× matches q300's real workload scale).
   */
+/** Organic-growth datapoint for the kNN-screen family (q183 label-noise /
+  * q346 truncation-fidelity — round-11 verdict item 4): the last sf1 rows
+  * resting purely on a replication annotation ("7.0× at sf1 — replication
+  * densifies every neighborhood by its own copies": every key-offset copy
+  * of a vector is its own exact nearest neighbor, so the kNN workload the
+  * sf1 ratio measured is an artifact of HOW the corpus was replicated, not
+  * of the operators). The operators' scale story is the EVAL-SET contract:
+  * the query set is bounded (collect-and-broadcast), so cost is one corpus
+  * scan × |eval| heap updates — linear in the corpus at fixed eval size.
+  *
+  * This main measures exactly that claim on an ORGANIC corpus: label-
+  * clustered deterministic vectors (each row a pure function of its id —
+  * vector = its TRUE label's centroid + per-id noise; 1-in-20 ids carry a
+  * FLIPPED label while keeping their cluster geometry, so ~5% genuine
+  * label noise exists to find at every scale and no neighborhood ever
+  * contains a copy). Corpus grows 1× → 10× (2,000 → 20,000, the sf0.1
+  * embeddings count as anchor) at a FIXED 2,000-query eval set; recorded:
+  * wall (min of 2) + flagged count for the verbatim q183 chain
+  * (bruteForceTopK candidates + the majority-vote tail), and wall + agree
+  * count for the verbatim q346 chain (truncationFidelity, 8 queries,
+  * 8-dim prefix). Done-criterion: wall tracks the corpus scan (~linear),
+  * flagged stays ~the planted 5% rate — neighborhood density constant.
+  *
+  * Usage: runMain graft.OrganicKnnBench [n1x] (default 2000).
+  */
+object OrganicKnnBench {
+  private val Dims = 64
+  private val NLabels = 10
+
+  /** Deterministic organic embeddings: (vec_id, embedding float[64], label).
+    * u(h) maps a hash to uniform [-1, 1] at 1e-6 grain. */
+  private[graft] def organicEmbeddings(ss: SparkSession, n: Long): DataFrame = {
+    def u(h: org.apache.spark.sql.Column) =
+      (pmod(h, lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
+    ss.range(n).toDF("vec_id")
+      .withColumn("t", pmod(xxhash64(col("vec_id"), lit("lbl")), lit(NLabels)))
+      // 1-in-20 rows carry a wrong label but keep their t-cluster vector —
+      // planted, findable label noise at a scale-invariant rate
+      .withColumn("label",
+        when(pmod(xxhash64(col("vec_id"), lit("flip")), lit(20)) === 0,
+          pmod(col("t") + lit(1) +
+            pmod(xxhash64(col("vec_id"), lit("fl2")), lit(NLabels - 1)),
+            lit(NLabels)))
+        .otherwise(col("t")).cast("int"))
+      // dimension spectrum decays 0.8^j (real embedding spectra decay;
+      // PCA-rotated or Matryoshka-trained ones front-load variance) — a
+      // FLAT spectrum makes the q346 8-dim-prefix readout degenerate
+      // (agree 0/8: the prefix can never pin top-1 when 7/8 of the
+      // ranking energy lives behind it), which measures the synthetic
+      // geometry, not the operator
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(Dims - 1)), j =>
+          (pow(lit(0.8), j.cast("double")) *
+            (u(xxhash64(col("t"), j, lit("c"))) +
+              lit(0.5) * u(xxhash64(col("vec_id"), j, lit("n"))))).cast("float")))
+      .select("vec_id", "embedding", "label")
+  }
+
+  /** The q183 tail verbatim (SparkEntry chain over bruteForceTopK
+    * candidates): per-query neighbor-label majority vote, ties to the
+    * smallest label, flag where it differs from the row's own label. */
+  private def labelNoiseChain(ss: SparkSession, n: Long, evalIds: Seq[Long],
+                              k: Int): DataFrame = {
+    val emb = organicEmbeddings(ss, n)
+    val nn = graft.operators.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", evalIds, k)
+    val nbrLabels = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("n_label"))
+    val own = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    nn.join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id").as("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("votes").as("v"), (-col("n_label")).as("negl"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.negl")).as("majority_label"),
+        col("__m.v").as("votes"))
+      .join(own, "vec_id")
+      .select(col("vec_id"), col("label"), col("majority_label"),
+        (col("majority_label") =!= col("label")).as("flagged"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n1x = args.headOption.map(_.toLong).getOrElse(2000L)
+    // optional 2nd arg: comma-separated growth multipliers (default 1,10);
+    // same anchor contract as OrganicHarmonicBench — the list must start
+    // at the 1× leg every later readout is compared against
+    val mults: Seq[Long] = args.drop(1).headOption
+      .map(_.split(',').toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L))
+    require(mults.headOption.contains(1L),
+      s"multiplier list must start with 1 (the anchor); got ${mults.mkString(",")}")
+    val evalIds: Seq[Long] = 0L until n1x // the FIXED eval set = the 1x ids
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def timeOnce(fn: SparkSession => DataFrame): Double = {
+      val ss = spark.newSession()
+      val t0 = System.nanoTime()
+      fn(ss).write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      hygiene(); s
+    }
+
+    println("| chain | n | wall s (min of 2) | readout |")
+    println("|---|---|---|---|")
+    mults.map(n1x * _).foreach { n =>
+      val w183 = math.min(
+        timeOnce(ss => labelNoiseChain(ss, n, evalIds, k = 5)),
+        timeOnce(ss => labelNoiseChain(ss, n, evalIds, k = 5)))
+      val flagged = labelNoiseChain(spark.newSession(), n, evalIds, k = 5)
+        .filter(col("flagged")).count()
+      hygiene()
+      println(f"| q183_label_noise | $n | $w183%.2f | flagged $flagged of ${evalIds.size} |")
+      def trunc(ss: SparkSession) = graft.operators.Similarity.truncationFidelity(
+        organicEmbeddings(ss, n), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), dims = 8)
+      val w346 = math.min(timeOnce(trunc), timeOnce(trunc))
+      val agree = trunc(spark.newSession())
+        .agg(sum(col("agree")).as("a")).collect()(0).getLong(0)
+      hygiene()
+      println(f"| q346_truncation_fidelity | $n | $w346%.2f | agree $agree of 8 |")
+    }
+    spark.stop()
+  }
+}
+
 object OrganicHarmonicBench {
   def main(args: Array[String]): Unit = {
     val baskets1x = args.headOption.map(_.toLong).getOrElse(150000L)
@@ -285,6 +425,12 @@ object OrganicHarmonicBench {
     // operator — the OrganicDedupBench rule).
     val mults: Seq[Long] = args.drop(1).headOption
       .map(_.split(',').toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L))
+    // every later leg reports as a ratio to the timed 1× anchor, and the
+    // timed legs are mults.tail — a list not starting at 1 would silently
+    // skip timing its first multiplier while still tabling a "1x" column
+    // (round-12 advisory)
+    require(mults.headOption.contains(1L),
+      s"multiplier list must start with 1 (the timed anchor); got ${mults.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

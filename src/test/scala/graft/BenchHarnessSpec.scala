@@ -80,4 +80,30 @@ class BenchHarnessSpec extends AnyFunSuite {
     val fp = Seq("q01_jobs_by_user" -> 2.0, "q999_new_query" -> 100.0)
     assert(Bench.rescueFlagged(fp, base).isEmpty)
   }
+
+  test("shortName: ONE definition of the qNN key rule — prefix before the " +
+      "first underscore; names without one pass through unchanged") {
+    assert(Bench.shortName("q41_pricing_summary") === "q41")
+    assert(Bench.shortName("q133_triangles") === "q133")
+    assert(Bench.shortName("q06") === "q06")
+  }
+
+  test("rescueJson: each flagged row carries first/rerun (3 dp) + its " +
+      "window's spin/mspin (0 dp) + steal (1 dp), keys collapsed to qNN, " +
+      "trailing zeros trimmed — the self-adjudication record") {
+    val rows = Seq(
+      "q133_triangles" -> Bench.RescueRig(
+        first = 27.513, rerun = 8.9, spinMs = 63.4, mspinMs = 9.0,
+        stealPct = 0.42),
+      "q47_pii_redact" -> Bench.RescueRig(
+        first = 0.8, rerun = 0.35, spinMs = 61.0, mspinMs = 24.7,
+        stealPct = 3.15))
+    assert(Bench.rescueJson(rows) ===
+      """{"q133":{"first":27.513,"rerun":8.9,"spin_ms":63,"mspin_ms":9,"steal_pct":0.4},""" +
+      """"q47":{"first":0.8,"rerun":0.35,"spin_ms":61,"mspin_ms":25,"steal_pct":3.2}}""")
+  }
+
+  test("rescueJson: no flagged rows is an empty object, not a missing key") {
+    assert(Bench.rescueJson(Seq.empty) === "{}")
+  }
 }
