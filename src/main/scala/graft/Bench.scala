@@ -54,7 +54,15 @@ object Bench {
     * cache-miss-bound queries (per-wedge Bloom probes once the sketch
     * leaves L3) while steal reads ~0% and the xorshift spin is flat. This
     * probe reads exactly that axis: its ratio vs the pass-global samples
-    * adjudicates "bandwidth-contended window" from the artifact alone. */
+    * adjudicates "bandwidth-contended window" from the artifact alone.
+    *
+    * Calibration (round 12, this rig, numpy analog of the same sweep):
+    * warm-quiet ~38-45 ms; under 32 saturating local streams 57 ms
+    * (~1.4×); under 12 streams FASTER (10-21 ms) — on an idle VM the
+    * uncore/memory controller clocks DOWN, so partial load can speed a
+    * lone sweep up. Read it one-directionally: a clearly inflated mspin
+    * (≳2× the pass anchors) says the window was bandwidth-starved; a flat
+    * reading rules out saturation but not milder sharing. */
   private def memSpinMs(): Double = {
     var s = 0L; var pass = 0
     val t0 = System.nanoTime()
