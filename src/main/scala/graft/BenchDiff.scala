@@ -36,7 +36,7 @@ object BenchDiff {
     val base = Bench.baselineTable()
     if (base.isEmpty) { println("[benchdiff] no BENCH_BASELINE.md rows parsed"); return }
 
-    val nameOf = SparkEntry.queries.keys.map(n => n.takeWhile(_ != '_') -> n).toMap
+    val nameOf = SparkEntry.queries.keys.map(n => Bench.shortName(n) -> n).toMap
     val joined = measured.toSeq.flatMap { case (k, v) =>
       val key = if (k.startsWith("q")) k else "q" + k
       base.get(key).map(b => (key, nameOf.getOrElse(key, key), v, b, v / b))
