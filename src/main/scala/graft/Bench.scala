@@ -99,6 +99,23 @@ object Bench {
   private[graft] final case class RescueRig(first: Double, rerun: Double,
     spinMs: Double, mspinMs: Double, stealPct: Double)
 
+  /** The flagged rows STILL >2× their pin after the rescue rerun (kept =
+    * min(first, rerun); a failed rerun falls back to first) — the only
+    * rows a reader must adjudicate, so the only ones whose rig records
+    * belong in the size-budgeted METRIC LINE. The full map always lands
+    * in bench_full.json, but the driver keeps only the stdout tail: an
+    * unresolved outlier must carry its evidence THERE or the driver
+    * artifact still can't self-adjudicate (the r11 q133 gap). Bounded at
+    * `cap` worst-first rows so the line budget holds. Pure — spec-pinned. */
+  private[graft] def unresolvedRescues(rescues: Seq[(String, RescueRig)],
+                                       base: Map[String, Double],
+                                       cap: Int = 6): Seq[(String, RescueRig)] =
+    rescues.filter { case (name, r) =>
+      val kept = if (r.rerun >= 0) math.min(r.first, r.rerun) else r.first
+      base.get(shortName(name)).exists(b => kept > 2.0 * b)
+    }.sortBy { case (_, r) => -math.min(r.first, if (r.rerun >= 0) r.rerun else r.first) }
+      .take(cap)
+
   /** The `rescues` JSON object for bench_full.json — every flagged row
     * carries its own adjudication numbers, so a driver-pass outlier that
     * survives its rerun self-adjudicates (environment vs plan) without a
@@ -336,7 +353,10 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // environment integrity block (~70 B): spin-loop ms before/after the
     // sweep + /proc/stat steal share — the contention adjudicators
-    val env = s""""spin0_ms":${trim(num(spin0, 0))},"spin1_ms":${trim(num(spin1, 0))},"mspin0_ms":${trim(num(mspin0, 0))},"mspin1_ms":${trim(num(mspin1, 0))},"rig_ms":${trim(num(rigMs, 0))},"steal_pct":${trim(num(stealPct, 1))},"reruns":${reruns.size}"""
+    // `flags` carries ONLY the rescued rows still >2× pin (worst-first,
+    // ≤6): normally "{}", so the ~85 B/row cost lands exactly when a
+    // reader needs the adjudication numbers in the driver-visible line
+    val env = s""""spin0_ms":${trim(num(spin0, 0))},"spin1_ms":${trim(num(spin1, 0))},"mspin0_ms":${trim(num(mspin0, 0))},"mspin1_ms":${trim(num(mspin1, 0))},"rig_ms":${trim(num(rigMs, 0))},"steal_pct":${trim(num(stealPct, 1))},"reruns":${reruns.size},"flags":${rescueJson(unresolvedRescues(rescueRecords, base))}"""
     def mk(dp: Int, dropQ: Boolean = false): String =
       s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},$env,"sf":"$sfName","queries":${qline(dp, dropQ)}}"""
     // final rungs for 300+ queries: the per-query map keeps only entries

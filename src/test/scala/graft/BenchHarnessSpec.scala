@@ -106,4 +106,30 @@ class BenchHarnessSpec extends AnyFunSuite {
   test("rescueJson: no flagged rows is an empty object, not a missing key") {
     assert(Bench.rescueJson(Seq.empty) === "{}")
   }
+
+  test("unresolvedRescues: keeps ONLY rows still >2x pin after the rerun " +
+      "(kept = min(first, rerun)); a successful rescue drops out") {
+    val base = Map("q159" -> 0.45, "q55" -> 0.34)
+    val rig = Seq(
+      "q159_acf" -> Bench.RescueRig(1.017, 0.935, 192, 67, 0.1), // kept 0.935 > 0.90 → stays
+      "q55_range_join" -> Bench.RescueRig(2.713, 0.688, 155, 46, 0.1)) // kept 0.688 ≤ 0.68? 0.688 > 0.68 → stays
+    // q55: 2×0.34 = 0.68, kept 0.688 — strictly greater, so it stays too
+    assert(Bench.unresolvedRescues(rig, base).map(_._1) ===
+      Seq("q159_acf", "q55_range_join"))
+    // raise q55's pin so its rescue resolves it → only q159 remains
+    assert(Bench.unresolvedRescues(rig, base + ("q55" -> 0.40)).map(_._1) ===
+      Seq("q159_acf"))
+  }
+
+  test("unresolvedRescues: a failed rerun (-1 sentinel) falls back to the " +
+      "first-pass value; unpinned rows never surface; cap keeps worst-first") {
+    val base = Map("q01" -> 0.10, "q02" -> 0.10, "q03" -> 0.10)
+    val rig = Seq(
+      "q01_a" -> Bench.RescueRig(0.50, -1.0, 150, 45, 0.0),  // rerun failed → kept 0.50 > 0.20
+      "q02_b" -> Bench.RescueRig(0.90, 0.80, 150, 45, 0.0),  // kept 0.80 > 0.20
+      "q03_c" -> Bench.RescueRig(0.30, 0.25, 150, 45, 0.0),  // kept 0.25 > 0.20
+      "q99_unpinned" -> Bench.RescueRig(9.0, 9.0, 150, 45, 0.0))
+    assert(Bench.unresolvedRescues(rig, base, cap = 2).map(_._1) ===
+      Seq("q02_b", "q01_a")) // worst kept first (0.80 > 0.50), q03 capped out
+  }
 }
