@@ -552,24 +552,39 @@ object Dedup {
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var m = edges.count()
+    var converged = m == 0L
     var i = 0
     while (!converged && i < maxIter) {
+      // Each star pass is ONE grouped aggregate + explode (was: aggregate +
+      // join + standalone distinct — two extra node-keyed shuffles per
+      // round): the apex's neighborhood minimum and its hooked neighbors
+      // ride the same collect_set aggregate, and the set explode emits the
+      // hook edges directly. collect_set dedups per apex, so per-round
+      // shuffle volume stays Σ|N(u)| = 2|E| — the same bound the joined
+      // form had — and the only remaining wide ops are the two aggregates
+      // plus the final distinct.
       // large-star over the SYMMETRIC neighborhood: (v, min(N(u) ∪ u)) for v > u
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = sym.join(mins, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+      val large = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"),
+          collect_set(when(col("v") > col("u"), col("v"))).as("big"))
+        .select(explode(col("big")).as("u"), col("m").as("v"))
       // small-star over the directed (big → small) list: hook u and all its
       // smaller neighbors onto the minimum
-      val smins = large.groupBy("u").agg(min("v").as("m")).localCheckpoint()
-      val next = large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
-        .unionAll(smins.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val next = large.groupBy("u")
+        .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+        .select(explode(concat(col("vs"), array(col("u")))).as("u2"), col("m"))
+        .where(col("u2") =!= col("m"))
+        .select(col("u2").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // set equality of two DISTINCT edge lists = equal cardinality + one
+      // empty anti-join (was: two exceptAll passes); the && short-circuit
+      // means rounds that still change the edge count never pay the join
+      val m2 = next.count()
+      converged = m2 == m && next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      m = m2
       i += 1
     }
     // a non-converged edge list still contains node→intermediate hooks, and
@@ -837,14 +852,20 @@ object Dedup {
       .toDF("doc_id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val wSize = Window.partitionBy("doc_id")
-    val wOrder = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    // per-doc (df, h) sort + prefix slice as ONE grouped aggregate: the
+    // former two-window form (count + row_number over doc_id) paid a full
+    // sort of the annotated shingle table by (doc_id, df, h); sort_array
+    // over struct(df, h) is the identical (df asc, h asc) rank per doc,
+    // and slice keeps exactly the rows pos ≤ |S| − ⌈t·|S|⌉ + 1 kept before
     val prefix = sh.join(freq, Seq("h"))
-      .withColumn("set_size", count(lit(1)).over(wSize))
-      .withColumn("pos", row_number().over(wOrder))
-      .filter(col("pos") <=
-        col("set_size") - ceil(col("set_size") * threshold) + 1)
-      .select(col("doc_id"), col("h"), col("set_size"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fs"))
+      .select(col("doc_id"), size(col("fs")).cast("long").as("set_size"),
+        explode(slice(col("fs"), lit(1),
+          greatest(
+            (size(col("fs")) - ceil(size(col("fs")) * threshold) + 1).cast("int"),
+            lit(0)))).as("e"))
+      .select(col("doc_id"), col("e.h").as("h"), col("set_size"))
     val cands = prefix.toDF("id_a", "h", "size_a")
       .join(prefix.toDF("id_b", "h", "size_b"), Seq("h"))
       .filter(col("id_a") < col("id_b") &&
@@ -852,11 +873,20 @@ object Dedup {
         col("size_b") * threshold <= col("size_a"))
       .select("id_a", "id_b", "size_a", "size_b")
       .distinct()
+    // verification: one set-typed join per side + a map-side exact
+    // array_intersect per candidate (hash-set intersection, order-free).
+    // The former shape re-exploded every candidate against its FULL
+    // shingle list (candidates × set size rows through an equi-join and a
+    // 4-key hash aggregate — 16M intermediate rows at sf0.1, 5.0 s of the
+    // query); this one shuffles each side's set once per candidate, the
+    // same candidates×set-size byte bound, and the aggregate disappears.
+    val sets = sh.groupBy("doc_id").agg(collect_list("h").as("hs"))
     val pairs = cands
-      .join(sh.toDF("id_a", "h"), Seq("id_a"))
-      .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"))
+      .filter(col("inter") >= 1) // the old inner-join shape implied ≥1 shared shingle
       // inter/(|A|+|B|−inter): same integers as the oracle's
       // intersect/union, so the double quotients are bit-identical
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),

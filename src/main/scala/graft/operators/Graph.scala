@@ -183,12 +183,15 @@ object Graph {
     * Degree-ordered enumeration (the standard distributed algorithm, cf.
     * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
     * Reducer", WWW'11): every edge is oriented from its lower-(deg, id)
-    * endpoint to the higher, so each node's out-degree is O(√m) and the
-    * wedge self-join generates Σ outdeg² = O(m^1.5) candidates worst-case
+    * endpoint to the higher, so each node's out-degree is O(√m) and wedge
+    * enumeration generates Σ C(outdeg, 2) = O(m^1.5) candidates worst-case
     * instead of the Σ deg² a naive adjacency join pays (the "last reducer"
-    * hot node). Each triangle is found exactly once, at its lowest-rank
-    * apex. Three shuffles total (degree agg, wedge join, closing join);
-    * nothing driver-side. */
+    * hot node). Wedges come from a sorted-adjacency slice-explode (one
+    * node-keyed aggregate; per-apex state is the O(√m) out-list — the same
+    * bound the former self-join's per-key group buffering had, for half the
+    * enumerated pairs and one less edge-list shuffle). Each triangle is
+    * found exactly once, at its lowest-rank apex. Three shuffles total
+    * (degree agg, wedge aggregate, closing join); nothing driver-side. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val und = edges.select(
         least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
@@ -210,11 +213,19 @@ object Graph {
         when(aIsLo, col("deg_b")).otherwise(col("deg_a")).as("deg_hi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges at apex u, tips canonicalized by the same (deg, id) rank, so
-    // the closing edge — if present — is oriented exactly v→w
-    val x = oriented.select(col("lo").as("u"), col("hi").as("v"), col("deg_hi").as("dv"))
-    val y = oriented.select(col("lo").as("u"), col("hi").as("w"), col("deg_hi").as("dw"))
-    val wedges = x.join(y, "u")
-      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    // the closing edge — if present — is oriented exactly v→w. Enumeration
+    // is the sorted-adjacency explode (the co-occurrence-builder recipe):
+    // ONE node-keyed aggregate collects each apex's out-neighbors sorted by
+    // (deg, id), and the i<j slice-explode emits each wedge exactly once —
+    // where the former x⋈y self-join shuffled the out-edge list twice and
+    // enumerated all ordered pairs (2× the wedges) only to filter half away.
+    val wedges = oriented
+      .groupBy(col("lo").as("u"))
+      .agg(sort_array(collect_list(struct(col("deg_hi").as("d"), col("hi").as("t")))).as("ns"))
+      .select(col("u"), posexplode(col("ns")).as(Seq("i", "vs")), col("ns"))
+      .select(col("u"), col("vs.t").as("v"),
+        explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("ws"))
+      .select(col("u"), col("v"), col("ws.t").as("w"))
     // wedges outnumber edges ~deg-fold and most never close; Bloom-prune
     // them against an edge sketch BEFORE they shuffle into the closing join
     // (the engine's runtime-filter expressions, sized ~10 bits/edge ≈ 1%
@@ -322,22 +333,30 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
-    var visited = sources.distinct.sorted.toDF("node")
-      .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = visited.select("node")
+    // ONE state frame (node, dist, fresh) and ONE eager checkpoint per hop
+    // (was: checkpoint the new tier, then checkpoint the union — two
+    // materialized frames per hop): the anti-join of candidates against the
+    // visited set is folded into the same full-outer join that appends the
+    // new tier, and the next frontier is a lazy filter over the
+    // checkpointed state blocks.
+    var state = sources.distinct.sorted.toDF("node")
+      .withColumn("dist", lit(0)).withColumn("fresh", lit(true))
+      .localCheckpoint(true)
     var hop = 0
     while (hop < maxHops) {
       hop += 1
-      val next = nbrs.join(frontier, nbrs("a") === frontier("node"))
+      val frontier = state.filter(col("fresh")).select("node")
+      val cand = nbrs.join(frontier, nbrs("a") === frontier("node"))
         .select(col("b").as("node")).distinct()
-        .join(visited.select(col("node").as("v")), col("node") === col("v"), "left_anti")
-        .withColumn("dist", lit(hop))
-      val nextC = next.localCheckpoint(true)
-      visited = visited.unionAll(nextC).localCheckpoint(true)
-      frontier = nextC.select("node")
+        .withColumn("c", lit(true))
+      state = state.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("dist"), lit(hop)).as("dist"),
+          (col("dist").isNull && col("c").isNotNull).as("fresh"))
+        .localCheckpoint(true)
     }
     nbrs.unpersist(false)
-    visited.orderBy("node")
+    state.select(col("node"), col("dist")).orderBy("node")
   }
 
   /** Eigenvector centrality (Bonacich) by fixed-iteration power iteration
@@ -609,27 +628,30 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
+    // ONE state frame (node, fresh-bits-this-hop, all-bits-seen) and ONE
+    // eager checkpoint per hop: the former fresh/state split materialized
+    // two frames per hop (fresh for the record + frontier, then the state
+    // full-outer) — folding the vis-merge and the fresh-mask into the same
+    // full-outer join halves the per-hop job count; the hop record and the
+    // next frontier are lazy filters over the checkpointed state blocks.
     var state = srcs.zipWithIndex.map { case (s, i) => (s, 1L << i) }
-      .toDF("node", "vis").localCheckpoint(true) // (node, all bits seen)
-    var frontier = state.select(col("node"), col("vis").as("fresh"))
+      .toDF("node", "fresh").withColumn("vis", col("fresh"))
+      .localCheckpoint(true)
     val hopRecords = Seq.newBuilder[DataFrame] // (node, fresh, hop)
     var hop = 0
     while (hop < maxHops) {
       hop += 1
+      val frontier = state.filter(col("fresh") =!= 0)
+        .select(col("node"), col("fresh"))
       val cand = nbrs.join(frontier, nbrs("a") === frontier("node"))
         .groupBy(col("b").as("node")).agg(expr("bit_or(fresh)").as("cand"))
-      val fresh = cand.join(state, Seq("node"), "left")
-        .select(col("node"), coalesce(col("vis"), lit(0L)).as("vis"), col("cand"))
-        .withColumn("fresh", expr("cand & ~vis"))
-        .filter(col("fresh") =!= 0)
-        .select("node", "fresh", "vis")
-        .localCheckpoint(true)
-      hopRecords += fresh.select(col("node"), col("fresh"), lit(hop).as("hop"))
-      state = state.join(fresh.select(col("node"), col("fresh")), Seq("node"), "full_outer")
+      state = state.join(cand, Seq("node"), "full_outer")
         .select(col("node"),
-          (coalesce(col("vis"), lit(0L)).bitwiseOR(coalesce(col("fresh"), lit(0L)))).as("vis"))
+          expr("coalesce(cand, 0L) & ~coalesce(vis, 0L)").as("fresh"),
+          (coalesce(col("vis"), lit(0L)).bitwiseOR(coalesce(col("cand"), lit(0L)))).as("vis"))
         .localCheckpoint(true)
-      frontier = fresh.select(col("node"), col("fresh"))
+      hopRecords += state.filter(col("fresh") =!= 0)
+        .select(col("node"), col("fresh"), lit(hop).as("hop"))
     }
     nbrs.unpersist(false)
     val recs = hopRecords.result()
