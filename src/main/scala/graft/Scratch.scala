@@ -1,0 +1,694 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway stage-decomposition rig for the optimization round: times the
+  * internal stages of one heavy query so the optimization targets the stage
+  * that actually costs. Not part of the bench contract. */
+object Scratch {
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def t(label: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "q133"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    noop(spark.range(1000000).selectExpr("sum(id)"))
+
+    what match {
+      case "q133" => q133(spark, sfDir)
+      case "q343" => q343(spark, sfDir)
+      case "wedge" => wedge(spark, sfDir)
+      case "q223" => q223(spark, sfDir)
+      case "q126" => q126(spark, sfDir)
+      case "kde" => kde(spark, sfDir)
+      case "q110" => q110(spark, sfDir)
+      case "plans" => plans(spark, sfDir)
+      case "q204" => q204(spark, sfDir)
+      case other => println(s"unknown: $other")
+    }
+    spark.stop()
+  }
+
+  def planStr(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  def writePlan(path: String, header: String, df: DataFrame): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (header + "\n\n" + planStr(df)).getBytes("UTF-8"))
+
+  /** Regenerates before/after plan evidence for the pipelines whose final
+    * eager localCheckpoint hides the real plan from a plain Explain run
+    * (the *_before.txt stubs showed only `Scan ExistingRDD`). For each
+    * changed operator the OLD formulation is reconstructed verbatim from
+    * the pre-change tree and explained over the SAME sf0.1 inputs the
+    * query uses; the NEW side explains the formulation now in the
+    * operator. Loop bodies (CC rounds, BFS hops) are explained as one
+    * representative round — the plan shape is identical every round. */
+  def plans(spark: SparkSession, d: String): Unit = {
+    val dir = "plans/r12"
+
+    // ---- q133 triangles: wedge enumeration old (self-join) vs new (adjacency explode)
+    locally {
+      val edges = coEdges(spark, d)
+      val und = edges.select(
+          least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val ranked = und
+        .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+      val aIsLo = col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("a") < col("b"))
+      val oriented = ranked.select(
+          when(aIsLo, col("a")).otherwise(col("b")).as("lo"),
+          when(aIsLo, col("b")).otherwise(col("a")).as("hi"),
+          when(aIsLo, col("deg_b")).otherwise(col("deg_a")).as("deg_hi"))
+      val x = oriented.select(col("lo").as("u"), col("hi").as("v"), col("deg_hi").as("dv"))
+      val y = oriented.select(col("lo").as("u"), col("hi").as("w"), col("deg_hi").as("dw"))
+      val wedgesOld = x.join(y, "u")
+        .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+        .select("u", "v", "w")
+      val wedgesNew = oriented
+        .groupBy(col("lo").as("u"))
+        .agg(sort_array(collect_list(struct(col("deg_hi").as("d"), col("hi").as("t")))).as("ns"))
+        .select(col("u"), posexplode(col("ns")).as(Seq("i", "vs")), col("ns"))
+        .select(col("u"), col("vs.t").as("v"),
+          explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("ws"))
+        .select(col("u"), col("v"), col("ws.t").as("w"))
+      writePlan(s"$dir/q133_triangles_before.txt",
+        "q133_triangles — WEDGE-ENUMERATION stage, PRE-change formulation\n" +
+        "(x self-join y on apex + half-discarding canonical filter; the full\n" +
+        "query's final plan is checkpoint-hidden, so the changed stage is\n" +
+        "explained directly over the real sf0.1 co-occurrence pipeline).\n" +
+        "Note the TWO exchanges over the oriented edge list feeding the join.",
+        wedgesOld)
+      writePlan(s"$dir/q133_triangles_after.txt",
+        "q133_triangles — WEDGE-ENUMERATION stage, POST-change formulation\n" +
+        "(sorted-adjacency slice-explode: ONE node-keyed aggregate; each i<j\n" +
+        "pair emitted exactly once — no self-join, half the enumerated pairs).",
+        wedgesNew)
+    }
+
+    // ---- CC star round body: old (agg + join + distinct + join/union) vs new (two agg+explode)
+    locally {
+      val documents = Tables.load(spark, d, "documents")
+      // q87's real input shape: chain pairs from the star-CC query is
+      // internal; a representative canonical big→small edge list suffices
+      val pairs = documents.select((col("doc_id") + 1).as("u"), col("doc_id").as("v"))
+      val edges = pairs.where(col("u") =!= col("v")).distinct()
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      // OLD round body
+      val minsO = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val largeO = sym.join(minsO, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val sminsO = largeO.groupBy("u").agg(min("v").as("m"))
+      val nextO = largeO.join(sminsO, "u").select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sminsO.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+      // NEW round body
+      val largeN = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"),
+          collect_set(when(col("v") > col("u"), col("v"))).as("big"))
+        .select(explode(col("big")).as("u"), col("m").as("v"))
+      val nextN = largeN.groupBy("u")
+        .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+        .select(explode(concat(col("vs"), array(col("u")))).as("u2"), col("m"))
+        .where(col("u2") =!= col("m"))
+        .select(col("u2").as("u"), col("m").as("v"))
+        .distinct()
+      writePlan(s"$dir/cc_star_round_before.txt",
+        "connectedComponentsStar (q87/q113/q179/q210/q343) — ONE large+small\n" +
+        "star round, PRE-change formulation (aggregate + join + standalone\n" +
+        "distinct per star pass, then join + union + distinct; convergence\n" +
+        "paid TWO further exceptAll passes per round, not shown in the plan).",
+        nextO)
+      writePlan(s"$dir/cc_star_round_after.txt",
+        "connectedComponentsStar — ONE large+small star round, POST-change\n" +
+        "(each star pass is one grouped aggregate + set explode; convergence\n" +
+        "is a cardinality check + one anti-join, short-circuited while the\n" +
+        "edge count still changes).",
+        nextN)
+    }
+
+    // ---- harmonic hop body: old (left join + separate state full-outer) vs new (one full-outer)
+    locally {
+      val edges = coEdges(spark, d)
+      val und = edges.select(
+          least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val nbrs = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      import spark.implicits._
+      val state0 = Seq(1L, 2L, 3L, 4L, 5L, 6L).zipWithIndex
+        .map { case (s, i) => (s, 1L << i) }.toDF("node", "vis")
+      val frontier0 = state0.select(col("node"), col("vis").as("fresh"))
+      val cand = nbrs.join(frontier0, nbrs("a") === frontier0("node"))
+        .groupBy(col("b").as("node")).agg(expr("bit_or(fresh)").as("cand"))
+      val freshOld = cand.join(state0, Seq("node"), "left")
+        .select(col("node"), coalesce(col("vis"), lit(0L)).as("vis"), col("cand"))
+        .withColumn("fresh", expr("cand & ~vis"))
+        .filter(col("fresh") =!= 0)
+        .select("node", "fresh", "vis")
+      val stateOldNext = state0.join(freshOld.select(col("node"), col("fresh")), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("vis"), lit(0L)).bitwiseOR(coalesce(col("fresh"), lit(0L)))).as("vis"))
+      val state0N = state0.withColumnRenamed("vis", "fresh").withColumn("vis", col("fresh"))
+      val stateNewNext = state0N.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          expr("coalesce(cand, 0L) & ~coalesce(vis, 0L)").as("fresh"),
+          (coalesce(col("vis"), lit(0L)).bitwiseOR(coalesce(col("cand"), lit(0L)))).as("vis"))
+      writePlan(s"$dir/q300_harmonic_before.txt",
+        "q300_harmonic — ONE MS-BFS hop, PRE-change: the hop materialized TWO\n" +
+        "eager checkpoints (fresh tier via a left join, then the state merge\n" +
+        "via a second, full-outer join). Both sub-plans shown: fresh, then state.\n\n" +
+        "---- fresh tier ----\n" + planStr(freshOld) + "\n---- state merge ----",
+        stateOldNext)
+      writePlan(s"$dir/q300_harmonic_after.txt",
+        "q300_harmonic — ONE MS-BFS hop, POST-change: the fresh-mask and the\n" +
+        "vis-merge fold into ONE full-outer join and ONE eager checkpoint;\n" +
+        "hop records and the next frontier are lazy filters over its blocks.",
+        stateNewNext)
+    }
+
+    // ---- q361: old global-sort + row-number path vs new bracketing input
+    locally {
+      val li = Tables.load(spark, d, "lineitem")
+      def daily(f: String) = li.filter(col("l_returnflag") === f)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100d)).cast("long")).as("cents"))
+      val av = daily("A").select(col("cents").cast("long").as("va")).filter(col("va").isNotNull)
+      val bv = daily("R").select(col("cents").cast("long").as("vb")).filter(col("vb").isNotNull)
+      val diffs = av.crossJoin(broadcast(bv)).select((col("va") - col("vb")).as("d"))
+      val sortedOld = diffs.sort(col("d"))
+      writePlan(s"$dir/q361_hl_shift_before.txt",
+        "q361_hl_shift — PRE-change: the 6.2M pairwise diffs were globally\n" +
+        "RANGE-SORTED (this plan), eagerly checkpointed, then rebuilt row by\n" +
+        "row through TWO non-codegen RDD passes (partition counts collect +\n" +
+        "Row.fromSeq re-emit) before the two middle ranks were filtered out.",
+        sortedOld)
+      writePlan(s"$dir/q361_hl_shift_after.txt",
+        "q361_hl_shift — POST-change: the SAME diff frame (this plan, now\n" +
+        "persisted) feeds exactGlobalMedian's multi-pass histogram bracketing\n" +
+        "— map-side bin aggregates over the cached blocks, no global sort, no\n" +
+        "Row-object rebuild; the two middle order statistics come from a\n" +
+        "≤100k-row sliver. Identical .0/.5 rational, decimal(18,4)-quantized.",
+        diffs)
+    }
+    // ---- q126: prefix + verification stages old vs new
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val documents = Tables.load(spark, d, "documents")
+      val base = documents.select(col("doc_id"), col("text"))
+      val dups = documents.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" near dup tail")).as("text"))
+      val docs = base.unionAll(dups)
+      val threshold = 0.5
+      val sh = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.operators.Dedup.shingles(Option(t).getOrElse(""), 3).distinct.map(h => (id, h)) }
+        .toDF("doc_id", "h")
+      val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val wSize = Window.partitionBy("doc_id")
+      val wOrder = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+      val prefixOld = sh.join(freq, Seq("h"))
+        .withColumn("set_size", count(lit(1)).over(wSize))
+        .withColumn("pos", row_number().over(wOrder))
+        .filter(col("pos") <=
+          col("set_size") - ceil(col("set_size") * threshold) + 1)
+        .select(col("doc_id"), col("h"), col("set_size"))
+      val prefixNew = sh.join(freq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fs"))
+        .select(col("doc_id"), size(col("fs")).cast("long").as("set_size"),
+          explode(slice(col("fs"), lit(1),
+            greatest((size(col("fs")) - ceil(size(col("fs")) * threshold) + 1).cast("int"),
+              lit(0)))).as("e"))
+        .select(col("doc_id"), col("e.h").as("h"), col("set_size"))
+      def candsOf(prefix: DataFrame) = prefix.toDF("id_a", "h", "size_a")
+        .join(prefix.toDF("id_b", "h", "size_b"), Seq("h"))
+        .filter(col("id_a") < col("id_b") &&
+          col("size_a") * threshold <= col("size_b") &&
+          col("size_b") * threshold <= col("size_a"))
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+      val verifyOld = candsOf(prefixOld)
+        .join(sh.toDF("id_a", "h"), Seq("id_a"))
+        .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          (col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .orderBy("doc_id_a", "doc_id_b")
+      val sets = sh.groupBy("doc_id").agg(collect_list("h").as("hs"))
+      val verifyNew = candsOf(prefixNew)
+        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"))
+        .filter(col("inter") >= 1)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          (col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .orderBy("doc_id_a", "doc_id_b")
+      writePlan(s"$dir/q126_setsim_join_before.txt",
+        "q126_setsim_join — full pre-checkpoint pipeline, PRE-change: prefix\n" +
+        "rank via TWO windows over (doc_id) incl. a full (doc_id, df, h) sort,\n" +
+        "and verification re-exploding each candidate against its whole\n" +
+        "shingle list through an equi-join + 4-key hash aggregate.",
+        verifyOld)
+      writePlan(s"$dir/q126_setsim_join_after.txt",
+        "q126_setsim_join — POST-change: prefix rank via ONE grouped\n" +
+        "sort_array + slice-explode; verification via per-candidate\n" +
+        "array_intersect over collected shingle sets (no window sort, no\n" +
+        "candidate×set-size row explosion, no 4-key aggregate).",
+        verifyNew)
+    }
+
+    // ---- q224 bfs hop body old vs new
+    locally {
+      import spark.implicits._
+      val edges = coEdges(spark, d)
+      val und = edges.select(
+          least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val nbrs = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      val visited0 = Seq(1L, 2L).toDF("node").withColumn("dist", lit(0))
+      val frontier0 = visited0.select("node")
+      val nextOld = nbrs.join(frontier0, nbrs("a") === frontier0("node"))
+        .select(col("b").as("node")).distinct()
+        .join(visited0.select(col("node").as("v")), col("node") === col("v"), "left_anti")
+        .withColumn("dist", lit(1))
+      val visitedOldNext = visited0.unionAll(nextOld)
+      val state0 = visited0.withColumn("fresh", lit(true))
+      val cand = nbrs.join(state0.filter(col("fresh")).select("node"),
+          nbrs("a") === col("node"))
+        .select(col("b").as("node")).distinct()
+        .withColumn("c", lit(true))
+      val stateNewNext = state0.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("dist"), lit(1)).as("dist"),
+          (col("dist").isNull && col("c").isNotNull).as("fresh"))
+      writePlan(s"$dir/q224_bfs_distance_before.txt",
+        "q224_bfs_distance — ONE hop, PRE-change: the new tier (anti-join vs\n" +
+        "visited) and the visited union were each eagerly checkpointed — two\n" +
+        "materialized frames per hop.",
+        visitedOldNext)
+      writePlan(s"$dir/q224_bfs_distance_after.txt",
+        "q224_bfs_distance — ONE hop, POST-change: candidate attach, tier\n" +
+        "assignment and visited-merge fold into ONE full-outer join and ONE\n" +
+        "eager checkpoint; the frontier is a lazy filter over its blocks.",
+        stateNewNext)
+    }
+    println("[scratch] plans written")
+  }
+
+  def q204(spark: SparkSession, d: String): Unit = {
+    val corpus = Tables.load(spark, d, "documents").select(col("doc_id"), col("text"))
+    val newBatch = Tables.load(spark, d, "documents").filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+      .unionAll(Tables.load(spark, d, "documents").filter(col("doc_id") >= 480)
+        .select((col("doc_id") + 1500000).as("doc_id"), col("text")))
+    var index: org.apache.spark.sql.DataFrame = null
+    t("index build") {
+      index = graft.operators.Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      noop(index)
+    }
+    var cands: org.apache.spark.sql.DataFrame = null
+    t("probe") {
+      cands = graft.operators.Dedup.minhashCandidatesAgainstIndex(newBatch, "doc_id",
+        "text", index)
+      noop(cands)
+    }
+    t("ngramJaccard") {
+      noop(graft.operators.Dedup.ngramJaccard(corpus.unionAll(newBatch), "doc_id", "text",
+        cands, threshold = 0.5))
+    }
+  }
+
+  /** partCooccurrenceEdges copy (private in SparkEntry). */
+  def coEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+      .select(col("pa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
+
+  def q133(spark: SparkSession, d: String): Unit = {
+    val edges = coEdges(spark, d)
+    t("edges-raw noop") { noop(edges) }
+    val und = edges.select(
+        least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("und distinct+persist") { noop(und) }
+    println("und rows " + und.count())
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("deg") { noop(deg) }
+    val ranked = und
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+    val aIsLo = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = ranked.select(
+        when(aIsLo, col("a")).otherwise(col("b")).as("lo"),
+        when(aIsLo, col("b")).otherwise(col("a")).as("hi"),
+        when(aIsLo, col("deg_b")).otherwise(col("deg_a")).as("deg_hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("oriented") { noop(oriented) }
+    val x = oriented.select(col("lo").as("u"), col("hi").as("v"), col("deg_hi").as("dv"))
+    val y = oriented.select(col("lo").as("u"), col("hi").as("w"), col("deg_hi").as("dw"))
+    val wedges = x.join(y, "u")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    println("wedge rows " + wedges.count())
+    var m = 0L
+    t("und.count") { m = und.count() }
+    var sketch: Array[Byte] = null
+    t("bloom build") {
+      sketch = oriented
+        .select(graft.functions.Native.bloomFilterAgg(
+          xxhash64(col("lo"), col("hi")), math.max(m, 1L),
+          math.min(10L * m + 64L, 1L << 26)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    }
+    val pruned = wedges.filter(graft.functions.Native.bloomMightContain(
+      lit(sketch), xxhash64(col("v"), col("w"))))
+    println("pruned wedge rows " + pruned.count())
+    val tri = pruned.join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+    println("tri rows " + tri.count())
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    t("triPerNode + final") {
+      val out = deg.join(triPerNode, Seq("n"), "left")
+        .select(col("n").as("node"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("deg") >= 2,
+            (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("node")
+      noop(out)
+    }
+  }
+
+  def wedge(spark: SparkSession, d: String): Unit = {
+    val edges = coEdges(spark, d)
+    val und = edges.select(
+        least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+    val aIsLo = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = ranked.select(
+        when(aIsLo, col("a")).otherwise(col("b")).as("lo"),
+        when(aIsLo, col("b")).otherwise(col("a")).as("hi"),
+        when(aIsLo, col("deg_b")).otherwise(col("deg_a")).as("deg_hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    noop(oriented)
+    val x = oriented.select(col("lo").as("u"), col("hi").as("v"), col("deg_hi").as("dv"))
+    val y = oriented.select(col("lo").as("u"), col("hi").as("w"), col("deg_hi").as("dw"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("u").agg(count(lit(1)).as("c")).agg(sum("c"), count(lit(1)))
+    for (r <- 1 to 3) {
+      t(s"join-wedges r$r") {
+        noop(agg(x.join(y, "u")
+          .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+          .select("u", "v", "w")))
+      }
+      t(s"adj-wedges r$r") {
+        noop(agg(oriented
+          .groupBy(col("lo").as("u"))
+          .agg(sort_array(collect_list(struct(col("deg_hi").as("d"), col("hi").as("t")))).as("ns"))
+          .select(col("u"), posexplode(col("ns")).as(Seq("i", "vs")), col("ns"))
+          .select(col("u"), col("vs.t").as("v"),
+            explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("ws"))
+          .select(col("u"), col("v"), col("ws.t").as("w"))))
+      }
+    }
+  }
+
+  def q223(spark: SparkSession, d: String): Unit = {
+    val embeddings = Tables.embeddings(spark, d)
+    val vecCol = "embedding"; val idCol = "vec_id"
+    t("take1") { embeddings.select(size(col(vecCol)).as("d")).take(1) }
+    val dd = 64
+    for (r <- 1 to 2) {
+      t(s"moments r$r") {
+        embeddings.select(explode(flatten(concat(
+            array(array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("t")))),
+            transform(sequence(lit(0), lit(dd - 1)), i => concat(
+              array(struct(i.as("i"), lit(-1).as("j"),
+                round(element_at(col(vecCol), i + lit(1)).cast("double") * lit(1e9d))
+                  .cast("long").as("t"))),
+              transform(sequence(i, lit(dd - 1)), j =>
+                struct(i.as("i"), j.as("j"),
+                  round(element_at(col(vecCol), i + lit(1)).cast("double") *
+                    element_at(col(vecCol), j + lit(1)).cast("double") * lit(1e9d))
+                    .cast("long").as("t")))))))).as("e"))
+          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+          .agg(sum(col("e.t")).cast("decimal(38,0)").as("s"))
+          .collect()
+      }
+      t(s"projection r$r") {
+        val ex = embeddings.select(col(idCol).cast("long").as("id"),
+          posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("i", "x")))
+        val muLit = array((0 until dd).map(i => lit(0.5)): _*)
+        val vLit = array((0 until dd).map(i => lit(123456.0)): _*)
+        val pc1 = (sum(round((col("x") - element_at(muLit, col("i") + 1)) *
+          element_at(vLit, col("i") + 1)).cast("long")).cast("double") / lit(1e6d)).as("pc1")
+        val pc2 = (sum(round((col("x") - element_at(muLit, col("i") + 1)) *
+          element_at(vLit, col("i") + 1) * lit(2d)).cast("long")).cast("double") / lit(1e6d)).as("pc2")
+        noop(ex.groupBy("id").agg(pc1, pc2)
+          .select(col("id"), col("pc1"), col("pc2")).orderBy("id"))
+      }
+      t(s"full r$r") {
+        noop(graft.operators.Similarity.pcaPowerProject(embeddings, idCol, vecCol, 2, 3))
+      }
+    }
+  }
+
+  def q110(spark: SparkSession, d: String): Unit = {
+    val li0 = Tables.load(spark, d, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = li0.unionAll(li0.select(col("dst").as("src"), col("src").as("dst")))
+    t("edges noop") { noop(edges) }
+    val e = edges.select(col("src"), col("dst")).distinct()
+    t("e distinct") { noop(e) }
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var index: org.apache.spark.sql.DataFrame = null
+    t("index build+checkpoint") { index = e.join(deg, "src").localCheckpoint(true) }
+    var ranks = index.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0))
+    t("nodes distinct") { noop(ranks) }
+    for (i <- 1 to 2) {
+      ranks = index.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(28,9)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(1.0 - 0.85) + lit(0.85) * sum(col("c")).cast("double"))
+          .as("rank"))
+    }
+    t("2 iters + top20") {
+      noop(ranks
+        .select(col("node"), col("rank").cast("decimal(18,6)").cast("double").as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20))
+    }
+  }
+
+  def kde(spark: SparkSession, d: String): Unit = {
+    val orders = Tables.load(spark, d, "orders")
+    val (vMin, vMax, gridN, bandwidth) = (0.0, 500000.0, 21, 25000.0)
+    val value = col("o_totalprice")
+    val step = (vMax - vMin) / (gridN - 1).toDouble
+    val sqrt2pi = 2.5066282746310002d
+    for (r <- 1 to 3) {
+      t(s"kde OLD r$r") {
+        val grid = spark.range(gridN.toLong)
+          .select(col("id").cast("int").as("gi"),
+            (lit(vMin) + col("id").cast("double") * step).as("g"))
+        val u = (col("g") - value.cast("double")) / bandwidth
+        noop(orders.crossJoin(broadcast(grid))
+          .select(col("gi"), col("g"),
+            exp(u * u * -0.5d).cast("decimal(18,9)").as("term"))
+          .groupBy("gi", "g")
+          .agg(count(lit(1)).as("n"), sum("term").as("ksum"))
+          .select(col("gi"), col("g").cast("double").as("x"),
+            (col("ksum").cast("double") /
+              (col("n").cast("double") * bandwidth * sqrt2pi))
+              .cast("decimal(18,12)").cast("double").as("density"))
+          .orderBy("gi"))
+      }
+      t(s"kde NEW r$r") {
+        noop(graft.operators.Analytics.kdeGrid(orders, value, vMin, vMax, gridN, bandwidth))
+      }
+    }
+  }
+
+  def q126(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val documents = Tables.load(spark, d, "documents")
+    val base = documents.select(col("doc_id"), col("text"))
+    val dups = documents.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" suffix-token")).as("text"))
+    val docs = base.unionAll(dups)
+    val threshold = 0.5
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.operators.Dedup.shingles(Option(t).getOrElse(""), 3).distinct.map(h => (id, h)) }
+      .toDF("doc_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("sh build") { noop(sh) }
+    println("sh rows " + sh.count())
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    t("freq") { noop(freq) }
+    val wSize = Window.partitionBy("doc_id")
+    val wOrder = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = sh.join(freq, Seq("h"))
+      .withColumn("set_size", count(lit(1)).over(wSize))
+      .withColumn("pos", row_number().over(wOrder))
+      .filter(col("pos") <=
+        col("set_size") - ceil(col("set_size") * threshold) + 1)
+      .select(col("doc_id"), col("h"), col("set_size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("prefix") { noop(prefix) }
+    println("prefix rows " + prefix.count())
+    val cands = prefix.toDF("id_a", "h", "size_a")
+      .join(prefix.toDF("id_b", "h", "size_b"), Seq("h"))
+      .filter(col("id_a") < col("id_b") &&
+        col("size_a") * threshold <= col("size_b") &&
+        col("size_b") * threshold <= col("size_a"))
+      .select("id_a", "id_b", "size_a", "size_b")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("cands") { noop(cands) }
+    println("cands rows " + cands.count())
+    for (r <- 1 to 2) {
+      t(s"verify join OLD r$r") {
+        val pairs = cands
+          .join(sh.toDF("id_a", "h"), Seq("id_a"))
+          .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
+          .groupBy("id_a", "id_b", "size_a", "size_b")
+          .agg(count(lit(1)).as("inter"))
+          .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+            (col("inter").cast("double") /
+              (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .orderBy("doc_id_a", "doc_id_b")
+        noop(pairs)
+      }
+      t(s"verify join NEW r$r") {
+        val sets = sh.groupBy("doc_id").agg(collect_list("h").as("hs"))
+        val pairs = cands
+          .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+          .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+            size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"))
+          .filter(col("inter") >= 1)
+          .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+            (col("inter").cast("double") /
+              (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .orderBy("doc_id_a", "doc_id_b")
+        noop(pairs)
+      }
+    }
+  }
+
+  def q343(spark: SparkSession, d: String): Unit = {
+    val pts0 = Tables.embeddings(spark, d)
+    val eps = 0.04
+    val pts = pts0.select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    t("pts noop") { noop(pts) }
+    val home = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") / lit(eps)).cast("long").as("cx"),
+      floor(col("y") / lit(eps)).cast("long").as("cy"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probe2 = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), explode(offsets).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (floor(col("xa") / lit(eps)).cast("long") + col("o.dx")).as("cx"),
+        (floor(col("ya") / lit(eps)).cast("long") + col("o.dy")).as("cy"))
+    val nbr = probe2.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <=
+        lit(eps) * lit(eps))
+      .select("id_a", "id_b")
+    println("nbr rows " + nbr.count())
+    val core = nbr.groupBy("id_a").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") + 1 >= 5).select(col("id_a").as("id"))
+    println("core rows " + core.count())
+    val coreEdges = nbr
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    println("coreEdges rows " + coreEdges.count())
+    var cc: DataFrame = null
+    t("CC star") {
+      cc = graft.operators.Dedup.connectedComponentsStar(coreEdges, "id_a", "id_b")
+      noop(cc)
+    }
+    t("rest") {
+      val coreLab = core
+        .join(cc.select(col("node").as("id"), col("cluster_id")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      val borderLab = nbr
+        .join(coreLab.select(col("id").as("id_b"), col("cluster_id")), "id_b")
+        .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+        .groupBy(col("id_a").as("id")).agg(min("cluster_id").as("cluster_id"))
+      val out = pts.select("id")
+        .join(coreLab.select(col("id"), col("cluster_id").as("core_cl")), Seq("id"), "left")
+        .join(borderLab.select(col("id"), col("cluster_id").as("bord_cl")), Seq("id"), "left")
+        .select(col("id"),
+          when(col("core_cl").isNotNull, lit("core"))
+            .when(col("bord_cl").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("core_cl"), col("bord_cl")).as("cluster_id"))
+        .orderBy("id")
+      noop(out)
+    }
+  }
+}
