@@ -516,13 +516,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("nbr_label"))
+      // the changed-flag rides the SAME checkpointed frame (a label only
+      // ever decreases, so "changed" ⟺ a strictly smaller neighbor min) —
+      // convergence is then a lazy filter over the materialized blocks
+      // instead of the former next⋈previous re-join per round
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("__chg"))
         .localCheckpoint()
-      converged = next.alias("n").join(labels.alias("p"), "node")
-        .where(col("n.label") =!= col("p.label")).isEmpty
-      labels = next
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
     labels.select(col("node"), col("label").as("cluster_id")).orderBy("node")
