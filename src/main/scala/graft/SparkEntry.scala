@@ -1092,11 +1092,16 @@ object SparkEntry {
       // over the word-frequency table (corpus never re-scanned)
       Curation.bpePairCounts(Tables.documents(s, d), "text", 20)),
     "q221_bpe_train" -> ((s, d) =>
-      // full tokenizer training: 8 merge rounds, each a vocab-sized job +
-      // 1-row argmax collect. ★ since round 10: an independent sequential
-      // textbook BPE trains on the same corpus at oracle-dump time and its
-      // merge table is pinned as a DuckDB constant (bpeTrainOracleSql)
-      Curation.bpeTrain(Tables.documents(s, d), "text", BpeMerges)),
+      // full tokenizer training via the BATCHED trainer (round 13): per
+      // round one vocab-sized job + one top-K collect, accepting the
+      // maximal provably-safe PREFIX of the pair ranking — merge list
+      // PROVABLY identical to the sequential trainer (CurationSpec pins
+      // batched ≡ sequential on known-answer, adversarial and corpus-shaped
+      // inputs), in fewer job waves. ★ since round 10: an independent
+      // sequential textbook BPE trains on the same corpus at oracle-dump
+      // time and its merge table is pinned as a DuckDB constant
+      // (bpeTrainOracleSql)
+      Curation.bpeTrainBatched(Tables.documents(s, d), "text", BpeMerges)),
     "q252_isotonic" -> ((s, d) =>
       // monotone calibration map P(F | order value) via the minimax
       // closed form == PAV, computed over 16 fixed-width score bins
@@ -1772,7 +1777,9 @@ object SparkEntry {
       // round 10: the independent reference tokenizer's word → subword-count
       // map is pinned; DuckDB recomputes the per-doc sums itself
       // (bpeSubwordsOracleSql); per-doc subword counts, greedy semantics
-      val merges = Curation.bpeTrain(Tables.documents(s, d), "text", BpeMerges)
+      // batched trainer: provably the same merge table in fewer job waves
+      // (see q221)
+      val merges = Curation.bpeTrainBatched(Tables.documents(s, d), "text", BpeMerges)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Curation.bpeEncode(Tables.documents(s, d), "doc_id", "text", merges)

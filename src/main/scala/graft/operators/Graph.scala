@@ -343,7 +343,8 @@ object Graph {
       .withColumn("dist", lit(0)).withColumn("fresh", lit(true))
       .localCheckpoint(true)
     var hop = 0
-    while (hop < maxHops) {
+    var live = true
+    while (live && hop < maxHops) {
       hop += 1
       val frontier = state.filter(col("fresh")).select("node")
       val cand = nbrs.join(frontier, nbrs("a") === frontier("node"))
@@ -354,6 +355,14 @@ object Graph {
           coalesce(col("dist"), lit(hop)).as("dist"),
           (col("dist").isNull && col("c").isNotNull).as("fresh"))
         .localCheckpoint(true)
+      // early exit at the graph diameter: an empty frontier can never add
+      // a node, so every remaining hop would pay a full join + checkpoint
+      // to reproduce the same state. The emptiness probe is a limit-1 scan
+      // over the checkpointed node-sized blocks (the CC-star short-circuit
+      // recipe) — result-identical because hop h's state is a fixpoint of
+      // hop h+1's fold when fresh is all-false. Skipped on the final hop:
+      // with no hops left there is nothing to save.
+      if (hop < maxHops) live = !state.filter(col("fresh")).isEmpty
     }
     nbrs.unpersist(false)
     state.select(col("node"), col("dist")).orderBy("node")
@@ -639,7 +648,8 @@ object Graph {
       .localCheckpoint(true)
     val hopRecords = Seq.newBuilder[DataFrame] // (node, fresh, hop)
     var hop = 0
-    while (hop < maxHops) {
+    var live = true
+    while (live && hop < maxHops) {
       hop += 1
       val frontier = state.filter(col("fresh") =!= 0)
         .select(col("node"), col("fresh"))
@@ -652,6 +662,14 @@ object Graph {
         .localCheckpoint(true)
       hopRecords += state.filter(col("fresh") =!= 0)
         .select(col("node"), col("fresh"), lit(hop).as("hop"))
+      // early exit once every source's BFS has saturated (all-zero fresh
+      // masks): the remaining hops would each pay a full-outer join +
+      // checkpoint to compute this same state and an all-empty hop record.
+      // Limit-1 probe over checkpointed node-sized blocks — the same
+      // short-circuit as bfsDistances; dropped hops contribute no rows to
+      // the union below, so the result is identical. Skipped on the final
+      // hop: with no hops left there is nothing to save.
+      if (hop < maxHops) live = !state.filter(col("fresh") =!= 0).isEmpty
     }
     nbrs.unpersist(false)
     val recs = hopRecords.result()

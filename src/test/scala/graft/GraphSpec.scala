@@ -146,6 +146,23 @@ class GraphSpec extends SparkSpec {
     assert(p == Graph.bfsDistances(path, "a", "b", Seq(5L, 1L), 2).collect().map(_.toSeq).toSeq)
   }
 
+  test("bfs/harmonic early-exit: huge maxHops ≡ exact-diameter result (round 13)") {
+    // diameter-2 component: once the frontier empties the hop loop must
+    // stop (identical state each further hop), so maxHops=50 returns the
+    // same rows as maxHops=2 — and in bounded time
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val d50 = Graph.bfsDistances(tri, "a", "b", Seq(1L), maxHops = 50)
+      .collect().map(_.toSeq).toSeq
+    val d2 = Graph.bfsDistances(tri, "a", "b", Seq(1L), maxHops = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(d50 == d2)
+    val h50 = Graph.harmonicCentrality(tri, "a", "b", Seq(1L, 4L), maxHops = 50)
+      .collect().map(_.toSeq).toSeq
+    val h2 = Graph.harmonicCentrality(tri, "a", "b", Seq(1L, 4L), maxHops = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(h50 == h2)
+  }
+
   test("eigenCentrality: hub of a star dominates, scores max-normalized, layout-independent") {
     import spark.implicits._
     // star: 1 is the hub of 2..6; separate edge 10-11 is a weak component

@@ -126,6 +126,38 @@ class PcaMomentsSpec extends SparkSpec {
     assert(ne == nf && le == lf && pe == pf)
   }
 
+  test("NaN/Infinity embedding elements degrade like round().cast(long), not crash") {
+    // round-12 advisory: BigDecimal.valueOf(NaN/Inf) throws, where Spark's
+    // round() returns the input unchanged and the old non-ANSI cast-to-long
+    // then gave 0 for NaN and Long.Min/MaxValue saturation for ∓/±Inf. The
+    // guarded fold must reproduce exactly that, term by term.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq[Any](Double.NaN, 2.0, -3.0)),
+      Row(2L, Seq[Any](Double.PositiveInfinity, 0.5, Double.NegativeInfinity)),
+      Row(3L, Seq[Any](1.0, -2.0, 4.0)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    // pre-guard this threw java.lang.NumberFormatException inside the
+    // moments fold REGARDLESS of ANSI mode; guarded, the fold mirrors the
+    // non-ANSI round-then-cast semantics (NaN→0, ±Inf→Long.Min/Max), so
+    // under non-ANSI (where the old expression formulation degraded
+    // gracefully end-to-end) the whole operator must again complete. The
+    // projection pass's cast stays a plain cast — under ANSI it throws on
+    // non-finite input exactly as the old expression did, which is why the
+    // spec pins the non-ANSI parity specifically.
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val out = Similarity.pcaPowerProject(df, "vec_id", "embedding", k = 1, iters = 1)
+        .collect()
+      assert(out.length == 3)
+      assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
   test("pcaPowerProject end-to-end matches the pre-fold reference projection") {
     // hand-checkable 2-d corpus: variance dominated by the x axis; the
     // projection values themselves are pinned so a future change to the
