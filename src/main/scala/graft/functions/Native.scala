@@ -32,6 +32,18 @@ object Native {
   def bloomMightContain(bloomBinary: Column, key: Column): Column =
     NativeExpressions.bloomMightContain(bloomBinary, key)
 
+  /** `bounded_collect_set(e, cap)` — collect_set with a HARD per-key
+    * buffer bound: up to `cap` distinct non-null values, NULL (set
+    * dropped) once a key exceeds the cap. The hub-safety valve for
+    * aggregates whose per-key group size is unbounded at scale. The
+    * optional accumulator counts overflowed keys so a caller can run the
+    * optimistic bounded plan and fall back (e.g. re-run the round through
+    * a streaming join) only when the driver reads a non-zero count after
+    * the action. */
+  def boundedCollectSet(e: Column, cap: Int,
+      overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None): Column =
+    NativeExpressions.boundedCollectSet(e, cap, overflowCounter)
+
   /** Register the native functions for SQL use on an existing session
     * (clusters set `spark.sql.extensions=graft.GraftExtensions` instead). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {

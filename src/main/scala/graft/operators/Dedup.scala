@@ -540,12 +540,15 @@ object Dedup {
     * hooks the smaller neighbors; edges converge to stars (node → component
     * root). Published algorithm: Kiveris et al., "Connected Components in
     * MapReduce and Beyond" (SoCC 2014). Per round: two grouped aggregations
-    * and two distincts — all hash-partitioned by node, no broadcast of
-    * anything graph-sized, so the shape holds at 100 TB edge lists.
-    * Same contract as [[connectedComponents]]: (node, cluster_id = min id
-    * of the component). */
+    * and one distinct — all hash-partitioned by node, no broadcast of
+    * anything graph-sized, and per-key aggregation state hard-bounded at
+    * `hubCap` distinct values (a round whose apexes exceed the cap is
+    * re-run through a streaming-join formulation — see the round body),
+    * so the shape holds at 100 TB edge lists with mega-hub components. Same contract as [[connectedComponents]]:
+    * (node, cluster_id = min id of the component). */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50,
+                              hubCap: Int = 1 << 17): DataFrame = {
     // per-round localCheckpoints truncate lineage (the plan must not grow
     // per iteration); superseded rounds' checkpoint blocks are reclaimed by
     // Spark's ContextCleaner once the frames are unreferenced — storage is
@@ -563,29 +566,66 @@ object Dedup {
       // Each star pass is ONE grouped aggregate + explode (was: aggregate +
       // join + standalone distinct — two extra node-keyed shuffles per
       // round): the apex's neighborhood minimum and its hooked neighbors
-      // ride the same collect_set aggregate, and the set explode emits the
-      // hook edges directly. collect_set dedups per apex, so per-round
-      // shuffle volume stays Σ|N(u)| = 2|E| — the same bound the joined
-      // form had — and the only remaining wide ops are the two aggregates
-      // plus the final distinct.
+      // ride the same set aggregate, and the set explode emits the hook
+      // edges directly. collect_set dedups per apex, so per-round shuffle
+      // volume stays Σ|N(u)| = 2|E|.
+      //
+      // HUB SAFETY (round 13): star contraction concentrates degree at the
+      // component minimum, so late rounds on a mega-hub graph would buffer
+      // ~|component| elements in ONE ObjectHashAggregate buffer — a
+      // single-task OOM at 100 TB (round-12 advisory). The set aggregates
+      // are therefore BOUNDED at hubCap distinct values per key: past the
+      // cap the buffer is dropped (the apex contributes no hooks) and an
+      // accumulator counts the overflow. The round runs OPTIMISTICALLY in
+      // this exact one-agg shape — zero extra cost while no key overflows,
+      // which a planted-hub A/B showed is the only flat-cost design (every
+      // in-plan fallback branch re-executed the aggregate: +30-50 % on the
+      // CC-star queries) — and when the driver reads overflow > 0 after
+      // the action, the round is DISCARDED and re-run in the join-based
+      // shape below, whose per-key state is a plain MIN (fixed buffer) and
+      // whose hook emission streams through a join: hub-safe at any
+      // degree, ~2× one round's cost, only on rounds that actually carry
+      // a >hubCap hub.
       // large-star over the SYMMETRIC neighborhood: (v, min(N(u) ∪ u)) for v > u
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val overflow = pairs.sparkSession.sparkContext
+        .longAccumulator(s"ccStarHubOverflow_r$i")
       val large = sym.groupBy("u")
         .agg(least(col("u"), min(col("v"))).as("m"),
-          collect_set(when(col("v") > col("u"), col("v"))).as("big"))
+          graft.functions.Native.boundedCollectSet(
+            when(col("v") > col("u"), col("v")), hubCap, Some(overflow)).as("big"))
         .select(explode(col("big")).as("u"), col("m").as("v"))
       // small-star over the directed (big → small) list: hook u and all its
       // smaller neighbors onto the minimum
-      val next = large.groupBy("u")
-        .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+      var next = large.groupBy("u")
+        .agg(min(col("v")).as("m"),
+          graft.functions.Native.boundedCollectSet(col("v"), hubCap,
+            Some(overflow)).as("vs"))
         .select(explode(concat(col("vs"), array(col("u")))).as("u2"), col("m"))
         .where(col("u2") =!= col("m"))
         .select(col("u2").as("u"), col("m").as("v"))
         .distinct().localCheckpoint()
+      var m2 = next.count()
+      if (overflow.value > 0L) {
+        // hub round: recompute from this round's input edges with the
+        // streaming-join formulation (per-pass: fixed-buffer min aggregate
+        // + join; `large` is checkpointed once so the small pass and the
+        // hook join read materialized blocks, not a re-executed aggregate)
+        val minL = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+        val largeJ = sym.join(minL, Seq("u")).where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .localCheckpoint()
+        val minS = largeJ.groupBy("u").agg(min(col("v")).as("m"))
+        next = largeJ.join(minS, Seq("u")).select(col("v").as("u2"), col("m"))
+          .unionAll(minS.select(col("u").as("u2"), col("m")))
+          .where(col("u2") =!= col("m"))
+          .select(col("u2").as("u"), col("m").as("v"))
+          .distinct().localCheckpoint()
+        m2 = next.count()
+      }
       // set equality of two DISTINCT edge lists = equal cardinality + one
       // empty anti-join (was: two exceptAll passes); the && short-circuit
       // means rounds that still change the edge count never pay the join
-      val m2 = next.count()
       converged = m2 == m && next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
       m = m2

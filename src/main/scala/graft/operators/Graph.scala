@@ -197,7 +197,10 @@ object Graph {
         least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+    // ONE scan of the cached edge list (explode both endpoints) instead of
+    // the former two-branch unionAll — same aggregate, half the cache reads
+    // (A/B'd warm 1.13 → 0.64 s at sf0.1, round 13)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // orient low→high rank, rank = (deg, id); carry the head's degree so

@@ -263,4 +263,121 @@ object NativeExpressions {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ExpressionUtils.expression(bloomBinary), ExpressionUtils.expression(key)))
+
+  /** Aggregation buffer for [[BoundedCollectSet]]: a distinct-value set
+    * with a hard size cap. Once a key's distinct count would exceed the
+    * cap, the set is DISCARDED and the buffer carries only the overflow
+    * flag — per-key memory is ≤ cap elements at every moment, on the
+    * update side, the merge side, and across serialization. */
+  final class BoundedSetBuffer {
+    var overflowed: Boolean = false
+    val set: scala.collection.mutable.HashSet[Any] =
+      scala.collection.mutable.HashSet.empty[Any]
+  }
+
+  /** `collect_set` with a HARD per-key buffer bound: collects up to `cap`
+    * distinct non-null values; a key that exceeds the cap evaluates to
+    * NULL instead of an array (and its buffer is dropped immediately).
+    * Callers route NULL-set keys through a streaming join fallback — the
+    * hub-safety valve for star-contraction connected components, where a
+    * component root's neighborhood grows toward |component| and an
+    * unbounded collect_set is a single-task OOM at 100 TB (round-12
+    * advisory). Below the cap the result is exactly collect_set's
+    * (distinct, unordered, nulls skipped). */
+  case class BoundedCollectSet(
+      child: Expression,
+      cap: Int,
+      overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[BoundedSetBuffer]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeProjection, UnsafeRow}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    require(cap >= 1, "bounded_collect_set cap must be >= 1")
+
+    override def createAggregationBuffer(): BoundedSetBuffer = new BoundedSetBuffer()
+
+    override def update(b: BoundedSetBuffer, input: InternalRow): BoundedSetBuffer = {
+      if (!b.overflowed) {
+        val v = child.eval(input)
+        if (v != null && !b.set.contains(v)) {
+          if (b.set.size >= cap) { b.overflowed = true; b.set.clear() }
+          else b.set += InternalRow.copyValue(v)
+        }
+      }
+      b
+    }
+
+    override def merge(b: BoundedSetBuffer, o: BoundedSetBuffer): BoundedSetBuffer = {
+      if (o.overflowed) { b.overflowed = true; b.set.clear() }
+      else if (!b.overflowed) {
+        val it = o.set.iterator
+        while (it.hasNext && !b.overflowed) {
+          val v = it.next()
+          if (!b.set.contains(v)) {
+            if (b.set.size >= cap) { b.overflowed = true; b.set.clear() }
+            else b.set += v
+          }
+        }
+      }
+      b
+    }
+
+    override def eval(b: BoundedSetBuffer): Any =
+      if (b.overflowed) {
+        // eval runs once per key in the FINAL aggregation, so the counter
+        // reads "number of overflowed keys this job" on the driver after
+        // the action (stage retries can inflate it; callers test > 0 only)
+        overflowCounter.foreach(_.add(1L))
+        null
+      } else new GenericArrayData(b.set.toArray)
+
+    @transient private lazy val projection = UnsafeProjection.create(
+      Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+    override def serialize(b: BoundedSetBuffer): Array[Byte] = {
+      val arr: Array[Any] = if (b.overflowed) Array.empty[Any] else b.set.toArray
+      val rowBytes = projection.apply(
+        InternalRow.apply(new GenericArrayData(arr))).getBytes
+      val out = new Array[Byte](rowBytes.length + 1)
+      out(0) = if (b.overflowed) 1.toByte else 0.toByte
+      System.arraycopy(rowBytes, 0, out, 1, rowBytes.length)
+      out
+    }
+
+    override def deserialize(bytes: Array[Byte]): BoundedSetBuffer = {
+      val b = new BoundedSetBuffer()
+      b.overflowed = bytes(0) == 1.toByte
+      if (!b.overflowed) {
+        val row = new UnsafeRow(1)
+        row.pointTo(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 1, bytes.length - 1)
+        row.getArray(0).foreach(child.dataType, (_, x: Any) => b.set += x)
+      }
+      b
+    }
+
+    override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "bounded_collect_set"
+    override def defaultResult: Option[Literal] =
+      Option(Literal.create(Array.empty[Any], dataType))
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectSet =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectSet =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): BoundedCollectSet =
+      copy(child = newChild)
+  }
+
+  def boundedCollectSet(e: Column, cap: Int,
+      overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None): Column =
+    ExpressionUtils.column(
+      BoundedCollectSet(ExpressionUtils.expression(e), cap, overflowCounter)
+        .toAggregateExpression())
 }

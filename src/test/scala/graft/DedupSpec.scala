@@ -137,6 +137,35 @@ class DedupSpec extends SparkSpec {
     assert(star == expected, star.toString)
   }
 
+  test("connectedComponentsStar: planted mega-hub takes the bounded-set fallback, result identical") {
+    // star of 30 leaves around node 0 plus a chain welded on — with
+    // hubCap = 4 the hub apex overflows every round and streams through
+    // the join fallback; the labeling must match both the unbounded run
+    // and plain min-label CC
+    val hub = (1L to 30L).map(l => (0L, l))
+    val chain = (30L until 36L).map(i => (i, i + 1))
+    val pairs = (hub ++ chain ++ Seq((100L, 101L))).toDF("a", "b")
+    val bounded = Dedup.connectedComponentsStar(pairs, "a", "b", hubCap = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unbounded = Dedup.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded == unbounded, s"$bounded vs $unbounded")
+    assert(bounded == plain, s"$bounded vs $plain")
+    // random graphs under an adversarially tiny cap: every apex overflows,
+    // the whole round runs through the fallback path — still identical
+    val rnd = new scala.util.Random(13L)
+    val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val p2 = edges.toDF("a", "b")
+    val b2 = Dedup.connectedComponentsStar(p2, "a", "b", hubCap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u2 = Dedup.connectedComponentsStar(p2, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b2 == u2, s"$b2 vs $u2")
+  }
+
   test("connectedComponentsStar ≡ connectedComponents on seeded random graphs") {
     val rnd = new scala.util.Random(7L)
     for (trial <- 1 to 3) {

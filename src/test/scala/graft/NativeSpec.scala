@@ -94,4 +94,41 @@ class NativeSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [jaro_winkler"), plan)
     assert(df.where(col("j") === 1.0).count() == 1)
   }
+
+  test("bounded_collect_set: ≡ collect_set below cap; NULL past cap; merge-safe") {
+    // 3 keys: k=1 has 3 distinct values (under cap 4), k=2 has exactly 4
+    // (at cap — still collected), k=3 has 6 (over cap → NULL). Duplicates
+    // and nulls must not count toward the cap. 7 partitions force
+    // cross-partition buffer merges through serialize/deserialize.
+    val rows = Seq.tabulate(40)(i => (1L, (i % 3).toLong)) ++
+      Seq.tabulate(40)(i => (2L, (i % 4).toLong)) ++
+      Seq.tabulate(40)(i => (3L, (i % 6).toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = df.groupBy("k")
+      .agg(Native.boundedCollectSet(col("v"), 4).as("s"),
+        collect_set(col("v")).as("ref"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getSeq[Long](1).sorted),
+          r.getSeq[Long](2).sorted))
+      .toMap
+    assert(got(1L)._1 == got(1L)._2, got(1L).toString)
+    assert(got(2L)._1 == got(2L)._2, got(2L).toString)
+    assert(got(3L)._1 == null, got(3L).toString)
+    // null inputs are skipped exactly like collect_set
+    val withNulls = Seq((9L, Some(1L)), (9L, None), (9L, Some(2L)), (9L, None))
+      .toDF("k", "v").repartition(3)
+    val g2 = withNulls.groupBy("k")
+      .agg(Native.boundedCollectSet(col("v"), 4).as("s")).collect().head
+    assert(g2.getSeq[Long](1).sorted == Seq(1L, 2L))
+    // string element type round-trips serialization too
+    val strs = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "x"), (2L, "y"), (2L, "z"))
+      .toDF("k", "v").repartition(5)
+    val g3 = strs.groupBy("k")
+      .agg(Native.boundedCollectSet(col("v"), 2).as("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1).sorted))
+      .toMap
+    assert(g3(1L) == Seq("a", "b"))
+    assert(g3(2L) == null) // 3 distinct > cap 2
+  }
 }

@@ -32,7 +32,12 @@ object Scratch {
 
     what match {
       case "q133" => q133(spark, sfDir)
+      case "q133f" => q133f(spark, sfDir)
       case "q343" => q343(spark, sfDir)
+      case "ccab" => ccab(spark, sfDir)
+      case "tail13" => tail13(spark, sfDir)
+      case "pr13" => pr13(spark, sfDir)
+      case "plans13" => plans13(spark, sfDir)
       case "wedge" => wedge(spark, sfDir)
       case "q223" => q223(spark, sfDir)
       case "q126" => q126(spark, sfDir)
@@ -351,6 +356,73 @@ object Scratch {
     }
   }
 
+  /** Round-13 q133 fine decomposition: where the heavy closing stage goes,
+    * and A/B of the closing-join strategy + deg shape, all in one JVM. */
+  def q133f(spark: SparkSession, d: String): Unit = {
+    val edges = coEdges(spark, d)
+    val und = edges.select(
+        least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    noop(und)
+    val m = und.count()
+    for (r <- 1 to 2) {
+      t(s"deg union-scan r$r") {
+        noop(und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg")))
+      }
+      t(s"deg explode-scan r$r") {
+        noop(und.select(explode(array(col("a"), col("b"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("deg")))
+      }
+    }
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    noop(deg)
+    val ranked = und
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+    val aIsLo = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = ranked.select(
+        when(aIsLo, col("a")).otherwise(col("b")).as("lo"),
+        when(aIsLo, col("b")).otherwise(col("a")).as("hi"),
+        when(aIsLo, col("deg_b")).otherwise(col("deg_a")).as("deg_hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    noop(oriented)
+    val sketch = oriented
+      .select(graft.functions.Native.bloomFilterAgg(
+        xxhash64(col("lo"), col("hi")), math.max(m, 1L),
+        math.min(10L * m + 64L, 1L << 26)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    def wedges = oriented
+      .groupBy(col("lo").as("u"))
+      .agg(sort_array(collect_list(struct(col("deg_hi").as("d"), col("hi").as("t")))).as("ns"))
+      .select(col("u"), posexplode(col("ns")).as(Seq("i", "vs")), col("ns"))
+      .select(col("u"), col("vs.t").as("v"),
+        explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("ws"))
+      .select(col("u"), col("v"), col("ws.t").as("w"))
+    def pruned = wedges.filter(graft.functions.Native.bloomMightContain(
+      lit(sketch), xxhash64(col("v"), col("w"))))
+    def perNode(tri: DataFrame) = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    for (r <- 1 to 2) {
+      t(s"wedges gen only r$r") { noop(wedges) }
+      t(s"wedges+probe r$r") { noop(pruned) }
+      t(s"close SMJ-default r$r") {
+        noop(perNode(pruned.join(
+          oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))))
+      }
+      t(s"close SHUFFLE_HASH r$r") {
+        noop(perNode(pruned.join(
+          oriented.select(col("lo").as("v"), col("hi").as("w")).hint("SHUFFLE_HASH"),
+          Seq("v", "w"))))
+      }
+    }
+  }
+
   /** partCooccurrenceEdges copy (private in SparkEntry). */
   def coEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -631,6 +703,300 @@ object Scratch {
         noop(pairs)
       }
     }
+  }
+
+  /** Round-13 plan evidence: the changed stages, before (r12 tree) vs
+    * after (this tree), explained over the real sf0.1 inputs — the final
+    * plans of these pipelines are checkpoint-hidden, so the changed STAGE
+    * is what gets explained (the r12 precedent). */
+  def plans13(spark: SparkSession, d: String): Unit = {
+    val dir = "plans/r13"
+    new java.io.File(dir).mkdirs()
+
+    // ---- q133: degree aggregate, two-branch union scan vs single explode scan
+    locally {
+      val edges = coEdges(spark, d)
+      val und = edges.select(
+          least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val degOld = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val degNew = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      writePlan(s"$dir/q133_triangles_before.txt",
+        "q133_triangles — DEGREE stage, PRE-round-13 formulation: the cached\n" +
+        "undirected edge list is scanned TWICE (two union branches) into the\n" +
+        "node-count aggregate. (Full-query plan is checkpoint-hidden; this is\n" +
+        "the changed stage over the real sf0.1 co-occurrence pipeline.\n" +
+        "A/B warm: 1.13 s vs 0.64 s for the explode form.)", degOld)
+      writePlan(s"$dir/q133_triangles_after.txt",
+        "q133_triangles — DEGREE stage, round-13 formulation: ONE scan of the\n" +
+        "cached edge list, both endpoints exploded map-side into the same\n" +
+        "aggregate (one Generate node replaces the two-branch Union).", degNew)
+    }
+
+    // ---- CC-star round body: r12 unbounded collect_set vs round-13
+    //      bounded_collect_set optimistic round (same shape; hub rounds
+    //      re-run through the join formulation, shown separately)
+    locally {
+      val documents = Tables.load(spark, d, "documents")
+      val pairs = documents.select((col("doc_id") + 1).as("u"), col("doc_id").as("v"))
+      val edges = pairs.where(col("u") =!= col("v")).distinct()
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      def roundOld: DataFrame = {
+        val large = sym.groupBy("u")
+          .agg(least(col("u"), min(col("v"))).as("m"),
+            collect_set(when(col("v") > col("u"), col("v"))).as("big"))
+          .select(explode(col("big")).as("u"), col("m").as("v"))
+        large.groupBy("u")
+          .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+          .select(explode(concat(col("vs"), array(col("u")))).as("u2"), col("m"))
+          .where(col("u2") =!= col("m"))
+          .select(col("u2").as("u"), col("m").as("v"))
+          .distinct()
+      }
+      def roundNew: DataFrame = {
+        val large = sym.groupBy("u")
+          .agg(least(col("u"), min(col("v"))).as("m"),
+            graft.functions.Native.boundedCollectSet(
+              when(col("v") > col("u"), col("v")), 1 << 17).as("big"))
+          .select(explode(col("big")).as("u"), col("m").as("v"))
+        large.groupBy("u")
+          .agg(min(col("v")).as("m"),
+            graft.functions.Native.boundedCollectSet(col("v"), 1 << 17).as("vs"))
+          .select(explode(concat(col("vs"), array(col("u")))).as("u2"), col("m"))
+          .where(col("u2") =!= col("m"))
+          .select(col("u2").as("u"), col("m").as("v"))
+          .distinct()
+      }
+      def roundHub: DataFrame = {
+        val minL = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+        val large = sym.join(minL, Seq("u")).where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        val minS = large.groupBy("u").agg(min(col("v")).as("m"))
+        large.join(minS, Seq("u")).select(col("v").as("u2"), col("m"))
+          .unionAll(minS.select(col("u").as("u2"), col("m")))
+          .where(col("u2") =!= col("m"))
+          .select(col("u2").as("u"), col("m").as("v"))
+          .distinct()
+      }
+      writePlan(s"$dir/cc_star_round_before.txt",
+        "connectedComponentsStar (q87/q113/q179/q210/q343) — ONE round,\n" +
+        "PRE-round-13: each star pass buffers the apex's ENTIRE (half-)\n" +
+        "neighborhood in one unbounded collect_set ObjectHashAggregate\n" +
+        "buffer — a single-task OOM on a mega-hub component at 100 TB.",
+        roundOld)
+      writePlan(s"$dir/cc_star_round_after.txt",
+        "connectedComponentsStar — ONE round, round-13: the SAME plan shape\n" +
+        "(zero-cost common case, A/B'd flat: 2.37-2.45 s vs 2.50-2.60 s on\n" +
+        "the q343 core graph) with bounded_collect_set capping per-key state\n" +
+        "at hubCap distinct values; an accumulator counts overflowed keys\n" +
+        "and a round that overflowed is discarded and re-run through the\n" +
+        "join formulation in cc_star_round_hub_fallback.txt.",
+        roundNew)
+      writePlan(s"$dir/cc_star_round_hub_fallback.txt",
+        "connectedComponentsStar — the HUB-round fallback (only runs when\n" +
+        "bounded_collect_set reported overflow > 0): per pass a fixed-buffer\n" +
+        "MIN aggregate + streaming join; no per-key state grows with degree.\n" +
+        "(In the operator, `large` is additionally localCheckpoint'ed so the\n" +
+        "small pass reads materialized blocks.)",
+        roundHub)
+    }
+  }
+
+  /** Round-13 item-7: pageRankDirected per-iteration eager-checkpoint
+    * cadence A/B on q326's real customer→order graph. Variant L skips the
+    * intermediate checkpoints (only the LAST frame is materialized —
+    * sound for pageRankDirected, whose caller reads only .last and whose
+    * intermediate frames are each referenced once by the next iteration;
+    * pageRankConvergence reads every frame twice and keeps the cadence). */
+  def pr13(spark: SparkSession, d: String): Unit = {
+    val orders = Tables.load(spark, d, "orders")
+    val e0 = orders.select(
+      (col("o_custkey") * 2).as("src"), (col("o_orderkey") * 2 + 1).as("dst"))
+    def frames(checkpointEach: Boolean): DataFrame = {
+      val e = e0.select(col("src"), col("dst")).distinct()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val index = e.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dangling = nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      val nFrame = nodes.agg(count(lit(1)).as("n"))
+      var ranks = nodes.withColumn("rank", lit(1.0))
+      val damping = 0.85
+      for (it <- 1 to 2) {
+        val contrib = index.join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            (col("rank") / col("deg")).cast("decimal(28,9)").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        val mFrame = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank").cast("decimal(28,9)")),
+            lit(0).cast("decimal(28,9)")).as("m"))
+        val r2 = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(mFrame)).crossJoin(broadcast(nFrame))
+          .select(col("node"),
+            (lit(1.0 - damping) + lit(damping) *
+              (coalesce(col("s").cast("double"), lit(0.0)) +
+                col("m").cast("double") / col("n").cast("double"))).as("rank"))
+        ranks = if (checkpointEach || it == 2) r2.localCheckpoint(true) else r2
+      }
+      index.unpersist(false); nodes.unpersist(false)
+      ranks
+    }
+    def topk(r: DataFrame) = r
+      .select(col("node"), col("rank").cast("decimal(18,6)").cast("double").as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(20)
+    for (r <- 1 to 3) {
+      t(s"q326 checkpoint-each-iter r$r") { noop(topk(frames(true))) }
+      t(s"q326 checkpoint-last-only r$r") { noop(topk(frames(false))) }
+    }
+  }
+
+  /** Round-13 item-5 decompositions: where q238/q139 (co-occurrence
+    * consumers), q228 (bootstrap) and q317 (dunn) actually spend. */
+  def tail13(spark: SparkSession, d: String): Unit = {
+    for (r <- 1 to 2) {
+      t(s"coEdges raw noop r$r") { noop(coEdges(spark, d)) }
+      t(s"supported (w>=2) noop r$r") {
+        noop(coEdges(spark, d).groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select("pa", "pb"))
+      }
+      t(s"q238 full r$r") {
+        noop(graft.operators.Graph.neighborJaccard(
+          coEdges(spark, d).groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+            .filter(col("w") >= 2).select("pa", "pb"),
+          "pa", "pb", minCommon = 1))
+      }
+      t(s"q139 full r$r") {
+        noop(graft.operators.Graph.labelPropagation(
+          coEdges(spark, d).groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+            .filter(col("w") >= 2).select("pa", "pb"), "pa", "pb"))
+      }
+      val events = Tables.events(spark, d)
+      t(s"q228 events noop r$r") { noop(events.select("event_id", "value")) }
+      t(s"q228 full r$r") {
+        noop(graft.operators.Analytics.poissonBootstrapCI(events, "event_id", "value"))
+      }
+      val orders = Tables.load(spark, d, "orders")
+      t(s"q317 cells agg r$r") {
+        noop(orders.groupBy(col("o_totalprice").cast("decimal(18,2)").as("v"),
+          col("o_orderpriority").as("grp")).agg(count(lit(1)).as("cnt")))
+      }
+      t(s"q317 full r$r") {
+        noop(graft.operators.Evaluation.dunnTest(orders, "o_orderpriority",
+          col("o_totalprice").cast("decimal(18,2)")))
+      }
+    }
+  }
+
+  /** CC-star formulation A/B on the real q343 core graph: r12 unbounded
+    * agg+explode vs bounded-set w/ lazy fallback (shipped candidate) vs
+    * join-based hub-safe rounds. */
+  def ccab(spark: SparkSession, d: String): Unit = {
+    val coreEdges = q343CoreEdges(spark, d).localCheckpoint(true)
+    println("coreEdges rows " + coreEdges.count())
+
+    // A: the r12 shipped shape (unbounded collect_set, agg + explode)
+    def ccA(pairs: DataFrame): DataFrame = {
+      val nodes = pairs.select(col("id_a").as("node"))
+        .unionAll(pairs.select(col("id_b").as("node"))).distinct().localCheckpoint()
+      var edges = pairs
+        .select(greatest(col("id_a"), col("id_b")).as("u"), least(col("id_a"), col("id_b")).as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      var m = edges.count(); var converged = m == 0L; var i = 0
+      while (!converged && i < 50) {
+        val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        val large = sym.groupBy("u")
+          .agg(least(col("u"), min(col("v"))).as("m"),
+            collect_set(when(col("v") > col("u"), col("v"))).as("big"))
+          .select(explode(col("big")).as("u"), col("m").as("v"))
+        val next = large.groupBy("u")
+          .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+          .select(explode(concat(col("vs"), array(col("u")))).as("u2"), col("m"))
+          .where(col("u2") =!= col("m"))
+          .select(col("u2").as("u"), col("m").as("v"))
+          .distinct().localCheckpoint()
+        val m2 = next.count()
+        converged = m2 == m && next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        edges = next; m = m2; i += 1
+      }
+      nodes.join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+        .orderBy("node")
+    }
+
+    // C: join-based rounds (hub-safe without bounded sets): min agg +
+    // streaming join per pass, `large` checkpointed once per round
+    def ccC(pairs: DataFrame): DataFrame = {
+      val nodes = pairs.select(col("id_a").as("node"))
+        .unionAll(pairs.select(col("id_b").as("node"))).distinct().localCheckpoint()
+      var edges = pairs
+        .select(greatest(col("id_a"), col("id_b")).as("u"), least(col("id_a"), col("id_b")).as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      var m = edges.count(); var converged = m == 0L; var i = 0
+      while (!converged && i < 50) {
+        val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        val minL = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+        val large = sym.join(minL, Seq("u")).where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .localCheckpoint()
+        val minS = large.groupBy("u").agg(min(col("v")).as("m"))
+        val next = large.join(minS, Seq("u")).select(col("v").as("u2"), col("m"))
+          .unionAll(minS.select(col("u").as("u2"), col("m")))
+          .where(col("u2") =!= col("m"))
+          .select(col("u2").as("u"), col("m").as("v"))
+          .distinct().localCheckpoint()
+        val m2 = next.count()
+        converged = m2 == m && next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        edges = next; m = m2; i += 1
+      }
+      nodes.join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+        .orderBy("node")
+    }
+
+    for (r <- 1 to 3) {
+      t(s"A r12 agg+explode r$r") { noop(ccA(coreEdges)) }
+      t(s"B bounded+lazy-fallback r$r") {
+        noop(graft.operators.Dedup.connectedComponentsStar(coreEdges, "id_a", "id_b"))
+      }
+      t(s"C join-based r$r") { noop(ccC(coreEdges)) }
+    }
+  }
+
+  /** q343's core-point edge list (the CC-star input), shared by [[ccab]]. */
+  def q343CoreEdges(spark: SparkSession, d: String): DataFrame = {
+    val pts0 = Tables.embeddings(spark, d)
+    val eps = 0.04
+    val pts = pts0.select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val home = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") / lit(eps)).cast("long").as("cx"),
+      floor(col("y") / lit(eps)).cast("long").as("cy"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probe = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), explode(offsets).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (floor(col("xa") / lit(eps)).cast("long") + col("o.dx")).as("cx"),
+        (floor(col("ya") / lit(eps)).cast("long") + col("o.dy")).as("cy"))
+    val nbr = probe.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <=
+        lit(eps) * lit(eps))
+      .select("id_a", "id_b")
+    val core = nbr.groupBy("id_a").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") + 1 >= 5).select(col("id_a").as("id"))
+    nbr
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
   }
 
   def q343(spark: SparkSession, d: String): Unit = {
