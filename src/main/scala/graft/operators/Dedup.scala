@@ -900,7 +900,12 @@ object Dedup {
     // former two-window form (count + row_number over doc_id) paid a full
     // sort of the annotated shingle table by (doc_id, df, h); sort_array
     // over struct(df, h) is the identical (df asc, h asc) rank per doc,
-    // and slice keeps exactly the rows pos ≤ |S| − ⌈t·|S|⌉ + 1 kept before
+    // and slice keeps exactly the rows pos ≤ |S| − ⌈t·|S|⌉ + 1 kept before.
+    // (Round 13 measured-and-rejected: eagerly checkpointing this
+    // aggregate to share it across the self-join sides and the verify
+    // sets was SLOWER warm — 4.7-5.2 vs 3.2 s same-JVM A/B: the
+    // materialization of doc×set struct arrays costs more than the
+    // reused-exchange duplicate aggregation it saves.)
     val prefix = sh.join(freq, Seq("h"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fs"))

@@ -38,6 +38,7 @@ object Scratch {
       case "tail13" => tail13(spark, sfDir)
       case "pr13" => pr13(spark, sfDir)
       case "plans13" => plans13(spark, sfDir)
+      case "q126ab" => q126ab(spark, sfDir)
       case "wedge" => wedge(spark, sfDir)
       case "q223" => q223(spark, sfDir)
       case "q126" => q126(spark, sfDir)
@@ -702,6 +703,63 @@ object Scratch {
           .orderBy("doc_id_a", "doc_id_b")
         noop(pairs)
       }
+    }
+  }
+
+  /** Round-13 q126 A/B: r12 formulation (prefix agg duplicated by the
+    * self-join; sets from a third doc-keyed shuffle) vs checkpointed
+    * shared prefix aggregate. */
+  def q126ab(spark: SparkSession, d: String): Unit = {
+    val docs = Tables.load(spark, d, "documents")
+    val threshold = 0.7
+    import spark.implicits._
+    def run(shared: Boolean): Unit = {
+      val sh = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.operators.Dedup.shingles(Option(t).getOrElse(""), 3)
+            .distinct.map(h => (id, h)) }
+        .toDF("doc_id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val aggDf = sh.join(freq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fs"))
+      val prefixFull = if (shared) aggDf.localCheckpoint(true) else aggDf
+      val prefix = prefixFull
+        .select(col("doc_id"), size(col("fs")).cast("long").as("set_size"),
+          explode(slice(col("fs"), lit(1),
+            greatest(
+              (size(col("fs")) - ceil(size(col("fs")) * threshold) + 1).cast("int"),
+              lit(0)))).as("e"))
+        .select(col("doc_id"), col("e.h").as("h"), col("set_size"))
+      val cands = prefix.toDF("id_a", "h", "size_a")
+        .join(prefix.toDF("id_b", "h", "size_b"), Seq("h"))
+        .filter(col("id_a") < col("id_b") &&
+          col("size_a") * threshold <= col("size_b") &&
+          col("size_b") * threshold <= col("size_a"))
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+      val sets =
+        if (shared) prefixFull.select(col("doc_id"), expr("transform(fs, x -> x.h)").as("hs"))
+        else sh.groupBy("doc_id").agg(collect_list("h").as("hs"))
+      val pairs = cands
+        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"))
+        .filter(col("inter") >= 1)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          (col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .orderBy("doc_id_a", "doc_id_b")
+      noop(pairs)
+      sh.unpersist(false)
+    }
+    for (r <- 1 to 3) {
+      t(s"q126 old (dup agg) r$r") { run(false) }
+      t(s"q126 new (ckpt shared) r$r") { run(true) }
     }
   }
 
